@@ -1,0 +1,58 @@
+"""Fixture-table loaders (TESTDATA.md / FIXTURES.md).
+
+``load_tables(spark, sf_dir)`` returns a dict of DataFrames for the ten
+driver-generated tables, with the one normalization the contract
+requires: ``events.ts`` arrives as TIMESTAMP(NANOS) parquet which Spark
+reads as a long under ``nanosAsLong=true``; we convert to a µs
+timestamp (FIXTURES.md §2). Everything else reads natively.
+
+Column pruning / predicate pushdown note: these loaders return the raw
+``spark.read.parquet`` scans — callers select/filter on top and
+Catalyst pushes projections and predicates into the parquet reader
+(verify with ``.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The caller's session (e.g. the driver's) may not carry this
+        # conf; it is runtime-settable and required to read the
+        # TIMESTAMP(NANOS) fixture at all (FIXTURES.md gotcha).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-long -> µs timestamp
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all fixture tables as temp views (for spark.sql paths)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
