@@ -59,3 +59,209 @@ def d1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "d2_global_aggregate",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 4) AS sum_price,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders
+""",
+    group="D",
+)
+def d2_global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), R).alias("sum_price"),
+        F.round(F.min("o_totalprice"), R).alias("min_price"),
+        F.round(F.max("o_totalprice"), R).alias("max_price"),
+    )
+
+
+@register(
+    "d3_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders",
+    group="D",
+)
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.countDistinct("o_custkey").alias("cnt"))
+
+
+@register(
+    "d4_multi_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS cnt_part,
+       COUNT(DISTINCT l_suppkey) AS cnt_supp
+FROM lineitem
+""",
+    group="D",
+)
+def d4_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one pass — Catalyst plans the Expand
+    strategy (one shuffle, not two scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("cnt_part"),
+        F.countDistinct("l_suppkey").alias("cnt_supp"),
+    )
+
+
+@register(
+    "d5_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS c FROM orders
+GROUP BY o_custkey HAVING COUNT(*) > 10
+ORDER BY o_custkey
+""",
+    group="D",
+)
+def d5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 10)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "d6_rollup",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS cnt
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+""",
+    group="D",
+)
+def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "d7_cube",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS cnt
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, n_name)
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+""",
+    group="D",
+)
+def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "d8_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+""",
+    group="D",
+)
+def d8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+        """
+    )
+
+
+@register(
+    "d9_approx_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS cnt_exact, TRUE AS within_tol FROM orders",
+    group="D",
+)
+def d9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct; self-checking formulation — the query
+    outputs whether the sketch lands within 5% of exact, so the oracle
+    hash-match stays well-defined (SURVEY §2.2 D9 tolerance design)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("cnt_exact"),
+        (
+            F.abs(F.approx_count_distinct("o_custkey", rsd=0.01) - F.countDistinct("o_custkey"))
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("within_tol"),
+    )
+
+
+@register(
+    "d10_percentiles",
+    oracle="""
+SELECT ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem
+""",
+    group="D",
+)
+def d10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), R).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), R).alias("p90_qty"),
+    )
+
+
+@register(
+    "d11_stddev_var",
+    oracle="""
+SELECT ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd,
+       ROUND(VAR_SAMP(o_totalprice), 2) AS var
+FROM orders
+""",
+    group="D",
+)
+def d11_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+    )
+
+
+@register(
+    "d12_collect_list",
+    oracle="""
+SELECT n_regionkey, array_to_string(list_sort(array_agg(n_name)), ',') AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    group="D",
+)
+def d12_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is order-nondeterministic under parallelism —
+    canonicalized by array_sort + join so the result is stable."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"))
+        .orderBy("n_regionkey")
+    )

@@ -1,1 +1,137 @@
-"""Placeholder — populated incrementally."""
+"""Group B — projections, filters, predicates (SURVEY.md §2.2 B).
+
+All predicates here are Catalyst-pushable: comparisons, IN, NULL
+checks, LIKE and RLIKE reach the parquet scan as PushedFilters, so at
+scale these queries touch only surviving row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from . import register
+
+
+@register(
+    "b1_arithmetic_projection",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
+LIMIT 500
+""",
+    group="B",
+)
+def b1_arithmetic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
+        .select("l_orderkey", F.round(charge, 4).alias("charge"))
+        .limit(500)
+    )
+
+
+@register(
+    "b2_boolean_predicates",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM lineitem
+WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08 AND l_returnflag <> 'A'
+""",
+    group="B",
+)
+def b2_boolean_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_returnflag") != "A")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "b3_in_predicate",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+    group="B",
+)
+def b3_in_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "b4_null_predicates",
+    oracle="SELECT COUNT(*) AS cnt FROM customer WHERE c_acctbal IS NOT NULL",
+    group="B",
+)
+def b4_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_acctbal").isNotNull()).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "b5_like_rlike",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS%') AS cnt_like,
+  (SELECT COUNT(*) FROM part WHERE regexp_matches(p_name, '^[a-f].*[0-9]$')) AS cnt_rlike
+""",
+    group="B",
+)
+def b5_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.agg(
+        F.sum(F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0)).alias("cnt_like"),
+        F.sum(F.when(F.col("p_name").rlike("^[a-f].*[0-9]$"), 1).otherwise(0)).alias("cnt_rlike"),
+    )
+
+
+@register(
+    "b6_case_when",
+    oracle="""
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS sz,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    group="B",
+)
+def b6_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sz = (
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+    )
+    return (
+        orders.withColumn("sz", sz)
+        .groupBy("o_orderstatus", "sz")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus", "sz")
+    )
+
+
+@register(
+    "b7_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
+""",
+    group="B",
+)
+def b7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )

@@ -1,1 +1,312 @@
-"""Placeholder — populated incrementally."""
+"""Group G — scalar function library (SURVEY.md §2.2 G).
+
+Everything here is a built-in pyspark.sql.functions expression — JVM-
+side, inside whole-stage codegen. No Python UDFs in this module.
+Dual-dialect notes are inline where Spark and DuckDB syntax diverge
+(0- vs 1-based array indexing, strftime vs date_format, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from . import register
+
+
+@register(
+    "g1_string_basics",
+    oracle="""
+SELECT UPPER(r_name) AS up, LOWER(r_name) AS lo, LENGTH(r_name) AS len,
+       SUBSTR(r_name, 1, 3) AS sub, TRIM('  ' || r_name || ' ') AS trimmed,
+       r_name || '_x' AS concatted
+FROM region ORDER BY r_name
+""",
+    group="G",
+)
+def g1_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        F.upper("r_name").alias("up"),
+        F.lower("r_name").alias("lo"),
+        F.length("r_name").alias("len"),
+        F.substring("r_name", 1, 3).alias("sub"),
+        F.trim(F.concat(F.lit("  "), F.col("r_name"), F.lit(" "))).alias("trimmed"),
+        F.concat(F.col("r_name"), F.lit("_x")).alias("concatted"),
+    ).orderBy("r_name")
+
+
+@register(
+    "g2_split_regexp_extract",
+    oracle="""
+SELECT p_partkey,
+       str_split(p_type, ' ')[2] AS second_word,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+    group="G",
+)
+def g2_split_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark arrays are 0-based; DuckDB lists are 1-based — the oracle
+    uses [2] for Spark's getItem(1)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.get(F.split("p_type", " "), 1).alias("second_word"),  # NULL-safe index
+            F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "g3_datetime",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS m,
+       EXTRACT(YEAR FROM MIN(o_orderdate))::BIGINT AS min_yr,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    group="G",
+)
+def g3_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("m")
+        )
+        .agg(
+            F.year(F.min("o_orderdate")).cast("long").alias("min_yr"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("m")
+    )
+
+
+@register(
+    "g4_math",
+    oracle="""
+SELECT ROUND(SQRT(ABS(SUM(l_discount - 0.05))), 4) AS sq,
+       MOD(MAX(l_orderkey), 97) AS md,
+       FLOOR(AVG(l_quantity))::BIGINT AS fl,
+       CEIL(AVG(l_tax) * 100)::BIGINT AS ce,
+       ROUND(LN(MAX(l_extendedprice)), 4) AS lg,
+       ROUND(POWER(AVG(l_discount), 2), 6) AS pw
+FROM lineitem
+""",
+    group="G",
+)
+def g4_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sqrt(F.abs(F.sum(F.col("l_discount") - 0.05))), 4).alias("sq"),
+        (F.max("l_orderkey") % 97).alias("md"),
+        F.floor(F.avg("l_quantity")).alias("fl"),
+        F.ceil(F.avg("l_tax") * 100).alias("ce"),
+        F.round(F.log(F.max("l_extendedprice")), 4).alias("lg"),
+        F.round(F.pow(F.avg("l_discount"), 2), 6).alias("pw"),
+    )
+
+
+@register(
+    "g5_truncate_transform",
+    oracle="""
+SELECT (l_orderkey - (l_orderkey % 600)) AS bucket, COUNT(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+    group="G",
+)
+def g5_truncate_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partition transform (truncate width) as plain
+    integer math: v - (v % w). Mirrors FileBasedBookkeeper.java:186 and
+    Constants.java:33-35; the same function drives the engine table
+    layer's partitioning (table/transforms.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_orderkey") - (F.col("l_orderkey") % 600)).alias("bucket")
+    return li.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt")).orderBy("bucket")
+
+
+@register(
+    "g6_array_basics",
+    oracle="""
+SELECT vec_id, len(embedding) AS dim,
+       ROUND(embedding[1]::DOUBLE, 4) AS first_elem
+FROM embeddings ORDER BY vec_id LIMIT 10
+""",
+    group="G",
+)
+def g6_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_elem"),
+        )
+        .orderBy("vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "g7_explode_unnest",
+    oracle="""
+SELECT COUNT(*) AS cnt, ROUND(SUM(e::DOUBLE), 2) AS total
+FROM (SELECT UNNEST(embedding) AS e FROM embeddings)
+""",
+    group="G",
+)
+def g7_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(F.explode("embedding").alias("e")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("e").cast("double")), 2).alias("total"),
+    )
+
+
+@register(
+    "g8_struct_map_access",
+    oracle="""
+SELECT {'a': n_nationkey, 'b': n_name}.a AS a,
+       map {'k': n_name}['k'][1] AS mv  -- DuckDB map extract yields a list
+
+FROM nation ORDER BY n_nationkey LIMIT 10
+""",
+    group="G",
+)
+def g8_struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.struct(F.col("n_nationkey").alias("a"), F.col("n_name").alias("b"))
+            .getField("a")
+            .alias("a"),
+            F.create_map(F.lit("k"), F.col("n_name")).getItem("k").alias("mv"),
+            "n_nationkey",
+        )
+        .orderBy("n_nationkey")
+        .select("a", "mv")
+        .limit(10)
+    )
+
+
+@register(
+    "g9_json_extract",
+    oracle="""
+SELECT SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS total_k,
+       COUNT(*) AS cnt
+FROM events
+""",
+    group="G",
+)
+def g9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string field extraction (the reference's queue-message
+    parse shape, StorageQueueBasedBookkeeper.java:178-212)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("total_k"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "g10_base64_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM region
+WHERE from_base64(to_base64(r_name::BLOB))::VARCHAR = r_name
+""",
+    group="G",
+)
+def g10_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64/unbase64 round trip — the decode step of the reference's
+    queue-message path (StorageQueueBasedBookkeeper.java:181)."""
+    region = load_table(spark, sf_dir, "region")
+    return region.filter(
+        F.unbase64(F.base64(F.col("r_name").cast("binary"))).cast("string")
+        == F.col("r_name")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "g11_url_rewrite",
+    oracle="""
+SELECT 'abfss://' || regexp_extract(url, 'https://([^/]+)/([^/]+)/(.*)', 2) || '@'
+       || regexp_extract(url, 'https://([^/]+)/([^/]+)/(.*)', 1) || '/'
+       || regexp_extract(url, 'https://([^/]+)/([^/]+)/(.*)', 3) AS abfss_url
+FROM (
+  SELECT 'https://acct.dfs.core.windows.net/container/data/part-' || o_orderkey || '.parquet' AS url
+  FROM orders ORDER BY o_orderkey LIMIT 100
+)
+""",
+    group="G",
+)
+def g11_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's https->abfss URI rebuild
+    (StorageQueueBasedBookkeeper.java:45,197-204) as a pure-expression
+    pipeline: regexp_extract x3 + concat."""
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://acct.dfs.core.windows.net/container/data/part-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".parquet"),
+    )
+    pat = r"https://([^/]+)/([^/]+)/(.*)"
+    base = orders.orderBy("o_orderkey").limit(100).select(url.alias("url"))
+    return base.select(
+        F.concat(
+            F.lit("abfss://"),
+            F.regexp_extract("url", pat, 2),
+            F.lit("@"),
+            F.regexp_extract("url", pat, 1),
+            F.lit("/"),
+            F.regexp_extract("url", pat, 3),
+        ).alias("abfss_url")
+    )
+
+
+@register(
+    "g12_coalesce_nullif",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM orders
+WHERE COALESCE(NULLIF(o_orderstatus, 'O'), 'X') = 'X'
+""",
+    group="G",
+)
+def g12_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("X")) == "X"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "g13_casts",
+    oracle="""
+SELECT (o_orderdate::DATE)::VARCHAR AS d_str,
+       o_orderkey::VARCHAR AS key_str,
+       FLOOR(o_totalprice)::BIGINT AS price_int,  -- DuckDB ::BIGINT rounds; Spark CAST truncates
+
+       epoch_us(o_orderdate) AS ts_us
+FROM orders ORDER BY o_orderkey LIMIT 50
+""",
+    group="G",
+)
+def g13_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderdate").cast("date").cast("string").alias("d_str"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.floor("o_totalprice").alias("price_int"),
+            # parquet ts w/o tz infers as TIMESTAMP_NTZ in Spark 4; cast
+            # to LTZ (session tz is UTC) before unix_micros
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+            "o_orderkey",
+        )
+        .orderBy("o_orderkey")
+        .select("d_str", "key_str", "price_int", "ts_us")
+        .limit(50)
+    )

@@ -1,1 +1,114 @@
-"""Placeholder — populated incrementally."""
+"""Group A — scans, sources, sinks (SURVEY.md §2.2 A).
+
+Scale notes: A1/A2/A4 are pure scan shapes — Catalyst pushes the
+filter and projection into the parquet reader, so at 100 TB the read
+is bounded by the referenced columns and surviving row groups, not
+table size. A5/A6 are sink/source round-trips: the re-read count is
+oracle-checked against the source table, which validates the sink
+without a Python-side diff.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from . import register
+
+
+@register("a1_parquet_scan_count", oracle="SELECT COUNT(*) AS cnt FROM lineitem", group="A")
+def a1_parquet_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "a2_projection_pushdown",
+    oracle="""
+SELECT l_orderkey, l_quantity
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
+LIMIT 100
+""",
+    group="A",
+)
+def a2_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column projection; ReadSchema in the plan must show only the
+    three referenced columns (pruning verified in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
+        .select("l_orderkey", "l_quantity")
+        .limit(100)
+    )
+
+
+@register(
+    "a4_time_filtered_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+""",
+    group="A",
+)
+def a4_time_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-predicate scan — the shape partition pruning serves in the
+    engine table layer (manifest pruning covered in table/ tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "a5_parquet_sink_roundtrip",
+    oracle="SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > 100000",
+    group="A",
+)
+def a5_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered table to parquet, re-read, count. The oracle
+    checks the round-tripped count against the source table."""
+    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.filter(F.col("o_totalprice") > 100000)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "t"))
+        )
+        back = spark.read.parquet(os.path.join(out, "t"))
+        # materialize the count before the temp dir can be cleaned
+        cnt = back.count()
+        return spark.createDataFrame([(cnt,)], "cnt bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "a6_csv_json_source",
+    oracle="""
+SELECT COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars FROM documents
+""",
+    group="A",
+)
+def a6_csv_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: documents -> csv -> read with explicit
+    schema -> aggregate; oracle checks against the original table."""
+    out = tempfile.mkdtemp(prefix="sink_csv_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        docs.write.mode("overwrite").option("header", True).csv(os.path.join(out, "t"))
+        back = spark.read.option("header", True).schema("doc_id bigint, lang string, n_chars bigint").csv(
+            os.path.join(out, "t")
+        )
+        row = back.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars")
+        ).collect()[0]
+        return spark.createDataFrame([(row["cnt"], row["sum_chars"])], "cnt bigint, sum_chars bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

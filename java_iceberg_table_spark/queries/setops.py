@@ -1,1 +1,117 @@
-"""Placeholder — populated incrementally."""
+"""Group F — sorts, limits, top-k, set operations (SURVEY.md §2.2 F).
+
+Scale notes: F2's sort+limit compiles to TakeOrderedAndProject (per-
+partition top-k + driver merge — no global sort); F1 keeps the same
+property via limit pushdown. Set ops shuffle on the full row as key;
+UNION ALL is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from . import register
+
+
+@register(
+    "f1_multikey_sort_limit",
+    oracle="""
+SELECT o_orderkey FROM orders
+ORDER BY o_orderdate DESC, o_orderkey ASC
+LIMIT 100
+""",
+    group="F",
+)
+def f1_multikey_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "f2_topk",
+    oracle="""
+SELECT p_partkey, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 10
+""",
+    group="F",
+)
+def f2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .select("p_partkey", "p_retailprice")
+        .limit(10)
+    )
+
+
+@register(
+    "f4_union_all",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+)
+""",
+    group="F",
+)
+def f4_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.unionAll(sup).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "f5_union_distinct",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+)
+""",
+    group="F",
+)
+def f5_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.union(sup).distinct().agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "f6_intersect",
+    oracle="""
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY 1
+""",
+    group="F",
+)
+def f6_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    sup = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.intersect(sup).orderBy("k")
+
+
+@register(
+    "f7_except",
+    oracle="""
+SELECT n_nationkey AS k FROM nation
+EXCEPT
+SELECT c_nationkey FROM customer
+ORDER BY 1
+""",
+    group="F",
+)
+def f7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return nation.subtract(cust).orderBy("k")  # subtract == SQL EXCEPT (distinct)

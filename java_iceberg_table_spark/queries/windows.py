@@ -1,1 +1,242 @@
-"""Placeholder — populated incrementally."""
+"""Group E — window functions (SURVEY.md §2.2 E).
+
+Scale notes: every window here partitions by a key (customer, user,
+order) so the sort is per-partition after a hash shuffle — no global
+sort. E6's running total orders by date globally but runs on a
+pre-aggregated daily table (one row per day), so the single-partition
+window is tiny by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..fixtures import load_table
+from . import register
+
+
+@register(
+    "e1_row_number_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+LIMIT 500
+""",
+    group="E",
+)
+def e1_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+        .limit(500)
+    )
+
+
+@register(
+    "e2_rank_dense_rank",
+    oracle="""
+SELECT c_nationkey, c_custkey, rnk, drnk FROM (
+  SELECT c_nationkey, c_custkey,
+         RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+  FROM customer
+) WHERE rnk <= 5
+ORDER BY c_nationkey, rnk, c_custkey
+LIMIT 500
+""",
+    group="E",
+)
+def e2_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("c_nationkey", "c_custkey", "rnk", "drnk")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+        .limit(500)
+    )
+
+
+@register(
+    "e3_lag_gap_count",
+    oracle="""
+SELECT COUNT(*) AS cnt FROM (
+  SELECT epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+) WHERE prev_us IS NOT NULL AND us - prev_us > 3600000000
+""",
+    group="E",
+)
+def e3_lag_gap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session-gap detection via lag — the batch analogue of
+    the streaming session window (I5). Gap compared in µs in both
+    engines to avoid sub-second truncation divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .filter(
+            F.col("prev_us").isNotNull()
+            & (F.unix_micros("ts") - F.col("prev_us") > 3_600_000_000)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "e4_running_sum",
+    oracle="""
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+FROM events
+ORDER BY event_id
+LIMIT 1000
+""",
+    group="E",
+)
+def e4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("run_sum", F.round(F.sum("value").over(w), 4))
+        .select("event_id", "run_sum")
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@register(
+    "e5_sliding_avg",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(AVG(l_extendedprice) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
+LIMIT 1000
+""",
+    group="E",
+)
+def e5_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_linenumber) is NOT unique in the fixture — the
+    window order tie-breaks on (extendedprice, partkey, suppkey), the
+    minimal key set verified unique, so the ROWS frame is deterministic
+    in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_keys = ["l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_keys).rowsBetween(-2, 0)
+    return (
+        li.withColumn("mov_avg", F.round(F.avg("l_extendedprice").over(w), 4))
+        .orderBy("l_orderkey", *order_keys)
+        .select("l_orderkey", "l_linenumber", "mov_avg")
+        .limit(1000)
+    )
+
+
+@register(
+    "e6_range_frame",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS d, ROUND(SUM(o_totalprice), 4) AS day_total
+  FROM orders GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+       ROUND(SUM(day_total) OVER (ORDER BY d
+                                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4) AS wk_sum
+FROM daily
+ORDER BY d
+LIMIT 400
+""",
+    group="E",
+)
+def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame over a pre-aggregated daily series. The daily
+    pre-aggregation keeps the unpartitioned window bounded (one row per
+    day) — the scalable formulation of a global running window."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("day_total"))
+    )
+    daily.createOrReplaceTempView("_e6_daily")
+    return spark.sql(
+        """
+        SELECT date_format(d, 'yyyy-MM-dd') AS d,
+               ROUND(SUM(day_total) OVER (ORDER BY d
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4) AS wk_sum
+        FROM _e6_daily
+        ORDER BY d
+        LIMIT 400
+        """
+    )
+
+
+@register(
+    "e7_ntile",
+    oracle="""
+SELECT q, COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 4) AS min_price
+FROM (SELECT o_totalprice, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q FROM orders)
+GROUP BY q ORDER BY q
+""",
+    group="E",
+)
+def e7_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        )
+        .orderBy("q")
+    )
+
+
+@register(
+    "e8_first_last_value",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+       LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events
+ORDER BY user_id
+""",
+    group="E",
+)
+def e8_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.withColumn("first_type", F.first("event_type").over(w))
+        .withColumn("last_type", F.last("event_type").over(w))
+        .select("user_id", "first_type", "last_type")
+        .distinct()
+        .orderBy("user_id")
+    )
