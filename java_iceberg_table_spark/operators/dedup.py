@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, exact-Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+All hot paths are built-in Spark expressions (JVM-side, codegen); no
+row-at-a-time Python anywhere. Scale design per operator:
+
+- exact:          dropDuplicates == hash shuffle on the dedup key.
+- exact Jaccard:  token-explode + equi-join + count — exact but
+                  O(sum of per-token pair counts); hot tokens explode
+                  the join. Correctness baseline; use MinHash-LSH at
+                  scale.
+- MinHash+LSH:    signatures via k permutation-hashes (one shuffle),
+                  banding, candidate join on (band, band_hash) — the
+                  100 TB path: cost is bounded by bucket collisions,
+                  not n².
+- SimHash:        64-bit signature per doc; near-dup = small Hamming
+                  distance; banding over 4x16-bit chunks bounds the
+                  candidate join.
+- embedding:      cosine over normalized vectors; exact variant is a
+                  self-join (test scale); LSH path in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic MinHash permutation parameters (seeded; public
+# textbook construction h_i(x) = (a_i*x + b_i) mod p). Coefficients and
+# the base hash are kept under 2^31 so a*x fits in int64 without
+# overflow (Spark 4 ANSI mode rejects silent wraparound).
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup — hash shuffle on the key columns (or all columns)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def token_set(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, one row per DISTINCT token per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard >= threshold.
+
+    Exact formulation: |A∩B| via token equi-join, |A∪B| = |A|+|B|-|A∩B|.
+    Returns (id_a, id_b, jaccard)."""
+    tok = token_set(df, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    One explode + one groupBy with num_hashes min-aggregates — a single
+    shuffle regardless of k; map-side partial mins keep shuffle volume
+    at k longs per document."""
+    params = _perm_params(num_hashes, seed)
+    tok = token_set(df, id_col, text_col)
+    h = F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME))
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = tok.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature and join docs sharing any band bucket.
+
+    Returns distinct (id_a < id_b) candidate pairs. The join key is
+    (band_idx, hash(band slice)) — collisions, not n², bound the cost."""
+    num_hashes = None  # derived from the array at runtime via slice expr
+    k_expr = F.size("sig")
+    rows_per_band = (k_expr / bands).cast("int")
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> hash(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands}), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidates, then EXACT Jaccard verification on the
+    candidates only (array_intersect/array_union on the two token
+    arrays — built-in, no explode needed for the verify step).
+
+    Returns (id_a, id_b, jaccard >= threshold). Precision is exact
+    (false positives filtered); recall is 1-(1-t^r)^b, e.g. ~0.9998 at
+    t=0.8 with 64 hashes / 16 bands."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, seed)
+    cand = lsh_candidate_pairs(sig, bands)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    return (
+        cand.join(ta, F.col("id_a") == F.col("ta.id"))
+        .join(tb, F.col("id_b") == F.col("tb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks"))
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 token hashes.
+
+    bit_i(sig) = sign of sum over tokens of (+1 if bit_i(hash(tok)) else -1).
+    Pure expression pipeline: explode -> 64 conditional sums -> pack."""
+    tok = token_set(df, id_col, text_col)
+    h = F.xxhash64("token")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: split the 64-bit sig into (max_hamming + 1) chunks — by
+    pigeonhole any pair within the Hamming budget agrees on at least
+    one chunk, so the candidate join is on (chunk_idx, chunk_value),
+    never n²."""
+    sig = simhash_signatures(df, id_col, text_col)
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    chunk_exprs = []
+    start = 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        chunk_exprs.append(F.shiftright("simhash", start).bitwiseAND(F.lit(mask)))
+        start += width
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Character-n-gram shingle Jaccard near-dup (catches token-order
+    changes that token-set Jaccard misses). Explode+join exact
+    formulation, same scale caveat as exact_jaccard_pairs."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+                f"i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("shingles"),
+    )
+    tok = shingled.select("id", F.explode("shingles").alias("token"))
+    sizes = shingled.select("id", F.size("shingles").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine(vec_a, vec_b) >= threshold, exact self-join
+    formulation (test scale). For 100 TB use similarity.lsh_topk's
+    hyperplane bucketing as the candidate generator instead."""
+    from .similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr("a.vec", "b.vec").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The corpus is scanned once
+  per query batch; with a broadcast query set the corpus never
+  shuffles, and the per-partition window keeps only k rows per query
+  alive before the final merge (TakeOrdered shape).
+- ``lsh_topk``: random-hyperplane LSH — sign-bit bucket per vector,
+  candidates = same bucket (multi-probe via Hamming-adjacent buckets),
+  exact cosine re-rank inside buckets. The 100 TB path: bucket join
+  instead of cross join.
+
+All vector math is built-in higher-order functions (zip_with +
+aggregate) on double-cast arrays — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim), self excluded.
+
+    The query set is broadcast — the corpus is read once, no shuffle of
+    the corpus side; ranking is a per-query-partition window."""
+    c = _as_double(corpus, id_col, vec_col)
+    q = _as_double(queries, id_col, vec_col)
+    # Pre-normalize once per row: cosine becomes a plain dot product.
+    c = c.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    q = q.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    joined = F.broadcast(
+        q.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    ).crossJoin(c.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")))
+    sim = dot_expr("qvec", "cvec")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec, bucket): bucket = packed sign bits of <vec, r_i> for
+    num_planes seeded random hyperplanes (public SimHash-for-cosine
+    construction, Charikar 2002)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    v = _as_double(df, id_col, vec_col)
+    bucket = None
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (dot_expr("vec", plane) > 0).cast("long")
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket + term
+    return v.select("id", "vec", bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 4,
+    probe_hamming: int = 2,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates, exact cosine
+    re-rank. Multi-probe: a query probes every bucket within Hamming
+    distance probe_hamming of its own, trading compute for recall.
+
+    Returns (query_id, neighbor_id, sim, rn). Recall vs brute force is
+    property-tested in tests/test_operators.py."""
+    cb = hyperplane_buckets(corpus, id_col, vec_col, dim, num_planes, seed)
+    qb = hyperplane_buckets(queries, id_col, vec_col, dim, num_planes, seed)
+    # expand query buckets to all probe targets (small: sum of C(p, <=h))
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(num_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    probes = qb.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = probes.join(
+        cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"),
+        "bucket",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = cosine_expr("qvec", "cvec")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-label centroid: posexplode + groupBy(label, pos) + avg +
+    re-assemble — one shuffle keyed by (label, dim-position), scales
+    with labels x dim, not rows."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("avg_v")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_v"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda s: s.getField("avg_v")).alias("centroid"),
+        )
+    )

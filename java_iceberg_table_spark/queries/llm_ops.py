@@ -1,1 +1,350 @@
-"""Placeholder — populated incrementally."""
+"""Group H (+ text-analysis extras) — LLM-data-pipeline operators as
+oracle-checked queries over the documents/embeddings fixtures
+(SURVEY.md §2.2 H; BASELINE.json north star).
+
+The real operator implementations live in ``operators/``; each query
+here is a thin parameterization so the driver's DuckDB gate exercises
+them. Ops whose internals aren't SQL-expressible (MinHash-LSH,
+SimHash, hyperplane ANN) are either self-checking — the LSH result is
+verified-exact so it must EQUAL the exact-SQL oracle when recall is
+complete (deterministic for fixed seeds/data; verified at all three
+SFs) — or registered without an oracle (rows-only gate + unit tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from ..operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    embedding_near_duplicates,
+)
+from ..operators.similarity import brute_force_topk, cosine_expr, lsh_topk
+from ..operators.text import STOPWORDS, fingerprint, quality_score
+from . import register
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "h1_exact_dedup",
+    oracle="SELECT COUNT(*) AS cnt FROM (SELECT DISTINCT text FROM documents)",
+    group="H",
+)
+def h1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("text").dropDuplicates().agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "h2_normalized_dedup",
+    oracle="""
+SELECT COUNT(DISTINCT regexp_replace(LOWER(text), '[^a-z ]', '', 'g')) AS cnt
+FROM documents
+""",
+    group="H",
+)
+def h2_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z ]", "")
+    return docs.agg(F.countDistinct(norm).alias("cnt"))
+
+
+@register(
+    "h3_top_tokens",
+    oracle="""
+SELECT token, COUNT(*)::BIGINT AS cnt
+FROM (SELECT UNNEST(str_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+""",
+    group="H",
+)
+def h3_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "h4_bigrams",
+    oracle="""
+SELECT bg, COUNT(*)::BIGINT AS cnt FROM (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+  FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i
+        FROM (SELECT str_split(text, ' ') AS toks FROM documents))
+) GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20
+""",
+    group="H",
+)
+def h4_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bg")
+        .limit(20)
+    )
+
+
+@register(
+    "h5_lang_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS cnt, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    group="H",
+)
+def h5_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+_EXACT_JACCARD_SQL = """
+WITH tok AS (SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM (
+  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+) WHERE j >= 0.95
+"""
+
+
+@register("h6_jaccard_near_dup", oracle=_EXACT_JACCARD_SQL, group="H")
+def h6_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (threshold 0.95)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.95)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("h6b_minhash_lsh_near_dup", oracle=_EXACT_JACCARD_SQL, group="H")
+def h6b_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, exact-verified on candidates. With 64
+    hashes / 16 bands, P(miss) at j>=0.95 is ~1e-12 per pair and the
+    pipeline is deterministic (seeded), so the result must equal the
+    exact-Jaccard oracle — this checks LSH recall, not just shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("h6c_simhash_near_dup", oracle=None, group="H")
+def h6c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (Hamming <= 3 on 64-bit signatures). xxhash64
+    isn't reproducible in DuckDB -> rows-only gate here; semantics are
+    unit-tested with planted duplicates in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "h7_cosine_pairs",
+    oracle="""
+SELECT a.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+ORDER BY vec_id
+""",
+    group="H",
+)
+def h7_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine via built-in higher-order fns (zip_with + aggregate) on
+    double-cast arrays — JVM-side, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(cosine_expr("a.vec", "b.vec"), 4).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_ANN_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT query_id, neighbor_id, sim, rn FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.vec, c.vec), 4) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(q.vec, c.vec), 4) DESC,
+                                     c.vec_id) AS rn
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+) WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+
+@register("h8_ann_bruteforce_topk", oracle=_ANN_ORACLE, group="H")
+def h8_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 5-NN for queries vec_id < 5 (broadcast queries,
+    single corpus scan, per-query window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+@register("h8b_ann_lsh_topk", oracle=None, group="H")
+def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 5-NN via random-hyperplane LSH with multi-probe.
+    Approximate by design -> rows-only gate; recall vs brute force is
+    asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rn")
+
+
+@register(
+    "h9_label_centroids",
+    oracle="""
+SELECT label,
+       ROUND(AVG(embedding[1]::DOUBLE), 4) AS c0,
+       ROUND(AVG(embedding[2]::DOUBLE), 4) AS c1
+FROM embeddings GROUP BY label ORDER BY label
+""",
+    group="H",
+)
+def h9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.round(F.avg(F.col("embedding").getItem(0).cast("double")), 4).alias("c0"),
+            F.round(F.avg(F.col("embedding").getItem(1).cast("double")), 4).alias("c1"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "h10_binary_bytes",
+    oracle="""
+SELECT SUM(octet_length(text::BLOB))::BIGINT AS total_bytes,
+       MAX(octet_length(text::BLOB)) AS max_bytes,
+       COUNT(*) AS cnt
+FROM documents
+""",
+    group="H",
+)
+def h10_binary_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column stats (multimodal passthrough shape; the
+    full decode plumbing is operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.agg(
+        F.sum(F.octet_length(blob)).alias("total_bytes"),
+        F.max(F.octet_length(blob)).alias("max_bytes"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "h11_embedding_near_dup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+ORDER BY id_a, id_b
+""",
+    group="H",
+)
+def h11_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "h12_quality_scores",
+    oracle=f"""
+WITH x AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       ROUND(length(text)::DOUBLE / len(toks), 4) AS mean_word_len,
+       ROUND(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))::DOUBLE / len(toks), 4) AS stopword_ratio,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+       ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio
+FROM x ORDER BY doc_id LIMIT 100
+""",
+    group="H",
+)
+def h12_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_score(docs, "doc_id", "text")
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "h13_fingerprint",
+    oracle="""
+SELECT doc_id, md5(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS fp_md5
+FROM documents ORDER BY doc_id LIMIT 100
+""",
+    group="H",
+)
+def h13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text").select("doc_id", "fp_md5").orderBy(
+        "doc_id"
+    ).limit(100)
+
+
+@register("h14_language_id", oracle=None, group="H")
+def h14_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram naive-Bayes language-ID: train per-lang profiles on
+    the labeled corpus, classify every doc, output the confusion
+    matrix. Train+classify isn't SQL-expressible -> rows-only gate;
+    determinism + planted-example behavior unit-tested."""
+    from ..operators.text import language_id, train_char_profiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = train_char_profiles(docs, "lang", "text", n=2)
+    pred = language_id(docs, profiles, "doc_id", "text", n=2)
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "predicted_lang")
+    )
