@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None = None, group: str = "") -> Callable[
 
 _MODULES = [
     "scans",
+    "engine_table",
     "filters",
     "joins",
     "aggregates",

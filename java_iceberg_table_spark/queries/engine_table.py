@@ -1,0 +1,123 @@
+"""Group A3 — engine-table scans (the table layer under the oracle).
+
+Each query materializes an engine table (Parquet + JSON manifests,
+snapshot commits) from a fixture table, exercises a table-layer
+capability (snapshot scan, partition pruning, metadata-only delete),
+and returns results that must equal plain SQL over the original
+fixture — so the whole custom format sits under the DuckDB gate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from ..table import create_table, truncate
+from . import register
+
+_BUCKET = 600
+
+
+def _build_lineitem_table(spark: SparkSession, sf_dir: str, root: str):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    tbl = create_table(
+        root,
+        li.schema,
+        partition=truncate("l_orderkey", _BUCKET),
+    )
+    tbl.append(li)
+    return tbl
+
+
+@register(
+    "a3_engine_table_scan",
+    oracle="""
+SELECT COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+""",
+    group="A",
+)
+def a3_engine_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: fixture -> engine table (snapshot commit) -> scan.
+    The oracle checks the engine's storage+scan path end to end."""
+    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
+    try:
+        tbl = _build_lineitem_table(spark, sf_dir, root)
+        row = (
+            tbl.scan(spark)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "a3b_engine_partition_pruned_scan",
+    oracle=f"""
+SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem WHERE l_orderkey >= 6000
+""",
+    group="A",
+)
+def a3b_engine_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: the predicate is evaluated against
+    manifest partition values BEFORE Spark sees any file (the scan
+    receives only surviving buckets), then re-applied as residual."""
+    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
+    try:
+        tbl = _build_lineitem_table(spark, sf_dir, root)
+        pruned = tbl.plan_files([("l_orderkey", ">=", 6000)])
+        assert len(pruned) < len(tbl.plan_files()), "pruning must drop files"
+        row = (
+            tbl.scan(spark, [("l_orderkey", ">=", 6000)])
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_price"])], "cnt bigint, sum_price double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "a3c_engine_metadata_delete",
+    oracle=f"""
+SELECT COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem WHERE l_orderkey >= 6000
+""",
+    group="A",
+)
+def a3c_engine_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only retention delete: drop all buckets < 6000 (aligned
+    to the 600-wide partition), then scan. No data files are rewritten;
+    the post-delete table must equal the predicate applied in SQL."""
+    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
+    try:
+        tbl = _build_lineitem_table(spark, sf_dir, root)
+        tbl.delete_where("l_orderkey", "<", 6000)
+        row = (
+            tbl.scan(spark)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,57 @@
+"""Per-file column statistics from Parquet footers.
+
+The reference captures DataFile metrics at write time (Writer.java:107)
+and recovers them from footers when it didn't write the file itself
+(StorageQueueBasedBookkeeper.java:63-66, ParquetUtil.fileMetrics). This
+module is the footer path: pyarrow reads only footer metadata — no data
+pages — so stats collection is O(row groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def _plain(v: Any) -> Any:
+    """JSON-safe representation of a footer min/max value."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def file_stats(path: str) -> dict:
+    """{rows, bytes, columns: {name: {min, max, nulls}}} for one file."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None:
+                continue
+            entry = cols.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            if st.has_min_max:
+                mn, mx = _plain(st.min), _plain(st.max)
+                if entry["min"] is None or mn < entry["min"]:
+                    entry["min"] = mn
+                if entry["max"] is None or mx > entry["max"]:
+                    entry["max"] = mx
+            entry["nulls"] += st.null_count or 0
+    import os
+
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "columns": cols,
+    }

@@ -1,0 +1,385 @@
+"""The Table API: create / append / scan / delete_where /
+expire_snapshots — PySpark-driven, metadata in JSON (format.py).
+
+Scale design:
+- scan planning is metadata-only (manifests are small JSON); Spark
+  receives an explicit pruned file list, so partition pruning and
+  min/max file skipping happen BEFORE any executor starts — the
+  equivalent of Iceberg's manifest filtering.
+- appends write one new manifest; existing manifests are never
+  rewritten (fast append, Writer.java:139-154). Manifest compaction
+  merges small manifests past a threshold
+  (commit.manifest.min-count-to-merge, Writer.java:120).
+- delete_where with a partition-aligned predicate drops whole files
+  from metadata — zero data IO at any table size
+  (FileBasedBookkeeper.java:182-192).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from . import format as fmt
+from .format import Snapshot, TableMetadata
+from .stats import file_stats
+from .transforms import TruncateTransform
+
+DEFAULT_PROPERTIES = {
+    # reference table properties (Writer.java:114-124), renamed only
+    # where the reference had a typo
+    "commit.retry.num-retries": "1000",
+    "commit.manifest.min-count-to-merge": "8",
+    "history.expire.min-snapshots-to-keep": "1",
+}
+
+
+class Table:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------- metadata plane ----------
+
+    @property
+    def metadata(self) -> TableMetadata:
+        return fmt.load_metadata(self.root)
+
+    @property
+    def transform(self) -> TruncateTransform | None:
+        spec = self.metadata.partition_spec
+        return TruncateTransform.from_json(spec) if spec else None
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.metadata.schema_json)
+
+    def snapshots(self) -> list[Snapshot]:
+        return self.metadata.snapshots
+
+    def current_files(self, metadata: TableMetadata | None = None) -> list[dict]:
+        md = metadata or self.metadata
+        snap = md.current_snapshot()
+        if snap is None:
+            return []
+        entries: list[dict] = []
+        for m in snap.manifests:
+            entries.extend(fmt.read_manifest(self.root, m))
+        return entries
+
+    # ---------- write plane ----------
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Write ``df`` as parquet into data/ (partitioned by the
+        table's transform when one exists) and commit one fast-append
+        snapshot. Files become visible atomically at commit."""
+        batch = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, "data", f"b-{batch}")
+        t = self.transform
+        if t is not None:
+            bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
+            bucketed.write.partitionBy("__pb").parquet(out_dir)
+        else:
+            df.write.parquet(out_dir)
+        entries = []
+        for path in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(path, self.root)
+            st = file_stats(path)
+            partition = None
+            if t is not None:
+                for part in rel.split(os.sep):
+                    if part.startswith("__pb="):
+                        partition = int(part.split("=", 1)[1])
+            entries.append(
+                {
+                    "path": rel,
+                    "rows": st["rows"],
+                    "bytes": st["bytes"],
+                    "partition": partition,
+                    "columns": st["columns"],
+                }
+            )
+        return self.append_entries(entries)
+
+    def append_entries(self, entries: list[dict]) -> Snapshot:
+        """Fast-append pre-written files (the bookkeeper path, R12):
+        one new manifest, no rewrite of existing ones; optimistic-retry
+        commit. Opportunistic manifest merge past the property
+        threshold."""
+        manifest_rel = fmt.write_manifest(self.root, entries)
+
+        result: list[Snapshot] = []
+
+        def build(current: TableMetadata) -> TableMetadata:
+            parent = current.current_snapshot()
+            manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
+            merge_min = int(
+                current.properties.get("commit.manifest.min-count-to-merge", "8")
+            )
+            if len(manifests) > merge_min:
+                merged: list[dict] = []
+                for m in manifests:
+                    merged.extend(fmt.read_manifest(self.root, m))
+                manifests = [fmt.write_manifest(self.root, merged)]
+            snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=fmt.now_ms(),
+                operation="append",
+                manifests=manifests,
+                summary={
+                    "added-files": len(entries),
+                    "added-rows": sum(e["rows"] for e in entries),
+                },
+            )
+            result.clear()
+            result.append(snap)
+            return TableMetadata(
+                version=current.version + 1,
+                table_uuid=current.table_uuid,
+                schema_json=current.schema_json,
+                partition_spec=current.partition_spec,
+                properties=current.properties,
+                snapshots=current.snapshots + [snap],
+                current_snapshot_id=snap.snapshot_id,
+            )
+
+        retries = int(self.metadata.properties.get("commit.retry.num-retries", "1000"))
+        fmt.commit(self.root, build, max_retries=retries)
+        return result[0]
+
+    def delete_where(self, column: str, op: str, value: int) -> Snapshot | None:
+        """Metadata-only delete: drop whole data files whose partition
+        bucket fully satisfies ``column <op> value``.
+
+        v1 contract (exactly the reference's retention path,
+        FileBasedBookkeeper.java:182-192): the column must be the
+        partition source, op must be '<', and value must be aligned to
+        the partition width — the predicate then matches whole
+        partitions and no data is rewritten. Anything else raises."""
+        t = self.transform
+        if t is None or column != t.source_column:
+            raise ValueError(
+                f"metadata-only delete requires the partition source column "
+                f"({t.source_column if t else 'none'}), got {column!r}"
+            )
+        if op != "<":
+            raise ValueError("v1 supports only '<' retention deletes")
+        if value % t.width != 0:
+            raise ValueError(
+                f"cutoff {value} not aligned to partition width {t.width}; "
+                f"align with truncate() first (the bookkeeper floors its cutoff)"
+            )
+
+        result: list[Snapshot | None] = [None]
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            parent = current.current_snapshot()
+            if parent is None:
+                return None
+            kept_manifests: list[str] = []
+            dropped = 0
+            dropped_rows = 0
+            for m in parent.manifests:
+                entries = fmt.read_manifest(self.root, m)
+                kept = [
+                    e
+                    for e in entries
+                    if e.get("partition") is None or not (e["partition"] + t.width <= value)
+                ]
+                if len(kept) == len(entries):
+                    kept_manifests.append(m)  # untouched manifest reused as-is
+                else:
+                    dropped += len(entries) - len(kept)
+                    dropped_rows += sum(e["rows"] for e in entries) - sum(
+                        e["rows"] for e in kept
+                    )
+                    if kept:
+                        kept_manifests.append(fmt.write_manifest(self.root, kept))
+            if dropped == 0:
+                result[0] = None
+                return None
+            snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent.snapshot_id,
+                timestamp_ms=fmt.now_ms(),
+                operation="delete",
+                manifests=kept_manifests,
+                summary={"deleted-files": dropped, "deleted-rows": dropped_rows},
+            )
+            result[0] = snap
+            return TableMetadata(
+                version=current.version + 1,
+                table_uuid=current.table_uuid,
+                schema_json=current.schema_json,
+                partition_spec=current.partition_spec,
+                properties=current.properties,
+                snapshots=current.snapshots + [snap],
+                current_snapshot_id=snap.snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+        return result[0]
+
+    def expire_snapshots(
+        self, older_than_ms: int, retain_last: int = 20
+    ) -> dict[str, int]:
+        """Expire snapshots older than the cutoff (keeping at least
+        ``retain_last`` most recent + the current), then physically
+        delete data files and manifests reachable ONLY from expired
+        snapshots (Reaper.java:17-27 semantics)."""
+        stats = {"expired_snapshots": 0, "deleted_files": 0, "deleted_manifests": 0}
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            snaps = sorted(current.snapshots, key=lambda s: s.timestamp_ms)
+            keep_ids = {s.snapshot_id for s in snaps[-retain_last:]} if retain_last else set()
+            if current.current_snapshot_id is not None:
+                keep_ids.add(current.current_snapshot_id)
+            kept = [
+                s
+                for s in snaps
+                if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms
+            ]
+            if len(kept) == len(snaps):
+                return None
+            stats["expired_snapshots"] = len(snaps) - len(kept)
+            expired = [s for s in snaps if s not in kept]
+            live_manifests = {m for s in kept for m in s.manifests}
+            live_files = set()
+            for m in live_manifests:
+                for e in fmt.read_manifest(self.root, m):
+                    live_files.add(e["path"])
+            # reachability sweep over the expired-only graph
+            for s in expired:
+                for m in s.manifests:
+                    if m in live_manifests:
+                        continue
+                    mpath = os.path.join(self.root, m)
+                    if os.path.exists(mpath):
+                        for e in fmt.read_manifest(self.root, m):
+                            if e["path"] not in live_files:
+                                fpath = os.path.join(self.root, e["path"])
+                                if os.path.exists(fpath):
+                                    os.remove(fpath)
+                                    stats["deleted_files"] += 1
+                                    live_files.add(e["path"])  # avoid double count
+                                    # local-FS checksum sidecar, if any
+                                    d, b = os.path.split(fpath)
+                                    crc = os.path.join(d, f".{b}.crc")
+                                    if os.path.exists(crc):
+                                        os.remove(crc)
+                        os.remove(mpath)
+                        stats["deleted_manifests"] += 1
+                        live_manifests.add(m)
+            return TableMetadata(
+                version=current.version + 1,
+                table_uuid=current.table_uuid,
+                schema_json=current.schema_json,
+                partition_spec=current.partition_spec,
+                properties=current.properties,
+                snapshots=kept,
+                current_snapshot_id=current.current_snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+        return stats
+
+    # ---------- read plane ----------
+
+    def plan_files(
+        self, filters: Iterable[tuple[str, str, object]] = ()
+    ) -> list[dict]:
+        """Metadata-only scan planning: partition pruning (on the
+        transform source column) + per-file min/max skipping for any
+        column with footer stats. Returns surviving manifest entries."""
+        t = self.transform
+        out = []
+        for e in self.current_files():
+            if all(self._entry_may_match(e, t, f) for f in filters):
+                out.append(e)
+        return out
+
+    @staticmethod
+    def _entry_may_match(
+        entry: dict, t: TruncateTransform | None, flt: tuple[str, str, object]
+    ) -> bool:
+        col, op, val = flt
+        lo = hi = None
+        if t is not None and col == t.source_column and entry.get("partition") is not None:
+            lo, hi = t.bucket_range(entry["partition"])  # [lo, hi)
+            hi = hi - 1  # inclusive bound
+        cstats = entry.get("columns", {}).get(col)
+        if cstats and cstats.get("min") is not None:
+            lo = cstats["min"] if lo is None else max(lo, cstats["min"])
+            hi = cstats["max"] if hi is None else min(hi, cstats["max"])
+        if lo is None:
+            return True  # no stats -> cannot prune
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        return True  # unknown op -> no pruning
+
+    def scan(
+        self,
+        spark: SparkSession,
+        filters: Iterable[tuple[str, str, object]] = (),
+    ) -> DataFrame:
+        """Snapshot-isolated read: plan files from the current
+        snapshot, hand Spark the explicit pruned list, re-apply the
+        filters as residuals (pruning is conservative)."""
+        entries = self.plan_files(filters)
+        schema = self.schema()
+        if not entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        df = spark.read.schema(schema).parquet(*paths)
+        ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__", "==": "__eq__"}
+        for col, op, val in filters:
+            df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+        return df
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root)
+
+
+def create_table(
+    root: str,
+    schema: StructType,
+    partition: TruncateTransform | None = None,
+    properties: dict[str, str] | None = None,
+) -> Table:
+    """R1: create a partitioned table with tuned properties
+    (Writer.java:114-124)."""
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+    for sub in ("manifests", "data", "_pending"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    props = dict(DEFAULT_PROPERTIES)
+    props.update(properties or {})
+    meta = TableMetadata(
+        version=1,
+        table_uuid=uuid.uuid4().hex,
+        schema_json=schema.jsonValue(),
+        partition_spec=partition.to_json() if partition else None,
+        properties=props,
+        snapshots=[],
+        current_snapshot_id=None,
+    )
+    fmt.try_commit_version(root, meta)
+    return Table(root)
+
+
+def load_table(root: str) -> Table:
+    fmt.load_metadata(root)  # validate existence
+    return Table(root)
