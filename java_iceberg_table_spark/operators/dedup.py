@@ -146,7 +146,7 @@ def minhash_near_duplicates(
     text_col: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash-LSH candidates, then EXACT Jaccard verification on the
@@ -154,29 +154,129 @@ def minhash_near_duplicates(
     arrays — built-in, no explode needed for the verify step).
 
     Returns (id_a, id_b, jaccard >= threshold). Precision is exact
-    (false positives filtered); recall is 1-(1-t^r)^b, e.g. ~0.9998 at
-    t=0.8 with 64 hashes / 16 bands."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, seed)
-    cand = lsh_candidate_pairs(sig, bands)
-    toks = df.select(
+    (false positives filtered); recall is 1-(1-t^r)^b. Band count is
+    tuned to the threshold when not given: high thresholds take longer
+    bands (fewer, larger rows-per-band) so sub-threshold pairs rarely
+    collide — on similarity-dense corpora this cuts the candidate set
+    by orders of magnitude at equal recall (0.9998 at t=0.95 with
+    8x8; 0.99998 at t=0.8 with 16x4)."""
+    if bands is None:
+        bands = 8 if threshold >= 0.9 else 16
+
+    # Collapse identical token SETS first: members of a set-group are
+    # interchangeable for Jaccard, so LSH + exact verification runs on
+    # one representative per distinct set and results expand back by
+    # joins. On duplicate-heavy corpora (the whole point of dedup) this
+    # shrinks the quadratic candidate/verify core by the dup factor —
+    # this is what keeps the operator viable at 100 TB.
+    toks_all = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
-    return (
-        cand.join(ta, F.col("id_a") == F.col("ta.id"))
-        .join(tb, F.col("id_b") == F.col("tb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("ta.toks", "tb.toks"))
-                / F.size(F.array_union("ta.toks", "tb.toks"))
-            ).alias("jaccard"),
+    groups = toks_all.withColumn("fp", F.md5(F.concat_ws("\x1f", "toks")))
+    members = groups.select("id", "fp")
+    reps = groups.groupBy("fp").agg(F.min("id").alias("rep")).join(
+        groups.select(F.col("id").alias("rep"), F.col("fp"), F.col("toks")).dropDuplicates(["rep"]),
+        ["fp", "rep"],
+    )
+
+    rep_docs = reps.select(F.col("rep").alias(id_col), F.array_join("toks", " ").alias(text_col))
+    sig = minhash_signatures(rep_docs, id_col, text_col, num_hashes, seed)
+    cand = lsh_candidate_pairs(sig, bands)
+
+    # Exact verification. Vocab-adaptive: with a small corpus
+    # vocabulary (dictionary-encodable), token sets become long-array
+    # bitsets and per-pair Jaccard is popcount(AND)/popcount(OR) — a
+    # handful of ALU ops instead of a string-array intersection. The
+    # vocabulary count is one cheap distinct aggregate up front.
+    VOCAB_CAP = 4096
+    n_vocab = (
+        toks_all.select(F.explode("toks").alias("t")).distinct().limit(VOCAB_CAP + 1).count()
+    )
+    if n_vocab <= VOCAB_CAP:
+        from pyspark.sql.window import Window
+
+        vocab = (
+            toks_all.select(F.explode("toks").alias("t"))
+            .distinct()
+            .withColumn("bit", F.row_number().over(Window.orderBy("t")) - 1)
         )
-        .filter(F.col("jaccard") >= threshold)
+        n_words = (n_vocab + 63) // 64
+        enc = (
+            reps.select("rep", F.explode("toks").alias("t"))
+            .join(F.broadcast(vocab), "t")
+            .groupBy("rep")
+            .agg(F.collect_list("bit").alias("bits"))
+            .select(
+                "rep",
+                F.expr(
+                    f"transform(sequence(0, {n_words - 1}), w -> "
+                    f"aggregate(filter(bits, b -> b div 64 = w), 0L, "
+                    f"(acc, b) -> acc | shiftleft(1L, b % 64)))"
+                ).alias("bs"),
+            )
+        )
+        rt = F.broadcast(enc)
+        inter_bits = F.aggregate(
+            F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        union_bits = F.aggregate(
+            F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseOR(y))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        rep_pairs = (
+            cand.join(rt.withColumnRenamed("rep", "id_a").withColumnRenamed("bs", "bs_a"), "id_a")
+            .join(rt.withColumnRenamed("rep", "id_b").withColumnRenamed("bs", "bs_b"), "id_b")
+            .select("id_a", "id_b", (inter_bits / union_bits).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        rt = F.broadcast(reps.select("rep", "toks"))
+        rep_pairs = (
+            cand.join(rt.withColumnRenamed("rep", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+            .join(rt.withColumnRenamed("rep", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("toks_a", "toks_b"))
+                    / F.size(F.array_union("toks_a", "toks_b"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # expand representative pairs to member pairs
+    mem = F.broadcast(members.join(reps.select("fp", "rep"), "fp").select("id", "rep"))
+    inter = (
+        rep_pairs.join(mem.withColumnRenamed("rep", "id_a").withColumnRenamed("id", "ma"), "id_a")
+        .join(mem.withColumnRenamed("rep", "id_b").withColumnRenamed("id", "mb"), "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
     )
+    out = inter
+    if threshold <= 1.0:
+        m1 = mem.alias("m1")
+        m2 = mem.alias("m2")
+        intra = (
+            m1.join(
+                m2,
+                (F.col("m1.rep") == F.col("m2.rep")) & (F.col("m1.id") < F.col("m2.id")),
+            )
+            .select(
+                F.col("m1.id").alias("id_a"),
+                F.col("m2.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        out = inter.unionByName(intra)
+    return out
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

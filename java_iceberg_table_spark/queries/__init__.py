@@ -54,6 +54,8 @@ _MODULES = [
     "setops",
     "scalar_functions",
     "llm_ops",
+    "udf_ops",
+    "streaming_ops",
 ]
 
 
