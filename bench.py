@@ -34,19 +34,46 @@ HEADLINE = [
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Steady-state wall time per headline query: min of 2 runs (the
+    first run of each query also pays one-off codegen/JIT)."""
     from java_iceberg_table_spark.queries import load_all
 
     registry = load_all()
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        # warm the plan cache once at tiny scale? no — measure cold per query
-        start = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - start, 3)
-        assert n >= 0
+        runs = []
+        n_runs = 1 if name.startswith(("i", "h6")) else 2  # heavy ops once
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+            assert n >= 0
+        times[name] = round(min(runs), 3)
     return times
+
+
+def duckdb_reference(sf_dir: str) -> dict[str, float]:
+    """DuckDB wall time for the BASELINE-gated queries (warm, min of 2)
+    — recorded alongside so the 2x-of-DuckDB gate is auditable."""
+    import duckdb
+
+    from java_iceberg_table_spark.oracle import duck_connect
+    from java_iceberg_table_spark.queries import load_all
+
+    registry = load_all()
+    con = duck_connect(sf_dir)
+    out = {}
+    for name in ["d1_tpch_q1", "c3_multiway_join", "e1_row_number_topk"]:
+        sql = registry[name].oracle
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+    con.close()
+    return out
 
 
 def bench_ingest(spark) -> dict[str, float]:
@@ -106,7 +133,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     from java_iceberg_table_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # local-bench session: AQE on; 8 shuffle partitions — at sf0.1 a
+    # shuffle holds <100 MB, so 8 partitions keeps every stage's task-
+    # setup overhead bounded while AQE would coalesce further anyway.
+    # (Cluster deployments size this via config; see session.py.)
+    spark = get_spark(app_name="bench", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so measurements reflect steady state, not
     # first-query JIT + classloading
@@ -117,6 +148,7 @@ def main() -> None:
     t0 = time.perf_counter()
     queries = bench_queries(spark, sf_dir)
     ingest = bench_ingest(spark)
+    duck = duckdb_reference(sf_dir)
     total = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
@@ -126,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "ingest": ingest,
+                "duckdb_reference": duck,
                 "total_bench_sec": total,
                 "sf": sf,
             }

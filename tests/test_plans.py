@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the properties that make these queries
+scale must be visible in the plan, not assumed.
+
+- filter pushdown reaches the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- dim joins broadcast (BroadcastHashJoin), never shuffle the fact side
+- hot-path queries stay inside WholeStageCodegen (no Python UDFs)
+- sort+limit compiles to TakeOrderedAndProject (no global sort)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from java_iceberg_table_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str, executed: bool = False) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    if executed:
+        df.count()  # AQE: codegen ids appear only in the final plan
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_d1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "d1_tpch_q1", executed=True)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 8 referenced columns are read, not all 11
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    assert "l_quantity" in rs and "l_shipdate" in rs
+    assert "Batched: true" in plan  # vectorized parquet reader
+    assert "partial_sum" in plan  # map-side partial aggregation before the shuffle
+
+
+def test_a2_projection_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "a2_projection_pushdown")
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_orderkey", "l_linenumber"):
+        assert col in rs
+    assert "l_shipdate" not in rs and "l_returnflag" not in rs
+
+
+def test_c2_broadcast_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c2_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c3_multiway_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c3_multiway_join")
+    assert plan.count("BroadcastHashJoin Inner") == 2  # tree section: both joins broadcast
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles for joins
+
+
+def test_f2_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "f2_topk")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
+
+
+def test_b2_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b2_boolean_predicates")
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_no_python_udf_in_hot_paths(spark, sf_dir):
+    """Python only in the J-group (by design) and pandas-backed ops;
+    core query groups must stay JVM-side."""
+    for name in [
+        "d1_tpch_q1",
+        "c1_inner_equi_join",
+        "e1_row_number_topk",
+        "h3_top_tokens",
+        "h7_cosine_pairs",
+        "h6_jaccard_near_dup",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
