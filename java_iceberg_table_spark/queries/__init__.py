@@ -56,6 +56,7 @@ _MODULES = [
     "llm_ops",
     "udf_ops",
     "streaming_ops",
+    "tpch",
 ]
 
 

@@ -278,3 +278,38 @@ def c13_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_linenumber") < F.col("b.l_linenumber")
     )
     return a.join(b, cond).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "c12b_asof_join_operator",
+    oracle="""
+SELECT o_orderkey, epoch_us(MAX(ts)) AS asof_us
+FROM orders JOIN events
+  ON user_id = o_custkey % 50 AND ts <= o_orderdate
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+LIMIT 1000
+""",
+    group="C",
+)
+def c12b_asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedicated merge-asof operator (operators/asof.py: union +
+    keyed window, one shuffle, no pair explosion) — must produce the
+    same answer as c12's join+max formulation, which is the oracle."""
+    from ..operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "ts"
+    )
+    joined = asof_join(orders, ev, key="uid", left_ts="odate", right_ts="ts", payload=["ts"])
+    return (
+        joined.filter(F.col("ts_asof").isNotNull())
+        .select("o_orderkey", F.unix_micros("ts_asof").alias("asof_us"))
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )

@@ -112,3 +112,34 @@ def a6_csv_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([(row["cnt"], row["sum_chars"])], "cnt bigint, sum_chars bigint")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "a6b_json_source",
+    oracle="""
+SELECT lang, COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    group="A",
+)
+def a6b_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip with explicit read schema."""
+    out = tempfile.mkdtemp(prefix="sink_json_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        docs.write.mode("overwrite").json(os.path.join(out, "t"))
+        back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+            os.path.join(out, "t")
+        )
+        rows = (
+            back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["cnt"], r["sum_chars"]) for r in rows],
+            "lang string, cnt bigint, sum_chars bigint",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
