@@ -41,8 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-long -> µs timestamp
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # ns-long -> µs timestamp. INTEGER division: `/ 1000` would go
+        # through double and round up near .5µs, diverging from
+        # DuckDB's truncating ns->µs cast by 1µs on ~half the rows.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -265,3 +265,44 @@ def d12_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "d10b_grouped_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    group="D",
+)
+def d10b_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), R).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), R).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d13_corr_covar",
+    oracle="""
+SELECT ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qp,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2) AS slope
+FROM lineitem
+""",
+    group="D",
+)
+def d13_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), R).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+    )

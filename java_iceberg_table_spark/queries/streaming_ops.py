@@ -90,3 +90,70 @@ def i3_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.orderBy("window_start_us")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "i4_sliding_window_stream",
+    oracle="""
+WITH e AS (SELECT ts::TIMESTAMP AS ts FROM events),
+buckets AS (
+  SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) AS s FROM e
+  UNION ALL
+  SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) - 300000000 AS s FROM e
+)
+SELECT s AS window_start_us, COUNT(*) AS cnt
+FROM buckets GROUP BY s ORDER BY s
+""",
+    group="I",
+)
+def i4_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding window (10 min / 5 min): each event lands in
+    exactly two windows — the batch-SQL oracle materializes both."""
+    from ..streaming.jobs import sliding_counts
+
+    src, _ = stage_events_files(spark, sf_dir, n_files=4)
+    try:
+        agg = sliding_counts(file_stream(spark, src, 2), "ts", "10 minutes", "5 minutes")
+        return run_to_memory(agg, output_mode="complete").orderBy("window_start_us")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "i5_session_window_stream",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       COUNT(*) AS cnt
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+""",
+    group="I",
+)
+def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session window (30-min gap) == batch lag-gap
+    sessionization (E3 pattern) expressed in the SQL oracle. Session
+    end = last event + gap, [start, end) — a gap of exactly 30 min
+    starts a new session in both formulations."""
+    from ..streaming.jobs import session_counts
+
+    src, _ = stage_events_files(spark, sf_dir, n_files=4)
+    try:
+        agg = session_counts(file_stream(spark, src, 2), "user_id", "ts", "30 minutes")
+        return run_to_memory(agg, output_mode="complete").orderBy(
+            "user_id", "session_start_us"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -67,10 +67,53 @@ class Table:
         snap = md.current_snapshot()
         if snap is None:
             return []
+        return self.files_of(snap)
+
+    def files_of(self, snap: Snapshot) -> list[dict]:
         entries: list[dict] = []
         for m in snap.manifests:
             entries.extend(fmt.read_manifest(self.root, m))
         return entries
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.metadata.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"unknown snapshot {snapshot_id}")
+
+    def history(self) -> list[dict]:
+        """Commit log view: (snapshot_id, parent, ts, operation, summary)."""
+        return [s.to_json() | {"manifests": len(s.manifests)} for s in self.metadata.snapshots]
+
+    def added_files(self, snap: Snapshot) -> list[dict]:
+        """Manifest entries ADDED by this snapshot relative to its
+        parent — the unit a commit-tailing reader consumes
+        (Writer.java:143-145: readStream cares only about the files a
+        commit added)."""
+        if snap.parent_id is None:
+            return self.files_of(snap)
+        parent_paths = {e["path"] for e in self.files_of(self.snapshot_by_id(snap.parent_id))}
+        return [e for e in self.files_of(snap) if e["path"] not in parent_paths]
+
+    def incremental_entries(
+        self, after_snapshot_id: int | None = None
+    ) -> tuple[list[dict], int | None]:
+        """Files added by append commits AFTER the given snapshot id
+        (None = from the beginning). Returns (entries, new_cursor).
+        Delete/expire snapshots add no files and are skipped — exactly
+        the change-feed a streaming consumer of this table tails."""
+        added: list[dict] = []
+        cursor = after_snapshot_id
+        seen = after_snapshot_id is None
+        for s in self.metadata.snapshots:  # snapshots are append-ordered
+            if not seen:
+                if s.snapshot_id == after_snapshot_id:
+                    seen = True
+                continue
+            if s.operation in ("append",):
+                added.extend(self.added_files(s))
+            cursor = s.snapshot_id
+        return added, cursor
 
     # ---------- write plane ----------
 
@@ -289,17 +332,105 @@ class Table:
         fmt.commit(self.root, build)
         return stats
 
+    def compact_data_files(
+        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Bin-packing compaction: rewrite small data files into
+        ~target-size files, one atomic 'replace' snapshot. Row content
+        is identical before/after; only file layout changes. The cure
+        for the small-files problem the reference's high-frequency
+        writers create by design (one file per createDataFile call,
+        Writer.java:74-108).
+
+        Partition-aware: files are rewritten within their partition
+        bucket so pruning metadata stays exact."""
+        md = self.metadata
+        snap = md.current_snapshot()
+        if snap is None:
+            return {"rewritten": 0, "new_files": 0}
+        entries = self.files_of(snap)
+        small = [e for e in entries if e["bytes"] < target_file_bytes // 2]
+        if len(small) < 2:
+            return {"rewritten": 0, "new_files": 0}
+        keep = [e for e in entries if e not in small]
+        t = self.transform
+        new_entries: list[dict] = []
+        import uuid as uuid_mod
+
+        batch = uuid_mod.uuid4().hex
+        by_partition: dict[object, list[dict]] = {}
+        for e in small:
+            by_partition.setdefault(e.get("partition"), []).append(e)
+        for part, es in by_partition.items():
+            paths = [os.path.join(self.root, e["path"]) for e in es]
+            df = spark.read.schema(self.schema()).parquet(*paths)
+            total = sum(e["bytes"] for e in es)
+            n_out = max(1, total // target_file_bytes)
+            sub = f"__pb={part}" if part is not None else "compacted"
+            out_dir = os.path.join(self.root, "data", f"c-{batch}", sub)
+            df.coalesce(int(n_out)).write.parquet(out_dir)
+            for path in glob.glob(os.path.join(out_dir, "*.parquet")):
+                rel = os.path.relpath(path, self.root)
+                st = file_stats(path)
+                new_entries.append(
+                    {
+                        "path": rel,
+                        "rows": st["rows"],
+                        "bytes": st["bytes"],
+                        "partition": part,
+                        "columns": st["columns"],
+                    }
+                )
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            parent = current.current_snapshot()
+            if parent is None or parent.snapshot_id != snap.snapshot_id:
+                return None  # table moved underneath; caller retries compaction
+            manifest = fmt.write_manifest(self.root, keep + new_entries)
+            new_snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent.snapshot_id,
+                timestamp_ms=fmt.now_ms(),
+                operation="replace",
+                manifests=[manifest],
+                summary={
+                    "compacted-files": len(small),
+                    "new-files": len(new_entries),
+                },
+            )
+            return TableMetadata(
+                version=current.version + 1,
+                table_uuid=current.table_uuid,
+                schema_json=current.schema_json,
+                partition_spec=current.partition_spec,
+                properties=current.properties,
+                snapshots=current.snapshots + [new_snap],
+                current_snapshot_id=new_snap.snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+        return {"rewritten": len(small), "new_files": len(new_entries)}
+
     # ---------- read plane ----------
 
     def plan_files(
-        self, filters: Iterable[tuple[str, str, object]] = ()
+        self,
+        filters: Iterable[tuple[str, str, object]] = (),
+        snapshot_id: int | None = None,
     ) -> list[dict]:
         """Metadata-only scan planning: partition pruning (on the
         transform source column) + per-file min/max skipping for any
-        column with footer stats. Returns surviving manifest entries."""
+        column with footer stats. Returns surviving manifest entries.
+        ``snapshot_id`` pins the plan to a historical snapshot (time
+        travel)."""
         t = self.transform
+        files = (
+            self.files_of(self.snapshot_by_id(snapshot_id))
+            if snapshot_id is not None
+            else self.current_files()
+        )
         out = []
-        for e in self.current_files():
+        for e in files:
             if all(self._entry_may_match(e, t, f) for f in filters):
                 out.append(e)
         return out
@@ -331,20 +462,34 @@ class Table:
             return lo <= val <= hi
         return True  # unknown op -> no pruning
 
-    def scan(
-        self,
-        spark: SparkSession,
-        filters: Iterable[tuple[str, str, object]] = (),
-    ) -> DataFrame:
-        """Snapshot-isolated read: plan files from the current
-        snapshot, hand Spark the explicit pruned list, re-apply the
-        filters as residuals (pruning is conservative)."""
-        entries = self.plan_files(filters)
+    def read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        """Materialize a planned entry list as a DataFrame."""
         schema = self.schema()
         if not entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
-        df = spark.read.schema(schema).parquet(*paths)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def incremental_scan(
+        self, spark: SparkSession, after_snapshot_id: int | None = None
+    ) -> tuple[DataFrame, int | None]:
+        """Change-feed read: rows appended after the cursor snapshot;
+        returns (df, new_cursor). Feed new_cursor back to tail the
+        table — the batch primitive under a streaming source."""
+        entries, cursor = self.incremental_entries(after_snapshot_id)
+        return self.read_entries(spark, entries), cursor
+
+    def scan(
+        self,
+        spark: SparkSession,
+        filters: Iterable[tuple[str, str, object]] = (),
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read: plan files from the current (or
+        time-travel) snapshot, hand Spark the explicit pruned list,
+        re-apply the filters as residuals (pruning is conservative)."""
+        entries = self.plan_files(filters, snapshot_id=snapshot_id)
+        df = self.read_entries(spark, entries)
         ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__", "==": "__eq__"}
         for col, op, val in filters:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))

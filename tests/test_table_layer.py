@@ -231,3 +231,66 @@ def test_snapshot_isolation_reader_never_sees_partial(spark, troot):
     # the pinned plan still reads the pre-delete snapshot's files
     assert reader_df.count() == 100
     assert tbl.scan(spark).count() == 0 or tbl.scan(spark).agg(F.min("ts")).first()[0] >= 100
+
+
+def test_time_travel_scan(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v"), F.col("id").alias("ts")
+    )
+    s1 = tbl.append(df)
+    s2 = tbl.append(df.withColumn("k", F.col("k") + 100))
+    tbl.delete_where("ts", "<", 100)
+    assert tbl.scan(spark, snapshot_id=s1.snapshot_id).count() == 100
+    assert tbl.scan(spark, snapshot_id=s2.snapshot_id).count() == 200
+    assert tbl.scan(spark).count() == 0  # current: everything deleted (ts<100)
+    assert len(tbl.history()) == 3
+
+
+def test_incremental_scan_tails_appends(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    df1 = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"), F.col("id").alias("ts")
+    )
+    tbl.append(df1)
+    inc1, cur1 = tbl.incremental_scan(spark)  # from the beginning
+    assert inc1.count() == 50
+    df2 = spark.range(30).select(
+        (F.col("id") + 50).alias("k"), F.lit("b").alias("v"), F.col("id").alias("ts")
+    )
+    tbl.append(df2)
+    tbl.delete_where("ts", "<", 0)  # no-op delete snapshot must add nothing
+    inc2, cur2 = tbl.incremental_scan(spark, after_snapshot_id=cur1)
+    assert inc2.count() == 30  # only the second append's rows
+    assert {r["v"] for r in inc2.select("v").distinct().collect()} == {"b"}
+    inc3, cur3 = tbl.incremental_scan(spark, after_snapshot_id=cur2)
+    assert inc3.count() == 0 and cur3 == cur2  # nothing new -> cursor stable
+
+
+def test_compaction_preserves_content(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 1000))
+    w = None
+    for i in range(6):  # many tiny files, the ingest pattern
+        df = spark.range(50).select(
+            (F.col("id") + i * 50).alias("k"), F.lit(f"b{i}").alias("v"),
+            (F.col("id") % 900).alias("ts"),
+        )
+        tbl.append(df)
+    before = tbl.scan(spark).orderBy("k").collect()
+    n_files_before = len(tbl.current_files())
+    inc_before, cursor = tbl.incremental_scan(spark)
+    stats = tbl.compact_data_files(spark, target_file_bytes=10 * 1024 * 1024)
+    assert stats["rewritten"] == n_files_before
+    assert stats["new_files"] < n_files_before
+    after = tbl.scan(spark).orderBy("k").collect()
+    assert after == before  # content identical
+    assert len(tbl.current_files()) == stats["new_files"]
+    # replace snapshots add no rows to the change feed
+    inc, cur2 = tbl.incremental_scan(spark, after_snapshot_id=cursor)
+    assert inc.count() == 0
+    # time travel to the pre-compaction snapshot still works
+    pre = tbl.snapshots()[-2]
+    assert tbl.scan(spark, snapshot_id=pre.snapshot_id).count() == 300
+    # GC after expiry removes the small files
+    tbl.expire_snapshots(older_than_ms=10**20, retain_last=1)
+    assert tbl.scan(spark).orderBy("k").collect() == before
