@@ -173,11 +173,21 @@ def minhash_near_duplicates(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
-    groups = toks_all.withColumn("fp", F.md5(F.concat_ws("\x1f", "toks")))
+    # groups/reps feed signatures, verification AND expansion — persist
+    # so the tokenize+fingerprint subtree runs once, not per consumer
+    # (MEMORY_AND_DISK default; Spark's ContextCleaner reclaims it).
+    groups = toks_all.withColumn("fp", F.md5(F.concat_ws("\x1f", "toks"))).persist()
     members = groups.select("id", "fp")
-    reps = groups.groupBy("fp").agg(F.min("id").alias("rep")).join(
-        groups.select(F.col("id").alias("rep"), F.col("fp"), F.col("toks")).dropDuplicates(["rep"]),
-        ["fp", "rep"],
+    reps = (
+        groups.groupBy("fp")
+        .agg(F.min("id").alias("rep"))
+        .join(
+            groups.select(
+                F.col("id").alias("rep"), F.col("fp"), F.col("toks")
+            ).dropDuplicates(["rep"]),
+            ["fp", "rep"],
+        )
+        .persist()
     )
 
     rep_docs = reps.select(F.col("rep").alias(id_col), F.array_join("toks", " ").alias(text_col))
