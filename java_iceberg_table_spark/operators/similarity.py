@@ -75,7 +75,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
@@ -151,7 +151,7 @@ def lsh_topk(
     scored = cand.select("query_id", "neighbor_id", sim.alias("sim")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )

@@ -268,7 +268,7 @@ def h10_binary_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob = F.col("text").cast("binary")
     return docs.agg(
         F.sum(F.octet_length(blob)).alias("total_bytes"),
-        F.max(F.octet_length(blob)).alias("max_bytes"),
+        F.max(F.octet_length(blob)).cast("long").alias("max_bytes"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

@@ -30,7 +30,7 @@ def g1_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.select(
         F.upper("r_name").alias("up"),
         F.lower("r_name").alias("lo"),
-        F.length("r_name").alias("len"),
+        F.length("r_name").cast("long").alias("len"),  # DuckDB LENGTH -> BIGINT
         F.substring("r_name", 1, 3).alias("sub"),
         F.trim(F.concat(F.lit("  "), F.col("r_name"), F.lit(" "))).alias("trimmed"),
         F.concat(F.col("r_name"), F.lit("_x")).alias("concatted"),
@@ -143,7 +143,7 @@ def g6_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "vec_id",
-            F.size("embedding").alias("dim"),
+            F.size("embedding").cast("long").alias("dim"),  # DuckDB len() -> BIGINT
             F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_elem"),
         )
         .orderBy("vec_id")

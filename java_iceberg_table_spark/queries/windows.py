@@ -36,7 +36,7 @@ def e1_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
         .orderBy("o_custkey", "rn")
         .limit(500)
     )
@@ -63,7 +63,12 @@ def e2_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.withColumn("rnk", F.rank().over(w))
         .withColumn("drnk", F.dense_rank().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("c_nationkey", "c_custkey", "rnk", "drnk")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+        )
         .orderBy("c_nationkey", "rnk", "c_custkey")
         .limit(500)
     )
@@ -203,7 +208,7 @@ def e7_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.withColumn("q", F.ntile(4).over(w))
+        orders.withColumn("q", F.ntile(4).over(w).cast("long"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

@@ -165,10 +165,22 @@ class Table:
                 current.properties.get("commit.manifest.min-count-to-merge", "8")
             )
             if len(manifests) > merge_min:
+                # Merge into partition-range SHARDS, not one blob: each
+                # merged manifest holds <= max-entries, sorted by
+                # partition, so (a) no manifest grows unboundedly at
+                # scale and (b) partition-pruned planning can skip
+                # whole manifest shards by their key range.
+                max_entries = int(
+                    current.properties.get("commit.manifest.max-entries", "5000")
+                )
                 merged: list[dict] = []
                 for m in manifests:
                     merged.extend(fmt.read_manifest(self.root, m))
-                manifests = [fmt.write_manifest(self.root, merged)]
+                merged.sort(key=lambda e: (e.get("partition") is None, e.get("partition"), e["path"]))
+                manifests = [
+                    fmt.write_manifest(self.root, merged[i : i + max_entries])
+                    for i in range(0, len(merged), max_entries)
+                ]
             snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id if parent else None,

@@ -294,3 +294,31 @@ def test_compaction_preserves_content(spark, troot):
     # GC after expiry removes the small files
     tbl.expire_snapshots(older_than_ms=10**20, retain_last=1)
     assert tbl.scan(spark).orderBy("k").collect() == before
+
+
+def test_manifest_merge_shards_bounded(spark, troot):
+    tbl = create_table(
+        troot,
+        SIMPLE_SCHEMA,
+        partition=truncate("ts", 100),
+        properties={"commit.manifest.min-count-to-merge": "4",
+                    "commit.manifest.max-entries": "5"},
+    )
+    w = Writer(tbl, writer_id=0, seed=3)
+    # many single-file commits -> repeated merges into bounded shards
+    from java_iceberg_table_spark.table.stats import file_stats as _fs  # noqa
+    for i in range(12):
+        df = spark.range(10).select(
+            (F.col("id") + i * 10).alias("k"), F.lit("x").alias("v"),
+            F.lit(i * 100).alias("ts"),
+        )
+        tbl.append(df)
+    md = load_metadata(troot)
+    snap = md.current_snapshot()
+    from java_iceberg_table_spark.table.format import read_manifest
+    sizes = [len(read_manifest(troot, m)) for m in snap.manifests]
+    assert all(s <= 5 for s in sizes)  # bounded shards
+    assert sum(s for s in sizes) >= 12
+    assert tbl.scan(spark).count() == 120  # nothing lost through merges
+    # shards are partition-sorted: ranges should be mostly disjoint
+    assert tbl.scan(spark, [("ts", ">=", 1000)]).count() == 20
