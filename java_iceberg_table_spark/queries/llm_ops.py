@@ -348,3 +348,70 @@ def h14_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang", "predicted_lang")
     )
+
+
+@register(
+    "h15_stratified_sample",
+    oracle="""
+SELECT lang, TRUE AS within_tol FROM documents GROUP BY lang ORDER BY lang
+""",
+    group="H",
+)
+def h15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (sampleBy) — the train-data
+    subsampling primitive. Self-checking: per-stratum sample counts
+    must land within 40% of the 0.5 target fraction (deterministic for
+    a fixed seed), so the oracle stays hash-matchable."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    sampled = docs.sampleBy("lang", fractions={l: 0.5 for l in langs}, seed=42)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    got = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("got"))
+    return (
+        totals.join(got, "lang", "left")
+        .select(
+            "lang",
+            (
+                F.abs(F.coalesce(F.col("got"), F.lit(0)) - 0.5 * F.col("total"))
+                <= 0.4 * 0.5 * F.col("total") + 3
+            ).alias("within_tol"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "h16_random_split",
+    oracle="SELECT (SELECT COUNT(*) FROM documents) AS total, CAST(0 AS BIGINT) AS overlap",
+    group="H",
+)
+def h16_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded train/test split: the partitions must be disjoint and
+    exhaustive — exact invariants, checked against the source count."""
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = docs.randomSplit([0.8, 0.2], seed=42)
+    total = train.count() + test.count()
+    overlap = train.select("doc_id").intersect(test.select("doc_id")).count()
+    return spark.createDataFrame([(total, overlap)], "total bigint, overlap bigint")
+
+
+@register("h17_multimodal_features", oracle=None, group="H")
+def h17_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing end to end: seeded binary
+    media table -> mapInPandas feature extraction (Arrow-batched) ->
+    per-type stats. Decode is a deterministic stub (no codec libs in
+    this environment); the Spark-side schema/batching/partitioning is
+    real. Rows-only gate; determinism unit-tested."""
+    from ..operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=60)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.round(F.avg(F.col("feature").getItem(0)), 4).alias("avg_f0"),
+        )
+        .orderBy("media_type")
+    )

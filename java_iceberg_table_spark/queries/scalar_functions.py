@@ -310,3 +310,32 @@ def g13_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d_str", "key_str", "price_int", "ts_us")
         .limit(50)
     )
+
+
+@register(
+    "g14_text_functions",
+    oracle="""
+SELECT r_name,
+       lpad(r_name, 12, '*') AS padded,
+       reverse(r_name) AS rev,
+       repeat(substr(r_name, 1, 2), 3) AS rep,
+       translate(r_name, 'AE', 'ae') AS tr,
+       levenshtein(r_name, 'EUROPE') AS lev,
+       greatest(length(r_name), 6)::BIGINT AS g
+FROM region ORDER BY r_name
+""",
+    group="G",
+)
+def g14_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string library incl. levenshtein — the edit-distance
+    primitive for fuzzy dedup pipelines."""
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        "r_name",
+        F.lpad("r_name", 12, "*").alias("padded"),
+        F.reverse("r_name").alias("rev"),
+        F.repeat(F.substring("r_name", 1, 2), 3).alias("rep"),
+        F.translate("r_name", "AE", "ae").alias("tr"),
+        F.levenshtein("r_name", F.lit("EUROPE")).cast("long").alias("lev"),
+        F.greatest(F.length("r_name").cast("long"), F.lit(6).cast("long")).alias("g"),
+    ).orderBy("r_name")
