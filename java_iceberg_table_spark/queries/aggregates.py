@@ -20,14 +20,17 @@ R = 4  # canonical float rounding (FIXTURES.md §5)
     "d1_tpch_q1",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-       COUNT(*)                                                         AS count_order
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                      * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -40,18 +43,26 @@ def d1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shipdate predicate reaches the parquet scan (PushedFilters) and
     only the 8 referenced columns are read (ReadSchema).
+
+    Money sums run in DECIMAL: double summation is order-dependent and
+    ROUND(,4) on an ~1e10 double sum flaps its last digit between
+    engines (observed at sf0.1); decimal sums are exact and identical
+    regardless of partitioning. Averages stay double (division yields
+    non-terminating decimals; boundary collisions are improbable).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(6,4)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(6,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(6,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
-            F.round(F.sum(disc_price), R).alias("sum_disc_price"),
-            F.round(F.sum(charge), R).alias("sum_charge"),
+            F.round(F.sum(price), R).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), R).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), R).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), R).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
             F.round(F.avg("l_discount"), R).alias("avg_disc"),
@@ -65,7 +76,7 @@ def d1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d2_global_aggregate",
     oracle="""
 SELECT COUNT(*) AS cnt,
-       ROUND(SUM(o_totalprice), 4) AS sum_price,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_price,
        ROUND(MIN(o_totalprice), 4) AS min_price,
        ROUND(MAX(o_totalprice), 4) AS max_price
 FROM orders
@@ -76,7 +87,9 @@ def d2_global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), R).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), R)
+        .cast("double")
+        .alias("sum_price"),
         F.round(F.min("o_totalprice"), R).alias("min_price"),
         F.round(F.max("o_totalprice"), R).alias("max_price"),
     )

@@ -65,7 +65,8 @@ def a3_engine_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3b_engine_partition_pruned_scan",
     oracle=f"""
-SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 4) AS sum_price
+SELECT COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_price
 FROM lineitem WHERE l_orderkey >= 6000
 """,
     group="A",
@@ -83,7 +84,9 @@ def a3b_engine_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
             tbl.scan(spark, [("l_orderkey", ">=", 6000)])
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4)
+                .cast("double")
+                .alias("sum_price"),
             )
             .collect()[0]
         )

@@ -18,7 +18,9 @@ from . import register
     "b1_arithmetic_projection",
     oracle="""
 SELECT l_orderkey,
-       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                  * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4))), 4) AS DOUBLE) AS charge
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
 LIMIT 500
@@ -26,11 +28,20 @@ LIMIT 500
     group="B",
 )
 def b1_arithmetic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL: 2-dp inputs make the product exact
+    at 6 dp, so ~half the rows sit exactly on a .xxxx5 boundary where
+    double rounding differs between engines (observed at sf0.1).
+    Decimal multiply+round is exact and engine-identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(6,4)")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (one - F.col("l_discount").cast("decimal(6,4)"))
+        * (one + F.col("l_tax").cast("decimal(6,4)"))
+    )
     return (
         li.orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
-        .select("l_orderkey", F.round(charge, 4).alias("charge"))
+        .select("l_orderkey", F.round(charge, 4).cast("double").alias("charge"))
         .limit(500)
     )
 

@@ -17,11 +17,21 @@ from ..fixtures import load_table
 from . import register
 
 
+def _revenue_agg():
+    """SUM(extprice*(1-disc)) in DECIMAL — exact + order-independent
+    (double sums at 1e10 flap their 4th decimal between engines)."""
+    one = F.lit(1).cast("decimal(6,4)")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        one - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return F.round(F.sum(rev), 4).cast("double").alias("revenue")
+
+
 @register(
     "q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
        strftime(o_orderdate::DATE, '%Y-%m-%d') AS odate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -47,11 +57,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue_agg())
         .select(
             "l_orderkey",
             "revenue",
@@ -65,7 +71,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -96,11 +102,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, sup.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue_agg())
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -109,7 +111,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -131,11 +133,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue_agg())
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

@@ -161,7 +161,8 @@ def e5_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e6_range_frame",
     oracle="""
 WITH daily AS (
-  SELECT o_orderdate::DATE AS d, ROUND(SUM(o_totalprice), 4) AS day_total
+  SELECT o_orderdate::DATE AS d,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS day_total
   FROM orders GROUP BY 1
 )
 SELECT strftime(d, '%Y-%m-%d') AS d,
@@ -180,7 +181,11 @@ def e6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("day_total"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("day_total")
+        )
     )
     daily.createOrReplaceTempView("_e6_daily")
     return spark.sql(
