@@ -177,3 +177,121 @@ def label_centroids(
             F.transform("pairs", lambda s: s.getField("avg_v")).alias("centroid"),
         )
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means over normalized vectors, entirely
+    in DataFrame ops. Returns (assigned, centroids) where assigned is
+    (id, vec, cluster) and centroids is (cluster, cvec) — the inverted
+    file: at scale, write `assigned` partitioned by cluster so a query
+    reads only nprobe/n_centroids of the corpus.
+
+    - init: the n_centroids rows with the smallest xxhash64(id) — a
+      deterministic uniform sample (no Math.random, retry-safe).
+    - Lloyd step: assign = broadcast centroids x corpus, argmin by
+      max_by(cluster, dot) (vectors normalized -> cosine == dot);
+      update = posexplode + groupBy(cluster, pos) avg, reassembled.
+      Shuffle volume per iter is rows x dim keyed by (cluster, pos) —
+      no driver-side loops over data, only `iters` plan iterations.
+    """
+    v = _as_double(corpus, id_col, vec_col)
+    v = v.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    sample = v.withColumn("h", F.xxhash64(F.col("id") + seed)).orderBy("h").limit(
+        n_centroids
+    )
+    cents = sample.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("cluster"),
+        F.col("vec").alias("cvec"),
+    )
+    for _ in range(iters):
+        assigned = _ivf_assign(v, cents, top=1)
+        per_dim = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("avg_x"))
+        )
+        cents = (
+            per_dim.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_x"))).alias("pairs"))
+            .select(
+                "cluster",
+                F.transform("pairs", lambda s: s.getField("avg_x")).alias("cvec"),
+            )
+        )
+        # re-normalize centroids so assignment stays a pure dot product
+        cents = cents.select(
+            "cluster", F.transform("cvec", lambda x: x / norm_expr("cvec")).alias("cvec")
+        )
+    return _ivf_assign(v, cents, top=1), cents
+
+
+def _ivf_assign(v: DataFrame, cents: DataFrame, top: int) -> DataFrame:
+    """Nearest (top=1) or nprobe-nearest centroids per vector."""
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "aff", dot_expr("vec", "cvec")
+    )
+    if top == 1:
+        # max_by over (aff, cluster): deterministic under dot ties
+        return scored.groupBy("id").agg(
+            F.first("vec").alias("vec"),
+            F.max_by("cluster", F.struct("aff", "cluster")).alias("cluster"),
+        )
+    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cluster"))
+    return (
+        scored.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= top)
+        .select("id", "vec", "cluster")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: queries probe their nprobe
+    nearest centroid cells; candidates = corpus rows in those cells;
+    exact dot re-rank inside. Returns (query_id, neighbor_id, sim, rn).
+
+    The scale path vs LSH buckets: cells track the data distribution
+    (k-means) instead of being data-oblivious hyperplanes, so cell
+    sizes stay balanced under clustered embeddings; candidate join is
+    an equi join on cluster — shuffle keyed by cell, never a cross
+    join. Recall vs brute force is asserted in tests/test_operators.py.
+    """
+    assigned, cents = ivf_index(corpus, id_col, vec_col, n_centroids, iters, seed)
+    assigned = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "cluster"
+    )
+    qv = _as_double(queries, id_col, vec_col)
+    qv = qv.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    probes = _ivf_assign(qv, cents, top=nprobe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
+    )
+    cand = probes.join(assigned, "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = dot_expr("qvec", "cvec_n")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim")).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

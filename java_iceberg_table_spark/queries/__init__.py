@@ -57,6 +57,7 @@ _MODULES = [
     "udf_ops",
     "streaming_ops",
     "tpch",
+    "tpch2",
 ]
 
 

@@ -23,7 +23,7 @@ from ..operators.dedup import (
     simhash_near_duplicates,
     embedding_near_duplicates,
 )
-from ..operators.similarity import brute_force_topk, cosine_expr, lsh_topk
+from ..operators.similarity import brute_force_topk, cosine_expr, ivf_topk, lsh_topk
 from ..operators.text import STOPWORDS, fingerprint, quality_score
 from . import register
 
@@ -227,6 +227,19 @@ def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rn")
+
+
+@register("h8c_ann_ivf_topk", oracle=None, group="H")
+def h8c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 5-NN via IVF (k-means cells + nprobe search) — the
+    data-adaptive counterpart to h8b's LSH buckets. Approximate by
+    design -> rows-only gate; recall vs brute force is asserted in
+    tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
+        "query_id", "rn"
+    )
 
 
 @register(

@@ -133,3 +133,48 @@ def test_language_id_deterministic_and_total(spark, sf_dir):
     assert pred.count() == n_docs  # every doc classified exactly once
     langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert {r["predicted_lang"] for r in pred.collect()} <= langs
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from java_iceberg_table_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every reported sim is the true cosine (re-rank is exact): any
+    # (query, neighbor) pair also present in exact must agree on sim
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
+    # determinism: seeded init + deterministic argmin -> same result
+    approx2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    assert approx_set == approx2
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    """The inverted file is a partition of the corpus: every vector in
+    exactly one cell, cells reasonably balanced (no empty-cell
+    collapse), centroids normalized."""
+    from java_iceberg_table_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_index(emb, n_centroids=8, iters=2)
+    total = emb.count()
+    assert assigned.count() == total
+    assert assigned.select("id").distinct().count() == total
+    sizes = [r["c"] for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert len(sizes) >= 2  # k-means did not collapse to one cell
+    assert max(sizes) <= total  # sanity
+    from java_iceberg_table_spark.operators.similarity import norm_expr
+    norms = [r["n"] for r in cents.select(norm_expr("cvec").alias("n")).collect()]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)

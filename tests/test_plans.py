@@ -79,3 +79,44 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: every predicate reaches the scan; 4-column ReadSchema."""
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    pf = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate,1996-01-01", "l_discount,0.05", "LessThan(l_quantity,24.0)"):
+        assert frag in pf
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_q19_or_of_ands_derives_scan_filters(spark, sf_dir):
+    """Catalyst must derive each side's implication of the cross-table
+    disjunction and push it into BOTH parquet scans — at 100 TB this is
+    the difference between scanning 3 brands and scanning every part."""
+    plan = plan_of(spark, sf_dir, "q19_discounted_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity,1.0" in l and "Or(" in l for l in pushed)  # lineitem side
+    assert any("p_brand,Brand#12" in l and "Or(" in l for l in pushed)  # part side
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # date range predicate pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+
+
+def test_q21_semi_then_anti(spark, sf_dir):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, never a row-exploding
+    inner join + distinct."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "o_orderstatus,F" in plan  # status filter pushed to orders scan
+
+
+def test_q16_not_in_is_anti_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_supplier_part_count")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
