@@ -227,22 +227,54 @@ def minhash_near_duplicates(
             )
         )
         rt = F.broadcast(enc)
-        inter_bits = F.aggregate(
-            F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        union_bits = F.aggregate(
-            F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseOR(y))),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        rep_pairs = (
-            cand.join(rt.withColumnRenamed("rep", "id_a").withColumnRenamed("bs", "bs_a"), "id_a")
-            .join(rt.withColumnRenamed("rep", "id_b").withColumnRenamed("bs", "bs_b"), "id_b")
-            .select("id_a", "id_b", (inter_bits / union_bits).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
+        if n_words == 1:
+            # whole set in one machine word: Jaccard is 4 ALU ops
+            wa = F.element_at(F.col("bs_a"), 1)
+            wb = F.element_at(F.col("bs_b"), 1)
+            inter_bits = F.bit_count(wa.bitwiseAND(wb))
+            union_bits = F.bit_count(wa.bitwiseOR(wb))
+        else:
+            inter_bits = F.aggregate(
+                F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            union_bits = F.aggregate(
+                F.zip_with("bs_a", "bs_b", lambda x, y: F.bit_count(x.bitwiseOR(y))),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+        # LSH banding presupposes a large shingle space. On a
+        # dictionary-small token universe min-hashes take at most
+        # n_vocab distinct values, band hashes collide pervasively, and
+        # the "candidate" set approaches ALL pairs (observed at sf0.1:
+        # 5.2M candidates of 7.7M possible, 31-token vocab) — the
+        # banding machinery then costs more than it saves. With few
+        # distinct sets, bitset-comparing every rep pair directly is
+        # strictly cheaper AND has recall exactly 1; past the cap, the
+        # banded join bounds the work and we verify candidates only.
+        ALLPAIRS_REP_CAP = 8192
+        n_reps = reps.count()
+        if n_reps <= ALLPAIRS_REP_CAP:
+            paired = enc.select(
+                F.col("rep").alias("id_a"), F.col("bs").alias("bs_a")
+            ).join(
+                F.broadcast(
+                    enc.select(F.col("rep").alias("id_b"), F.col("bs").alias("bs_b"))
+                ),
+                F.col("id_a") < F.col("id_b"),
+            )
+        else:
+            paired = cand.join(
+                rt.withColumnRenamed("rep", "id_a").withColumnRenamed("bs", "bs_a"),
+                "id_a",
+            ).join(
+                rt.withColumnRenamed("rep", "id_b").withColumnRenamed("bs", "bs_b"),
+                "id_b",
+            )
+        rep_pairs = paired.select(
+            "id_a", "id_b", (inter_bits / union_bits).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
     else:
         rt = F.broadcast(reps.select("rep", "toks"))
         rep_pairs = (
