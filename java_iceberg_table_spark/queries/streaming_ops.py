@@ -10,6 +10,7 @@ exactly-once) are covered in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -157,3 +158,41 @@ def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "i9_stateful_sessionization",
+    oracle="""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM d)
+SELECT user_id, MIN(t) AS start_us, MAX(t) AS end_us, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, start_us
+""",
+    group="I",
+)
+def i9_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    30-minute-gap sessions with exact event counts, built from
+    order-invariant mergeable interval state + a flush sentinel. The
+    oracle is the batch islands formulation (LAG + running break-sum);
+    the streaming run over arbitrary micro-batch splits must produce
+    the identical session set."""
+    from ..streaming.jobs import stage_events_with_flush, stateful_sessions
+
+    src = stage_events_with_flush(spark, sf_dir, n_files=4)
+    try:
+        stream = file_stream(spark, src, max_files_per_trigger=2)
+        sess = stateful_sessions(stream, gap_minutes=30)
+        return run_to_memory(sess, output_mode="append").orderBy("user_id", "start_us")
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)

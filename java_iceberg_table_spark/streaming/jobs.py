@@ -166,3 +166,126 @@ def session_counts(
             "cnt",
         )
     )
+
+
+def stage_events_with_flush(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Events as n parquet files + one FLUSH-sentinel file (one row per
+    user, is_flush=true) whose mtime is bumped so the oldest-first file
+    source is guaranteed to deliver it last. The sentinel is how a
+    finite availableNow run drains stateful-operator state: real
+    deployments would use event-time timeouts instead."""
+    out = tempfile.mkdtemp(prefix="stream_state_src_")
+    src = os.path.join(out, "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(False).alias("is_flush"),
+    )
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    sentinel_dir = tempfile.mkdtemp(prefix="stream_state_sentinel_")
+    ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(True).alias("is_flush"),
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+    import shutil as _sh
+    import time as _time
+
+    part = next(
+        f for f in os.listdir(sentinel_dir) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    dest = os.path.join(src, "zz_flush_sentinel.parquet")
+    _sh.copyfile(os.path.join(sentinel_dir, part), dest)
+    _sh.rmtree(sentinel_dir, ignore_errors=True)
+    future = _time.time() + 3600
+    os.utime(dest, (future, future))
+    return src
+
+
+def stateful_sessions(stream_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user gap sessionization with ORDER-INVARIANT mergeable state.
+
+    Spark's built-in session_window covers the common case; this is the
+    extension seam for session logic it can't express (here: exact
+    event counts per session with arbitrary-order arrival and a
+    deterministic flush protocol).
+
+    State per user = the set of gap-merged intervals (starts, ends,
+    counts) seen so far. Merging new points into intervals is
+    order-invariant: a point inside an interval's span is always within
+    `gap` of some member (largest internal gap <= gap), and two
+    intervals merge iff start2 - end1 <= gap — so any arrival order
+    yields the unique gap-partition of the event set, micro-batch
+    boundaries included. Sessions are emitted (and state dropped) only
+    when the user's flush sentinel arrives.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        starts, ends, counts = state.get if state.exists else ([], [], [])
+        flush = False
+        new_ts: list[int] = []
+        for pdf in pdfs:
+            flush = flush or bool(pdf["is_flush"].any())
+            new_ts.extend(int(t) for t in pdf.loc[~pdf["is_flush"], "ts_us"])
+        items = sorted(
+            [list(t) for t in zip(starts, ends, counts)]
+            + [[t, t, 1] for t in new_ts]
+        )
+        merged: list[list[int]] = []
+        for s, e, c in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
+            else:
+                merged.append([s, e, c])
+        if flush:
+            state.remove()
+            if merged:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])] * len(merged),
+                        "start_us": [m[0] for m in merged],
+                        "end_us": [m[1] for m in merged],
+                        "n_events": [m[2] for m in merged],
+                    }
+                )
+        else:
+            state.update(
+                ([m[0] for m in merged], [m[1] for m in merged], [m[2] for m in merged])
+            )
+
+    prepared = stream_df.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "is_flush"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -211,3 +211,38 @@ def test_retention_delete_during_stream(spark, sf_dir, tmp_path):
         assert tbl.scan(spark).count() < total  # new snapshot reflects delete
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_sessions_order_invariant(spark, sf_dir):
+    """The custom applyInPandasWithState sessionizer must produce the
+    identical session set for ANY micro-batch split of the input —
+    state merging is order-invariant by construction."""
+    import shutil
+
+    from java_iceberg_table_spark.streaming.jobs import (
+        file_stream,
+        run_to_memory,
+        stage_events_with_flush,
+        stateful_sessions,
+    )
+
+    results = []
+    for n_files, per_trigger in [(2, 1), (5, 3)]:
+        src = stage_events_with_flush(spark, sf_dir, n_files=n_files)
+        try:
+            sess = stateful_sessions(
+                file_stream(spark, src, max_files_per_trigger=per_trigger), 30
+            )
+            rows = run_to_memory(sess, output_mode="append").collect()
+            results.append(
+                sorted((r["user_id"], r["start_us"], r["end_us"], r["n_events"]) for r in rows)
+            )
+        finally:
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
+    # counts conserve events: every event is in exactly one session
+    from java_iceberg_table_spark.fixtures import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r[3] for r in results[0]) == total
