@@ -124,3 +124,48 @@ def a3c_engine_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "a3d_engine_schema_evolution",
+    oracle="""
+SELECT n_nationkey,
+       CAST(NULL AS BIGINT) AS extra_a,
+       n_nationkey * 10 AS extra_b
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_nationkey AS extra_a, n_nationkey * 10 AS extra_b
+FROM nation
+ORDER BY n_nationkey, extra_a NULLS FIRST
+""",
+    group="A",
+)
+def a3d_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end to end: append under schema v0, add a
+    column (metadata-only), append under v1, scan — pre-evolution rows
+    surface NULL for the added column, and the computed column proves
+    both generations project onto the current schema."""
+    root = tempfile.mkdtemp(prefix="engine_evo_") + "/t"
+    try:
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey")
+        )
+        tbl = create_table(root, nation.schema)
+        tbl.append(nation)
+        tbl.add_column("extra_a", "long")
+        tbl.append(nation.withColumn("extra_a", F.col("n_nationkey")))
+        out = (
+            tbl.scan(spark)
+            .select(
+                "n_nationkey",
+                "extra_a",
+                (F.col("n_nationkey") * 10).alias("extra_b"),
+            )
+            .orderBy("n_nationkey", F.col("extra_a").asc_nulls_first())
+            .collect()
+        )
+        return spark.createDataFrame(
+            out, "n_nationkey bigint, extra_a bigint, extra_b bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

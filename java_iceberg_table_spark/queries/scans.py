@@ -115,6 +115,35 @@ def a6_csv_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a6c_orc_source",
+    oracle="""
+SELECT source, COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+""",
+    group="A",
+)
+def a6c_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (native Spark ORC; columnar with
+    predicate pushdown like parquet). Completes the format matrix:
+    Parquet / CSV / JSON / ORC; Avro is documented out (no spark-avro
+    module offline — reference's R5 toggle, SURVEY \u00a72.1)."""
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+        docs.write.mode("overwrite").orc(os.path.join(out, "t"))
+        back = spark.read.orc(os.path.join(out, "t"))
+        rows = (
+            back.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+            .orderBy("source")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "source string, cnt bigint, sum_chars bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "a6b_json_source",
     oracle="""
 SELECT lang, COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars

@@ -43,6 +43,10 @@ class Snapshot:
     operation: str  # append | delete | expire | create
     manifests: list[str]  # paths relative to table root
     summary: dict[str, Any] = field(default_factory=dict)
+    # schema current when this snapshot committed (Iceberg's
+    # snapshot->schema-id binding); None on pre-evolution metadata,
+    # which readers treat as "current schema".
+    schema_id: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -52,6 +56,7 @@ class Snapshot:
             "operation": self.operation,
             "manifests": self.manifests,
             "summary": self.summary,
+            "schema_id": self.schema_id,
         }
 
     @staticmethod
@@ -63,6 +68,7 @@ class Snapshot:
             d["operation"],
             list(d["manifests"]),
             dict(d.get("summary", {})),
+            d.get("schema_id"),
         )
 
 
@@ -70,17 +76,32 @@ class Snapshot:
 class TableMetadata:
     version: int
     table_uuid: str
-    schema_json: dict  # Spark StructType.jsonValue()
+    schema_json: dict  # CURRENT schema, Spark StructType.jsonValue()
     partition_spec: dict | None  # TruncateTransform.to_json() or None
     properties: dict[str, str]
     snapshots: list[Snapshot]
     current_snapshot_id: int | None
+    # schema evolution log: every schema version ever current, as
+    # [{"schema_id": int, "schema": StructType.jsonValue()}]. Immutable
+    # once written — time travel resolves a snapshot's schema here.
+    schemas: list[dict] = field(default_factory=list)
+    current_schema_id: int = 0
 
     def current_snapshot(self) -> Snapshot | None:
         for s in self.snapshots:
             if s.snapshot_id == self.current_snapshot_id:
                 return s
         return None
+
+    def schema_for(self, schema_id: int | None) -> dict:
+        """Schema json for a schema id; None (pre-evolution snapshot)
+        resolves to the current schema."""
+        if schema_id is None:
+            return self.schema_json
+        for s in self.schemas:
+            if s["schema_id"] == schema_id:
+                return s["schema"]
+        raise KeyError(f"unknown schema id {schema_id}")
 
     def to_json(self) -> dict:
         return {
@@ -92,10 +113,13 @@ class TableMetadata:
             "properties": self.properties,
             "snapshots": [s.to_json() for s in self.snapshots],
             "current_snapshot_id": self.current_snapshot_id,
+            "schemas": self.schemas,
+            "current_schema_id": self.current_schema_id,
         }
 
     @staticmethod
     def from_json(d: dict) -> "TableMetadata":
+        schemas = list(d.get("schemas") or [{"schema_id": 0, "schema": d["schema"]}])
         return TableMetadata(
             version=d["version"],
             table_uuid=d["table_uuid"],
@@ -104,6 +128,8 @@ class TableMetadata:
             properties=dict(d.get("properties", {})),
             snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
             current_snapshot_id=d.get("current_snapshot_id"),
+            schemas=schemas,
+            current_schema_id=int(d.get("current_schema_id", 0)),
         )
 
 

@@ -21,6 +21,7 @@ import glob
 import os
 import shutil
 import uuid
+from dataclasses import replace
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,6 +186,7 @@ class Table:
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id if parent else None,
                 timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
                 operation="append",
                 manifests=manifests,
                 summary={
@@ -202,6 +204,8 @@ class Table:
                 properties=current.properties,
                 snapshots=current.snapshots + [snap],
                 current_snapshot_id=snap.snapshot_id,
+                schemas=current.schemas,
+                current_schema_id=current.current_schema_id,
             )
 
         retries = int(self.metadata.properties.get("commit.retry.num-retries", "1000"))
@@ -263,6 +267,7 @@ class Table:
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id,
                 timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
                 operation="delete",
                 manifests=kept_manifests,
                 summary={"deleted-files": dropped, "deleted-rows": dropped_rows},
@@ -276,6 +281,8 @@ class Table:
                 properties=current.properties,
                 snapshots=current.snapshots + [snap],
                 current_snapshot_id=snap.snapshot_id,
+                schemas=current.schemas,
+                current_schema_id=current.current_schema_id,
             )
 
         fmt.commit(self.root, build)
@@ -338,6 +345,8 @@ class Table:
                 partition_spec=current.partition_spec,
                 properties=current.properties,
                 snapshots=kept,
+                schemas=current.schemas,
+                current_schema_id=current.current_schema_id,
                 current_snapshot_id=current.current_snapshot_id,
             )
 
@@ -403,6 +412,7 @@ class Table:
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id,
                 timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
                 operation="replace",
                 manifests=[manifest],
                 summary={
@@ -418,6 +428,8 @@ class Table:
                 properties=current.properties,
                 snapshots=current.snapshots + [new_snap],
                 current_snapshot_id=new_snap.snapshot_id,
+                schemas=current.schemas,
+                current_schema_id=current.current_schema_id,
             )
 
         fmt.commit(self.root, build)
@@ -474,9 +486,79 @@ class Table:
             return lo <= val <= hi
         return True  # unknown op -> no pruning
 
-    def read_entries(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+    # ---------- schema evolution (Iceberg UpdateSchema semantics) ----------
+
+    def add_column(self, name: str, dtype: str | dict) -> None:
+        """Add a nullable column — metadata-only commit, no data
+        rewrite. Files written before the evolution read as NULL for
+        the column (name-based projection at scan time); the schema log
+        keeps every prior schema so time travel reads a snapshot with
+        the schema it was committed under.
+
+        The reference inherits this from Iceberg's UpdateSchema; here
+        it is one optimistic-retry commit appending to the schema log."""
+
+        def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
+            fields = list(current.schema_json["fields"])
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} already exists")
+            new_schema = dict(current.schema_json)
+            new_schema["fields"] = fields + [
+                {"name": name, "type": dtype, "nullable": True, "metadata": {}}
+            ]
+            new_id = max(s["schema_id"] for s in current.schemas) + 1
+            return replace(
+                current,
+                version=current.version + 1,
+                schema_json=new_schema,
+                schemas=current.schemas + [{"schema_id": new_id, "schema": new_schema}],
+                current_schema_id=new_id,
+            )
+
+        fmt.commit(self.root, build)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column — metadata-only; data files keep the bytes
+        (unreferenced columns are simply not projected) and time travel
+        still surfaces them via the schema log."""
+
+        def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
+            t = self.transform
+            if t is not None and name == t.source_column:
+                raise ValueError(f"cannot drop partition source column {name!r}")
+            fields = [f for f in current.schema_json["fields"] if f["name"] != name]
+            if len(fields) == len(current.schema_json["fields"]):
+                raise ValueError(f"no such column {name!r}")
+            if not fields:
+                raise ValueError("cannot drop the last column")
+            new_schema = dict(current.schema_json)
+            new_schema["fields"] = fields
+            new_id = max(s["schema_id"] for s in current.schemas) + 1
+            return replace(
+                current,
+                version=current.version + 1,
+                schema_json=new_schema,
+                schemas=current.schemas + [{"schema_id": new_id, "schema": new_schema}],
+                current_schema_id=new_id,
+            )
+
+        fmt.commit(self.root, build)
+
+    def schema_of_snapshot(self, snapshot_id: int) -> StructType:
+        """The schema a snapshot was committed under (time-travel reads
+        use this, not the current schema)."""
+        md = self.metadata
+        snap = self.snapshot_by_id(snapshot_id)
+        return StructType.fromJson(md.schema_for(snap.schema_id))
+
+    def read_entries(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        schema: StructType | None = None,
+    ) -> DataFrame:
         """Materialize a planned entry list as a DataFrame."""
-        schema = self.schema()
+        schema = schema or self.schema()
         if not entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
@@ -501,7 +583,10 @@ class Table:
         time-travel) snapshot, hand Spark the explicit pruned list,
         re-apply the filters as residuals (pruning is conservative)."""
         entries = self.plan_files(filters, snapshot_id=snapshot_id)
-        df = self.read_entries(spark, entries)
+        schema = (
+            self.schema_of_snapshot(snapshot_id) if snapshot_id is not None else None
+        )
+        df = self.read_entries(spark, entries, schema=schema)
         ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__", "==": "__eq__"}
         for col, op, val in filters:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
@@ -532,6 +617,8 @@ def create_table(
         properties=props,
         snapshots=[],
         current_snapshot_id=None,
+        schemas=[{"schema_id": 0, "schema": schema.jsonValue()}],
+        current_schema_id=0,
     )
     fmt.try_commit_version(root, meta)
     return Table(root)
