@@ -169,3 +169,54 @@ def a3d_engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "a3e_engine_upsert_merge",
+    oracle="""
+WITH merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey < 10 THEN 999.99 ELSE c_acctbal END AS bal
+  FROM customer
+  UNION ALL
+  SELECT 1000000 + r_regionkey AS c_custkey, 1.0 AS bal FROM region
+)
+SELECT COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(bal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+FROM merged
+""",
+    group="A",
+)
+def a3e_engine_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE via copy-on-write upsert: keys < 10 are updated in place,
+    five region-derived keys are inserted, one atomic overwrite commit.
+    The post-merge table must equal the CASE/UNION formulation."""
+    root = tempfile.mkdtemp(prefix="engine_merge_") + "/t"
+    try:
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        tbl = create_table(root, cust.schema)
+        tbl.append(cust)
+        updates = (
+            cust.filter(F.col("c_custkey") < 10)
+            .select("c_custkey", F.lit(999.99).alias("c_acctbal"))
+            .unionByName(
+                load_table(spark, sf_dir, "region").select(
+                    (F.lit(1000000) + F.col("r_regionkey")).cast("long").alias("c_custkey"),
+                    F.lit(1.0).alias("c_acctbal"),
+                )
+            )
+        )
+        tbl.upsert(spark, updates, ["c_custkey"])
+        row = (
+            tbl.scan(spark)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 4)
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame([(row["cnt"], row["total"])], "cnt bigint, total double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

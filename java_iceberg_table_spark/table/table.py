@@ -118,12 +118,12 @@ class Table:
 
     # ---------- write plane ----------
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """Write ``df`` as parquet into data/ (partitioned by the
-        table's transform when one exists) and commit one fast-append
-        snapshot. Files become visible atomically at commit."""
+    def _write_data_files(self, df: DataFrame, prefix: str = "b") -> list[dict]:
+        """Write ``df`` as parquet under data/ (partitioned by the
+        table's transform when one exists) and return manifest entries.
+        The files mean nothing until a commit references them."""
         batch = uuid.uuid4().hex
-        out_dir = os.path.join(self.root, "data", f"b-{batch}")
+        out_dir = os.path.join(self.root, "data", f"{prefix}-{batch}")
         t = self.transform
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
@@ -139,6 +139,9 @@ class Table:
                 for part in rel.split(os.sep):
                     if part.startswith("__pb="):
                         partition = int(part.split("=", 1)[1])
+            if st["rows"] == 0:
+                os.remove(path)
+                continue
             entries.append(
                 {
                     "path": rel,
@@ -148,7 +151,13 @@ class Table:
                     "columns": st["columns"],
                 }
             )
-        return self.append_entries(entries)
+        return entries
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """Write ``df`` as parquet into data/ (partitioned by the
+        table's transform when one exists) and commit one fast-append
+        snapshot. Files become visible atomically at commit."""
+        return self.append_entries(self._write_data_files(df))
 
     def append_entries(self, entries: list[dict]) -> Snapshot:
         """Fast-append pre-written files (the bookkeeper path, R12):
@@ -287,6 +296,216 @@ class Table:
 
         fmt.commit(self.root, build)
         return result[0]
+
+    _OPS = {
+        "<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__",
+        "=": "__eq__", "==": "__eq__",
+    }
+
+    def _and_predicate(self, filters) -> "F.Column":
+        cond = None
+        for col, op, val in filters:
+            e = getattr(F.col(col), self._OPS[op])(F.lit(val))
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    def delete_rows(
+        self, spark: SparkSession, filters: Iterable[tuple[str, str, object]]
+    ) -> dict[str, int]:
+        """Copy-on-write row-level delete (Iceberg overwrite semantics;
+        the generalization of delete_where beyond partition-aligned
+        predicates). Predicate = AND of (col, op, literal).
+
+        Scale design: file stats prune the rewrite set BEFORE any data
+        IO — only files whose min/max may contain matching rows are
+        rewritten (grouped per partition bucket); everything else is
+        carried by reference. Rows where the predicate is NULL are KEPT
+        (SQL DELETE semantics). One atomic 'overwrite' snapshot; on a
+        concurrent commit the rewrite re-plans against the new state
+        (written orphans are reclaimed by snapshot-expiry GC)."""
+        filters = list(filters)
+        if not filters:
+            raise ValueError("delete_rows requires at least one predicate")
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            if snap is None:
+                return {"rewritten_files": 0, "deleted_rows": 0}
+            t = self.transform
+            entries = self.files_of(snap)
+            cands = [
+                e for e in entries
+                if all(self._entry_may_match(e, t, f) for f in filters)
+            ]
+            if not cands:
+                return {"rewritten_files": 0, "deleted_rows": 0}
+            cand_paths = {e["path"] for e in cands}
+            keep = [e for e in entries if e["path"] not in cand_paths]
+            match = F.coalesce(self._and_predicate(filters), F.lit(False))
+            new_entries: list[dict] = []
+            batch = uuid.uuid4().hex
+            by_partition: dict[object, list[dict]] = {}
+            for e in cands:
+                by_partition.setdefault(e.get("partition"), []).append(e)
+            for part, es in by_partition.items():
+                paths = [os.path.join(self.root, e["path"]) for e in es]
+                df = spark.read.schema(self.schema()).parquet(*paths).filter(~match)
+                sub = f"__pb={part}" if part is not None else "flat"
+                out_dir = os.path.join(self.root, "data", f"rw-{batch}", sub)
+                df.coalesce(max(1, len(es) // 4)).write.parquet(out_dir)
+                for path in glob.glob(os.path.join(out_dir, "*.parquet")):
+                    st = file_stats(path)
+                    if st["rows"] == 0:
+                        os.remove(path)
+                        continue
+                    new_entries.append(
+                        {
+                            "path": os.path.relpath(path, self.root),
+                            "rows": st["rows"],
+                            "bytes": st["bytes"],
+                            "partition": part,
+                            "columns": st["columns"],
+                        }
+                    )
+            deleted = sum(e["rows"] for e in cands) - sum(e["rows"] for e in new_entries)
+            committed = self._commit_overwrite(
+                snap.snapshot_id,
+                keep + new_entries,
+                {
+                    "rewritten-files": len(cands),
+                    "deleted-rows": deleted,
+                },
+            )
+            if committed:
+                return {"rewritten_files": len(cands), "deleted_rows": deleted}
+        raise fmt.CommitConflict("delete_rows lost the commit race 3 times")
+
+    def upsert(
+        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+    ) -> dict[str, int]:
+        """MERGE (upsert) with copy-on-write: rows whose key appears in
+        ``updates`` are replaced; new keys are inserted — one atomic
+        'overwrite' snapshot.
+
+        Scale design: the rewrite set is pruned by key-column min/max
+        stats against the UPDATES' key bounds (one tiny aggregate on
+        the updates side), so an upsert touching one time-bucket
+        rewrites one bucket's files, not the table. The updates set is
+        broadcast into a left-anti join against each rewritten file
+        group — the big side (table files) never shuffles."""
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            t = self.transform
+            entries = self.files_of(snap) if snap is not None else []
+            bounds_row = updates.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in key_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in key_cols],
+            ).collect()[0]
+
+            def may_hold(e: dict) -> bool:
+                for c in key_cols:
+                    lo, hi = bounds_row[f"lo_{c}"], bounds_row[f"hi_{c}"]
+                    if lo is None:
+                        return False  # empty updates: no file matches
+                    cstats = e.get("columns", {}).get(c)
+                    if not cstats or cstats.get("min") is None:
+                        continue  # no stats: must assume overlap
+                    if cstats["max"] < lo or cstats["min"] > hi:
+                        return False
+                return True
+
+            cands = [e for e in entries if may_hold(e)]
+            cand_paths = {e["path"] for e in cands}
+            keep = [e for e in entries if e["path"] not in cand_paths]
+            keys = updates.select(*key_cols).dropDuplicates(key_cols)
+            new_entries: list[dict] = []
+            batch = uuid.uuid4().hex
+            by_partition: dict[object, list[dict]] = {}
+            for e in cands:
+                by_partition.setdefault(e.get("partition"), []).append(e)
+            for part, es in by_partition.items():
+                paths = [os.path.join(self.root, e["path"]) for e in es]
+                df = (
+                    spark.read.schema(self.schema())
+                    .parquet(*paths)
+                    .join(F.broadcast(keys), key_cols, "left_anti")
+                )
+                sub = f"__pb={part}" if part is not None else "flat"
+                out_dir = os.path.join(self.root, "data", f"mg-{batch}", sub)
+                df.coalesce(max(1, len(es) // 4)).write.parquet(out_dir)
+                for path in glob.glob(os.path.join(out_dir, "*.parquet")):
+                    st = file_stats(path)
+                    if st["rows"] == 0:
+                        os.remove(path)
+                        continue
+                    new_entries.append(
+                        {
+                            "path": os.path.relpath(path, self.root),
+                            "rows": st["rows"],
+                            "bytes": st["bytes"],
+                            "partition": part,
+                            "columns": st["columns"],
+                        }
+                    )
+            inserted = self._write_data_files(updates, prefix="mg")
+            replaced = sum(e["rows"] for e in cands) - sum(
+                e["rows"] for e in new_entries
+            )
+            committed = self._commit_overwrite(
+                snap.snapshot_id if snap is not None else None,
+                keep + new_entries + inserted,
+                {
+                    "rewritten-files": len(cands),
+                    "replaced-rows": replaced,
+                    "upserted-rows": sum(e["rows"] for e in inserted),
+                },
+            )
+            if committed:
+                return {
+                    "rewritten_files": len(cands),
+                    "replaced_rows": replaced,
+                    "upserted_rows": sum(e["rows"] for e in inserted),
+                }
+        raise fmt.CommitConflict("upsert lost the commit race 3 times")
+
+    def _commit_overwrite(
+        self,
+        expected_parent: int | None,
+        entries: list[dict],
+        summary: dict,
+    ) -> bool:
+        """Commit an 'overwrite' snapshot iff the table still points at
+        ``expected_parent`` (the rewrite's base). Returns False on a
+        lost race so the caller can re-plan against fresh state."""
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            parent = current.current_snapshot()
+            parent_id = parent.snapshot_id if parent else None
+            if parent_id != expected_parent:
+                return None
+            manifest = fmt.write_manifest(self.root, entries)
+            new_snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent_id,
+                timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
+                operation="overwrite",
+                manifests=[manifest],
+                summary=summary,
+            )
+            build.result = new_snap
+            return replace(
+                current,
+                version=current.version + 1,
+                snapshots=current.snapshots + [new_snap],
+                current_snapshot_id=new_snap.snapshot_id,
+            )
+
+        build.result = None
+        fmt.commit(self.root, build)
+        return build.result is not None
+
 
     def expire_snapshots(
         self, older_than_ms: int, retain_last: int = 20

@@ -1,0 +1,109 @@
+"""Row-level copy-on-write ops: delete_rows (arbitrary predicate) and
+upsert (MERGE). Stats must prune the rewrite set — untouched files are
+carried by reference, byte-identical paths — and commits are single
+atomic 'overwrite' snapshots (time travel sees the pre-image)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from java_iceberg_table_spark.table import create_table, truncate
+
+
+def _mk_partitioned(spark, tmp_path):
+    tbl = create_table(
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10, "x")], "id long, bucket long, v string").schema,
+        partition=truncate("bucket", 100),
+    )
+    rows = [(i, (i % 3) * 100 + i % 50, f"v{i}") for i in range(300)]
+    tbl.append(spark.createDataFrame(rows, "id long, bucket long, v string"))
+    return tbl, rows
+
+
+def test_delete_rows_arbitrary_predicate(spark, tmp_path):
+    tbl, rows = _mk_partitioned(spark, tmp_path)
+    stats = tbl.delete_rows(spark, [("id", "<", 100), ("bucket", ">=", 100)])
+    expect_deleted = sum(1 for (i, b, _) in rows if i < 100 and b >= 100)
+    assert stats["deleted_rows"] == expect_deleted
+    got = {r["id"] for r in tbl.scan(spark).collect()}
+    want = {i for (i, b, _) in rows if not (i < 100 and b >= 100)}
+    assert got == want
+    assert tbl.metadata.current_snapshot().operation == "overwrite"
+
+
+def test_delete_rows_prunes_rewrite_set(spark, tmp_path):
+    tbl, rows = _mk_partitioned(spark, tmp_path)
+    before = {e["path"]: e for e in tbl.current_files()}
+    # bucket >= 200 touches only partition bucket 200
+    tbl.delete_rows(spark, [("bucket", ">=", 200)])
+    after = {e["path"]: e for e in tbl.current_files()}
+    untouched_before = {p for p, e in before.items() if e["partition"] != 200}
+    assert untouched_before <= set(after)  # carried by reference, not rewritten
+    assert all(e["partition"] != 200 for e in after.values())
+
+
+def test_delete_rows_null_predicate_keeps_row(spark, tmp_path):
+    tbl = create_table(
+        str(tmp_path / "tn"),
+        spark.createDataFrame([(1, 5)], "id long, x long").schema,
+    )
+    tbl.append(
+        spark.createDataFrame([(1, 5), (2, None), (3, 50)], "id long, x long")
+    )
+    tbl.delete_rows(spark, [("x", ">", 10)])
+    got = sorted(r["id"] for r in tbl.scan(spark).collect())
+    assert got == [1, 2]  # NULL predicate -> row kept (SQL DELETE semantics)
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    tbl, rows = _mk_partitioned(spark, tmp_path)
+    pre_snap = tbl.metadata.current_snapshot().snapshot_id
+    updates = spark.createDataFrame(
+        [(5, 105, "NEW5"), (7, 107, "NEW7"), (1000, 100, "INS")],
+        "id long, bucket long, v string",
+    )
+    stats = tbl.upsert(spark, updates, ["id"])
+    assert stats["upserted_rows"] == 3
+    assert stats["replaced_rows"] == 2  # ids 5 and 7 existed
+    vals = {r["id"]: r["v"] for r in tbl.scan(spark).collect()}
+    assert vals[5] == "NEW5" and vals[7] == "NEW7" and vals[1000] == "INS"
+    assert len(vals) == len(rows) + 1
+    # time travel: the pre-upsert image is intact
+    old = {r["id"]: r["v"] for r in tbl.scan(spark, snapshot_id=pre_snap).collect()}
+    assert old[5] == "v5" and 1000 not in old
+
+
+def test_upsert_prunes_by_key_bounds(spark, tmp_path):
+    tbl = create_table(
+        str(tmp_path / "tk"),
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+    )
+    tbl.append(spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string"))
+    tbl.append(spark.createDataFrame([(i, f"v{i}") for i in range(1000, 1100)], "id long, v string"))
+    before = {e["path"] for e in tbl.current_files()}
+    low_files = {
+        e["path"] for e in tbl.current_files() if e["columns"]["id"]["max"] < 1000
+    }
+    stats = tbl.upsert(
+        spark,
+        spark.createDataFrame([(1050, "UP")], "id long, v string"),
+        ["id"],
+    )
+    after = {e["path"] for e in tbl.current_files()}
+    assert low_files <= after  # files outside the key bounds untouched
+    vals = {r["id"]: r["v"] for r in tbl.scan(spark).collect()}
+    assert vals[1050] == "UP" and len(vals) == 200
+
+
+def test_upsert_into_empty_table(spark, tmp_path):
+    tbl = create_table(
+        str(tmp_path / "te"),
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+    )
+    stats = tbl.upsert(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), ["id"]
+    )
+    assert stats["upserted_rows"] == 2 and stats["rewritten_files"] == 0
+    assert tbl.scan(spark).count() == 2
