@@ -455,3 +455,58 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    cluster-resolution step of a dedup pipeline (near-dup PAIRS ->
+    duplicate GROUPS -> keep min-id doc per group).
+
+    Min-label propagation: every node repeatedly takes the minimum of
+    its own label and its neighbors' labels until fixpoint. Each
+    iteration is one join + one aggregate (all data movement stays in
+    DataFrame ops; the driver loop only counts iterations), and
+    ``localCheckpoint`` truncates lineage so plans don't grow with
+    iteration count. Converges in O(graph diameter) rounds — near-dup
+    clusters are near-cliques (diameter ~2), so 2-3 rounds in practice.
+
+    Returns (id, component) with component = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.s, "left")
+            .select(
+                labels.id,
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.withColumnRenamed("comp", "old_comp")
+            .join(new_labels, "id")
+            .filter(F.col("old_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -428,3 +428,47 @@ def h17_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "h18_dedup_groups",
+    oracle="""
+WITH RECURSIVE
+tok AS (SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b) WHERE j >= 0.95),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+SELECT id AS doc_id, MIN(r) AS group_id
+FROM reach GROUP BY id ORDER BY doc_id
+""",
+    group="H",
+)
+def h18_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate GROUPS: connected components over
+    the exact-Jaccard edge list via min-label propagation (the cluster
+    resolution every dedup pipeline needs before "keep one per group").
+    The oracle computes the same components with a recursive CTE —
+    feasible in DuckDB only at test scale; label propagation is the
+    form that scales (O(diameter) joins, near-clique clusters => ~3)."""
+    from ..operators.dedup import connected_components, exact_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, "doc_id", "text", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("group_id")
+    ).orderBy("doc_id")

@@ -178,3 +178,20 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     from java_iceberg_table_spark.operators.similarity import norm_expr
     norms = [r["n"] for r in cents.select(norm_expr("cvec").alias("n")).collect()]
     assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from java_iceberg_table_spark.operators.dedup import connected_components
+
+    # a 6-node chain (diameter 5, forces multiple propagation rounds),
+    # a triangle, and an isolated edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 1 for i in range(1, 7))
+    assert all(got[i] == 10 for i in (10, 11, 12))
+    assert got[20] == 20 and got[21] == 20
