@@ -573,7 +573,10 @@ class Table:
         return stats
 
     def compact_data_files(
-        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
     ) -> dict[str, int]:
         """Bin-packing compaction: rewrite small data files into
         ~target-size files, one atomic 'replace' snapshot. Row content
@@ -608,7 +611,18 @@ class Table:
             n_out = max(1, total // target_file_bytes)
             sub = f"__pb={part}" if part is not None else "compacted"
             out_dir = os.path.join(self.root, "data", f"c-{batch}", sub)
-            df.coalesce(int(n_out)).write.parquet(out_dir)
+            if sort_by:
+                # range-partition + sort: every output file covers a
+                # DISJOINT key range, so its min/max stats are tight
+                # and plan_files skipping becomes surgical — the
+                # cluster-by/z-order analogue for 1-d keys.
+                (
+                    df.repartitionByRange(int(n_out), *sort_by)
+                    .sortWithinPartitions(*sort_by)
+                    .write.parquet(out_dir)
+                )
+            else:
+                df.coalesce(int(n_out)).write.parquet(out_dir)
             for path in glob.glob(os.path.join(out_dir, "*.parquet")):
                 rel = os.path.relpath(path, self.root)
                 st = file_stats(path)

@@ -107,3 +107,36 @@ def test_upsert_into_empty_table(spark, tmp_path):
     )
     assert stats["upserted_rows"] == 2 and stats["rewritten_files"] == 0
     assert tbl.scan(spark).count() == 2
+
+
+def test_sorted_compaction_tightens_stats(spark, tmp_path):
+    """compact(sort_by=...) range-partitions the rewrite: output files
+    cover disjoint key ranges, so min/max skipping prunes to one file
+    for a point lookup (the cluster-by analogue)."""
+    tbl = create_table(
+        str(tmp_path / "ts"),
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+    )
+    # shuffled appends: every file's id range spans ~the whole domain
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(4000))
+    rng.shuffle(ids)
+    for i in range(8):
+        chunk = ids[i * 500 : (i + 1) * 500]
+        tbl.append(
+            spark.createDataFrame([(x, f"v{x}") for x in chunk], "id long, v string").coalesce(1)
+        )
+    wide = tbl.plan_files([("id", "=", 123)])
+    assert len(wide) == 8  # every unsorted file may hold id=123
+    stats = tbl.compact_data_files(spark, target_file_bytes=16 * 1024, sort_by=["id"])
+    assert stats["new_files"] >= 2
+    entries = tbl.current_files()
+    ranges = sorted(
+        (e["columns"]["id"]["min"], e["columns"]["id"]["max"]) for e in entries
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint
+    assert len(tbl.plan_files([("id", "=", 123)])) == 1
+    assert tbl.scan(spark).count() == 4000
