@@ -319,3 +319,60 @@ def d13_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
     )
+
+
+@register(
+    "d14_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    group="D",
+)
+def d14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one hash aggregate with per-pivot-value conditional
+    measures (what Spark compiles groupBy().pivot() into when values
+    are given explicitly — giving them avoids the extra distinct-values
+    job AND makes the output schema static, both required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "d15_unpivot",
+    oracle="""
+SELECT o_orderkey, m, v FROM (
+  SELECT o_orderkey, 'totalprice' AS m, o_totalprice AS v FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS m, CAST(o_custkey AS DOUBLE) AS v FROM orders
+) ORDER BY o_orderkey, m LIMIT 300
+""",
+    group="D",
+)
+def d15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide->long without a shuffle (narrow expand of
+    each row into one row per measure; the UNION ALL formulation would
+    scan the table once per measure — melt scans once)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", F.col("o_totalprice"), F.col("o_custkey").cast("double")
+        )
+        .melt(
+            ids=["o_orderkey"],
+            values=["o_totalprice", "o_custkey"],
+            variableColumnName="m",
+            valueColumnName="v",
+        )
+        .withColumn("m", F.regexp_replace("m", "^o_", ""))
+        .orderBy("o_orderkey", "m")
+        .limit(300)
+    )

@@ -86,6 +86,10 @@ class TableMetadata:
     # once written — time travel resolves a snapshot's schema here.
     schemas: list[dict] = field(default_factory=list)
     current_schema_id: int = 0
+    # named snapshot refs: {name: {"snapshot_id": int, "type": "branch"|"tag"}}.
+    # Branches move (staged WAP writes); tags are immutable pins. Both
+    # protect their snapshot from expiry.
+    refs: dict = field(default_factory=dict)
 
     def current_snapshot(self) -> Snapshot | None:
         for s in self.snapshots:
@@ -115,6 +119,7 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "schemas": self.schemas,
             "current_schema_id": self.current_schema_id,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -130,6 +135,7 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             schemas=schemas,
             current_schema_id=int(d.get("current_schema_id", 0)),
+            refs=dict(d.get("refs", {})),
         )
 
 

@@ -153,13 +153,15 @@ class Table:
             )
         return entries
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
         """Write ``df`` as parquet into data/ (partitioned by the
         table's transform when one exists) and commit one fast-append
-        snapshot. Files become visible atomically at commit."""
-        return self.append_entries(self._write_data_files(df))
+        snapshot. Files become visible atomically at commit. With
+        ``branch``, the commit moves the branch ref instead of the
+        table head — the staging half of write-audit-publish."""
+        return self.append_entries(self._write_data_files(df), branch=branch)
 
-    def append_entries(self, entries: list[dict]) -> Snapshot:
+    def append_entries(self, entries: list[dict], branch: str | None = None) -> Snapshot:
         """Fast-append pre-written files (the bookkeeper path, R12):
         one new manifest, no rewrite of existing ones; optimistic-retry
         commit. Opportunistic manifest merge past the property
@@ -169,7 +171,17 @@ class Table:
         result: list[Snapshot] = []
 
         def build(current: TableMetadata) -> TableMetadata:
-            parent = current.current_snapshot()
+            if branch is not None:
+                ref = current.refs.get(branch)
+                if ref is None:
+                    raise KeyError(f"unknown branch {branch!r}")
+                if ref["type"] != "branch":
+                    raise ValueError(f"ref {branch!r} is a tag, not a branch")
+                parent = next(
+                    s for s in current.snapshots if s.snapshot_id == ref["snapshot_id"]
+                )
+            else:
+                parent = current.current_snapshot()
             manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
             merge_min = int(
                 current.properties.get("commit.manifest.min-count-to-merge", "8")
@@ -205,6 +217,13 @@ class Table:
             )
             result.clear()
             result.append(snap)
+            if branch is not None:
+                new_refs = dict(current.refs)
+                new_refs[branch] = {"snapshot_id": snap.snapshot_id, "type": "branch"}
+                head = current.current_snapshot_id  # table head unmoved
+            else:
+                new_refs = current.refs
+                head = snap.snapshot_id
             return TableMetadata(
                 version=current.version + 1,
                 table_uuid=current.table_uuid,
@@ -212,14 +231,89 @@ class Table:
                 partition_spec=current.partition_spec,
                 properties=current.properties,
                 snapshots=current.snapshots + [snap],
-                current_snapshot_id=snap.snapshot_id,
+                current_snapshot_id=head,
                 schemas=current.schemas,
                 current_schema_id=current.current_schema_id,
+                refs=new_refs,
             )
 
         retries = int(self.metadata.properties.get("commit.retry.num-retries", "1000"))
         fmt.commit(self.root, build, max_retries=retries)
         return result[0]
+
+    # ---------- refs: branches / tags / write-audit-publish ----------
+
+    def _set_ref(self, name: str, ref_type: str, snapshot_id: int | None) -> None:
+        def build(current: TableMetadata) -> TableMetadata:
+            sid = snapshot_id if snapshot_id is not None else current.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot create a ref on an empty table")
+            if not any(s.snapshot_id == sid for s in current.snapshots):
+                raise KeyError(f"unknown snapshot {sid}")
+            if name in current.refs:
+                raise ValueError(f"ref {name!r} already exists")
+            return replace(
+                current,
+                version=current.version + 1,
+                refs={**current.refs, name: {"snapshot_id": sid, "type": ref_type}},
+            )
+
+        fmt.commit(self.root, build)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Branch = movable named ref. Staged writes (append(df,
+        branch=...)) advance it without touching the table head —
+        readers of the table never see unaudited data. GC roots: a
+        branch pins its snapshot against expiry."""
+        self._set_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Tag = immutable named pin (e.g. 'the snapshot this model was
+        trained on'). scan(ref=name) reproduces it forever; expiry
+        cannot collect it."""
+        self._set_ref(name, "tag", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        def build(current: TableMetadata) -> TableMetadata:
+            if name not in current.refs:
+                raise KeyError(f"no such ref {name!r}")
+            refs = {k: v for k, v in current.refs.items() if k != name}
+            return replace(current, version=current.version + 1, refs=refs)
+
+        fmt.commit(self.root, build)
+
+    def publish_branch(self, name: str) -> None:
+        """The publish half of write-audit-publish: fast-forward the
+        table head to the audited branch head. Refuses a non-fast-
+        forward publish (head moved off the branch lineage) — that
+        needs an explicit merge/rebase decision, not a silent clobber."""
+
+        def build(current: TableMetadata) -> TableMetadata:
+            ref = current.refs.get(name)
+            if ref is None or ref["type"] != "branch":
+                raise KeyError(f"no such branch {name!r}")
+            target = ref["snapshot_id"]
+            by_id = {s.snapshot_id: s for s in current.snapshots}
+            node = by_id.get(target)
+            ancestors = set()
+            while node is not None:
+                ancestors.add(node.snapshot_id)
+                node = by_id.get(node.parent_id)
+            if (
+                current.current_snapshot_id is not None
+                and current.current_snapshot_id not in ancestors
+            ):
+                raise fmt.CommitConflict(
+                    f"branch {name!r} does not descend from the current head"
+                )
+            return replace(
+                current,
+                version=current.version + 1,
+                current_snapshot_id=target,
+            )
+
+        fmt.commit(self.root, build)
+
 
     def delete_where(self, column: str, op: str, value: int) -> Snapshot | None:
         """Metadata-only delete: drop whole data files whose partition
@@ -292,6 +386,7 @@ class Table:
                 current_snapshot_id=snap.snapshot_id,
                 schemas=current.schemas,
                 current_schema_id=current.current_schema_id,
+                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -521,6 +616,8 @@ class Table:
             keep_ids = {s.snapshot_id for s in snaps[-retain_last:]} if retain_last else set()
             if current.current_snapshot_id is not None:
                 keep_ids.add(current.current_snapshot_id)
+            for r in current.refs.values():
+                keep_ids.add(r["snapshot_id"])  # branches/tags pin snapshots
             kept = [
                 s
                 for s in snaps
@@ -567,6 +664,7 @@ class Table:
                 schemas=current.schemas,
                 current_schema_id=current.current_schema_id,
                 current_snapshot_id=current.current_snapshot_id,
+                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -663,6 +761,7 @@ class Table:
                 current_snapshot_id=new_snap.snapshot_id,
                 schemas=current.schemas,
                 current_schema_id=current.current_schema_id,
+                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -811,10 +910,19 @@ class Table:
         spark: SparkSession,
         filters: Iterable[tuple[str, str, object]] = (),
         snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: plan files from the current (or
-        time-travel) snapshot, hand Spark the explicit pruned list,
-        re-apply the filters as residuals (pruning is conservative)."""
+        time-travel / ref'd) snapshot, hand Spark the explicit pruned
+        list, re-apply the filters as residuals (pruning is
+        conservative). ``ref`` reads a branch head or tag pin."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            refs = self.metadata.refs
+            if ref not in refs:
+                raise KeyError(f"no such ref {ref!r}")
+            snapshot_id = refs[ref]["snapshot_id"]
         entries = self.plan_files(filters, snapshot_id=snapshot_id)
         schema = (
             self.schema_of_snapshot(snapshot_id) if snapshot_id is not None else None

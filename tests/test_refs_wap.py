@@ -1,0 +1,74 @@
+"""Snapshot refs: branches (write-audit-publish) and tags.
+
+Staged writes on a branch never move the table head; publish is a
+fast-forward that refuses divergent heads; refs are GC roots for
+snapshot expiry; tags pin a snapshot forever."""
+
+from __future__ import annotations
+
+import pytest
+
+from java_iceberg_table_spark.table import create_table
+from java_iceberg_table_spark.table.format import CommitConflict
+
+
+def _mk(spark, tmp_path, name="t"):
+    tbl = create_table(
+        str(tmp_path / name),
+        spark.createDataFrame([(1, "a")], "id long, v string").schema,
+    )
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    return tbl
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create_branch("audit")
+    tbl.append(spark.createDataFrame([(3, "c")], "id long, v string"), branch="audit")
+    tbl.append(spark.createDataFrame([(4, "d")], "id long, v string"), branch="audit")
+    # table readers see only published data
+    assert tbl.scan(spark).count() == 2
+    # the branch sees the staged writes
+    staged = sorted(r["id"] for r in tbl.scan(spark, ref="audit").collect())
+    assert staged == [1, 2, 3, 4]
+    # audit passed -> publish = fast-forward
+    tbl.publish_branch("audit")
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_publish_refuses_divergence(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create_branch("audit")
+    tbl.append(spark.createDataFrame([(3, "c")], "id long, v string"), branch="audit")
+    # head moves off the branch lineage (a direct append)
+    tbl.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    with pytest.raises(CommitConflict, match="does not descend"):
+        tbl.publish_branch("audit")
+
+
+def test_tag_pins_snapshot_and_survives_expiry(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tagged = tbl.metadata.current_snapshot().snapshot_id
+    tbl.create_tag("train-v1")
+    for i in range(3):
+        tbl.append(spark.createDataFrame([(10 + i, "x")], "id long, v string"))
+    # expire everything old; keep only the most recent
+    tbl.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    ids = {s.snapshot_id for s in tbl.snapshots()}
+    assert tagged in ids  # the tag pinned it
+    assert tbl.scan(spark, ref="train-v1").count() == 2  # reproducible read
+    # tags reject writes
+    with pytest.raises(ValueError, match="tag"):
+        tbl.append(spark.createDataFrame([(99, "q")], "id long, v string"), branch="train-v1")
+
+
+def test_ref_management_guards(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create_branch("b1")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_branch("b1")
+    with pytest.raises(KeyError):
+        tbl.scan(spark, ref="nope")
+    tbl.drop_ref("b1")
+    with pytest.raises(KeyError):
+        tbl.scan(spark, ref="b1")
