@@ -220,3 +220,33 @@ def a3e_engine_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([(row["cnt"], row["total"])], "cnt bigint, total double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "a3f_engine_partitions_inspect",
+    oracle=f"""
+SELECT CAST(l_orderkey - ((l_orderkey % {_BUCKET}) + {_BUCKET}) % {_BUCKET} AS BIGINT) AS partition,
+       CAST(COUNT(*) AS BIGINT) AS record_count
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+    group="A",
+)
+def a3f_engine_partitions_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata inspection table under the oracle: per-partition row
+    counts from inspect('partitions') — computed purely from manifest
+    JSONs (distributed spark.read.json scan, no data file opened) —
+    must equal a GROUP BY over the source data with the truncate
+    transform applied. Proves footer stats, manifest entries, and the
+    inspection aggregate all agree with the data."""
+    root = tempfile.mkdtemp(prefix="engine_inspect_") + "/t"
+    try:
+        tbl = _build_lineitem_table(spark, sf_dir, root)
+        parts = (
+            tbl.inspect(spark, "partitions")
+            .select("partition", "record_count")
+            .orderBy("partition")
+        )
+        rows = [(r["partition"], r["record_count"]) for r in parts.collect()]
+        return spark.createDataFrame(rows, "partition bigint, record_count bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

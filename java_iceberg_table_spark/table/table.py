@@ -933,6 +933,26 @@ class Table:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
         return df
 
+    # ---------- metadata inspection tables (table/inspect.py) ----------
+
+    def inspect(self, spark: SparkSession, kind: str, **kw) -> DataFrame:
+        """System tables as DataFrames: ``files`` / ``partitions`` /
+        ``manifests`` (distributed manifest-JSON scan; accept
+        snapshot_id= / ref=), ``snapshots``, ``refs``. The operator's
+        SQL window into table health — no data file is opened."""
+        from . import inspect as insp
+
+        fns = {
+            "files": insp.files_df,
+            "partitions": insp.partitions_df,
+            "manifests": insp.manifests_df,
+            "snapshots": insp.snapshots_df,
+            "refs": insp.refs_df,
+        }
+        if kind not in fns:
+            raise KeyError(f"unknown inspection table {kind!r} (have {sorted(fns)})")
+        return fns[kind](self, spark, **kw)
+
     def drop(self) -> None:
         shutil.rmtree(self.root)
 
