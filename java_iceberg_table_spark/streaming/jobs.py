@@ -90,22 +90,17 @@ def foreach_batch_append(table: Table):
         if batch_df.isEmpty():
             return
         snap = table.append(batch_df)
-        # stamp the batch id for the watermark (post-commit metadata op)
+        # stamp the batch id for the watermark (post-commit metadata op).
+        # dataclasses.replace keeps every other metadata field (schema
+        # log, refs, ...) — rebuilding field-by-field silently dropped
+        # fields added after this was written.
         def build(current):
             for s in current.snapshots:
                 if s.snapshot_id == snap.snapshot_id:
                     s.summary["streaming-batch-id"] = int(batch_id)
-            from ..table.format import TableMetadata
+            from dataclasses import replace
 
-            return TableMetadata(
-                version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
-                snapshots=current.snapshots,
-                current_snapshot_id=current.current_snapshot_id,
-            )
+            return replace(current, version=current.version + 1)
 
         from ..table import format as fmt
 
