@@ -33,7 +33,22 @@ TABLE_NAMES = [
 ]
 
 
+# DataFrame cache keyed by (applicationId, sf_dir, name). The cached
+# object is the *lazy* logical plan, not materialized data: reuse skips
+# the repeated file-listing + parquet-footer schema-inference work that
+# `spark.read.parquet` pays on every call (a driver-side job each time),
+# while scans still plan straight against parquet — pushdown/pruning
+# behavior (PushedFilters / ReadSchema in .explain) is unchanged. Keyed
+# by applicationId so a fresh SparkSession never sees another session's
+# (invalid) plans.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # The caller's session (e.g. the driver's) may not carry this
         # conf; it is runtime-settable and required to read the
@@ -45,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # through double and round up near .5µs, diverging from
         # DuckDB's truncating ns->µs cast by 1µs on ~half the rows.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 

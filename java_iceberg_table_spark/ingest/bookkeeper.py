@@ -8,9 +8,11 @@ commits while many writers stream files (FileBasedBookkeeper.java).
       latency accounting from moniker mtimes (:152-180).
 - R11 moniker delete — AFTER the commit succeeds. The reference
       deletes before committing (:168-169); a crash in between loses
-      the batch. We keep the handoff idempotent instead: moniker file
-      names are uuids, so replaying a crashed batch double-appends
-      nothing as long as deletion follows a durable commit.
+      the batch. We keep the handoff idempotent instead: the commit
+      dedupes by file path against the current snapshot
+      (append_entries(dedupe_paths=True)), so replaying a batch whose
+      commit was durable but whose moniker deletion crashed
+      re-appends nothing.
 - R13 retention: floor(now - retention) to the partition width, then
       a metadata-only delete (:182-192).
 """
@@ -68,7 +70,11 @@ class Bookkeeper:
         latencies = [max(0.0, (now - os.path.getmtime(p)) * 1000) for p in paths]
         entry_lists = list(self.pool.map(self._read_moniker, paths))
         entries = [e for lst in entry_lists for e in lst]
-        self.table.append_entries(entries)
+        # dedupe_paths: crash-replay idempotence — a batch whose commit
+        # landed but whose moniker deletion didn't is dropped here, not
+        # double-appended. Returns None when the whole batch was a
+        # replay; the monikers must still be deleted in that case.
+        self.table.append_entries(entries, dedupe_paths=True)
         # delete AFTER the durable commit (reference bug fixed)
         list(self.pool.map(os.remove, paths))
         self.total_files_appended += len(entries)

@@ -137,6 +137,9 @@ class QueueBookkeeper:
         if not monikers:
             return {"files": 0}
         entries = list(self.pool.map(self._resolve_entry, monikers))
-        self.table.append_entries(entries)
+        # dedupe_paths: a queue message redelivered after a durable
+        # commit (at-least-once queues redeliver on missed ack) must
+        # not double-append its file
+        self.table.append_entries(entries, dedupe_paths=True)
         self.total_files += len(entries)
         return {"files": len(entries), "rows": sum(e["rows"] for e in entries)}

@@ -62,7 +62,29 @@ _MODULES = [
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry.
+
+    The returned (and in-place) order is round-robin interleaved across
+    groups — first entry of group A, first of B, ... first of TPCH,
+    then the second of each, and so on. A consumer that evaluates the
+    registry front-to-front under a time budget (the correctness
+    driver) therefore sees every SURVEY §2.2 group represented early
+    instead of exhausting its window inside groups A–D.
+    """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
+    by_group: dict[str, list[Query]] = {}
+    for q in REGISTRY.values():
+        by_group.setdefault(q.group or "?", []).append(q)
+    interleaved: dict[str, Query] = {}
+    queues = list(by_group.values())
+    depth = 0
+    while len(interleaved) < len(REGISTRY):
+        for queue in queues:
+            if depth < len(queue):
+                q = queue[depth]
+                interleaved[q.name] = q
+        depth += 1
+    REGISTRY.clear()
+    REGISTRY.update(interleaved)
     return REGISTRY

@@ -9,6 +9,8 @@ fixture — so the whole custom format sits under the DuckDB gate.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 
@@ -18,21 +20,65 @@ from pyspark.sql import functions as F
 from ..fixtures import load_table
 from ..table import create_table, truncate
 from . import register
+from ..table import load_table as open_table
 
 _BUCKET = 600
 
+# Shared base engine tables, built once per (applicationId, sf_dir,
+# kind) and reused by every a3* query: the expensive part of each a3*
+# entry is the fixture->table write, which is identical across the
+# family. Read-only queries open the shared root directly; mutating
+# queries (delete/upsert) clone the table directory first — a plain
+# file copy, far cheaper than re-running the Spark write — so the
+# shared base stays pristine.
+_SHARED_ROOTS: dict[tuple[str, str, str], str] = {}
 
-def _build_lineitem_table(spark: SparkSession, sf_dir: str, root: str):
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    tbl = create_table(
-        root,
-        li.schema,
-        partition=truncate("l_orderkey", _BUCKET),
-    )
-    tbl.append(li)
-    return tbl
+
+def _cleanup_shared() -> None:
+    for root in _SHARED_ROOTS.values():
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    _SHARED_ROOTS.clear()
+
+
+atexit.register(_cleanup_shared)
+
+
+def _shared_root(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    root = _SHARED_ROOTS.get(key)
+    if root is None or not os.path.exists(root):
+        root = tempfile.mkdtemp(prefix=f"engine_{kind}_") + "/t"
+        build(root)
+        _SHARED_ROOTS[key] = root
+    return root
+
+
+def _mutable_clone(root: str) -> str:
+    """Copy a shared table dir so a mutating query can't dirty the base."""
+    base = tempfile.mkdtemp(prefix="engine_clone_")
+    dst = base + "/t"
+    shutil.copytree(root, dst)
+    return dst
+
+
+def _lineitem_root(spark: SparkSession, sf_dir: str) -> str:
+    def build(root: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        tbl = create_table(root, li.schema, partition=truncate("l_orderkey", _BUCKET))
+        tbl.append(li)
+
+    return _shared_root(spark, sf_dir, "lineitem", build)
+
+
+def _customer_root(spark: SparkSession, sf_dir: str) -> str:
+    def build(root: str) -> None:
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        tbl = create_table(root, cust.schema)
+        tbl.append(cust)
+
+    return _shared_root(spark, sf_dir, "customer", build)
 
 
 @register(
@@ -46,20 +92,16 @@ FROM lineitem
 def a3_engine_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip: fixture -> engine table (snapshot commit) -> scan.
     The oracle checks the engine's storage+scan path end to end."""
-    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
-    try:
-        tbl = _build_lineitem_table(spark, sf_dir, root)
-        row = (
-            tbl.scan(spark)
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            )
-            .collect()[0]
+    tbl = open_table(_lineitem_root(spark, sf_dir))
+    row = (
+        tbl.scan(spark)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
-        return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        .collect()[0]
+    )
+    return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
 
 
 @register(
@@ -75,26 +117,22 @@ def a3b_engine_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
     """Partition-pruned scan: the predicate is evaluated against
     manifest partition values BEFORE Spark sees any file (the scan
     receives only surviving buckets), then re-applied as residual."""
-    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
-    try:
-        tbl = _build_lineitem_table(spark, sf_dir, root)
-        pruned = tbl.plan_files([("l_orderkey", ">=", 6000)])
-        assert len(pruned) < len(tbl.plan_files()), "pruning must drop files"
-        row = (
-            tbl.scan(spark, [("l_orderkey", ">=", 6000)])
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4)
-                .cast("double")
-                .alias("sum_price"),
-            )
-            .collect()[0]
+    tbl = open_table(_lineitem_root(spark, sf_dir))
+    pruned = tbl.plan_files([("l_orderkey", ">=", 6000)])
+    assert len(pruned) < len(tbl.plan_files()), "pruning must drop files"
+    row = (
+        tbl.scan(spark, [("l_orderkey", ">=", 6000)])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_price"),
         )
-        return spark.createDataFrame(
-            [(row["cnt"], row["sum_price"])], "cnt bigint, sum_price double"
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(row["cnt"], row["sum_price"])], "cnt bigint, sum_price double"
+    )
 
 
 @register(
@@ -109,9 +147,9 @@ def a3c_engine_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only retention delete: drop all buckets < 6000 (aligned
     to the 600-wide partition), then scan. No data files are rewritten;
     the post-delete table must equal the predicate applied in SQL."""
-    root = tempfile.mkdtemp(prefix="engine_tbl_") + "/t"
+    root = _mutable_clone(_lineitem_root(spark, sf_dir))
     try:
-        tbl = _build_lineitem_table(spark, sf_dir, root)
+        tbl = open_table(root)
         tbl.delete_where("l_orderkey", "<", 6000)
         row = (
             tbl.scan(spark)
@@ -123,7 +161,7 @@ def a3c_engine_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame([(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double")
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
 @register(
@@ -191,11 +229,10 @@ def a3e_engine_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE via copy-on-write upsert: keys < 10 are updated in place,
     five region-derived keys are inserted, one atomic overwrite commit.
     The post-merge table must equal the CASE/UNION formulation."""
-    root = tempfile.mkdtemp(prefix="engine_merge_") + "/t"
+    root = _mutable_clone(_customer_root(spark, sf_dir))
     try:
         cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-        tbl = create_table(root, cust.schema)
-        tbl.append(cust)
+        tbl = open_table(root)
         updates = (
             cust.filter(F.col("c_custkey") < 10)
             .select("c_custkey", F.lit(999.99).alias("c_acctbal"))
@@ -219,7 +256,7 @@ def a3e_engine_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame([(row["cnt"], row["total"])], "cnt bigint, total double")
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
 @register(
@@ -238,15 +275,11 @@ def a3f_engine_partitions_inspect(spark: SparkSession, sf_dir: str) -> DataFrame
     must equal a GROUP BY over the source data with the truncate
     transform applied. Proves footer stats, manifest entries, and the
     inspection aggregate all agree with the data."""
-    root = tempfile.mkdtemp(prefix="engine_inspect_") + "/t"
-    try:
-        tbl = _build_lineitem_table(spark, sf_dir, root)
-        parts = (
-            tbl.inspect(spark, "partitions")
-            .select("partition", "record_count")
-            .orderBy("partition")
-        )
-        rows = [(r["partition"], r["record_count"]) for r in parts.collect()]
-        return spark.createDataFrame(rows, "partition bigint, record_count bigint")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    tbl = open_table(_lineitem_root(spark, sf_dir))
+    parts = (
+        tbl.inspect(spark, "partitions")
+        .select("partition", "record_count")
+        .orderBy("partition")
+    )
+    rows = [(r["partition"], r["record_count"]) for r in parts.collect()]
+    return spark.createDataFrame(rows, "partition bigint, record_count bigint")

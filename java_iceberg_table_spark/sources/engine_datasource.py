@@ -133,11 +133,16 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
                 continue
             col = at.column(t.source_column)
             w = pa.scalar(t.width, type=col.type)
-            bucket_arr = pc.subtract(col, pc.add(pc.multiply(pc.floor(pc.divide(pc.cast(col, pa.float64()), t.width)), 0), pc.subtract(col, pc.multiply(pc.cast(pc.floor(pc.divide(pc.cast(col, pa.float64()), float(t.width))), col.type), w))))
-            # floor-mod bucketing: v - (v mod W) with Python-floor
-            # semantics; compute via floor division to stay integer-exact
-            q = pc.cast(pc.floor(pc.divide(pc.cast(col, pa.float64()), float(t.width))), col.type)
-            bucket_arr = pc.multiply(q, w)
+            # floor-mod bucketing v - ((v mod W) + W) mod W in EXACT
+            # integer arithmetic (Arrow integer divide truncates toward
+            # zero; fix up negative remainders). A float64 detour would
+            # lose precision past 2^53 — e.g. nanosecond timestamps —
+            # and mislabel buckets, making plan_files silently prune
+            # files that do contain matching rows. Mirrors
+            # TruncateTransform.apply_py exactly.
+            r = pc.subtract(col, pc.multiply(pc.divide(col, w), w))
+            m = pc.if_else(pc.less(r, pa.scalar(0, col.type)), pc.add(r, w), r)
+            bucket_arr = pc.subtract(col, m)
             at = at.append_column("__b", bucket_arr)
             for bucket in pc.unique(bucket_arr).to_pylist():
                 part = at.filter(pc.equal(at.column("__b"), bucket)).drop(["__b"])
@@ -289,10 +294,7 @@ class EngineBatchWriter(_WriterBase, DataSourceArrowWriter):
 
 class EngineStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
-        from dataclasses import replace
-
         from ..table import load_table
-        from ..table import format as fmt
 
         entries = self._all_entries(messages)
         tbl = load_table(self.root)
@@ -306,15 +308,11 @@ class EngineStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
             return
         if not entries:
             return
-        snap = tbl.append_entries(entries)
-
-        def build(current):
-            for s in current.snapshots:
-                if s.snapshot_id == snap.snapshot_id:
-                    s.summary["streaming-batch-id"] = int(batchId)
-            return replace(current, version=current.version + 1)
-
-        fmt.commit(self.root, build)
+        # batch id rides in the SAME commit as the data (extra_summary):
+        # stamping it in a second metadata edit would leave a crash
+        # window where the data is durable but unstamped, and the
+        # replayed epoch above would double-append.
+        tbl.append_entries(entries, extra_summary={"streaming-batch-id": int(batchId)})
 
     def abort(self, messages, batchId: int) -> None:
         self._delete_files(messages)

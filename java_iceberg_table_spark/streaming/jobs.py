@@ -89,22 +89,11 @@ def foreach_batch_append(table: Table):
             return  # replayed batch — already durably committed
         if batch_df.isEmpty():
             return
-        snap = table.append(batch_df)
-        # stamp the batch id for the watermark (post-commit metadata op).
-        # dataclasses.replace keeps every other metadata field (schema
-        # log, refs, ...) — rebuilding field-by-field silently dropped
-        # fields added after this was written.
-        def build(current):
-            for s in current.snapshots:
-                if s.snapshot_id == snap.snapshot_id:
-                    s.summary["streaming-batch-id"] = int(batch_id)
-            from dataclasses import replace
-
-            return replace(current, version=current.version + 1)
-
-        from ..table import format as fmt
-
-        fmt.commit(table.root, build)
+        # batch id stamped IN the append commit (extra_summary): a
+        # second metadata edit would leave a crash window where the
+        # data is durable but unstamped, and restart-replay would
+        # double-append the batch.
+        table.append(batch_df, extra_summary={"streaming-batch-id": int(batch_id)})
 
     return commit
 

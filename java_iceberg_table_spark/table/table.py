@@ -42,6 +42,11 @@ DEFAULT_PROPERTIES = {
 }
 
 
+class RetentionGapError(KeyError):
+    """A consumer asked for incremental state that snapshot expiry has
+    already garbage-collected (checkpoint older than retention)."""
+
+
 class Table:
     def __init__(self, root: str):
         self.root = root
@@ -90,10 +95,31 @@ class Table:
         """Manifest entries ADDED by this snapshot relative to its
         parent — the unit a commit-tailing reader consumes
         (Writer.java:143-145: readStream cares only about the files a
-        commit added)."""
+        commit added).
+
+        Append commits persist their added manifest in the snapshot
+        summary (``added-manifest``), so this is O(added) — no parent
+        diff — and keeps working after the parent snapshot has been
+        expired. The parent-diff path remains only for pre-upgrade
+        metadata; if that parent is gone, the answer is unrecoverable
+        and we raise a retention error rather than silently returning
+        the full file set (which would double-deliver to a tailing
+        stream)."""
+        am = snap.summary.get("added-manifest")
+        if am is not None:
+            return fmt.read_manifest(self.root, am)
         if snap.parent_id is None:
             return self.files_of(snap)
-        parent_paths = {e["path"] for e in self.files_of(self.snapshot_by_id(snap.parent_id))}
+        try:
+            parent = self.snapshot_by_id(snap.parent_id)
+        except KeyError:
+            raise RetentionGapError(
+                f"parent snapshot {snap.parent_id} of {snap.snapshot_id} was "
+                "expired and the snapshot predates added-manifest tracking; "
+                "the added-file set cannot be reconstructed. Restart the "
+                "consumer from a full scan."
+            ) from None
+        parent_paths = {e["path"] for e in self.files_of(parent)}
         return [e for e in self.files_of(snap) if e["path"] not in parent_paths]
 
     def incremental_entries(
@@ -118,17 +144,30 @@ class Table:
 
     # ---------- write plane ----------
 
-    def _write_data_files(self, df: DataFrame, prefix: str = "b") -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, prefix: str = "b", n_tasks: int | None = None
+    ) -> list[dict]:
         """Write ``df`` as parquet under data/ (partitioned by the
         table's transform when one exists) and return manifest entries.
-        The files mean nothing until a commit references them."""
+        The files mean nothing until a commit references them.
+
+        ``n_tasks`` bounds the writing parallelism: rows are clustered
+        by partition bucket first (one shuffle), so each bucket lands
+        in few output files instead of one-per-task — the rewrite
+        paths (upsert/delete_rows) use this to write every touched
+        bucket in ONE Spark job rather than a driver-serialized
+        job-per-bucket loop."""
         batch = uuid.uuid4().hex
         out_dir = os.path.join(self.root, "data", f"{prefix}-{batch}")
         t = self.transform
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
+            if n_tasks is not None:
+                bucketed = bucketed.repartition(n_tasks, "__pb")
             bucketed.write.partitionBy("__pb").parquet(out_dir)
         else:
+            if n_tasks is not None:
+                df = df.coalesce(n_tasks)
             df.write.parquet(out_dir)
         entries = []
         for path in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
@@ -153,24 +192,48 @@ class Table:
             )
         return entries
 
-    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
         """Write ``df`` as parquet into data/ (partitioned by the
         table's transform when one exists) and commit one fast-append
         snapshot. Files become visible atomically at commit. With
         ``branch``, the commit moves the branch ref instead of the
         table head — the staging half of write-audit-publish."""
-        return self.append_entries(self._write_data_files(df), branch=branch)
+        return self.append_entries(
+            self._write_data_files(df), branch=branch, extra_summary=extra_summary
+        )
 
-    def append_entries(self, entries: list[dict], branch: str | None = None) -> Snapshot:
+    def append_entries(
+        self,
+        entries: list[dict],
+        branch: str | None = None,
+        extra_summary: dict | None = None,
+        dedupe_paths: bool = False,
+    ) -> Snapshot | None:
         """Fast-append pre-written files (the bookkeeper path, R12):
         one new manifest, no rewrite of existing ones; optimistic-retry
         commit. Opportunistic manifest merge past the property
-        threshold."""
-        manifest_rel = fmt.write_manifest(self.root, entries)
+        threshold.
+
+        ``extra_summary`` keys land in the snapshot summary of the SAME
+        commit — callers that need commit-atomic markers (the streaming
+        sink's batch id) must use this instead of a second metadata
+        edit, which would leave a crash window between data commit and
+        marker.
+
+        ``dedupe_paths=True`` drops entries whose path is already
+        referenced by the parent snapshot — the bookkeeper's crash
+        idempotence: replaying a batch whose commit was durable but
+        whose moniker deletion crashed re-appends nothing. Returns
+        None when every entry was a duplicate (no commit made)."""
 
         result: list[Snapshot] = []
 
-        def build(current: TableMetadata) -> TableMetadata:
+        def build(current: TableMetadata) -> TableMetadata | None:
             if branch is not None:
                 ref = current.refs.get(branch)
                 if ref is None:
@@ -182,6 +245,21 @@ class Table:
                 )
             else:
                 parent = current.current_snapshot()
+            use = entries
+            if dedupe_paths and parent is not None:
+                existing = {
+                    e["path"]
+                    for m in parent.manifests
+                    for e in fmt.read_manifest(self.root, m)
+                }
+                use = [e for e in entries if e["path"] not in existing]
+                if not use:
+                    result.clear()
+                    return None
+            # written inside build(): under dedupe the entry list
+            # depends on the freshly-read parent, so each retry gets a
+            # manifest matching what it actually commits
+            manifest_rel = fmt.write_manifest(self.root, use)
             manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
             merge_min = int(
                 current.properties.get("commit.manifest.min-count-to-merge", "8")
@@ -211,8 +289,14 @@ class Table:
                 operation="append",
                 manifests=manifests,
                 summary={
-                    "added-files": len(entries),
-                    "added-rows": sum(e["rows"] for e in entries),
+                    "added-files": len(use),
+                    "added-rows": sum(e["rows"] for e in use),
+                    # the exact manifest this commit added: added_files()
+                    # reads it directly (no parent diff, survives parent
+                    # expiry), and expire_snapshots treats it as live
+                    # while this snapshot is retained
+                    "added-manifest": manifest_rel,
+                    **(extra_summary or {}),
                 },
             )
             result.clear()
@@ -239,7 +323,7 @@ class Table:
 
         retries = int(self.metadata.properties.get("commit.retry.num-retries", "1000"))
         fmt.commit(self.root, build, max_retries=retries)
-        return result[0]
+        return result[0] if result else None
 
     # ---------- refs: branches / tags / write-audit-publish ----------
 
@@ -437,31 +521,18 @@ class Table:
             cand_paths = {e["path"] for e in cands}
             keep = [e for e in entries if e["path"] not in cand_paths]
             match = F.coalesce(self._and_predicate(filters), F.lit(False))
-            new_entries: list[dict] = []
-            batch = uuid.uuid4().hex
-            by_partition: dict[object, list[dict]] = {}
-            for e in cands:
-                by_partition.setdefault(e.get("partition"), []).append(e)
-            for part, es in by_partition.items():
-                paths = [os.path.join(self.root, e["path"]) for e in es]
-                df = spark.read.schema(self.schema()).parquet(*paths).filter(~match)
-                sub = f"__pb={part}" if part is not None else "flat"
-                out_dir = os.path.join(self.root, "data", f"rw-{batch}", sub)
-                df.coalesce(max(1, len(es) // 4)).write.parquet(out_dir)
-                for path in glob.glob(os.path.join(out_dir, "*.parquet")):
-                    st = file_stats(path)
-                    if st["rows"] == 0:
-                        os.remove(path)
-                        continue
-                    new_entries.append(
-                        {
-                            "path": os.path.relpath(path, self.root),
-                            "rows": st["rows"],
-                            "bytes": st["bytes"],
-                            "partition": part,
-                            "columns": st["columns"],
-                        }
-                    )
+            # ONE job rewrites every candidate file: survivors are
+            # re-clustered by partition bucket and written via
+            # partitionBy — a delete touching 200 buckets runs one
+            # Spark job, not 200 driver-serialized ones
+            survivors = (
+                spark.read.schema(self.schema())
+                .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
+                .filter(~match)
+            )
+            new_entries = self._write_data_files(
+                survivors, prefix="rw", n_tasks=max(1, len(cands) // 4)
+            )
             deleted = sum(e["rows"] for e in cands) - sum(e["rows"] for e in new_entries)
             committed = self._commit_overwrite(
                 snap.snapshot_id,
@@ -515,34 +586,19 @@ class Table:
             keep = [e for e in entries if e["path"] not in cand_paths]
             keys = updates.select(*key_cols).dropDuplicates(key_cols)
             new_entries: list[dict] = []
-            batch = uuid.uuid4().hex
-            by_partition: dict[object, list[dict]] = {}
-            for e in cands:
-                by_partition.setdefault(e.get("partition"), []).append(e)
-            for part, es in by_partition.items():
-                paths = [os.path.join(self.root, e["path"]) for e in es]
-                df = (
+            if cands:
+                # ONE job rewrites every candidate file (broadcast
+                # anti-join drops replaced keys; the big side never
+                # shuffles except the bucket re-cluster): an upsert
+                # touching 200 buckets runs one Spark job, not 200
+                unreplaced = (
                     spark.read.schema(self.schema())
-                    .parquet(*paths)
+                    .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
                     .join(F.broadcast(keys), key_cols, "left_anti")
                 )
-                sub = f"__pb={part}" if part is not None else "flat"
-                out_dir = os.path.join(self.root, "data", f"mg-{batch}", sub)
-                df.coalesce(max(1, len(es) // 4)).write.parquet(out_dir)
-                for path in glob.glob(os.path.join(out_dir, "*.parquet")):
-                    st = file_stats(path)
-                    if st["rows"] == 0:
-                        os.remove(path)
-                        continue
-                    new_entries.append(
-                        {
-                            "path": os.path.relpath(path, self.root),
-                            "rows": st["rows"],
-                            "bytes": st["bytes"],
-                            "partition": part,
-                            "columns": st["columns"],
-                        }
-                    )
+                new_entries = self._write_data_files(
+                    unreplaced, prefix="mg", n_tasks=max(1, len(cands) // 4)
+                )
             inserted = self._write_data_files(updates, prefix="mg")
             replaced = sum(e["rows"] for e in cands) - sum(
                 e["rows"] for e in new_entries
@@ -608,8 +664,19 @@ class Table:
         """Expire snapshots older than the cutoff (keeping at least
         ``retain_last`` most recent + the current), then physically
         delete data files and manifests reachable ONLY from expired
-        snapshots (Reaper.java:17-27 semantics)."""
+        snapshots (Reaper.java:17-27 semantics).
+
+        Ordering is commit-then-delete: the metadata removal is CAS-
+        committed FIRST, and physical deletion runs only against the
+        state that actually committed. Deleting inside the build
+        closure would destroy files while a retry/conflict (e.g. a
+        concurrent create_tag pinning a snapshot we computed as
+        expired) could still keep them referenced — committed metadata
+        pointing at deleted files. A crash between commit and sweep
+        merely leaks unreferenced files, which a later expire or
+        clean() collects; it can never corrupt the table."""
         stats = {"expired_snapshots": 0, "deleted_files": 0, "deleted_manifests": 0}
+        outcome: dict[str, list[Snapshot]] = {"expired": []}
 
         def build(current: TableMetadata) -> TableMetadata | None:
             snaps = sorted(current.snapshots, key=lambda s: s.timestamp_ms)
@@ -623,37 +690,9 @@ class Table:
                 for s in snaps
                 if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms
             ]
-            if len(kept) == len(snaps):
+            outcome["expired"] = [s for s in snaps if s not in kept]
+            if not outcome["expired"]:
                 return None
-            stats["expired_snapshots"] = len(snaps) - len(kept)
-            expired = [s for s in snaps if s not in kept]
-            live_manifests = {m for s in kept for m in s.manifests}
-            live_files = set()
-            for m in live_manifests:
-                for e in fmt.read_manifest(self.root, m):
-                    live_files.add(e["path"])
-            # reachability sweep over the expired-only graph
-            for s in expired:
-                for m in s.manifests:
-                    if m in live_manifests:
-                        continue
-                    mpath = os.path.join(self.root, m)
-                    if os.path.exists(mpath):
-                        for e in fmt.read_manifest(self.root, m):
-                            if e["path"] not in live_files:
-                                fpath = os.path.join(self.root, e["path"])
-                                if os.path.exists(fpath):
-                                    os.remove(fpath)
-                                    stats["deleted_files"] += 1
-                                    live_files.add(e["path"])  # avoid double count
-                                    # local-FS checksum sidecar, if any
-                                    d, b = os.path.split(fpath)
-                                    crc = os.path.join(d, f".{b}.crc")
-                                    if os.path.exists(crc):
-                                        os.remove(crc)
-                        os.remove(mpath)
-                        stats["deleted_manifests"] += 1
-                        live_manifests.add(m)
             return TableMetadata(
                 version=current.version + 1,
                 table_uuid=current.table_uuid,
@@ -667,7 +706,50 @@ class Table:
                 refs=current.refs,
             )
 
-        fmt.commit(self.root, build)
+        committed = fmt.commit(self.root, build)
+        expired = outcome["expired"]
+        if not expired:
+            return stats
+        stats["expired_snapshots"] = len(expired)
+        # Sweep AFTER the durable commit, computing liveness from the
+        # committed state (no snapshot added later can resurrect a
+        # reference to these files — new commits build on `committed`,
+        # which no longer knows them). A kept snapshot's added-manifest
+        # (summary) is live even when manifest merging dropped it from
+        # the manifests list: added_files() still reads it.
+        live_manifests = {m for s in committed.snapshots for m in s.manifests}
+        for s in committed.snapshots:
+            am = s.summary.get("added-manifest")
+            if am is not None:
+                live_manifests.add(am)
+        live_files = set()
+        for m in live_manifests:
+            for e in fmt.read_manifest(self.root, m):
+                live_files.add(e["path"])
+        dead_manifests = set()
+        for s in expired:
+            dead_manifests.update(s.manifests)
+            am = s.summary.get("added-manifest")
+            if am is not None:
+                dead_manifests.add(am)
+        for m in dead_manifests - live_manifests:
+            mpath = os.path.join(self.root, m)
+            if not os.path.exists(mpath):
+                continue
+            for e in fmt.read_manifest(self.root, m):
+                if e["path"] not in live_files:
+                    fpath = os.path.join(self.root, e["path"])
+                    if os.path.exists(fpath):
+                        os.remove(fpath)
+                        stats["deleted_files"] += 1
+                        live_files.add(e["path"])  # avoid double count
+                        # local-FS checksum sidecar, if any
+                        d, b = os.path.split(fpath)
+                        crc = os.path.join(d, f".{b}.crc")
+                        if os.path.exists(crc):
+                            os.remove(crc)
+            os.remove(mpath)
+            stats["deleted_manifests"] += 1
         return stats
 
     def compact_data_files(

@@ -140,3 +140,38 @@ def test_sorted_compaction_tightens_stats(spark, tmp_path):
         assert hi1 < lo2  # disjoint
     assert len(tbl.plan_files([("id", "=", 123)])) == 1
     assert tbl.scan(spark).count() == 4000
+
+
+def test_upsert_multi_bucket_single_write_job(spark, tmp_path):
+    """A multi-bucket upsert must rewrite all touched buckets in ONE
+    partitioned write job, not a driver-serialized job-per-bucket loop
+    (at 200 touched buckets the loop shape runs 200 Spark jobs)."""
+    tbl = create_table(
+        str(tmp_path / "tw"),
+        spark.createDataFrame([(1, 10, "x")], "id long, bucket long, v string").schema,
+        partition=truncate("bucket", 100),
+    )
+    n_buckets = 12
+    rows = [(i, (i % n_buckets) * 100, f"v{i}") for i in range(600)]
+    tbl.append(spark.createDataFrame(rows, "id long, bucket long, v string"))
+    touched = {e["partition"] for e in tbl.current_files()}
+    assert len(touched) == n_buckets
+    updates = spark.createDataFrame(
+        [(i, (i % n_buckets) * 100, "UP") for i in range(0, 600, 7)],
+        "id long, bucket long, v string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("upsert-single-job", "multi-bucket upsert", False)
+    try:
+        tbl.upsert(spark, updates, ["id"])
+    finally:
+        sc.setJobGroup(None, None, False)
+    jobs = sc.statusTracker().getJobIdsForGroup("upsert-single-job")
+    # budget: updates-bounds agg + rewrite write + insert write + a
+    # few broadcast/AQE helper jobs — but NOT O(n_buckets): the old
+    # per-bucket loop ran 12 write jobs here before the fixed costs
+    assert len(jobs) <= 10, f"expected O(1) jobs, got {len(jobs)}"
+    got = {(r["id"], r["v"]) for r in tbl.scan(spark).collect()}
+    for i in range(600):
+        expect_v = "UP" if i % 7 == 0 else f"v{i}"
+        assert (i, expect_v) in got
