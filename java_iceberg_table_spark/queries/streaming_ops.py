@@ -160,6 +160,161 @@ def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+@register("i6_watermark_late_drop", oracle=None, group="I")
+def i6_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 (rows-only; watermark finalization isn't SQL-expressible):
+    two-phase run against a parquet sink — batch 1 advances the
+    watermark ~110 min past window 0, batch 2 delivers a too-late row
+    into that finalized window. The query returns the finalized
+    windows plus a self-check column: ``late_dropped`` is true iff
+    window 0 still counts exactly the two on-time rows (the late row
+    was dropped, not merged)."""
+    import datetime as dt
+
+    base = tempfile.mkdtemp(prefix="i6_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows: list[tuple[int, dt.datetime]], name: str) -> None:
+        spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once() -> None:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "cnt")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        m = dt.timedelta
+        write_batch([(1, t0), (2, t0 + m(minutes=1)), (3, t0 + m(minutes=120))], "b1")
+        run_once()
+        # row 4 lands 110 min behind the watermark — must be dropped
+        write_batch([(4, t0 + m(minutes=2)), (5, t0 + m(minutes=121))], "b2")
+        run_once()
+        w0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        # materialize before the temp dir vanishes — the returned frame
+        # must not lazily re-read deleted files
+        rows = sorted(
+            (r["window_start_us"], r["cnt"])
+            for r in spark.read.parquet(out).collect()
+        )
+        late_dropped = (w0_us, 2) in rows
+        return spark.createDataFrame(
+            [(ws, cnt, late_dropped) for ws, cnt in rows],
+            "window_start_us bigint, cnt bigint, late_dropped boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i7_stream_dedup_watermark",
+    oracle="""
+SELECT DISTINCT event_id FROM events WHERE event_id % 10 < 3
+ORDER BY event_id
+""",
+    group="I",
+)
+def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: dropDuplicatesWithinWatermark over a stream that delivers
+    every row TWICE (two staged copies of the same slice) must equal
+    batch DISTINCT over the slice — the streaming form of exact dedup
+    (H1). The watermark delay exceeds the slice's full time span, so
+    no duplicate can outrun the dedup state."""
+    from ..fixtures import load_table
+
+    src = tempfile.mkdtemp(prefix="i7_") + "/src"
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 10 < 3)
+            .select("event_id", "ts")
+        )
+        ev.coalesce(1).write.parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate copy
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        return (
+            run_to_memory(stream, output_mode="append")
+            .select("event_id")
+            .orderBy("event_id")
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+
+
+@register(
+    "i8_retention_during_stream",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS tp FROM events
+)
+SELECT COUNT(*) AS cnt, MIN(tp) AS min_tp
+FROM e WHERE tp >= (SELECT MIN(tp) + 300000000 FROM e)
+""",
+    group="I",
+)
+def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: stream-ingest into a time-partitioned engine table
+    (foreachBatch snapshot commits), then a bookkeeper-style
+    metadata-only retention delete of the oldest 5-minute bucket. The
+    surviving table must equal the batch filter ``tp >= min+width`` —
+    proving retention between streaming commits drops exactly whole
+    aligned buckets and nothing else."""
+    from ..streaming.jobs import stream_append_to_table
+    from ..table import create_table, truncate
+
+    WIDTH = 300_000_000
+    src, batch_df = stage_events_files(spark, sf_dir, n_files=4)
+    root = tempfile.mkdtemp(prefix="i8_tbl_") + "/t"
+    try:
+        with_tp = batch_df.withColumn(
+            "tp", F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(WIDTH))
+        )
+        tbl = create_table(root, with_tp.schema, partition=truncate("tp", WIDTH))
+
+        # re-stage with tp so the stream carries the partition column
+        src2 = tempfile.mkdtemp(prefix="i8_src_")
+        with_tp.repartition(4).write.parquet(src2, mode="overwrite")
+        stream_append_to_table(spark, src2, tbl, max_files_per_trigger=2)
+
+        cutoff = tbl.scan(spark).agg(F.min("tp")).first()[0] + WIDTH
+        tbl.delete_where("tp", "<", cutoff)
+        row = (
+            tbl.scan(spark)
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("tp").alias("min_tp"))
+            .collect()[0]
+        )
+        shutil.rmtree(src2, ignore_errors=True)
+        return spark.createDataFrame(
+            [(row["cnt"], row["min_tp"])], "cnt bigint, min_tp bigint"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 @register(
     "i9_stateful_sessionization",
     oracle="""
