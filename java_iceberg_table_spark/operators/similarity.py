@@ -81,6 +81,44 @@ def brute_force_topk(
     )
 
 
+def annotate_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    tol: float = 1e-4,
+    min_recall: float = 0.9,
+) -> DataFrame:
+    """Annotate an approximate top-k result with its recall@k against
+    the exact result, so the quality claim ships INSIDE the query
+    output (driver-gradeable) instead of only in a test.
+
+    Tie-tolerant: an approximate neighbor counts as a hit when its
+    similarity reaches the query's exact k-th similarity minus ``tol``
+    — a neighbor tied with the true k-th is a correct answer even if
+    id tie-breaking picked a different row. Adds ``recall`` (per
+    query, 4dp) and ``recall_ok`` (mean recall >= min_recall). Both
+    inputs must carry (query_id, sim). The exact side is tiny
+    (queries x k rows) — broadcast."""
+    kth = exact.groupBy("query_id").agg(
+        F.min("sim").alias("__kth_sim"), F.count(F.lit(1)).alias("__n_exact")
+    )
+    hit = (F.col("sim") >= F.col("__kth_sim") - tol).cast("int")
+    per_q = (
+        approx.join(F.broadcast(kth), "query_id")
+        .groupBy("query_id")
+        .agg(
+            (F.sum(hit) / F.least(F.lit(k), F.max("__n_exact"))).alias("__recall")
+        )
+    )
+    overall = per_q.agg(F.avg("__recall")).first()[0] or 0.0
+    return (
+        approx.join(F.broadcast(per_q), "query_id")
+        .withColumn("recall", F.round("__recall", 4))
+        .withColumn("recall_ok", F.lit(bool(overall >= min_recall)))
+        .drop("__recall")
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -125,15 +163,13 @@ def lsh_topk(
     cb = hyperplane_buckets(corpus, id_col, vec_col, dim, num_planes, seed)
     qb = hyperplane_buckets(queries, id_col, vec_col, dim, num_planes, seed)
     # expand query buckets to all probe targets (small: sum of C(p, <=h))
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(num_planes)]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(num_planes)
-            for j in range(i + 1, num_planes)
-        ]
+    from itertools import combinations
+
+    masks = [
+        sum(1 << i for i in bits)
+        for h in range(probe_hamming + 1)
+        for bits in combinations(range(num_planes), h)
+    ]
     probes = qb.select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -222,24 +222,38 @@ def h8_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("h8b_ann_lsh_topk", oracle=None, group="H")
 def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate 5-NN via random-hyperplane LSH with multi-probe.
-    Approximate by design -> rows-only gate; recall vs brute force is
-    asserted in tests/test_operators.py."""
+    Approximate by design -> rows-only gate, but the output is
+    self-checking: each row carries its query's recall@5 vs brute
+    force and a recall_ok flag (mean recall >= 0.9), so the quality
+    bar sits under the driver gate, not just in tests."""
+    from ..operators.similarity import annotate_recall
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rn")
+    # probe_hamming is the recall knob: at this test-scale corpus (500
+    # vectors) wide probing (15/16 buckets) is needed for recall>=0.9;
+    # at 100 TB you'd raise num_planes and accept narrower probes
+    approx = lsh_topk(emb, queries, k=5, dim=64, num_planes=4, probe_hamming=3)
+    exact = brute_force_topk(emb, queries, k=5)
+    return annotate_recall(approx, exact, k=5).orderBy("query_id", "rn")
 
 
 @register("h8c_ann_ivf_topk", oracle=None, group="H")
 def h8c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate 5-NN via IVF (k-means cells + nprobe search) — the
     data-adaptive counterpart to h8b's LSH buckets. Approximate by
-    design -> rows-only gate; recall vs brute force is asserted in
-    tests/test_operators.py."""
+    design -> rows-only gate with the same self-checking recall@5 /
+    recall_ok columns as h8b (mean recall >= 0.9 vs brute force)."""
+    from ..operators.similarity import annotate_recall
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
-        "query_id", "rn"
-    )
+    # nprobe/n_centroids is the recall knob: the 500-vector test corpus
+    # needs nprobe=half the cells for recall>=0.9; a real corpus gets
+    # more centroids and proportionally narrower probes
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4, iters=3)
+    exact = brute_force_topk(emb, queries, k=5)
+    return annotate_recall(approx, exact, k=5).orderBy("query_id", "rn")
 
 
 @register(
