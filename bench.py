@@ -43,7 +43,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         q = registry[name]
         runs = []
-        n_runs = 1 if name.startswith(("i", "h6")) else 2  # heavy ops once
+        # streaming ops once (availableNow machinery dominates, stable);
+        # everything else min-of-2 so one-off codegen/JIT of the first
+        # run doesn't masquerade as steady-state query cost
+        n_runs = 1 if name.startswith("i") else 2
         for _ in range(n_runs):
             start = time.perf_counter()
             n = q.fn(spark, sf_dir).count()

@@ -200,31 +200,42 @@ def minhash_near_duplicates(
     # handful of ALU ops instead of a string-array intersection. The
     # vocabulary count is one cheap distinct aggregate up front.
     VOCAB_CAP = 4096
-    n_vocab = (
-        toks_all.select(F.explode("toks").alias("t")).distinct().limit(VOCAB_CAP + 1).count()
+    ALLPAIRS_REP_CAP = 8192
+    # Two synchronizing actions total before the main computation, and
+    # neither does throwaway work:
+    # - the capped distinct-token collect IS the vocabulary decision
+    #   (<= 4097 short strings to the driver, metadata-scale; a huge
+    #   shingle space short-circuits at the limit after one partial-
+    #   aggregate pass) and doubles as the exact dictionary for the
+    #   bitset encoder — inlined as a literal map, the encode becomes
+    #   a pure projection: no explode, no join, no shuffle;
+    # - reps.count() decides all-pairs vs banded AND materializes the
+    #   persisted reps subtree the verify step reads anyway.
+    vocab_rows = (
+        toks_all.select(F.explode("toks").alias("t"))
+        .distinct()
+        .limit(VOCAB_CAP + 1)
+        .collect()
     )
-    if n_vocab <= VOCAB_CAP:
-        from pyspark.sql.window import Window
+    n_reps = reps.count()
+    if len(vocab_rows) <= VOCAB_CAP:
+        from itertools import chain
 
-        vocab = (
-            toks_all.select(F.explode("toks").alias("t"))
-            .distinct()
-            .withColumn("bit", F.row_number().over(Window.orderBy("t")) - 1)
-        )
+        tokens = sorted(r["t"] for r in vocab_rows)
+        n_vocab = len(tokens)
         n_words = (n_vocab + 63) // 64
-        enc = (
-            reps.select("rep", F.explode("toks").alias("t"))
-            .join(F.broadcast(vocab), "t")
-            .groupBy("rep")
-            .agg(F.collect_list("bit").alias("bits"))
-            .select(
-                "rep",
-                F.expr(
-                    f"transform(sequence(0, {n_words - 1}), w -> "
-                    f"aggregate(filter(bits, b -> b div 64 = w), 0L, "
-                    f"(acc, b) -> acc | shiftleft(1L, b % 64)))"
-                ).alias("bs"),
-            )
+        bit_map = F.create_map(
+            *chain.from_iterable((F.lit(t), F.lit(i)) for i, t in enumerate(tokens))
+        )
+        enc = reps.select(
+            "rep", F.transform("toks", lambda t: F.element_at(bit_map, t)).alias("bits")
+        ).select(
+            "rep",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), w -> "
+                f"aggregate(filter(bits, b -> b div 64 = w), 0L, "
+                f"(acc, b) -> acc | shiftleft(1L, b % 64)))"
+            ).alias("bs"),
         )
         rt = F.broadcast(enc)
         if n_words == 1:
@@ -253,8 +264,6 @@ def minhash_near_duplicates(
         # distinct sets, bitset-comparing every rep pair directly is
         # strictly cheaper AND has recall exactly 1; past the cap, the
         # banded join bounds the work and we verify candidates only.
-        ALLPAIRS_REP_CAP = 8192
-        n_reps = reps.count()
         if n_reps <= ALLPAIRS_REP_CAP:
             paired = enc.select(
                 F.col("rep").alias("id_a"), F.col("bs").alias("bs_a")
