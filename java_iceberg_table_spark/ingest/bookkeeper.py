@@ -74,13 +74,18 @@ class Bookkeeper:
         # landed but whose moniker deletion didn't is dropped here, not
         # double-appended. Returns None when the whole batch was a
         # replay; the monikers must still be deleted in that case.
-        self.table.append_entries(entries, dedupe_paths=True)
+        snap = self.table.append_entries(entries, dedupe_paths=True)
         # delete AFTER the durable commit (reference bug fixed)
         list(self.pool.map(os.remove, paths))
-        self.total_files_appended += len(entries)
+        # Count only files the commit actually appended: on crash-replay
+        # dedupe_paths drops already-committed entries (snap is None when
+        # the whole batch was a replay) and those must not inflate
+        # throughput metrics.
+        appended = int(snap.summary.get("added-files", 0)) if snap else 0
+        self.total_files_appended += appended
         self.total_latency_ms += sum(latencies)
         return {
-            "files": len(entries),
+            "files": appended,
             "monikers": len(paths),
             "avg_latency_ms": sum(latencies) / len(latencies),
         }

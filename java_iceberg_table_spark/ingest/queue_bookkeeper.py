@@ -140,6 +140,9 @@ class QueueBookkeeper:
         # dedupe_paths: a queue message redelivered after a durable
         # commit (at-least-once queues redeliver on missed ack) must
         # not double-append its file
-        self.table.append_entries(entries, dedupe_paths=True)
-        self.total_files += len(entries)
-        return {"files": len(entries), "rows": sum(e["rows"] for e in entries)}
+        snap = self.table.append_entries(entries, dedupe_paths=True)
+        # count only files actually committed: a redelivered batch whose
+        # entries all deduped (snap None) contributes zero, not len(entries)
+        appended = int(snap.summary.get("added-files", 0)) if snap else 0
+        self.total_files += appended
+        return {"files": appended, "rows": int(snap.summary.get("added-rows", 0)) if snap else 0}

@@ -103,19 +103,30 @@ def annotate_recall(
         F.min("sim").alias("__kth_sim"), F.count(F.lit(1)).alias("__n_exact")
     )
     hit = (F.col("sim") >= F.col("__kth_sim") - tol).cast("int")
-    per_q = (
+    hits = (
         approx.join(F.broadcast(kth), "query_id")
         .groupBy("query_id")
-        .agg(
-            (F.sum(hit) / F.least(F.lit(k), F.max("__n_exact"))).alias("__recall")
-        )
+        .agg(F.sum(hit).alias("__hits"))
     )
-    overall = per_q.agg(F.avg("__recall")).first()[0] or 0.0
+    # Per-query recall anchored on the EXACT side: a query the approx
+    # result missed entirely scores recall 0 instead of silently
+    # dropping out of the mean. The overall mean rides along as an
+    # unbounded-window column — no driver-side action in construction.
+    per_q = kth.join(hits, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("__hits"), F.lit(0))
+            / F.least(F.lit(k), F.col("__n_exact"))
+        ).alias("__recall"),
+    )
+    per_q = per_q.withColumn(
+        "__overall", F.avg("__recall").over(Window.partitionBy())
+    )
     return (
         approx.join(F.broadcast(per_q), "query_id")
         .withColumn("recall", F.round("__recall", 4))
-        .withColumn("recall_ok", F.lit(bool(overall >= min_recall)))
-        .drop("__recall")
+        .withColumn("recall_ok", F.col("__overall") >= F.lit(min_recall))
+        .drop("__recall", "__overall")
     )
 
 

@@ -288,6 +288,7 @@ def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     WIDTH = 300_000_000
     src, batch_df = stage_events_files(spark, sf_dir, n_files=4)
     root = tempfile.mkdtemp(prefix="i8_tbl_") + "/t"
+    src2 = None
     try:
         with_tp = batch_df.withColumn(
             "tp", F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(WIDTH))
@@ -306,11 +307,12 @@ def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"), F.min("tp").alias("min_tp"))
             .collect()[0]
         )
-        shutil.rmtree(src2, ignore_errors=True)
         return spark.createDataFrame(
             [(row["cnt"], row["min_tp"])], "cnt bigint, min_tp bigint"
         )
     finally:
+        if src2 is not None:
+            shutil.rmtree(src2, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 

@@ -58,16 +58,23 @@ def run_to_memory(
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the final result as a batch DataFrame."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    # The memory sink can't recover from a checkpoint anyway, so the
+    # checkpoint is pure scratch — always reclaimed, even on failure.
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -103,16 +110,26 @@ def stream_append_to_table(
 ) -> None:
     """Run the full decoupled-ingestion stream: file source ->
     foreachBatch -> engine-table snapshots (the Spark-idiomatic
-    bookkeeper, R12/R15)."""
+    bookkeeper, R12/R15).
+
+    The checkpoint is scratch for this one availableNow run and is
+    reclaimed afterwards — restart exactly-once doesn't depend on it:
+    the batch-id high watermark stamped into each snapshot's summary
+    (foreach_batch_append) is what makes replays idempotent."""
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        file_stream(spark, src_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(foreach_batch_append(table))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            file_stream(spark, src_dir, max_files_per_trigger)
+            .writeStream.foreachBatch(foreach_batch_append(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def tumbling_counts(stream_df: DataFrame, ts_col: str = "ts", width: str = "5 minutes") -> DataFrame:

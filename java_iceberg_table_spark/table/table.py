@@ -232,8 +232,18 @@ class Table:
         None when every entry was a duplicate (no commit made)."""
 
         result: list[Snapshot] = []
+        stale_manifests: list[str] = []
 
         def build(current: TableMetadata) -> TableMetadata | None:
+            # Manifests written by a LOST CAS attempt are referenced by
+            # nothing — unlink them before retrying so commit contention
+            # doesn't accumulate orphans (clean() is the backstop).
+            for rel in stale_manifests:
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale_manifests.clear()
             if branch is not None:
                 ref = current.refs.get(branch)
                 if ref is None:
@@ -260,6 +270,7 @@ class Table:
             # depends on the freshly-read parent, so each retry gets a
             # manifest matching what it actually commits
             manifest_rel = fmt.write_manifest(self.root, use)
+            stale_manifests.append(manifest_rel)
             manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
             merge_min = int(
                 current.properties.get("commit.manifest.min-count-to-merge", "8")
@@ -281,6 +292,7 @@ class Table:
                     fmt.write_manifest(self.root, merged[i : i + max_entries])
                     for i in range(0, len(merged), max_entries)
                 ]
+                stale_manifests.extend(manifests)
             snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id if parent else None,
@@ -630,12 +642,21 @@ class Table:
         ``expected_parent`` (the rewrite's base). Returns False on a
         lost race so the caller can re-plan against fresh state."""
 
+        stale_manifests: list[str] = []
+
         def build(current: TableMetadata) -> TableMetadata | None:
+            for rel in stale_manifests:  # lost-CAS leftovers (see append_entries)
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale_manifests.clear()
             parent = current.current_snapshot()
             parent_id = parent.snapshot_id if parent else None
             if parent_id != expected_parent:
                 return None
             manifest = fmt.write_manifest(self.root, entries)
+            stale_manifests.append(manifest)
             new_snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent_id,
@@ -673,8 +694,8 @@ class Table:
         concurrent create_tag pinning a snapshot we computed as
         expired) could still keep them referenced — committed metadata
         pointing at deleted files. A crash between commit and sweep
-        merely leaks unreferenced files, which a later expire or
-        clean() collects; it can never corrupt the table."""
+        merely leaks unreferenced files, which clean() (the orphan
+        reachability sweep) collects; it can never corrupt the table."""
         stats = {"expired_snapshots": 0, "deleted_files": 0, "deleted_manifests": 0}
         outcome: dict[str, list[Snapshot]] = {"expired": []}
 
@@ -752,6 +773,66 @@ class Table:
             stats["deleted_manifests"] += 1
         return stats
 
+    def clean(
+        self, older_than_ms: int = 3 * 24 * 3600 * 1000, now_ms: int | None = None
+    ) -> dict[str, int]:
+        """Orphan-file GC (R19): delete files under data/ and
+        manifests/ that are unreachable from EVERY snapshot of the
+        current metadata — leftovers of crashed writers, commits that
+        lost their CAS race, or an expire_snapshots that crashed
+        between commit and sweep.
+
+        ``older_than_ms`` is the safety grace window (Iceberg's
+        remove_orphan_files semantics): an in-flight commit writes its
+        data files and manifest BEFORE its CAS publishes, so only
+        files whose mtime is older than ``now - older_than_ms`` are
+        eligible. Reachability is computed from the metadata loaded
+        AFTER listing, so any file published by a commit racing the
+        listing is seen as live."""
+        now_ms = now_ms if now_ms is not None else fmt.now_ms()
+        cutoff_s = (now_ms - older_than_ms) / 1000.0
+        stats = {"deleted_files": 0, "deleted_manifests": 0}
+        candidates: list[str] = []  # rel paths, listed BEFORE metadata load
+        for sub in ("data", "manifests"):
+            base = os.path.join(self.root, sub)
+            for path in glob.glob(os.path.join(base, "**", "*"), recursive=True):
+                if os.path.isfile(path):
+                    try:
+                        if os.path.getmtime(path) <= cutoff_s:
+                            candidates.append(os.path.relpath(path, self.root))
+                    except OSError:
+                        continue
+        md = self.metadata  # fresh load: supersedes every listed candidate
+        live_manifests = {m for s in md.snapshots for m in s.manifests}
+        for s in md.snapshots:
+            am = s.summary.get("added-manifest")
+            if am is not None:
+                live_manifests.add(am)
+        live_files: set[str] = set()
+        for m in live_manifests:
+            for e in fmt.read_manifest(self.root, m):
+                live_files.add(e["path"])
+        for rel in candidates:
+            if rel.startswith("manifests"):
+                if rel in live_manifests:
+                    continue
+                key = "deleted_manifests"
+            else:
+                base = os.path.basename(rel)
+                if rel in live_files or base.startswith((".", "_")):
+                    continue  # .crc sidecars / _SUCCESS markers are not data
+                key = "deleted_files"
+            try:
+                os.remove(os.path.join(self.root, rel))
+                stats[key] += 1
+                d, b = os.path.split(os.path.join(self.root, rel))
+                crc = os.path.join(d, f".{b}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            except OSError:
+                pass
+        return stats
+
     def compact_data_files(
         self,
         spark: SparkSession,
@@ -816,11 +897,20 @@ class Table:
                     }
                 )
 
+        stale_manifests: list[str] = []
+
         def build(current: TableMetadata) -> TableMetadata | None:
+            for rel in stale_manifests:  # lost-CAS leftovers (see append_entries)
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale_manifests.clear()
             parent = current.current_snapshot()
             if parent is None or parent.snapshot_id != snap.snapshot_id:
                 return None  # table moved underneath; caller retries compaction
             manifest = fmt.write_manifest(self.root, keep + new_entries)
+            stale_manifests.append(manifest)
             new_snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
                 parent_id=parent.snapshot_id,

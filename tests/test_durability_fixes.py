@@ -105,7 +105,9 @@ def test_bookkeeper_replay_does_not_double_append(spark, troot):
     for name, content in monikers.items():
         with open(os.path.join(pending, name), "w") as f:
             f.write(content)
-    bk.run_once()
+    m2 = bk.run_once()
+    assert m2["files"] == 0  # replayed entries don't inflate throughput
+    assert bk.total_files_appended == 3
     assert len(tbl.current_files()) == n_files
     assert tbl.scan(spark).count() == n_rows
     assert os.listdir(pending) == []  # replayed monikers still consumed
@@ -173,3 +175,88 @@ def test_arrow_bucketing_integer_exact_past_2p53(tmp_path):
     entries = _write_task_files(iter([batch]), root, schema, spec)
     got = sorted(e["partition"] for e in entries)
     assert got == sorted({t.apply_py(v) for v in vals})
+
+
+def test_clean_collects_orphans_keeps_live(spark, troot):
+    """clean(): files unreachable from any snapshot (crashed writer /
+    lost CAS leftovers) are deleted past the grace window; every live
+    file and manifest survives and the table still scans."""
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    tbl.append(_df(spark, 0, 100))
+    tbl.append(_df(spark, 100, 200))
+    n_rows = tbl.scan(spark).count()
+    # plant orphans: a stray data file and an unreferenced manifest
+    orphan_data = os.path.join(troot, "data", "b-dead", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan_data), exist_ok=True)
+    with open(orphan_data, "w") as f:
+        f.write("not really parquet")
+    orphan_manifest = fmt.write_manifest(troot, [])
+    live_manifests = {
+        m for s in tbl.metadata.snapshots for m in s.manifests
+    } | {
+        s.summary["added-manifest"]
+        for s in tbl.metadata.snapshots
+        if "added-manifest" in s.summary
+    }
+    stats = tbl.clean(older_than_ms=0)
+    assert stats["deleted_files"] == 1
+    assert stats["deleted_manifests"] >= 1
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(os.path.join(troot, orphan_manifest))
+    for m in live_manifests:
+        assert os.path.exists(os.path.join(troot, m)), m
+    assert tbl.scan(spark).count() == n_rows
+    # grace window: a fresh orphan with default window is untouched
+    with open(orphan_data, "w") as f:
+        f.write("again")
+    assert tbl.clean()["deleted_files"] == 0
+    assert os.path.exists(orphan_data)
+
+
+def test_lost_cas_attempt_manifest_reclaimed(spark, troot, monkeypatch):
+    """A commit attempt that loses the CAS race must unlink the
+    manifest it wrote before retrying (plus clean() as backstop)."""
+    tbl = create_table(troot, SIMPLE_SCHEMA)
+    tbl.append(_df(spark, 0, 10))
+    entries = tbl.current_files()
+    # force one CAS loss: first publish attempt collides with a
+    # concurrent commit injected via the build hook
+    real_commit = fmt.commit
+    state = {"raced": False}
+
+    def racing_commit(root, build, max_retries=1000):
+        def build_with_race(current):
+            out = build(current)
+            if not state["raced"]:
+                state["raced"] = True
+                # concurrent writer lands between read and publish
+                real_commit(
+                    root,
+                    lambda cur: cur
+                    if cur.version != current.version
+                    else __import__("dataclasses").replace(
+                        cur, version=cur.version + 1
+                    ),
+                )
+            return out
+        return real_commit(root, build_with_race, max_retries)
+
+    monkeypatch.setattr(
+        "java_iceberg_table_spark.table.table.fmt.commit", racing_commit
+    )
+    tbl.append_entries(
+        [dict(entries[0], path=entries[0]["path"])], dedupe_paths=False
+    )
+    monkeypatch.undo()
+    # every manifest on disk must be reachable (no lost-CAS leftovers)
+    md = tbl.metadata
+    live = {m for s in md.snapshots for s_m in [s.manifests] for m in s_m}
+    for s in md.snapshots:
+        am = s.summary.get("added-manifest")
+        if am:
+            live.add(am)
+    on_disk = {
+        os.path.relpath(p, troot)
+        for p in __import__("glob").glob(os.path.join(troot, "manifests", "*.json"))
+    }
+    assert on_disk <= live, on_disk - live
