@@ -158,11 +158,36 @@ def h6b_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("h6c_simhash_near_dup", oracle=None, group="H")
 def h6c_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (Hamming <= 3 on 64-bit signatures). xxhash64
-    isn't reproducible in DuckDB -> rows-only gate here; semantics are
-    unit-tested with planted duplicates in tests/test_operators.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    isn't reproducible in DuckDB -> rows-only gate, but the output is
+    self-checking: the corpus carries planted exact copies
+    (doc_id + 10^7, identical text -> Hamming 0, which blocking MUST
+    surface), and every row's ``check_ok`` is true iff all planted
+    pairs were recovered — recall of known duplicates rides inside the
+    driver-graded output, not just in tests/test_operators.py."""
+    from pyspark.sql.window import Window
+
+    OFFSET = 10_000_000
+    N_PLANT = 20
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id") < N_PLANT)
+        .select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(planted)
+    pairs = simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=3)
+    # a planted pair is (source, source + OFFSET); expected count is the
+    # planted-row count, carried as a broadcast 1-row aggregate so the
+    # check needs no driver-side action
+    hit = (
+        (F.col("id_b") - F.col("id_a") == OFFSET) & (F.col("id_a") < N_PLANT)
+    ).cast("int")
+    expected = planted.agg(F.count(F.lit(1)).alias("__expected"))
+    found = F.sum(hit).over(Window.partitionBy())
+    return (
+        pairs.crossJoin(F.broadcast(expected))
+        .withColumn("check_ok", found == F.col("__expected"))
+        .drop("__expected")
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from ..streaming.jobs import (
     file_stream,
     run_to_memory,
-    stage_events_files,
+    shared_events_src,
+    shared_staged,
     stream_append_to_table,
     tumbling_counts,
 )
@@ -35,15 +36,12 @@ from . import register
 def i1_file_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch file ingestion (maxFilesPerTrigger cap): the stream
     must deliver every staged row exactly once."""
-    src, _ = stage_events_files(spark, sf_dir, n_files=4)
-    try:
-        result = run_to_memory(file_stream(spark, src, max_files_per_trigger=2))
-        row = result.agg(
-            F.count(F.lit(1)).alias("cnt"), F.countDistinct("event_id").alias("dcnt")
-        ).collect()[0]
-        return spark.createDataFrame([(row["cnt"], row["dcnt"])], "cnt bigint, dcnt bigint")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    result = run_to_memory(file_stream(spark, src, max_files_per_trigger=2))
+    row = result.agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("event_id").alias("dcnt")
+    ).collect()[0]
+    return spark.createDataFrame([(row["cnt"], row["dcnt"])], "cnt bigint, dcnt bigint")
 
 
 @register(
@@ -56,7 +54,7 @@ def i2_stream_commit_to_engine_table(spark: SparkSession, sf_dir: str) -> DataFr
     idiomatic bookkeeper): the final table content equals the source."""
     from ..table import create_table
 
-    src, batch_df = stage_events_files(spark, sf_dir, n_files=4)
+    src, batch_df = shared_events_src(spark, sf_dir, n_files=4)
     root = tempfile.mkdtemp(prefix="stream_tbl_") + "/t"
     try:
         tbl = create_table(root, batch_df.schema)
@@ -68,8 +66,7 @@ def i2_stream_commit_to_engine_table(spark: SparkSession, sf_dir: str) -> DataFr
         )
         return spark.createDataFrame([(row["cnt"], row["sum_id"])], "cnt bigint, sum_id bigint")
     finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
 @register(
@@ -84,13 +81,10 @@ FROM events GROUP BY 1 ORDER BY 1
 def i3_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling 5-minute window == batch epoch bucketing
     (G5 semantics — the reference's partition width)."""
-    src, _ = stage_events_files(spark, sf_dir, n_files=4)
-    try:
-        agg = tumbling_counts(file_stream(spark, src, 2), "ts", "5 minutes")
-        result = run_to_memory(agg, output_mode="complete")
-        return result.orderBy("window_start_us")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    agg = tumbling_counts(file_stream(spark, src, 2), "ts", "5 minutes")
+    result = run_to_memory(agg, output_mode="complete")
+    return result.orderBy("window_start_us")
 
 
 @register(
@@ -112,12 +106,9 @@ def i4_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly two windows — the batch-SQL oracle materializes both."""
     from ..streaming.jobs import sliding_counts
 
-    src, _ = stage_events_files(spark, sf_dir, n_files=4)
-    try:
-        agg = sliding_counts(file_stream(spark, src, 2), "ts", "10 minutes", "5 minutes")
-        return run_to_memory(agg, output_mode="complete").orderBy("window_start_us")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    agg = sliding_counts(file_stream(spark, src, 2), "ts", "10 minutes", "5 minutes")
+    return run_to_memory(agg, output_mode="complete").orderBy("window_start_us")
 
 
 @register(
@@ -150,14 +141,11 @@ def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts a new session in both formulations."""
     from ..streaming.jobs import session_counts
 
-    src, _ = stage_events_files(spark, sf_dir, n_files=4)
-    try:
-        agg = session_counts(file_stream(spark, src, 2), "user_id", "ts", "30 minutes")
-        return run_to_memory(agg, output_mode="complete").orderBy(
-            "user_id", "session_start_us"
-        )
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    agg = session_counts(file_stream(spark, src, 2), "user_id", "ts", "30 minutes")
+    return run_to_memory(agg, output_mode="complete").orderBy(
+        "user_id", "session_start_us"
+    )
 
 
 @register("i6_watermark_late_drop", oracle=None, group="I")
@@ -238,8 +226,8 @@ def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     no duplicate can outrun the dedup state."""
     from ..fixtures import load_table
 
-    src = tempfile.mkdtemp(prefix="i7_") + "/src"
-    try:
+    def build() -> str:
+        src = tempfile.mkdtemp(prefix="i7_") + "/src"
         ev = (
             load_table(spark, sf_dir, "events")
             .filter(F.col("event_id") % 10 < 3)
@@ -247,21 +235,22 @@ def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev.coalesce(1).write.parquet(src)
         ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate copy
-        schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .withWatermark("ts", "3650 days")
-            .dropDuplicatesWithinWatermark(["event_id"])
-        )
-        return (
-            run_to_memory(stream, output_mode="append")
-            .select("event_id")
-            .orderBy("event_id")
-        )
-    finally:
-        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        return src
+
+    src = shared_staged(("i7_dup_slice", sf_dir), build)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return (
+        run_to_memory(stream, output_mode="append")
+        .select("event_id")
+        .orderBy("event_id")
+    )
 
 
 @register(
@@ -286,18 +275,21 @@ def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..table import create_table, truncate
 
     WIDTH = 300_000_000
-    src, batch_df = stage_events_files(spark, sf_dir, n_files=4)
+    src, batch_df = shared_events_src(spark, sf_dir, n_files=4)
     root = tempfile.mkdtemp(prefix="i8_tbl_") + "/t"
-    src2 = None
     try:
         with_tp = batch_df.withColumn(
             "tp", F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(WIDTH))
         )
         tbl = create_table(root, with_tp.schema, partition=truncate("tp", WIDTH))
 
-        # re-stage with tp so the stream carries the partition column
-        src2 = tempfile.mkdtemp(prefix="i8_src_")
-        with_tp.repartition(4).write.parquet(src2, mode="overwrite")
+        def build() -> str:
+            # re-stage with tp so the stream carries the partition column
+            s = tempfile.mkdtemp(prefix="i8_src_") + "/src"
+            with_tp.repartition(4).write.parquet(s, mode="overwrite")
+            return s
+
+        src2 = shared_staged(("i8_tp", sf_dir), build)
         stream_append_to_table(spark, src2, tbl, max_files_per_trigger=2)
 
         cutoff = tbl.scan(spark).agg(F.min("tp")).first()[0] + WIDTH
@@ -311,9 +303,6 @@ def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(row["cnt"], row["min_tp"])], "cnt bigint, min_tp bigint"
         )
     finally:
-        if src2 is not None:
-            shutil.rmtree(src2, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
@@ -344,12 +333,9 @@ def i9_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch islands formulation (LAG + running break-sum);
     the streaming run over arbitrary micro-batch splits must produce
     the identical session set."""
-    from ..streaming.jobs import stage_events_with_flush, stateful_sessions
+    from ..streaming.jobs import stateful_sessions
 
-    src = stage_events_with_flush(spark, sf_dir, n_files=4)
-    try:
-        stream = file_stream(spark, src, max_files_per_trigger=2)
-        sess = stateful_sessions(stream, gap_minutes=30)
-        return run_to_memory(sess, output_mode="append").orderBy("user_id", "start_us")
-    finally:
-        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    src, _ = shared_events_src(spark, sf_dir, n_files=4, variant="flush")
+    stream = file_stream(spark, src, max_files_per_trigger=2)
+    sess = stateful_sessions(stream, gap_minutes=30)
+    return run_to_memory(sess, output_mode="append").orderBy("user_id", "start_us")

@@ -40,6 +40,55 @@ def stage_events_files(
     return src, spark.read.parquet(src)
 
 
+# Staged source dirs shared across the registered I-group queries: the
+# stream source is read-only (each run uses its own fresh checkpoint),
+# so one staging per (sf_dir, variant) serves every query in the
+# correctness driver's window instead of one Spark write job each.
+# Reclaimed at interpreter exit, not per query.
+_SHARED_STAGED: dict[tuple, str] = {}
+
+
+def _shared_cleanup() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    tmp_root = tempfile.gettempdir()
+    for path in _SHARED_STAGED.values():
+        parent = os.path.dirname(path)
+        # staged dirs live one level under a private mkdtemp; never
+        # sweep the system temp root itself
+        shutil.rmtree(path if parent == tmp_root else parent, ignore_errors=True)
+    _SHARED_STAGED.clear()
+
+
+def shared_staged(key: tuple, builder) -> str:
+    """Generic shared-staging cache: ``builder()`` stages files into a
+    fresh dir and returns its path; subsequent calls with the same key
+    reuse it. Callers MUST NOT delete the returned dir."""
+    import atexit
+
+    if key not in _SHARED_STAGED:
+        if not _SHARED_STAGED:
+            atexit.register(_shared_cleanup)
+        _SHARED_STAGED[key] = builder()
+    return _SHARED_STAGED[key]
+
+
+def shared_events_src(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, variant: str = "plain"
+) -> tuple[str, DataFrame]:
+    """Cached stage_events_files / stage_events_with_flush: returns the
+    same staged dir for every caller with the same key. Callers MUST
+    NOT delete the returned dir."""
+    if variant == "plain":
+        builder = lambda: stage_events_files(spark, sf_dir, n_files)[0]
+    elif variant == "flush":
+        builder = lambda: stage_events_with_flush(spark, sf_dir, n_files)
+    else:
+        raise ValueError(f"unknown staging variant {variant!r}")
+    src = shared_staged((sf_dir, n_files, variant), builder)
+    return src, spark.read.parquet(src)
+
+
 def file_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int = 2
 ) -> DataFrame:

@@ -47,6 +47,29 @@ class RetentionGapError(KeyError):
     already garbage-collected (checkpoint older than retention)."""
 
 
+# Above this much manifest JSON, scan planning / GC reachability moves
+# from the driver-side Python loop to a distributed Spark scan of the
+# manifests (inspect.py's machinery). ~4 MB is ~10^4 entries — below
+# it, session+job overhead exceeds the loop; above it, the driver loop
+# becomes the engine's first scale bottleneck (a 100x file-count table
+# plans as a parallel JSON scan instead of a million-iteration loop).
+DIST_PLAN_MIN_MANIFEST_BYTES = 4 << 20
+
+
+def _parse_stat(s: str | None):
+    """Manifest JSON scans read bounds as strings; restore native
+    numeric types for parity with the driver-side manifest parse."""
+    if s is None:
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
 class Table:
     def __init__(self, root: str):
         self.root = root
@@ -680,7 +703,11 @@ class Table:
 
 
     def expire_snapshots(
-        self, older_than_ms: int, retain_last: int = 20
+        self,
+        older_than_ms: int,
+        retain_last: int = 20,
+        spark: SparkSession | None = None,
+        distributed_threshold_bytes: int | None = None,
     ) -> dict[str, int]:
         """Expire snapshots older than the cutoff (keeping at least
         ``retain_last`` most recent + the current), then physically
@@ -945,23 +972,136 @@ class Table:
         self,
         filters: Iterable[tuple[str, str, object]] = (),
         snapshot_id: int | None = None,
+        spark: SparkSession | None = None,
+        distributed_threshold_bytes: int | None = None,
     ) -> list[dict]:
         """Metadata-only scan planning: partition pruning (on the
         transform source column) + per-file min/max skipping for any
         column with footer stats. Returns surviving manifest entries.
         ``snapshot_id`` pins the plan to a historical snapshot (time
-        travel)."""
+        travel).
+
+        With a ``spark`` handle and enough manifest volume
+        (DIST_PLAN_MIN_MANIFEST_BYTES), planning runs as a distributed
+        JSON scan of the manifests with the pruning predicate compiled
+        to Spark expressions — only survivors return to the driver, so
+        a heavily-pruned plan over millions of entries never
+        materializes the full entry list in driver memory."""
         t = self.transform
-        files = (
-            self.files_of(self.snapshot_by_id(snapshot_id))
+        snap = (
+            self.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
-            else self.current_files()
+            else self.metadata.current_snapshot()
         )
+        if snap is None:
+            return []
+        threshold = (
+            DIST_PLAN_MIN_MANIFEST_BYTES
+            if distributed_threshold_bytes is None
+            else distributed_threshold_bytes
+        )
+        if spark is not None and self._manifest_bytes(snap.manifests) >= threshold:
+            return self._plan_files_distributed(spark, snap, t, filters)
         out = []
-        for e in files:
+        for e in self.files_of(snap):
             if all(self._entry_may_match(e, t, f) for f in filters):
                 out.append(e)
         return out
+
+    def _manifest_bytes(self, manifests: Iterable[str]) -> int:
+        total = 0
+        for m in manifests:
+            try:
+                total += os.path.getsize(os.path.join(self.root, m))
+            except OSError:
+                pass
+        return total
+
+    def _manifest_entries_df(
+        self, spark: SparkSession, manifests: list[str]
+    ) -> DataFrame:
+        """Distributed manifest read: one row per entry (the same
+        machinery as the ``files`` inspection table)."""
+        from .inspect import MANIFEST_SCHEMA
+
+        paths = [os.path.join(self.root, m) for m in manifests]
+        return (
+            spark.read.schema(MANIFEST_SCHEMA)
+            .option("multiLine", "true")
+            .json(paths)
+            .select(F.explode("entries").alias("e"))
+            .select("e.*")
+        )
+
+    def _plan_files_distributed(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        t: TruncateTransform | None,
+        filters: Iterable[tuple[str, str, object]],
+    ) -> list[dict]:
+        df = self._manifest_entries_df(spark, snap.manifests)
+        for flt in filters:
+            df = df.filter(self._entry_may_match_expr(t, flt))
+        out = []
+        for r in df.collect():
+            cols = {
+                k: {"min": _parse_stat(v["min"]), "max": _parse_stat(v["max"]), "nulls": v["nulls"]}
+                for k, v in (r["columns"] or {}).items()
+            }
+            out.append(
+                {
+                    "path": r["path"],
+                    "rows": r["rows"],
+                    "bytes": r["bytes"],
+                    "partition": r["partition"],
+                    "columns": cols,
+                }
+            )
+        return out
+
+    @staticmethod
+    def _entry_may_match_expr(
+        t: TruncateTransform | None, flt: tuple[str, str, object]
+    ) -> "F.Column":
+        """_entry_may_match compiled to a Spark expression over manifest
+        entry rows (path, partition, columns: map<string, struct>).
+
+        Bounds arrive as JSON strings; ``try_cast`` keeps pruning
+        conservative — an uncastable bound reads as NULL, NULL bounds
+        keep the file. Numeric comparisons go through decimal(38,9) so
+        int64 bounds never round through double."""
+        col, op, val = flt
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        typ = "decimal(38,9)" if numeric else "string"
+        stats = F.col("columns").getItem(col)
+        smin = stats.getField("min").try_cast(typ)
+        smax = stats.getField("max").try_cast(typ)
+        plo = F.lit(None).cast(typ)
+        phi = F.lit(None).cast(typ)
+        if t is not None and col == t.source_column:
+            plo = F.col("partition").cast(typ)
+            phi = (F.col("partition") + F.lit(t.width - 1)).cast(typ)
+        # greatest/least skip NULLs: bounds merge exactly like the
+        # Python loop (partition range ∩ footer stats, either optional)
+        lo = F.greatest(plo, smin)
+        hi = F.least(phi, smax)
+        v = F.lit(val).cast(typ)
+        if op == "<":
+            keep, used = lo < v, lo
+        elif op == "<=":
+            keep, used = lo <= v, lo
+        elif op == ">":
+            keep, used = hi > v, hi
+        elif op == ">=":
+            keep, used = hi >= v, hi
+        elif op in ("=", "=="):
+            keep, used = (lo <= v) & (v <= hi), F.when(lo.isNull() | hi.isNull(), F.lit(None).cast(typ)).otherwise(lo)
+        else:
+            return F.lit(True)  # unknown op -> no pruning
+        # a NULL bound on the side the comparison needs = no stats ->
+        # cannot prune (same conservatism as the Python loop)
+        return F.when(used.isNull(), F.lit(True)).otherwise(keep)
 
     @staticmethod
     def _entry_may_match(
@@ -1095,7 +1235,7 @@ class Table:
             if ref not in refs:
                 raise KeyError(f"no such ref {ref!r}")
             snapshot_id = refs[ref]["snapshot_id"]
-        entries = self.plan_files(filters, snapshot_id=snapshot_id)
+        entries = self.plan_files(filters, snapshot_id=snapshot_id, spark=spark)
         schema = (
             self.schema_of_snapshot(snapshot_id) if snapshot_id is not None else None
         )
