@@ -770,38 +770,78 @@ class Table:
             am = s.summary.get("added-manifest")
             if am is not None:
                 live_manifests.add(am)
-        live_files = set()
-        for m in live_manifests:
-            for e in fmt.read_manifest(self.root, m):
-                live_files.add(e["path"])
         dead_manifests = set()
         for s in expired:
             dead_manifests.update(s.manifests)
             am = s.summary.get("added-manifest")
             if am is not None:
                 dead_manifests.add(am)
-        for m in dead_manifests - live_manifests:
-            mpath = os.path.join(self.root, m)
-            if not os.path.exists(mpath):
-                continue
-            for e in fmt.read_manifest(self.root, m):
-                if e["path"] not in live_files:
-                    fpath = os.path.join(self.root, e["path"])
-                    if os.path.exists(fpath):
-                        os.remove(fpath)
-                        stats["deleted_files"] += 1
-                        live_files.add(e["path"])  # avoid double count
-                        # local-FS checksum sidecar, if any
-                        d, b = os.path.split(fpath)
-                        crc = os.path.join(d, f".{b}.crc")
-                        if os.path.exists(crc):
-                            os.remove(crc)
-            os.remove(mpath)
+        dead_only = [
+            m
+            for m in sorted(dead_manifests - live_manifests)
+            if os.path.exists(os.path.join(self.root, m))
+        ]
+        if not dead_only:
+            return stats
+        threshold = (
+            DIST_PLAN_MIN_MANIFEST_BYTES
+            if distributed_threshold_bytes is None
+            else distributed_threshold_bytes
+        )
+        if (
+            spark is not None
+            and self._manifest_bytes(live_manifests) + self._manifest_bytes(dead_only)
+            >= threshold
+        ):
+            # Distributed reachability: dead-entry paths anti-joined
+            # against live-entry paths — only the files actually being
+            # deleted come back to the driver, never the full live set.
+            doomed = self._dead_paths_distributed(spark, dead_only, sorted(live_manifests))
+        else:
+            live_files = set()
+            for m in live_manifests:
+                for e in fmt.read_manifest(self.root, m):
+                    live_files.add(e["path"])
+            doomed, seen = [], set()
+            for m in dead_only:
+                for e in fmt.read_manifest(self.root, m):
+                    p = e["path"]
+                    if p not in live_files and p not in seen:
+                        seen.add(p)
+                        doomed.append(p)
+        for rel in doomed:
+            fpath = os.path.join(self.root, rel)
+            if os.path.exists(fpath):
+                os.remove(fpath)
+                stats["deleted_files"] += 1
+                # local-FS checksum sidecar, if any
+                d, b = os.path.split(fpath)
+                crc = os.path.join(d, f".{b}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+        for m in dead_only:
+            os.remove(os.path.join(self.root, m))
             stats["deleted_manifests"] += 1
         return stats
 
+    def _dead_paths_distributed(
+        self, spark: SparkSession, dead_manifests: list[str], live_manifests: list[str]
+    ) -> list[str]:
+        """Paths referenced by dead manifests and NO live manifest —
+        the GC victim set, computed as a distributed manifest scan +
+        left-anti join so the driver never holds the live-file set."""
+        dead = self._manifest_entries_df(spark, dead_manifests).select("path").distinct()
+        if live_manifests:
+            live = self._manifest_entries_df(spark, live_manifests).select("path")
+            dead = dead.join(live, "path", "left_anti")
+        return [r["path"] for r in dead.collect()]
+
     def clean(
-        self, older_than_ms: int = 3 * 24 * 3600 * 1000, now_ms: int | None = None
+        self,
+        older_than_ms: int = 3 * 24 * 3600 * 1000,
+        now_ms: int | None = None,
+        spark: SparkSession | None = None,
+        distributed_threshold_bytes: int | None = None,
     ) -> dict[str, int]:
         """Orphan-file GC (R19): delete files under data/ and
         manifests/ that are unreachable from EVERY snapshot of the
@@ -835,19 +875,47 @@ class Table:
             am = s.summary.get("added-manifest")
             if am is not None:
                 live_manifests.add(am)
-        live_files: set[str] = set()
-        for m in live_manifests:
-            for e in fmt.read_manifest(self.root, m):
-                live_files.add(e["path"])
+        threshold = (
+            DIST_PLAN_MIN_MANIFEST_BYTES
+            if distributed_threshold_bytes is None
+            else distributed_threshold_bytes
+        )
+        live_sorted = sorted(live_manifests)
+        data_candidates = [
+            rel
+            for rel in candidates
+            if not rel.startswith("manifests")
+            and not os.path.basename(rel).startswith((".", "_"))
+        ]
+        if (
+            spark is not None
+            and live_sorted
+            and self._manifest_bytes(live_sorted) >= threshold
+        ):
+            # Distributed reachability: candidates anti-joined against
+            # the live-entry scan — driver memory holds the listing and
+            # the orphans, never the live-file set.
+            cand_df = spark.createDataFrame(
+                [(p,) for p in data_candidates], "path string"
+            )
+            live_df = self._manifest_entries_df(spark, live_sorted).select("path")
+            orphan_data = {
+                r["path"] for r in cand_df.join(live_df, "path", "left_anti").collect()
+            }
+        else:
+            live_files: set[str] = set()
+            for m in live_sorted:
+                for e in fmt.read_manifest(self.root, m):
+                    live_files.add(e["path"])
+            orphan_data = {p for p in data_candidates if p not in live_files}
         for rel in candidates:
             if rel.startswith("manifests"):
                 if rel in live_manifests:
                     continue
                 key = "deleted_manifests"
             else:
-                base = os.path.basename(rel)
-                if rel in live_files or base.startswith((".", "_")):
-                    continue  # .crc sidecars / _SUCCESS markers are not data
+                if rel not in orphan_data:
+                    continue  # live data / .crc sidecars / _SUCCESS markers
                 key = "deleted_files"
             try:
                 os.remove(os.path.join(self.root, rel))

@@ -1,0 +1,204 @@
+"""Distributed scan planning + GC reachability (the 100x-file-count
+scale path): the Spark manifest-scan planner must prune identically to
+the driver-side Python loop, and the distributed expire/clean sweep
+must delete exactly the unreachable files.
+
+Entries are synthesized straight into manifests (planning and GC are
+metadata-only — no parquet data needs to exist to verify parity).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql.types import LongType, StructField, StructType
+
+from java_iceberg_table_spark.table import create_table, truncate
+from java_iceberg_table_spark.table import format as fmt
+
+SCHEMA = StructType(
+    [StructField("tp", LongType(), False), StructField("v", LongType(), True)]
+)
+WIDTH = 1000
+
+
+def _mk_entries(n: int, start: int = 0) -> list[dict]:
+    """n synthetic manifest entries, one per 'file', partitions striped
+    over 50 buckets, v-stats covering a distinct range per entry."""
+    out = []
+    for i in range(start, start + n):
+        bucket = (i % 50) * WIDTH
+        out.append(
+            {
+                "path": f"data/f{i:06d}.parquet",
+                "rows": 10,
+                "bytes": 1000,
+                "partition": bucket,
+                "columns": {
+                    "tp": {"min": bucket, "max": bucket + WIDTH - 1, "nulls": 0},
+                    "v": {"min": i * 10, "max": i * 10 + 9, "nulls": 0},
+                },
+            }
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def big_table():
+    """A table whose current snapshot references 12_000 entries across
+    several manifests (no data files — planning is metadata-only)."""
+    root = tempfile.mkdtemp(prefix="dist_plan_") + "/t"
+    tbl = create_table(root, SCHEMA, partition=truncate("tp", WIDTH))
+    for batch in range(4):
+        tbl.append_entries(_mk_entries(3000, start=batch * 3000))
+    yield tbl
+    import shutil
+
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+FILTER_CASES = [
+    (),  # no filters: full entry list
+    [("tp", "<", 5 * WIDTH)],  # partition pruning
+    [("tp", ">=", 45 * WIDTH)],
+    [("tp", "=", 7 * WIDTH + 3)],
+    [("v", "<", 500)],  # stats-only pruning
+    [("v", ">", 119_000)],
+    [("v", "=", 60_005)],
+    [("tp", "<", 10 * WIDTH), ("v", ">=", 100_000)],  # both
+    [("tp", "<", 0)],  # prunes everything
+]
+
+
+@pytest.mark.parametrize("filters", FILTER_CASES)
+def test_distributed_plan_parity(big_table, spark, filters):
+    py = big_table.plan_files(filters)
+    dist = big_table.plan_files(
+        filters, spark=spark, distributed_threshold_bytes=0
+    )
+    assert sorted(e["path"] for e in py) == sorted(e["path"] for e in dist)
+    # entry payload survives the JSON round trip with native types
+    if dist:
+        e = sorted(dist, key=lambda e: e["path"])[0]
+        p = next(x for x in py if x["path"] == e["path"])
+        assert (e["rows"], e["bytes"], e["partition"]) == (
+            p["rows"],
+            p["bytes"],
+            p["partition"],
+        )
+        assert e["columns"]["v"]["min"] == p["columns"]["v"]["min"]
+        assert isinstance(e["columns"]["v"]["min"], int)
+
+
+def test_distributed_plan_used_above_threshold(big_table, spark, monkeypatch):
+    """The auto path must actually go distributed for this manifest
+    volume (and the pruned result stays correct)."""
+    called = {}
+    orig = type(big_table)._plan_files_distributed
+
+    def spy(self, *a, **kw):
+        called["yes"] = True
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(big_table), "_plan_files_distributed", spy)
+    entries = big_table.plan_files(
+        [("tp", "<", WIDTH)], spark=spark, distributed_threshold_bytes=1024
+    )
+    assert called.get("yes")
+    assert entries and all(e["partition"] == 0 for e in entries)
+
+
+def test_distributed_expire_sweep_parity(spark):
+    """expire_snapshots with the distributed reachability sweep deletes
+    exactly the files unreachable from kept snapshots."""
+    import shutil
+
+    roots = []
+    results = []
+    for dist in (False, True):
+        root = tempfile.mkdtemp(prefix="dist_expire_") + "/t"
+        roots.append(os.path.dirname(root))
+        tbl = create_table(root, SCHEMA, partition=truncate("tp", WIDTH))
+        # snapshot 1: files 0..99 (some will stay referenced by snap 2's
+        # entries too); snapshot 2 adds 100..199
+        e1 = _mk_entries(100, start=0)
+        e2 = _mk_entries(100, start=100)
+        for entries in (e1, e2):
+            for e in entries:
+                full = os.path.join(root, e["path"])
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                with open(full, "w") as f:
+                    f.write("x")
+            tbl.append_entries(entries)
+        # a delete rewrites metadata so snap 1's files become dead once
+        # snap 1 expires: drop partitions < 10*WIDTH from the live view
+        tbl.delete_where("tp", "<", 10 * WIDTH)
+        stats = tbl.expire_snapshots(
+            older_than_ms=fmt.now_ms() + 10_000,
+            retain_last=1,
+            spark=spark if dist else None,
+            distributed_threshold_bytes=0 if dist else None,
+        )
+        survivors = sorted(
+            os.path.relpath(os.path.join(dp, f), root)
+            for dp, _, fns in os.walk(os.path.join(root, "data"))
+            for f in fns
+        )
+        results.append((stats, survivors))
+    try:
+        (s_py, surv_py), (s_dist, surv_dist) = results
+        assert s_py == s_dist
+        assert surv_py == surv_dist
+        assert s_py["deleted_files"] > 0
+        # every surviving file is referenced by the current snapshot
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+
+def test_distributed_clean_parity(spark):
+    """clean() with distributed reachability removes the same orphans
+    as the driver loop and never touches live files."""
+    import shutil
+
+    results = []
+    roots = []
+    for dist in (False, True):
+        root = tempfile.mkdtemp(prefix="dist_clean_") + "/t"
+        roots.append(os.path.dirname(root))
+        tbl = create_table(root, SCHEMA, partition=truncate("tp", WIDTH))
+        entries = _mk_entries(200, start=0)
+        for e in entries:
+            full = os.path.join(root, e["path"])
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            with open(full, "w") as f:
+                f.write("x")
+        tbl.append_entries(entries)
+        # orphans: files referenced by no manifest
+        for i in range(40):
+            with open(os.path.join(root, "data", f"orphan{i}.parquet"), "w") as f:
+                f.write("y")
+        stats = tbl.clean(
+            older_than_ms=0,
+            now_ms=fmt.now_ms() + 10_000,  # files written this test are "old"
+            spark=spark if dist else None,
+            distributed_threshold_bytes=0 if dist else None,
+        )
+        survivors = sorted(
+            f
+            for dp, _, fns in os.walk(os.path.join(root, "data"))
+            for f in fns
+        )
+        results.append((stats, survivors))
+    try:
+        (s_py, surv_py), (s_dist, surv_dist) = results
+        assert s_py == s_dist
+        assert surv_py == surv_dist
+        assert s_py["deleted_files"] == 40
+        assert all(not f.startswith("orphan") for f in surv_py)
+        assert len(surv_py) == 200
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
