@@ -66,23 +66,66 @@ def make_records(
 
 
 class Writer:
-    def __init__(self, table: Table, writer_id: int = 0, seed: int = 42):
+    def __init__(
+        self,
+        table: Table,
+        writer_id: int = 0,
+        seed: int = 42,
+        file_format: str | None = None,
+    ):
         self.table = table
         self.writer_id = writer_id
         self.seed = seed
         self._file_counter = 0
+        # R5: the data-file format toggle (Constants.java:16,
+        # Writer.java:92-96) — a table property, overridable per writer.
+        self.file_format = (
+            file_format
+            or table.metadata.properties.get("write.format.default", "parquet")
+        )
+        if self.file_format not in ("parquet", "avro"):
+            raise ValueError(f"unsupported data-file format {self.file_format!r}")
+
+    def _write_file(self, records: "pa.Table", full: str) -> dict:
+        """Write one data file in the toggled format; return its stats.
+        Parquet stats come from the footer (R17); avro files carry
+        write-time metrics computed from the in-memory batch — the same
+        split as the reference (Writer.java:107 vs ParquetUtil)."""
+        if self.file_format == "parquet":
+            pq.write_table(records, full)
+            return file_stats(full)
+        from ..sources.avro_io import avro_schema_of, arrow_stats, write_ocf
+        from pyspark.sql.types import StructType
+
+        spark_schema = StructType.fromJson(self.table.metadata.schema_json)
+        # timestamps travel as integer µs in avro (timestamp-micros)
+        cast_cols = {}
+        for name in records.column_names:
+            col = records.column(name)
+            if pa.types.is_timestamp(col.type):
+                cast_cols[name] = col.cast(pa.int64())
+        if cast_cols:
+            for name, col in cast_cols.items():
+                records = records.set_column(
+                    records.column_names.index(name), name, col
+                )
+        rows = records.to_pylist()
+        write_ocf(full, rows, avro_schema_of(spark_schema))
+        return arrow_stats(records, os.path.getsize(full))
 
     def create_data_files(
         self, n_files: int, rows_per_file: int, timeperiod_us: int
     ) -> list[dict]:
-        """R6: write n_files parquet files for one shared timeperiod
-        stamp (Writer.java:126-137); returns manifest entries."""
+        """R6: write n_files data files (parquet or avro per the R5
+        toggle) for one shared timeperiod stamp (Writer.java:126-137);
+        returns manifest entries."""
         t = self.table.transform
         entries = []
         for _ in range(n_files):
             bucket = t.apply_py(timeperiod_us) if t else None
             sub = f"__pb={bucket}" if t else "unpartitioned"
-            fname = f"w{self.writer_id}-{self._file_counter}-{uuid_mod.uuid4().hex}.parquet"
+            ext = "parquet" if self.file_format == "parquet" else "avro"
+            fname = f"w{self.writer_id}-{self._file_counter}-{uuid_mod.uuid4().hex}.{ext}"
             rel = os.path.join("data", sub, fname)
             full = os.path.join(self.table.root, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
@@ -92,8 +135,7 @@ class Writer:
                 seed=self.seed * 100003 + self.writer_id * 1009 + self._file_counter,
                 start_id=self._file_counter * rows_per_file,
             )
-            pq.write_table(records, full)
-            st = file_stats(full)
+            st = self._write_file(records, full)
             entries.append(
                 {
                     "path": rel,

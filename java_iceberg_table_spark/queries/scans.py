@@ -144,6 +144,56 @@ def a6c_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a6d_avro_source",
+    oracle="""
+SELECT lang, COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    group="A",
+)
+def a6d_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink+source round-trip (R5 toggle, Constants.java:16):
+    documents slice -> Avro OCF via the pure-Python codec (spark-avro
+    is absent offline; sources/avro_io.py implements the public spec)
+    -> distributed re-read (binaryFile + mapInPandas) -> aggregate.
+    The oracle checks the round trip against the source table."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..sources.avro_io import avro_schema_of, read_avro_df, write_ocf
+
+    out = tempfile.mkdtemp(prefix="sink_avro_")
+    try:
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("lang", StringType(), True),
+                StructField("n_chars", LongType(), True),
+            ]
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        avro = avro_schema_of(schema)
+        paths = []
+        # write a few container files (the multi-file layout a real
+        # ingest produces) — rows partitioned by doc_id stripe
+        pdf = docs.toPandas()
+        for i in range(4):
+            part = pdf[pdf["doc_id"] % 4 == i]
+            p = os.path.join(out, f"part-{i}.avro")
+            write_ocf(p, part.to_dict("records"), avro)
+            paths.append(p)
+        back = read_avro_df(spark, paths, schema)
+        rows = (
+            back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "lang string, cnt bigint, sum_chars bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "a6b_json_source",
     oracle="""
 SELECT lang, COUNT(*) AS cnt, SUM(n_chars)::BIGINT AS sum_chars

@@ -1269,12 +1269,27 @@ class Table:
         entries: list[dict],
         schema: StructType | None = None,
     ) -> DataFrame:
-        """Materialize a planned entry list as a DataFrame."""
+        """Materialize a planned entry list as a DataFrame. Parquet and
+        avro files (the R5 format toggle) can coexist in one table:
+        each format scans with its own distributed reader and the
+        branches union."""
         schema = schema or self.schema()
         if not entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
-        return spark.read.schema(schema).parquet(*paths)
+        avro = [p for p in paths if p.endswith(".avro")]
+        parquet = [p for p in paths if not p.endswith(".avro")]
+        parts: list[DataFrame] = []
+        if parquet:
+            parts.append(spark.read.schema(schema).parquet(*parquet))
+        if avro:
+            from ..sources.avro_io import read_avro_df
+
+            parts.append(read_avro_df(spark, avro, schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def incremental_scan(
         self, spark: SparkSession, after_snapshot_id: int | None = None
