@@ -29,6 +29,8 @@ HEADLINE = [
     "h3_top_tokens",
     "h6b_minhash_lsh_near_dup",
     "h8_ann_bruteforce_topk",
+    "h8b_ann_lsh_topk",
+    "h8c_ann_ivf_topk",
     "i3_tumbling_window_stream",
 ]
 

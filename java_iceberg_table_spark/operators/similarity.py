@@ -153,6 +153,21 @@ def hyperplane_buckets(
     return v.select("id", "vec", bucket.alias("bucket"))
 
 
+def lsh_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH index: bucketed corpus (id, vec, bucket). Build once,
+    reuse across query batches — at scale this is written out
+    partitioned by bucket; locally, persist it and hand it to
+    lsh_topk(index=...) so per-query cost excludes the corpus pass."""
+    return hyperplane_buckets(corpus, id_col, vec_col, dim, num_planes, seed)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,14 +179,22 @@ def lsh_topk(
     probe_hamming: int = 2,
     seed: int = 42,
     round_to: int | None = 4,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucketed candidates, exact cosine
     re-rank. Multi-probe: a query probes every bucket within Hamming
     distance probe_hamming of its own, trading compute for recall.
 
+    ``index`` is a prebuilt lsh_build(...) result (same num_planes /
+    seed); without it the bucketed corpus is derived inline.
+
     Returns (query_id, neighbor_id, sim, rn). Recall vs brute force is
     property-tested in tests/test_operators.py."""
-    cb = hyperplane_buckets(corpus, id_col, vec_col, dim, num_planes, seed)
+    cb = (
+        index
+        if index is not None
+        else lsh_build(corpus, id_col, vec_col, dim, num_planes, seed)
+    )
     qb = hyperplane_buckets(queries, id_col, vec_col, dim, num_planes, seed)
     # expand query buckets to all probe targets (small: sum of C(p, <=h))
     from itertools import combinations
@@ -226,6 +249,94 @@ def label_centroids(
     )
 
 
+def _assign_literal(v: DataFrame, cents: list[list[float]], top: int) -> DataFrame:
+    """Nearest (top=1) or top-nearest centroids per vector.
+
+    Centroids are a model artifact (n_centroids x dim doubles —
+    kilobytes), carried as ONE broadcast row holding an
+    array<struct<cluster, cvec>>: the crossJoin with a single
+    broadcast row is shuffle-free, and the argmax is a nested
+    higher-order-function projection over that array — no groupBy, no
+    window, no per-row shuffle, plan size independent of n_centroids.
+    The same shape works unchanged on a 10^9-row corpus."""
+    spark = v.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    carr_df = spark.createDataFrame(
+        [(cent_rows,)], "carr array<struct<cluster:int,cvec:array<double>>>"
+    )
+    scores = F.transform(
+        F.col("carr"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("vec"), c["cvec"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("aff"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+    # ascending struct sort then reverse = aff desc, ties -> larger
+    # cluster id first (deterministic)
+    ranked = F.reverse(F.array_sort(scores))
+    joined = v.crossJoin(F.broadcast(carr_df))
+    if top == 1:
+        return joined.select(
+            "id", "vec", F.element_at(ranked, 1)["cluster"].alias("cluster")
+        )
+    probes = F.transform(F.slice(ranked, 1, top), lambda s: s["cluster"])
+    return joined.select("id", "vec", F.explode(probes).alias("cluster"))
+
+
+def _ivf_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    iters: int,
+    seed: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """k-means fit over normalized vectors. Returns (normalized corpus
+    DataFrame, centroid list).
+
+    - init: the n_centroids rows with the smallest xxhash64(id) — a
+      deterministic uniform sample (no Math.random, retry-safe).
+    - Lloyd step: assign = literal-centroid projection (no shuffle);
+      update = posexplode + groupBy(cluster, pos) avg — ONE shuffle per
+      iteration, keyed by (cluster, dim), volume rows x dim. The
+      per-iteration collect is n_centroids x dim doubles (the model,
+      not the data); empty cells keep their previous centroid.
+    """
+    v = _as_double(corpus, id_col, vec_col)
+    v = v.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    sample = (
+        v.withColumn("h", F.xxhash64(F.col("id") + seed))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    cents = [list(r["vec"]) for r in sample]
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = _assign_literal(v, cents, top=1)
+        rows = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("avg_x"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        for r in rows:
+            sums.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["avg_x"]
+        new_cents = []
+        for i in range(n_centroids):
+            c = sums.get(i, cents[i])  # empty cell keeps its centroid
+            norm = sum(x * x for x in c) ** 0.5 or 1.0
+            new_cents.append([x / norm for x in c])
+        cents = new_cents
+    return v, cents
+
+
 def ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -234,68 +345,37 @@ def ivf_index(
     iters: int = 2,
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: k-means over normalized vectors, entirely
-    in DataFrame ops. Returns (assigned, centroids) where assigned is
-    (id, vec, cluster) and centroids is (cluster, cvec) — the inverted
-    file: at scale, write `assigned` partitioned by cluster so a query
-    reads only nprobe/n_centroids of the corpus.
-
-    - init: the n_centroids rows with the smallest xxhash64(id) — a
-      deterministic uniform sample (no Math.random, retry-safe).
-    - Lloyd step: assign = broadcast centroids x corpus, argmin by
-      max_by(cluster, dot) (vectors normalized -> cosine == dot);
-      update = posexplode + groupBy(cluster, pos) avg, reassembled.
-      Shuffle volume per iter is rows x dim keyed by (cluster, pos) —
-      no driver-side loops over data, only `iters` plan iterations.
-    """
-    v = _as_double(corpus, id_col, vec_col)
-    v = v.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
-    sample = v.withColumn("h", F.xxhash64(F.col("id") + seed)).orderBy("h").limit(
-        n_centroids
+    """IVF coarse quantizer: k-means (see _ivf_fit), returning
+    (assigned, centroids) where assigned is (id, vec, cluster) and
+    centroids is (cluster, cvec) — the inverted file: at scale, write
+    `assigned` partitioned by cluster so a query reads only
+    nprobe/n_centroids of the corpus."""
+    v, cents = _ivf_fit(corpus, id_col, vec_col, n_centroids, iters, seed)
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, cvec array<double>"
     )
-    cents = sample.select(
-        (F.row_number().over(Window.orderBy("h")) - 1).alias("cluster"),
-        F.col("vec").alias("cvec"),
-    )
-    for _ in range(iters):
-        assigned = _ivf_assign(v, cents, top=1)
-        per_dim = (
-            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("avg_x"))
-        )
-        cents = (
-            per_dim.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_x"))).alias("pairs"))
-            .select(
-                "cluster",
-                F.transform("pairs", lambda s: s.getField("avg_x")).alias("cvec"),
-            )
-        )
-        # re-normalize centroids so assignment stays a pure dot product
-        cents = cents.select(
-            "cluster", F.transform("cvec", lambda x: x / norm_expr("cvec")).alias("cvec")
-        )
-    return _ivf_assign(v, cents, top=1), cents
+    return _assign_literal(v, cents, top=1), cents_df
 
 
-def _ivf_assign(v: DataFrame, cents: DataFrame, top: int) -> DataFrame:
-    """Nearest (top=1) or nprobe-nearest centroids per vector."""
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "aff", dot_expr("vec", "cvec")
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """The IVF index: (assigned corpus rows, centroid list). Build
+    once, reuse across query batches via ivf_topk(index=...) — the
+    whole point of an inverted file is that the k-means fit and the
+    corpus assignment pass amortize over many queries; at scale
+    `assigned` is written out partitioned by cluster."""
+    v, cents = _ivf_fit(corpus, id_col, vec_col, n_centroids, iters, seed)
+    assigned = _assign_literal(v, cents, top=1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "cluster"
     )
-    if top == 1:
-        # max_by over (aff, cluster): deterministic under dot ties
-        return scored.groupBy("id").agg(
-            F.first("vec").alias("vec"),
-            F.max_by("cluster", F.struct("aff", "cluster")).alias("cluster"),
-        )
-    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cluster"))
-    return (
-        scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= top)
-        .select("id", "vec", "cluster")
-    )
+    return assigned, cents
 
 
 def ivf_topk(
@@ -309,10 +389,12 @@ def ivf_topk(
     iters: int = 2,
     seed: int = 42,
     round_to: int | None = 4,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: queries probe their nprobe
     nearest centroid cells; candidates = corpus rows in those cells;
     exact dot re-rank inside. Returns (query_id, neighbor_id, sim, rn).
+    ``index`` is a prebuilt ivf_build(...) result.
 
     The scale path vs LSH buckets: cells track the data distribution
     (k-means) instead of being data-oblivious hyperplanes, so cell
@@ -320,13 +402,14 @@ def ivf_topk(
     an equi join on cluster — shuffle keyed by cell, never a cross
     join. Recall vs brute force is asserted in tests/test_operators.py.
     """
-    assigned, cents = ivf_index(corpus, id_col, vec_col, n_centroids, iters, seed)
-    assigned = assigned.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec_n"), "cluster"
+    assigned, cents = (
+        index
+        if index is not None
+        else ivf_build(corpus, id_col, vec_col, n_centroids, iters, seed)
     )
     qv = _as_double(queries, id_col, vec_col)
     qv = qv.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
-    probes = _ivf_assign(qv, cents, top=nprobe).select(
+    probes = _assign_literal(qv, cents, top=nprobe).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
     )
     cand = probes.join(assigned, "cluster").filter(
