@@ -559,3 +559,88 @@ def h18_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("group_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "h19_dedup_aware_split",
+    oracle="""
+WITH RECURSIVE
+tok AS (SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b) WHERE j >= 0.95),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+grp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+allg AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+         FROM documents d LEFT JOIN grp g USING (doc_id)),
+a AS (SELECT doc_id, group_id,
+             CASE WHEN group_id % 10 < 8 THEN 'train'
+                  WHEN group_id % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM allg),
+leak AS (SELECT COUNT(*) AS leaks FROM (
+           SELECT group_id FROM a GROUP BY group_id
+           HAVING COUNT(DISTINCT split) > 1))
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT group_id) AS n_groups,
+       (SELECT leaks FROM leak) = 0 AS leakage_free
+FROM a GROUP BY split ORDER BY split
+""",
+    group="H",
+)
+def h19_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: the unit of assignment is the
+    near-duplicate GROUP (h18's connected components; singleton docs
+    are their own group), so two near-copies of one document can never
+    land in different splits — the train/test-leakage failure mode a
+    naive per-doc randomSplit has on duplicate-heavy corpora.
+
+    Assignment is deterministic (group_id % 10 -> 8/1/1), so the whole
+    pipeline is retry-safe and SQL-expressible for the oracle; a real
+    deployment would substitute a salted hash of the group id at the
+    same split ratios. The leakage check rides in the output
+    (``leakage_free``) rather than only in tests."""
+    from ..operators.dedup import connected_components, minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    groups = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("group_id"))
+    )
+    assignment = groups.withColumn(
+        "split",
+        F.when(F.pmod("group_id", F.lit(10)) < 8, F.lit("train"))
+        .when(F.pmod("group_id", F.lit(10)) == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    leaks = (
+        assignment.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.sum((F.col("ns") > 1).cast("int")).alias("__leaks"))
+    )
+    return (
+        assignment.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .withColumn("leakage_free", F.col("__leaks") == 0)
+        .drop("__leaks")
+        .orderBy("split")
+    )
