@@ -644,3 +644,239 @@ def h19_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__leaks")
         .orderBy("split")
     )
+
+
+# ---- PII scrub (h20) ---------------------------------------------------
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+_PII_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+_PII_ANY = f"{_PII_EMAIL}|{_PII_PHONE}|{_PII_IPV4}"
+# Planted rows make the query self-checking: the fixture corpus is
+# PII-free word salad, so the expected per-type counts are exactly the
+# planted ones — and `clean` proves redaction removed every match.
+_PII_PLANTED = [
+    (1000001, "contact alice@example.com or bob.smith+x@mail.co for info"),
+    (1000002, "call 555-867-5309 or 415.555.0199 now"),
+    (1000003, "server at 192.168.1.100 and 10.0.0.7 responded"),
+    (1000004, "no pii here at all"),
+]
+_PII_PLANTED_SQL = ", ".join(f"({i}, '{t}')" for i, t in _PII_PLANTED)
+
+
+@register(
+    "h20_pii_redaction",
+    oracle=f"""
+WITH planted(doc_id, text) AS (VALUES {_PII_PLANTED_SQL}),
+corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted),
+m AS (SELECT doc_id,
+        len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+        len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+        len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+        regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g') AS red
+      FROM corpus)
+SELECT SUM(n_email)::BIGINT AS n_email, SUM(n_phone)::BIGINT AS n_phone,
+       SUM(n_ipv4)::BIGINT AS n_ipv4,
+       SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_redacted,
+       BOOL_AND(NOT regexp_matches(red, '{_PII_ANY}')) AS clean
+FROM m
+""",
+    group="H",
+)
+def h20_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails / phone numbers / IPv4s across
+    the corpus, in one JVM-side expression pipeline (regexp_extract_all
+    + chained regexp_replace — no Python in the row path). Planted PII
+    rows ride along so the type counts and the post-redaction `clean`
+    invariant are non-trivially checkable against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(_PII_PLANTED, "doc_id bigint, text string")
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    zero = F.lit(0)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), zero))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), zero))
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), zero))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    m = corpus.select(
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        red.alias("red"),
+    )
+    return m.agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0).cast("int")
+        ).alias("docs_redacted"),
+        F.bool_and(~F.col("red").rlike(_PII_ANY)).alias("clean"),
+    )
+
+
+@register(
+    "h21_repetition_quality",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))),
+c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+p AS (SELECT doc_id, MAX(cnt) AS maxc, SUM(cnt) AS total,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupc
+      FROM c GROUP BY doc_id)
+SELECT doc_id, ROUND(maxc::DOUBLE / total, 4) AS top_bigram_frac,
+       ROUND(dupc::DOUBLE / total, 4) AS dup_bigram_frac,
+       (maxc::DOUBLE / total > 0.06 OR dupc::DOUBLE / total > 0.1) AS flagged
+FROM p ORDER BY doc_id LIMIT 100
+""",
+    group="H",
+)
+def h21_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-document share of
+    the most frequent bigram and share of bigram occurrences that are
+    repeats. Thresholds (0.06 / 0.10) flag ~30% of the fixture corpus,
+    so both branches of the filter are exercised. Pure explode +
+    two-level aggregation — map-side partial aggs, one shuffle on
+    (doc_id, bg), one on doc_id; no window, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    bigrams = F.expr(
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat({toks}[i], ' ', {toks}[i + 1])) "
+        "ELSE array() END"
+    )
+    c = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = c.groupBy("doc_id").agg(
+        F.max("cnt").alias("maxc"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dupc"),
+    )
+    top = F.col("maxc") / F.col("total")
+    dup = F.col("dupc") / F.col("total")
+    return (
+        p.select(
+            "doc_id",
+            F.round(top, 4).alias("top_bigram_frac"),
+            F.round(dup, 4).alias("dup_bigram_frac"),
+            ((top > 0.06) | (dup > 0.1)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "h22_ngram_decontamination",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 3)) AS i
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+train AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20),
+hit AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared
+        FROM train t JOIN bench b USING (gram) GROUP BY t.doc_id)
+SELECT (SELECT COUNT(DISTINCT doc_id) FROM train) AS n_train,
+       (SELECT COUNT(*) FROM hit) AS n_contaminated,
+       (SELECT COALESCE(SUM(n_shared), 0) FROM hit)::BIGINT AS total_shared_grams
+""",
+    group="H",
+)
+def h22_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token 5-gram with a held-out benchmark set (here: doc_id < 20 —
+    the fixture's planted near-duplicates guarantee non-trivial hits).
+    Benchmark grams are a broadcast-joined set (a real benchmark is
+    orders of magnitude smaller than the training corpus); the
+    training side streams through one explode + hash join + per-doc
+    agg, so the shape scales to 100 TB with no all-pairs work."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({toks}) >= 5 THEN "
+        f"transform(sequence(0, size({toks}) - 5), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2], {toks}[i+3], {toks}[i+4])) "
+        "ELSE array() END"
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    bench = g.filter(F.col("doc_id") < 20).select("gram").distinct()
+    train = g.filter(F.col("doc_id") >= 20)
+    hit = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    n_train = train.agg(F.countDistinct("doc_id").alias("n_train"))
+    summary = hit.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.coalesce(F.sum("n_shared"), F.lit(0)).alias("total_shared_grams"),
+    )
+    return n_train.crossJoin(F.broadcast(summary))
+
+
+# ---- BPE-ish token counting (h23) --------------------------------------
+# The planted rows carry punctuation/digits so the regex tokenization
+# provably diverges from whitespace counting (the fixture corpus is
+# space-separated words, where the two coincide). Negative doc_ids sort
+# first, keeping the planted rows inside the LIMIT window.
+_BPE_PLANTED = [
+    (-3, "price: $3.50 (tax incl.) -- order #42 now!"),
+    (-2, "v2.0.1 beta, released 2024-06-01; see notes"),
+    (-1, "hello,world:a-b c_d 12ab"),
+]
+_BPE_PLANTED_SQL = ", ".join(f"({i}, '{t}')" for i, t in _BPE_PLANTED)
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "h23_token_counts",
+    oracle=f"""
+WITH planted(doc_id, text) AS (VALUES {_BPE_PLANTED_SQL}),
+corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted)
+SELECT doc_id,
+       len(str_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+FROM corpus ORDER BY doc_id LIMIT 100
+""",
+    group="H",
+)
+def h23_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-style
+    pre-tokenizer regex (letter runs | digit runs | punctuation runs —
+    the GPT-2 pre-split shape without lookarounds, so Java regex and
+    RE2 agree). Both are single JVM-side projections; the per-document
+    counts are the budgeting primitive every training pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(_BPE_PLANTED, "doc_id bigint, text string")
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return (
+        corpus.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
