@@ -98,7 +98,15 @@ def annotate_recall(
     id tie-breaking picked a different row. Adds ``recall`` (per
     query, 4dp) and ``recall_ok`` (mean recall >= min_recall). Both
     inputs must carry (query_id, sim). The exact side is tiny
-    (queries x k rows) — broadcast."""
+    (queries x k rows) — broadcast.
+
+    The approx side feeds BOTH the per-query recall aggregate and the
+    annotated output, so without a persist the whole candidate
+    pipeline (bucket probe join + re-rank) would execute twice per
+    action — once inside the broadcast build, once for the main side.
+    The result is queries x k rows; persisting it is what a manual
+    two-pass consumer would do anyway."""
+    approx = approx.persist()
     kth = exact.groupBy("query_id").agg(
         F.min("sim").alias("__kth_sim"), F.count(F.lit(1)).alias("__n_exact")
     )

