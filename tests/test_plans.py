@@ -120,3 +120,44 @@ def test_q16_not_in_is_anti_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q16_supplier_part_count")
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_q8_dim_filters_pushed_all_joins_broadcast(spark, sf_dir):
+    """Q8's deep join tree: the selective dim filters (p_type, r_name)
+    reach their scans, and at test scale every join broadcasts — the
+    lineitem fact never shuffles for a join (only for the final
+    group-by)."""
+    plan = plan_of(spark, sf_dir, "q8_national_market_share")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(p_type,PROMO)" in l for l in pushed)
+    assert any("EqualTo(r_name,AMERICA)" in l for l in pushed)
+    assert any("o_orderdate,1995-01-01" in l for l in pushed)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_h2x_text_ops_stay_jvm_side(spark, sf_dir):
+    """The new text-pipeline ops (PII scrub, repetition quality, token
+    counting) are regex/explode/agg expression pipelines — any Python
+    eval node in their plans means the hot path fell off codegen."""
+    for name in ("h20_pii_redaction", "h21_repetition_quality", "h23_token_counts"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_h21_partial_aggregation(spark, sf_dir):
+    """Bigram counting must partial-aggregate map-side before the
+    (doc_id, bg) shuffle — the difference between shuffling one row per
+    bigram occurrence and one per distinct bigram."""
+    plan = plan_of(spark, sf_dir, "h21_repetition_quality")
+    assert "partial_count" in plan
+
+
+def test_h22_bench_grams_broadcast(spark, sf_dir):
+    """Decontamination joins the training explode against the benchmark
+    gram set; the bench side must broadcast (it is orders of magnitude
+    smaller than a training corpus) so the training side never
+    shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "h22_ngram_decontamination")
+    assert "BroadcastHashJoin" in plan
