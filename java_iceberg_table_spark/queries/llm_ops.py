@@ -555,13 +555,22 @@ def h18_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE over all-pairs Jaccard — feasible in DuckDB only
     at test scale; label propagation is the form that scales
     (O(diameter) joins, near-clique clusters => ~3)."""
-    from ..operators.dedup import connected_components, minhash_near_duplicates
+    from ..operators.dedup import connected_components, minhash_rep_graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
+    # Collapsed graph: rep-level near-dup edges + membership STARS
+    # instead of expanded member-pair cliques — identical components
+    # (rep = group min id), edge count linear in the duplication
+    # factor instead of quadratic (see minhash_rep_graph docstring).
+    rep_pairs, membership = minhash_rep_graph(
         docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    )
+    edges = rep_pairs.select("id_a", "id_b").unionByName(
+        membership.filter(F.col("id") != F.col("rep")).select(
+            F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+        )
+    )
+    cc = connected_components(edges)
     return cc.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("group_id")
     ).orderBy("doc_id")
@@ -616,13 +625,22 @@ def h19_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment would substitute a salted hash of the group id at the
     same split ratios. The leakage check rides in the output
     (``leakage_free``) rather than only in tests."""
-    from ..operators.dedup import connected_components, minhash_near_duplicates
+    from ..operators.dedup import connected_components, minhash_rep_graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
+    # Collapsed graph: rep-level near-dup edges + membership STARS
+    # instead of expanded member-pair cliques — identical components
+    # (rep = group min id), edge count linear in the duplication
+    # factor instead of quadratic (see minhash_rep_graph docstring).
+    rep_pairs, membership = minhash_rep_graph(
         docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    )
+    edges = rep_pairs.select("id_a", "id_b").unionByName(
+        membership.filter(F.col("id") != F.col("rep")).select(
+            F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+        )
+    )
+    cc = connected_components(edges)
     groups = (
         docs.select("doc_id")
         .join(cc, docs["doc_id"] == cc["id"], "left")

@@ -339,3 +339,115 @@ def i9_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(spark, src, max_files_per_trigger=2)
     sess = stateful_sessions(stream, gap_minutes=30)
     return run_to_memory(sess, output_mode="append").orderBy("user_id", "start_us")
+
+
+@register(
+    "i10_streaming_upsert_latest",
+    oracle="""
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+    group="I",
+)
+def i10_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 (beyond survey): CDC-style streaming MERGE — maintain a
+    latest-state-per-key table from an event stream via foreachBatch
+    conditional upsert. Micro-batches arrive in FILE order, not event
+    order, so an unconditional last-writer-wins upsert would be wrong;
+    each batch (a) reduces to its per-key latest, (b) left-joins the
+    current state table to keep only strictly-newer rows (the
+    WHEN MATCHED AND s.ts > t.ts THEN UPDATE arm of a MERGE), then
+    (c) upserts. The state table is one row per key — the scan in (b)
+    reads the compacted state, never the event history; the upsert's
+    key-stats pruning bounds the rewrite set. Final table must equal
+    the batch per-key-latest query."""
+    from pyspark.sql.window import Window
+
+    from ..table import create_table
+
+    src, batch_df = shared_events_src(spark, sf_dir, n_files=4)
+    state_schema = (
+        batch_df.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    ).schema
+    root = tempfile.mkdtemp(prefix="i10_tbl_") + "/t"
+    try:
+        tbl = create_table(root, state_schema)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+
+        def commit(bdf: DataFrame, batch_id: int) -> None:
+            latest = (
+                bdf.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.col("value").alias("last_value"),
+                )
+            )
+            cur = tbl.scan(spark).select(
+                F.col("user_id").alias("__k"),
+                F.col("last_ts").alias("__ts"),
+                F.col("last_event_id").alias("__eid"),
+            )
+            newer = (
+                latest.join(F.broadcast(cur), latest.user_id == F.col("__k"), "left")
+                .filter(
+                    F.col("__k").isNull()
+                    | (F.col("last_ts") > F.col("__ts"))
+                    | (
+                        (F.col("last_ts") == F.col("__ts"))
+                        & (F.col("last_event_id") > F.col("__eid"))
+                    )
+                )
+                .drop("__k", "__ts", "__eid")
+            )
+            if not newer.isEmpty():
+                tbl.upsert(spark, newer, ["user_id"])
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        try:
+            q = (
+                file_stream(spark, src, max_files_per_trigger=2)
+                .writeStream.foreachBatch(commit)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # materialize before the table dir is reclaimed (the returned
+        # DataFrame must not reference the temp table's files)
+        rows = (
+            tbl.scan(spark)
+            .select(
+                "user_id",
+                F.unix_micros("last_ts").alias("last_ts_us"),
+                "last_event_type",
+                "last_value",
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "user_id bigint, last_ts_us bigint, last_event_type string, last_value double",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
