@@ -283,3 +283,51 @@ def a3f_engine_partitions_inspect(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     rows = [(r["partition"], r["record_count"]) for r in parts.collect()]
     return spark.createDataFrame(rows, "partition bigint, record_count bigint")
+
+
+@register(
+    "a3g_engine_mor_delete",
+    oracle="""
+WITH base AS (SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem),
+survivors AS (
+  SELECT * FROM base WHERE l_quantity <= 45 AND l_orderkey <> 7
+  UNION ALL
+  SELECT * FROM base WHERE l_orderkey = 7
+)
+SELECT COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM survivors
+""",
+    group="A",
+)
+def a3g_engine_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes end to end (Iceberg v2
+    semantics): a POSITION delete (predicate scan -> (file, pos) pairs,
+    no data rewrite), an EQUALITY delete (key tuples only, no data
+    read at all), then a fast-append of the eq-deleted key AFTER the
+    delete — whose rows must survive, because equality deletes apply
+    only to data files with a smaller commit sequence. The final scan
+    merges all three delete-aware reads and must equal the batch SQL
+    formulation."""
+    root = _mutable_clone(_lineitem_root(spark, sf_dir))
+    try:
+        tbl = open_table(root)
+        tbl.delete_where_mor(spark, [("l_quantity", ">", 45)])
+        key7 = spark.createDataFrame([(7,)], "l_orderkey long")
+        tbl.delete_eq_mor(spark, key7, ["l_orderkey"])
+        reborn = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        ).filter(F.col("l_orderkey") == 7)
+        tbl.append(reborn)
+        row = (
+            tbl.scan(spark)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_qty"])], "cnt bigint, sum_qty double"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -47,6 +47,16 @@ class Snapshot:
     # snapshot->schema-id binding); None on pre-evolution metadata,
     # which readers treat as "current schema".
     schema_id: int | None = None
+    # merge-on-read: manifests listing DELETE files (Iceberg v2 row-
+    # level deletes). Entries: {"path", "content": "pos"|"eq",
+    # "cols", "rows", "seq"}. Empty on v1-style snapshots.
+    delete_manifests: list[str] = field(default_factory=list)
+    # commit sequence number (Iceberg's data sequence number): data
+    # entries are stamped with the sequence of the committing
+    # snapshot; an equality delete applies only to data files with a
+    # STRICTLY SMALLER sequence, so a key re-inserted after the
+    # delete is not wrongly removed. 0 on pre-MOR metadata.
+    sequence: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -57,6 +67,8 @@ class Snapshot:
             "manifests": self.manifests,
             "summary": self.summary,
             "schema_id": self.schema_id,
+            "delete_manifests": self.delete_manifests,
+            "sequence": self.sequence,
         }
 
     @staticmethod
@@ -69,6 +81,8 @@ class Snapshot:
             list(d["manifests"]),
             dict(d.get("summary", {})),
             d.get("schema_id"),
+            list(d.get("delete_manifests", [])),
+            int(d.get("sequence", 0)),
         )
 
 

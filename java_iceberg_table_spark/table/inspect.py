@@ -56,6 +56,7 @@ MANIFEST_SCHEMA = T.StructType(
                         T.StructField("bytes", T.LongType()),
                         T.StructField("partition", T.LongType()),
                         T.StructField("columns", T.MapType(T.StringType(), _BOUNDS)),
+                        T.StructField("seq", T.LongType()),
                     ]
                 )
             ),

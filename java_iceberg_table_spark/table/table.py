@@ -291,7 +291,11 @@ class Table:
                     return None
             # written inside build(): under dedupe the entry list
             # depends on the freshly-read parent, so each retry gets a
-            # manifest matching what it actually commits
+            # manifest matching what it actually commits. Entries are
+            # stamped with this commit's sequence number (MOR delete
+            # applicability — see Snapshot.sequence).
+            seq = (parent.sequence if parent else 0) + 1
+            use = [{**e, "seq": seq} for e in use]
             manifest_rel = fmt.write_manifest(self.root, use)
             stale_manifests.append(manifest_rel)
             manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
@@ -323,6 +327,8 @@ class Table:
                 schema_id=current.current_schema_id,
                 operation="append",
                 manifests=manifests,
+                sequence=seq,
+                delete_manifests=list(parent.delete_manifests) if parent else [],
                 summary={
                     "added-files": len(use),
                     "added-rows": sum(e["rows"] for e in use),
@@ -492,6 +498,8 @@ class Table:
                 schema_id=current.current_schema_id,
                 operation="delete",
                 manifests=kept_manifests,
+                sequence=parent.sequence + 1,
+                delete_manifests=list(parent.delete_manifests),
                 summary={"deleted-files": dropped, "deleted-rows": dropped_rows},
             )
             result[0] = snap
@@ -560,18 +568,15 @@ class Table:
             # re-clustered by partition bucket and written via
             # partitionBy — a delete touching 200 buckets runs one
             # Spark job, not 200 driver-serialized ones
-            survivors = (
-                spark.read.schema(self.schema())
-                .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
-                .filter(~match)
-            )
+            survivors = self._read_with_deletes(spark, cands, snap).filter(~match)
             new_entries = self._write_data_files(
                 survivors, prefix="rw", n_tasks=max(1, len(cands) // 4)
             )
             deleted = sum(e["rows"] for e in cands) - sum(e["rows"] for e in new_entries)
             committed = self._commit_overwrite(
                 snap.snapshot_id,
-                keep + new_entries,
+                keep,
+                new_entries,
                 {
                     "rewritten-files": len(cands),
                     "deleted-rows": deleted,
@@ -626,10 +631,8 @@ class Table:
                 # anti-join drops replaced keys; the big side never
                 # shuffles except the bucket re-cluster): an upsert
                 # touching 200 buckets runs one Spark job, not 200
-                unreplaced = (
-                    spark.read.schema(self.schema())
-                    .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
-                    .join(F.broadcast(keys), key_cols, "left_anti")
+                unreplaced = self._read_with_deletes(spark, cands, snap).join(
+                    F.broadcast(keys), key_cols, "left_anti"
                 )
                 new_entries = self._write_data_files(
                     unreplaced, prefix="mg", n_tasks=max(1, len(cands) // 4)
@@ -640,7 +643,8 @@ class Table:
             )
             committed = self._commit_overwrite(
                 snap.snapshot_id if snap is not None else None,
-                keep + new_entries + inserted,
+                keep,
+                new_entries + inserted,
                 {
                     "rewritten-files": len(cands),
                     "replaced-rows": replaced,
@@ -655,15 +659,289 @@ class Table:
                 }
         raise fmt.CommitConflict("upsert lost the commit race 3 times")
 
+    # ---------- merge-on-read row-level deletes (Iceberg v2) ----------
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        snap: Snapshot | None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Read planned data entries with the snapshot's MOR delete
+        files applied.
+
+        Application is pure DataFrame ops, deletes broadcast:
+        - POSITION deletes: anti-join on (file basename, row position)
+          using the parquet reader's ``_metadata.file_path`` /
+          ``_metadata.row_index`` columns — no row ids stored in data.
+        - EQUALITY deletes: anti-join on the key columns, guarded by
+          ``data_seq < delete_seq`` so keys re-inserted after the
+          delete survive (Iceberg sequence-number semantics).
+        Delete files are queries x small (the point of MOR: deletes are
+        tiny relative to data); each anti-join broadcasts them, the
+        data side never shuffles."""
+        schema = schema or self.schema()
+        del_entries = (
+            [
+                e
+                for m in snap.delete_manifests
+                for e in fmt.read_manifest(self.root, m)
+            ]
+            if snap is not None
+            else []
+        )
+        if not del_entries or not entries:
+            return self.read_entries(spark, entries, schema)
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        if any(p.endswith(".avro") for p in paths):
+            raise NotImplementedError(
+                "merge-on-read deletes require parquet data files "
+                "(avro scans have no _metadata.row_index); run "
+                "rewrite_deletes() before mixing formats"
+            )
+        df = spark.read.schema(schema).parquet(*paths).select(
+            "*",
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "__file"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        # per-file data sequence (entry-count-bounded, metadata-scale;
+        # tables past DIST_PLAN_MIN_MANIFEST_BYTES would route this
+        # through the distributed manifest scan like plan_files)
+        seq_rows = [
+            (os.path.basename(e["path"]), int(e.get("seq", 0))) for e in entries
+        ]
+        seq_df = spark.createDataFrame(seq_rows, "__file string, __seq long")
+        df = df.join(F.broadcast(seq_df), "__file")
+        pos_dels = [e for e in del_entries if e["content"] == "pos"]
+        if pos_dels:
+            pdf = spark.read.schema("__file string, __pos long").parquet(
+                *[os.path.join(self.root, e["path"]) for e in pos_dels]
+            )
+            df = df.join(F.broadcast(pdf), ["__file", "__pos"], "left_anti")
+        eq_by_cols: dict[tuple, list[dict]] = {}
+        for e in del_entries:
+            if e["content"] == "eq":
+                eq_by_cols.setdefault(tuple(e["cols"]), []).append(e)
+        for cols, dels in eq_by_cols.items():
+            keys = None
+            for e in dels:
+                kdf = (
+                    spark.read.parquet(os.path.join(self.root, e["path"]))
+                    .select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+                    .withColumn("__dseq", F.lit(int(e.get("seq", 0))))
+                )
+                keys = kdf if keys is None else keys.unionByName(kdf)
+            cond = F.col("__seq") < F.col("__dseq")
+            for c in cols:
+                cond = cond & (F.col(c) == F.col(f"__k_{c}"))
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        return df.select(*[f.name for f in schema.fields])
+
+    def _write_delete_file(self, df: DataFrame) -> tuple[str, int] | None:
+        """Write a delete-content parquet file under data/; returns
+        (rel_path, rows) or None when empty. Single file: delete
+        batches are small by design (a large delete should be
+        delete_rows, the copy-on-write path)."""
+        batch = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, "data", f"del-{batch}")
+        df.coalesce(1).write.parquet(out_dir)
+        parts = glob.glob(os.path.join(out_dir, "*.parquet"))
+        total = sum(file_stats(p)["rows"] for p in parts)
+        if total == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        return os.path.relpath(parts[0], self.root), total
+
+    def _commit_deletes(self, del_entry: dict, summary: dict) -> Snapshot | None:
+        """Commit a 'delete' snapshot that ADDS a MOR delete file: data
+        manifests unchanged, one new delete manifest appended. The
+        entry's applicability sequence is stamped inside build() (it
+        depends on the parent actually committed against)."""
+        result: list[Snapshot] = []
+        stale_manifests: list[str] = []
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            for rel in stale_manifests:  # lost-CAS leftovers
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale_manifests.clear()
+            parent = current.current_snapshot()
+            if parent is None:
+                return None
+            seq = parent.sequence + 1
+            m = fmt.write_manifest(self.root, [{**del_entry, "seq": seq}])
+            stale_manifests.append(m)
+            snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent.snapshot_id,
+                timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
+                operation="delete",
+                manifests=list(parent.manifests),
+                sequence=seq,
+                delete_manifests=list(parent.delete_manifests) + [m],
+                summary=summary,
+            )
+            result.clear()
+            result.append(snap)
+            return replace(
+                current,
+                version=current.version + 1,
+                snapshots=current.snapshots + [snap],
+                current_snapshot_id=snap.snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+        return result[0] if result else None
+
+    def delete_where_mor(
+        self, spark: SparkSession, filters: Iterable[tuple[str, str, object]]
+    ) -> Snapshot | None:
+        """Merge-on-read row-level delete: write POSITION delete files
+        for the matching rows — no data rewrite, cost proportional to
+        the matches, applied at read time.
+
+        The flip side of delete_rows (copy-on-write): MOR makes the
+        delete cheap and the reads slightly heavier until
+        rewrite_deletes() materializes. File stats prune which files
+        are even scanned for positions, same as the CoW path."""
+        filters = list(filters)
+        if not filters:
+            raise ValueError("delete_where_mor requires at least one predicate")
+        md = self.metadata
+        snap = md.current_snapshot()
+        if snap is None:
+            return None
+        t = self.transform
+        entries = self.files_of(snap)
+        cands = [
+            e for e in entries if all(self._entry_may_match(e, t, f) for f in filters)
+        ]
+        if not cands:
+            return None
+        match = F.coalesce(self._and_predicate(filters), F.lit(False))
+        hits = (
+            spark.read.schema(self.schema())
+            .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
+            .where(match)
+            .select(
+                F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                    "__file"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        written = self._write_delete_file(hits)
+        if written is None:
+            return None
+        rel, rows = written
+        return self._commit_deletes(
+            {"path": rel, "content": "pos", "cols": ["__file", "__pos"], "rows": rows},
+            {"added-delete-files": 1, "added-position-deletes": rows},
+        )
+
+    def delete_eq_mor(
+        self, spark: SparkSession, keys: DataFrame, key_cols: list[str]
+    ) -> Snapshot | None:
+        """Merge-on-read EQUALITY delete: register key tuples whose
+        rows disappear at read time from every data file with a
+        sequence number below this commit's — without reading ANY data
+        file now (the cheapest possible delete; Iceberg v2 equality
+        deletes, the streaming-CDC workhorse)."""
+        distinct = keys.select(*key_cols).dropDuplicates(key_cols)
+        written = self._write_delete_file(distinct)
+        if written is None:
+            return None
+        rel, rows = written
+        return self._commit_deletes(
+            {"path": rel, "content": "eq", "cols": list(key_cols), "rows": rows},
+            {"added-delete-files": 1, "added-equality-deletes": rows},
+        )
+
+    def rewrite_deletes(self, spark: SparkSession) -> dict[str, int]:
+        """Materialize pending MOR deletes copy-on-write and drop the
+        delete files from metadata (Iceberg's rewrite_position_delete_
+        files / major compaction): rewrite exactly the data files a
+        delete could still touch, carry the rest by reference."""
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            if snap is None or not snap.delete_manifests:
+                return {"rewritten_files": 0, "dropped_delete_files": 0}
+            del_entries = [
+                e
+                for m in snap.delete_manifests
+                for e in fmt.read_manifest(self.root, m)
+            ]
+            entries = self.files_of(snap)
+            pos_targets = set()
+            for e in del_entries:
+                if e["content"] == "pos":
+                    for r in (
+                        spark.read.schema("__file string, __pos long")
+                        .parquet(os.path.join(self.root, e["path"]))
+                        .select("__file")
+                        .distinct()
+                        .collect()
+                    ):
+                        pos_targets.add(r["__file"])
+            max_eq_seq = max(
+                (int(e.get("seq", 0)) for e in del_entries if e["content"] == "eq"),
+                default=0,
+            )
+            affected = [
+                e
+                for e in entries
+                if os.path.basename(e["path"]) in pos_targets
+                or int(e.get("seq", 0)) < max_eq_seq
+            ]
+            carried = [e for e in entries if e not in affected]
+            new_entries: list[dict] = []
+            if affected:
+                clean_df = self._read_with_deletes(spark, affected, snap)
+                new_entries = self._write_data_files(
+                    clean_df, prefix="md", n_tasks=max(1, len(affected) // 4)
+                )
+            committed = self._commit_overwrite(
+                snap.snapshot_id,
+                carried,
+                new_entries,
+                {
+                    "rewritten-files": len(affected),
+                    "dropped-delete-files": len(del_entries),
+                },
+                drop_deletes=True,
+            )
+            if committed:
+                return {
+                    "rewritten_files": len(affected),
+                    "dropped_delete_files": len(del_entries),
+                }
+        raise fmt.CommitConflict("rewrite_deletes lost the commit race 3 times")
+
     def _commit_overwrite(
         self,
         expected_parent: int | None,
-        entries: list[dict],
+        carried: list[dict],
+        rewritten: list[dict],
         summary: dict,
+        drop_deletes: bool = False,
     ) -> bool:
         """Commit an 'overwrite' snapshot iff the table still points at
         ``expected_parent`` (the rewrite's base). Returns False on a
-        lost race so the caller can re-plan against fresh state."""
+        lost race so the caller can re-plan against fresh state.
+
+        ``carried`` entries keep their original sequence stamp (absent
+        = pre-MOR = 0); ``rewritten`` (freshly written files) get this
+        commit's sequence. Pending MOR delete manifests are carried —
+        they still apply to the files carried by reference — unless
+        ``drop_deletes`` (the rewrite_deletes materialization, which
+        has rewritten every file a delete could touch)."""
 
         stale_manifests: list[str] = []
 
@@ -678,7 +956,9 @@ class Table:
             parent_id = parent.snapshot_id if parent else None
             if parent_id != expected_parent:
                 return None
-            manifest = fmt.write_manifest(self.root, entries)
+            seq = (parent.sequence if parent else 0) + 1
+            stamped = list(carried) + [{**e, "seq": seq} for e in rewritten]
+            manifest = fmt.write_manifest(self.root, stamped)
             stale_manifests.append(manifest)
             new_snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
@@ -687,6 +967,11 @@ class Table:
                 schema_id=current.current_schema_id,
                 operation="overwrite",
                 manifests=[manifest],
+                sequence=seq,
+                delete_manifests=(
+                    [] if drop_deletes or parent is None
+                    else list(parent.delete_manifests)
+                ),
                 summary=summary,
             )
             build.result = new_snap
@@ -765,7 +1050,9 @@ class Table:
         # which no longer knows them). A kept snapshot's added-manifest
         # (summary) is live even when manifest merging dropped it from
         # the manifests list: added_files() still reads it.
-        live_manifests = {m for s in committed.snapshots for m in s.manifests}
+        live_manifests = {
+            m for s in committed.snapshots for m in s.manifests + s.delete_manifests
+        }
         for s in committed.snapshots:
             am = s.summary.get("added-manifest")
             if am is not None:
@@ -773,6 +1060,7 @@ class Table:
         dead_manifests = set()
         for s in expired:
             dead_manifests.update(s.manifests)
+            dead_manifests.update(s.delete_manifests)
             am = s.summary.get("added-manifest")
             if am is not None:
                 dead_manifests.add(am)
@@ -870,7 +1158,9 @@ class Table:
                     except OSError:
                         continue
         md = self.metadata  # fresh load: supersedes every listed candidate
-        live_manifests = {m for s in md.snapshots for m in s.manifests}
+        live_manifests = {
+            m for s in md.snapshots for m in s.manifests + s.delete_manifests
+        }
         for s in md.snapshots:
             am = s.summary.get("added-manifest")
             if am is not None:
@@ -961,8 +1251,10 @@ class Table:
         for e in small:
             by_partition.setdefault(e.get("partition"), []).append(e)
         for part, es in by_partition.items():
-            paths = [os.path.join(self.root, e["path"]) for e in es]
-            df = spark.read.schema(self.schema()).parquet(*paths)
+            # deletes-applied read: compacted rows carry THIS commit's
+            # sequence, so pending equality deletes stop applying to
+            # them — they must already be filtered out here
+            df = self._read_with_deletes(spark, es, snap)
             total = sum(e["bytes"] for e in es)
             n_out = max(1, total // target_file_bytes)
             sub = f"__pb={part}" if part is not None else "compacted"
@@ -1004,7 +1296,10 @@ class Table:
             parent = current.current_snapshot()
             if parent is None or parent.snapshot_id != snap.snapshot_id:
                 return None  # table moved underneath; caller retries compaction
-            manifest = fmt.write_manifest(self.root, keep + new_entries)
+            seq = parent.sequence + 1
+            manifest = fmt.write_manifest(
+                self.root, keep + [{**e, "seq": seq} for e in new_entries]
+            )
             stale_manifests.append(manifest)
             new_snap = Snapshot(
                 snapshot_id=fmt.new_snapshot_id(),
@@ -1013,6 +1308,8 @@ class Table:
                 schema_id=current.current_schema_id,
                 operation="replace",
                 manifests=[manifest],
+                sequence=seq,
+                delete_manifests=list(parent.delete_manifests),
                 summary={
                     "compacted-files": len(small),
                     "new-files": len(new_entries),
@@ -1124,6 +1421,7 @@ class Table:
                     "bytes": r["bytes"],
                     "partition": r["partition"],
                     "columns": cols,
+                    **({"seq": r["seq"]} if r["seq"] is not None else {}),
                 }
             )
         return out
@@ -1322,7 +1620,13 @@ class Table:
         schema = (
             self.schema_of_snapshot(snapshot_id) if snapshot_id is not None else None
         )
-        df = self.read_entries(spark, entries, schema=schema)
+        md = self.metadata
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else md.current_snapshot()
+        )
+        df = self._read_with_deletes(spark, entries, snap, schema=schema)
         ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__", "==": "__eq__"}
         for col, op, val in filters:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))

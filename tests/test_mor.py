@@ -1,0 +1,140 @@
+"""Merge-on-read row-level deletes (Iceberg v2 semantics).
+
+Invariants pinned here:
+- equality deletes hide matching rows from files with a SMALLER data
+  sequence, and ONLY those — a key re-inserted after the delete
+  survives (sequence-number semantics);
+- position deletes hide exactly the matched (file, row) pairs with no
+  data rewrite;
+- time travel to a pre-delete snapshot still sees the rows;
+- rewrite_deletes materializes copy-on-write, drops the delete files
+  from metadata, and changes no query result;
+- the CoW paths (upsert / compaction) read deletes-applied, so
+  rewriting a file can never resurrect deleted rows;
+- GC (expire/clean) treats referenced delete files as live.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from java_iceberg_table_spark.table import create_table
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), False),
+        StructField("v", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def troot(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, v="x"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).alias("v")
+    )
+
+
+def _ks(spark, tbl):
+    return sorted(r["k"] for r in tbl.scan(spark).collect())
+
+
+def test_eq_delete_hides_rows_and_respects_sequence(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 10))
+    keys = spark.createDataFrame([(3,), (7,)], "k long")
+    snap = tbl.delete_eq_mor(spark, keys, ["k"])
+    assert snap is not None and snap.summary["added-equality-deletes"] == 2
+    assert _ks(spark, tbl) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # re-insert k=3 AFTER the delete: new file has a larger sequence,
+    # the equality delete must not touch it
+    tbl.append(_df(spark, 3, 4, v="reborn"))
+    assert _ks(spark, tbl) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    reborn = tbl.scan(spark).filter(F.col("k") == 3).collect()
+    assert [r["v"] for r in reborn] == ["reborn"]
+
+
+def test_pos_delete_no_rewrite_and_time_travel(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 100))
+    before = tbl.metadata.current_snapshot()
+    data_files_before = sorted(e["path"] for e in tbl.files_of(before))
+    snap = tbl.delete_where_mor(spark, [("k", ">=", 90)])
+    assert snap is not None and snap.summary["added-position-deletes"] == 10
+    # no data file was rewritten — manifests list the same files
+    assert sorted(e["path"] for e in tbl.files_of(snap)) == data_files_before
+    assert _ks(spark, tbl) == list(range(90))
+    # time travel: the pre-delete snapshot still sees every row
+    assert len(tbl.scan(spark, snapshot_id=before.snapshot_id).collect()) == 100
+
+
+def test_rewrite_deletes_materializes_and_drops(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 50))
+    tbl.delete_where_mor(spark, [("k", "<", 5)])
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(10,)], "k long"), ["k"])
+    expect = [k for k in range(50) if k >= 5 and k != 10]
+    assert _ks(spark, tbl) == expect
+    stats = tbl.rewrite_deletes(spark)
+    assert stats["dropped_delete_files"] == 2
+    cur = tbl.metadata.current_snapshot()
+    assert cur.delete_manifests == []
+    assert _ks(spark, tbl) == expect  # same result, now materialized
+    # idempotent: nothing left to rewrite
+    assert tbl.rewrite_deletes(spark)["rewritten_files"] == 0
+
+
+def test_upsert_with_pending_deletes_no_resurrection(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 20))
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(1,), (2,)], "k long"), ["k"])
+    # upsert rewrites the file holding k=1/2 (same key range); the
+    # rewrite must read deletes-applied or 1/2 would resurrect with a
+    # fresh sequence number
+    updates = spark.createDataFrame([(5, "up")], "k long, v string")
+    tbl.upsert(spark, updates, ["k"])
+    ks = _ks(spark, tbl)
+    assert 1 not in ks and 2 not in ks
+    assert [r["v"] for r in tbl.scan(spark).filter(F.col("k") == 5).collect()] == ["up"]
+
+
+def test_compaction_with_pending_deletes(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    for i in range(4):
+        tbl.append(_df(spark, i * 10, (i + 1) * 10))
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(15,), (35,)], "k long"), ["k"])
+    expect = [k for k in range(40) if k not in (15, 35)]
+    assert _ks(spark, tbl) == expect
+    stats = tbl.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert stats["rewritten"] >= 2
+    assert _ks(spark, tbl) == expect  # compacted rows stay deleted
+
+
+def test_gc_keeps_referenced_delete_files(spark, troot):
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 10))
+    snap = tbl.delete_where_mor(spark, [("k", "=", 4)])
+    del_manifest = snap.delete_manifests[-1]
+    import java_iceberg_table_spark.table.format as fmt
+
+    del_path = fmt.read_manifest(tbl.root, del_manifest)[0]["path"]
+    assert os.path.exists(os.path.join(tbl.root, del_path))
+    # clean() with zero grace must not touch the referenced delete file
+    tbl.clean(older_than_ms=0, now_ms=int(time.time() * 1000) + 10_000)
+    assert os.path.exists(os.path.join(tbl.root, del_path))
+    assert _ks(spark, tbl) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    # after materialization + expiry of the old snapshots, the delete
+    # file is unreferenced and must be collected
+    tbl.rewrite_deletes(spark)
+    tbl.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10_000, retain_last=1)
+    assert not os.path.exists(os.path.join(tbl.root, del_path))
+    assert _ks(spark, tbl) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
