@@ -56,6 +56,18 @@ class RetentionGapError(KeyError):
 DIST_PLAN_MIN_MANIFEST_BYTES = 4 << 20
 
 
+def _file_key_col():
+    """Root-relative path of the file being scanned (``data/...``),
+    from ``_metadata.file_path``. This is the MOR delete join key —
+    matches manifest entry ``path`` values exactly. Basenames are NOT
+    usable here: a partitioned write emits the same part-file name
+    into every partition directory. Greedy ``.*`` anchors the LAST
+    ``/data/`` segment, so a table root that itself contains ``/data/``
+    can't shift the key; partition dirs (``col=value``) and batch dirs
+    (``b-<hex>``) can never introduce a later bare ``data`` segment."""
+    return F.regexp_extract(F.col("_metadata.file_path"), r"^.*/(data/.+)$", 1)
+
+
 def _parse_stat(s: str | None):
     """Manifest JSON scans read bounds as strings; restore native
     numeric types for parity with the driver-side manifest parse."""
@@ -672,9 +684,13 @@ class Table:
         files applied.
 
         Application is pure DataFrame ops, deletes broadcast:
-        - POSITION deletes: anti-join on (file basename, row position)
-          using the parquet reader's ``_metadata.file_path`` /
-          ``_metadata.row_index`` columns — no row ids stored in data.
+        - POSITION deletes: anti-join on (root-relative file path, row
+          position) using the parquet reader's ``_metadata.file_path``
+          / ``_metadata.row_index`` columns — no row ids stored in
+          data. The key is the path under the table root (never the
+          basename: partitioned writes repeat the same part-file name
+          in every partition directory), so it survives table moves
+          and clones.
         - EQUALITY deletes: anti-join on the key columns, guarded by
           ``data_seq < delete_seq`` so keys re-inserted after the
           delete survive (Iceberg sequence-number semantics).
@@ -702,17 +718,13 @@ class Table:
             )
         df = spark.read.schema(schema).parquet(*paths).select(
             "*",
-            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
-                "__file"
-            ),
+            _file_key_col().alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
         # per-file data sequence (entry-count-bounded, metadata-scale;
         # tables past DIST_PLAN_MIN_MANIFEST_BYTES would route this
         # through the distributed manifest scan like plan_files)
-        seq_rows = [
-            (os.path.basename(e["path"]), int(e.get("seq", 0))) for e in entries
-        ]
+        seq_rows = [(e["path"], int(e.get("seq", 0))) for e in entries]
         seq_df = spark.createDataFrame(seq_rows, "__file string, __seq long")
         df = df.join(F.broadcast(seq_df), "__file")
         pos_dels = [e for e in del_entries if e["content"] == "pos"]
@@ -830,9 +842,7 @@ class Table:
             .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
             .where(match)
             .select(
-                F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
-                    "__file"
-                ),
+                _file_key_col().alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
@@ -897,7 +907,7 @@ class Table:
             affected = [
                 e
                 for e in entries
-                if os.path.basename(e["path"]) in pos_targets
+                if e["path"] in pos_targets
                 or int(e.get("seq", 0)) < max_eq_seq
             ]
             carried = [e for e in entries if e not in affected]

@@ -119,6 +119,28 @@ def test_compaction_with_pending_deletes(spark, troot):
     assert _ks(spark, tbl) == expect  # compacted rows stay deleted
 
 
+def test_mor_on_partitioned_table_distinct_files_same_basename(spark, troot):
+    # A partitioned append writes the SAME part-file basename into
+    # every partition directory; the delete join key must be the
+    # root-relative path or rows multiply / wrong rows vanish
+    # (regression: a3g returned 13749 rows from a 6000-row table).
+    from java_iceberg_table_spark.table import truncate
+
+    tbl = create_table(troot, SCHEMA, partition=truncate("k", 10))
+    tbl.append(_df(spark, 0, 30).coalesce(1))  # 1 task -> 3 partition dirs
+    entries = tbl.files_of(tbl.metadata.current_snapshot())
+    basenames = {os.path.basename(e["path"]) for e in entries}
+    assert len(entries) == 3 and len(basenames) == 1  # the collision case
+    assert _ks(spark, tbl) == list(range(30))
+    tbl.delete_where_mor(spark, [("k", "=", 15)])
+    assert _ks(spark, tbl) == [k for k in range(30) if k != 15]
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(25,)], "k long"), ["k"])
+    assert _ks(spark, tbl) == [k for k in range(30) if k not in (15, 25)]
+    # materialization must also key on full paths
+    tbl.rewrite_deletes(spark)
+    assert _ks(spark, tbl) == [k for k in range(30) if k not in (15, 25)]
+
+
 def test_gc_keeps_referenced_delete_files(spark, troot):
     tbl = create_table(troot, SCHEMA)
     tbl.append(_df(spark, 0, 10))
