@@ -55,11 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) fixture at all (FIXTURES.md gotcha).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-long -> µs timestamp. INTEGER division: `/ 1000` would go
-        # through double and round up near .5µs, diverging from
-        # DuckDB's truncating ns->µs cast by 1µs on ~half the rows.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns-long -> µs timestamp. INTEGER division: `/ 1000` would
+            # go through double and round up near .5µs, diverging from
+            # DuckDB's truncating ns->µs cast by 1µs on ~half the rows.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; the engine's event-time surface (watermarks,
+            # unix_micros, session windows) requires TIMESTAMP. Session
+            # tz is pinned to UTC (session.py), so this cast relabels
+            # the same instant — no wall-clock shift.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _DF_CACHE[key] = df
     return df
 

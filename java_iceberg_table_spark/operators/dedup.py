@@ -499,6 +499,66 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidate buckets +
+    exact cosine re-rank — the 100 TB form of embedding_near_duplicates
+    (which stays as the all-pairs correctness oracle only).
+
+    Pipeline: sign-bucket every vector on ``num_planes`` seeded random
+    hyperplanes (similarity.hyperplane_buckets, Charikar 2002), explode
+    each row to its multi-probe buckets (all codes within Hamming
+    ``probe_hamming``), equi-join probe.bucket == home.bucket with
+    id_a < id_b, de-dup candidates, then exact cosine >= threshold.
+    Every join is a hash/sort-merge equi-join on the bucket key — no
+    cross or theta self-join anywhere (plan-gated in test_plans.py),
+    so cost scales with bucket occupancy, not corpus².
+
+    Recall: a true near-dup pair at high threshold differs on a plane
+    only when that plane's dot product sits inside the perturbation
+    margin, so probing Hamming<=1 covers single-plane disagreements;
+    structurally identical vectors always share a bucket. (At the 0.35
+    threshold the fixture's isotropic vectors would defeat ANY
+    sub-quadratic exact method — near-dup means high cosine.)
+    """
+    from .similarity import cosine_expr, hyperplane_buckets
+
+    b = hyperplane_buckets(df, id_col, vec_col, dim=dim, num_planes=num_planes, seed=seed)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)][
+            : num_planes if probe_hamming >= 1 else 0
+        ],
+    )
+    probe = b.select("id", "vec", F.explode(probes).alias("bucket")).alias("p")
+    home = b.alias("h")
+    cand = (
+        probe.join(home, (F.col("p.bucket") == F.col("h.bucket")))
+        .filter(F.col("p.id") < F.col("h.id"))
+        .select(
+            F.col("p.id").alias("id_a"),
+            F.col("h.id").alias("id_b"),
+            F.col("p.vec").alias("vec_a"),
+            F.col("h.vec").alias("vec_b"),
+        )
+        # a pair can collide in several probe buckets; one exact check each
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine_expr("vec_a", "vec_b").alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

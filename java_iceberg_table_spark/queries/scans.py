@@ -153,35 +153,22 @@ FROM documents GROUP BY lang ORDER BY lang
 )
 def a6d_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro sink+source round-trip (R5 toggle, Constants.java:16):
-    documents slice -> Avro OCF via the pure-Python codec (spark-avro
-    is absent offline; sources/avro_io.py implements the public spec)
-    -> distributed re-read (binaryFile + mapInPandas) -> aggregate.
-    The oracle checks the round trip against the source table."""
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-    from ..sources.avro_io import avro_schema_of, read_avro_df, write_ocf
+    documents slice -> Avro OCF written executor-side via mapInPandas
+    (sources/avro_io.write_avro_df — spark-avro is absent offline; the
+    codec is a from-scratch implementation of the public spec) ->
+    distributed re-read (binaryFile + mapInPandas) -> aggregate. Data
+    never crosses the driver in either direction; only the file
+    manifest does. The oracle checks the round trip against the
+    source table."""
+    from ..sources.avro_io import read_avro_df, write_avro_df
 
     out = tempfile.mkdtemp(prefix="sink_avro_")
     try:
-        schema = StructType(
-            [
-                StructField("doc_id", LongType(), False),
-                StructField("lang", StringType(), True),
-                StructField("n_chars", LongType(), True),
-            ]
-        )
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-        avro = avro_schema_of(schema)
-        paths = []
-        # write a few container files (the multi-file layout a real
-        # ingest produces) — rows partitioned by doc_id stripe
-        pdf = docs.toPandas()
-        for i in range(4):
-            part = pdf[pdf["doc_id"] % 4 == i]
-            p = os.path.join(out, f"part-{i}.avro")
-            write_ocf(p, part.to_dict("records"), avro)
-            paths.append(p)
-        back = read_avro_df(spark, paths, schema)
+        # the multi-file layout a real ingest produces: one OCF per
+        # partition, written where the partition lives
+        paths = write_avro_df(docs.repartition(4, "doc_id"), out)
+        back = read_avro_df(spark, paths, docs.schema)
         rows = (
             back.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("sum_chars"))

@@ -148,15 +148,24 @@ def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("i6_watermark_late_drop", oracle=None, group="I")
+@register(
+    "i6_watermark_late_drop",
+    oracle="""
+SELECT CAST(1704067200000000 AS BIGINT) AS window_start_us,
+       CAST(2 AS BIGINT) AS cnt, TRUE AS late_dropped
+""",
+    group="I",
+)
 def i6_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I6 (rows-only; watermark finalization isn't SQL-expressible):
-    two-phase run against a parquet sink — batch 1 advances the
+    """I6: two-phase run against a parquet sink — batch 1 advances the
     watermark ~110 min past window 0, batch 2 delivers a too-late row
-    into that finalized window. The query returns the finalized
-    windows plus a self-check column: ``late_dropped`` is true iff
-    window 0 still counts exactly the two on-time rows (the late row
-    was dropped, not merged)."""
+    into that finalized window. The input is hand-constructed (fixed
+    t0 = 2024-01-01 UTC), so the finalized-window output is a
+    reproducible constant the oracle pins exactly: window 0 with the
+    two on-time rows and ``late_dropped`` true iff the late row was
+    dropped, not merged. Watermark finalization itself isn't
+    SQL-expressible — the constant-oracle form is what makes the
+    semantics hash-gradable."""
     import datetime as dt
 
     base = tempfile.mkdtemp(prefix="i6_")
@@ -243,6 +252,9 @@ def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # NTZ-staged sources can't carry a watermark; relabel to LTZ
+        # (session tz is UTC — same instant).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )

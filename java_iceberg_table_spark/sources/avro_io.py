@@ -284,6 +284,42 @@ def arrow_stats(records, file_bytes: int) -> dict:
     return {"rows": records.num_rows, "bytes": file_bytes, "columns": cols}
 
 
+# ------------------------------------------------------ distributed write
+
+def write_avro_df(df, out_dir: str, prefix: str = "part") -> list[str]:
+    """Distributed Avro OCF sink: each partition encodes and writes its
+    own container file ON THE EXECUTOR (mapInPandas), so data never
+    crosses the driver — the write-side mirror of read_avro_df. Only
+    the written file manifest (path, n_rows) returns to the driver,
+    metadata-scale like any commit. ``out_dir`` must be storage every
+    executor can reach (local FS here; object store in production).
+    Returns the written paths."""
+    import pandas as pd
+
+    avro = avro_schema_of(df.schema)
+    ts_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith("timestamp")
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows: list[dict] = []
+        for pdf in batches:
+            for c in ts_cols:  # datetime64[ns] -> integer µs (writer's unit)
+                pdf[c] = pdf[c].astype("int64") // 1000
+            pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+            rows.extend(pdf.to_dict("records"))
+        if rows:
+            p = os.path.join(out_dir, f"{prefix}-{uuid.uuid4().hex}.avro")
+            write_ocf(p, rows, avro)
+            yield pd.DataFrame({"path": [p], "n_rows": [len(rows)]})
+
+    manifest = df.mapInPandas(encode, schema="path string, n_rows long").collect()
+    return [r["path"] for r in manifest]
+
+
 # ------------------------------------------------------- distributed read
 
 def read_avro_df(spark, paths: list[str], spark_schema=None):

@@ -94,11 +94,19 @@ def file_stream(
 ) -> DataFrame:
     """I1: micro-batch file ingestion (R15's cap semantics)."""
     schema = spark.read.parquet(src_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+    # Event-time operators (withWatermark, window, session_window)
+    # require TIMESTAMP (LTZ); parquet written without the UTC flag
+    # reads as TIMESTAMP_NTZ. Session tz is UTC, so the cast is a pure
+    # type relabel — same instant, watermark-compatible.
+    for f in schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return stream
 
 
 def run_to_memory(

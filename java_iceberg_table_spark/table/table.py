@@ -726,11 +726,46 @@ class Table:
         # through the distributed manifest scan like plan_files)
         seq_rows = [(e["path"], int(e.get("seq", 0))) for e in entries]
         seq_df = spark.createDataFrame(seq_rows, "__file string, __seq long")
-        df = df.join(F.broadcast(seq_df), "__file")
+        # LEFT join + per-row guard, not an inner join: if the
+        # _file_key_col() extraction ever disagrees with the manifest
+        # path spelling (URI escaping, separator differences), an inner
+        # join would silently DROP every row of that file — wrong
+        # results. The guard turns the mismatch into a loud error at
+        # scan time for zero extra actions.
+        df = df.join(F.broadcast(seq_df), "__file", "left").withColumn(
+            "__seq",
+            F.when(
+                F.col("__seq").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("MOR scan: no manifest entry matches file key "),
+                        F.col("__file"),
+                        F.lit(" — _file_key_col()/manifest path disagreement"),
+                    )
+                ),
+            ).otherwise(F.col("__seq")),
+        )
         pos_dels = [e for e in del_entries if e["content"] == "pos"]
         if pos_dels:
             pdf = spark.read.schema("__file string, __pos long").parquet(
                 *[os.path.join(self.root, e["path"]) for e in pos_dels]
+            )
+            # guard against pre-root-relative (basename) delete keys from
+            # older delete files: they would silently stop matching and
+            # resurrect deleted rows — fail loudly instead.
+            pdf = pdf.withColumn(
+                "__file",
+                F.when(
+                    ~F.col("__file").contains("/"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("MOR position delete file carries legacy "),
+                            F.lit("basename key "),
+                            F.col("__file"),
+                            F.lit(" — rewrite_deletes() before scanning"),
+                        )
+                    ),
+                ).otherwise(F.col("__file")),
             )
             df = df.join(F.broadcast(pdf), ["__file", "__pos"], "left_anti")
         eq_by_cols: dict[tuple, list[dict]] = {}

@@ -161,3 +161,15 @@ def test_h22_bench_grams_broadcast(spark, sf_dir):
     shuffles for the join."""
     plan = plan_of(spark, sf_dir, "h22_ngram_decontamination")
     assert "BroadcastHashJoin" in plan
+
+
+def test_h11_bucketed_candidates_no_cross_join(spark, sf_dir):
+    """h11 must execute the LSH-bucket candidate path: every join is an
+    equi-join on the bucket key (hash or sort-merge); an O(n²)
+    cross/theta self-join anywhere in the plan is the 100 TB
+    scale-killer this gate exists to catch."""
+    plan = plan_of(spark, sf_dir, "h11_embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate generator itself: a join keyed on the bucket column
+    assert "bucket" in plan
