@@ -215,8 +215,11 @@ def minhash_rep_graph(
     #   a pure projection: no explode, no join, no shuffle;
     # - reps.count() decides all-pairs vs banded AND materializes the
     #   persisted reps subtree the verify step reads anyway.
+    # Read the vocabulary off the PERSISTED groups subtree (not toks_all)
+    # so this first action populates the cache the later passes reuse —
+    # otherwise the full corpus is tokenized twice.
     vocab_rows = (
-        toks_all.select(F.explode("toks").alias("t"))
+        groups.select(F.explode("toks").alias("t"))
         .distinct()
         .limit(VOCAB_CAP + 1)
         .collect()
