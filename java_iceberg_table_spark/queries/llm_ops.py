@@ -1007,3 +1007,239 @@ def h23_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ---- sequence packing (h24) --------------------------------------------
+@register(
+    "h24_sequence_packing",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, len(str_split(text, ' '))::BIGINT AS tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT source, rn, tok, 1::BIGINT AS bin, tok AS fill FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.tok,
+         CASE WHEN p.fill + d.tok > 512 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + d.tok > 512 THEN d.tok ELSE p.fill + d.tok END
+  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1),
+per_bin AS (
+  SELECT source, bin, COUNT(*) AS bd, SUM(tok)::BIGINT AS bt
+  FROM pack GROUP BY source, bin)
+SELECT source AS group_key,
+       MAX(bin)::BIGINT AS n_bins,
+       SUM(bd)::BIGINT AS n_docs,
+       SUM(bt)::BIGINT AS total_tokens,
+       MAX(bt)::BIGINT AS max_bin_tokens
+FROM per_bin GROUP BY source
+""",
+    group="H",
+)
+def h24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into 512-token training
+    bins, grouped by source. The sequential greedy loop runs inside
+    ``applyInPandas`` per group (the correct Spark pattern for
+    order-dependent per-group logic); groups pack in parallel across
+    executors. The oracle reproduces the same first-fit-sequential
+    semantics with a recursive CTE."""
+    from ..operators.packing import pack_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_summary(
+        docs, "source", "doc_id", F.size(F.split("text", " ")), budget=512
+    )
+
+
+# ---- URL canonicalization dedup (h25) ----------------------------------
+_URL_RAW_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://example.com/' || source || '/page' || CAST(doc_id // 2 AS VARCHAR)
+  WHEN 1 THEN 'https://www.example.com/' || source || '/page' || CAST(doc_id // 2 AS VARCHAR) || '/'
+  WHEN 2 THEN 'HTTPS://EXAMPLE.COM/' || source || '/page' || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed'
+  ELSE 'https://example.com/' || source || '/page' || CAST(doc_id // 2 AS VARCHAR) || '#frag'
+END
+"""
+
+
+@register(
+    "h25_url_canonical_dedup",
+    oracle=f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           LOWER(url), '#.*$', ''), '\\?.*$', ''), '://www\\.', '://'), '/$', '') AS curl
+  FROM raw)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT url)::BIGINT AS n_raw_urls,
+       COUNT(DISTINCT curl)::BIGINT AS n_canonical,
+       MIN(curl) AS min_canonical,
+       MAX(curl) AS max_canonical
+FROM canon
+""",
+    group="H",
+)
+def h25_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: lowercase, strip fragment/query/
+    www./trailing slash, then count distinct canonical pages. The
+    fixture has no URL column, so a deterministic raw URL is derived
+    per document (four surface variants per logical page — the shapes
+    a crawler actually emits); dedup on the canonical form halves the
+    distinct count. Expression-only; at scale this is the shuffle key
+    of an exact dedup, with the same cost model as h1."""
+    from ..operators.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.expr("CAST(doc_id div 2 AS STRING)")
+    raw = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit("https://example.com/"), F.col("source"), F.lit("/page"), page),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(
+                F.lit("https://www.example.com/"), F.col("source"), F.lit("/page"), page, F.lit("/")
+            ),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.COM/"),
+                F.col("source"),
+                F.lit("/page"),
+                page,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/"), F.col("source"), F.lit("/page"), page, F.lit("#frag")
+            )
+        )
+    )
+    urls = docs.select(raw.alias("url"))
+    canon = urls.select("url", canonical_url(F.col("url")).alias("curl"))
+    return canon.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url").alias("n_raw_urls"),
+        F.countDistinct("curl").alias("n_canonical"),
+        F.min("curl").alias("min_canonical"),
+        F.max("curl").alias("max_canonical"),
+    )
+
+
+# ---- Bloom-filter decontamination (h26) --------------------------------
+@register(
+    "h26_bloom_decontamination",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id IN (3, 7, 11)),
+bench AS (SELECT DISTINCT text FROM corpus WHERE doc_id < 20),
+train AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 20)
+SELECT (SELECT COUNT(*) FROM train)::BIGINT AS n_train,
+       (SELECT COUNT(*) FROM train t
+         WHERE EXISTS (SELECT 1 FROM bench b WHERE b.text = t.text))::BIGINT
+         AS n_contaminated
+""",
+    group="H",
+)
+def h26_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter prefilter: the
+    bench set (doc_id < 20, plus planted exact copies so hits are
+    guaranteed) is hashed into a 16 Kbit filter ONCE and shipped as a
+    literal; every training doc probes it as a pure projection (5
+    xxhash64 calls, no join), and only probe-positives pay the exact
+    broadcast verification join. Bloom has no false negatives, so the
+    result EQUALS the exact semi-join the oracle computes — while at
+    100 TB the filter cuts the verify join's input by orders of
+    magnitude."""
+    from ..operators.bloom import bloom_build_bits, bloom_probe
+
+    M, K = 16384, 5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id").isin(3, 7, 11))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(planted)
+    bench = corpus.filter(F.col("doc_id") < 20).select("text").distinct()
+    train = corpus.filter(F.col("doc_id") >= 20)
+    bits = bloom_build_bits(bench, F.col("text"), m=M, k=K)
+    candidates = train.filter(bloom_probe(bits, F.col("text"), m=M, k=K))
+    contaminated = candidates.join(F.broadcast(bench), "text", "left_semi")
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    n_hit = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return n_train.crossJoin(F.broadcast(n_hit))
+
+
+# ---- int8 embedding quantization (h27) ---------------------------------
+@register(
+    "h27_embedding_quantization",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id, (i - 1)::BIGINT AS dim, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)),
+cal AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY dim),
+q AS (SELECT vec_id, x, lo,
+             GREATEST((hi - lo) / 255.0, 1e-12) AS scale
+      FROM flat JOIN cal USING (dim)),
+e AS (SELECT vec_id,
+             x - (lo + LEAST(GREATEST(FLOOR((x - lo) / scale + 0.5), 0), 255) * scale) AS err
+      FROM q)
+SELECT COUNT(DISTINCT vec_id)::BIGINT AS n_vecs,
+       AVG(err * err) * 1e6 AS mse_e6,
+       MAX(ABS(err)) * 1e3 AS max_abs_err_e3
+FROM e
+""",
+    group="H",
+)
+def h27_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding column
+    with a reconstruction-error report. Calibration (per-dim min/max)
+    aggregates to `dim` rows regardless of corpus size; quantize +
+    error are pure projections after a broadcast join on dim."""
+    from ..operators.similarity import int8_quantize_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_error(emb, "vec_id", "embedding")
+
+
+# ---- chunk-level dedup (h28) -------------------------------------------
+@register(
+    "h28_chunk_dedup",
+    oracle="""
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id,
+             array_to_string(list_slice(toks, ci * 20 + 1, ci * 20 + 20), ' ') AS chunk
+      FROM (SELECT doc_id, toks,
+                   UNNEST(range(0, ((len(toks) - 1) // 20) + 1)) AS ci
+            FROM d)),
+per_chunk AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs_chunk, COUNT(*) AS n_occ
+              FROM c GROUP BY chunk),
+doc_frac AS (SELECT doc_id,
+                    SUM(CASE WHEN n_docs_chunk >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                      / COUNT(*) AS dup_frac
+             FROM c JOIN per_chunk USING (chunk) GROUP BY doc_id)
+SELECT (SELECT SUM(n_occ) FROM per_chunk)::BIGINT AS n_chunks_total,
+       (SELECT COUNT(*) FROM per_chunk)::BIGINT AS n_chunks_distinct,
+       (SELECT SUM(CASE WHEN n_docs_chunk >= 2 THEN 1 ELSE 0 END)
+          FROM per_chunk)::BIGINT AS n_dup_chunks,
+       (SELECT SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END)
+          FROM doc_frac)::BIGINT AS n_docs_majority_dup
+""",
+    group="H",
+)
+def h28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup statistics over non-overlapping 20-token
+    chunks — catches boilerplate/partial copies whole-doc dedup
+    misses. Linear explode + hash aggregates, no pairwise joins."""
+    from ..operators.dedup import chunk_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dup_stats(docs, "doc_id", "text", chunk_tokens=20)

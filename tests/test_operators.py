@@ -195,3 +195,64 @@ def test_connected_components_chain_and_cliques(spark):
     assert all(got[i] == 1 for i in range(1, 7))
     assert all(got[i] == 10 for i in (10, 11, 12))
     assert got[20] == 20 and got[21] == 20
+
+
+def test_greedy_packing_semantics(spark):
+    """First-fit-sequential: order by id, new bin when budget would
+    overflow, oversized docs get their own bin (no infinite loop)."""
+    from java_iceberg_table_spark.operators.packing import pack_assignments
+
+    rows = [("g", i, t) for i, t in enumerate([100, 300, 200, 512, 600, 1, 1])]
+    df = spark.createDataFrame(rows, "src string, doc_id long, tok long")
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in pack_assignments(df, "src", "doc_id", "tok", budget=512).collect()
+    }
+    # 100+300 = 400 fits; +200 overflows -> bin 2; 512 exactly fills bin 3
+    # (200+512 > 512); 600 oversized -> own bin 4; 1+1 -> bin 5
+    assert got == {0: 1, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
+def test_packing_groups_independent(spark):
+    """Bins never span groups; per-group totals are preserved."""
+    from java_iceberg_table_spark.operators.packing import pack_summary
+
+    rows = [("a", 1, 400), ("a", 2, 400), ("b", 3, 50), ("b", 4, 50)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, tok long")
+    got = {r["group_key"]: r.asDict() for r in pack_summary(df, "src", "doc_id", "tok", 512).collect()}
+    assert got["a"]["n_bins"] == 2 and got["a"]["total_tokens"] == 800
+    assert got["b"]["n_bins"] == 1 and got["b"]["max_bin_tokens"] == 100
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every reference member probes positive (the property that makes
+    prefilter + exact verify equal the exact join); false-positive
+    rate stays near the theoretical bound."""
+    from java_iceberg_table_spark.operators.bloom import bloom_build_bits, bloom_probe
+
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(50)], "v string")
+    other = spark.createDataFrame([(f"miss{i}",) for i in range(2000)], "v string")
+    bits = bloom_build_bits(ref, F.col("v"), m=16384, k=5)
+    assert ref.filter(bloom_probe(bits, F.col("v"), 16384, 5)).count() == 50
+    fp = other.filter(bloom_probe(bits, F.col("v"), 16384, 5)).count()
+    # ~(1 - e^(-kn/m))^k ~ 3e-9 at n=50; allow slack for hash clustering
+    assert fp <= 2
+
+
+def test_chunk_dedup_counts(spark):
+    """Planted 25-token docs sharing their first 20-token chunk."""
+    from java_iceberg_table_spark.operators.dedup import chunk_dup_stats
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, shared + " a b c d e"),
+        (2, shared + " f g h i j"),
+        (3, " ".join(f"u{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_dup_stats(df, "doc_id", "text", chunk_tokens=20).collect()[0].asDict()
+    # chunks: doc1 [shared, tail1], doc2 [shared, tail2], doc3 [c1, c2]
+    assert got["n_chunks_total"] == 6
+    assert got["n_chunks_distinct"] == 5
+    assert got["n_dup_chunks"] == 1
+    assert got["n_docs_majority_dup"] == 0  # 1/2 chunks dup is not > 0.5
