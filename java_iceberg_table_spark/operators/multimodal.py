@@ -125,3 +125,48 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_FRAME_FIELDS = (
+    "media_id bigint, frame_idx int, frame_f0 double, pooled_f0 double"
+)
+
+
+def decode_sampled_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sample -> decode -> resize/pool pipeline over video rows.
+
+    Stage 1 (metadata-only): ``frame_sample_plan`` schedules one row
+    per sampled frame WITHOUT touching bytes. Stage 2: the plan joins
+    back to the blob column on media_id — at 100 TB this is the only
+    point blobs move, and they move once per media, not per frame
+    (frames of one media stay in one task). Stage 3 (mapInPandas,
+    Arrow-batched): per-frame decode + a resize/mean-pool step, both
+    STUBBED deterministically (no codec libs in this container; swap
+    ffmpeg/PIL in production — the schema, batch shape and partition
+    flow are the real contract).
+    """
+    plan = frame_sample_plan(media, every_n)
+    blobs = media.select("media_id", "content")
+    joined = plan.join(blobs, "media_id").select("media_id", "frame_idx", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            f0, pooled = [], []
+            for content, idx in zip(pdf["content"], pdf["frame_idx"]):
+                feat = _fake_decode(content)
+                # stub frame decode: rotate the feature by frame index
+                frame_feat = np.roll(feat, int(idx) % FEATURE_DIM)
+                # stub resize: mean-pool adjacent dims (8 -> 4)
+                resized = frame_feat.reshape(-1, 2).mean(axis=1)
+                f0.append(float(frame_feat[0]))
+                pooled.append(float(resized[0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_f0": f0,
+                    "pooled_f0": pooled,
+                }
+            )
+
+    return joined.mapInPandas(run, schema=_FRAME_FIELDS)

@@ -1243,3 +1243,35 @@ def h28_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_dup_stats(docs, "doc_id", "text", chunk_tokens=20)
+
+
+# ---- multimodal frame pipeline (h29) -----------------------------------
+@register(
+    "h29_multimodal_frame_pipeline",
+    oracle="""
+SELECT CAST(n_videos AS BIGINT) AS n_videos,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(avg_frame_f0 AS DOUBLE) AS avg_frame_f0,
+       CAST(avg_pooled_f0 AS DOUBLE) AS avg_pooled_f0
+FROM (VALUES (20, 150, 0.5007, 0.499)) AS t(n_videos, n_frames, avg_frame_f0, avg_pooled_f0)
+""",
+    group="H",
+)
+def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample -> decode -> resize/pool pipeline: the
+    metadata-only frame plan schedules work without touching bytes,
+    blobs join in once per media, and per-frame decode + mean-pool run
+    Arrow-batched in mapInPandas (decode/resize stubbed
+    deterministically — no codec libs here; the schema, batching and
+    partition flow are the real contract). Seeded media table makes
+    the stats a reproducible constant the oracle pins exactly."""
+    from ..operators.multimodal import decode_sampled_frames, synthetic_media
+
+    media = synthetic_media(spark, n=60)
+    frames = decode_sampled_frames(media, every_n=10)
+    return frames.agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("frame_f0"), 4).alias("avg_frame_f0"),
+        F.round(F.avg("pooled_f0"), 4).alias("avg_pooled_f0"),
+    )

@@ -463,3 +463,59 @@ def i10_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "i11_stream_stream_join",
+    oracle="""
+SELECT a.user_id,
+       COUNT(*)::BIGINT AS n_pairs,
+       SUM(epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS sum_lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+GROUP BY a.user_id ORDER BY a.user_id
+""",
+    group="I",
+)
+def i11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the
+    same user within 60 minutes, both sides real file streams with
+    event-time watermarks. The time-bound condition is what makes the
+    join state finite — each side's state is evicted once the other
+    side's watermark passes the interval, so state size is
+    rate x interval, not the whole history. The watermark delay here
+    exceeds the fixture's full span, so no state is evicted before its
+    match arrives and the result equals the batch interval join the
+    oracle computes."""
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    clicks = (
+        file_stream(spark, src, 2)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "90 days")
+    )
+    purchases = (
+        file_stream(spark, src, 2)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "90 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    pairs = run_to_memory(joined.select("user_id", "click_ts", "purchase_ts"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("sum_lag_us"),
+        )
+        .orderBy("user_id")
+    )
