@@ -623,3 +623,273 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---- derived partsupp (q2/q9/q11/q20) ----------------------------------
+# The fixture set ships no partsupp table, so the four partsupp TPC-H
+# shapes derive one DETERMINISTICALLY from part x supplier — the same
+# integer formulas run in Spark and in the DuckDB oracle, so the gate
+# still checks the query plumbing exactly. 4 suppliers per part
+# (consecutive residues mod |supplier| -> always distinct), integer
+# availqty, and supplycost kept in integer CENTS so every money
+# aggregate below is exact and summation-order-independent.
+
+_PARTSUPP_SQL = """
+sc AS (SELECT COUNT(*)::BIGINT AS s_n FROM supplier),
+js(j) AS (VALUES (0::BIGINT), (1), (2), (3)),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey, ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS ps_supplycost_cents
+  FROM (SELECT p_partkey AS ps_partkey,
+               ((p_partkey * 4 + j) % s_n) + 1 AS ps_suppkey,
+               (p_partkey * 7 + j * 13) % 9998 + 1 AS ps_availqty
+        FROM part CROSS JOIN js CROSS JOIN sc))
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    s_n = load_table(spark, sf_dir, "supplier").count()
+    js = spark.range(4).select(F.col("id").alias("j"))
+    ps0 = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(js))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("j")) % s_n + 1).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("j") * 13) % 9998 + 1).alias(
+                "ps_availqty"
+            ),
+        )
+    )
+    return ps0.withColumn(
+        "ps_supplycost_cents",
+        (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 99900 + 100,
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+esupp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT p_partkey, ps_suppkey, ps_supplycost_cents
+  FROM part JOIN partsupp ON p_partkey = ps_partkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+ec AS (SELECT c.* FROM cand c JOIN esupp e ON c.ps_suppkey = e.s_suppkey),
+mn AS (SELECT p_partkey, MIN(ps_supplycost_cents) AS mc FROM ec GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+FROM ec JOIN mn USING (p_partkey) JOIN esupp ON ps_suppkey = s_suppkey
+WHERE ps_supplycost_cents = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    group="TPCH",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-supplycost supplier per part within a
+    region — correlated-MIN turned into groupBy + equality join on
+    exact integer cents (no double-tie nondeterminism). The region
+    dimension chain broadcasts; the only shuffle is the per-part MIN."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    esupp = sup.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+        sup.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ec = (
+        ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(esupp), ps.ps_suppkey == F.col("s_suppkey"))
+    )
+    mn = ec.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    )
+    return (
+        ec.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("ps_supplycost_cents").cast("double") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+WITH {_PARTSUPP_SQL}
+SELECT n_name AS nation, EXTRACT(year FROM l_shipdate)::BIGINT AS o_year,
+       CAST(ROUND(SUM(rev_u - cost_u) / 10000.0, 2) AS DOUBLE) AS profit
+FROM (
+  SELECT l.l_suppkey, l.l_shipdate,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l.l_discount AS DECIMAL(6,4))) * 10000 AS BIGINT) AS rev_u,
+         ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT) * 100 AS cost_u
+  FROM lineitem l
+  JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%gear%') x
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY nation, o_year DESC
+""",
+    group="TPCH",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue - supply cost) by supplier
+    nation and ship year for a part-name family. All money flows in
+    integer 1e-4-dollar units (revenue exact via decimal then scaled
+    to long; cost exact as cents x integer quantity), so the sum is
+    order-independent and the oracle matches bit-for-bit. partsupp
+    joins lineitem on BOTH keys — the Q9 join pattern — and the
+    nation/part dims broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev_u = (_dec_revenue_col() * 10000).cast("long")
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .select(
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("o_year"),
+            rev_u.alias("rev_u"),
+            (
+                F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long") * 100
+            ).alias("cost_u"),
+        )
+    )
+    return (
+        joined.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), joined.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.round((F.sum(F.col("rev_u") - F.col("cost_u"))) / 10000.0, 2)
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+natsupp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+stock AS (
+  SELECT ps_partkey, SUM(ps_supplycost_cents * ps_availqty) AS v
+  FROM partsupp JOIN natsupp ON ps_suppkey = s_suppkey
+  GROUP BY ps_partkey),
+tot AS (SELECT SUM(v) AS t FROM stock)
+SELECT ps_partkey, CAST(v AS DOUBLE) / 100.0 AS stock_value
+FROM stock, tot
+WHERE v * 1000 > t
+ORDER BY v DESC, ps_partkey
+""",
+    group="TPCH",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one nation's
+    suppliers, kept when above 1/1000 of the nation's total. The
+    HAVING-vs-scalar-subquery comparison runs as exact integer
+    cents (v * 1000 > total) — no double-threshold edge rows."""
+    ps = _partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natsupp = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    stock = (
+        ps.join(F.broadcast(natsupp), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"))
+    )
+    tot = F.broadcast(stock.agg(F.sum("v").alias("t")))
+    return (
+        stock.crossJoin(tot)
+        .filter(F.col("v") * 1000 > F.col("t"))
+        .select("ps_partkey", (F.col("v").cast("double") / 100.0).alias("stock_value"))
+        .orderBy((F.col("stock_value")).desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+qty96 AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+  JOIN qty96 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > 0.5 * q)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN excess ON s_suppkey = ps_suppkey
+ORDER BY s_name
+""",
+    group="TPCH",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock (availqty >
+    half the 1996 shipped quantity) of a part-name family. The
+    correlated quantity subquery becomes a grouped aggregate joined
+    on both keys; the final supplier list is a semi-join (distinct
+    suppkeys), so no row duplication reaches the output."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qty96 = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    excess = (
+        ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            qty96,
+            (F.col("l_partkey") == ps.ps_partkey) & (F.col("l_suppkey") == ps.ps_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(excess, sup.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

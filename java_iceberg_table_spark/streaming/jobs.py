@@ -110,15 +110,34 @@ def file_stream(
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the final result as a batch DataFrame."""
+    memory sink; return the final result as a batch DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator shuffle for THIS
+    query (restored afterwards). Streaming state partitioning is fixed
+    at first checkpoint and every micro-batch pays a task per state
+    partition, so it must be sized to the event RATE, not the batch
+    default: at fixture scale 32 state partitions is pure per-batch
+    overhead (measured 2.4s -> 1.27s on the i3 bench at 8), while a
+    real deployment sizes it to executors x cores for its rate. Pass
+    None to inherit the session's shuffle partitioning unchanged."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
     # The memory sink can't recover from a checkpoint anyway, so the
     # checkpoint is pure scratch — always reclaimed, even on failure.
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(prev), state_partitions)),
+            )
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -131,8 +150,8 @@ def run_to_memory(
     finally:
         import shutil
 
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
-    spark = stream_df.sparkSession
     return spark.table(name)
 
 
