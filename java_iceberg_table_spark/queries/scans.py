@@ -209,3 +209,60 @@ def a6b_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "a7_bucketed_colocated_join",
+    oracle="""
+SELECT COUNT(*)::BIGINT AS cnt,
+       SUM(l_quantity)::DOUBLE AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+    group="A",
+)
+def a7_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with NO shuffle: both tables are written
+    bucketed (+ sorted) on the join key, so the sort-merge join reads
+    bucket i of one table against bucket i of the other directly —
+    the plan has no Exchange on either join input (gated in
+    test_plans.py). This is the layout move that makes a repeated
+    100 TB fact-fact join affordable: the shuffle is paid ONCE at
+    write time and amortized over every subsequent join, instead of
+    re-shuffling both tables per query. The merge hint only pins the
+    strategy at fixture scale (where the optimizer would rather
+    broadcast the small side); at production scale SMJ is what the
+    optimizer picks anyway.
+    """
+    from ..streaming.jobs import shared_staged
+
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"bucketdb_{sfx}"
+
+    def stage() -> str:
+        loc = tempfile.mkdtemp(prefix="bucket_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        return loc
+
+    shared_staged(("bucketed", sf_dir, db), stage)
+    o = spark.table(f"{db}.orders_b").hint("merge")
+    l = spark.table(f"{db}.lineitem_b").hint("merge")
+    return o.join(l, o.o_orderkey == l.l_orderkey).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

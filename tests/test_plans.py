@@ -173,3 +173,46 @@ def test_h11_bucketed_candidates_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the candidate generator itself: a join keyed on the bucket column
     assert "bucket" in plan
+
+
+def test_a7_bucketed_join_no_shuffle(spark, sf_dir):
+    """Both join inputs read pre-bucketed data: the SMJ consumes bucket
+    i vs bucket i directly — no Exchange upstream of the join (the only
+    Exchange is the final single-partition agg)."""
+    plan = plan_of(spark, sf_dir, "a7_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert "Exchange hashpartitioning" not in plan  # join inputs never shuffle
+
+
+def test_h24_packing_uses_apply_in_pandas(spark, sf_dir):
+    """The sequential greedy loop runs as one grouped-pandas op —
+    exactly one Python crossing, partitioned by group."""
+    plan = plan_of(spark, sf_dir, "h24_sequence_packing")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_h25_url_dedup_no_join(spark, sf_dir):
+    """Canonicalization + distinct is projection + aggregate only."""
+    plan = plan_of(spark, sf_dir, "h25_url_canonical_dedup")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_h26_bloom_probe_is_projection(spark, sf_dir):
+    """The Bloom probe must be a filter, not a join: the only joins in
+    the plan are the broadcast exact-verify and the scalar-count
+    combine — nothing shuffles both sides."""
+    plan = plan_of(spark, sf_dir, "h26_bloom_decontamination")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    """Q9's part/supplier/nation dims all broadcast; only the
+    lineitem-partsupp join may shuffle."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
