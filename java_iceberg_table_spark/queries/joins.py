@@ -313,3 +313,42 @@ def c12b_asof_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+@register(
+    "c14_salted_skew_join",
+    oracle="""
+SELECT o.o_custkey AS custkey,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+ORDER BY n_orders DESC, custkey
+LIMIT 50
+""",
+    group="C",
+)
+def c14_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join for hot keys (operators/skew.py): the big side
+    takes a deterministic salt in [0, S), the replicated side explodes
+    S-fold, and the join runs on (key, salt) — one hot key's rows
+    spread over S tasks instead of melting one reducer. Exact: every
+    (row, match) pair exists exactly once. This is the fallback for
+    skew AQE can't fix (broadcast-ineligible replicated side, or
+    hot-key aggregations); the oracle is the plain join."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salts=8
+    )
+    return (
+        joined.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total_spend"),
+        )
+        .orderBy(F.col("n_orders").desc(), "custkey")
+        .limit(50)
+    )

@@ -57,3 +57,30 @@ def test_bitset_jaccard_matches_set_jaccard(a: frozenset, b: frozenset):
     union = bin(ba | bb).count("1")
     expected = len(a & b) / len(a | b)
     assert inter / union == expected
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60),
+    budget=st.sampled_from([64, 512, 1024]),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_packing_invariants(toks: list[int], budget: int):
+    """Pure-python core of the h24 packer: bins are consecutive from 1,
+    no bin exceeds the budget unless it holds a single oversized doc,
+    totals are preserved, and order is respected (bin ids are
+    non-decreasing in doc order)."""
+    import pandas as pd
+
+    from java_iceberg_table_spark.operators.packing import _greedy_assign
+
+    pdf = pd.DataFrame(
+        {"group_key": "g", "doc_id": range(len(toks)), "n_tokens": toks}
+    )
+    out = _greedy_assign(pdf, budget).sort_values("doc_id")
+    bins = out["bin"].tolist()
+    assert bins[0] == 1
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))  # consecutive
+    per_bin = out.groupby("bin")["n_tokens"].agg(["sum", "count"])
+    for _, row in per_bin.iterrows():
+        assert row["sum"] <= budget or row["count"] == 1  # oversized doc alone
+    assert out["n_tokens"].sum() == sum(toks)  # nothing lost
