@@ -331,3 +331,36 @@ def a3g_engine_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3h_engine_incremental_scan",
+    oracle="""
+SELECT COUNT(*)::BIGINT AS cnt, SUM(event_id)::BIGINT AS sum_id
+FROM events WHERE event_id % 3 IN (1, 2)
+""",
+    group="A",
+)
+def a3h_engine_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (change-feed) read: three commits land thirds of the
+    events table; an incremental_scan cursored after the first commit
+    must return EXACTLY the rows of commits 2+3 — the batch primitive a
+    streaming source builds on (tail new snapshots, never re-read old
+    ones). Snapshot-id cursoring means the reader cost scales with new
+    manifests, not table history."""
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="engine_inc_") + "/t"
+    try:
+        tbl = create_table(root, ev.schema)
+        s1 = tbl.append(ev.filter(F.col("event_id") % 3 == 0))
+        tbl.append(ev.filter(F.col("event_id") % 3 == 1))
+        tbl.append(ev.filter(F.col("event_id") % 3 == 2))
+        inc, _cursor = tbl.incremental_scan(spark, after_snapshot_id=s1.snapshot_id)
+        row = inc.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("sum_id")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_id"])], "cnt bigint, sum_id bigint"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

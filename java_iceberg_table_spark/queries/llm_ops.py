@@ -1275,3 +1275,47 @@ def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.avg("frame_f0"), 4).alias("avg_frame_f0"),
         F.round(F.avg("pooled_f0"), 4).alias("avg_pooled_f0"),
     )
+
+
+# ---- source mixture sampling (h30) -------------------------------------
+@register(
+    "h30_source_mixture_sample",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         (doc_id * 2654435761) % 1000 AS r,
+         CASE WHEN CAST(SUBSTR(source, 4) AS BIGINT) % 2 = 0
+              THEN 750 ELSE 250 END AS w
+  FROM documents)
+SELECT source,
+       COUNT(*)::BIGINT AS n_total,
+       SUM(CASE WHEN r < w THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM d GROUP BY source ORDER BY source
+""",
+    group="H",
+)
+def h30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling by source weight — the step that turns a raw
+    corpus into a training mix (web 75%, books 25%, ...). The
+    keep-decision is a deterministic multiplicative hash of the doc id
+    against the source's weight threshold, so the sample is exactly
+    reproducible across retries/engines (no rand()), sampling is a
+    pure projection + filter (no shuffle), and re-running on appended
+    data never resamples old rows. Even-numbered sources keep 75%,
+    odd 25%."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    w = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit(750)
+    ).otherwise(F.lit(250))
+    return (
+        docs.select("source", r.alias("r"), w.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("r") < F.col("w"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -519,3 +519,41 @@ def i11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "i12_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(e.value)::DOUBLE AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY c.c_mktsegment ORDER BY segment
+""",
+    group="I",
+)
+def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against a static
+    dimension table per micro-batch. The static side is broadcast, so
+    the stream never shuffles for the join and no join state is kept
+    at all (unlike stream-stream joins) — the canonical shape for
+    dimension enrichment at any scale. Result equals the batch join."""
+    from ..fixtures import load_table as _lt
+
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    dim = F.broadcast(
+        _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = file_stream(spark, src, 2)
+    enriched = stream.join(dim, dim.c_custkey == stream.user_id + 1).select(
+        F.col("c_mktsegment").alias("segment"), "value"
+    )
+    out = run_to_memory(enriched)
+    return (
+        out.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
