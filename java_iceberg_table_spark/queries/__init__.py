@@ -54,6 +54,7 @@ _MODULES = [
     "setops",
     "scalar_functions",
     "llm_ops",
+    "retrieval_ops",
     "udf_ops",
     "streaming_ops",
     "tpch",

@@ -1,0 +1,455 @@
+"""Retrieval / corpus-scoring operators for training-data pipelines:
+TF-IDF, BM25, n-gram language-model scoring, quality-filter chains,
+RAG chunking, and random-projection dimensionality reduction.
+
+These extend SURVEY.md §2.2 H (rows H31–H36). Everything is built-in
+JVM-side expressions — no Python UDF anywhere. The corpus-statistic
+sides (document frequencies, unigram/bigram counts, corpus averages)
+are tiny relative to the corpus and are broadcast-joined; at 100 TB
+the same plans hold with the stats side either still broadcast (query
+vocab, corpus scalars) or a shuffle join keyed on the term (full
+vocab), never an all-pairs or driver-side loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# h31 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n_docs::DOUBLE / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored WHERE doc_id < 50
+)
+SELECT doc_id, rk, term, ROUND(score, 4) AS tfidf
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+@register("h31_tfidf_top_terms", oracle=_TFIDF_ORACLE, group="H")
+def h31_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln(N/df)).
+
+    Scale shape: explode→groupBy(doc,term) is map-side combinable (one
+    shuffle on the composite key); document frequencies are an agg over
+    the already-reduced (doc,term) set; the idf side is vocab-sized —
+    broadcast here, a term-keyed shuffle join at vocab scales past the
+    broadcast threshold. Per-doc top-k runs under WindowGroupLimit
+    (rank pushdown), so no doc's full posting list is ever sorted in
+    one task beyond its own terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", F.round("score", 4).alias("tfidf"))
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h32 — BM25 ranked retrieval for a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "scan", "hash", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(str_split(text, ' '))::DOUBLE AS dl FROM documents
+),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'hash', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register("h32_bm25_topk", oracle=_BM25_ORACLE, group="H")
+def h32_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75, Lucene idf) for the
+    fixed query {table, scan, hash, merge}.
+
+    Scale shape: the query-term filter lands BEFORE the tf groupBy, so
+    the shuffle carries only rows mentioning a query term (|q| ≈ 4
+    terms, not the corpus vocabulary). df and corpus stats are scalars
+    / |q| rows — literal broadcasts. The final per-doc sum is one
+    combinable aggregation; top-10 is TakeOrderedAndProject, never a
+    full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# h33 — bigram language-model document scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+vocab AS (SELECT COUNT(*)::DOUBLE AS v FROM uni),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id,
+         COUNT(*) AS n_bigrams,
+         AVG(ln((bgc.c12 + 1.0) / (uni.c1 + vocab.v))) AS avg_logprob
+  FROM bg
+  JOIN bgc USING (w1, w2)
+  JOIN uni ON bg.w1 = uni.w
+  CROSS JOIN vocab
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(avg_logprob, 4) AS avg_logprob
+FROM scored WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+@register("h33_bigram_lm_score", oracle=_LM_ORACLE, group="H")
+def h33_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    bigram LM trained on the corpus itself — the cheap deterministic
+    stand-in for KenLM-style perplexity filtering.
+
+    Scale shape: bigrams come from arrays_zip over two slices of the
+    token array (no self-join, no positional window); unigram and
+    bigram count tables are vocab-scale aggregations reused via
+    broadcast (term-keyed shuffle joins past the broadcast threshold).
+    In real pipelines the LM counts are trained once and reused across
+    scoring runs — here both sides derive from the same fixture scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(uni), bg["w1"] == uni["w"])
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 100)
+        .select("doc_id", "n_bigrams", F.round("avg_logprob", 4).alias("avg_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h34 — quality-filter chain (C4/Gopher-style keep/drop with reasons)
+# ---------------------------------------------------------------------------
+
+_FILTER_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_STOP_IN = ", ".join(f"'{s}'" for s in _FILTER_STOPWORDS)
+
+_FILTER_ORACLE = f"""
+WITH x AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_tokens,
+         length(text)::DOUBLE / len(str_split(text, ' ')) AS mean_word_len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio,
+         len(list_distinct(str_split(text, ' ')))::DOUBLE
+           / len(str_split(text, ' ')) AS distinct_ratio,
+         len(list_filter(str_split(text, ' '),
+                         t -> t IN ({_STOP_IN}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN n_tokens < 5 OR n_tokens > 1000 THEN 'word_count'
+         WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'mean_word_len'
+         WHEN alpha_ratio < 0.6 THEN 'alpha_ratio'
+         WHEN distinct_ratio < 0.3 THEN 'repetition'
+         WHEN n_stop < 1 THEN 'no_stopwords'
+         ELSE 'pass'
+       END AS fail_rule,
+       (n_tokens BETWEEN 5 AND 1000)
+         AND (mean_word_len BETWEEN 2 AND 12)
+         AND alpha_ratio >= 0.6
+         AND distinct_ratio >= 0.3
+         AND n_stop >= 1 AS keep
+FROM x ORDER BY doc_id
+"""
+
+
+@register("h34_quality_filter_chain", oracle=_FILTER_ORACLE, group="H")
+def h34_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-chain document filter: word-count bounds,
+    mean-word-length bounds, alpha ratio, repetition (distinct-token
+    ratio), and stopword presence; emits keep plus the FIRST failing
+    rule (audit trail for filter tuning).
+
+    Scale shape: one pass of pure expressions per document — no
+    shuffle, no UDF; at 100 TB this is a map-only stage that fuses
+    into whatever scan feeds it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_tok = F.size(t)
+    mwl = F.length("text") / n_tok
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    distinct_ratio = F.size(F.array_distinct(t)) / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in _FILTER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    fail_rule = (
+        F.when((n_tok < 5) | (n_tok > 1000), "word_count")
+        .when((mwl < 2) | (mwl > 12), "mean_word_len")
+        .when(alpha < 0.6, "alpha_ratio")
+        .when(distinct_ratio < 0.3, "repetition")
+        .when(n_stop < 1, "no_stopwords")
+        .otherwise("pass")
+    )
+    keep = (
+        n_tok.between(5, 1000)
+        & mwl.between(2, 12)
+        & (alpha >= 0.6)
+        & (distinct_ratio >= 0.3)
+        & (n_stop >= 1)
+    )
+    return docs.select(
+        "doc_id", fail_rule.alias("fail_rule"), keep.alias("keep")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# h35 — RAG chunking (overlapping windows with stable chunk ids)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 20
+_CHUNK_STRIDE = 10
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE doc_id < 20
+)
+SELECT doc_id * 10000 + i AS chunk_id,
+       doc_id,
+       i AS start_tok,
+       len(t[i:i + {_CHUNK_SIZE - 1}]) AS n_toks,
+       array_to_string(t[i:i + {_CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM toks, LATERAL (
+  SELECT unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS i
+) g
+ORDER BY doc_id, start_tok
+"""
+
+
+@register("h35_rag_chunking", oracle=_CHUNK_ORACLE, group="H")
+def h35_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunker: {size} token windows at stride
+    {stride} (50% overlap), chunk id stable under re-runs and appends
+    (derived from doc_id + start offset, not any global counter).
+
+    Scale shape: sequence+explode+slice per document — map-only, no
+    shuffle; chunk ids need no coordination, so appended documents
+    chunk independently (the property that makes incremental RAG
+    index refresh possible).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    out = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+        ).alias("start_tok"),
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("start_tok")).alias("chunk_id"),
+        "doc_id",
+        "start_tok",
+        F.size(F.slice("t", F.col("start_tok"), F.lit(_CHUNK_SIZE))).alias(
+            "n_toks"
+        ),
+        F.array_join(
+            F.slice("t", F.col("start_tok"), F.lit(_CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    )
+    return out.orderBy("doc_id", "start_tok")
+
+
+# ---------------------------------------------------------------------------
+# h36 — random-projection (JL) dimensionality reduction 64 -> 8
+# ---------------------------------------------------------------------------
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 8
+_JL_SCALE = math.sqrt(_JL_OUT_DIM)
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 projection matrix (seeded; identical literals
+    feed both the Spark plan and the DuckDB oracle)."""
+    rng = random.Random(42)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(_JL_IN_DIM)]
+        for _ in range(_JL_OUT_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        # explicit left-associated sum: matches Spark's sequential
+        # aggregate() fold bit-for-bit, so ROUND(,4) hashes equal.
+        terms = " + ".join(
+            f"vec[{i + 1}] * {s!r}" for i, s in enumerate(row)
+        )
+        cols.append(f"ROUND(({terms}) / {_JL_SCALE!r}, 4) AS p{j}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 100
+)
+SELECT vec_id,
+       {cols_sql}
+FROM base ORDER BY vec_id
+"""
+
+
+@register("h36_jl_projection", oracle=_jl_oracle(), group="H")
+def h36_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→8 dims with a seeded
+    ±1 matrix (the Achlioptas construction) — the cheap first stage of
+    embedding-space dedup/clustering at scale.
+
+    Scale shape: the projection matrix is 512 literal doubles compiled
+    into the plan (zero-shuffle, zero-broadcast); each output dim is a
+    sequential zip_with/aggregate fold, so the whole op is map-only
+    and fuses into the scan. At 100 TB the same expression runs
+    embarrassingly parallel; no state, no driver participation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    signs = _jl_signs()
+    proj_cols = []
+    for j, row in enumerate(signs):
+        s = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with("vec", s, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(F.round(dot / _JL_SCALE, 4).alias(f"p{j}"))
+    return base.select("vec_id", *proj_cols).orderBy("vec_id")
