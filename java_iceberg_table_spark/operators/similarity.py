@@ -219,7 +219,12 @@ def lsh_topk(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
-    cand = probes.join(
+    # broadcast the probe side: a query batch is tiny by construction
+    # (ANN serving shape), so the bucketed corpus never shuffles — the
+    # join is a map-side lookup against each corpus partition. (AQE
+    # would discover this at runtime; stating it keeps the plan stable
+    # with AQE off and at scale.)
+    cand = F.broadcast(probes).join(
         cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"),
         "bucket",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -420,7 +425,10 @@ def ivf_topk(
     probes = _assign_literal(qv, cents, top=nprobe).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
     )
-    cand = probes.join(assigned, "cluster").filter(
+    # broadcast the probe side (|queries| x nprobe rows): the inverted
+    # file never shuffles; each cell partition is probed in place —
+    # the plan a partitioned-by-cluster IVF store serves at 100 TB.
+    cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     sim = dot_expr("qvec", "cvec_n")
