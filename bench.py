@@ -45,10 +45,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         q = registry[name]
         runs = []
-        # streaming ops once (availableNow machinery dominates, stable);
-        # everything else min-of-3 so one-off codegen/JIT of the first
-        # runs doesn't masquerade as steady-state query cost
-        n_runs = 1 if name.startswith("i") else 3
+        # streaming min-of-2: the FIRST streaming query in a session
+        # pays ~1.5 s of one-off state-store/streaming-codegen init
+        # (measured: run 1 ~2.5 s, run 2+ ~1.25 s) — same
+        # steady-state rationale as the batch min-of-3
+        n_runs = 2 if name.startswith("i") else 3
         for _ in range(n_runs):
             start = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
