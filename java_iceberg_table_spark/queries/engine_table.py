@@ -364,3 +364,64 @@ def a3h_engine_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3i_engine_zorder_clustering",
+    oracle="""
+WITH thr AS (
+  SELECT (MAX(l_partkey) + 1) // 10 AS pk, (MAX(l_suppkey) + 1) // 10 AS sk
+  FROM lineitem
+)
+SELECT (SELECT COUNT(*) FROM lineitem, thr WHERE l_partkey < thr.pk) AS cnt_pk,
+       (SELECT ROUND(SUM(l_quantity), 4) FROM lineitem, thr
+        WHERE l_partkey < thr.pk) AS sum_qty_pk,
+       (SELECT COUNT(*) FROM lineitem, thr WHERE l_suppkey < thr.sk) AS cnt_sk,
+       true AS pruned_pk,
+       true AS pruned_sk
+""",
+    group="A",
+)
+def a3i_engine_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout rewrite (Table.rewrite_clustered): lineitem rows
+    land in arrival order, then one 'replace' commit re-arranges them
+    so every file covers a small (l_partkey, l_suppkey) hyper-
+    rectangle. The result proves BOTH halves of the contract: scans
+    after the rewrite return identical content (cnt/sum vs the plain
+    fixture oracle), and plan_files() skips files for a predicate on
+    EITHER clustered dimension (pruned_pk / pruned_sk — a linear sort
+    can only deliver one of the two). The layout move that makes
+    multi-predicate scans at 100 TB read a fraction of the table."""
+
+    def build(root: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        )
+        tbl = create_table(root, li.schema)
+        tbl.append(li)
+        tbl.rewrite_clustered(spark, ["l_partkey", "l_suppkey"], n_files=8)
+
+    root = _shared_root(spark, sf_dir, "zorder", build)
+    tbl = open_table(root)
+    bounds = tbl.scan(spark).agg(
+        F.max("l_partkey").alias("mx_pk"), F.max("l_suppkey").alias("mx_sk")
+    ).collect()[0]
+    thr_pk = (int(bounds["mx_pk"]) + 1) // 10
+    thr_sk = (int(bounds["mx_sk"]) + 1) // 10
+    n_all = len(tbl.plan_files())
+    pruned_pk = len(tbl.plan_files([("l_partkey", "<", thr_pk)])) < n_all
+    pruned_sk = len(tbl.plan_files([("l_suppkey", "<", thr_sk)])) < n_all
+    pk_row = (
+        tbl.scan(spark, [("l_partkey", "<", thr_pk)])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .collect()[0]
+    )
+    sk_cnt = tbl.scan(spark, [("l_suppkey", "<", thr_sk)]).count()
+    return spark.createDataFrame(
+        [(pk_row["cnt"], pk_row["sum_qty"], sk_cnt, pruned_pk, pruned_sk)],
+        "cnt_pk bigint, sum_qty_pk double, cnt_sk bigint, "
+        "pruned_pk boolean, pruned_sk boolean",
+    )

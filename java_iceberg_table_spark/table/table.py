@@ -1263,6 +1263,108 @@ class Table:
                 pass
         return stats
 
+    def rewrite_clustered(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str],
+        n_files: int = 8,
+    ) -> dict[str, int]:
+        """Z-order layout rewrite: re-arrange the CURRENT snapshot's
+        rows so each output file covers a small hyper-rectangle of the
+        ``cluster_by`` key space, then commit one atomic 'replace'
+        snapshot. Row content is identical before/after; what changes
+        is that per-file min/max footer stats become tight on EVERY
+        cluster column, so plan_files() skips files for predicates on
+        any of them (a linear sort — compact_data_files(sort_by=…) —
+        helps exactly one column; this helps all, which is the layout
+        a multi-predicate 100 TB workload needs).
+
+        MOR deletes are applied during the rewrite (same as
+        compaction), so the new snapshot carries no delete manifests.
+        Partition-aware: rows are clustered WITHIN their partition
+        bucket so transform pruning stays exact."""
+        from .zorder import zorder_frame
+
+        md = self.metadata
+        snap = md.current_snapshot()
+        if snap is None:
+            return {"rewritten": 0, "new_files": 0}
+        entries = self.files_of(snap)
+        if not entries:
+            return {"rewritten": 0, "new_files": 0}
+        import uuid as uuid_mod
+
+        batch = uuid_mod.uuid4().hex
+        by_partition: dict[object, list[dict]] = {}
+        for e in entries:
+            by_partition.setdefault(e.get("partition"), []).append(e)
+        new_entries: list[dict] = []
+        for part, es in by_partition.items():
+            df = self._read_with_deletes(spark, es, snap)
+            sub = f"__pb={part}" if part is not None else "clustered"
+            out_dir = os.path.join(self.root, "data", f"z-{batch}", sub)
+            zorder_frame(df, cluster_by, n_files).write.parquet(out_dir)
+            for path in glob.glob(os.path.join(out_dir, "*.parquet")):
+                rel = os.path.relpath(path, self.root)
+                st = file_stats(path)
+                new_entries.append(
+                    {
+                        "path": rel,
+                        "rows": st["rows"],
+                        "bytes": st["bytes"],
+                        "partition": part,
+                        "columns": st["columns"],
+                    }
+                )
+
+        stale_manifests: list[str] = []
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            for rel in stale_manifests:  # lost-CAS leftovers
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale_manifests.clear()
+            parent = current.current_snapshot()
+            if parent is None or parent.snapshot_id != snap.snapshot_id:
+                return None  # table moved underneath; caller retries
+            seq = parent.sequence + 1
+            manifest = fmt.write_manifest(
+                self.root, [{**e, "seq": seq} for e in new_entries]
+            )
+            stale_manifests.append(manifest)
+            new_snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent.snapshot_id,
+                timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
+                operation="replace",
+                manifests=[manifest],
+                sequence=seq,
+                delete_manifests=[],  # applied during the rewrite
+                summary={
+                    "rewritten-files": len(entries),
+                    "new-files": len(new_entries),
+                    "cluster-by": ",".join(cluster_by),
+                },
+            )
+            return TableMetadata(
+                version=current.version + 1,
+                table_uuid=current.table_uuid,
+                schema_json=current.schema_json,
+                partition_spec=current.partition_spec,
+                properties=current.properties,
+                snapshots=current.snapshots + [new_snap],
+                current_snapshot_id=new_snap.snapshot_id,
+                schemas=current.schemas,
+                current_schema_id=current.current_schema_id,
+                refs=current.refs,
+            )
+
+        fmt.commit(self.root, build)
+        return {"rewritten": len(entries), "new_files": len(new_entries)}
+
     def compact_data_files(
         self,
         spark: SparkSession,
