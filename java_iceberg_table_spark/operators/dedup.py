@@ -668,3 +668,64 @@ def chunk_dup_stats(
         .alias("n_docs_majority_dup")
     )
     return summary.crossJoin(F.broadcast(docs_major))
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin-family pruning): identical result to exact_jaccard_pairs,
+    but the candidate join only carries each document's rarest
+    ``|s| - ceil(t*|s|) + 1`` tokens instead of its whole token set —
+    for two sets to reach Jaccard >= t they MUST share at least one
+    token inside both prefixes under any fixed global token order, so
+    nothing is missed (prefix-filter principle; order chosen =
+    ascending document frequency, which makes prefixes maximally
+    selective because the rarest tokens collide least).
+
+    Scale shape: document frequencies are a vocab-scale aggregate
+    (broadcast; term-keyed shuffle past the threshold); prefix
+    selection is one per-document window; the candidate join's volume
+    shrinks by ~t/(1-t) vs joining on every shared token (at t=0.95,
+    ~5% of the tokens); the exact verify joins candidate pairs against
+    per-doc sorted token arrays — linear in candidate count, never
+    all-pairs. The hot-token quadratic blowup that makes
+    exact_jaccard_pairs a correctness-baseline-only is gone: common
+    tokens almost never land in a prefix."""
+    from pyspark.sql import Window
+
+    tok = token_set(df, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc rank by global (df, token) order; tokens are ranked
+    # rarest-first so the prefix holds the most selective tokens
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("token"))
+    ranked = (
+        tok.join(F.broadcast(dfreq), "token")
+        .withColumn("pos", F.row_number().over(w))
+        .join(F.broadcast(sizes), "id")
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("id", "token")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    arrs = tok.groupBy("id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    va, vb = arrs.alias("va"), arrs.alias("vb")
+    inter = F.size(F.array_intersect(F.col("va.toks"), F.col("vb.toks")))
+    return (
+        cand.join(va, F.col("id_a") == F.col("va.id"))
+        .join(vb, F.col("id_b") == F.col("vb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.col("va.sz") + F.col("vb.sz") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -453,3 +453,131 @@ def h36_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         proj_cols.append(F.round(dot / _JL_SCALE, 4).alias(f"p{j}"))
     return base.select("vec_id", *proj_cols).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# h6d — prefix-filtered exact Jaccard (PPJoin-style scale path)
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import prefix_filter_jaccard_pairs  # noqa: E402
+from .llm_ops import _EXACT_JACCARD_SQL  # noqa: E402
+
+
+@register("h6d_prefix_filter_jaccard", oracle=_EXACT_JACCARD_SQL, group="H")
+def h6d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard near-dup (PPJoin-family pruning):
+    must equal the same exact-Jaccard oracle as h6/h6b, but the
+    candidate join carries only each doc's ~5% rarest tokens — the
+    exact-result scale path where h6's join-on-every-shared-token is
+    the correctness baseline (operators/dedup.py
+    prefix_filter_jaccard_pairs for the pruning argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.95)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# h37 — end-to-end pretraining-pipeline composition in one plan
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH base AS (
+  SELECT source, text,
+         len(str_split(text, ' ')) AS n_tokens,
+         length(text)::DOUBLE / len(str_split(text, ' ')) AS mwl,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha,
+         len(list_distinct(str_split(text, ' ')))::DOUBLE
+           / len(str_split(text, ' ')) AS dr,
+         len(list_filter(str_split(text, ' '),
+                         t -> t IN ({_STOP_IN}))) AS n_stop
+  FROM documents
+),
+flagged AS (
+  SELECT source, text,
+         (n_tokens BETWEEN 5 AND 1000) AND (mwl BETWEEN 2 AND 12)
+           AND alpha >= 0.6 AND dr >= 0.3 AND n_stop >= 1 AS keep
+  FROM base
+),
+counts AS (
+  SELECT source, COUNT(*) AS docs_in,
+         COUNT(*) FILTER (WHERE keep) AS docs_kept
+  FROM flagged GROUP BY source
+),
+norm AS (
+  SELECT DISTINCT source,
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ntext
+  FROM flagged WHERE keep
+),
+normstats AS (
+  SELECT source, COUNT(*) AS docs_dedup,
+         SUM(len(str_split(ntext, ' ')))::BIGINT AS total_tokens
+  FROM norm GROUP BY source
+)
+SELECT c.source, c.docs_in, c.docs_kept,
+       COALESCE(n.docs_dedup, 0) AS docs_dedup,
+       COALESCE(n.total_tokens, 0) AS total_tokens
+FROM counts c LEFT JOIN normstats n USING (source)
+ORDER BY source
+"""
+
+
+@register("h37_pipeline_composition", oracle=_PIPELINE_ORACLE, group="H")
+def h37_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data pipeline as ONE Spark plan: quality
+    filter (h34 rules) → text normalization (h2) → exact dedup on the
+    normalized form (h1) → per-source corpus accounting (docs in/kept/
+    deduped, surviving token budget). What a data team actually runs
+    nightly; composing it in one declarative plan means Catalyst sees
+    the whole thing — the filter prunes before the dedup shuffle, and
+    the only shuffles are the per-source aggregate and the distinct.
+
+    Scale shape: filter+normalize are map-only; dedup is one hash
+    shuffle on (source, normalized text) [at 100 TB, on a 128-bit hash
+    of it]; final per-source rollup is combinable. No joins on data,
+    no windows, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_tok = F.size(t)
+    mwl = F.length("text") / n_tok
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    dr = F.size(F.array_distinct(t)) / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in _FILTER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    keep = (
+        n_tok.between(5, 1000)
+        & mwl.between(2, 12)
+        & (alpha >= 0.6)
+        & (dr >= 0.3)
+        & (n_stop >= 1)
+    )
+    flagged = docs.select("source", "text", keep.alias("keep"))
+    counts = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+    )
+    norm = (
+        flagged.filter("keep")
+        .select(
+            "source",
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias("ntext"),
+        )
+        .distinct()
+    )
+    normstats = norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_dedup"),
+        F.sum(F.size(F.split("ntext", " "))).cast("long").alias("total_tokens"),
+    )
+    return (
+        counts.join(normstats, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            "docs_kept",
+            F.coalesce("docs_dedup", F.lit(0)).alias("docs_dedup"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

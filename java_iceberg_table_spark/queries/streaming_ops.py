@@ -557,3 +557,78 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "i13_chained_stateful_dedup_window",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT event_id, ts FROM events WHERE event_id % 10 < 3
+)
+SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS window_start_us,
+       COUNT(*) AS cnt
+FROM d GROUP BY 1 ORDER BY 1
+""",
+    group="I",
+)
+def i13_chained_stateful_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (Spark 3.4+ multiple-stateful-
+    operator support): dropDuplicatesWithinWatermark feeding a tumbling
+    window aggregation in ONE streaming query — the shape of a real
+    ingest pipeline (dedupe at-least-once deliveries, then aggregate)
+    without materializing an intermediate topic/table between the two
+    stateful operators.
+
+    The staged source delivers every row twice (two copies, separate
+    micro-batches) plus a far-future sentinel row staged LAST whose
+    event time pushes the final watermark past every real window end,
+    so append mode finalizes all real windows; the sentinel's own
+    window stays open and never emits. Result == batch DISTINCT then
+    5-minute bucketing (the oracle). State is bounded by the watermark
+    on both operators: dedup keys and open windows older than
+    (max event time - 10 min) are evicted every batch."""
+    import datetime as dt
+    import glob as _glob
+
+    from ..fixtures import load_table as _lt
+
+    def build() -> str:
+        base = tempfile.mkdtemp(prefix="i13_")
+        src = base + "/src"
+        ev = (
+            _lt(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 10 < 3)
+            .select("event_id", "ts")
+        )
+        ev.coalesce(1).write.parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # duplicate copy
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts + dt.timedelta(days=365))], ev.schema
+        )
+        before = set(_glob.glob(os.path.join(src, "*.parquet")))
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        # the file source orders batches by modification time: the
+        # sentinel must be the LAST batch so both real copies pass
+        # through the dedup state before the watermark jumps
+        import time as _time
+
+        future = _time.time() + 1000
+        for p in set(_glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(p, (future, future))
+        return src
+
+    src = shared_staged(("i13_dup_sentinel", sf_dir), build)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "cnt")
+    )
+    return run_to_memory(stream, output_mode="append").orderBy("window_start_us")
