@@ -216,3 +216,50 @@ def test_q9_dims_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q9_product_profit")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_h31_tfidf_topk_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h31_tfidf_top_terms")
+    # per-doc top-3 must run under WindowGroupLimit (rank pushdown),
+    # and the idf side joins broadcast
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_h32_bm25_filter_before_shuffle_and_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h32_bm25_topk")
+    # the query-term IN filter must run BEFORE the tf aggregation
+    # shuffle: in the formatted plan the Filter on term appears in the
+    # same codegen stage as the scan, below the first Exchange
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+    filt = [l for l in plan.splitlines() if "Condition" in l and "term" in l]
+    assert filt, "query-term filter missing from the plan"
+    assert "BatchEvalPython" not in plan
+
+
+def test_h36_jl_projection_is_map_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h36_jl_projection")
+    # the seeded projection matrix is compiled into the plan: no
+    # shuffle except the final presentation sort, no join, no UDF
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one Exchange (the output orderBy's range partitioning)
+    body = plan.split("===== Subqueries =====")[0]
+    assert body.count("Exchange") <= 2  # rangepartitioning for sort only
+
+
+def test_h6d_prefix_filter_broadcasts_stats_sides(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h6d_prefix_filter_jaccard")
+    # df/size sides are broadcast; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_h37_pipeline_single_plan_no_udf(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "h37_pipeline_composition")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial aggregation feeds both rollups
+    assert "partial_count" in plan or "partial_sum" in plan
