@@ -466,11 +466,12 @@ from .llm_ops import _EXACT_JACCARD_SQL  # noqa: E402
 @register("h6d_prefix_filter_jaccard", oracle=_EXACT_JACCARD_SQL, group="H")
 def h6d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard near-dup (PPJoin-family pruning):
-    must equal the same exact-Jaccard oracle as h6/h6b, but the
-    candidate join carries only each doc's ~5% rarest tokens — the
-    exact-result scale path where h6's join-on-every-shared-token is
-    the correctness baseline (operators/dedup.py
-    prefix_filter_jaccard_pairs for the pruning argument)."""
+    must equal the same exact-Jaccard oracle as h6/h6b, with the
+    candidate join carrying only each doc's rarest ~5% of tokens.
+    See prefix_filter_jaccard_pairs (operators/dedup.py) for both the
+    pruning argument AND its measured applicability bound on this
+    fixture's small vocabulary — h6b MinHash-LSH remains the scale
+    path on small-vocab corpora."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=0.95)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
