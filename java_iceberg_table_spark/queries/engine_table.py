@@ -425,3 +425,55 @@ def a3i_engine_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_pk bigint, sum_qty_pk double, cnt_sk bigint, "
         "pruned_pk boolean, pruned_sk boolean",
     )
+
+
+@register(
+    "a3j_engine_bloom_point_lookup",
+    oracle="""
+WITH k AS (SELECT MIN(o_orderkey) AS key FROM orders)
+SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS sum_tp,
+       true AS bloom_pruned
+FROM orders, k WHERE o_orderkey = k.key
+""",
+    group="A",
+)
+def a3j_engine_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level Bloom-filter file skipping (table/bloom_index.py):
+    orders is appended across 4 hash-distributed files with the
+    ``write.bloom.column`` property on o_orderkey, so every file's
+    [min, max] covers the probe key and min/max stats prune NOTHING —
+    the per-file Bloom filter is what rules files out, from manifest
+    metadata alone (no parquet footer opened). The result proves both
+    halves: point-lookup content equals the fixture oracle, and
+    bloom_pruned asserts plan_files() matched fewer files than the
+    table holds (k=7, ~10 bits/key → ~1% FP per file; the flag is
+    deterministic at any fixture sf)."""
+
+    def build(root: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = create_table(
+            root, orders.schema, properties={"write.bloom.column": "o_orderkey"}
+        )
+        tbl.append(orders.repartition(4))
+
+    root = _shared_root(spark, sf_dir, "bloom", build)
+    tbl = open_table(root)
+    key = int(
+        tbl.scan(spark).agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    n_all = len(tbl.plan_files())
+    n_hit = len(tbl.plan_files([("o_orderkey", "=", key)]))
+    row = (
+        tbl.scan(spark, [("o_orderkey", "=", key)])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_tp"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(row["cnt"], row["sum_tp"], n_hit < n_all)],
+        "cnt bigint, sum_tp double, bloom_pruned boolean",
+    )

@@ -237,10 +237,24 @@ class Table:
         table's transform when one exists) and commit one fast-append
         snapshot. Files become visible atomically at commit. With
         ``branch``, the commit moves the branch ref instead of the
-        table head — the staging half of write-audit-publish."""
-        return self.append_entries(
-            self._write_data_files(df), branch=branch, extra_summary=extra_summary
-        )
+        table head — the staging half of write-audit-publish.
+
+        With the ``write.bloom.column`` table property set, one extra
+        Spark job builds a per-file Bloom filter over that column
+        (table/bloom_index.py) and stores it in each manifest entry, so
+        later point lookups skip files from manifest metadata alone."""
+        entries = self._write_data_files(df)
+        bloom_col = self.metadata.properties.get("write.bloom.column")
+        if bloom_col and entries:
+            from .bloom_index import build_file_blooms
+
+            file_rows = {
+                os.path.join(self.root, e["path"]): e["rows"] for e in entries
+            }
+            blooms = build_file_blooms(df.sparkSession, file_rows, bloom_col)
+            for e in entries:
+                e["bloom"] = blooms[os.path.join(self.root, e["path"])]
+        return self.append_entries(entries, branch=branch, extra_summary=extra_summary)
 
     def append_entries(
         self,
@@ -1640,7 +1654,18 @@ class Table:
         if op == ">=":
             return hi >= val
         if op in ("=", "=="):
-            return lo <= val <= hi
+            if not lo <= val <= hi:
+                return False
+            # manifest-level Bloom probe: min/max admits the file, but
+            # the per-file filter can still prove the key absent —
+            # the point-lookup pruning min/max can't do on columns
+            # whose values are spread across every file's range
+            bloom = entry.get("bloom")
+            if bloom and bloom.get("column") == col:
+                from .bloom_index import bloom_may_contain
+
+                return bloom_may_contain(bloom, val)
+            return True
         return True  # unknown op -> no pruning
 
     # ---------- schema evolution (Iceberg UpdateSchema semantics) ----------
