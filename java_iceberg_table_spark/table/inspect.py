@@ -57,6 +57,17 @@ MANIFEST_SCHEMA = T.StructType(
                         T.StructField("partition", T.LongType()),
                         T.StructField("columns", T.MapType(T.StringType(), _BOUNDS)),
                         T.StructField("seq", T.LongType()),
+                        T.StructField(
+                            "bloom",
+                            T.StructType(
+                                [
+                                    T.StructField("column", T.StringType()),
+                                    T.StructField("bits", T.LongType()),
+                                    T.StructField("k", T.LongType()),
+                                    T.StructField("words", T.ArrayType(T.LongType())),
+                                ]
+                            ),
+                        ),
                     ]
                 )
             ),

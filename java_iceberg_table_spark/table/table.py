@@ -1583,6 +1583,11 @@ class Table:
                     "partition": r["partition"],
                     "columns": cols,
                     **({"seq": r["seq"]} if r["seq"] is not None else {}),
+                    **(
+                        {"bloom": r["bloom"].asDict(recursive=True)}
+                        if "bloom" in r.__fields__ and r["bloom"] is not None
+                        else {}
+                    ),
                 }
             )
         return out
@@ -1628,7 +1633,32 @@ class Table:
             return F.lit(True)  # unknown op -> no pruning
         # a NULL bound on the side the comparison needs = no stats ->
         # cannot prune (same conservatism as the Python loop)
-        return F.when(used.isNull(), F.lit(True)).otherwise(keep)
+        out = F.when(used.isNull(), F.lit(True)).otherwise(keep)
+        if op in ("=", "=="):
+            # Bloom probe, same semantics as the Python loop: the k
+            # CRC32 hashes are literals (computed on the driver with
+            # zlib — hash parity with the build side), only the
+            # per-file modulo/bit-test runs in the expression, so the
+            # probe costs k element_at's per entry row.
+            import zlib as _zlib
+
+            from .bloom_index import NUM_HASHES, _SEED_FMT
+
+            conds = []
+            for i in range(NUM_HASHES):
+                h = _zlib.crc32((_SEED_FMT.format(i=i) + str(val)).encode("utf-8"))
+                conds.append(
+                    F.expr(
+                        f"(element_at(bloom.words, CAST(pmod({h}, bloom.bits) / 64 AS INT) + 1)"
+                        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({h}, bloom.bits) % 64 AS INT))) != 0"
+                    )
+                )
+            all_set = conds[0]
+            for c in conds[1:]:
+                all_set = all_set & c
+            no_bloom = F.col("bloom").isNull() | (F.col("bloom.column") != F.lit(col))
+            out = out & F.when(no_bloom, F.lit(True)).otherwise(all_set)
+        return out
 
     @staticmethod
     def _entry_may_match(

@@ -127,3 +127,26 @@ def test_build_probe_hash_parity(spark):
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_distributed_plan_path_honors_bloom(spark, bloom_table):
+    tbl, keys = bloom_table
+    k = int(min(keys))
+    # force the distributed manifest scan and compare with the driver
+    # loop: identical survivor sets for present AND absent probes
+    def both(filters):
+        drv = {e["path"] for e in tbl.plan_files(filters)}
+        dist = {
+            e["path"]
+            for e in tbl.plan_files(
+                filters, spark=spark, distributed_threshold_bytes=0
+            )
+        }
+        return drv, dist
+
+    for filters in ([("o_orderkey", "=", k)], [("o_orderkey", ">", k)]):
+        drv, dist = both(filters)
+        assert drv == dist, f"driver/distributed divergence for {filters}"
+    n_all = len(tbl.plan_files())
+    _, dist_hit = both([("o_orderkey", "=", k)])
+    assert 1 <= len(dist_hit) < n_all  # bloom pruned in the dist path too
