@@ -376,3 +376,103 @@ def d15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey", "m")
         .limit(300)
     )
+
+
+@register(
+    "d16_cohort_retention",
+    oracle="""
+WITH s AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, s.cw,
+         datediff('day', s.cw, date_trunc('week', e.ts)) // 7 AS week_offset
+  FROM events e JOIN s USING (user_id)
+  WHERE e.ts >= s.cw
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    group="D",
+)
+def d16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by signup week, counted
+    once per later active week. The product-analytics staple; shape is
+    one small per-user reduction (first signup) broadcast back against
+    the event stream — the events side shuffles once for the DISTINCT,
+    aggregations are combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    active = (
+        ev.join(F.broadcast(signup), "user_id")
+        .filter(F.col("ts") >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "d17_funnel_analysis",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""",
+    group="D",
+)
+def d17_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click that
+    precedes a purchase (strict event-time ordering, first-touch per
+    stage). Each stage is one combinable per-user MIN + a broadcast
+    join of the previous stage's user set — per-user state, never a
+    per-event self-join."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col("t")
+            ).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    counts = [df.agg(F.count(F.lit(1)).alias(name)) for df, name in [
+        (v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase")
+    ]]
+    out = counts[0].join(F.broadcast(counts[1])).join(F.broadcast(counts[2]))
+    return out
