@@ -250,3 +250,38 @@ def e8_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@register(
+    "e10_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY cnt DESC, prev_type, next_type
+LIMIT 10
+""",
+    group="E",
+)
+def e10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (first-order Markov counts): lag()
+    per user's time-ordered stream, then a combinable pair count. The
+    behavioral-analytics building block (what follows what); one
+    shuffle on user_id for the window, one tiny agg on the 25 possible
+    type pairs — never a self-join on events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "prev_type", "next_type")
+        .limit(10)
+    )
