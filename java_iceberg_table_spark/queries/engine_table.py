@@ -477,3 +477,53 @@ def a3j_engine_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
         [(row["cnt"], row["sum_tp"], n_hit < n_all)],
         "cnt bigint, sum_tp double, bloom_pruned boolean",
     )
+
+
+@register(
+    "a3k_engine_change_feed",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
+    AS n_insert,
+  (SELECT SUM(event_id) FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
+    AS sum_insert,
+  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+    AS n_delete,
+  (SELECT SUM(event_id) FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+    AS sum_delete
+""",
+    group="A",
+)
+def a3k_engine_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC (Table.changes_between): cursor at the first
+    append, then a second append AND a MOR equality delete land in the
+    window. The feed must report net row changes with snapshot
+    semantics — second-half rows arrive as inserts ONLY if still
+    visible at the window end (the %5 deletes already applied), and
+    first-half %5 rows surface as deletes. Manifest-diff fast path:
+    only files added/affected in the window are read (see
+    changes_between for the rewrite-window fallback contract)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    root = tempfile.mkdtemp(prefix="engine_cdc_") + "/t"
+    try:
+        tbl = create_table(root, ev.schema)
+        s0 = tbl.append(ev.filter(F.col("event_id") % 2 == 0))
+        tbl.append(ev.filter(F.col("event_id") % 2 == 1))
+        tbl.delete_eq_mor(
+            spark,
+            ev.filter(F.col("event_id") % 5 == 0).select("event_id"),
+            ["event_id"],
+        )
+        ch = tbl.changes_between(spark, s0.snapshot_id)
+        agg = ch.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+        ).collect()
+        by = {r["_change_type"]: (r["n"], r["s"]) for r in agg}
+        ins = by.get("insert", (0, 0))
+        dl = by.get("delete", (0, 0))
+        return spark.createDataFrame(
+            [(ins[0], ins[1], dl[0], dl[1])],
+            "n_insert bigint, sum_insert bigint, n_delete bigint, sum_delete bigint",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

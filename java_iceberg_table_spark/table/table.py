@@ -1800,6 +1800,83 @@ class Table:
         entries, cursor = self.incremental_entries(after_snapshot_id)
         return self.read_entries(spark, entries), cursor
 
+    def changes_between(
+        self,
+        spark: SparkSession,
+        after_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed (CDC) between two snapshots: the table
+        rows with a ``_change_type`` column ('insert' | 'delete') such
+        that  scan(from) + inserts − deletes == scan(to). An update
+        surfaces as delete+insert (no before/after pairing — the
+        consumer contract of an upsert-merge sink).
+
+        Cost model, not one-size-fits-all:
+        - append/delete-only windows run on the MANIFEST diff: inserts
+          read only files added in the window, removed-file deletes
+          read only the removed files, and common files are re-read
+          only when the window added MOR delete files (the exceptAll
+          there preserves equality-delete sequence semantics exactly).
+        - windows containing a rewrite ('replace' compaction/z-order or
+          'overwrite' row-level ops) fall back to a full content diff
+          (exceptAll both ways): a rewrite moves rows between files, so
+          file identity stops meaning row identity. CDC consumers that
+          need cheap tailing should cursor BETWEEN maintenance commits
+          (the bookkeeper runs maintenance; readers tail the append
+          gaps — same discipline Delta/Iceberg CDC asks for)."""
+        from_snap = self.snapshot_by_id(after_snapshot_id)
+        to_snap = (
+            self.snapshot_by_id(to_snapshot_id)
+            if to_snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        schema = self.schema_of_snapshot(to_snap.snapshot_id)
+        ins_t = F.lit("insert").alias("_change_type")
+        del_t = F.lit("delete").alias("_change_type")
+        if to_snap.snapshot_id == from_snap.snapshot_id:
+            return spark.createDataFrame([], schema).select("*", ins_t).limit(0)
+        chain: list[Snapshot] = []
+        seen = False
+        for s in self.metadata.snapshots:
+            if s.snapshot_id == from_snap.snapshot_id:
+                seen = True
+                continue
+            if seen:
+                chain.append(s)
+            if s.snapshot_id == to_snap.snapshot_id:
+                break
+        ops = {s.operation for s in chain}
+        if ops & {"overwrite", "replace"}:
+            df_from = self.scan(spark, snapshot_id=from_snap.snapshot_id)
+            df_to = self.scan(spark, snapshot_id=to_snap.snapshot_id)
+            return df_to.exceptAll(df_from).select("*", ins_t).unionByName(
+                df_from.exceptAll(df_to).select("*", del_t)
+            )
+        from_entries = {e["path"]: e for e in self.files_of(from_snap)}
+        to_entries = {e["path"]: e for e in self.files_of(to_snap)}
+        added = [e for p, e in to_entries.items() if p not in from_entries]
+        removed = [e for p, e in from_entries.items() if p not in to_entries]
+        inserts = self._read_with_deletes(spark, added, to_snap, schema=schema)
+        deletes = self._read_with_deletes(
+            spark, removed, from_snap, schema=schema
+        )
+        if from_snap.delete_manifests != to_snap.delete_manifests:
+            common = [
+                e for p, e in from_entries.items() if p in to_entries
+            ]
+            if common:
+                vis_from = self._read_with_deletes(
+                    spark, common, from_snap, schema=schema
+                )
+                vis_to = self._read_with_deletes(
+                    spark, common, to_snap, schema=schema
+                )
+                deletes = deletes.unionByName(vis_from.exceptAll(vis_to))
+        return inserts.select("*", ins_t).unionByName(
+            deletes.select("*", del_t)
+        )
+
     def scan(
         self,
         spark: SparkSession,
