@@ -527,3 +527,93 @@ def a3k_engine_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3l_incremental_view_maintenance",
+    oracle="""
+WITH final AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE (event_id % 3 IN (0, 1) AND event_id % 4 <> 0)
+     OR event_id % 3 = 2
+),
+mv AS (
+  SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sv
+  FROM final GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users, SUM(cnt) AS total_rows,
+       ROUND(SUM(sv), 4) AS total_value, true AS mv_equals_recompute
+FROM mv
+""",
+    group="A",
+)
+def a3l_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change feed:
+    a per-user (count, sum) view is built ONCE at the cursor snapshot,
+    then brought current by aggregating only the CDC delta (inserts
+    add, deletes subtract — count/sum are self-maintainable
+    aggregates) and merging it in with one outer join on the view key.
+    The window covers an append, a MOR equality delete, and a second
+    append AFTER the delete — whose %4 rows must survive (equality-
+    delete sequence semantics flow through the feed untouched).
+
+    The scale story this proves: refreshing the view costs
+    O(|changes|) scan + O(|touched keys|) merge instead of O(|table|)
+    recompute — the difference between minutes and a full-table pass
+    at 100 TB. mv_equals_recompute asserts the maintained view equals
+    the from-scratch recompute, row for row."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="engine_ivm_") + "/t"
+    try:
+        tbl = create_table(root, ev.schema)
+        s0 = tbl.append(ev.filter(F.col("event_id") % 3 == 0))
+        base_mv = (
+            tbl.scan(spark)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        )
+        tbl.append(ev.filter(F.col("event_id") % 3 == 1))
+        tbl.delete_eq_mor(
+            spark,
+            ev.filter(F.col("event_id") % 4 == 0).select("event_id"),
+            ["event_id"],
+        )
+        tbl.append(ev.filter(F.col("event_id") % 3 == 2))
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            tbl.changes_between(spark, s0.snapshot_id)
+            .groupBy("user_id")
+            .agg(
+                F.sum(sign).alias("d_cnt"),
+                F.sum(sign * F.col("value")).alias("d_sv"),
+            )
+        )
+        mv = (
+            base_mv.join(delta, "user_id", "full_outer")
+            .select(
+                "user_id",
+                (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+                (F.coalesce("sv", F.lit(0.0)) + F.coalesce("d_sv", F.lit(0.0))).alias("sv"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        recompute = (
+            tbl.scan(spark)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        )
+        a = mv.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+        b = recompute.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+        equal = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("total_rows"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["n_users"], row["total_rows"], float(row["total_value"]), equal)],
+            "n_users bigint, total_rows bigint, total_value double, "
+            "mv_equals_recompute boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
