@@ -352,3 +352,49 @@ def c14_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "custkey")
         .limit(50)
     )
+
+
+@register(
+    "c15_banded_interval_join",
+    oracle="""
+SELECT COUNT(*) AS cnt
+FROM events a JOIN events b
+  ON a.event_id < b.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+""",
+    group="C",
+)
+def c15_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) join with NO equi key: all event pairs within
+    60 s of each other. The naive plan is a nested-loop/cartesian —
+    O(n²) and a non-starter at scale. The scale form bucketizes time
+    at the band width and equi-joins on the bucket: the left side
+    explodes into its bucket ±1 (3 rows), the right side keeps its
+    single bucket, so every qualifying pair meets in EXACTLY one
+    bucket (no post-join dedup needed) and the join is a plain
+    shuffle-hash on the bucket key. Residual |Δt| ≤ 60 s filters the
+    band precisely. Shuffle volume is 3×|left| + |right|; the n²
+    explosion is gone. Plan-gated: no CartesianProduct /
+    BroadcastNestedLoopJoin."""
+    BAND_S = 60
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    bucket = (F.unix_micros("ts") / (BAND_S * 1_000_000)).cast("long")
+    a = (
+        ev.withColumn(
+            "bk", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+        )
+        .select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "bk")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("bk"),
+    )
+    pairs = a.join(b, "bk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.abs(F.unix_micros("ts_b") - F.unix_micros("ts_a"))
+            <= BAND_S * 1_000_000
+        )
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("cnt"))

@@ -263,3 +263,12 @@ def test_h37_pipeline_single_plan_no_udf(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # map-side partial aggregation feeds both rollups
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_c15_band_join_is_equi_on_bucket(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c15_banded_interval_join")
+    # the band join must run as an equi join on the time bucket, never
+    # as a nested-loop/cartesian over event pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
