@@ -632,3 +632,56 @@ def i13_chained_stateful_dedup_window(spark: SparkSession, sf_dir: str) -> DataF
         .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "cnt")
     )
     return run_to_memory(stream, output_mode="append").orderBy("window_start_us")
+
+
+@register(
+    "i14_streaming_incremental_topk",
+    oracle="""
+SELECT event_id, ROUND(value, 4) AS value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 10
+""",
+    group="I",
+)
+def i14_streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k over a stream: foreachBatch folds each
+    micro-batch's LOCAL top-10 into a running top-10 (union of two
+    k-row sets, re-ranked). State is k rows — independent of stream
+    length — and each batch's work is one TakeOrdered over the batch
+    plus a k+k merge, the streaming analogue of map-side partial
+    top-k. Equal to the batch top-10 oracle because top-k is a
+    mergeable aggregate: topk(A ∪ B) == topk(topk(A) ∪ topk(B))."""
+    K = 10
+    src, _ = shared_events_src(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(src).schema
+    running: list[tuple] = []  # k rows on the driver: bounded state
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_top = (
+            batch_df.select("event_id", "value")
+            .orderBy(F.col("value").desc(), F.col("event_id"))
+            .limit(K)
+            .collect()
+        )
+        merged = running + [(r["event_id"], r["value"]) for r in batch_top]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        running[:] = merged[:K]
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_i14_")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(e, round(v, 4)) for e, v in running], "event_id bigint, value double"
+    )
