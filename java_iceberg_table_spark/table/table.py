@@ -244,17 +244,27 @@ class Table:
         (table/bloom_index.py) and stores it in each manifest entry, so
         later point lookups skip files from manifest metadata alone."""
         entries = self._write_data_files(df)
-        bloom_col = self.metadata.properties.get("write.bloom.column")
-        if bloom_col and entries:
-            from .bloom_index import build_file_blooms
-
-            file_rows = {
-                os.path.join(self.root, e["path"]): e["rows"] for e in entries
-            }
-            blooms = build_file_blooms(df.sparkSession, file_rows, bloom_col)
-            for e in entries:
-                e["bloom"] = blooms[os.path.join(self.root, e["path"])]
+        self._attach_blooms(df.sparkSession, entries)
         return self.append_entries(entries, branch=branch, extra_summary=extra_summary)
+
+    def _attach_blooms(self, spark: SparkSession, entries: list[dict]) -> None:
+        """Attach per-file Bloom filters to freshly written entries when
+        the ``write.bloom.column`` property is set. Called by EVERY
+        path that creates data files (append, compaction, z-order
+        rewrite) — a rewrite that dropped the blooms would silently
+        regress point-lookup pruning on the rewritten files."""
+        bloom_col = self.metadata.properties.get("write.bloom.column")
+        parquet = [e for e in entries if not e["path"].endswith(".avro")]
+        if not bloom_col or not parquet:
+            return
+        from .bloom_index import build_file_blooms
+
+        file_rows = {
+            os.path.join(self.root, e["path"]): e["rows"] for e in parquet
+        }
+        blooms = build_file_blooms(spark, file_rows, bloom_col)
+        for e in parquet:
+            e["bloom"] = blooms[os.path.join(self.root, e["path"])]
 
     def append_entries(
         self,
@@ -1331,6 +1341,7 @@ class Table:
                     }
                 )
 
+        self._attach_blooms(spark, new_entries)
         stale_manifests: list[str] = []
 
         def build(current: TableMetadata) -> TableMetadata | None:
@@ -1445,6 +1456,7 @@ class Table:
                     }
                 )
 
+        self._attach_blooms(spark, new_entries)
         stale_manifests: list[str] = []
 
         def build(current: TableMetadata) -> TableMetadata | None:

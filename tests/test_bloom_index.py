@@ -150,3 +150,32 @@ def test_distributed_plan_path_honors_bloom(spark, bloom_table):
     n_all = len(tbl.plan_files())
     _, dist_hit = both([("o_orderkey", "=", k)])
     assert 1 <= len(dist_hit) < n_all  # bloom pruned in the dist path too
+
+
+def test_blooms_survive_rewrites(spark, sf_dir):
+    # compaction and z-order rewrites must re-attach blooms to the new
+    # files — otherwise a maintenance pass silently regresses
+    # point-lookup pruning
+    from java_iceberg_table_spark.fixtures import load_table
+
+    base = tempfile.mkdtemp(prefix="bloom_rw_")
+    root = base + "/t"
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = create_table(
+            root, orders.schema, properties={"write.bloom.column": "o_orderkey"}
+        )
+        tbl.append(orders.repartition(4))
+        tbl.rewrite_clustered(spark, ["o_orderkey", "o_custkey"], n_files=4)
+        entries = tbl.plan_files()
+        assert entries and all("bloom" in e for e in entries)
+        k = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+        # after z-order, min/max already prunes on o_orderkey; the
+        # bloom must still answer present/absent correctly
+        assert tbl.scan(spark, [("o_orderkey", "=", k)]).count() >= 1
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
