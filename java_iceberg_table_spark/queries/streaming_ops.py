@@ -685,3 +685,115 @@ def i14_streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         [(e, round(v, 4)) for e, v in running], "event_id bigint, value double"
     )
+
+
+@register(
+    "i15_streaming_ingest_pipeline",
+    oracle="""
+WITH base AS (
+  SELECT text,
+         len(str_split(text, ' ')) AS n_tokens,
+         length(text)::DOUBLE / len(str_split(text, ' ')) AS mwl,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha
+  FROM documents
+),
+kept AS (
+  SELECT text FROM base
+  WHERE n_tokens BETWEEN 5 AND 1000 AND mwl BETWEEN 2 AND 12 AND alpha >= 0.6
+),
+norm AS (
+  SELECT DISTINCT regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ntext
+  FROM kept
+)
+SELECT COUNT(*) AS n_docs, SUM(length(ntext))::BIGINT AS total_norm_chars
+FROM norm
+""",
+    group="I",
+)
+def i15_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-data ingestion — h37's pipeline as a live
+    stream: each micro-batch is quality-filtered and normalized, then
+    exact-deduplicated BOTH within the batch and against everything
+    already committed (broadcast anti-join on the normalized-text
+    hash against the state table's hash column — one small column,
+    not the corpus), and the survivors append as one snapshot. The
+    staged source delivers every document twice across batches, so
+    cross-batch dedup is load-bearing: the final table must equal the
+    batch DISTINCT of the filtered corpus regardless of arrival
+    order. At scale the state side is a hash-only projection of the
+    table (8 bytes/doc) — the anti-join's broadcast/shuffle cost
+    tracks corpus COUNT, never corpus bytes."""
+    from ..fixtures import load_table as _lt
+    from ..table import create_table
+
+    def build() -> str:
+        src = tempfile.mkdtemp(prefix="i15_") + "/src"
+        docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.coalesce(2).write.parquet(src)
+        docs.coalesce(2).write.mode("append").parquet(src)  # duplicate copy
+        return src
+
+    src = shared_staged(("i15_docs_dup", sf_dir), build)
+    schema = spark.read.parquet(src).schema
+    t = F.split("text", " ")
+    n_tok = F.size(t)
+    mwl = F.length("text") / n_tok
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")) / F.length(
+        "text"
+    )
+    keep = n_tok.between(5, 1000) & mwl.between(2, 12) & (alpha >= 0.6)
+    ntext = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    state_schema = StructType(
+        [
+            StructField("nhash", LongType(), False),
+            StructField("ntext", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="i15_tbl_") + "/t"
+    try:
+        tbl = create_table(root, state_schema)
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            fresh = (
+                batch_df.filter(keep)
+                .select(ntext.alias("ntext"))
+                .select(F.xxhash64("ntext").alias("nhash"), "ntext")
+                .dropDuplicates(["nhash"])
+            )
+            seen = tbl.scan(spark).select("nhash")
+            fresh = fresh.join(F.broadcast(seen), "nhash", "left_anti")
+            if not fresh.isEmpty():
+                tbl.append(fresh)
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt_i15_")
+        try:
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        row = (
+            tbl.scan(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("ntext")).alias("total_norm_chars"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(row["n_docs"], row["total_norm_chars"])],
+            "n_docs bigint, total_norm_chars bigint",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
