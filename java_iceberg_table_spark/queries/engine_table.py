@@ -617,3 +617,48 @@ def a3l_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3m_engine_datasource_connector",
+    oracle="""
+SELECT c_mktsegment AS segment, COUNT(*) AS cnt,
+       ROUND(SUM(c_acctbal), 4) AS sum_bal
+FROM customer WHERE c_acctbal > 1000
+GROUP BY c_mktsegment ORDER BY segment
+""",
+    group="A",
+)
+def a3m_engine_datasource_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine table as a first-class Spark data source (Python
+    Data Source API): the fixture is written THROUGH
+    ``df.write.format("engine_table")`` (distributed Arrow write
+    tasks, one atomic fast-append commit) and read back THROUGH
+    ``spark.read.format("engine_table")`` (one input partition per
+    live data file, manifest pruning with pushed-down filters, Arrow
+    batches executor-side). The oracle checks the whole connector
+    round trip — no engine-specific call remains at the query site."""
+    from ..sources import register_engine_datasource
+
+    register_engine_datasource(spark)
+
+    def build(root: str) -> None:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        create_table(root, cust.schema)
+        cust.write.format("engine_table").option("root", root).mode(
+            "append"
+        ).save()
+
+    root = _shared_root(spark, sf_dir, "datasource", build)
+    df = spark.read.format("engine_table").option("root", root).load()
+    return (
+        df.filter(F.col("c_acctbal") > 1000)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+        .orderBy("segment")
+    )

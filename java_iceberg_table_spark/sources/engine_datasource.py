@@ -335,7 +335,7 @@ class EngineTableDataSource(DataSource):
     def schema(self) -> StructType:
         from ..table import load_table
 
-        return load_table(self._root()).schema
+        return load_table(self._root()).schema()
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return EngineBatchReader(self._root(), schema, self.options)
@@ -356,4 +356,8 @@ class EngineTableDataSource(DataSource):
 
 
 def register_engine_datasource(spark) -> None:
+    # EngineBatchReader implements pushFilters(); Spark 4 rejects such
+    # readers outright (not merely skipping pushdown) unless this conf
+    # is on. It is runtime-settable, so registration turns it on.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EngineTableDataSource)
