@@ -27,6 +27,7 @@ HEADLINE = [
     "d3_count_distinct",
     "f2_topk",
     "h3_top_tokens",
+    "h37_pipeline_composition",  # filter->normalize->dedup->account, one plan
     "h6b_minhash_lsh_near_dup",
     "h8_ann_bruteforce_topk",
     "h8b_ann_lsh_topk",
