@@ -662,3 +662,39 @@ def a3m_engine_datasource_connector(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "a3n_engine_rollback",
+    oracle="""
+SELECT COUNT(*) AS cnt, SUM(c_custkey) AS sum_key
+FROM customer
+""",
+    group="A",
+)
+def a3n_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Table.rollback_to): a bad commit (here a
+    metadata delete wiping half the table) is undone by moving the
+    head back to the pre-delete snapshot — metadata-only, nothing
+    rewritten, the bad snapshot stays time-travelable until expiry.
+    The post-rollback scan must equal the original fixture, and the
+    rolled-past state remains reachable by explicit snapshot id."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    root = tempfile.mkdtemp(prefix="engine_rb_") + "/t"
+    try:
+        tbl = create_table(root, cust.schema, partition=truncate("c_custkey", 100))
+        good = tbl.append(cust)
+        tbl.delete_where("c_custkey", "<", 10**9)  # the bad commit: wipes all
+        assert tbl.scan(spark).count() == 0
+        bad_id = tbl.metadata.current_snapshot().snapshot_id
+        tbl.rollback_to(good.snapshot_id)
+        # the bad state is still reachable explicitly (until expiry)
+        assert tbl.scan(spark, snapshot_id=bad_id).count() == 0
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("c_custkey").alias("sum_key")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"])], "cnt bigint, sum_key bigint"
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -402,6 +402,27 @@ class Table:
         fmt.commit(self.root, build, max_retries=retries)
         return result[0] if result else None
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Metadata-only restore: move the table head back to an
+        existing snapshot (Iceberg's rollback). Nothing is rewritten
+        and nothing is deleted — the rolled-past snapshots stay in the
+        log (still time-travelable, still GC roots) until snapshot
+        expiry reaps them, so a rollback is instantly reversible by
+        rolling 'back' to the newer snapshot id."""
+
+        def build(current: TableMetadata) -> TableMetadata:
+            if not any(s.snapshot_id == snapshot_id for s in current.snapshots):
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            if current.current_snapshot_id == snapshot_id:
+                raise ValueError("already at the requested snapshot")
+            return replace(
+                current,
+                version=current.version + 1,
+                current_snapshot_id=snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+
     # ---------- refs: branches / tags / write-audit-publish ----------
 
     def _set_ref(self, name: str, ref_type: str, snapshot_id: int | None) -> None:

@@ -72,3 +72,32 @@ def test_ref_management_guards(spark, tmp_path):
     tbl.drop_ref("b1")
     with pytest.raises(KeyError):
         tbl.scan(spark, ref="b1")
+
+
+def test_rollback_to_restores_and_is_reversible(spark, sf_dir):
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+    from java_iceberg_table_spark.fixtures import load_table
+    from java_iceberg_table_spark.table import create_table
+
+    base = tempfile.mkdtemp(prefix="rb_")
+    try:
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+        tbl = create_table(base + "/t", cust.schema)
+        s1 = tbl.append(cust.limit(100))
+        s2 = tbl.append(cust)
+        n2 = tbl.scan(spark).count()
+        tbl.rollback_to(s1.snapshot_id)
+        assert tbl.scan(spark).count() == 100
+        # instantly reversible: the newer snapshot is still in the log
+        tbl.rollback_to(s2.snapshot_id)
+        assert tbl.scan(spark).count() == n2
+        # unknown id and no-op rollback fail loudly
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            tbl.rollback_to(123456789)
+        with _pytest.raises(ValueError):
+            tbl.rollback_to(s2.snapshot_id)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
