@@ -735,3 +735,50 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then within each cluster drop every
+    vector whose cosine similarity to a lower-id vector in the same
+    cluster is >= ``threshold``. Returns the KEPT rows
+    (id, vec, cluster).
+
+    Scale design: the k-means fit/assign reuses the IVF machinery
+    (operators/similarity.ivf_index — literal-broadcast centroid
+    assignment, ONE (cluster, dim) shuffle per Lloyd iteration), so
+    the only pairwise work is the within-cluster self-join, bounded by
+    the largest cluster — at 100 TB you raise n_clusters so cluster
+    size stays bounded (the paper runs 50k clusters on LAION), and the
+    self-join is an equi-join on the cluster key, never a cross join.
+
+    Keep rule (deterministic): drop x iff exists y in cluster(x) with
+    id(y) < id(x) and cos(x, y) >= threshold. The kept set is
+    guaranteed clean: for any kept pair (y < x), cos < threshold,
+    otherwise x would have been dropped.
+    """
+    from .similarity import cosine_expr, ivf_index
+
+    assigned, _ = ivf_index(
+        df, id_col, vec_col, n_centroids=n_clusters, iters=iters, seed=seed
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .filter(cosine_expr("a.vec", "b.vec") >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti")

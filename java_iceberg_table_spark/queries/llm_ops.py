@@ -1319,3 +1319,86 @@ def h30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- BPE vocabulary induction (h38) ------------------------------------
+@register(
+    "h38_bpe_vocab_induction",
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_merges, TRUE AS all_counts_positive,
+       TRUE AS mass_strictly_decreasing
+""",
+    group="H",
+)
+def h38_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) over the
+    documents corpus: ONE corpus pass reduces text to a word-type
+    frequency table, then 10 merge rounds run at vocabulary scale
+    (pair-count shuffle + 1-row argmax collect + JVM-side fold merge —
+    operators/bpe.py). The learned merges are corpus statistics no SQL
+    engine reproduces, so the graded output is the invariant summary:
+    all 10 merges found positive-count pairs and each application
+    strictly shrank the corpus symbol mass (a merge that was chosen
+    but not applied, or an argmax over empty pairs, flips a value and
+    fails the driver's hash check). Merge-level behavior is unit-tested
+    in tests/test_operators.py."""
+    from ..operators.bpe import bpe_selfcheck, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _syms, masses = bpe_train(docs, "text", n_merges=10)
+    return bpe_selfcheck(spark, merges, masses, n_merges=10)
+
+
+# ---- semantic dedup / SemDeDup (h39) -----------------------------------
+@register(
+    "h39_semantic_dedup",
+    oracle="""
+SELECT COUNT(*)::BIGINT + 5 AS n_input, CAST(5 AS BIGINT) AS n_planted,
+       TRUE AS planted_all_dropped, TRUE AS kept_clean
+FROM embeddings
+""",
+    group="H",
+)
+def h39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023): k-means cluster the embedding space,
+    drop within-cluster cosine near-duplicates keeping the lowest id
+    (operators/dedup.semantic_dedup — pairwise work bounded per
+    cluster, cluster count scales with the corpus). k-means cells
+    aren't SQL-reproducible, so the graded output is the self-check:
+    5 planted exact copies (vec_id + 10^7, identical vectors => same
+    cluster, cosine 1.0) MUST all be dropped, and the kept set must
+    contain no within-cluster pair above the threshold (verified by
+    re-running the candidate join on the kept rows). A dedup miss or a
+    dirty kept set flips a flag and fails the driver's hash check."""
+    from ..operators.dedup import semantic_dedup
+    from ..operators.similarity import cosine_expr
+
+    OFFSET = 10_000_000
+    N_PLANT = 5
+    THRESH = 0.95
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    kept = semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=THRESH, n_clusters=8
+    ).persist()
+    n_kept_planted = kept.filter(F.col("id") >= OFFSET).count()
+    a, b = kept.alias("a"), kept.alias("b")
+    dirty = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cosine_expr("a.vec", "b.vec") >= THRESH)
+        .count()
+    )
+    n_input = corpus.count()
+    kept.unpersist()
+    return spark.createDataFrame(
+        [(n_input, N_PLANT, n_kept_planted == 0, dirty == 0)],
+        "n_input long, n_planted long, planted_all_dropped boolean, "
+        "kept_clean boolean",
+    )

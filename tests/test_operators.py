@@ -256,3 +256,53 @@ def test_chunk_dedup_counts(spark):
     assert got["n_chunks_distinct"] == 5
     assert got["n_dup_chunks"] == 1
     assert got["n_docs_majority_dup"] == 0  # 1/2 chunks dup is not > 0.5
+
+
+def test_bpe_merge_semantics(spark):
+    """BPE on a corpus where the merge sequence is hand-computable:
+    'aa ab' x3 + 'b' — chars a,a,</w> / a,b,</w> / b,</w>."""
+    from java_iceberg_table_spark.operators.bpe import bpe_train
+
+    rows = [(1, "aa ab aa"), (2, "ab aa b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # word freqs: aa:3, ab:2, b:1
+    merges, syms, masses = bpe_train(df, "text", n_merges=3)
+    # step 1: pairs (a,a):3, (a,</w>):3? no — 'aa'=[a,a,</w>]: (a,a),(a,</w>);
+    # 'ab'=[a,b,</w>]: (a,b),(b,</w>); 'b'=[b,</w>]: (b,</w>)
+    # counts: (a,a):3, (a,</w>):3, (a,b):2, (b,</w>):3 -> tie at 3,
+    # lexicographic: (a,</w>) < (a,a) < (b,</w>)  ('<' on strings:
+    # '</w>' starts with '<' (0x3c) < 'a' (0x61)) -> first merge (a,</w>)?
+    # 'aa'=[a,a,</w>] has (a,</w>) once -> merge applies to aa and NOT ab.
+    assert merges[0][0] == "a" and merges[0][1] == "</w>"
+    assert merges[0][2] == 3
+    # mass strictly decreases each step
+    assert all(m2 < m1 for m1, m2 in zip(masses, masses[1:]))
+    # leftmost-first non-overlap: 'aaa...' case
+    df2 = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    merges2, syms2, _ = bpe_train(df2, "text", n_merges=1)
+    assert (merges2[0][0], merges2[0][1]) == ("a", "a")
+    got = {tuple(r["syms"]) for r in syms2.collect()}
+    # aaaa -> [aa, aa, </w>], aaa -> [aa, a, </w>]
+    assert ("aa", "aa", "</w>") in got
+    assert ("aa", "a", "</w>") in got
+
+
+def test_semantic_dedup_keep_lowest_and_clean(spark):
+    """Planted orthogonal clusters with exact copies: copies dropped,
+    lowest id kept, kept set has no near-dup pair."""
+    from java_iceberg_table_spark.operators.dedup import semantic_dedup
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e3 = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (0, e1), (1, e1), (2, e1),   # triple dup -> keep 0
+        (3, e2), (4, e2),            # pair dup   -> keep 3
+        (5, e3),                     # unique     -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.99, n_clusters=3, iters=2
+    )
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [0, 3, 5]
