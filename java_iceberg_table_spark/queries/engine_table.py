@@ -698,3 +698,44 @@ def a3n_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3o_engine_partition_evolution",
+    oracle="""
+SELECT COUNT(*) AS cnt, SUM(o_orderkey) AS sum_key,
+       COUNT(CASE WHEN o_orderkey >= 1500 THEN 1 END) AS cnt_tail
+FROM orders
+""",
+    group="A",
+)
+def a3o_engine_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec evolution (Table.update_partition_spec): half the
+    orders fixture is appended under truncate(o_orderkey, 1000), the
+    spec then evolves to width 200 — a metadata-only commit, no data
+    rewrite — and the rest is appended under the new spec. Every read
+    path must prune each file under the spec it was WRITTEN with
+    (manifest entries carry spec_id): the query scans the full table
+    and a >= filter whose correct answer needs old files interpreted
+    at the old width, returning totals the oracle recomputes from the
+    raw fixture. Pruning behavior itself is pinned in
+    tests/test_table_layer.py::test_partition_evolution_prunes_per_spec."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_pe_") + "/t"
+    try:
+        tbl = create_table(root, orders.schema, partition=truncate("o_orderkey", 1000))
+        mid = 1500  # not aligned to either width: files straddle it
+        tbl.append(orders.filter(F.col("o_orderkey") < mid))
+        tbl.update_partition_spec(truncate("o_orderkey", 200))
+        tbl.append(orders.filter(F.col("o_orderkey") >= mid))
+        # filtered scan exercises mixed-spec pruning; full scan the totals
+        tail = tbl.scan(spark, filters=[("o_orderkey", ">=", mid)])
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").alias("sum_key")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], tail.count())],
+            "cnt bigint, sum_key bigint, cnt_tail bigint",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -104,6 +104,17 @@ class TableMetadata:
     # Branches move (staged WAP writes); tags are immutable pins. Both
     # protect their snapshot from expiry.
     refs: dict = field(default_factory=dict)
+    # partition-spec evolution log (Iceberg partition evolution): every
+    # spec ever current, as [{"spec_id": int, "spec": transform json |
+    # None}], LAST element = the current spec (mirrors partition_spec).
+    # Empty (pre-evolution metadata) derives to [{0, partition_spec}]
+    # via specs() — data files written before an evolution keep their
+    # old partition values and are pruned under the spec they were
+    # written with (manifest entries carry spec_id).
+    spec_log: list[dict] = field(default_factory=list)
+
+    def specs(self) -> list[dict]:
+        return self.spec_log or [{"spec_id": 0, "spec": self.partition_spec}]
 
     def current_snapshot(self) -> Snapshot | None:
         for s in self.snapshots:
@@ -134,6 +145,7 @@ class TableMetadata:
             "schemas": self.schemas,
             "current_schema_id": self.current_schema_id,
             "refs": self.refs,
+            "spec_log": self.specs(),
         }
 
     @staticmethod
@@ -150,6 +162,7 @@ class TableMetadata:
             schemas=schemas,
             current_schema_id=int(d.get("current_schema_id", 0)),
             refs=dict(d.get("refs", {})),
+            spec_log=list(d.get("spec_log") or []),
         )
 
 

@@ -57,6 +57,7 @@ MANIFEST_SCHEMA = T.StructType(
                         T.StructField("partition", T.LongType()),
                         T.StructField("columns", T.MapType(T.StringType(), _BOUNDS)),
                         T.StructField("seq", T.LongType()),
+                        T.StructField("spec_id", T.LongType()),
                         T.StructField(
                             "bloom",
                             T.StructType(

@@ -97,6 +97,59 @@ class Table:
         spec = self.metadata.partition_spec
         return TruncateTransform.from_json(spec) if spec else None
 
+    # ---------- partition spec evolution ----------
+
+    @staticmethod
+    def _spec_map(md: TableMetadata) -> dict[int, TruncateTransform | None]:
+        """spec_id -> transform for every spec the table has ever had
+        (pre-evolution metadata derives {0: current spec})."""
+        out: dict[int, TruncateTransform | None] = {}
+        for s in md.specs():
+            spec = s.get("spec")
+            out[int(s["spec_id"])] = (
+                TruncateTransform.from_json(spec) if spec else None
+            )
+        return out
+
+    @staticmethod
+    def _entry_transform(
+        entry: dict, specs: dict[int, TruncateTransform | None]
+    ) -> TruncateTransform | None:
+        """The transform an entry's partition value was written under:
+        entries carry spec_id from the commit that wrote them; entries
+        predating evolution default to spec 0."""
+        return specs.get(int(entry.get("spec_id", 0) or 0))
+
+    def current_spec_id(self, md: TableMetadata | None = None) -> int:
+        specs = (md or self.metadata).specs()
+        return int(specs[-1]["spec_id"])
+
+    def update_partition_spec(self, new: TruncateTransform | None) -> int:
+        """Iceberg partition evolution: change how FUTURE writes are
+        partitioned — metadata-only, no data rewrite. Existing files
+        keep the partition values of the spec they were written under
+        and every read path prunes them with THAT spec (manifest
+        entries carry spec_id); new appends partition and prune under
+        the new spec. Returns the new spec id."""
+        result = [0]
+
+        def build(current: TableMetadata) -> TableMetadata:
+            log = list(current.specs())
+            next_id = int(log[-1]["spec_id"]) + 1
+            log.append(
+                {"spec_id": next_id, "spec": new.to_json() if new else None}
+            )
+            result[0] = next_id
+            return replace(
+                current,
+                version=current.version + 1,
+                partition_spec=new.to_json() if new else None,
+                spec_log=log,
+            )
+
+        fmt.commit(self.root, build)
+        return result[0]
+
     def schema(self) -> StructType:
         return StructType.fromJson(self.metadata.schema_json)
 
@@ -194,7 +247,9 @@ class Table:
         job-per-bucket loop."""
         batch = uuid.uuid4().hex
         out_dir = os.path.join(self.root, "data", f"{prefix}-{batch}")
+        md = self.metadata
         t = self.transform
+        spec_id = self.current_spec_id(md)
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
             if n_tasks is not None:
@@ -223,6 +278,9 @@ class Table:
                     "bytes": st["bytes"],
                     "partition": partition,
                     "columns": st["columns"],
+                    # spec 0 stays implicit so pre-evolution manifests
+                    # and these stay byte-compatible
+                    **({"spec_id": spec_id} if spec_id else {}),
                 }
             )
         return entries
@@ -385,16 +443,11 @@ class Table:
             else:
                 new_refs = current.refs
                 head = snap.snapshot_id
-            return TableMetadata(
+            return replace(
+                current,
                 version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
                 snapshots=current.snapshots + [snap],
                 current_snapshot_id=head,
-                schemas=current.schemas,
-                current_schema_id=current.current_schema_id,
                 refs=new_refs,
             )
 
@@ -505,7 +558,13 @@ class Table:
         FileBasedBookkeeper.java:182-192): the column must be the
         partition source, op must be '<', and value must be aligned to
         the partition width — the predicate then matches whole
-        partitions and no data is rewritten. Anything else raises."""
+        partitions and no data is rewritten. Anything else raises.
+
+        Under partition evolution the cutoff must satisfy the contract
+        for EVERY spec in the log that partitions on ``column`` (each
+        file drops under the width it was written with); specs that
+        partition on a different column (or not at all) make the
+        whole-file guarantee impossible and raise."""
         t = self.transform
         if t is None or column != t.source_column:
             raise ValueError(
@@ -514,11 +573,20 @@ class Table:
             )
         if op != "<":
             raise ValueError("v1 supports only '<' retention deletes")
-        if value % t.width != 0:
-            raise ValueError(
-                f"cutoff {value} not aligned to partition width {t.width}; "
-                f"align with truncate() first (the bookkeeper floors its cutoff)"
-            )
+        specs = self._spec_map(self.metadata)
+        for sid, tr in specs.items():
+            if tr is None or tr.source_column != column:
+                raise ValueError(
+                    f"metadata-only delete requires every partition spec to "
+                    f"partition on {column!r}; spec {sid} is "
+                    f"{tr.to_json() if tr else None}"
+                )
+            if value % tr.width != 0:
+                raise ValueError(
+                    f"cutoff {value} not aligned to partition width {tr.width} "
+                    f"of spec {sid}; align with truncate() first (the "
+                    f"bookkeeper floors its cutoff)"
+                )
 
         result: list[Snapshot | None] = [None]
 
@@ -531,11 +599,14 @@ class Table:
             dropped_rows = 0
             for m in parent.manifests:
                 entries = fmt.read_manifest(self.root, m)
-                kept = [
-                    e
-                    for e in entries
-                    if e.get("partition") is None or not (e["partition"] + t.width <= value)
-                ]
+
+                def _keeps(e: dict) -> bool:
+                    t_e = self._entry_transform(e, specs)
+                    return e.get("partition") is None or not (
+                        e["partition"] + t_e.width <= value
+                    )
+
+                kept = [e for e in entries if _keeps(e)]
                 if len(kept) == len(entries):
                     kept_manifests.append(m)  # untouched manifest reused as-is
                 else:
@@ -560,17 +631,11 @@ class Table:
                 summary={"deleted-files": dropped, "deleted-rows": dropped_rows},
             )
             result[0] = snap
-            return TableMetadata(
+            return replace(
+                current,
                 version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
                 snapshots=current.snapshots + [snap],
                 current_snapshot_id=snap.snapshot_id,
-                schemas=current.schemas,
-                current_schema_id=current.current_schema_id,
-                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -610,11 +675,14 @@ class Table:
             snap = md.current_snapshot()
             if snap is None:
                 return {"rewritten_files": 0, "deleted_rows": 0}
-            t = self.transform
+            specs = self._spec_map(md)
             entries = self.files_of(snap)
             cands = [
                 e for e in entries
-                if all(self._entry_may_match(e, t, f) for f in filters)
+                if all(
+                    self._entry_may_match(e, self._entry_transform(e, specs), f)
+                    for f in filters
+                )
             ]
             if not cands:
                 return {"rewritten_files": 0, "deleted_rows": 0}
@@ -909,10 +977,15 @@ class Table:
         snap = md.current_snapshot()
         if snap is None:
             return None
-        t = self.transform
+        specs = self._spec_map(md)
         entries = self.files_of(snap)
         cands = [
-            e for e in entries if all(self._entry_may_match(e, t, f) for f in filters)
+            e
+            for e in entries
+            if all(
+                self._entry_may_match(e, self._entry_transform(e, specs), f)
+                for f in filters
+            )
         ]
         if not cands:
             return None
@@ -1116,17 +1189,10 @@ class Table:
             outcome["expired"] = [s for s in snaps if s not in kept]
             if not outcome["expired"]:
                 return None
-            return TableMetadata(
+            return replace(
+                current,
                 version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
                 snapshots=kept,
-                schemas=current.schemas,
-                current_schema_id=current.current_schema_id,
-                current_snapshot_id=current.current_snapshot_id,
-                refs=current.refs,
             )
 
         committed = fmt.commit(self.root, build)
@@ -1395,17 +1461,11 @@ class Table:
                     "cluster-by": ",".join(cluster_by),
                 },
             )
-            return TableMetadata(
+            return replace(
+                current,
                 version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
                 snapshots=current.snapshots + [new_snap],
                 current_snapshot_id=new_snap.snapshot_id,
-                schemas=current.schemas,
-                current_schema_id=current.current_schema_id,
-                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -1509,17 +1569,11 @@ class Table:
                     "new-files": len(new_entries),
                 },
             )
-            return TableMetadata(
+            return replace(
+                current,
                 version=current.version + 1,
-                table_uuid=current.table_uuid,
-                schema_json=current.schema_json,
-                partition_spec=current.partition_spec,
-                properties=current.properties,
                 snapshots=current.snapshots + [new_snap],
                 current_snapshot_id=new_snap.snapshot_id,
-                schemas=current.schemas,
-                current_schema_id=current.current_schema_id,
-                refs=current.refs,
             )
 
         fmt.commit(self.root, build)
@@ -1546,11 +1600,12 @@ class Table:
         to Spark expressions — only survivors return to the driver, so
         a heavily-pruned plan over millions of entries never
         materializes the full entry list in driver memory."""
-        t = self.transform
+        md = self.metadata
+        specs = self._spec_map(md)
         snap = (
             self.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
-            else self.metadata.current_snapshot()
+            else md.current_snapshot()
         )
         if snap is None:
             return []
@@ -1560,10 +1615,11 @@ class Table:
             else distributed_threshold_bytes
         )
         if spark is not None and self._manifest_bytes(snap.manifests) >= threshold:
-            return self._plan_files_distributed(spark, snap, t, filters)
+            return self._plan_files_distributed(spark, snap, specs, filters)
         out = []
         for e in self.files_of(snap):
-            if all(self._entry_may_match(e, t, f) for f in filters):
+            t_e = self._entry_transform(e, specs)
+            if all(self._entry_may_match(e, t_e, f) for f in filters):
                 out.append(e)
         return out
 
@@ -1596,12 +1652,12 @@ class Table:
         self,
         spark: SparkSession,
         snap: Snapshot,
-        t: TruncateTransform | None,
+        specs: dict[int, TruncateTransform | None],
         filters: Iterable[tuple[str, str, object]],
     ) -> list[dict]:
         df = self._manifest_entries_df(spark, snap.manifests)
         for flt in filters:
-            df = df.filter(self._entry_may_match_expr(t, flt))
+            df = df.filter(self._entry_may_match_expr(specs, flt))
         out = []
         for r in df.collect():
             cols = {
@@ -1617,6 +1673,11 @@ class Table:
                     "columns": cols,
                     **({"seq": r["seq"]} if r["seq"] is not None else {}),
                     **(
+                        {"spec_id": r["spec_id"]}
+                        if "spec_id" in r.__fields__ and r["spec_id"]
+                        else {}
+                    ),
+                    **(
                         {"bloom": r["bloom"].asDict(recursive=True)}
                         if "bloom" in r.__fields__ and r["bloom"] is not None
                         else {}
@@ -1627,15 +1688,19 @@ class Table:
 
     @staticmethod
     def _entry_may_match_expr(
-        t: TruncateTransform | None, flt: tuple[str, str, object]
+        specs: dict[int, TruncateTransform | None],
+        flt: tuple[str, str, object],
     ) -> "F.Column":
         """_entry_may_match compiled to a Spark expression over manifest
-        entry rows (path, partition, columns: map<string, struct>).
+        entry rows (path, partition, spec_id, columns: map<struct>).
 
         Bounds arrive as JSON strings; ``try_cast`` keeps pruning
         conservative — an uncastable bound reads as NULL, NULL bounds
         keep the file. Numeric comparisons go through decimal(38,9) so
-        int64 bounds never round through double."""
+        int64 bounds never round through double. Partition-range bounds
+        resolve per-entry under the spec the entry was written with
+        (spec_id, evolution-aware) — a CASE chain over the spec log,
+        which is metadata-scale (a handful of literals)."""
         col, op, val = flt
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
         typ = "decimal(38,9)" if numeric else "string"
@@ -1644,9 +1709,14 @@ class Table:
         smax = stats.getField("max").try_cast(typ)
         plo = F.lit(None).cast(typ)
         phi = F.lit(None).cast(typ)
-        if t is not None and col == t.source_column:
-            plo = F.col("partition").cast(typ)
-            phi = (F.col("partition") + F.lit(t.width - 1)).cast(typ)
+        sid = F.coalesce(F.col("spec_id"), F.lit(0))
+        for spec_id, t in specs.items():
+            if t is not None and col == t.source_column:
+                hit = (sid == F.lit(spec_id)) & F.col("partition").isNotNull()
+                plo = F.when(hit, F.col("partition").cast(typ)).otherwise(plo)
+                phi = F.when(
+                    hit, (F.col("partition") + F.lit(t.width - 1)).cast(typ)
+                ).otherwise(phi)
         # greatest/least skip NULLs: bounds merge exactly like the
         # Python loop (partition range ∩ footer stats, either optional)
         lo = F.greatest(plo, smin)

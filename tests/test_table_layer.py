@@ -322,3 +322,77 @@ def test_manifest_merge_shards_bounded(spark, troot):
     assert tbl.scan(spark).count() == 120  # nothing lost through merges
     # shards are partition-sorted: ranges should be mostly disjoint
     assert tbl.scan(spark, [("ts", ">=", 1000)]).count() == 20
+
+
+# ---------- partition spec evolution ----------
+
+
+def _ev_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.col("id").alias("ts"),
+    )
+
+
+def test_partition_evolution_prunes_per_spec(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    tbl.append(_ev_df(spark, 0, 300))          # spec 0: buckets 0,100,200
+    pre_evo_snap = tbl.metadata.current_snapshot().snapshot_id
+    new_id = tbl.update_partition_spec(truncate("ts", 50))
+    assert new_id == 1
+    tbl.append(_ev_df(spark, 300, 400))        # spec 1: buckets 300,350
+
+    # evolution commit is metadata-only: same data files before/after
+    entries = tbl.current_files()
+    assert {e.get("spec_id", 0) for e in entries} == {0, 1}
+    # content unaffected
+    assert tbl.scan(spark).count() == 400
+
+    # ts >= 250 must keep old bucket 200 (range [200,299] under width
+    # 100) and both new buckets, pruning old buckets 0 and 100
+    planned = tbl.plan_files([("ts", ">=", 250)])
+    parts = {(e.get("spec_id", 0), e["partition"]) for e in planned}
+    assert parts == {(0, 200), (1, 300), (1, 350)}
+    # under the NEW width alone bucket 200 would be [200,249] and a
+    # ts >= 250 scan would wrongly prune it — row-level check:
+    got = tbl.read_entries(spark, planned).filter(F.col("ts") >= 250)
+    assert got.count() == 150
+
+    # distributed planning path resolves spec_id the same way
+    dist = tbl.plan_files(
+        [("ts", ">=", 250)], spark=spark, distributed_threshold_bytes=0
+    )
+    assert sorted(e["path"] for e in dist) == sorted(e["path"] for e in planned)
+
+    # time travel to the pre-evolution snapshot plans under spec 0 only
+    tt = tbl.plan_files([("ts", ">=", 250)], snapshot_id=pre_evo_snap)
+    assert {e["partition"] for e in tt} == {200}
+
+
+def test_partition_evolution_retention_delete(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    tbl.append(_ev_df(spark, 0, 300))
+    tbl.update_partition_spec(truncate("ts", 50))
+    tbl.append(_ev_df(spark, 300, 400))
+
+    # aligned to BOTH widths: drops spec-0 bucket 0..99 and nothing else
+    snap = tbl.delete_where("ts", "<", 100)
+    assert snap is not None
+    assert tbl.scan(spark).count() == 300
+    assert tbl.scan(spark).agg(F.min("ts")).first()[0] == 100
+
+    # aligned to the new width only -> whole-file guarantee breaks for
+    # spec-0 files; must refuse
+    with pytest.raises(ValueError, match="not aligned"):
+        tbl.delete_where("ts", "<", 150)
+
+    # dropping the partition spec entirely makes metadata-only deletes
+    # impossible; must refuse
+    tbl.update_partition_spec(None)
+    tbl.append(_ev_df(spark, 400, 450))
+    with pytest.raises(ValueError, match="partition"):
+        tbl.delete_where("ts", "<", 200)
+    # but plans and scans still work across all three specs
+    assert tbl.scan(spark).count() == 350
+    assert len(tbl.plan_files([("ts", ">=", 400)])) >= 1
