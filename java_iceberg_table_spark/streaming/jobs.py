@@ -366,3 +366,91 @@ def stateful_sessions(stream_df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def running_user_totals_tws(stream_df: DataFrame) -> DataFrame:
+    """Per-user running totals via Spark 4's transformWithStateInPandas
+    (the successor to applyInPandasWithState: typed state primitives +
+    timers over the RocksDB state store). A ValueState holds
+    (cnt, sum_event_id, max_event_id) per user; every micro-batch the
+    key appears in emits the NEW cumulative row, so the final row per
+    user (the one with the largest cnt) is independent of how the
+    stream was split into batches — integer aggregates make it exact.
+
+    Scale: state is one fixed-size row per user key, partitioned by
+    the stream's groupBy hash — memory tracks distinct keys, not
+    events; RocksDB spills cold keys to disk.
+
+    ENVIRONMENT GATE: Spark's transformWithState Python worker speaks
+    a protobuf-based state protocol, so running this requires the
+    ``google.protobuf`` package (and the RocksDB state-store provider,
+    bundled with Spark). The offline test container has no protobuf,
+    so this operator is exercised by
+    tests/test_streaming.py::test_transform_with_state_running_totals,
+    which skips where protobuf is unavailable; the registered
+    stateful-streaming surface (i9) runs applyInPandasWithState, which
+    has no such dependency."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("sum_event_id", LongType()),
+            StructField("max_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("sum_event_id", LongType()),
+            StructField("max_event_id", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, s, mx = (
+                tuple(self._totals.get())
+                if self._totals.exists()
+                else (0, 0, -1)
+            )
+            for pdf in rows:
+                cnt += int(len(pdf))
+                s += int(pdf["event_id"].sum())
+                mx = max(mx, int(pdf["event_id"].max()))
+            self._totals.update((cnt, s, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "cnt": [cnt],
+                    "sum_event_id": [s],
+                    "max_event_id": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

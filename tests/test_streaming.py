@@ -246,3 +246,51 @@ def test_stateful_sessions_order_invariant(spark, sf_dir):
 
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r[3] for r in results[0]) == total
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running totals == batch
+    GROUP BY. The TWS Python state protocol needs google.protobuf
+    (absent in the offline container) — skip there, run anywhere the
+    dependency exists."""
+    pytest.importorskip("google.protobuf")
+    from java_iceberg_table_spark.streaming.jobs import (
+        file_stream,
+        run_to_memory,
+        running_user_totals_tws,
+        shared_events_src,
+    )
+
+    src, batch = shared_events_src(spark, sf_dir, n_files=4)
+    stream = file_stream(spark, src, max_files_per_trigger=2)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = run_to_memory(running_user_totals_tws(stream))
+    finally:
+        spark.conf.set(key, prev) if prev else spark.conf.unset(key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    got = {
+        (r["user_id"], r["cnt"], r["sum_event_id"], r["max_event_id"])
+        for r in emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["cnt"], r["sum_event_id"], r["max_event_id"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert got == want
