@@ -43,6 +43,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     registry = load_all()
     times: dict[str, float] = {}
+    # Full untimed warmup pass first: JVM C2 compilation of each
+    # query's codegen keeps improving for ~5-8 executions (measured on
+    # d1: run 1 0.36 s -> run 8 0.22 s in a fresh session), so without
+    # it the min-of-3 of whichever queries run FIRST reports JIT
+    # warmup, not the query. One extra execution each narrows that gap
+    # and costs ~10 s of (untimed) bench wall time; the DuckDB
+    # reference times are taken warm the same way.
+    for name in HEADLINE:
+        registry[name].fn(spark, sf_dir).count()
     for name in HEADLINE:
         q = registry[name]
         runs = []
