@@ -739,3 +739,47 @@ def a3o_engine_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3p_engine_metadata_count",
+    oracle="""
+SELECT COUNT(*) AS cnt_total,
+       COUNT(CASE WHEN o_orderkey < 5000 THEN 1 END) AS cnt_aligned,
+       CAST(0 AS BIGINT) AS aligned_scanned_files,
+       COUNT(CASE WHEN o_orderkey >= 2500 THEN 1 END) AS cnt_unaligned
+FROM orders
+""",
+    group="A",
+)
+def a3p_engine_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) pushed into table metadata (Table.count_rows): files a
+    predicate provably fully matches contribute their manifest row
+    count without being read; only boundary files scan with the
+    residual. The partition-aligned cutoff must read ZERO data files
+    (aligned_scanned_files is graded as 0); the unaligned cutoff scans
+    only its boundary bucket and still matches the oracle. At 100 TB
+    this is the difference between a retention-audit COUNT costing one
+    manifest read vs a full-table scan."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_mc_") + "/t"
+    try:
+        tbl = create_table(root, orders.schema, partition=truncate("o_orderkey", 1000))
+        tbl.append(orders)
+        total = tbl.count_rows()
+        aligned = tbl.count_rows(spark, [("o_orderkey", "<", 5000)])
+        unaligned = tbl.count_rows(spark, [("o_orderkey", ">=", 2500)])
+        return spark.createDataFrame(
+            [
+                (
+                    total["rows"],
+                    aligned["rows"],
+                    aligned["scanned_files"],
+                    unaligned["rows"],
+                )
+            ],
+            "cnt_total bigint, cnt_aligned bigint, "
+            "aligned_scanned_files bigint, cnt_unaligned bigint",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -250,15 +250,35 @@ class Table:
         md = self.metadata
         t = self.transform
         spec_id = self.current_spec_id(md)
+        # Iceberg-style write.target-file-size-bytes: cap output files
+        # near the target by translating bytes -> rows with the table's
+        # own observed bytes/row (manifest stats of the current
+        # snapshot). No extra job: maxRecordsPerFile splits at write
+        # time. A table with no history yet has no byte/row estimate
+        # and writes uncapped; the second append onward is sized.
+        max_records = None
+        target = md.properties.get("write.target-file-size-bytes")
+        if target:
+            cur = self.current_files(md)
+            rows = sum(e["rows"] for e in cur)
+            if rows > 0:
+                bpr = max(1.0, sum(e["bytes"] for e in cur) / rows)
+                max_records = max(1, int(int(target) / bpr))
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
             if n_tasks is not None:
                 bucketed = bucketed.repartition(n_tasks, "__pb")
-            bucketed.write.partitionBy("__pb").parquet(out_dir)
+            w = bucketed.write
+            if max_records is not None:
+                w = w.option("maxRecordsPerFile", max_records)
+            w.partitionBy("__pb").parquet(out_dir)
         else:
             if n_tasks is not None:
                 df = df.coalesce(n_tasks)
-            df.write.parquet(out_dir)
+            w = df.write
+            if max_records is not None:
+                w = w.option("maxRecordsPerFile", max_records)
+            w.parquet(out_dir)
         entries = []
         for path in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(path, self.root)
@@ -1622,6 +1642,108 @@ class Table:
             if all(self._entry_may_match(e, t_e, f) for f in filters):
                 out.append(e)
         return out
+
+    @staticmethod
+    def _entry_certainly_matches(
+        entry: dict, t: TruncateTransform | None, flt: tuple[str, str, object]
+    ) -> bool:
+        """True when EVERY row of the file provably satisfies the
+        predicate from metadata alone: the file's value range (footer
+        min/max intersected with the partition bucket range under the
+        entry's own spec) lies entirely inside the predicate region and
+        the column has zero nulls (a null row fails any comparison).
+        Conservative by construction — False just means 'must scan'."""
+        col, op, val = flt
+        lo = hi = None
+        if t is not None and col == t.source_column and entry.get("partition") is not None:
+            lo, hi = t.bucket_range(entry["partition"])
+            hi = hi - 1
+        cstats = entry.get("columns", {}).get(col)
+        if cstats and cstats.get("min") is not None:
+            lo = cstats["min"] if lo is None else max(lo, cstats["min"])
+            hi = cstats["max"] if hi is None else min(hi, cstats["max"])
+        nulls = (cstats or {}).get("nulls")
+        if lo is None or hi is None or nulls is None or nulls > 0:
+            return False
+        if op == "<":
+            return hi < val
+        if op == "<=":
+            return hi <= val
+        if op == ">":
+            return lo > val
+        if op == ">=":
+            return lo >= val
+        if op in ("=", "=="):
+            return lo == val == hi
+        return False
+
+    def count_rows(
+        self,
+        spark: SparkSession | None = None,
+        filters: Iterable[tuple[str, str, object]] = (),
+        snapshot_id: int | None = None,
+    ) -> dict:
+        """COUNT(*) with aggregate pushdown into table metadata
+        (Iceberg-style): files the predicate provably fully matches
+        contribute their manifest row count without being read; only
+        boundary files — pruned-in but not certain — are scanned with
+        the residual predicate. A retention-style partition-aligned
+        predicate therefore counts 100 TB from manifests alone.
+
+        Returns {"rows", "metadata_files", "scanned_files"} so callers
+        (and tests) can assert how much data the count actually read.
+        Tables with merge-on-read delete files fall back to a full
+        counting scan — manifest row counts predate the deletes."""
+        filters = list(filters)
+        md = self.metadata
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else md.current_snapshot()
+        )
+        if snap is None:
+            return {"rows": 0, "metadata_files": 0, "scanned_files": 0}
+        if snap.delete_manifests and any(
+            fmt.read_manifest(self.root, m) for m in snap.delete_manifests
+        ):
+            if spark is None:
+                raise ValueError("MOR deletes present: counting needs spark")
+            n = self.scan(spark, filters, snapshot_id=snapshot_id).count()
+            entries = self.plan_files(filters, snapshot_id=snapshot_id, spark=spark)
+            return {"rows": n, "metadata_files": 0, "scanned_files": len(entries)}
+        entries = self.plan_files(filters, snapshot_id=snapshot_id, spark=spark)
+        if not filters:
+            return {
+                "rows": sum(e["rows"] for e in entries),
+                "metadata_files": len(entries),
+                "scanned_files": 0,
+            }
+        specs = self._spec_map(md)
+        certain, maybe = [], []
+        for e in entries:
+            t_e = self._entry_transform(e, specs)
+            if all(
+                self._entry_certainly_matches(e, t_e, f) for f in filters
+            ):
+                certain.append(e)
+            else:
+                maybe.append(e)
+        rows = sum(e["rows"] for e in certain)
+        if maybe:
+            if spark is None:
+                raise ValueError(
+                    f"{len(maybe)} boundary files need scanning: pass spark"
+                )
+            rows += (
+                self.read_entries(spark, maybe)
+                .where(self._and_predicate(filters))
+                .count()
+            )
+        return {
+            "rows": rows,
+            "metadata_files": len(certain),
+            "scanned_files": len(maybe),
+        }
 
     def _manifest_bytes(self, manifests: Iterable[str]) -> int:
         total = 0

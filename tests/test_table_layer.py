@@ -396,3 +396,69 @@ def test_partition_evolution_retention_delete(spark, troot):
     # but plans and scans still work across all three specs
     assert tbl.scan(spark).count() == 350
     assert len(tbl.plan_files([("ts", ">=", 400)])) >= 1
+
+
+def test_metadata_count_pushdown(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    # repartition so every file spans most of its bucket's range —
+    # with range-contiguous files the footer stats alone would resolve
+    # even unaligned cutoffs without scanning (which is fine, but this
+    # test wants to see the boundary-scan path)
+    tbl.append(_ev_df(spark, 0, 1000).repartition(2))
+
+    full = tbl.count_rows()
+    assert full == {"rows": 1000, "metadata_files": full["metadata_files"], "scanned_files": 0}
+
+    # partition-aligned predicate: answered from manifests alone
+    aligned = tbl.count_rows(spark, [("ts", "<", 300)])
+    assert aligned["rows"] == 300
+    assert aligned["scanned_files"] == 0
+
+    # unaligned predicate: boundary bucket scans, the rest stays metadata
+    part = tbl.count_rows(spark, [("ts", "<", 250)])
+    assert part["rows"] == 250
+    assert part["scanned_files"] >= 1
+    assert part["metadata_files"] >= 1
+
+    # point lookup: never certain (min != max), still correct
+    pt = tbl.count_rows(spark, [("ts", "=", 123)])
+    assert pt["rows"] == 1 and pt["scanned_files"] >= 1
+
+    # no-spark aligned count works; boundary count without spark raises
+    assert tbl.count_rows(filters=[("ts", "<", 300)])["rows"] == 300
+    with pytest.raises(ValueError, match="boundary"):
+        tbl.count_rows(filters=[("ts", "<", 250)])
+
+
+def test_metadata_count_mor_fallback(spark, troot):
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    tbl.append(_ev_df(spark, 0, 400))
+    tbl.delete_where_mor(spark, [("ts", "<", 37)])
+    got = tbl.count_rows(spark)
+    # manifest row counts predate the MOR delete; fallback must scan
+    assert got["rows"] == 363
+    assert got["metadata_files"] == 0 and got["scanned_files"] >= 1
+    assert tbl.count_rows(spark, [("ts", "<", 100)])["rows"] == 63
+
+
+def test_target_file_size_property(spark, troot):
+    """write.target-file-size-bytes caps files near the target using
+    the table's own observed bytes/row — the first append (no history,
+    no estimate) writes uncapped, later appends split."""
+    tbl = create_table(
+        troot,
+        SIMPLE_SCHEMA,
+        partition=truncate("ts", 10**9),  # one bucket: isolates sizing
+        properties={"write.target-file-size-bytes": "4096"},
+    )
+    df = _ev_df(spark, 0, 20_000).coalesce(1)
+    tbl.append(df)
+    first = len(tbl.current_files())
+    tbl.append(df.select((F.col("k") + 20_000).alias("k"), "v", "ts"))
+    second = len(tbl.current_files()) - first
+    # ~20k rows x ~15 B/row on-disk ≈ 300 KB >> 4 KB target
+    assert second > first * 4
+    sized = [e for e in tbl.current_files()][first:]
+    # capped files land within a loose factor of the target (parquet
+    # per-file overhead dominates tiny files; the cap is rows-derived)
+    assert max(e["bytes"] for e in sized) < 10 * 4096
