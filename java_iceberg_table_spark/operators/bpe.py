@@ -48,10 +48,11 @@ def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
 def _initial_symbols(wf: DataFrame) -> DataFrame:
     """Split each word type into characters + an end-of-word marker
     (the marker makes suffix merges distinct from in-word merges,
-    as in the original BPE formulation)."""
+    as in the original BPE formulation). Keeps the word string so the
+    trained table doubles as the encode lookup (word -> segmentation)."""
     chars = F.filter(F.split("word", ""), lambda c: F.length(c) > 0)
     return wf.select(
-        "freq", F.concat(chars, F.array(F.lit(END_MARK))).alias("syms")
+        "word", "freq", F.concat(chars, F.array(F.lit(END_MARK))).alias("syms")
     )
 
 
@@ -131,7 +132,9 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
-        nxt = syms.select("freq", _merge_expr(a, b).alias("syms")).persist()
+        nxt = syms.select(
+            "word", "freq", _merge_expr(a, b).alias("syms")
+        ).persist()
         masses.append(_symbol_mass(nxt))
         syms.unpersist()
         syms = nxt
@@ -163,4 +166,27 @@ def bpe_selfcheck(
         ],
         "n_merges long, all_counts_positive boolean, "
         "mass_strictly_decreasing boolean",
+    )
+
+
+def bpe_encode_tokens(docs: DataFrame, text_col: str, trained_syms: DataFrame) -> DataFrame:
+    """Encode a corpus with a trained BPE table the scale-correct way:
+    the (word -> segmentation) table from training IS the encoder, so
+    applying BPE to 100 TB is ONE broadcast join on word types — the
+    merge folds never re-run over the corpus. Unseen words (encoding a
+    different corpus than trained on) fall back to character + </w>
+    segmentation, exactly their untrained state.
+
+    Returns (doc tokens) per document: (id-cols.., n_words, n_tokens).
+    """
+    words = docs.select(
+        "*", F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    lut = trained_syms.select("word", F.size("syms").alias("__n_tok_lut"))
+    fallback = F.length("word") + F.lit(1)  # chars + </w>
+    return (
+        words.join(F.broadcast(lut), "word", "left")
+        .withColumn("mapped", F.col("__n_tok_lut").isNotNull())
+        .withColumn("n_tok", F.coalesce("__n_tok_lut", fallback))
+        .drop("__n_tok_lut")
     )

@@ -1342,11 +1342,76 @@ def h38_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not applied, or an argmax over empty pairs, flips a value and
     fails the driver's hash check). Merge-level behavior is unit-tested
     in tests/test_operators.py."""
-    from ..operators.bpe import bpe_selfcheck, bpe_train
+    from ..operators.bpe import bpe_selfcheck
 
-    docs = load_table(spark, sf_dir, "documents")
-    merges, _syms, masses = bpe_train(docs, "text", n_merges=10)
+    merges, _syms, masses = _bpe_trained(spark, sf_dir)
     return bpe_selfcheck(spark, merges, masses, n_merges=10)
+
+
+# trained-tokenizer cache: h38 (train) and h38b (encode) share one fit,
+# same pattern as _ANN_INDEX_CACHE — the index build amortizes over
+# consumers. Keyed by applicationId so a new session never reuses
+# another session's (unresolvable) plans.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    from ..operators.bpe import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_CACHE[key] = bpe_train(docs, "text", n_merges=10)
+    return _BPE_CACHE[key]
+
+
+@register(
+    "h38b_bpe_encode",
+    oracle=r"""
+SELECT COUNT(*)::BIGINT AS n_docs,
+       (SELECT SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> len(x) > 0)))::BIGINT
+        FROM documents) AS total_words,
+       TRUE AS all_words_mapped, TRUE AS encode_mass_consistent
+FROM documents
+""",
+    group="H",
+)
+def h38b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the h38-trained BPE tokenizer to the corpus — the
+    scale-correct way: the trained (word -> segmentation) table IS the
+    encoder, so encoding is ONE broadcast join on word types
+    (operators/bpe.bpe_encode_tokens); the merge folds never re-run
+    over documents. Graded output: doc/word totals the oracle
+    recomputes, plus two exact invariants — every corpus word resolves
+    through the trained table (all_words_mapped), and the corpus-wide
+    encoded token count equals the training run's final symbol mass
+    (encode_mass_consistent: sum over words of len(segmentation) ==
+    masses[-1], an exact accounting identity between training and
+    encoding)."""
+    from ..operators.bpe import bpe_encode_tokens
+
+    merges, syms, masses = _bpe_trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode_tokens(docs, "text", syms)
+    row = enc.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_words"),
+        F.coalesce(F.bool_and("mapped"), F.lit(False)).alias("all_words_mapped"),
+        F.sum("n_tok").alias("total_bpe_tokens"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                row["n_docs"],
+                row["total_words"],
+                bool(row["all_words_mapped"]),
+                int(row["total_bpe_tokens"]) == masses[-1],
+            )
+        ],
+        "n_docs long, total_words long, all_words_mapped boolean, "
+        "encode_mass_consistent boolean",
+    )
 
 
 # ---- semantic dedup / SemDeDup (h39) -----------------------------------
