@@ -1467,3 +1467,102 @@ def h39_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input long, n_planted long, planted_all_dropped boolean, "
         "kept_clean boolean",
     )
+
+
+# ---- count-min heavy hitters (h40) -------------------------------------
+@register(
+    "h40_cms_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS token
+  FROM documents
+)
+SELECT token, COUNT(*)::BIGINT AS exact_cnt, TRUE AS est_ge_exact
+FROM toks GROUP BY token
+ORDER BY exact_cnt DESC, token LIMIT 20
+""",
+    group="H",
+)
+def h40_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters under a count-min sketch (operators/sketch.py).
+    The sketch's 4x256 counter grid is corpus-size-independent — the
+    groupBy key space is the grid, not the vocabulary, which is what
+    makes frequency estimation viable when the item space (n-grams,
+    URLs) explodes at 100 TB. Graded output: the exact top-20 tokens
+    (oracle-recomputed) each carrying the PROVABLE sketch invariant
+    est >= exact (CMS counters only over-count; a single undercount
+    flips the flag and fails the hash). Estimation error behavior is
+    unit-tested with planted collisions in tests/test_operators.py."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    sketch = cms_build(toks, "token", depth=4, width=256)
+    est = cms_estimate(sketch, exact_top.select("token"), "token", depth=4, width=256)
+    return (
+        exact_top.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias("est_ge_exact"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )
+
+
+# ---- exact-k weighted stratified sampling (h41) ------------------------
+@register(
+    "h41_weighted_sample_topk",
+    oracle="""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln(((doc_id * 2654435761 + 12345) % 1048576 + 1) / 1048577.0)
+           / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, ROUND(es_key, 6) AS es_key
+FROM ranked WHERE rn <= 3 ORDER BY lang, es_key DESC, doc_id
+""",
+    group="H",
+)
+def h41_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement per stratum
+    (Efraimidis-Spirakis 2006: priority u^(1/w), equivalently
+    ln(u)/w, take the k largest). The uniform u is hash-derived from
+    doc_id (integer arithmetic + one exact IEEE division), so the
+    sample is fully deterministic and engine-reproducible — the oracle
+    recomputes the very same 3 selected doc ids per language, not just
+    counts. Retry-safe and append-stable: old rows keep their priority
+    when the corpus grows, the textbook property that makes this the
+    distributed form of weighted reservoir sampling (weight here =
+    n_chars: longer docs proportionally likelier). Plain window top-k —
+    one shuffle on the stratum key, WindowGroupLimit pushes the k
+    filter below the sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(1048576) + 1) / F.lit(1048577.0)
+    keyed = docs.select(
+        "lang", "doc_id", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", F.round("es_key", 6).alias("es_key"))
+        .orderBy("lang", F.desc("es_key"), "doc_id")
+    )

@@ -797,3 +797,43 @@ def i15_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "i17_late_data_dead_letter",
+    oracle="""
+WITH b1 AS (SELECT MAX(ts) AS m FROM events WHERE event_id % 4 IN (0, 1))
+SELECT
+  ((SELECT COUNT(*) FROM events WHERE event_id % 4 IN (0, 1))
+   + (SELECT COUNT(*) FROM events e, b1
+      WHERE e.event_id % 4 IN (2, 3)
+        AND e.ts >= b1.m - INTERVAL 60 MINUTE))::BIGINT AS n_on_time,
+  (SELECT COUNT(*) FROM events e, b1
+   WHERE e.event_id % 4 IN (2, 3)
+     AND e.ts < b1.m - INTERVAL 60 MINUTE)::BIGINT AS n_late
+""",
+    group="I",
+)
+def i17_late_data_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I17 (beyond survey): watermark with a dead-letter side output.
+    Spark's withWatermark silently DISCARDS late rows — a training-data
+    pipeline must capture them for audit/backfill instead. foreachBatch
+    maintains the event-time watermark explicitly (monotone max event
+    time minus delay, applied as of the previous batch) and routes each
+    micro-batch's late rows to a second sink; both sinks accumulate
+    executor-side, only the per-batch max timestamp (one scalar)
+    crosses to the driver. The staged file->batch assignment is
+    deterministic and SQL-expressible (file i = event_id % 4 == i,
+    two files per trigger in path order), so the oracle reproduces the
+    exact watermark the stream had when each file arrived."""
+    from ..streaming.jobs import late_data_dead_letter, stage_events_mod_files
+
+    src = shared_staged(
+        (sf_dir, 4, "mod"), lambda: stage_events_mod_files(spark, sf_dir, 4)
+    )
+    ok, late = late_data_dead_letter(
+        spark, src, delay_minutes=60, max_files_per_trigger=2
+    )
+    return spark.createDataFrame(
+        [(ok.count(), late.count())], "n_on_time bigint, n_late bigint"
+    )

@@ -454,3 +454,81 @@ def running_user_totals_tws(stream_df: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+def stage_events_mod_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the events fixture as n files with a DETERMINISTIC,
+    SQL-expressible assignment (file i = rows with event_id % n == i,
+    names f0..f{n-1} so the file source's path-ordered listing fixes
+    the batch order). Lets batch oracles reproduce per-batch state —
+    e.g. which rows a watermark had passed when a file arrived."""
+    out = tempfile.mkdtemp(prefix="stream_mod_")
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(n_files):
+        part = os.path.join(out, f"_stage_{i}")
+        ev.filter(F.col("event_id") % n_files == i).coalesce(1).write.parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(pq) == 1
+        os.replace(os.path.join(part, pq[0]), os.path.join(out, f"f{i}.parquet"))
+        import shutil as _sh
+
+        _sh.rmtree(part)
+    return out
+
+
+def late_data_dead_letter(
+    spark: SparkSession,
+    src_dir: str,
+    delay_minutes: int = 60,
+    max_files_per_trigger: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Watermark with a SIDE OUTPUT: rows that arrive behind the
+    watermark are routed to a dead-letter set instead of silently
+    dropped (withWatermark discards them with no way to observe what
+    was lost — unacceptable for a training-data pipeline where late
+    data must be audited or backfilled).
+
+    foreachBatch maintains the event-time watermark explicitly
+    (monotone max event time seen across batches, minus the delay) and
+    splits each micro-batch against the watermark AS OF THE PREVIOUS
+    batch — the same contract Spark's built-in watermark applies to
+    stateful operators. Both outputs accumulate executor-side (parquet
+    sinks); only the per-batch max timestamp (one scalar) crosses to
+    the driver. Returns (on_time_df, late_df) after an availableNow
+    run."""
+    out_ok = tempfile.mkdtemp(prefix="wm_ok_")
+    out_late = tempfile.mkdtemp(prefix="wm_late_")
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    delay_us = delay_minutes * 60 * 1_000_000
+    wm_us = [None]  # event-time watermark in µs, None until first batch
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("ts_us", F.unix_micros("ts"))
+        if wm_us[0] is None:
+            ok, late = batch_df, batch_df.filter(F.lit(False))
+        else:
+            ok = batch_df.filter(F.col("ts_us") >= F.lit(wm_us[0]))
+            late = batch_df.filter(F.col("ts_us") < F.lit(wm_us[0]))
+        ok.drop("ts_us").write.mode("append").parquet(out_ok)
+        late.drop("ts_us").write.mode("append").parquet(out_late)
+        mx = batch_df.agg(F.max("ts_us")).collect()[0][0]
+        if mx is not None:
+            cand = mx - delay_us
+            wm_us[0] = cand if wm_us[0] is None else max(wm_us[0], cand)
+
+    stream = file_stream(spark, src_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil as _sh
+
+    _sh.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.read.schema(schema).parquet(out_ok),
+        spark.read.schema(schema).parquet(out_late),
+    )

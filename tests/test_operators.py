@@ -306,3 +306,26 @@ def test_semantic_dedup_keep_lowest_and_clean(spark):
     )
     ids = sorted(r["id"] for r in kept.collect())
     assert ids == [0, 3, 5]
+
+
+def test_cms_estimates_exact_without_collisions_and_never_undercounts(spark):
+    from java_iceberg_table_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1
+    items = spark.createDataFrame(rows, "token string")
+    sketch = cms_build(items, "token", depth=4, width=64)
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "token string")
+    got = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimate(sketch, q, "token", depth=4, width=64).collect()
+    }
+    # 3 items in 64 buckets x 4 rows: min-over-rows collision-free
+    assert got["a"] == 100 and got["b"] == 10 and got["c"] == 1
+    assert got["zzz"] >= 0  # absent item estimates only over-count
+    # tiny width forces collisions: estimates may inflate, never deflate
+    s2 = cms_build(items, "token", depth=2, width=2)
+    got2 = {
+        r["token"]: r["cms_estimate"]
+        for r in cms_estimate(s2, q, "token", depth=2, width=2).collect()
+    }
+    assert got2["a"] >= 100 and got2["b"] >= 10 and got2["c"] >= 1
