@@ -329,3 +329,44 @@ def test_cms_estimates_exact_without_collisions_and_never_undercounts(spark):
         for r in cms_estimate(s2, q, "token", depth=2, width=2).collect()
     }
     assert got2["a"] >= 100 and got2["b"] >= 10 and got2["c"] >= 1
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """The JVM-side merge fold (_merge_expr) vs a straightforward
+    Python left-to-right merge, across 300 seeded-random symbol arrays
+    and merge pairs (single Spark job, not per-example)."""
+    import random
+
+    from java_iceberg_table_spark.operators.bpe import _merge_expr
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "</w>"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, a, b))
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    # group cases by (a, b) so each pair compiles one fold expression
+    by_pair: dict[tuple, list] = {}
+    for i, syms, a, b in cases:
+        by_pair.setdefault((a, b), []).append((i, syms))
+    for (a, b), rows in by_pair.items():
+        df = spark.createDataFrame(rows, "i long, syms array<string>")
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select("i", _merge_expr(a, b).alias("m")).collect()
+        }
+        for i, syms in rows:
+            assert got[i] == ref_merge(syms, a, b), (syms, a, b)
