@@ -1566,3 +1566,47 @@ def h41_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.round("es_key", 6).alias("es_key"))
         .orderBy("lang", F.desc("es_key"), "doc_id")
     )
+
+
+# ---- feature-hashing vectorizer (h42) ----------------------------------
+@register(
+    "h42_feature_hashing",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS w
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       (ascii(w[1]) * 961 + len(w) * 31 + ascii(w[-1])) % 16 AS bucket,
+       COUNT(*)::BIGINT AS cnt
+FROM words GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+""",
+    group="H",
+)
+def h42_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger 2009 / scikit
+    HashingVectorizer): words map to a FIXED 16-bucket feature space
+    through a stateless hash, so vectorizing 100 TB needs no
+    vocabulary build, no broadcast dictionary, and the output width is
+    constant regardless of corpus — the property that makes hashed
+    features the standard first stage for linear quality classifiers
+    at scale. The hash here is integer-exact and engine-reproducible
+    (ascii of first/last char + length), so the oracle recomputes the
+    exact per-doc sparse vectors, not a summary."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    bucket = (
+        F.ascii(F.substring("w", 1, 1)) * 961
+        + F.length("w") * 31
+        + F.ascii(F.substring("w", -1, 1))
+    ) % 16
+    return (
+        words.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
