@@ -272,3 +272,37 @@ def test_c15_band_join_is_equi_on_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_h40_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """CMS point estimation: the d x w sketch side broadcasts; no
+    sort-merge shuffle of the probes against the grid."""
+    plan = plan_of(spark, sf_dir, "h40_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_h41_weighted_sample_window_group_limit(spark, sf_dir):
+    """Exact-k weighted sampling: the per-stratum k filter runs below
+    the sort (WindowGroupLimit), not as a full sort + filter."""
+    plan = plan_of(spark, sf_dir, "h41_weighted_sample_topk")
+    assert "WindowGroupLimit" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_h38b_encode_is_one_broadcast_join(spark, sf_dir):
+    """BPE encoding: the trained word-type table broadcasts; documents
+    never shuffle for the lookup and no Python crosses the hot path."""
+    from java_iceberg_table_spark.fixtures import load_table
+    from java_iceberg_table_spark.operators.bpe import bpe_encode_tokens
+    from java_iceberg_table_spark.queries.llm_ops import _bpe_trained
+
+    _, syms, _ = _bpe_trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode_tokens(docs, "text", syms)
+    plan = enc._sc._jvm.PythonSQLUtils.explainString(
+        enc._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
