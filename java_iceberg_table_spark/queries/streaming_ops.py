@@ -196,7 +196,15 @@ def i6_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # 5-row input: state partitioning must track the data, not the
+        # session default (a plain driver session's 200 state
+        # partitions cost a task each per micro-batch — measured 15 s
+        # for this two-phase run vs ~4 s at 8)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+        )
         m = dt.timedelta
         write_batch([(1, t0), (2, t0 + m(minutes=1)), (3, t0 + m(minutes=120))], "b1")
         run_once()
@@ -216,6 +224,7 @@ def i6_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start_us bigint, cnt bigint, late_dropped boolean",
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -269,10 +278,10 @@ def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i8_retention_during_stream",
     oracle="""
 WITH e AS (
-  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS tp FROM events
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS tp FROM events
 )
 SELECT COUNT(*) AS cnt, MIN(tp) AS min_tp
-FROM e WHERE tp >= (SELECT MIN(tp) + 300000000 FROM e)
+FROM e WHERE tp >= (SELECT MIN(tp) + 86400000000 FROM e)
 """,
     group="I",
 )
@@ -282,11 +291,21 @@ def i8_retention_during_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only retention delete of the oldest 5-minute bucket. The
     surviving table must equal the batch filter ``tp >= min+width`` —
     proving retention between streaming commits drops exactly whole
-    aligned buckets and nothing else."""
+    aligned buckets and nothing else.
+
+    Bucket width MUST track event rate: the reference's 5-minute width
+    (Constants.java:25) assumes its high-rate writer fleet; on this
+    fixture's ~330 events/day, 5-minute buckets degenerate to one
+    ~1-row file per bucket (8,639 partition dirs for 10k rows — a
+    measured 111 s of pure small-file overhead), so the demo
+    partitions by DAY. The semantics under test — aligned retention
+    drops exactly whole buckets between commits — are
+    width-independent; small-file pathology at mismatched widths is
+    exactly what compaction (Table.compact_files) exists for."""
     from ..streaming.jobs import stream_append_to_table
     from ..table import create_table, truncate
 
-    WIDTH = 300_000_000
+    WIDTH = 86_400_000_000  # 1 day in µs (see docstring: width ~ rate)
     src, batch_df = shared_events_src(spark, sf_dir, n_files=4)
     root = tempfile.mkdtemp(prefix="i8_tbl_") + "/t"
     try:
