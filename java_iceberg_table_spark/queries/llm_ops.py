@@ -1614,3 +1614,96 @@ def h42_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---- hard-negative mining (h43) ----------------------------------------
+@register(
+    "h43_hard_negative_mining",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+             list_cosine_similarity(q.v, c.v) AS cos_sim
+      FROM q JOIN c ON c.label <> q.label),
+r AS (SELECT query_id, neg_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neg_id) AS rn
+      FROM s)
+SELECT query_id, neg_id, ROUND(cos_sim, 4) AS cos_sim
+FROM r WHERE rn <= 3 ORDER BY query_id, cos_sim DESC, neg_id
+""",
+    group="H",
+)
+def h43_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for
+    each query vector, the top-3 highest-cosine vectors with a
+    DIFFERENT label — the negatives that actually teach the model.
+    Exact form here (broadcast query side x corpus, the h8 brute-force
+    shape) as the oracle-checked baseline; at scale the candidate
+    generation routes through the same LSH/IVF bucket joins as h8b/h8c
+    and only the label-mismatch filter changes. Window top-k with
+    WindowGroupLimit, no vocabulary of pairs ever materializes."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = F.broadcast(q).join(emb, F.col("label") != F.col("qlabel")).select(
+        "query_id", F.col("vec_id").alias("neg_id"),
+        cosine_expr("qv", "v").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neg_id", F.round("cos_sim", 4).alias("cos_sim"))
+        .orderBy("query_id", F.desc("cos_sim"), "neg_id")
+    )
+
+
+# ---- temperature-scaled source mixing (h44) ----------------------------
+@register(
+    "h44_temperature_mixing",
+    oracle="""
+WITH sz AS (SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, sqrt(n) / (SELECT SUM(sqrt(n)) FROM sz) AS p FROM sz),
+t AS (SELECT source, n, p, CAST(floor(p * 1000000) AS BIGINT) AS thresh FROM w)
+SELECT d.source, CAST(t.n AS BIGINT) AS n_total, t.thresh AS thresh,
+       SUM(CASE WHEN (d.doc_id * 2654435761 + 987) % 1000000 < t.thresh
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents d JOIN t ON d.source = t.source
+GROUP BY d.source, t.n, t.thresh ORDER BY d.source
+""",
+    group="H",
+)
+def h44_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (mT5 / multilingual-corpus
+    style, alpha = 0.5): per-source sampling probability proportional
+    to size^alpha, damping head sources and boosting the tail. The
+    probabilities derive from corpus stats computed IN the plan (tiny
+    per-source aggregate, broadcast back); the keep decision is a
+    deterministic multiplicative hash against an integer threshold —
+    retry-safe, append-stable, reproducible across engines. alpha=0.5
+    keeps the oracle exact: sqrt is correctly-rounded IEEE in both
+    engines, unlike pow(x, 0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = sz.crossJoin(
+        F.broadcast(sz.agg(F.sum(F.sqrt("n")).alias("z")))
+    ).select(
+        "source", "n",
+        F.floor(F.sqrt("n") / F.col("z") * 1_000_000).cast("long").alias("thresh"),
+    )
+    r = (F.col("doc_id") * F.lit(2654435761) + F.lit(987)) % F.lit(1_000_000)
+    return (
+        docs.join(F.broadcast(w), "source")
+        .groupBy("source", F.col("n").cast("long").alias("n_total"), "thresh")
+        .agg(F.sum((r < F.col("thresh")).cast("long")).alias("n_kept"))
+        .orderBy("source")
+    )
