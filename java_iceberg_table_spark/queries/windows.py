@@ -285,3 +285,34 @@ def e10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "prev_type", "next_type")
         .limit(10)
     )
+
+
+@register(
+    "e9_percent_rank_cume_dist",
+    oracle="""
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+       ROUND(CUME_DIST() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey LIMIT 300
+""",
+    group="E",
+)
+def e9_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank (rank-1)/(n-1)
+    and cume_dist over account balance within nation — identical ANSI
+    semantics in both engines; the deterministic tie-break on
+    c_custkey makes the values hash-stable. Same single-shuffle window
+    shape as E1/E2."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_custkey")
+        .limit(300)
+    )
