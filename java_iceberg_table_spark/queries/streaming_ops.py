@@ -856,3 +856,89 @@ def i17_late_data_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(ok.count(), late.count())], "n_on_time bigint, n_late bigint"
     )
+
+
+@register(
+    "i18_stream_stream_left_outer",
+    oracle="""
+WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.user_id, c.cts, p.pts
+      FROM c LEFT JOIN p ON p.user_id = c.user_id
+                        AND p.pts >= c.cts
+                        AND p.pts <= c.cts + INTERVAL 60 MINUTE)
+SELECT user_id, COUNT(*)::BIGINT AS n_rows, COUNT(pts)::BIGINT AS n_matched,
+       (COUNT(*) - COUNT(pts))::BIGINT AS n_unmatched
+FROM j GROUP BY user_id ORDER BY user_id
+""",
+    group="I",
+)
+def i18_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks that never see a purchase
+    within 60 minutes must still emit (with a NULL purchase side) —
+    but only once the right-hand watermark PASSES the click's join
+    window, because until then a match could still arrive. That
+    watermark-driven NULL-side emission is the semantics under test:
+    a far-future sentinel row on each stream (filtered from the
+    output) advances both watermarks past all real data so the finite
+    availableNow run flushes every pending outer row, the same
+    flush-sentinel technique as i13. State stays finite in a live
+    deployment because each side evicts once the other side's
+    watermark clears the 60-minute bound (rate x interval, never the
+    history)."""
+    import time as _time
+
+    def build() -> str:
+        out = tempfile.mkdtemp(prefix="stream_outer_src_")
+        src = os.path.join(out, "events")
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        sent = spark.createDataFrame(
+            [(-1, "2100-01-01 00:00:00", "click"), (-2, "2100-01-01 00:00:00", "purchase")],
+            "user_id long, ts string, event_type string",
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        sdir = tempfile.mkdtemp(prefix="outer_sentinel_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(
+            f for f in os.listdir(sdir) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dest = os.path.join(src, "zz_outer_sentinel.parquet")
+        shutil.copyfile(os.path.join(sdir, part), dest)
+        shutil.rmtree(sdir, ignore_errors=True)
+        future = _time.time() + 3600
+        os.utime(dest, (future, future))
+        return src
+
+    from ..fixtures import load_table
+
+    src = shared_staged((sf_dir, 4, "outer"), build)
+    clicks = (
+        file_stream(spark, src, 2)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "90 days")
+    )
+    purchases = (
+        file_stream(spark, src, 2)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "90 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "leftOuter",
+    )
+    rows = run_to_memory(joined.select("user_id", "click_ts", "purchase_ts"))
+    return (
+        rows.filter(F.col("user_id") >= 0)  # drop the sentinel's own row
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_ts").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purchase_ts")).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
