@@ -113,7 +113,7 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     name: str | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the final result as a batch DataFrame.
@@ -123,9 +123,11 @@ def run_to_memory(
     at first checkpoint and every micro-batch pays a task per state
     partition, so it must be sized to the event RATE, not the batch
     default: at fixture scale 32 state partitions is pure per-batch
-    overhead (measured 2.4s -> 1.27s on the i3 bench at 8), while a
-    real deployment sizes it to executors x cores for its rate. Pass
-    None to inherit the session's shuffle partitioning unchanged."""
+    overhead (i3 A/B on the sf0.1 bench: 200-default ~2.4 s, 8 →
+    1.14 s, 4 → 0.95 s, 2 → 0.87 s — 4 keeps headroom near the
+    floor), while a real deployment sizes it to executors x cores for
+    its rate. Pass None to inherit the session's shuffle partitioning
+    unchanged."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
     # The memory sink can't recover from a checkpoint anyway, so the
