@@ -339,3 +339,40 @@ def g14_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("r_name", F.lit("EUROPE")).cast("long").alias("lev"),
         F.greatest(F.length("r_name").cast("long"), F.lit(6).cast("long")).alias("g"),
     ).orderBy("r_name")
+
+
+@register(
+    "g15_levenshtein_fuzzy",
+    oracle="""
+SELECT a.doc_id AS doc_id,
+       levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS dist,
+       levenshtein(a.lang, b.lang) AS lang_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 100
+ORDER BY doc_id
+""",
+    group="G",
+)
+def g15_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein — identical semantics
+    in Spark and DuckDB): the character-level near-match primitive for
+    fuzzy key joins and typo-tolerant dedup, complementing the
+    token-set (Jaccard) and bit-signature (SimHash) families. Bounded
+    to 30-char prefixes because edit distance is O(len^2) per pair —
+    at scale it runs as the VERIFY step on candidate pairs from
+    blocking (LSH buckets / sorted neighborhoods), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.filter(F.col("a.doc_id") < 100)
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.levenshtein(
+                F.substring("a.text", 1, 30), F.substring("b.text", 1, 30)
+            ).alias("dist"),
+            F.levenshtein(F.col("a.lang"), F.col("b.lang")).alias("lang_dist"),
+        )
+        .orderBy("doc_id")
+    )
