@@ -104,6 +104,9 @@ def duckdb_reference(sf_dir: str) -> dict[str, float]:
 # under .localdata/sf1; generation runs once, ~30 s.
 _SF1_STRIDES = {
     "lineitem": {"l_orderkey": 10**9, "l_partkey": 10**8, "l_suppkey": 10**7},
+    # documents: id-only stride -> 10 EXACT text copies of every doc,
+    # the adversarial corpus for the dedup scale block below
+    "documents": {"doc_id": 10**8},
     "orders": {"o_orderkey": 10**9, "o_custkey": 10**8},
     "customer": {"c_custkey": 10**8},
     "part": {"p_partkey": 10**8},
@@ -120,7 +123,7 @@ def ensure_sf1(sf01_dir: str) -> str | None:
     from java_iceberg_table_spark.fixtures import TABLE_NAMES
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1")
-    marker = os.path.join(out, "_READY")
+    marker = os.path.join(out, "_READY2")  # v2: documents replicated too
     if os.path.exists(marker):
         return out
     try:
@@ -192,11 +195,43 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
     agg_ratio = round(
         sum(spark_times.values()) / max(sum(duck_times.values()), 1e-9), 2
     )
+    dedup = None
+    try:
+        # Dedup at 10x: 50k docs where EVERY doc has >=10 exact copies.
+        # The collapsed pipeline (identical-set collapse -> LSH on
+        # representatives -> verified rep edges + membership stars ->
+        # connected components) must cost like the 5k UNIQUE docs, not
+        # the 50k corpus — the property that makes it viable at 100 TB.
+        from java_iceberg_table_spark.operators.dedup import (
+            connected_components,
+            minhash_rep_graph,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+        t0 = time.perf_counter()
+        rep_pairs, membership = minhash_rep_graph(
+            docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
+        )
+        edges = rep_pairs.select("id_a", "id_b").unionByName(
+            membership.filter(membership["id"] != membership["rep"]).select(
+                membership["rep"].alias("id_a"), membership["id"].alias("id_b")
+            )
+        )
+        n_components = connected_components(edges).select("comp").distinct().count()
+        dedup = {
+            "n_docs": docs.count(),
+            "n_rep_edges": rep_pairs.count(),
+            "n_components": n_components,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+    except Exception as e:  # the scale block must never kill the bench
+        print(f"sf1 dedup block failed: {e}", file=sys.stderr)
     return {
         "queries": spark_times,
         "duckdb_reference": duck_times,
         "ratios": ratios,
         "aggregate_ratio": agg_ratio,
+        "dedup_10x": dedup,
         "sf": 1.0,
     }
 
