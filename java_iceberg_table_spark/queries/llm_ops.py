@@ -1707,3 +1707,72 @@ def h44_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((r < F.col("thresh")).cast("long")).alias("n_kept"))
         .orderBy("source")
     )
+
+
+# ---- dataset card (h45) ------------------------------------------------
+@register(
+    "h45_dataset_card",
+    oracle=r"""
+WITH tok AS (SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS token
+             FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b) WHERE j >= 0.95),
+dup AS (SELECT DISTINCT id FROM (
+          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+words AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                         x -> len(x) > 0)) AS n_words
+          FROM documents)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       SUM(w.n_words)::BIGINT AS total_words,
+       SUM(d.n_chars)::BIGINT AS total_chars
+FROM documents d
+JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN dup ON dup.id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+    group="H",
+)
+def h45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-source document counts, near-duplicate
+    membership, and token/char volume — the summary artifact every
+    published training corpus ships. Duplicate membership comes from
+    the MinHash-LSH pipeline (h6b: deterministic, exact-verified, so
+    it equals the oracle's all-pairs Jaccard formulation); the word
+    and char totals are one expression pass. One corpus tokenize, one
+    near-dup resolution (shared machinery), one rollup keyed by the
+    handful of sources — nothing here is corpus-quadratic."""
+    from ..operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
+    )
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    words = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0)
+    )
+    return (
+        docs.join(F.broadcast(dup_ids), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_docs"),
+            F.sum(words).alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
