@@ -1426,13 +1426,19 @@ class Table:
         import uuid as uuid_mod
 
         batch = uuid_mod.uuid4().hex
-        by_partition: dict[object, list[dict]] = {}
+        # group by (spec_id, partition), not partition value alone:
+        # after partition evolution the same numeric bucket under two
+        # specs covers DIFFERENT value ranges, and the rewritten file
+        # must keep its own spec stamp or every read path would
+        # interpret its bucket under the wrong width.
+        by_partition: dict[tuple, list[dict]] = {}
         for e in entries:
-            by_partition.setdefault(e.get("partition"), []).append(e)
+            key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
+            by_partition.setdefault(key, []).append(e)
         new_entries: list[dict] = []
-        for part, es in by_partition.items():
+        for (spec_id, part), es in by_partition.items():
             df = self._read_with_deletes(spark, es, snap)
-            sub = f"__pb={part}" if part is not None else "clustered"
+            sub = f"s{spec_id}__pb={part}" if part is not None else "clustered"
             out_dir = os.path.join(self.root, "data", f"z-{batch}", sub)
             zorder_frame(df, cluster_by, n_files).write.parquet(out_dir)
             for path in glob.glob(os.path.join(out_dir, "*.parquet")):
@@ -1445,6 +1451,7 @@ class Table:
                         "bytes": st["bytes"],
                         "partition": part,
                         "columns": st["columns"],
+                        **({"spec_id": spec_id} if spec_id else {}),
                     }
                 )
 
@@ -1520,17 +1527,20 @@ class Table:
         import uuid as uuid_mod
 
         batch = uuid_mod.uuid4().hex
-        by_partition: dict[object, list[dict]] = {}
+        # (spec_id, partition) grouping — see rewrite_clustered: a
+        # bucket value is only meaningful under the spec that wrote it.
+        by_partition: dict[tuple, list[dict]] = {}
         for e in small:
-            by_partition.setdefault(e.get("partition"), []).append(e)
-        for part, es in by_partition.items():
+            key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
+            by_partition.setdefault(key, []).append(e)
+        for (spec_id, part), es in by_partition.items():
             # deletes-applied read: compacted rows carry THIS commit's
             # sequence, so pending equality deletes stop applying to
             # them — they must already be filtered out here
             df = self._read_with_deletes(spark, es, snap)
             total = sum(e["bytes"] for e in es)
             n_out = max(1, total // target_file_bytes)
-            sub = f"__pb={part}" if part is not None else "compacted"
+            sub = f"s{spec_id}__pb={part}" if part is not None else "compacted"
             out_dir = os.path.join(self.root, "data", f"c-{batch}", sub)
             if sort_by:
                 # range-partition + sort: every output file covers a
@@ -1554,6 +1564,7 @@ class Table:
                         "bytes": st["bytes"],
                         "partition": part,
                         "columns": st["columns"],
+                        **({"spec_id": spec_id} if spec_id else {}),
                     }
                 )
 

@@ -462,3 +462,39 @@ def test_target_file_size_property(spark, troot):
     # capped files land within a loose factor of the target (parquet
     # per-file overhead dominates tiny files; the cap is rows-derived)
     assert max(e["bytes"] for e in sized) < 10 * 4096
+
+
+def test_partition_evolution_compaction_keeps_spec(spark, troot):
+    """Compaction after spec evolution must group by (spec, bucket)
+    and keep each rewritten file's spec stamp: bucket 200 under width
+    100 covers [200,299] but under width 50 covers [200,249] — merging
+    them or dropping the stamp makes every later pruning/retention
+    decision interpret the file under the wrong width."""
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    tbl.append(_ev_df(spark, 0, 300).repartition(4))     # spec 0
+    tbl.update_partition_spec(truncate("ts", 50))
+    tbl.append(_ev_df(spark, 300, 400).repartition(4))   # spec 1
+    before = tbl.scan(spark).agg(F.sum("k")).first()[0]
+
+    stats = tbl.compact_data_files(spark, target_file_bytes=1 << 20)
+    assert stats["rewritten"] > 0
+    # content identical
+    assert tbl.scan(spark).agg(F.sum("k")).first()[0] == before
+    # every rewritten entry keeps a spec consistent with its bucket
+    for e in tbl.current_files():
+        sid = int(e.get("spec_id", 0) or 0)
+        width = 100 if sid == 0 else 50
+        assert e["partition"] % width == 0, (e["path"], sid, e["partition"])
+    # pruning still resolves per spec: ts >= 250 keeps spec-0 bucket
+    # 200 (range [200,299]) and spec-1 buckets >= 250
+    parts = {
+        (int(e.get("spec_id", 0) or 0), e["partition"])
+        for e in tbl.plan_files([("ts", ">=", 250)])
+    }
+    assert (0, 200) in parts
+    assert all(p >= 250 for sid, p in parts if sid == 1)
+    assert (0, 0) not in parts and (0, 100) not in parts
+    # retention delete still exact across rewritten mixed-spec files
+    tbl.delete_where("ts", "<", 100)
+    assert tbl.scan(spark).count() == 300
+    assert tbl.scan(spark).agg(F.min("ts")).first()[0] == 100
