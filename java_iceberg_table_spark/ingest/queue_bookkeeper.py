@@ -121,12 +121,15 @@ class QueueBookkeeper:
                 cmin = st["columns"].get(t.source_column, {}).get("min")
                 if cmin is not None:
                     partition = t.apply_py(int(cmin))
+        spec_id = self.table.current_spec_id()
         return {
             "path": rel_path,
             "rows": st["rows"],
             "bytes": st["bytes"],
             "partition": partition,
             "columns": st["columns"],
+            # spec stamp (evolution-aware pruning; 0 implicit)
+            **({"spec_id": spec_id} if spec_id else {}),
         }
 
     def process_messages(self, raw_messages: DataFrame) -> dict:

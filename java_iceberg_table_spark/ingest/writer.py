@@ -119,7 +119,9 @@ class Writer:
         """R6: write n_files data files (parquet or avro per the R5
         toggle) for one shared timeperiod stamp (Writer.java:126-137);
         returns manifest entries."""
+        md = self.table.metadata
         t = self.table.transform
+        spec_id = self.table.current_spec_id(md)
         entries = []
         for _ in range(n_files):
             bucket = t.apply_py(timeperiod_us) if t else None
@@ -143,6 +145,8 @@ class Writer:
                     "bytes": st["bytes"],
                     "partition": bucket,
                     "columns": st["columns"],
+                    # spec stamp (evolution-aware pruning; 0 implicit)
+                    **({"spec_id": spec_id} if spec_id else {}),
                 }
             )
             self._file_counter += 1
