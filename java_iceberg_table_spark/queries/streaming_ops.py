@@ -942,3 +942,67 @@ def i18_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "i19_checkpoint_restart_recovery",
+    oracle="""
+SELECT COUNT(*)::BIGINT AS cnt, COUNT(DISTINCT event_id)::BIGINT AS dcnt,
+       SUM(event_id)::BIGINT AS sum_id
+FROM events
+""",
+    group="I",
+)
+def i19_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a restart: the stream ingests HALF the
+    source files to a parquet sink and terminates; more files then
+    arrive and a NEW query starts from the SAME checkpoint. The
+    restarted query must resume from the recorded offsets — no row
+    lost, none doubled — so the sink equals the batch totals over the
+    full fixture. This is the recovery contract the whole decoupled
+    ingestion design rests on (a bookkeeper crash never loses or
+    replays a committed batch); the same guarantee for engine-table
+    sinks is pinned by the batch-id high-watermark tests."""
+    from ..fixtures import load_table
+
+    base = tempfile.mkdtemp(prefix="i19_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def stage(mod: int) -> None:
+        ev.filter(F.col("event_id") % 2 == mod).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once() -> None:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        stage(0)
+        run_once()  # phase 1: half the data, then 'crash'
+        stage(1)
+        run_once()  # phase 2: restart from the same checkpoint
+        got = spark.read.parquet(out)
+        row = got.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("event_id").alias("dcnt"),
+            F.sum("event_id").alias("sum_id"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["dcnt"], row["sum_id"])],
+            "cnt bigint, dcnt bigint, sum_id bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

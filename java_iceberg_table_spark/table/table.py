@@ -55,6 +55,13 @@ class RetentionGapError(KeyError):
 # plans as a parallel JSON scan instead of a million-iteration loop).
 DIST_PLAN_MIN_MANIFEST_BYTES = 4 << 20
 
+# Position deletes at or below this many rows are stored as INLINE
+# deletion vectors in the manifest entry ({file_key: sorted positions})
+# instead of a parquet delete file — the delete commit then writes no
+# data files at all and readers build the anti-join input from
+# metadata. Sized so a manifest entry stays a few tens of KB.
+DV_INLINE_MAX_POSITIONS = 4096
+
 
 def _file_key_col():
     """Root-relative path of the file being scanned (``data/...``),
@@ -880,9 +887,25 @@ class Table:
         )
         pos_dels = [e for e in del_entries if e["content"] == "pos"]
         if pos_dels:
-            pdf = spark.read.schema("__file string, __pos long").parquet(
-                *[os.path.join(self.root, e["path"]) for e in pos_dels]
-            )
+            file_backed = [e for e in pos_dels if e.get("path")]
+            inline = [(f, p) for e in pos_dels if e.get("dv")
+                      for f, ps in e["dv"].items() for p in ps]
+            parts = []
+            if file_backed:
+                parts.append(
+                    spark.read.schema("__file string, __pos long").parquet(
+                        *[os.path.join(self.root, e["path"]) for e in file_backed]
+                    )
+                )
+            if inline:
+                # inline DVs are metadata — the anti-join input comes
+                # straight from the manifest, no delete-file read
+                parts.append(
+                    spark.createDataFrame(inline, "__file string, __pos long")
+                )
+            pdf = parts[0]
+            for extra in parts[1:]:
+                pdf = pdf.unionByName(extra)
             # guard against pre-root-relative (basename) delete keys from
             # older delete files: they would silently stop matching and
             # resurrect deleted rows — fail loudly instead.
@@ -1019,6 +1042,37 @@ class Table:
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
+        # Deletion-vector fast path (Iceberg v3 DV spirit): a SMALL
+        # position delete is stored INLINE in the manifest entry as
+        # {file_key: sorted positions} — the delete commit writes zero
+        # data files and the read side builds the anti-join input from
+        # metadata alone. Large deletes keep the parquet delete-file
+        # form (and truly large ones belong to delete_rows, the
+        # copy-on-write path).
+        probe = hits.limit(DV_INLINE_MAX_POSITIONS + 1).collect()
+        if len(probe) <= DV_INLINE_MAX_POSITIONS:
+            if not probe:
+                return None
+            dv: dict[str, list[int]] = {}
+            for r in probe:
+                dv.setdefault(r["__file"], []).append(int(r["__pos"]))
+            for k in dv:
+                dv[k].sort()
+            rows = len(probe)
+            return self._commit_deletes(
+                {
+                    "path": None,
+                    "content": "pos",
+                    "cols": ["__file", "__pos"],
+                    "rows": rows,
+                    "dv": dv,
+                },
+                {
+                    "added-delete-files": 0,
+                    "added-dvs": len(dv),
+                    "added-position-deletes": rows,
+                },
+            )
         written = self._write_delete_file(hits)
         if written is None:
             return None
@@ -1065,6 +1119,9 @@ class Table:
             pos_targets = set()
             for e in del_entries:
                 if e["content"] == "pos":
+                    if e.get("dv"):
+                        pos_targets.update(e["dv"].keys())
+                        continue
                     for r in (
                         spark.read.schema("__file string, __pos long")
                         .parquet(os.path.join(self.root, e["path"]))
@@ -1265,12 +1322,12 @@ class Table:
             live_files = set()
             for m in live_manifests:
                 for e in fmt.read_manifest(self.root, m):
-                    live_files.add(e["path"])
+                    live_files.add(e.get("path"))
             doomed, seen = [], set()
             for m in dead_only:
                 for e in fmt.read_manifest(self.root, m):
-                    p = e["path"]
-                    if p not in live_files and p not in seen:
+                    p = e.get("path")  # None = inline DV, nothing on disk
+                    if p and p not in live_files and p not in seen:
                         seen.add(p)
                         doomed.append(p)
         for rel in doomed:
@@ -1294,7 +1351,13 @@ class Table:
         """Paths referenced by dead manifests and NO live manifest —
         the GC victim set, computed as a distributed manifest scan +
         left-anti join so the driver never holds the live-file set."""
-        dead = self._manifest_entries_df(spark, dead_manifests).select("path").distinct()
+        dead = (
+            self._manifest_entries_df(spark, dead_manifests)
+            .select("path")
+            # inline-DV delete entries reference no file (path null)
+            .filter(F.col("path").isNotNull())
+            .distinct()
+        )
         if live_manifests:
             live = self._manifest_entries_df(spark, live_manifests).select("path")
             dead = dead.join(live, "path", "left_anti")
@@ -1372,7 +1435,8 @@ class Table:
             live_files: set[str] = set()
             for m in live_sorted:
                 for e in fmt.read_manifest(self.root, m):
-                    live_files.add(e["path"])
+                    if e.get("path"):
+                        live_files.add(e["path"])
             orphan_data = {p for p in data_candidates if p not in live_files}
         for rel in candidates:
             if rel.startswith("manifests"):

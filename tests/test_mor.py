@@ -142,9 +142,18 @@ def test_mor_on_partitioned_table_distinct_files_same_basename(spark, troot):
 
 
 def test_gc_keeps_referenced_delete_files(spark, troot):
+    from java_iceberg_table_spark.table import table as table_mod
+
     tbl = create_table(troot, SCHEMA)
     tbl.append(_df(spark, 0, 10))
-    snap = tbl.delete_where_mor(spark, [("k", "=", 4)])
+    # force the FILE-backed delete form (small deletes now inline as
+    # DVs — the file-referencing GC invariant is what this test pins)
+    orig = table_mod.DV_INLINE_MAX_POSITIONS
+    table_mod.DV_INLINE_MAX_POSITIONS = 0
+    try:
+        snap = tbl.delete_where_mor(spark, [("k", "=", 4)])
+    finally:
+        table_mod.DV_INLINE_MAX_POSITIONS = orig
     del_manifest = snap.delete_manifests[-1]
     import java_iceberg_table_spark.table.format as fmt
 
@@ -160,3 +169,59 @@ def test_gc_keeps_referenced_delete_files(spark, troot):
     tbl.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10_000, retain_last=1)
     assert not os.path.exists(os.path.join(tbl.root, del_path))
     assert _ks(spark, tbl) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_inline_deletion_vector_writes_no_files(spark, troot):
+    """A small position delete commits as an INLINE deletion vector:
+    the manifest entry carries {file: positions} and NO delete parquet
+    exists on disk; reads, time travel, rewrite, and GC all behave
+    exactly like the file-backed form."""
+    import glob as _glob
+
+    from java_iceberg_table_spark.table.format import load_metadata
+
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 100))
+    files_before = set(
+        _glob.glob(os.path.join(troot, "data", "**", "*.parquet"), recursive=True)
+    )
+    snap = tbl.delete_where_mor(spark, [("k", "<", 10)])
+    assert snap is not None
+    assert snap.summary.get("added-dvs", 0) >= 1
+    assert snap.summary["added-delete-files"] == 0
+    # zero new files on disk — the delete is pure metadata
+    files_after = set(
+        _glob.glob(os.path.join(troot, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert files_after == files_before
+    # read path applies the DV
+    assert _ks(spark, tbl) == list(range(10, 100))
+    # time travel behind the delete still sees the rows
+    first = tbl.snapshots()[0].snapshot_id
+    assert len(tbl.scan(spark, snapshot_id=first).collect()) == 100
+    # materialize: DV dropped from metadata, result unchanged
+    stats = tbl.rewrite_deletes(spark)
+    assert stats["rewritten_files"] >= 1
+    assert not tbl.metadata.current_snapshot().delete_manifests
+    assert _ks(spark, tbl) == list(range(10, 100))
+    # expiry + clean never trip over the path-less DV entry
+    tbl.expire_snapshots(older_than_ms=10**20, retain_last=1)
+    tbl.clean(older_than_ms=0)
+    assert _ks(spark, tbl) == list(range(10, 100))
+
+
+def test_large_position_delete_falls_back_to_file(spark, troot):
+    """Past DV_INLINE_MAX_POSITIONS the delete keeps the parquet
+    delete-file form (same semantics, bounded manifest size)."""
+    from java_iceberg_table_spark.table import table as table_mod
+
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 200))
+    orig = table_mod.DV_INLINE_MAX_POSITIONS
+    table_mod.DV_INLINE_MAX_POSITIONS = 50
+    try:
+        snap = tbl.delete_where_mor(spark, [("k", "<", 100)])
+    finally:
+        table_mod.DV_INLINE_MAX_POSITIONS = orig
+    assert snap is not None and snap.summary["added-delete-files"] == 1
+    assert _ks(spark, tbl) == list(range(100, 200))
