@@ -928,14 +928,30 @@ class Table:
         for e in del_entries:
             if e["content"] == "eq":
                 eq_by_cols.setdefault(tuple(e["cols"]), []).append(e)
+        key_schema = StructType(
+            [f for f in schema.fields]
+        )  # name->type lookup for inline key reconstruction
         for cols, dels in eq_by_cols.items():
             keys = None
             for e in dels:
-                kdf = (
-                    spark.read.parquet(os.path.join(self.root, e["path"]))
-                    .select(*[F.col(c).alias(f"__k_{c}") for c in cols])
-                    .withColumn("__dseq", F.lit(int(e.get("seq", 0))))
-                )
+                if e.get("keys") is not None:
+                    # inline-DV equality keys: typed via the TABLE
+                    # schema so the anti-join condition compares
+                    # like-typed columns
+                    ktypes = StructType(
+                        [
+                            next(f for f in key_schema.fields if f.name == c)
+                            for c in cols
+                        ]
+                    )
+                    kdf = spark.createDataFrame(
+                        [tuple(k) for k in e["keys"]], ktypes
+                    ).select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+                else:
+                    kdf = spark.read.parquet(
+                        os.path.join(self.root, e["path"])
+                    ).select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+                kdf = kdf.withColumn("__dseq", F.lit(int(e.get("seq", 0))))
                 keys = kdf if keys is None else keys.unionByName(kdf)
             cond = F.col("__seq") < F.col("__dseq")
             for c in cols:
@@ -1091,6 +1107,34 @@ class Table:
         file now (the cheapest possible delete; Iceberg v2 equality
         deletes, the streaming-CDC workhorse)."""
         distinct = keys.select(*key_cols).dropDuplicates(key_cols)
+        # inline-DV fast path, same rationale as position deletes: a
+        # small key set rides in the manifest entry and the delete
+        # writes no files. Only JSON-representable key values inline;
+        # anything else (timestamps, binary) keeps the parquet form.
+        probe = distinct.limit(DV_INLINE_MAX_POSITIONS + 1).collect()
+        inlinable = len(probe) <= DV_INLINE_MAX_POSITIONS and all(
+            isinstance(v, (int, str, float, bool, type(None)))
+            for r in probe
+            for v in r
+        )
+        if inlinable:
+            if not probe:
+                return None
+            rows = len(probe)
+            return self._commit_deletes(
+                {
+                    "path": None,
+                    "content": "eq",
+                    "cols": list(key_cols),
+                    "rows": rows,
+                    "keys": [list(r) for r in probe],
+                },
+                {
+                    "added-delete-files": 0,
+                    "added-dvs": 1,
+                    "added-equality-deletes": rows,
+                },
+            )
         written = self._write_delete_file(distinct)
         if written is None:
             return None

@@ -225,3 +225,32 @@ def test_large_position_delete_falls_back_to_file(spark, troot):
         table_mod.DV_INLINE_MAX_POSITIONS = orig
     assert snap is not None and snap.summary["added-delete-files"] == 1
     assert _ks(spark, tbl) == list(range(100, 200))
+
+
+def test_inline_equality_delete_writes_no_files(spark, troot):
+    """Small equality deletes also inline into the manifest: zero
+    files written, sequence semantics intact (a key re-inserted after
+    the delete survives), rewrite materializes identically."""
+    import glob as _glob
+
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 10))
+    before = set(
+        _glob.glob(os.path.join(troot, "data", "**", "*.parquet"), recursive=True)
+    )
+    keys = spark.createDataFrame([(3,), (7,)], "k long")
+    snap = tbl.delete_eq_mor(spark, keys, ["k"])
+    assert snap is not None and snap.summary["added-delete-files"] == 0
+    assert snap.summary.get("added-dvs") == 1
+    after = set(
+        _glob.glob(os.path.join(troot, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert after == before
+    assert _ks(spark, tbl) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # sequence semantics survive inlining
+    tbl.append(_df(spark, 3, 4, v="reborn"))
+    assert _ks(spark, tbl) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    stats = tbl.rewrite_deletes(spark)
+    assert stats["rewritten_files"] >= 1
+    assert not tbl.metadata.current_snapshot().delete_manifests
+    assert _ks(spark, tbl) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
