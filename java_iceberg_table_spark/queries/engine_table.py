@@ -783,3 +783,44 @@ def a3p_engine_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3s_engine_inline_dv_delete",
+    oracle="""
+SELECT COUNT(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS cnt,
+       SUM(CASE WHEN c_custkey % 97 <> 0 THEN c_custkey END) AS sum_key,
+       CAST(0 AS BIGINT) AS delete_files_written
+FROM customer
+""",
+    group="A",
+)
+def a3s_engine_inline_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline deletion vectors (Iceberg v3 DV spirit): a small
+    merge-on-read delete commits its positions INSIDE the manifest
+    entry — zero files written (delete_files_written is graded as 0
+    straight from the snapshot summary), readers rebuild the anti-join
+    input from metadata, and the scan equals the batch filter. At
+    scale this is what makes high-frequency small deletes (GDPR
+    erasure, CDC retractions) metadata-cost operations instead of a
+    file write + read per commit."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    root = tempfile.mkdtemp(prefix="engine_dv_") + "/t"
+    try:
+        tbl = create_table(root, cust.schema)
+        tbl.append(cust)
+        # the %-predicate isn't expressible as a (col, op, literal)
+        # position-delete filter, so it runs as an equality delete on
+        # the matching keys — also inline below the DV threshold
+        victims = cust.filter(F.col("c_custkey") % 97 == 0)
+        snap = tbl.delete_eq_mor(spark, victims, ["c_custkey"])
+        files_written = int(snap.summary.get("added-delete-files", -1))
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("c_custkey").alias("sum_key")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], files_written)],
+            "cnt bigint, sum_key bigint, delete_files_written bigint",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
