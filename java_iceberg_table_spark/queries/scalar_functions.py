@@ -376,3 +376,29 @@ def g15_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "g16_split_part",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_type, ' ', 1) AS first_word,
+       split_part(p_type, ' ', -1) AS last_word
+FROM part ORDER BY p_partkey LIMIT 200
+""",
+    group="G",
+)
+def g16_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_part (1-based field extraction, negative = from the end)
+    — identical semantics in Spark (3.4+) and DuckDB, the delimiter
+    workhorse for log/URL/path fields without a full split+index."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.split_part("p_type", F.lit(" "), F.lit(1)).alias("first_word"),
+            F.split_part("p_type", F.lit(" "), F.lit(-1)).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -115,3 +115,26 @@ def f7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     return nation.subtract(cust).orderBy("k")  # subtract == SQL EXCEPT (distinct)
+
+
+@register(
+    "f8_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25 OFFSET 50
+""",
+    group="F",
+)
+def f8_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY + LIMIT/OFFSET (DataFrame.offset, Spark
+    3.4+). The total order with a key tie-break makes page contents
+    deterministic; physically this stays a top-(offset+limit) per
+    partition + final trim, never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(50)
+        .limit(25)
+    )
