@@ -84,3 +84,27 @@ def test_greedy_packing_invariants(toks: list[int], budget: int):
     for _, row in per_bin.iterrows():
         assert row["sum"] <= budget or row["count"] == 1  # oversized doc alone
     assert out["n_tokens"].sum() == sum(toks)  # nothing lost
+
+
+@given(
+    v=st.integers(min_value=0, max_value=2**40),
+    w1=st.integers(min_value=1, max_value=2**20),
+    w2=st.integers(min_value=1, max_value=2**20),
+    cutoff=st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=200, deadline=None)
+def test_per_spec_bucket_ranges_sound_under_evolution(v, w1, w2, cutoff):
+    """Partition-evolution soundness: whichever spec a value was
+    written under, the value lies inside that spec's bucket range
+    (pruning with the OWN spec can never skip a matching file), and a
+    whole-bucket retention drop under the own width never drops a
+    value >= cutoff."""
+    for w in (w1, w2):
+        t = TruncateTransform("c", w)
+        b = t.apply_py(v)
+        lo, hi = t.bucket_range(b)
+        assert lo <= v < hi
+        # retention rule: file dropped iff bucket + width <= cutoff
+        dropped = b + w <= cutoff
+        if dropped:
+            assert v < cutoff  # soundness: only fully-covered rows go
