@@ -131,6 +131,26 @@ class Table:
         specs = (md or self.metadata).specs()
         return int(specs[-1]["spec_id"])
 
+    def set_properties(self, updates: dict[str, str]) -> None:
+        """Set/overwrite table properties in one optimistic-retry
+        commit (a None value removes the key). Write-behavior
+        properties (write.sort.order, write.bloom.column,
+        write.target-file-size-bytes) take effect on the NEXT write —
+        existing files are untouched until a rewrite."""
+
+        def build(current: TableMetadata) -> TableMetadata:
+            props = dict(current.properties)
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = str(v)
+            return replace(
+                current, version=current.version + 1, properties=props
+            )
+
+        fmt.commit(self.root, build)
+
     def update_partition_spec(self, new: TruncateTransform | None) -> int:
         """Iceberg partition evolution: change how FUTURE writes are
         partitioned — metadata-only, no data rewrite. Existing files
@@ -271,16 +291,39 @@ class Table:
             if rows > 0:
                 bpr = max(1.0, sum(e["bytes"] for e in cur) / rows)
                 max_records = max(1, int(int(target) / bpr))
+        # write.sort.order: cluster rows inside every output file so
+        # its min/max footer stats are TIGHT on the sort columns —
+        # plan_files skipping on those columns then approaches the
+        # sorted-table ideal for free on every append (Iceberg
+        # SortOrder semantics; the z-order rewrite remains the
+        # multi-column layout tool).
+        sort_order = [
+            c.strip()
+            for c in md.properties.get("write.sort.order", "").split(",")
+            if c.strip()
+        ]
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
             if n_tasks is not None:
                 bucketed = bucketed.repartition(n_tasks, "__pb")
+            if sort_order:
+                bucketed = bucketed.sortWithinPartitions("__pb", *sort_order)
             w = bucketed.write
             if max_records is not None:
                 w = w.option("maxRecordsPerFile", max_records)
             w.partitionBy("__pb").parquet(out_dir)
         else:
-            if n_tasks is not None:
+            if sort_order:
+                # range-partition + sort: every output file covers a
+                # DISJOINT sort-key range (one shuffle per append, the
+                # cost of a sorted table); partitioned tables above
+                # sort within tasks only — no extra shuffle, ranges
+                # may overlap across tasks but stay tight per file
+                n_out = n_tasks or df.sparkSession.sparkContext.defaultParallelism
+                df = df.repartitionByRange(int(n_out), *sort_order).sortWithinPartitions(
+                    *sort_order
+                )
+            elif n_tasks is not None:
                 df = df.coalesce(n_tasks)
             w = df.write
             if max_records is not None:

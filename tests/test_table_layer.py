@@ -498,3 +498,41 @@ def test_partition_evolution_compaction_keeps_spec(spark, troot):
     tbl.delete_where("ts", "<", 100)
     assert tbl.scan(spark).count() == 300
     assert tbl.scan(spark).agg(F.min("ts")).first()[0] == 100
+
+
+def test_write_sort_order_tightens_file_stats(spark, troot):
+    """write.sort.order: appends range-partition + sort so each file
+    covers a disjoint key range — a point/range predicate then prunes
+    to ~1 file from footer stats where the unsorted layout keeps most
+    files."""
+    sorted_root, plain_root = troot + "_s", troot + "_p"
+    shuffled = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("x").alias("v"),
+            # decorrelate value from row order so unsorted files span
+            # nearly the full range
+            F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("ts"),
+        )
+        .repartition(8)
+    )
+    t_sorted = create_table(
+        sorted_root, SIMPLE_SCHEMA, properties={"write.sort.order": "ts"}
+    )
+    t_plain = create_table(plain_root, SIMPLE_SCHEMA)
+    t_sorted.append(shuffled)
+    t_plain.append(shuffled)
+    q = [("ts", "<", 500)]
+    n_sorted = len(t_sorted.plan_files(q))
+    n_plain = len(t_plain.plan_files(q))
+    assert len(t_sorted.current_files()) > 1
+    assert n_sorted < n_plain
+    assert n_sorted <= 2  # disjoint ranges: the cutoff hits ~1 file
+    # content identical + property round-trips via set_properties
+    assert t_sorted.scan(spark, q).count() == t_plain.scan(spark, q).count() == 500
+    t_plain.set_properties({"write.sort.order": "ts"})
+    t_plain.append(shuffled.withColumn("k", F.col("k") + 10_000))
+    # the NEW files are sorted; the old unsorted ones remain
+    q2 = [("ts", "<", 500)]
+    assert len(t_plain.plan_files(q2)) < 2 * n_plain
