@@ -74,6 +74,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     sp_cols, dk_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sp_cols != dk_cols:
         return [f"column mismatch: spark={sp_cols} duckdb={dk_cols}"]
+    # Driver-exact dtype parity: the driver's value-hash sees the raw
+    # pandas cells, so an int64 Spark column vs a float64 DuckDB column
+    # (e.g. an uncast SUM(bigint) coming back as HUGEINT->float64)
+    # hash-mismatches even when every value is numerically equal. The
+    # canonicalization below would coerce that away, so check dtypes
+    # FIRST — this is the exact bug class that cost round 4 five rows.
+    if len(spark_pdf) and len(duck_pdf):
+        for c in sp_cols:
+            sd, dd = spark_pdf[c].dtype, duck_pdf[c].dtype
+            if sd != dd:
+                problems.append(f"dtype mismatch col {c!r}: spark={sd} duckdb={dd}")
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
     sp_rows, dk_rows = canonicalize(spark_pdf), canonicalize(duck_pdf)

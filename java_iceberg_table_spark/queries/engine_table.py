@@ -167,12 +167,14 @@ def a3c_engine_metadata_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3d_engine_schema_evolution",
     oracle="""
-SELECT n_nationkey,
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
        CAST(NULL AS BIGINT) AS extra_a,
-       n_nationkey * 10 AS extra_b
+       CAST(n_nationkey * 10 AS BIGINT) AS extra_b
 FROM nation
 UNION ALL
-SELECT n_nationkey, n_nationkey AS extra_a, n_nationkey * 10 AS extra_b
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(n_nationkey AS BIGINT) AS extra_a,
+       CAST(n_nationkey * 10 AS BIGINT) AS extra_b
 FROM nation
 ORDER BY n_nationkey, extra_a NULLS FIRST
 """,
@@ -485,11 +487,13 @@ def a3j_engine_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
 SELECT
   (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
     AS n_insert,
-  (SELECT SUM(event_id) FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
+  (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+   WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
     AS sum_insert,
   (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
     AS n_delete,
-  (SELECT SUM(event_id) FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+  (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+   WHERE event_id % 2 = 0 AND event_id % 5 = 0)
     AS sum_delete
 """,
     group="A",
@@ -541,7 +545,7 @@ mv AS (
   SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sv
   FROM final GROUP BY user_id
 )
-SELECT COUNT(*) AS n_users, SUM(cnt) AS total_rows,
+SELECT COUNT(*) AS n_users, CAST(SUM(cnt) AS BIGINT) AS total_rows,
        ROUND(SUM(sv), 4) AS total_value, true AS mv_equals_recompute
 FROM mv
 """,
@@ -667,7 +671,7 @@ def a3m_engine_datasource_connector(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "a3n_engine_rollback",
     oracle="""
-SELECT COUNT(*) AS cnt, SUM(c_custkey) AS sum_key
+SELECT COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS sum_key
 FROM customer
 """,
     group="A",
@@ -703,7 +707,7 @@ def a3n_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3o_engine_partition_evolution",
     oracle="""
-SELECT COUNT(*) AS cnt, SUM(o_orderkey) AS sum_key,
+SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
        COUNT(CASE WHEN o_orderkey >= 1500 THEN 1 END) AS cnt_tail
 FROM orders
 """,
@@ -789,7 +793,8 @@ def a3p_engine_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3s_engine_inline_dv_delete",
     oracle="""
 SELECT COUNT(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS cnt,
-       SUM(CASE WHEN c_custkey % 97 <> 0 THEN c_custkey END) AS sum_key,
+       CAST(SUM(CASE WHEN c_custkey % 97 <> 0 THEN c_custkey END) AS BIGINT)
+         AS sum_key,
        CAST(0 AS BIGINT) AS delete_files_written
 FROM customer
 """,
@@ -824,3 +829,68 @@ def a3s_engine_inline_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3t_engine_write_sort_order",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS cut
+  FROM orders
+)
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       true AS sorted_prunes_fewer
+FROM orders, bounds WHERE o_custkey < bounds.cut
+""",
+    group="A",
+)
+def a3t_engine_write_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time sort order (SURVEY §2.2 A3t; Iceberg SortOrder
+    semantics): ``write.sort.order=o_custkey`` makes every append
+    range-partition + sortWithinPartitions so each data file covers a
+    DISJOINT sort-key range and its footer min/max stats are tight.
+    The orders fixture arrives ordered by o_orderkey, so o_custkey is
+    decorrelated from file order — an unsorted layout leaves every
+    file spanning nearly the full custkey range (range predicates
+    prune nothing), while the sorted layout answers the same predicate
+    from ~1 file. At 100 TB this is the difference between a selective
+    scan touching one file per executor and a full-table read.
+    sorted_prunes_fewer grades the pruning invariant (strictly fewer
+    files matched than the unsorted twin); cnt/sum_key grade the scan
+    itself against the raw fixture."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def build(base: str) -> None:
+        # base holds TWO tables: sorted/ and plain/, built from the
+        # same 8-way-shuffled input so file counts are comparable
+        src = orders.repartition(8)
+        t_sorted = create_table(
+            base + "/sorted", src.schema,
+            properties={"write.sort.order": "o_custkey"},
+        )
+        t_plain = create_table(base + "/plain", src.schema)
+        t_sorted.append(src)
+        t_plain.append(src)
+
+    base = _shared_root(spark, sf_dir, "sortorder", build)
+    t_sorted = open_table(base + "/sorted")
+    t_plain = open_table(base + "/plain")
+    lo, hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).collect()[0]
+    cut = int(lo) + (int(hi) - int(lo)) // 8
+    q = [("o_custkey", "<", cut)]
+    n_sorted = len(t_sorted.plan_files(q))
+    n_plain = len(t_plain.plan_files(q))
+    prunes_fewer = n_sorted < n_plain and n_sorted < len(t_sorted.current_files())
+    row = (
+        t_sorted.scan(spark, q)
+        .filter(F.col("o_custkey") < cut)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").alias("sum_key"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(row["cnt"], row["sum_key"], prunes_fewer)],
+        "cnt bigint, sum_key bigint, sorted_prunes_fewer boolean",
+    )

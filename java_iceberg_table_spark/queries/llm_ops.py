@@ -1609,7 +1609,7 @@ def h42_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.ascii(F.substring("w", -1, 1))
     ) % 16
     return (
-        words.select("doc_id", bucket.alias("bucket"))
+        words.select("doc_id", bucket.cast("long").alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id", "bucket")

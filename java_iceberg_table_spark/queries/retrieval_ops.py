@@ -76,7 +76,7 @@ def h31_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.filter(F.col("doc_id") < 50)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "rk", "term", F.round("score", 4).alias("tfidf"))
         .orderBy("doc_id", "rk")
@@ -374,10 +374,10 @@ def h35_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("doc_id") * 10000 + F.col("start_tok")).alias("chunk_id"),
         "doc_id",
-        "start_tok",
-        F.size(F.slice("t", F.col("start_tok"), F.lit(_CHUNK_SIZE))).alias(
-            "n_toks"
-        ),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(F.slice("t", F.col("start_tok"), F.lit(_CHUNK_SIZE)))
+        .cast("long")
+        .alias("n_toks"),
         F.array_join(
             F.slice("t", F.col("start_tok"), F.lit(_CHUNK_SIZE)), " "
         ).alias("chunk_text"),

@@ -371,8 +371,12 @@ def g15_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_id"),
             F.levenshtein(
                 F.substring("a.text", 1, 30), F.substring("b.text", 1, 30)
-            ).alias("dist"),
-            F.levenshtein(F.col("a.lang"), F.col("b.lang")).alias("lang_dist"),
+            )
+            .cast("long")
+            .alias("dist"),
+            F.levenshtein(F.col("a.lang"), F.col("b.lang"))
+            .cast("long")
+            .alias("lang_dist"),
         )
         .orderBy("doc_id")
     )

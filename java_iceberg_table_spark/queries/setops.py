@@ -138,3 +138,42 @@ def f8_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+@register(
+    "f3_per_group_topk",
+    oracle="""
+SELECT c_nationkey AS grp, c_custkey AS key, rn FROM (
+  SELECT c_nationkey, c_custkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ) AS rn
+  FROM customer
+) WHERE rn <= 4
+ORDER BY grp, rn
+""",
+    group="F",
+)
+def f3_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (SURVEY §2.2 F3 — declared as 'E1 doubles as
+    this'; own entry so the row grades directly). One hash shuffle on
+    the group key, then Spark's WindowGroupLimit pushes the rn<=k cut
+    below the sort so each partition keeps only k rows — no global
+    sort, no full materialization of ranked rows. The e1 plan, over a
+    different table/key so both shapes stay covered."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            F.col("c_nationkey").alias("grp"),
+            F.col("c_custkey").alias("key"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("grp", "rn")
+    )
