@@ -320,17 +320,101 @@ def write_avro_df(df, out_dir: str, prefix: str = "part") -> list[str]:
     return [r["path"] for r in manifest]
 
 
+def write_avro_manifest_df(
+    df, out_dir: str, prefix: str = "part", bucket_col: str | None = None
+) -> list[dict]:
+    """Distributed stats-carrying Avro sink for the table layer: each
+    task encodes its rows (grouped by ``bucket_col`` when the table is
+    partitioned) into OCF container files EXECUTOR-SIDE and returns one
+    manifest row per file — path, rows, bytes, per-column min/max/null
+    stats computed from the in-memory Arrow batch. The write-side
+    counterpart of Table._write_data_files' parquet footer-stats loop,
+    with no post-write file re-read; only the metadata-scale manifest
+    returns to the driver. Timestamps are stored (and their stats
+    recorded) as integer µs, matching the ingest writer (R5)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name != bucket_col]
+    data_schema = T.StructType(fields)
+    avro = avro_schema_of(data_schema)
+    ts_cols = [
+        f.name
+        for f in fields
+        if f.dataType.simpleString().startswith("timestamp")
+    ]
+    names = [f.name for f in fields]
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        groups = (
+            [(None, pdf)] if bucket_col is None else list(pdf.groupby(bucket_col))
+        )
+        out_rows = []
+        for bucket, g in groups:
+            g = g[names].copy()
+            for c in ts_cols:  # datetime64[ns] -> integer µs (writer's unit)
+                g[c] = g[c].astype("int64") // 1000
+            arrow = pa.Table.from_pandas(g, preserve_index=False)
+            recs = g.astype(object).where(pd.notnull(g), None).to_dict("records")
+            sub = f"__pb={int(bucket)}" if bucket_col is not None else ""
+            dir_ = os.path.join(out_dir, sub) if sub else out_dir
+            os.makedirs(dir_, exist_ok=True)
+            p = os.path.join(dir_, f"{prefix}-{uuid.uuid4().hex}.avro")
+            write_ocf(p, recs, avro)
+            st = arrow_stats(arrow, os.path.getsize(p))
+            out_rows.append(
+                {
+                    "path": p,
+                    "rows": st["rows"],
+                    "bytes": st["bytes"],
+                    "stats": json.dumps(st["columns"]),
+                    "bucket": int(bucket) if bucket_col is not None else None,
+                }
+            )
+        yield pd.DataFrame(out_rows)
+
+    manifest = df.mapInPandas(
+        encode, schema="path string, rows long, bytes long, stats string, bucket long"
+    ).collect()
+    return [
+        {
+            "path": r["path"],
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "columns": json.loads(r["stats"]),
+            "bucket": None if r["bucket"] is None else int(r["bucket"]),
+        }
+        for r in manifest
+    ]
+
+
 # ------------------------------------------------------- distributed read
 
-def read_avro_df(spark, paths: list[str], spark_schema=None):
+def read_avro_df(spark, paths: list[str], spark_schema=None, with_pos: bool = False):
     """Distributed Avro scan: binaryFile source -> mapInPandas decode.
 
     Each executor task decodes whole container files with the pure-
     Python reader above and emits Arrow batches — the decode fans out
     across the cluster with the file distribution, no driver loop.
     ``spark_schema`` defaults to the schema embedded in the first file.
-    """
+
+    ``with_pos=True`` appends the MOR delete join keys the parquet
+    reader gets from ``_metadata``: ``__file`` (the root-relative
+    ``data/...`` path, same regex key as table._file_key_col) and
+    ``__pos`` (0-based row position in container-file order — OCF
+    decode order is file order, so positions are stable across scans).
+    This is what lets merge-on-read deletes compose with the R5 avro
+    format toggle: position deletes recorded against an avro file
+    anti-join on exactly the keys a later avro scan reproduces."""
+    import re
+
     import pandas as pd
+    from pyspark.sql import types as T
 
     if spark_schema is None:
         schema_json, _ = read_ocf(paths[0])
@@ -340,12 +424,28 @@ def read_avro_df(spark, paths: list[str], spark_schema=None):
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            for content in pdf["content"]:
+            for i in range(len(pdf)):
+                content = pdf["content"].iloc[i]
                 _, rows = read_ocf(bytes(content))
                 out = pd.DataFrame(rows, columns=names)
                 for c in ts_cols:
                     out[c] = pd.to_datetime(out[c], unit="us")
+                if with_pos:
+                    # same anchoring as table._file_key_col: the LAST
+                    # /data/ segment of the file URI
+                    m = re.search(r"^.*/(data/.+)$", str(pdf["path"].iloc[i]))
+                    out["__file"] = m.group(1) if m else str(pdf["path"].iloc[i])
+                    out["__pos"] = pd.Series(range(len(out)), dtype="int64")
                 yield out
 
     bin_df = spark.read.format("binaryFile").load(paths)
+    if with_pos:
+        out_schema = T.StructType(
+            list(spark_schema.fields)
+            + [
+                T.StructField("__file", T.StringType()),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+        return bin_df.select("path", "content").mapInPandas(decode, schema=out_schema)
     return bin_df.select("content").mapInPandas(decode, schema=spark_schema)

@@ -302,6 +302,45 @@ class Table:
             for c in md.properties.get("write.sort.order", "").split(",")
             if c.strip()
         ]
+        # R5 format toggle: write.format.default=avro routes the append
+        # through the distributed stats-carrying OCF sink (one file per
+        # task / per (task, bucket)); manifest entries come back from
+        # the executors with Arrow-computed stats — no post-write file
+        # re-read, same metadata shape as the parquet footer loop.
+        if md.properties.get("write.format.default", "parquet") == "avro":
+            from ..sources.avro_io import write_avro_manifest_df
+
+            if t is not None:
+                bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
+                if n_tasks is not None:
+                    bucketed = bucketed.repartition(n_tasks, "__pb")
+                if sort_order:
+                    bucketed = bucketed.sortWithinPartitions("__pb", *sort_order)
+                files = write_avro_manifest_df(
+                    bucketed, out_dir, prefix=prefix, bucket_col="__pb"
+                )
+            else:
+                shaped = df
+                if sort_order:
+                    n_out = n_tasks or df.sparkSession.sparkContext.defaultParallelism
+                    shaped = df.repartitionByRange(
+                        int(n_out), *sort_order
+                    ).sortWithinPartitions(*sort_order)
+                elif n_tasks is not None:
+                    shaped = df.coalesce(n_tasks)
+                files = write_avro_manifest_df(shaped, out_dir, prefix=prefix)
+            return [
+                {
+                    "path": os.path.relpath(f["path"], self.root),
+                    "rows": f["rows"],
+                    "bytes": f["bytes"],
+                    "partition": f["bucket"],
+                    "columns": f["columns"],
+                    **({"spec_id": spec_id} if spec_id else {}),
+                }
+                for f in files
+                if f["rows"] > 0
+            ]
         if t is not None:
             bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
             if n_tasks is not None:
@@ -893,17 +932,27 @@ class Table:
         if not del_entries or not entries:
             return self.read_entries(spark, entries, schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
-        if any(p.endswith(".avro") for p in paths):
-            raise NotImplementedError(
-                "merge-on-read deletes require parquet data files "
-                "(avro scans have no _metadata.row_index); run "
-                "rewrite_deletes() before mixing formats"
+        # Both file formats produce the same (__file, __pos) MOR join
+        # keys: parquet from _metadata, avro from the position-aware
+        # decode (R5 format toggle composes with row-level deletes).
+        avro_paths = [p for p in paths if p.endswith(".avro")]
+        pq_paths = [p for p in paths if not p.endswith(".avro")]
+        branches: list[DataFrame] = []
+        if pq_paths:
+            branches.append(
+                spark.read.schema(schema).parquet(*pq_paths).select(
+                    "*",
+                    _file_key_col().alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
             )
-        df = spark.read.schema(schema).parquet(*paths).select(
-            "*",
-            _file_key_col().alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
+        if avro_paths:
+            from ..sources.avro_io import read_avro_df
+
+            branches.append(read_avro_df(spark, avro_paths, schema, with_pos=True))
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
         # per-file data sequence (entry-count-bounded, metadata-scale;
         # tables past DIST_PLAN_MIN_MANIFEST_BYTES would route this
         # through the distributed manifest scan like plan_files)
@@ -1092,15 +1141,31 @@ class Table:
         if not cands:
             return None
         match = F.coalesce(self._and_predicate(filters), F.lit(False))
-        hits = (
-            spark.read.schema(self.schema())
-            .parquet(*[os.path.join(self.root, e["path"]) for e in cands])
-            .where(match)
-            .select(
-                _file_key_col().alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
+        cand_paths = [os.path.join(self.root, e["path"]) for e in cands]
+        avro_cands = [p for p in cand_paths if p.endswith(".avro")]
+        pq_cands = [p for p in cand_paths if not p.endswith(".avro")]
+        parts: list[DataFrame] = []
+        if pq_cands:
+            parts.append(
+                spark.read.schema(self.schema())
+                .parquet(*pq_cands)
+                .where(match)
+                .select(
+                    _file_key_col().alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
             )
-        )
+        if avro_cands:
+            from ..sources.avro_io import read_avro_df
+
+            parts.append(
+                read_avro_df(spark, avro_cands, self.schema(), with_pos=True)
+                .where(match)
+                .select("__file", "__pos")
+            )
+        hits = parts[0]
+        for p in parts[1:]:
+            hits = hits.unionByName(p)
         # Deletion-vector fast path (Iceberg v3 DV spirit): a SMALL
         # position delete is stored INLINE in the manifest entry as
         # {file_key: sorted positions} — the delete commit writes zero

@@ -254,3 +254,56 @@ def test_inline_equality_delete_writes_no_files(spark, troot):
     assert stats["rewritten_files"] >= 1
     assert not tbl.metadata.current_snapshot().delete_manifests
     assert _ks(spark, tbl) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_mor_deletes_compose_with_avro_format(spark, troot):
+    """R5 (write.format.default=avro) composes with MOR row-level
+    deletes: the avro scan reproduces the same (__file, __pos) join
+    keys the parquet reader gets from _metadata, so position deletes,
+    equality deletes (with sequence semantics), time travel, and
+    rewrite_deletes all behave identically on an avro-format table."""
+    tbl = create_table(
+        troot, SCHEMA, properties={"write.format.default": "avro"}
+    )
+    tbl.append(_df(spark, 0, 100))
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(troot, "data", "**", "*.avro"), recursive=True)
+    pre = tbl.metadata.current_snapshot().snapshot_id
+    # position delete (predicate -> avro scan with positions)
+    snap = tbl.delete_where_mor(spark, [("k", "<", 10)])
+    assert snap is not None
+    assert _ks(spark, tbl) == list(range(10, 100))
+    # time travel still sees the deleted rows
+    assert len(tbl.scan(spark, snapshot_id=pre).collect()) == 100
+    # equality delete + sequence semantics: re-insert survives
+    keys = spark.createDataFrame([(50,), (60,)], "k long")
+    tbl.delete_eq_mor(spark, keys, ["k"])
+    expect = [k for k in range(10, 100) if k not in (50, 60)]
+    assert _ks(spark, tbl) == expect
+    tbl.append(_df(spark, 50, 51, v="reborn"))
+    expect = sorted(expect + [50])
+    assert _ks(spark, tbl) == expect
+    # materialize: results invariant, delete manifests gone
+    stats = tbl.rewrite_deletes(spark)
+    assert stats["rewritten_files"] >= 1
+    assert not tbl.metadata.current_snapshot().delete_manifests
+    assert _ks(spark, tbl) == expect
+
+
+def test_mor_deletes_on_mixed_format_table(spark, troot):
+    """A table whose history spans the format toggle (parquet files,
+    then avro files) takes one position delete touching BOTH formats;
+    the read side unions the two scan branches under the same
+    anti-join."""
+    tbl = create_table(troot, SCHEMA)
+    tbl.append(_df(spark, 0, 50))  # parquet
+    tbl.set_properties({"write.format.default": "avro"})
+    tbl.append(_df(spark, 50, 100))  # avro
+    snap = tbl.delete_where_mor(spark, [("k", ">=", 40)])
+    # predicate spans both formats: 40..49 parquet, 50..99 avro
+    assert snap is not None
+    assert _ks(spark, tbl) == list(range(0, 40))
+    stats = tbl.rewrite_deletes(spark)
+    assert stats["rewritten_files"] >= 1
+    assert _ks(spark, tbl) == list(range(0, 40))
