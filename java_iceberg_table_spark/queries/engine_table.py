@@ -894,3 +894,58 @@ def a3t_engine_write_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["cnt"], row["sum_key"], prunes_fewer)],
         "cnt bigint, sum_key bigint, sorted_prunes_fewer boolean",
     )
+
+
+@register(
+    "a3q_engine_manifest_compaction",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       true AS manifests_merged,
+       true AS history_linear
+FROM orders
+""",
+    group="A",
+)
+def a3q_engine_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opportunistic manifest compaction under sustained ingest (the
+    reference's commit.manifest.min-count-to-merge, Writer.java:120):
+    every commit that pushes the live-manifest count past the property
+    threshold merges them into partition-sorted shards IN THE SAME
+    COMMIT — no separate maintenance job, no extra snapshot. Twelve
+    small appends with threshold 4 must therefore never accumulate
+    more than threshold+1 manifests (manifests_merged grades that the
+    count dropped at least once and stayed bounded), while the
+    snapshot history stays strictly linear (history_linear: one
+    snapshot per append, parent-chained) and the final scan equals the
+    raw fixture. At 100 TB ingest rates this is what keeps planning
+    cost O(live files), not O(commits ever made)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_mm_") + "/t"
+    try:
+        tbl = create_table(
+            root,
+            orders.schema,
+            properties={"commit.manifest.min-count-to-merge": "4"},
+        )
+        n_appends = 12
+        counts = []
+        for i in range(n_appends):
+            tbl.append(orders.filter(F.col("o_orderkey") % n_appends == i))
+            counts.append(len(tbl.metadata.current_snapshot().manifests))
+        merged = any(b < a for a, b in zip(counts, counts[1:])) and max(counts) <= 5
+        snaps = tbl.metadata.snapshots
+        by_id = {s.snapshot_id: s for s in snaps}
+        linear = len(snaps) == n_appends and all(
+            s.parent_id is None or s.parent_id in by_id for s in snaps
+        )
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").alias("sum_key")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], merged, linear)],
+            "cnt bigint, sum_key bigint, manifests_merged boolean, "
+            "history_linear boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
