@@ -897,6 +897,61 @@ def a3t_engine_write_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3u_engine_rename_widen",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+       true AS evolution_metadata_only
+FROM part
+""",
+    group="A",
+)
+def a3u_engine_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename + type widening (Iceberg UpdateSchema parity):
+    half the part fixture is appended under (key int, name string),
+    the schema then renames name->part_type and widens key->long —
+    two METADATA-ONLY commits (evolution_metadata_only grades that the
+    data-file set is untouched) — and the rest appends under the new
+    schema with keys above int range semantics. The full scan must
+    equal the raw fixture: old files surface through the name-history
+    coalesce and the native int32->int64 upcast, new files read
+    directly. At 100 TB this is what makes a rename a catalog edit
+    instead of a petabyte rewrite."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_type").alias("name")
+    )
+    mid = int(part.agg(F.expr("percentile_approx(key, 0.5)")).collect()[0][0])
+    root = tempfile.mkdtemp(prefix="engine_rw_") + "/t"
+    try:
+        narrow = part.select(F.col("key").cast("int").alias("key"), "name")
+        tbl = create_table(root, narrow.schema)
+        tbl.append(narrow.filter(F.col("key") < mid))
+        files_before = sorted(e["path"] for e in tbl.current_files())
+        tbl.rename_column("name", "part_type")
+        tbl.widen_column("key", "long")
+        files_after = sorted(e["path"] for e in tbl.current_files())
+        metadata_only = files_before == files_after
+        tbl.append(
+            part.filter(F.col("key") >= mid).select(
+                "key", F.col("name").alias("part_type")
+            )
+        )
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("key").alias("sum_key"),
+            F.countDistinct("part_type").alias("n_types"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], row["n_types"], metadata_only)],
+            "cnt bigint, sum_key bigint, n_types bigint, "
+            "evolution_metadata_only boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
     "a3q_engine_manifest_compaction",
     oracle="""
 SELECT COUNT(*) AS cnt,

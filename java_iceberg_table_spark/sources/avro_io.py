@@ -426,8 +426,15 @@ def read_avro_df(spark, paths: list[str], spark_schema=None, with_pos: bool = Fa
         for pdf in batches:
             for i in range(len(pdf)):
                 content = pdf["content"].iloc[i]
-                _, rows = read_ocf(bytes(content))
+                file_schema, rows = read_ocf(bytes(content))
                 out = pd.DataFrame(rows, columns=names)
+                # fields the read schema asks for that this file's
+                # vintage never wrote (schema evolution: renamed or
+                # later-added columns) must be typed-null, not float
+                # NaN — Arrow refuses NaN -> int casts
+                present = {f["name"] for f in file_schema["fields"]}
+                for c in set(names) - present:
+                    out[c] = pd.Series([None] * len(out), dtype="object")
                 for c in ts_cols:
                     out[c] = pd.to_datetime(out[c], unit="us")
                 if with_pos:

@@ -26,7 +26,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import format as fmt
 from .format import Snapshot, TableMetadata
@@ -73,6 +73,52 @@ def _file_key_col():
     can't shift the key; partition dirs (``col=value``) and batch dirs
     (``b-<hex>``) can never introduce a later bare ``data`` segment."""
     return F.regexp_extract(F.col("_metadata.file_path"), r"^.*/(data/.+)$", 1)
+
+
+def _renames_of(schema: StructType) -> dict[str, list[str]]:
+    """Current field name -> historical physical names, read from the
+    ``renamed_from`` entry each rename stamps into the field's
+    metadata. Deriving the map from the schema OBJECT (not from table
+    state) makes every read path time-travel correct for free: a
+    snapshot read passes its vintage schema, whose fields carry only
+    the renames that had happened by then."""
+    out: dict[str, list[str]] = {}
+    for f in schema.fields:
+        olds = (f.metadata or {}).get("renamed_from")
+        if olds:
+            out[f.name] = list(olds)
+    return out
+
+
+def _physical_schema(schema: StructType, renames: dict[str, list[str]]) -> StructType:
+    """The read schema that covers every physical vintage: current
+    fields plus one nullable field per historical name (typed as the
+    CURRENT type — parquet upcasts narrower physical types natively,
+    so this also composes with widen_column)."""
+    fields = list(schema.fields)
+    have = {f.name for f in fields}
+    by_name = {f.name: f for f in schema.fields}
+    for new, olds in renames.items():
+        for old in olds:
+            if old not in have:
+                fields.append(StructField(old, by_name[new].dataType, True))
+                have.add(old)
+    return StructType(fields)
+
+
+def _current_projection(schema: StructType, renames: dict[str, list[str]]):
+    """Column expressions mapping a physical-schema read onto the
+    current names: renamed columns coalesce across their name history
+    (each file has exactly one vintage populated), others pass
+    through."""
+    cols = []
+    for f in schema.fields:
+        olds = renames.get(f.name)
+        if olds:
+            cols.append(F.coalesce(f.name, *olds).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return cols
 
 
 def _parse_stat(s: str | None):
@@ -935,13 +981,16 @@ class Table:
         # Both file formats produce the same (__file, __pos) MOR join
         # keys: parquet from _metadata, avro from the position-aware
         # decode (R5 format toggle composes with row-level deletes).
+        renames = _renames_of(schema)
+        phys = _physical_schema(schema, renames) if renames else schema
+        proj = _current_projection(schema, renames) if renames else [F.col("*")]
         avro_paths = [p for p in paths if p.endswith(".avro")]
         pq_paths = [p for p in paths if not p.endswith(".avro")]
         branches: list[DataFrame] = []
         if pq_paths:
             branches.append(
-                spark.read.schema(schema).parquet(*pq_paths).select(
-                    "*",
+                spark.read.schema(phys).parquet(*pq_paths).select(
+                    *proj,
                     _file_key_col().alias("__file"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
@@ -949,7 +998,10 @@ class Table:
         if avro_paths:
             from ..sources.avro_io import read_avro_df
 
-            branches.append(read_avro_df(spark, avro_paths, schema, with_pos=True))
+            adf = read_avro_df(spark, avro_paths, phys, with_pos=True)
+            if renames:  # decode already carries __file/__pos
+                adf = adf.select(*proj, "__file", "__pos")
+            branches.append(adf)
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b)
@@ -1016,16 +1068,23 @@ class Table:
                 ).otherwise(F.col("__file")),
             )
             df = df.join(F.broadcast(pdf), ["__file", "__pos"], "left_anti")
-        eq_by_cols: dict[tuple, list[dict]] = {}
+        # Delete entries recorded before a rename carry the key columns
+        # under their then-current names; translate to the schema's
+        # current names so the anti-join condition binds (the delete
+        # FILE also stores old names — aliased while reading it).
+        reverse = {old: cur for cur, olds in renames.items() for old in olds}
+        eq_by_cols: dict[tuple, list[tuple[dict, tuple]]] = {}
         for e in del_entries:
             if e["content"] == "eq":
-                eq_by_cols.setdefault(tuple(e["cols"]), []).append(e)
+                orig = tuple(e["cols"])
+                cur = tuple(reverse.get(c, c) for c in orig)
+                eq_by_cols.setdefault(cur, []).append((e, orig))
         key_schema = StructType(
             [f for f in schema.fields]
         )  # name->type lookup for inline key reconstruction
         for cols, dels in eq_by_cols.items():
             keys = None
-            for e in dels:
+            for e, orig in dels:
                 if e.get("keys") is not None:
                     # inline-DV equality keys: typed via the TABLE
                     # schema so the anti-join condition compares
@@ -1042,7 +1101,12 @@ class Table:
                 else:
                     kdf = spark.read.parquet(
                         os.path.join(self.root, e["path"])
-                    ).select(*[F.col(c).alias(f"__k_{c}") for c in cols])
+                    ).select(
+                        *[
+                            F.col(o).alias(f"__k_{c}")
+                            for o, c in zip(orig, cols)
+                        ]
+                    )
                 kdf = kdf.withColumn("__dseq", F.lit(int(e.get("seq", 0))))
                 keys = kdf if keys is None else keys.unionByName(kdf)
             cond = F.col("__seq") < F.col("__dseq")
@@ -1141,28 +1205,33 @@ class Table:
         if not cands:
             return None
         match = F.coalesce(self._and_predicate(filters), F.lit(False))
+        schema = self.schema()
+        renames = _renames_of(schema)
+        phys = _physical_schema(schema, renames) if renames else schema
+        proj = _current_projection(schema, renames) if renames else [F.col("*")]
         cand_paths = [os.path.join(self.root, e["path"]) for e in cands]
         avro_cands = [p for p in cand_paths if p.endswith(".avro")]
         pq_cands = [p for p in cand_paths if not p.endswith(".avro")]
         parts: list[DataFrame] = []
         if pq_cands:
             parts.append(
-                spark.read.schema(self.schema())
+                spark.read.schema(phys)
                 .parquet(*pq_cands)
-                .where(match)
                 .select(
+                    *proj,
                     _file_key_col().alias("__file"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
+                .where(match)
+                .select("__file", "__pos")
             )
         if avro_cands:
             from ..sources.avro_io import read_avro_df
 
-            parts.append(
-                read_avro_df(spark, avro_cands, self.schema(), with_pos=True)
-                .where(match)
-                .select("__file", "__pos")
-            )
+            adf = read_avro_df(spark, avro_cands, phys, with_pos=True)
+            if renames:  # decode already carries __file/__pos
+                adf = adf.select(*proj, "__file", "__pos")
+            parts.append(adf.where(match).select("__file", "__pos"))
         hits = parts[0]
         for p in parts[1:]:
             hits = hits.unionByName(p)
@@ -2166,10 +2235,129 @@ class Table:
             fields = list(current.schema_json["fields"])
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name!r} already exists")
+            # a name retired by rename_column stays reserved: data files
+            # written before the rename still hold it physically, and
+            # the coalesce mapping would silently read a NEW column's
+            # values as the OLD column's history (no field ids here —
+            # name history is the identity)
+            for f in fields:
+                if name in ((f.get("metadata") or {}).get("renamed_from") or []):
+                    raise ValueError(
+                        f"column name {name!r} is retired (renamed to "
+                        f"{f['name']!r}); pick a fresh name"
+                    )
             new_schema = dict(current.schema_json)
             new_schema["fields"] = fields + [
                 {"name": name, "type": dtype, "nullable": True, "metadata": {}}
             ]
+            new_id = max(s["schema_id"] for s in current.schemas) + 1
+            return replace(
+                current,
+                version=current.version + 1,
+                schema_json=new_schema,
+                schemas=current.schemas + [{"schema_id": new_id, "schema": new_schema}],
+                current_schema_id=new_id,
+            )
+
+        fmt.commit(self.root, build)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column — metadata-only commit, no data rewrite
+        (Iceberg UpdateSchema.renameColumn). The field keeps its full
+        name history in ``metadata.renamed_from``; every read path
+        projects old-vintage files onto the current name with one
+        coalesce (each file has exactly one vintage populated), and
+        equality-delete entries recorded under the old name keep
+        applying. Time travel reads a snapshot under the names of its
+        day — the mapping is derived from the vintage schema itself."""
+
+        def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
+            t = TruncateTransform.from_json(current.partition_spec) if current.partition_spec else None
+            if t is not None and old == t.source_column:
+                raise ValueError(
+                    f"cannot rename partition source column {old!r}"
+                )
+            for prop in ("write.sort.order", "write.bloom.column"):
+                cols = [
+                    c.strip()
+                    for c in current.properties.get(prop, "").split(",")
+                    if c.strip()
+                ]
+                if old in cols:
+                    raise ValueError(
+                        f"column {old!r} is referenced by table property "
+                        f"{prop!r}; update the property first"
+                    )
+            fields = [dict(f) for f in current.schema_json["fields"]]
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for f in fields:
+                hist = (f.get("metadata") or {}).get("renamed_from") or []
+                if new in hist:
+                    raise ValueError(
+                        f"column name {new!r} is retired (renamed to "
+                        f"{f['name']!r}); pick a fresh name"
+                    )
+            for f in fields:
+                if f["name"] == old:
+                    meta = dict(f.get("metadata") or {})
+                    meta["renamed_from"] = list(meta.get("renamed_from") or []) + [old]
+                    f["name"] = new
+                    f["metadata"] = meta
+            new_schema = dict(current.schema_json)
+            new_schema["fields"] = fields
+            new_id = max(s["schema_id"] for s in current.schemas) + 1
+            return replace(
+                current,
+                version=current.version + 1,
+                schema_json=new_schema,
+                schemas=current.schemas + [{"schema_id": new_id, "schema": new_schema}],
+                current_schema_id=new_id,
+            )
+
+        fmt.commit(self.root, build)
+
+    # Iceberg-safe type promotions (UpdateSchema.updateColumn): the
+    # physical bytes stay valid under the wider read type — parquet's
+    # vectorized reader upcasts int32->int64 and float->double natively,
+    # and the avro decode path re-types through Arrow.
+    _WIDENINGS = {
+        "byte": {"short", "integer", "long"},
+        "short": {"integer", "long"},
+        "integer": {"long"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Widen a column's type — metadata-only commit, no data
+        rewrite. Only information-preserving promotions are allowed
+        (int family upward, float->double); old files read natively
+        under the wider schema on both file formats."""
+
+        def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
+            fields = [dict(f) for f in current.schema_json["fields"]]
+            hit = next((f for f in fields if f["name"] == name), None)
+            if hit is None:
+                raise ValueError(f"no such column {name!r}")
+            cur_type = hit["type"]
+            if not isinstance(cur_type, str):
+                raise ValueError(
+                    f"cannot widen complex-typed column {name!r} ({cur_type!r})"
+                )
+            if new_type == cur_type:
+                return current  # no-op; no schema version burned
+            if new_type not in self._WIDENINGS.get(cur_type, set()):
+                raise ValueError(
+                    f"unsafe type change {cur_type!r} -> {new_type!r} for "
+                    f"{name!r}; only widening promotions are metadata-only "
+                    "(rewrite the table for anything else)"
+                )
+            hit["type"] = new_type
+            new_schema = dict(current.schema_json)
+            new_schema["fields"] = fields
             new_id = max(s["schema_id"] for s in current.schemas) + 1
             return replace(
                 current,
@@ -2228,19 +2416,24 @@ class Table:
         schema = schema or self.schema()
         if not entries:
             return spark.createDataFrame([], schema)
+        renames = _renames_of(schema)
+        phys = _physical_schema(schema, renames) if renames else schema
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         avro = [p for p in paths if p.endswith(".avro")]
         parquet = [p for p in paths if not p.endswith(".avro")]
         parts: list[DataFrame] = []
         if parquet:
-            parts.append(spark.read.schema(schema).parquet(*parquet))
+            parts.append(spark.read.schema(phys).parquet(*parquet))
         if avro:
             from ..sources.avro_io import read_avro_df
 
-            parts.append(read_avro_df(spark, avro, schema))
+            parts.append(read_avro_df(spark, avro, phys))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if renames:
+            # one projection maps every vintage onto the current names
+            df = df.select(*_current_projection(schema, renames))
         return df
 
     def incremental_scan(

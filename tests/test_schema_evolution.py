@@ -87,3 +87,105 @@ def test_evolution_survives_maintenance(spark, tmp_path):
     # reload from disk: the log is durable, not an in-memory artifact
     tbl2 = load_table(tbl.root)
     assert [s["schema_id"] for s in tbl2.metadata.schemas] == [0, 1]
+
+
+def test_rename_column_coalesces_vintages(spark, tmp_path):
+    """rename_column is metadata-only: files written under the old
+    name project onto the new name via the name-history coalesce, new
+    appends use the new name, and time travel reads each snapshot
+    under the names of its day."""
+    tbl = _mk(spark, tmp_path)
+    snap1 = tbl.metadata.current_snapshot().snapshot_id
+    tbl.rename_column("name", "label")
+    assert tbl.scan(spark).columns == ["id", "label"]
+    tbl.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    rows = {r["id"]: r["label"] for r in tbl.scan(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # time travel: pre-rename snapshot uses the old name
+    old = tbl.scan(spark, snapshot_id=snap1)
+    assert old.columns == ["id", "name"]
+    # chained rename keeps the whole history readable
+    tbl.rename_column("label", "title")
+    rows = {r["id"]: r["title"] for r in tbl.scan(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # filters and pruning still work on the current name
+    assert tbl.scan(spark, [("id", "<", 3)]).count() == 2
+
+
+def test_rename_guards(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.rename_column("name", "label")
+    with pytest.raises(ValueError, match="retired"):
+        tbl.add_column("name", "string")  # old physical name reserved
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("label", "id")
+    with pytest.raises(ValueError, match="no such column"):
+        tbl.rename_column("nope", "x")
+    tbl.add_column("fresh", "string")  # unrelated names still fine
+
+
+def test_rename_keeps_eq_deletes_applying(spark, tmp_path):
+    """An equality delete recorded under the old column name must keep
+    hiding its rows after the rename (the delete entry's key columns
+    translate through the name history)."""
+    tbl = _mk(spark, tmp_path)
+    tbl.append(spark.createDataFrame([(3, "c"), (4, "d")], "id long, name string"))
+    keys = spark.createDataFrame([("b",), ("c",)], "name string")
+    tbl.delete_eq_mor(spark, keys, ["name"])
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1, 4]
+    tbl.rename_column("name", "label")
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1, 4]
+    # and a delete under the NEW name also applies
+    tbl.delete_eq_mor(spark, spark.createDataFrame([("d",)], "label string"), ["label"])
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1]
+    # rewrite materializes the mixed-name delete set correctly
+    tbl.rewrite_deletes(spark)
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1]
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    """widen_column is metadata-only: int32 files read natively under
+    the widened long schema; unsafe changes are refused."""
+    tbl = create_table(
+        str(tmp_path / "w"),
+        spark.createDataFrame([(1, 1.5)], "k int, v float").schema,
+    )
+    tbl.append(spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v float"))
+    tbl.widen_column("k", "long")
+    tbl.widen_column("v", "double")
+    sch = {f.name: f.dataType.simpleString() for f in tbl.schema().fields}
+    assert sch == {"k": "bigint", "v": "double"}
+    tbl.append(
+        spark.createDataFrame([(3_000_000_000, 3.5)], "k long, v double")
+    )
+    got = {r["k"]: r["v"] for r in tbl.scan(spark).collect()}
+    assert set(got) == {1, 2, 3_000_000_000}
+    assert abs(got[2] - 2.5) < 1e-6
+    with pytest.raises(ValueError, match="unsafe"):
+        tbl.widen_column("k", "integer")  # narrowing refused
+    with pytest.raises(ValueError, match="unsafe"):
+        tbl.widen_column("v", "float")
+
+
+def test_rename_and_widen_on_avro_table(spark, tmp_path):
+    """Schema evolution composes with the R5 avro format toggle: the
+    position-aware decode types absent-vintage columns as nulls and
+    re-types widened ints through Arrow."""
+    tbl = create_table(
+        str(tmp_path / "a"),
+        spark.createDataFrame([(1, "a", 10)], "id int, name string, sc int").schema,
+        properties={"write.format.default": "avro"},
+    )
+    tbl.append(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, name string, sc int")
+    )
+    tbl.rename_column("name", "label")
+    tbl.widen_column("id", "long")
+    tbl.append(
+        spark.createDataFrame([(3, "c", 30)], "id long, label string, sc int")
+    )
+    rows = {r["id"]: (r["label"], r["sc"]) for r in tbl.scan(spark).collect()}
+    assert rows == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+    # MOR delete keyed on the renamed column still composes
+    tbl.delete_eq_mor(spark, spark.createDataFrame([("b",)], "label string"), ["label"])
+    assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1, 3]
