@@ -209,15 +209,15 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
 
     registry = load_all()
     gated = ["d1_tpch_q1", "c3_multiway_join", "e1_row_number_topk"]
-    # h6b is excluded from the per-query sf1 sweep BY DESIGN: the sf1
-    # documents table gives every doc 10 exact copies, so the
-    # exact-verified pair LIST h6b must emit is itself >=225k pairs
-    # (5k dup-groups x C(10,2)) — the output, not the algorithm, is
-    # quadratic in copy count. The correct 100-TB strategy for a
-    # duplicate-heavy corpus is the collapsed pipeline (identical-set
-    # collapse -> LSH on representatives), and that IS measured at sf1
-    # in the dedup_10x block below.
-    sweep = [n for n in HEADLINE if n != "h6b_minhash_lsh_near_dup"]
+    # h6b gets NO DuckDB reference at sf1: its oracle is an exact
+    # all-pairs Jaccard recompute, which on the 50k-doc sf1 corpus
+    # (every doc x10 exact copies) runs for many minutes in DuckDB —
+    # the oracle, not the engine, is quadratic. Spark's h6b (collapsed
+    # rep-graph internally, expanded 19.3M-pair output) is timed like
+    # every other query (~6 s warm); the collapsed-form scale path is
+    # additionally measured in the dedup_10x block below.
+    sweep = list(HEADLINE)
+    no_duck_ref = {"h6b_minhash_lsh_near_dup"}
     spark_times: dict[str, float] = {}
     # Shuffle partitions track data volume: 8 is sized for sf0.1's
     # <100 MB shuffles; at sf1+ a single window/agg exchange holds
@@ -243,7 +243,7 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
     con = duck_connect(sf1_dir)
     for name in sweep:
         sql = registry[name].oracle
-        if sql is None:
+        if sql is None or name in no_duck_ref:
             continue
         runs = []
         for _ in range(2):
