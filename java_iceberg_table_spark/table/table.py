@@ -2493,8 +2493,16 @@ class Table:
                 break
         ops = {s.operation for s in chain}
         if ops & {"overwrite", "replace"}:
-            df_from = self.scan(spark, snapshot_id=from_snap.snapshot_id)
-            df_to = self.scan(spark, snapshot_id=to_snap.snapshot_id)
+            # both sides read under the TO-side schema (not each side's
+            # own vintage): a rename inside the window would otherwise
+            # diff frames with different column names. The name-history
+            # mapping projects the from-side's older files correctly.
+            df_from = self._read_with_deletes(
+                spark, self.files_of(from_snap), from_snap, schema=schema
+            )
+            df_to = self._read_with_deletes(
+                spark, self.files_of(to_snap), to_snap, schema=schema
+            )
             return df_to.exceptAll(df_from).select("*", ins_t).unionByName(
                 df_from.exceptAll(df_to).select("*", del_t)
             )

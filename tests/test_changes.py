@@ -107,3 +107,34 @@ def test_cdc_invariant_random_window(spark, ev_slice, tmp_root):
     to_pairs = {(e, u) for e, u, _ in to_rows}
     assert (from_pairs | ins) - dels == to_pairs
     assert not (ins & dels)
+
+
+def test_cdc_across_rename_window(spark, tmp_root):
+    """A rename inside the CDC window: both diff paths read the
+    from-side under the to-side schema, so the feed carries the
+    CURRENT column names and the invariant still holds."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, name string"
+    )
+    tbl = create_table(tmp_root, df.schema)
+    s0 = tbl.append(df.filter(F.col("id") < 5))
+    tbl.rename_column("name", "label")
+    tbl.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5, 10)], "id long, label string"
+        )
+    )
+    # manifest-diff path (append-only window)
+    ch = tbl.changes_between(spark, s0.snapshot_id)
+    assert "label" in ch.columns and "name" not in ch.columns
+    assert sorted(r["id"] for r in ch.collect()) == [5, 6, 7, 8, 9]
+    # force the content-diff path with a rewrite in the window
+    tbl.delete_rows(spark, [("id", "<", 2)])  # overwrite op
+    ch2 = tbl.changes_between(spark, s0.snapshot_id)
+    rows = ch2.collect()
+    ins = {r["id"] for r in rows if r["_change_type"] == "insert"}
+    dels = {r["id"] for r in rows if r["_change_type"] == "delete"}
+    # from-side {0..4}, to-side {2..9}: 2-4 are unchanged common rows
+    assert ins == {5, 6, 7, 8, 9}
+    assert dels == {0, 1}
+    assert "label" in ch2.columns and "name" not in ch2.columns
