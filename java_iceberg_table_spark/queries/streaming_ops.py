@@ -1006,3 +1006,88 @@ def i19_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i20_connector_cdc_stream",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
+    AS n_insert,
+  (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+   WHERE event_id % 2 = 1 AND event_id % 5 <> 0)
+    AS sum_insert,
+  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+    AS n_delete,
+  (SELECT CAST(SUM(event_id) AS BIGINT) FROM events
+   WHERE event_id % 2 = 0 AND event_id % 5 = 0)
+    AS sum_delete
+""",
+    group="I",
+)
+def i20_connector_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC as a STREAM through the connector:
+    ``readStream.format("engine_table").option("cdc","true")`` tails
+    the change feed in micro-batches — same scenario as the batch a3k
+    (evens committed, cursor, then odds append + %5 equality delete in
+    one window), same oracle. Planning per batch is a manifest diff;
+    each partition is one data file read executor-side with its small
+    delete payload, so the stream's cost is O(changed files) per
+    batch, not O(table) — the property that lets a 100 TB table feed a
+    downstream sink continuously. Dead-on-arrival rows (odd %5) never
+    surface; common-file rows hit by the new delete arrive as
+    _change_type='delete'."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = tempfile.mkdtemp(prefix="cdc_stream_")
+    root, ckpt, sink = base + "/t", base + "/ckpt", base + "/out"
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        from ..table import create_table as _ct
+
+        tbl = _ct(root, ev.schema)
+        tbl.append(ev.filter(F.col("event_id") % 2 == 0))
+        drain()  # phase 1: initial state drains as inserts
+        tbl.append(ev.filter(F.col("event_id") % 2 == 1))
+        tbl.delete_eq_mor(
+            spark,
+            ev.filter(F.col("event_id") % 5 == 0).select("event_id"),
+            ["event_id"],
+        )
+        drain()  # phase 2: the graded window
+        schema = "event_id long, user_id long, _change_type string"
+        got = spark.read.schema(schema).parquet(sink)
+        # phase 2 delta = everything beyond the phase-1 even inserts
+        delta = got.filter(
+            (F.col("_change_type") == "delete")
+            | (F.col("event_id") % 2 == 1)
+        )
+        agg = delta.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+        ).collect()
+        by = {r["_change_type"]: (r["n"], r["s"]) for r in agg}
+        ins = by.get("insert", (0, 0))
+        dl = by.get("delete", (0, 0))
+        return spark.createDataFrame(
+            [(ins[0], ins[1], dl[0], dl[1])],
+            "n_insert bigint, sum_insert bigint, n_delete bigint, sum_delete bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

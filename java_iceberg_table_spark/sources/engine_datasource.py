@@ -81,19 +81,33 @@ def _arrow_schema_for(schema: StructType):
     return to_arrow_schema(schema)
 
 
+def _physical_names(schema: StructType) -> dict[str, list[str]]:
+    """Per current field name, the physical names to try in file
+    order: the current name first, then the rename history (stamped by
+    Table.rename_column into field metadata). Each file holds exactly
+    one vintage."""
+    out = {}
+    for f in schema.fields:
+        out[f.name] = [f.name] + list((f.metadata or {}).get("renamed_from") or [])
+    return out
+
+
 def _read_file_batches(path: str, schema: StructType):
     """Executor-side: one data file -> Arrow batches aligned to the
     table schema (schema evolution: missing columns null-filled,
-    dropped columns pruned, physical order normalized)."""
+    dropped columns pruned, renamed columns resolved through their
+    name history, widened types upcast, physical order normalized)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema_for(schema)
+    names = _physical_names(schema)
     tbl = pq.read_table(path, columns=None)
     cols = []
     for fld in target:
-        if fld.name in tbl.column_names:
-            cols.append(tbl.column(fld.name).cast(fld.type))
+        hit = next((n for n in names[fld.name] if n in tbl.column_names), None)
+        if hit is not None:
+            cols.append(tbl.column(hit).cast(fld.type))
         else:
             cols.append(pa.nulls(len(tbl), fld.type))
     yield from pa.Table.from_arrays(cols, schema=target).to_batches()
@@ -257,6 +271,330 @@ class EngineStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class CDCPartition(InputPartition):
+    """One data file's contribution to a CDC micro-batch. All delete
+    state rides IN the partition object: inline DVs are already
+    metadata, file-backed MOR deletes are small by design (the large
+    ones belong to copy-on-write), so the payload stays task-message
+    sized while the data file itself is only ever read executor-side."""
+
+    path: str  # absolute data file path
+    file_key: str  # root-relative (data/...) — MOR position key
+    change: str  # "insert" | "delete"
+    mode: str  # "survivors" (emit rows passing masks) | "hits" (emit rows hit by emit_* payloads)
+    seq: int  # the data file's sequence number
+    mask_pos: list  # positions already deleted (inline)
+    mask_pos_paths: list  # file-backed position-delete parquet paths
+    mask_eq: list  # [(orig_cols, cur_cols, inline_keys|None, path|None, dseq)]
+    emit_pos: list
+    emit_pos_paths: list
+    emit_eq: list
+
+
+def _cdc_load_pandas(path: str, schema: StructType):
+    """Executor-side: one data file (parquet or avro) -> pandas frame
+    aligned to ``schema`` (rename history resolved, widened types
+    upcast), plus the 0-based row-position array."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = _physical_names(schema)
+    target = _arrow_schema_for(schema)
+    if path.endswith(".avro"):
+        import pandas as pd
+
+        from .avro_io import read_ocf
+
+        _, rows = read_ocf(path)
+        raw = pd.DataFrame(rows)
+        df = pd.DataFrame(index=range(len(raw)))
+        for f in schema.fields:
+            hit = next((n for n in names[f.name] if n in raw.columns), None)
+            if hit is None:
+                df[f.name] = pd.Series([None] * len(raw), dtype="object")
+            elif f.dataType.simpleString().startswith("timestamp"):
+                df[f.name] = pd.to_datetime(raw[hit], unit="us")
+            else:
+                df[f.name] = raw[hit]
+    else:
+        at = pq.read_table(path)
+        cols = []
+        for fld in target:
+            hit = next((n for n in names[fld.name] if n in at.column_names), None)
+            cols.append(
+                at.column(hit).cast(fld.type) if hit else pa.nulls(len(at), fld.type)
+            )
+        df = pa.Table.from_arrays(cols, schema=target).to_pandas()
+    return df, np.arange(len(df))
+
+
+def _cdc_read(partition: CDCPartition, data_schema: StructType, out_schema: StructType):
+    """Executor-side CDC materialization for one data file: apply the
+    pre-existing delete masks, then either emit the survivors (added /
+    removed files) or the rows hit by the window's NEW deletes (common
+    files) — vectorized pandas/Arrow throughout, no row loops."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df, pos = _cdc_load_pandas(partition.path, data_schema)
+    n = len(df)
+    if n == 0:
+        return
+
+    def pos_set(inline, paths) -> set:
+        s = set(inline or [])
+        for p in paths or []:
+            pdf = pq.read_table(p).to_pandas()
+            s.update(
+                int(x)
+                for x in pdf.loc[pdf["__file"] == partition.file_key, "__pos"]
+            )
+        return s
+
+    def eq_hits(payloads) -> "np.ndarray":
+        m = np.zeros(n, dtype=bool)
+        for orig_cols, cur_cols, inline_keys, path, dseq in payloads or []:
+            if int(dseq) <= int(partition.seq):
+                continue  # sequence semantics: delete precedes this file
+            if inline_keys is not None:
+                kdf = pd.DataFrame(
+                    [tuple(k) for k in inline_keys], columns=list(cur_cols)
+                )
+            else:
+                kdf = pq.read_table(path).to_pandas()
+                kdf = kdf[list(orig_cols)]
+                kdf.columns = list(cur_cols)
+            merged = df[list(cur_cols)].merge(
+                kdf.drop_duplicates(), on=list(cur_cols), how="left", indicator=True
+            )
+            m |= (merged["_merge"] == "both").to_numpy()
+        return m
+
+    keep = np.ones(n, dtype=bool)
+    masked = pos_set(partition.mask_pos, partition.mask_pos_paths)
+    if masked:
+        keep &= ~np.isin(pos, np.fromiter(masked, dtype="int64"))
+    keep &= ~eq_hits(partition.mask_eq)
+    if partition.mode == "survivors":
+        out = df[keep]
+    else:
+        hits = np.zeros(n, dtype=bool)
+        emit = pos_set(partition.emit_pos, partition.emit_pos_paths)
+        if emit:
+            hits |= np.isin(pos, np.fromiter(emit, dtype="int64"))
+        hits |= eq_hits(partition.emit_eq)
+        out = df[keep & hits]
+    if len(out) == 0:
+        return
+    out = out.assign(_change_type=partition.change)
+    target = _arrow_schema_for(out_schema)
+    yield from pa.Table.from_pandas(
+        out, schema=target, preserve_index=False
+    ).to_batches()
+
+
+class EngineCDCStreamReader(DataSourceStreamReader):
+    """Row-level CDC tail (option("cdc", "true")): each micro-batch is
+    ``changes_between(start, end]`` — inserts from files added in the
+    window (window-end delete state applied, so dead-on-arrival rows
+    never surface), deletes from removed files and from rows of COMMON
+    files hit by the window's new MOR deletes. Planning is a manifest
+    diff on the driver; every partition is one data file read
+    executor-side with its (small) delete payload — the same per-file
+    fan-out as the batch reader, CDC at scan cost O(changed files).
+
+    Windows containing a rewrite ('replace'/'overwrite') raise: a
+    rewrite moves rows between files, so file identity stops meaning
+    row identity — cursor between maintenance commits, the same
+    discipline the batch changes_between documents."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.out_schema = schema  # table schema + _change_type
+        self.data_schema = StructType(
+            [f for f in schema.fields if f.name != "_change_type"]
+        )
+
+    def _table(self):
+        from ..table import load_table
+
+        return load_table(self.root)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": None}
+
+    def latestOffset(self) -> dict:
+        snap = self._table().metadata.current_snapshot()
+        return {"snapshot_id": None if snap is None else snap.snapshot_id}
+
+    def _payloads(self, tbl, del_entries, renames):
+        """Split delete entries into per-file-key inline positions,
+        file-backed position paths, and equality payloads (key columns
+        translated through the rename history)."""
+        reverse = {old: cur for cur, olds in renames.items() for old in olds}
+        pos_inline: dict[str, list[int]] = {}
+        pos_paths: list[str] = []
+        eq: list[tuple] = []
+        for e in del_entries:
+            if e["content"] == "pos":
+                if e.get("dv"):
+                    for k, ps in e["dv"].items():
+                        pos_inline.setdefault(k, []).extend(int(p) for p in ps)
+                elif e.get("path"):
+                    pos_paths.append(os.path.join(self.root, e["path"]))
+            else:
+                orig = tuple(e["cols"])
+                cur = tuple(reverse.get(c, c) for c in orig)
+                eq.append(
+                    (
+                        orig,
+                        cur,
+                        e.get("keys"),
+                        os.path.join(self.root, e["path"]) if e.get("path") else None,
+                        int(e.get("seq", 0)),
+                    )
+                )
+        return pos_inline, pos_paths, eq
+
+    def partitions(self, start: dict, end: dict):
+        from ..table import format as fmt
+        from ..table.table import _renames_of
+
+        a, b = start.get("snapshot_id"), end.get("snapshot_id")
+        if b is None or a == b:
+            return []
+        tbl = self._table()
+        md = tbl.metadata
+        renames = _renames_of(self.data_schema)
+        to_snap = tbl.snapshot_by_id(b)
+        from_snap = tbl.snapshot_by_id(a) if a is not None else None
+        chain = []
+        seen = a is None
+        found_end = False
+        for s in md.snapshots:
+            if not seen:
+                seen = s.snapshot_id == a
+                continue
+            chain.append(s)
+            if s.snapshot_id == b:
+                found_end = True
+                break
+        if not seen or not found_end:
+            raise ValueError(
+                f"CDC offset range ({a}, {b}] not in the retained snapshot "
+                "log (checkpoint older than snapshot expiry?)"
+            )
+        if {s.operation for s in chain} & {"overwrite", "replace"}:
+            raise ValueError(
+                "CDC window contains a rewrite commit (compaction/z-order/"
+                "row-level overwrite): file identity stops meaning row "
+                "identity. Cursor the stream between maintenance commits."
+            )
+        from_entries = (
+            {e["path"]: e for e in tbl.files_of(from_snap)} if from_snap else {}
+        )
+        to_entries = {e["path"]: e for e in tbl.files_of(to_snap)}
+        read_dels = lambda snap: (
+            [
+                e
+                for m in snap.delete_manifests
+                for e in fmt.read_manifest(self.root, m)
+            ]
+            if snap is not None
+            else []
+        )
+        from_del_manifests = set(from_snap.delete_manifests) if from_snap else set()
+        to_dels = read_dels(to_snap)
+        new_dels = [
+            e
+            for m in to_snap.delete_manifests
+            if m not in from_del_manifests
+            for e in fmt.read_manifest(self.root, m)
+        ]
+        from_dels = read_dels(from_snap)
+        to_pi, to_pp, to_eq = self._payloads(tbl, to_dels, renames)
+        fr_pi, fr_pp, fr_eq = self._payloads(tbl, from_dels, renames)
+        nw_pi, nw_pp, nw_eq = self._payloads(tbl, new_dels, renames)
+        parts: list[CDCPartition] = []
+        for p, e in to_entries.items():
+            if p in from_entries:
+                continue  # common — handled below
+            parts.append(
+                CDCPartition(
+                    path=os.path.join(self.root, p),
+                    file_key=p,
+                    change="insert",
+                    mode="survivors",
+                    seq=int(e.get("seq", 0)),
+                    mask_pos=to_pi.get(p, []),
+                    mask_pos_paths=to_pp,
+                    mask_eq=to_eq,
+                    emit_pos=[],
+                    emit_pos_paths=[],
+                    emit_eq=[],
+                )
+            )
+        for p, e in from_entries.items():
+            if p in to_entries:
+                continue
+            parts.append(
+                CDCPartition(
+                    path=os.path.join(self.root, p),
+                    file_key=p,
+                    change="delete",
+                    mode="survivors",
+                    seq=int(e.get("seq", 0)),
+                    mask_pos=fr_pi.get(p, []),
+                    mask_pos_paths=fr_pp,
+                    mask_eq=fr_eq,
+                    emit_pos=[],
+                    emit_pos_paths=[],
+                    emit_eq=[],
+                )
+            )
+        if new_dels:
+            for p, e in to_entries.items():
+                if p not in from_entries:
+                    continue  # added files already reflect deletes
+                seq = int(e.get("seq", 0))
+                touchable = (
+                    p in nw_pi
+                    or bool(nw_pp)
+                    or any(dseq > seq for (_, _, _, _, dseq) in nw_eq)
+                )
+                if not touchable:
+                    continue
+                parts.append(
+                    CDCPartition(
+                        path=os.path.join(self.root, p),
+                        file_key=p,
+                        change="delete",
+                        mode="hits",
+                        seq=seq,
+                        mask_pos=fr_pi.get(p, []),
+                        mask_pos_paths=fr_pp,
+                        mask_eq=fr_eq,
+                        emit_pos=nw_pi.get(p, []),
+                        emit_pos_paths=nw_pp,
+                        emit_eq=nw_eq,
+                    )
+                )
+        return parts
+
+    def read(self, partition: CDCPartition):
+        yield from _cdc_read(partition, self.data_schema, self.out_schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class _WriterBase:
     def __init__(self, root: str, schema: StructType):
         from ..table import load_table
@@ -332,15 +670,27 @@ class EngineTableDataSource(DataSource):
             raise ValueError('engine_table requires .option("root", <table root>)')
         return root
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("cdc", "")).lower() in ("true", "1")
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
         from ..table import load_table
 
-        return load_table(self._root()).schema()
+        s = load_table(self._root()).schema()
+        if self._cdc():
+            s = StructType(
+                list(s.fields) + [StructField("_change_type", StringType())]
+            )
+        return s
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return EngineBatchReader(self._root(), schema, self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdc():
+            return EngineCDCStreamReader(self._root(), schema)
         return EngineStreamReader(self._root(), schema)
 
     def writer(self, schema: StructType, overwrite: bool):

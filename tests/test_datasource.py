@@ -159,3 +159,115 @@ def test_stream_write_exactly_once(ds, sf_dir, base_dir):
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _run_cdc_batch(spark, root, ckpt, out_dir):
+    """One availableNow pass of the CDC stream into a parquet sink
+    (memory sinks can't resume a checkpoint); returns ALL rows sunk so
+    far — callers diff against the previous phase."""
+    q = (
+        spark.readStream.format("engine_table")
+        .option("root", root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        spark.readStream.format("engine_table")
+        .option("root", root)
+        .option("cdc", "true")
+        .load()
+        .schema
+    ).parquet(out_dir)
+
+
+def test_cdc_stream_tails_changes(ds, base_dir):
+    """option("cdc","true"): micro-batches carry _change_type rows —
+    first batch = initial state as inserts; after an append + MOR
+    equality delete, the next batch holds the surviving new rows as
+    inserts, the delete-hit old rows as deletes, and dead-on-arrival
+    rows (inserted AND deleted inside the window) not at all."""
+    spark = ds
+    root = base_dir + "/cdc"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("id") % 2 == 0))  # evens
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    sink = tempfile.mkdtemp(prefix="cdc_sink_") + "/out"
+    try:
+        r1 = _run_cdc_batch(spark, root, ckpt, sink).collect()
+        assert {r["_change_type"] for r in r1} == {"insert"}
+        assert sorted(r["id"] for r in r1) == list(range(0, 20, 2))
+        # window 2: append odds, then eq-delete multiples of 5
+        tbl.append(df.filter(F.col("id") % 2 == 1))
+        tbl.delete_eq_mor(
+            spark, df.filter(F.col("id") % 5 == 0).select("id"), ["id"]
+        )
+        seen = {(r["id"], r["_change_type"]) for r in r1}
+        r2 = [
+            r
+            for r in _run_cdc_batch(spark, root, ckpt, sink).collect()
+            if (r["id"], r["_change_type"]) not in seen
+        ]
+        ins = sorted(r["id"] for r in r2 if r["_change_type"] == "insert")
+        dels = sorted(r["id"] for r in r2 if r["_change_type"] == "delete")
+        # odds surviving the delete (5 and 15 are dead-on-arrival)
+        assert ins == [1, 3, 7, 9, 11, 13, 17, 19]
+        # evens hit by the new delete
+        assert dels == [0, 10]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_cdc_stream_metadata_delete_window(ds, base_dir):
+    """A metadata (partition-aligned) delete removes whole files: the
+    CDC batch emits their rows as deletes."""
+    spark = ds
+    from java_iceberg_table_spark.table import truncate
+
+    root = base_dir + "/cdcd"
+    df = spark.createDataFrame([(i, i % 7) for i in range(30)], "k long, g long")
+    tbl = create_table(root, df.schema, partition=truncate("k", 10))
+    tbl.append(df)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcd_")
+    sink = tempfile.mkdtemp(prefix="cdcd_sink_") + "/out"
+    try:
+        r1 = _run_cdc_batch(spark, root, ckpt, sink).collect()
+        seen = {(r["k"], r["_change_type"]) for r in r1}
+        tbl.delete_where("k", "<", 10)  # drops the first bucket's files
+        rows = [
+            r
+            for r in _run_cdc_batch(spark, root, ckpt, sink).collect()
+            if (r["k"], r["_change_type"]) not in seen
+        ]
+        assert {r["_change_type"] for r in rows} == {"delete"}
+        assert sorted(r["k"] for r in rows) == list(range(10))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_cdc_stream_rejects_rewrite_window(ds, base_dir):
+    spark = ds
+    root = base_dir + "/cdcr"
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcr_")
+    sink = tempfile.mkdtemp(prefix="cdcr_sink_") + "/out"
+    try:
+        _run_cdc_batch(spark, root, ckpt, sink)
+        tbl.delete_rows(spark, [("k", "<", 3)])  # overwrite commit
+        with pytest.raises(Exception, match="[Rr]ewrite|maintenance"):
+            _run_cdc_batch(spark, root, ckpt, sink)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
