@@ -95,7 +95,17 @@ def _physical_schema(schema: StructType, renames: dict[str, list[str]]) -> Struc
     fields plus one nullable field per historical name (typed as the
     CURRENT type — parquet upcasts narrower physical types natively,
     so this also composes with widen_column)."""
-    fields = list(schema.fields)
+    fields = []
+    for f in schema.fields:
+        if f.name in renames:
+            # a renamed column is vintage-split: any given file holds
+            # EITHER the current name or a historic one, so each
+            # physical column individually must read as nullable even
+            # when the logical column is not (the coalesce projection
+            # restores a value for every row)
+            fields.append(StructField(f.name, f.dataType, True, f.metadata))
+        else:
+            fields.append(f)
     have = {f.name for f in fields}
     by_name = {f.name: f for f in schema.fields}
     for new, olds in renames.items():

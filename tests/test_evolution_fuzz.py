@@ -1,0 +1,116 @@
+"""Seeded randomized differential test: a random interleaving of
+appends, renames, type widenings, MOR equality/predicate deletes, and
+the avro format toggle, checked step-free against a driver-side pandas
+model of the same operation sequence. This is the interaction net for
+the schema-evolution read paths — any vintage-mapping, sequence-
+semantics, or format-branch bug shows up as a row diff."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from java_iceberg_table_spark.table import create_table
+
+
+def _collect(spark, tbl, key_col, val_col):
+    rows = tbl.scan(spark).collect()
+    return sorted((int(r[key_col]), r[val_col]) for r in rows)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_evolution_differential(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    root = str(tmp_path / f"t{seed}")
+    tbl = create_table(
+        root,
+        StructType(
+            [
+                StructField("k", IntegerType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+    )
+    # model state: list of (k, v); column names tracked separately
+    model: list[tuple[int, str]] = []
+    key_name, val_name = "k", "v"
+    key_type = "int"
+    next_k = 0
+    renames_left = 2
+    did_widen = False
+    toggled_avro = False
+
+    def append_batch(n, reuse_deleted=None):
+        nonlocal next_k
+        rows = []
+        for _ in range(n):
+            k = next_k
+            next_k += 1
+            rows.append((k, f"v{k}"))
+        if reuse_deleted:
+            rows.extend((k, f"re{k}") for k in reuse_deleted)
+        sdf = spark.createDataFrame(
+            rows, f"{key_name} {'long' if did_widen else key_type}, {val_name} string"
+        )
+        tbl.append(sdf)
+        model.extend(rows)
+
+    append_batch(rng.randint(3, 8))
+    deleted_keys: list[int] = []
+    for step in range(10):
+        op = rng.choice(
+            ["append", "append", "eq_delete", "pred_delete", "rename", "widen", "avro"]
+        )
+        if op == "append":
+            # sometimes re-insert a previously eq-deleted key: sequence
+            # semantics must let it survive
+            reuse = (
+                rng.sample(deleted_keys, min(2, len(deleted_keys)))
+                if deleted_keys and rng.random() < 0.5
+                else None
+            )
+            append_batch(rng.randint(2, 6), reuse)
+            if reuse:
+                deleted_keys = [k for k in deleted_keys if k not in reuse]
+        elif op == "eq_delete" and model:
+            victims = rng.sample([k for k, _ in model], min(3, len(model)))
+            keys = spark.createDataFrame(
+                [(int(k),) for k in victims],
+                f"{key_name} {'long' if did_widen else key_type}",
+            )
+            tbl.delete_eq_mor(spark, keys, [key_name])
+            model = [(k, v) for k, v in model if k not in victims]
+            deleted_keys.extend(victims)
+        elif op == "pred_delete" and model:
+            cut = rng.randint(0, next_k)
+            tbl.delete_where_mor(spark, [(key_name, "<", cut)])
+            removed = [k for k, _ in model if k < cut]
+            model = [(k, v) for k, v in model if k >= cut]
+            deleted_keys.extend(removed)
+        elif op == "rename" and renames_left:
+            renames_left -= 1
+            if rng.random() < 0.5:
+                new = val_name + "x"
+                tbl.rename_column(val_name, new)
+                val_name = new
+            else:
+                new = key_name + "x"
+                tbl.rename_column(key_name, new)
+                key_name = new
+        elif op == "widen" and not did_widen:
+            tbl.widen_column(key_name, "long")
+            did_widen = True
+        elif op == "avro" and not toggled_avro:
+            tbl.set_properties({"write.format.default": "avro"})
+            toggled_avro = True
+        # engine state must equal the model after EVERY step
+        assert _collect(spark, tbl, key_name, val_name) == sorted(model), (
+            f"seed={seed} step={step} op={op}"
+        )
+    # and materializing the pending deletes changes nothing
+    tbl.rewrite_deletes(spark)
+    assert _collect(spark, tbl, key_name, val_name) == sorted(model)
