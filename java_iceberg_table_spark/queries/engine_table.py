@@ -952,6 +952,67 @@ def a3u_engine_rename_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3v_engine_runtime_filter_join",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 4 AS cut
+  FROM customer
+),
+dim AS (SELECT c_custkey FROM customer, bounds WHERE c_custkey < bounds.cut)
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       true AS runtime_pruned
+FROM orders JOIN dim ON o_custkey = dim.c_custkey
+""",
+    group="A",
+)
+def a3v_engine_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered fact scan (DPP / Iceberg runtime-filtering
+    spirit): the fact table is laid out by write.sort.order=o_custkey
+    (disjoint per-file key ranges), the dim side's ACTUAL key set is
+    collected (broadcast-small precondition), and
+    ``Table.scan_runtime_filtered`` prunes fact files whose stats
+    range contains NO dim key before any data is read — the join then
+    runs on the pruned scan. runtime_pruned grades that strictly
+    fewer files were scanned than the table holds; cnt/sum_key grade
+    the join itself against the raw-fixture oracle. At 100 TB a
+    selective dim filter turns the fact scan into reading only the
+    files that can match — static predicates can't express this."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def build(root: str) -> None:
+        t = create_table(
+            root,
+            orders.schema,
+            properties={"write.sort.order": "o_custkey"},
+        )
+        t.append(orders.repartition(8))
+
+    root = _shared_root(spark, sf_dir, "rtfilter", build)
+    tbl = open_table(root)
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    cut = int(lo) + (int(hi) - int(lo)) // 4
+    dim = cust.filter(F.col("c_custkey") < cut)
+    fact, info = tbl.scan_runtime_filtered(
+        spark, dim.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    )
+    pruned = (
+        info["files_scanned"] is not None
+        and info["files_scanned"] < info["files_total"]
+    )
+    row = (
+        fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").alias("sum_key"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(row["cnt"], row["sum_key"], pruned)],
+        "cnt bigint, sum_key bigint, runtime_pruned boolean",
+    )
+
+
+@register(
     "a3q_engine_manifest_compaction",
     oracle="""
 SELECT COUNT(*) AS cnt,

@@ -2446,6 +2446,76 @@ class Table:
             df = df.select(*_current_projection(schema, renames))
         return df
 
+    def scan_runtime_filtered(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str,
+        max_keys: int = 100_000,
+    ) -> tuple[DataFrame, dict]:
+        """Runtime-filtered scan (Iceberg runtime filtering / dynamic
+        partition pruning spirit): prune this table's files by the
+        ACTUAL key set of a (small) join side before scanning, instead
+        of only by static predicates.
+
+        The key set is collected driver-side — the same smallness
+        precondition as broadcasting that side of the join, and the
+        reason this beats a plain scan: file stats can rule a file out
+        when NO dim key falls inside its [min, max] (binary search per
+        file over the sorted key list), which global min/max bounds
+        cannot do for scattered key sets. Per-file Bloom filters
+        (write.bloom.column) tighten "=" membership further when
+        present. Returns (df, info) where info reports files_total /
+        files_scanned; rows outside the key bounds cannot join, so the
+        result is safe to use directly as the probe side.
+
+        At 100 TB: a selective dim filter turns a full fact scan into
+        reading only the files that can contain matching keys — the
+        scan-side analogue of Spark's DPP, expressed against the
+        engine's own manifests."""
+        import bisect
+
+        rows = (
+            keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+        )
+        snap = self.metadata.current_snapshot()
+        total = len(self.files_of(snap)) if snap else 0
+        keys = sorted(r[0] for r in rows if r[0] is not None)
+        if not keys:
+            return spark.createDataFrame([], self.schema()), {
+                "files_total": total,
+                "files_scanned": 0,
+            }
+        if len(rows) > max_keys:
+            # key set too large to enumerate: bounds-only pruning
+            df = self.scan(
+                spark,
+                [(key_col, ">=", keys[0]), (key_col, "<=", keys[-1])],
+            )
+            return df, {"files_total": total, "files_scanned": None}
+        entries = self.plan_files(
+            [(key_col, ">=", keys[0]), (key_col, "<=", keys[-1])]
+        )
+        kept = []
+        for e in entries:
+            st = (e.get("columns") or {}).get(key_col)
+            if not st or st.get("min") is None or st.get("max") is None:
+                kept.append(e)  # no stats -> cannot prune
+                continue
+            i = bisect.bisect_left(keys, st["min"])
+            if i >= len(keys) or keys[i] > st["max"]:
+                continue  # no dim key inside this file's range
+            bloom = e.get("bloom")
+            if bloom and bloom.get("column") == key_col:
+                from .bloom_index import bloom_may_contain
+
+                j = bisect.bisect_right(keys, st["max"])
+                if not any(bloom_may_contain(bloom, k) for k in keys[i:j]):
+                    continue
+            kept.append(e)
+        df = self._read_with_deletes(spark, kept, snap)
+        return df, {"files_total": total, "files_scanned": len(kept)}
+
     def incremental_scan(
         self, spark: SparkSession, after_snapshot_id: int | None = None
     ) -> tuple[DataFrame, int | None]:

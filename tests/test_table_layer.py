@@ -536,3 +536,39 @@ def test_write_sort_order_tightens_file_stats(spark, troot):
     # the NEW files are sorted; the old unsorted ones remain
     q2 = [("ts", "<", 500)]
     assert len(t_plain.plan_files(q2)) < 2 * n_plain
+
+
+def test_runtime_filtered_scan_set_pruning(spark, troot):
+    """scan_runtime_filtered prunes files NO dim key can hit: with a
+    scattered-sparse key set, global bounds prune nothing but the
+    per-file binary search (and blooms when present) skip files whose
+    range holds no key; result equals the plain filtered scan."""
+    shuffled = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("x").alias("v"),
+            F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("ts"),
+        )
+        .repartition(8)
+    )
+    tbl = create_table(
+        troot, SIMPLE_SCHEMA, properties={"write.sort.order": "ts"}
+    )
+    tbl.append(shuffled)
+    n_files = len(tbl.current_files())
+    assert n_files > 1
+    # sparse keys: multiples of 1777 (6 keys over [0, 10k)); sorted
+    # files cover ~10k/n_files-wide disjoint ranges, so most contain
+    # no key
+    keys = [i * 1777 for i in range(6)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "ts long")
+    df, info = tbl.scan_runtime_filtered(spark, kdf, "ts")
+    assert info["files_scanned"] < info["files_total"] == n_files
+    got = sorted(r["ts"] for r in df.filter(F.col("ts").isin(keys)).collect())
+    assert got == keys  # every key row survives the pruning
+    # empty key set -> zero files
+    empty, info2 = tbl.scan_runtime_filtered(
+        spark, spark.createDataFrame([], "ts long"), "ts"
+    )
+    assert info2["files_scanned"] == 0 and empty.count() == 0
