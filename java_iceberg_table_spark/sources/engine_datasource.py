@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -191,13 +192,28 @@ class EngineBatchReader(DataSourceReader):
         )
         self.ref = options.get("ref")
         self.engine_filters: list[tuple[str, str, object]] = []
+        self.in_filters: list[tuple[str, list]] = []
 
     def pushFilters(self, filters):
         """Use every stats-expressible filter for manifest pruning but
         report ALL filters unsupported: Spark re-applies them after the
         scan, so pruning is a pure win and residual evaluation stays in
-        the JVM (the engine's own scan() makes the same split)."""
+        the JVM (the engine's own scan() makes the same split).
+
+        IN-lists (including the literal lists Spark's own rewrites
+        produce) prune with the key-set check: a file survives only if
+        its stats range contains at least one listed value — far
+        stronger than the [min,max]-of-the-list bound for scattered
+        sets."""
         for f in filters:
+            if isinstance(f, In) and len(f.attribute) == 1:
+                vals = sorted(v for v in f.value if v is not None)
+                if vals:
+                    self.in_filters.append((f.attribute[0], vals))
+                    self.engine_filters.append((f.attribute[0], ">=", vals[0]))
+                    self.engine_filters.append((f.attribute[0], "<=", vals[-1]))
+                yield f
+                continue
             op = _FILTER_OPS.get(type(f))
             if op is not None and len(f.attribute) == 1:
                 self.engine_filters.append((f.attribute[0], op, f.value))
@@ -205,12 +221,15 @@ class EngineBatchReader(DataSourceReader):
 
     def partitions(self):
         from ..table import load_table
+        from ..table.table import prune_entries_by_keys
 
         tbl = load_table(self.root)
         sid = self.snapshot_id
         if self.ref is not None:
             sid = tbl.metadata.refs[self.ref]["snapshot_id"]
         entries = tbl.plan_files(self.engine_filters, snapshot_id=sid)
+        for col, vals in self.in_filters:
+            entries = prune_entries_by_keys(entries, col, vals)
         return [FilePartition(os.path.join(self.root, e["path"])) for e in entries]
 
     def read(self, partition: FilePartition):

@@ -131,6 +131,35 @@ def _current_projection(schema: StructType, renames: dict[str, list[str]]):
     return cols
 
 
+def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dict]:
+    """Keep only the manifest entries whose stats range can contain at
+    least one of ``keys`` (sorted): binary search per file — stronger
+    than a global [min,max] filter for scattered key sets — tightened
+    by the per-file Bloom when one covers ``col``. Missing stats keep
+    the file (pruning is always conservative). Shared by
+    Table.scan_runtime_filtered and the connector's IN-list pushdown."""
+    import bisect
+
+    kept = []
+    for e in entries:
+        st = (e.get("columns") or {}).get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            kept.append(e)
+            continue
+        i = bisect.bisect_left(keys, st["min"])
+        if i >= len(keys) or keys[i] > st["max"]:
+            continue  # no key inside this file's range
+        bloom = e.get("bloom")
+        if bloom and bloom.get("column") == col:
+            from .bloom_index import bloom_may_contain
+
+            j = bisect.bisect_right(keys, st["max"])
+            if not any(bloom_may_contain(bloom, k) for k in keys[i:j]):
+                continue
+        kept.append(e)
+    return kept
+
+
 def _parse_stat(s: str | None):
     """Manifest JSON scans read bounds as strings; restore native
     numeric types for parity with the driver-side manifest parse."""
@@ -2473,8 +2502,6 @@ class Table:
         reading only the files that can contain matching keys — the
         scan-side analogue of Spark's DPP, expressed against the
         engine's own manifests."""
-        import bisect
-
         rows = (
             keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
         )
@@ -2496,23 +2523,7 @@ class Table:
         entries = self.plan_files(
             [(key_col, ">=", keys[0]), (key_col, "<=", keys[-1])]
         )
-        kept = []
-        for e in entries:
-            st = (e.get("columns") or {}).get(key_col)
-            if not st or st.get("min") is None or st.get("max") is None:
-                kept.append(e)  # no stats -> cannot prune
-                continue
-            i = bisect.bisect_left(keys, st["min"])
-            if i >= len(keys) or keys[i] > st["max"]:
-                continue  # no dim key inside this file's range
-            bloom = e.get("bloom")
-            if bloom and bloom.get("column") == key_col:
-                from .bloom_index import bloom_may_contain
-
-                j = bisect.bisect_right(keys, st["max"])
-                if not any(bloom_may_contain(bloom, k) for k in keys[i:j]):
-                    continue
-            kept.append(e)
+        kept = prune_entries_by_keys(entries, key_col, keys)
         df = self._read_with_deletes(spark, kept, snap)
         return df, {"files_total": total, "files_scanned": len(kept)}
 

@@ -271,3 +271,43 @@ def test_cdc_stream_rejects_rewrite_window(ds, base_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_in_list_pushdown_prunes_partitions(ds, base_dir):
+    """WHERE key IN (...) through the connector: the IN-list prunes
+    input partitions with the key-set stats check — files whose range
+    holds no listed value never become partitions."""
+    spark = ds
+    root = base_dir + "/inlist"
+    src = (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("ts"),
+        )
+        .repartition(8)
+    )
+    tbl = create_table(
+        root, src.schema, properties={"write.sort.order": "ts"}
+    )
+    tbl.append(src)
+    n_files = len(tbl.current_files())
+    assert n_files > 1
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineBatchReader,
+    )
+    from pyspark.sql.datasource import In
+
+    # sparse scattered values: most sorted files hold none of them
+    vals = [i * 1777 for i in range(6)]
+    reader = EngineBatchReader(root, tbl.schema(), {"root": root})
+    list(reader.pushFilters([In(("ts",), tuple(vals))]))
+    assert len(reader.partitions()) < n_files
+    # and the query result through the connector is exact
+    df = (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .load()
+        .filter(F.col("ts").isin(vals))
+    )
+    assert sorted(r["ts"] for r in df.collect()) == sorted(vals)
