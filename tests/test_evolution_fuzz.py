@@ -63,7 +63,18 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
     deleted_keys: list[int] = []
     for step in range(10):
         op = rng.choice(
-            ["append", "append", "eq_delete", "pred_delete", "rename", "widen", "avro"]
+            [
+                "append",
+                "append",
+                "eq_delete",
+                "pred_delete",
+                "rename",
+                "widen",
+                "avro",
+                "compact",
+                "zorder",
+                "rewrite_deletes",
+            ]
         )
         if op == "append":
             # sometimes re-insert a previously eq-deleted key: sequence
@@ -107,6 +118,13 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
         elif op == "avro" and not toggled_avro:
             tbl.set_properties({"write.format.default": "avro"})
             toggled_avro = True
+        elif op == "compact" and model:
+            # content-invariant maintenance: the model must not move
+            tbl.compact_data_files(spark)
+        elif op == "zorder" and model:
+            tbl.rewrite_clustered(spark, [key_name], n_files=4)
+        elif op == "rewrite_deletes":
+            tbl.rewrite_deletes(spark)
         # engine state must equal the model after EVERY step
         assert _collect(spark, tbl, key_name, val_name) == sorted(model), (
             f"seed={seed} step={step} op={op}"
