@@ -189,3 +189,20 @@ def test_rename_and_widen_on_avro_table(spark, tmp_path):
     # MOR delete keyed on the renamed column still composes
     tbl.delete_eq_mor(spark, spark.createDataFrame([("b",)], "label string"), ["label"])
     assert sorted(r["id"] for r in tbl.scan(spark).collect()) == [1, 3]
+
+
+def test_append_spanning_a_rename_commit(spark, tmp_path):
+    """A writer that serialized its data files BEFORE a concurrent
+    rename commits AFTER it: the files physically carry the old column
+    name, the table schema already carries the new one — the files are
+    simply old-vintage, and the name-history read maps them correctly.
+    (This is why the rename needs no writer coordination.)"""
+    tbl = _mk(spark, tmp_path)
+    # stage data files under the pre-rename schema, commit later
+    pending = tbl._write_data_files(
+        spark.createDataFrame([(10, "x"), (11, "y")], "id long, name string")
+    )
+    tbl.rename_column("name", "label")
+    tbl.append_entries(pending)  # the racing writer's commit lands
+    rows = {r["id"]: r["label"] for r in tbl.scan(spark).collect()}
+    assert rows == {1: "a", 2: "b", 10: "x", 11: "y"}
