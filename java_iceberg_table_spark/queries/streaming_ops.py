@@ -1091,3 +1091,122 @@ def i20_connector_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i21_streaming_materialized_view",
+    oracle="""
+WITH final AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE (event_id % 3 IN (0, 1) AND event_id % 4 <> 0)
+     OR event_id % 3 = 2
+),
+mv AS (
+  SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sv
+  FROM final GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       ROUND(SUM(sv), 4) AS total_value, true AS mv_equals_recompute
+FROM mv
+""",
+    group="I",
+)
+def i21_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained materialized view: the CDC STREAM (i20's
+    connector source) drives a foreachBatch that folds each batch's
+    delta into a downstream ENGINE TABLE — count/sum are
+    self-maintainable, so inserts add and deletes subtract, and only
+    TOUCHED view keys are replaced per batch (equality delete + append
+    — MOR sequence semantics make the replacement exact). Same source
+    scenario and oracle as the batch a3l (append, MOR equality delete,
+    append-after-delete), but the view is brought current by the
+    stream, never by recompute. At 100 TB this is the standing
+    aggregation pattern: per-batch cost is O(batch) + O(touched keys),
+    while the view table stays queryable between batches.
+    mv_equals_recompute grades the maintained view against a
+    from-scratch recompute of the source."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="stream_mv_")
+    src_root, view_root, ckpt = base + "/src", base + "/view", base + "/ckpt"
+
+    src = _ct(src_root, ev.schema)
+    view_schema = (
+        spark.createDataFrame([], "user_id long, cnt long, sv double").schema
+    )
+    view = _ct(view_root, view_schema)
+
+    def merge_batch(batch_df, batch_id):
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = batch_df.groupBy("user_id").agg(
+            F.sum(sign).alias("d_cnt"),
+            F.sum(sign * F.col("value")).alias("d_sv"),
+        )
+        vt = _open(view_root)
+        cur = vt.scan(spark)
+        merged = (
+            cur.join(delta, "user_id", "right")  # only touched keys
+            .select(
+                "user_id",
+                (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
+                (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
+            )
+        )
+        touched = merged.select("user_id")
+        survivors = merged.filter(F.col("cnt") > 0)
+        # replace touched keys: eq-delete then append (the later
+        # sequence wins at read — exact replacement, two tiny commits)
+        vt.delete_eq_mor(spark, touched, ["user_id"])
+        vt.append(survivors)
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        src.append(ev.filter(F.col("event_id") % 3 == 0))
+        drain()  # view now holds the base state
+        src.append(ev.filter(F.col("event_id") % 3 == 1))
+        src.delete_eq_mor(
+            spark,
+            ev.filter(F.col("event_id") % 4 == 0).select("event_id"),
+            ["event_id"],
+        )
+        src.append(ev.filter(F.col("event_id") % 3 == 2))
+        drain()  # deltas fold in; no recompute
+        vt = _open(view_root)
+        mv = vt.scan(spark)
+        recompute = (
+            src.scan(spark)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        )
+        a = mv.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+        b = recompute.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+        equal = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("total_rows"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["n_users"], row["total_rows"], float(row["total_value"]), equal)],
+            "n_users bigint, total_rows bigint, total_value double, "
+            "mv_equals_recompute boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
