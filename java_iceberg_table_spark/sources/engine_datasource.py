@@ -576,14 +576,28 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                 )
             )
         if new_dels:
+            from ..table.table import prune_entries_by_keys
+
+            def eq_can_touch(entry, seq) -> bool:
+                for _, cur, inline_keys, path, dseq in nw_eq:
+                    if dseq <= seq:
+                        continue
+                    if inline_keys is None or len(cur) != 1:
+                        return True  # file-backed / multi-col: conservative
+                    keys = sorted(
+                        k[0] for k in inline_keys if k and k[0] is not None
+                    )
+                    # stats check: the file's range must hold >=1 key
+                    if prune_entries_by_keys([entry], cur[0], keys):
+                        return True
+                return False
+
             for p, e in to_entries.items():
                 if p not in from_entries:
                     continue  # added files already reflect deletes
                 seq = int(e.get("seq", 0))
                 touchable = (
-                    p in nw_pi
-                    or bool(nw_pp)
-                    or any(dseq > seq for (_, _, _, _, dseq) in nw_eq)
+                    p in nw_pi or bool(nw_pp) or eq_can_touch(e, seq)
                 )
                 if not touchable:
                     continue
