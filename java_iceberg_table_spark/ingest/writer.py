@@ -98,6 +98,11 @@ class Writer:
         from pyspark.sql.types import StructType
 
         spark_schema = StructType.fromJson(self.table.metadata.schema_json)
+        # stats come from the PRE-cast batch so timestamp min/max record
+        # ISO strings exactly like the parquet footer path (_plain):
+        # pruning on a table whose history spans the format toggle must
+        # compare like-typed bounds
+        original = records
         # timestamps travel as integer µs in avro (timestamp-micros)
         cast_cols = {}
         for name in records.column_names:
@@ -111,7 +116,7 @@ class Writer:
                 )
         rows = records.to_pylist()
         write_ocf(full, rows, avro_schema_of(spark_schema))
-        return arrow_stats(records, os.path.getsize(full))
+        return arrow_stats(original, os.path.getsize(full))
 
     def create_data_files(
         self, n_files: int, rows_per_file: int, timeperiod_us: int

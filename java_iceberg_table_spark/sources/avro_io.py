@@ -321,7 +321,11 @@ def write_avro_df(df, out_dir: str, prefix: str = "part") -> list[str]:
 
 
 def write_avro_manifest_df(
-    df, out_dir: str, prefix: str = "part", bucket_col: str | None = None
+    df,
+    out_dir: str,
+    prefix: str = "part",
+    bucket_col: str | None = None,
+    max_records: int | None = None,
 ) -> list[dict]:
     """Distributed stats-carrying Avro sink for the table layer: each
     task encodes its rows (grouped by ``bucket_col`` when the table is
@@ -344,6 +348,11 @@ def write_avro_manifest_df(
         for f in fields
         if f.dataType.simpleString().startswith("timestamp")
     ]
+    int_cols = [
+        f.name
+        for f in fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    ]
     names = [f.name for f in fields]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -355,27 +364,52 @@ def write_avro_manifest_df(
             [(None, pdf)] if bucket_col is None else list(pdf.groupby(bucket_col))
         )
         out_rows = []
-        for bucket, g in groups:
-            g = g[names].copy()
-            for c in ts_cols:  # datetime64[ns] -> integer µs (writer's unit)
-                g[c] = g[c].astype("int64") // 1000
-            arrow = pa.Table.from_pandas(g, preserve_index=False)
-            recs = g.astype(object).where(pd.notnull(g), None).to_dict("records")
-            sub = f"__pb={int(bucket)}" if bucket_col is not None else ""
-            dir_ = os.path.join(out_dir, sub) if sub else out_dir
-            os.makedirs(dir_, exist_ok=True)
-            p = os.path.join(dir_, f"{prefix}-{uuid.uuid4().hex}.avro")
-            write_ocf(p, recs, avro)
-            st = arrow_stats(arrow, os.path.getsize(p))
-            out_rows.append(
-                {
-                    "path": p,
-                    "rows": st["rows"],
-                    "bytes": st["bytes"],
-                    "stats": json.dumps(st["columns"]),
-                    "bucket": int(bucket) if bucket_col is not None else None,
-                }
+        for bucket, g0 in groups:
+            g0 = g0[names]
+            spans = (
+                [(0, len(g0))]
+                if not max_records
+                else [
+                    (i, min(i + max_records, len(g0)))
+                    for i in range(0, len(g0), max_records)
+                ]
             )
+            for lo_i, hi_i in spans:
+                g = g0.iloc[lo_i:hi_i].copy()
+                # nullable-int columns arrive as float64 when they hold
+                # NaN; Int64 keeps values integral and nulls as <NA> so
+                # both the stats and the OCF records stay int-typed
+                for c in int_cols:
+                    g[c] = g[c].astype("Int64")
+                # stats are computed from the frame BEFORE the ts->µs
+                # conversion so timestamp min/max record ISO strings,
+                # matching the parquet footer path (_plain) — pruning
+                # on a mixed-format table compares like with like
+                arrow = pa.Table.from_pandas(g, preserve_index=False)
+                for c in ts_cols:  # datetime64 -> integer µs (writer's unit)
+                    iv = pd.Series(
+                        g[c].values.view("int64") // 1000,
+                        index=g.index,
+                        dtype="object",
+                    )
+                    iv[g[c].isna().values] = None
+                    g[c] = iv
+                recs = g.astype(object).where(pd.notnull(g), None).to_dict("records")
+                sub = f"__pb={int(bucket)}" if bucket_col is not None else ""
+                dir_ = os.path.join(out_dir, sub) if sub else out_dir
+                os.makedirs(dir_, exist_ok=True)
+                p = os.path.join(dir_, f"{prefix}-{uuid.uuid4().hex}.avro")
+                write_ocf(p, recs, avro)
+                st = arrow_stats(arrow, os.path.getsize(p))
+                out_rows.append(
+                    {
+                        "path": p,
+                        "rows": st["rows"],
+                        "bytes": st["bytes"],
+                        "stats": json.dumps(st["columns"]),
+                        "bucket": int(bucket) if bucket_col is not None else None,
+                    }
+                )
         yield pd.DataFrame(out_rows)
 
     manifest = df.mapInPandas(

@@ -94,14 +94,22 @@ def _physical_names(schema: StructType) -> dict[str, list[str]]:
 
 
 def _read_file_batches(path: str, schema: StructType):
-    """Executor-side: one data file -> Arrow batches aligned to the
-    table schema (schema evolution: missing columns null-filled,
-    dropped columns pruned, renamed columns resolved through their
-    name history, widened types upcast, physical order normalized)."""
+    """Executor-side: one data file (parquet or avro — the R5 format
+    toggle) -> Arrow batches aligned to the table schema (schema
+    evolution: missing columns null-filled, dropped columns pruned,
+    renamed columns resolved through their name history, widened types
+    upcast, physical order normalized)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema_for(schema)
+    if path.endswith(".avro"):
+        df, _ = _cdc_load_pandas(path, schema)
+        if len(df):
+            yield from pa.Table.from_pandas(
+                df, schema=target, preserve_index=False
+            ).to_batches()
+        return
     names = _physical_names(schema)
     tbl = pq.read_table(path, columns=None)
     cols = []
@@ -387,6 +395,10 @@ def _cdc_read(partition: CDCPartition, data_schema: StructType, out_schema: Stru
                 kdf = pq.read_table(path).to_pandas()
                 kdf = kdf[list(orig_cols)]
                 kdf.columns = list(cur_cols)
+            # SQL null semantics: a NULL delete key matches nothing (the
+            # batch anti-join's == never matches null); pandas merge
+            # would match NaN == NaN, so drop null-keyed delete rows
+            kdf = kdf.dropna()
             merged = df[list(cur_cols)].merge(
                 kdf.drop_duplicates(), on=list(cur_cols), how="left", indicator=True
             )
@@ -464,7 +476,20 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                     for k, ps in e["dv"].items():
                         pos_inline.setdefault(k, []).extend(int(p) for p in ps)
                 elif e.get("path"):
-                    pos_paths.append(os.path.join(self.root, e["path"]))
+                    # fold file-backed position deletes into the per-
+                    # file map ONCE here: MOR delete files are small by
+                    # design (large deletes belong to copy-on-write),
+                    # and shipping each partition only ITS slice avoids
+                    # every data-file task re-reading every delete file
+                    # (O(files x delete-files) executor I/O otherwise)
+                    import pyarrow.parquet as _pq
+
+                    t = _pq.read_table(os.path.join(self.root, e["path"]))
+                    for fk, p in zip(
+                        t.column("__file").to_pylist(),
+                        t.column("__pos").to_pylist(),
+                    ):
+                        pos_inline.setdefault(fk, []).append(int(p))
             else:
                 orig = tuple(e["cols"])
                 cur = tuple(reverse.get(c, c) for c in orig)
@@ -507,7 +532,12 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                 f"CDC offset range ({a}, {b}] not in the retained snapshot "
                 "log (checkpoint older than snapshot expiry?)"
             )
-        if {s.operation for s in chain} & {"overwrite", "replace"}:
+        # The rewrite guard applies only to a REAL window (a set): the
+        # initial batch (a is None) just emits the current state as
+        # inserts — from_entries is empty, file identity is irrelevant,
+        # and historical maintenance commits must not block stream
+        # startup on a table that ever compacted.
+        if a is not None and {s.operation for s in chain} & {"overwrite", "replace"}:
             raise ValueError(
                 "CDC window contains a rewrite commit (compaction/z-order/"
                 "row-level overwrite): file identity stops meaning row "

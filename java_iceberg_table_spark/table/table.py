@@ -160,6 +160,25 @@ def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dic
     return kept
 
 
+def _all_historic_names(current: "TableMetadata") -> set[str]:
+    """Every column name this table has EVER used: all fields of every
+    schema in the log plus every rename history. There are no field
+    ids in this format — name history is column identity — so a name
+    that ever named a column stays reserved forever: data files from
+    that era still hold its bytes physically, and a new column reusing
+    the name would silently adopt them through the vintage-mapping
+    read (rename) or plain projection (re-added dropped column)."""
+    used: set[str] = set()
+    for s in current.schemas:
+        for f in s["schema"]["fields"]:
+            used.add(f["name"])
+            used.update((f.get("metadata") or {}).get("renamed_from") or [])
+    for f in current.schema_json["fields"]:
+        used.add(f["name"])
+        used.update((f.get("metadata") or {}).get("renamed_from") or [])
+    return used
+
+
 def _parse_stat(s: str | None):
     """Manifest JSON scans read bounds as strings; restore native
     numeric types for parity with the driver-side manifest parse."""
@@ -402,7 +421,11 @@ class Table:
                 if sort_order:
                     bucketed = bucketed.sortWithinPartitions("__pb", *sort_order)
                 files = write_avro_manifest_df(
-                    bucketed, out_dir, prefix=prefix, bucket_col="__pb"
+                    bucketed,
+                    out_dir,
+                    prefix=prefix,
+                    bucket_col="__pb",
+                    max_records=max_records,
                 )
             else:
                 shaped = df
@@ -413,7 +436,9 @@ class Table:
                     ).sortWithinPartitions(*sort_order)
                 elif n_tasks is not None:
                     shaped = df.coalesce(n_tasks)
-                files = write_avro_manifest_df(shaped, out_dir, prefix=prefix)
+                files = write_avro_manifest_df(
+                    shaped, out_dir, prefix=prefix, max_records=max_records
+                )
             return [
                 {
                     "path": os.path.relpath(f["path"], self.root),
@@ -2274,17 +2299,14 @@ class Table:
             fields = list(current.schema_json["fields"])
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name!r} already exists")
-            # a name retired by rename_column stays reserved: data files
-            # written before the rename still hold it physically, and
-            # the coalesce mapping would silently read a NEW column's
-            # values as the OLD column's history (no field ids here —
-            # name history is the identity)
-            for f in fields:
-                if name in ((f.get("metadata") or {}).get("renamed_from") or []):
-                    raise ValueError(
-                        f"column name {name!r} is retired (renamed to "
-                        f"{f['name']!r}); pick a fresh name"
-                    )
+            # any name EVER used is reserved (dropped columns keep their
+            # bytes in old files; renamed columns map old names at read
+            # time) — reusing one silently adopts stale data
+            if name in _all_historic_names(current):
+                raise ValueError(
+                    f"column name {name!r} is retired (used earlier in "
+                    "this table's schema history); pick a fresh name"
+                )
             new_schema = dict(current.schema_json)
             new_schema["fields"] = fields + [
                 {"name": name, "type": dtype, "nullable": True, "metadata": {}}
@@ -2333,13 +2355,11 @@ class Table:
                 raise ValueError(f"no such column {old!r}")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
-            for f in fields:
-                hist = (f.get("metadata") or {}).get("renamed_from") or []
-                if new in hist:
-                    raise ValueError(
-                        f"column name {new!r} is retired (renamed to "
-                        f"{f['name']!r}); pick a fresh name"
-                    )
+            if new in _all_historic_names(current):
+                raise ValueError(
+                    f"column name {new!r} is retired (used earlier in "
+                    "this table's schema history); pick a fresh name"
+                )
             for f in fields:
                 if f["name"] == old:
                     meta = dict(f.get("metadata") or {})
@@ -2387,7 +2407,7 @@ class Table:
                     f"cannot widen complex-typed column {name!r} ({cur_type!r})"
                 )
             if new_type == cur_type:
-                return current  # no-op; no schema version burned
+                return None  # no-op abort; no schema version burned
             if new_type not in self._WIDENINGS.get(cur_type, set()):
                 raise ValueError(
                     f"unsafe type change {cur_type!r} -> {new_type!r} for "
@@ -2514,11 +2534,16 @@ class Table:
                 "files_scanned": 0,
             }
         if len(rows) > max_keys:
-            # key set too large to enumerate: bounds-only pruning
-            df = self.scan(
-                spark,
-                [(key_col, ">=", keys[0]), (key_col, "<=", keys[-1])],
-            )
+            # key set too large to enumerate: bounds-only pruning. The
+            # bounds come from an EXACT min/max aggregate — the sampled
+            # limit() subset above must not be used for them, or fact
+            # rows whose keys fall outside the sample's range (but
+            # inside the true key set) would be silently filtered out
+            # by scan()'s residual and the join would lose matches.
+            lo, hi = keys_df.agg(
+                F.min(key_col), F.max(key_col)
+            ).collect()[0]
+            df = self.scan(spark, [(key_col, ">=", lo), (key_col, "<=", hi)])
             return df, {"files_total": total, "files_scanned": None}
         entries = self.plan_files(
             [(key_col, ">=", keys[0]), (key_col, "<=", keys[-1])]

@@ -174,3 +174,109 @@ def test_unsupported_format_rejected():
             Writer(tbl, file_format="orc")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_avro_append_with_nulls_and_timestamps(spark):
+    """Nullable long/timestamp columns with nulls survive the avro
+    append path (pandas turns int-with-NaN into float64; the encoder
+    must keep ints integral and nulls as None), and the manifest stats
+    record timestamp min/max as ISO strings exactly like the parquet
+    footer path — pruning on mixed-format tables compares like-typed
+    bounds."""
+    import datetime as dt
+
+    import tempfile
+    import shutil
+
+    from java_iceberg_table_spark.table import create_table
+
+    base = tempfile.mkdtemp(prefix="avro_nulls_")
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, 100, dt.datetime(2024, 1, 1)),
+                (2, None, dt.datetime(2024, 1, 2)),
+                (3, 300, None),
+            ],
+            "k long, n long, ts timestamp",
+        )
+        tbl = create_table(
+            base + "/t", df.schema, properties={"write.format.default": "avro"}
+        )
+        tbl.append(df.coalesce(1))
+        got = {r["k"]: (r["n"], r["ts"]) for r in tbl.scan(spark).collect()}
+        assert got[1] == (100, dt.datetime(2024, 1, 1))
+        assert got[2][0] is None and got[2][1] == dt.datetime(2024, 1, 2)
+        assert got[3] == (300, None)
+        (entry,) = tbl.current_files()
+        ts_stats = entry["columns"]["ts"]
+        assert isinstance(ts_stats["min"], str)  # ISO, like parquet footers
+        assert ts_stats["min"].startswith("2024-01-01")
+        n_stats = entry["columns"]["n"]
+        assert n_stats["min"] == 100 and n_stats["max"] == 300  # ints, not floats
+        assert n_stats["nulls"] == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_avro_append_respects_target_file_size(spark):
+    """write.target-file-size-bytes caps avro files too: the second
+    append (once a bytes/row estimate exists) splits into multiple
+    container files instead of one unbounded file per task."""
+    import tempfile
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from java_iceberg_table_spark.table import create_table
+
+    base = tempfile.mkdtemp(prefix="avro_cap_")
+    try:
+        df = spark.range(4_000).select(
+            F.col("id").alias("k"), F.lit("x" * 50).alias("v")
+        )
+        tbl = create_table(
+            base + "/t",
+            df.schema,
+            properties={
+                "write.format.default": "avro",
+                "write.target-file-size-bytes": "20000",
+            },
+        )
+        tbl.append(df.coalesce(1))  # first append: no estimate yet -> 1 file
+        n1 = len(tbl.current_files())
+        tbl.append(df.coalesce(1))  # sized append: must split by rows
+        n2 = len(tbl.current_files())
+        assert n2 - n1 > 1
+        assert tbl.scan(spark).count() == 8_000
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_connector_reads_avro_table(spark):
+    """The engine_table batch connector reads avro-format tables (the
+    R5 toggle composes with the Python Data Source path)."""
+    import tempfile
+    import shutil
+
+    from java_iceberg_table_spark.sources import register_engine_datasource
+    from java_iceberg_table_spark.table import create_table
+
+    register_engine_datasource(spark)
+    base = tempfile.mkdtemp(prefix="avro_conn_")
+    try:
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "k long, v string"
+        )
+        tbl = create_table(
+            base + "/t", df.schema, properties={"write.format.default": "avro"}
+        )
+        tbl.append(df)
+        got = (
+            spark.read.format("engine_table")
+            .option("root", base + "/t")
+            .load()
+        )
+        assert sorted(r["k"] for r in got.collect()) == list(range(50))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
