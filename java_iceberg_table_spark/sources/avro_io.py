@@ -286,6 +286,35 @@ def arrow_stats(records, file_bytes: int) -> dict:
 
 # ------------------------------------------------------ distributed write
 
+def _avro_records(g: "pd.DataFrame", ts_cols, int_cols) -> list[dict]:
+    """pandas frame -> encoder-safe avro records: integer columns go
+    through nullable Int64 so nulls never leak as float NaN into the
+    varint encoder (and values stay integral), timestamps become
+    None-masked integer µs. Shared by both distributed sinks."""
+    import pandas as pd
+
+    g = g.copy()
+    for c in int_cols:
+        g[c] = g[c].astype("Int64")
+    for c in ts_cols:  # datetime64 -> integer µs (writer's unit)
+        iv = pd.Series(
+            g[c].values.view("int64") // 1000, index=g.index, dtype="object"
+        )
+        iv[g[c].isna().values] = None
+        g[c] = iv
+    return g.astype(object).where(pd.notnull(g), None).to_dict("records")
+
+
+def _ts_int_cols(fields):
+    ts = [f.name for f in fields if f.dataType.simpleString().startswith("timestamp")]
+    ints = [
+        f.name
+        for f in fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    ]
+    return ts, ints
+
+
 def write_avro_df(df, out_dir: str, prefix: str = "part") -> list[str]:
     """Distributed Avro OCF sink: each partition encodes and writes its
     own container file ON THE EXECUTOR (mapInPandas), so data never
@@ -297,20 +326,13 @@ def write_avro_df(df, out_dir: str, prefix: str = "part") -> list[str]:
     import pandas as pd
 
     avro = avro_schema_of(df.schema)
-    ts_cols = [
-        f.name
-        for f in df.schema.fields
-        if f.dataType.simpleString().startswith("timestamp")
-    ]
+    ts_cols, int_cols = _ts_int_cols(df.schema.fields)
     os.makedirs(out_dir, exist_ok=True)
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         rows: list[dict] = []
         for pdf in batches:
-            for c in ts_cols:  # datetime64[ns] -> integer µs (writer's unit)
-                pdf[c] = pdf[c].astype("int64") // 1000
-            pdf = pdf.astype(object).where(pd.notnull(pdf), None)
-            rows.extend(pdf.to_dict("records"))
+            rows.extend(_avro_records(pdf, ts_cols, int_cols))
         if rows:
             p = os.path.join(out_dir, f"{prefix}-{uuid.uuid4().hex}.avro")
             write_ocf(p, rows, avro)
@@ -343,16 +365,7 @@ def write_avro_manifest_df(
     fields = [f for f in df.schema.fields if f.name != bucket_col]
     data_schema = T.StructType(fields)
     avro = avro_schema_of(data_schema)
-    ts_cols = [
-        f.name
-        for f in fields
-        if f.dataType.simpleString().startswith("timestamp")
-    ]
-    int_cols = [
-        f.name
-        for f in fields
-        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
-    ]
+    ts_cols, int_cols = _ts_int_cols(fields)
     names = [f.name for f in fields]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -386,15 +399,7 @@ def write_avro_manifest_df(
                 # matching the parquet footer path (_plain) — pruning
                 # on a mixed-format table compares like with like
                 arrow = pa.Table.from_pandas(g, preserve_index=False)
-                for c in ts_cols:  # datetime64 -> integer µs (writer's unit)
-                    iv = pd.Series(
-                        g[c].values.view("int64") // 1000,
-                        index=g.index,
-                        dtype="object",
-                    )
-                    iv[g[c].isna().values] = None
-                    g[c] = iv
-                recs = g.astype(object).where(pd.notnull(g), None).to_dict("records")
+                recs = _avro_records(g, ts_cols, int_cols=[])
                 sub = f"__pb={int(bucket)}" if bucket_col is not None else ""
                 dir_ = os.path.join(out_dir, sub) if sub else out_dir
                 os.makedirs(dir_, exist_ok=True)

@@ -93,23 +93,15 @@ def _physical_names(schema: StructType) -> dict[str, list[str]]:
     return out
 
 
-def _read_file_batches(path: str, schema: StructType):
-    """Executor-side: one data file (parquet or avro — the R5 format
-    toggle) -> Arrow batches aligned to the table schema (schema
-    evolution: missing columns null-filled, dropped columns pruned,
-    renamed columns resolved through their name history, widened types
-    upcast, physical order normalized)."""
+def _aligned_parquet_arrow(path: str, schema: StructType):
+    """One parquet file -> Arrow table aligned to ``schema``: missing
+    columns null-filled, dropped columns pruned, renamed columns
+    resolved through their name history, widened types upcast,
+    physical order normalized."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema_for(schema)
-    if path.endswith(".avro"):
-        df, _ = _cdc_load_pandas(path, schema)
-        if len(df):
-            yield from pa.Table.from_pandas(
-                df, schema=target, preserve_index=False
-            ).to_batches()
-        return
     names = _physical_names(schema)
     tbl = pq.read_table(path, columns=None)
     cols = []
@@ -119,7 +111,22 @@ def _read_file_batches(path: str, schema: StructType):
             cols.append(tbl.column(hit).cast(fld.type))
         else:
             cols.append(pa.nulls(len(tbl), fld.type))
-    yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def _read_file_batches(path: str, schema: StructType):
+    """Executor-side: one data file (parquet or avro — the R5 format
+    toggle) -> Arrow batches aligned to the table schema."""
+    import pyarrow as pa
+
+    if path.endswith(".avro"):
+        df, _ = _cdc_load_pandas(path, schema)
+        if len(df):
+            yield from pa.Table.from_pandas(
+                df, schema=_arrow_schema_for(schema), preserve_index=False
+            ).to_batches()
+        return
+    yield from _aligned_parquet_arrow(path, schema).to_batches()
 
 
 def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | None):
@@ -324,16 +331,13 @@ def _cdc_load_pandas(path: str, schema: StructType):
     aligned to ``schema`` (rename history resolved, widened types
     upcast), plus the 0-based row-position array."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    names = _physical_names(schema)
-    target = _arrow_schema_for(schema)
     if path.endswith(".avro"):
         import pandas as pd
 
         from .avro_io import read_ocf
 
+        names = _physical_names(schema)
         _, rows = read_ocf(path)
         raw = pd.DataFrame(rows)
         df = pd.DataFrame(index=range(len(raw)))
@@ -346,14 +350,7 @@ def _cdc_load_pandas(path: str, schema: StructType):
             else:
                 df[f.name] = raw[hit]
     else:
-        at = pq.read_table(path)
-        cols = []
-        for fld in target:
-            hit = next((n for n in names[fld.name] if n in at.column_names), None)
-            cols.append(
-                at.column(hit).cast(fld.type) if hit else pa.nulls(len(at), fld.type)
-            )
-        df = pa.Table.from_arrays(cols, schema=target).to_pandas()
+        df = _aligned_parquet_arrow(path, schema).to_pandas()
     return df, np.arange(len(df))
 
 
