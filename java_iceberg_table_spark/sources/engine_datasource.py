@@ -656,11 +656,12 @@ class EngineCDCStreamReader(DataSourceStreamReader):
 
 
 class _WriterBase:
-    def __init__(self, root: str, schema: StructType):
+    def __init__(self, root: str, schema: StructType, branch: str | None = None):
         from ..table import load_table
 
         self.root = root
         self.schema = schema
+        self.branch = branch
         # capture the partition spec driver-side; executors get plain data
         self.spec = load_table(root).metadata.partition_spec
 
@@ -684,7 +685,10 @@ class EngineBatchWriter(_WriterBase, DataSourceArrowWriter):
 
         entries = self._all_entries(messages)
         if entries:
-            load_table(self.root).append_entries(entries)
+            # option("branch", ...): write-audit-publish through the
+            # connector — the commit moves the branch ref, main stays
+            # untouched until fast-forward publish
+            load_table(self.root).append_entries(entries, branch=self.branch)
 
     def abort(self, messages) -> None:
         self._delete_files(messages)
@@ -759,7 +763,7 @@ class EngineTableDataSource(DataSource):
                 "engine_table sink is append-only (mode='append'); use "
                 "Table.upsert/delete_rows for row-level changes"
             )
-        return EngineBatchWriter(self._root(), schema)
+        return EngineBatchWriter(self._root(), schema, self.options.get("branch"))
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return EngineStreamWriter(self._root(), schema)

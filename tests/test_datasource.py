@@ -311,3 +311,28 @@ def test_in_list_pushdown_prunes_partitions(ds, base_dir):
         .filter(F.col("ts").isin(vals))
     )
     assert sorted(r["ts"] for r in df.collect()) == sorted(vals)
+
+
+def test_branch_write_through_connector(ds, base_dir):
+    """option("branch"): write-audit-publish through the connector —
+    the connector write moves the branch ref, main stays untouched
+    until publish, and option("ref") reads the staged state."""
+    spark = ds
+    root = base_dir + "/wap"
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("k") < 5))
+    tbl.create_branch("audit")
+    extra = spark.createDataFrame([(i,) for i in range(5, 10)], "k long")
+    extra.write.format("engine_table").option("root", root).option(
+        "branch", "audit"
+    ).mode("append").save()
+    main = spark.read.format("engine_table").option("root", root).load()
+    assert main.count() == 5  # main untouched
+    staged = (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .option("ref", "audit")
+        .load()
+    )
+    assert sorted(r["k"] for r in staged.collect()) == list(range(10))
