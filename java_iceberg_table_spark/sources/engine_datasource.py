@@ -63,6 +63,21 @@ class FilePartition(InputPartition):
 
 
 @dataclass
+class MaskedFilePartition(InputPartition):
+    """A data file read under merge-on-read delete state: the file's
+    (small, by MOR design) delete payload rides in the partition —
+    inline/folded positions plus sequence-guarded equality keys — and
+    is applied executor-side, so the connector's batch scan returns
+    exactly what Table.scan returns."""
+
+    path: str  # absolute
+    file_key: str  # root-relative (data/...)
+    seq: int
+    mask_pos: list
+    mask_eq: list
+
+
+@dataclass
 class FilesCommit(WriterCommitMessage):
     entries: list  # manifest entries (paths relative to table root)
 
@@ -235,8 +250,9 @@ class EngineBatchReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        from ..table import format as fmt
         from ..table import load_table
-        from ..table.table import prune_entries_by_keys
+        from ..table.table import _renames_of, prune_entries_by_keys
 
         tbl = load_table(self.root)
         sid = self.snapshot_id
@@ -245,9 +261,45 @@ class EngineBatchReader(DataSourceReader):
         entries = tbl.plan_files(self.engine_filters, snapshot_id=sid)
         for col, vals in self.in_filters:
             entries = prune_entries_by_keys(entries, col, vals)
-        return [FilePartition(os.path.join(self.root, e["path"])) for e in entries]
+        # merge-on-read delete state of the SCANNED snapshot rides in
+        # the partitions so the connector returns exactly what
+        # Table.scan returns (deleted rows must not resurrect)
+        snap = (
+            tbl.snapshot_by_id(sid)
+            if sid is not None
+            else tbl.metadata.current_snapshot()
+        )
+        dels = (
+            [
+                e
+                for m in snap.delete_manifests
+                for e in fmt.read_manifest(self.root, m)
+            ]
+            if snap is not None
+            else []
+        )
+        if not dels:
+            return [
+                FilePartition(os.path.join(self.root, e["path"])) for e in entries
+            ]
+        pos_inline, _, eq = _split_delete_payloads(
+            self.root, dels, _renames_of(self.schema)
+        )
+        return [
+            MaskedFilePartition(
+                path=os.path.join(self.root, e["path"]),
+                file_key=e["path"],
+                seq=int(e.get("seq", 0)),
+                mask_pos=pos_inline.get(e["path"], []),
+                mask_eq=eq,
+            )
+            for e in entries
+        ]
 
-    def read(self, partition: FilePartition):
+    def read(self, partition):
+        if isinstance(partition, MaskedFilePartition):
+            yield from _read_masked_batches(partition, self.schema)
+            return
         yield from _read_file_batches(partition.path, self.schema)
 
 
@@ -354,13 +406,107 @@ def _cdc_load_pandas(path: str, schema: StructType):
     return df, np.arange(len(df))
 
 
+def _split_delete_payloads(root: str, del_entries, renames):
+    """Split a snapshot's delete entries into a per-file-key position
+    map and equality payloads (key columns translated through the
+    rename history). File-backed position deletes are folded into the
+    per-file map ONCE here, driver-side: MOR delete files are small by
+    design (large deletes belong to copy-on-write), and shipping each
+    partition only ITS slice avoids every data-file task re-reading
+    every delete file (O(files x delete-files) executor I/O). Shared
+    by the batch reader (MOR-aware scans) and the CDC stream."""
+    reverse = {old: cur for cur, olds in renames.items() for old in olds}
+    pos_inline: dict[str, list[int]] = {}
+    eq: list[tuple] = []
+    for e in del_entries:
+        if e["content"] == "pos":
+            if e.get("dv"):
+                for k, ps in e["dv"].items():
+                    pos_inline.setdefault(k, []).extend(int(p) for p in ps)
+            elif e.get("path"):
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(os.path.join(root, e["path"]))
+                for fk, p in zip(
+                    t.column("__file").to_pylist(),
+                    t.column("__pos").to_pylist(),
+                ):
+                    pos_inline.setdefault(fk, []).append(int(p))
+        else:
+            orig = tuple(e["cols"])
+            cur = tuple(reverse.get(c, c) for c in orig)
+            eq.append(
+                (
+                    orig,
+                    cur,
+                    e.get("keys"),
+                    os.path.join(root, e["path"]) if e.get("path") else None,
+                    int(e.get("seq", 0)),
+                )
+            )
+    return pos_inline, [], eq
+
+
+def _eq_delete_hits(df, seq: int, payloads) -> "object":
+    """Boolean row mask: which rows of ``df`` match any equality-delete
+    payload with a LATER sequence than the data file's (Iceberg
+    sequence semantics). Vectorized pandas hash-merge per payload; a
+    NULL delete key matches nothing (the batch anti-join's == never
+    matches null; pandas merge would match NaN == NaN, so null-keyed
+    delete rows are dropped first)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = len(df)
+    m = np.zeros(n, dtype=bool)
+    for orig_cols, cur_cols, inline_keys, path, dseq in payloads or []:
+        if int(dseq) <= int(seq):
+            continue  # sequence semantics: delete precedes this file
+        if inline_keys is not None:
+            kdf = pd.DataFrame(
+                [tuple(k) for k in inline_keys], columns=list(cur_cols)
+            )
+        else:
+            kdf = pq.read_table(path).to_pandas()
+            kdf = kdf[list(orig_cols)]
+            kdf.columns = list(cur_cols)
+        kdf = kdf.dropna()
+        merged = df[list(cur_cols)].merge(
+            kdf.drop_duplicates(), on=list(cur_cols), how="left", indicator=True
+        )
+        m |= (merged["_merge"] == "both").to_numpy()
+    return m
+
+
+def _read_masked_batches(partition: MaskedFilePartition, schema: StructType):
+    """Executor-side: one data file under MOR delete state -> Arrow
+    batches of the SURVIVING rows (positions masked, sequence-guarded
+    equality keys anti-joined) aligned to the table schema."""
+    import numpy as np
+    import pyarrow as pa
+
+    df, pos = _cdc_load_pandas(partition.path, schema)
+    if len(df) == 0:
+        return
+    keep = np.ones(len(df), dtype=bool)
+    if partition.mask_pos:
+        keep &= ~np.isin(pos, np.fromiter(set(partition.mask_pos), dtype="int64"))
+    keep &= ~_eq_delete_hits(df, partition.seq, partition.mask_eq)
+    out = df[keep]
+    if len(out) == 0:
+        return
+    yield from pa.Table.from_pandas(
+        out, schema=_arrow_schema_for(schema), preserve_index=False
+    ).to_batches()
+
+
 def _cdc_read(partition: CDCPartition, data_schema: StructType, out_schema: StructType):
     """Executor-side CDC materialization for one data file: apply the
     pre-existing delete masks, then either emit the survivors (added /
     removed files) or the rows hit by the window's NEW deletes (common
     files) — vectorized pandas/Arrow throughout, no row loops."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -379,28 +525,8 @@ def _cdc_read(partition: CDCPartition, data_schema: StructType, out_schema: Stru
             )
         return s
 
-    def eq_hits(payloads) -> "np.ndarray":
-        m = np.zeros(n, dtype=bool)
-        for orig_cols, cur_cols, inline_keys, path, dseq in payloads or []:
-            if int(dseq) <= int(partition.seq):
-                continue  # sequence semantics: delete precedes this file
-            if inline_keys is not None:
-                kdf = pd.DataFrame(
-                    [tuple(k) for k in inline_keys], columns=list(cur_cols)
-                )
-            else:
-                kdf = pq.read_table(path).to_pandas()
-                kdf = kdf[list(orig_cols)]
-                kdf.columns = list(cur_cols)
-            # SQL null semantics: a NULL delete key matches nothing (the
-            # batch anti-join's == never matches null); pandas merge
-            # would match NaN == NaN, so drop null-keyed delete rows
-            kdf = kdf.dropna()
-            merged = df[list(cur_cols)].merge(
-                kdf.drop_duplicates(), on=list(cur_cols), how="left", indicator=True
-            )
-            m |= (merged["_merge"] == "both").to_numpy()
-        return m
+    def eq_hits(payloads):
+        return _eq_delete_hits(df, partition.seq, payloads)
 
     keep = np.ones(n, dtype=bool)
     masked = pos_set(partition.mask_pos, partition.mask_pos_paths)
@@ -460,46 +586,7 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         return {"snapshot_id": None if snap is None else snap.snapshot_id}
 
     def _payloads(self, tbl, del_entries, renames):
-        """Split delete entries into per-file-key inline positions,
-        file-backed position paths, and equality payloads (key columns
-        translated through the rename history)."""
-        reverse = {old: cur for cur, olds in renames.items() for old in olds}
-        pos_inline: dict[str, list[int]] = {}
-        pos_paths: list[str] = []
-        eq: list[tuple] = []
-        for e in del_entries:
-            if e["content"] == "pos":
-                if e.get("dv"):
-                    for k, ps in e["dv"].items():
-                        pos_inline.setdefault(k, []).extend(int(p) for p in ps)
-                elif e.get("path"):
-                    # fold file-backed position deletes into the per-
-                    # file map ONCE here: MOR delete files are small by
-                    # design (large deletes belong to copy-on-write),
-                    # and shipping each partition only ITS slice avoids
-                    # every data-file task re-reading every delete file
-                    # (O(files x delete-files) executor I/O otherwise)
-                    import pyarrow.parquet as _pq
-
-                    t = _pq.read_table(os.path.join(self.root, e["path"]))
-                    for fk, p in zip(
-                        t.column("__file").to_pylist(),
-                        t.column("__pos").to_pylist(),
-                    ):
-                        pos_inline.setdefault(fk, []).append(int(p))
-            else:
-                orig = tuple(e["cols"])
-                cur = tuple(reverse.get(c, c) for c in orig)
-                eq.append(
-                    (
-                        orig,
-                        cur,
-                        e.get("keys"),
-                        os.path.join(self.root, e["path"]) if e.get("path") else None,
-                        int(e.get("seq", 0)),
-                    )
-                )
-        return pos_inline, pos_paths, eq
+        return _split_delete_payloads(self.root, del_entries, renames)
 
     def partitions(self, start: dict, end: dict):
         from ..table import format as fmt

@@ -336,3 +336,31 @@ def test_branch_write_through_connector(ds, base_dir):
         .load()
     )
     assert sorted(r["k"] for r in staged.collect()) == list(range(10))
+
+
+def test_connector_applies_mor_deletes(ds, base_dir):
+    """The batch connector must return exactly what Table.scan
+    returns on a table with pending merge-on-read deletes — deleted
+    rows must not resurrect, and a key re-inserted after an equality
+    delete must survive (sequence semantics through the connector)."""
+    spark = ds
+    root = base_dir + "/mor"
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(3,), (7,)], "k long"), ["k"])
+    tbl.delete_where_mor(spark, [("k", ">=", 9)])
+    conn = spark.read.format("engine_table").option("root", root).load()
+    assert sorted(r["k"] for r in conn.collect()) == [0, 1, 2, 4, 5, 6, 8]
+    tbl.append(spark.createDataFrame([(3,)], "k long"))  # re-insert
+    conn2 = spark.read.format("engine_table").option("root", root).load()
+    assert sorted(r["k"] for r in conn2.collect()) == [0, 1, 2, 3, 4, 5, 6, 8]
+    # pushed filters still compose with the masked read
+    assert (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .load()
+        .filter(F.col("k") < 5)
+        .count()
+        == 5  # 0,1,2,4 plus the re-inserted 3
+    )
