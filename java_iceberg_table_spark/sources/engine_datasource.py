@@ -305,7 +305,12 @@ class EngineBatchReader(DataSourceReader):
 
 class EngineStreamReader(DataSourceStreamReader):
     """Commit-log tail: offset = snapshot id (log position, not data
-    position — ids are random but the log is append-ordered)."""
+    position — ids are random but the log is append-ordered). This is
+    the APPEND tail: each batch delivers the rows of files appended in
+    the window, as written — later row-level deletes are not replayed
+    against earlier batches (a stream cannot retract delivered rows).
+    Consumers that need delete-aware output use option("cdc","true"),
+    whose batches carry _change_type rows instead."""
 
     def __init__(self, root: str, schema: StructType):
         self.root = root
