@@ -297,6 +297,8 @@ class EngineBatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
+        if partition is None:
+            return  # empty plan: Spark calls read(None) once
         if isinstance(partition, MaskedFilePartition):
             yield from _read_masked_batches(partition, self.schema)
             return
@@ -353,6 +355,8 @@ class EngineStreamReader(DataSourceStreamReader):
         return [FilePartition(os.path.join(self.root, e["path"])) for e in entries]
 
     def read(self, partition: FilePartition):
+        if partition is None:
+            return  # empty window: Spark calls read(None) once
         yield from _read_file_batches(partition.path, self.schema)
 
     def commit(self, end: dict) -> None:
@@ -738,6 +742,8 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: CDCPartition):
+        if partition is None:
+            return  # empty window: Spark calls read(None) once
         yield from _cdc_read(partition, self.data_schema, self.out_schema)
 
     def commit(self, end: dict) -> None:

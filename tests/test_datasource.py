@@ -364,3 +364,19 @@ def test_connector_applies_mor_deletes(ds, base_dir):
         .count()
         == 5  # 0,1,2,4 plus the re-inserted 3
     )
+
+
+def test_connector_reads_empty_table(ds, base_dir):
+    """An empty plan (empty table / everything deleted): Spark calls
+    read(None) when partitions() returns [] — must yield zero rows,
+    not crash."""
+    spark = ds
+    root = base_dir + "/empty"
+    df = spark.createDataFrame([(1,)], "k long")
+    tbl = create_table(root, df.schema)
+    conn = spark.read.format("engine_table").option("root", root).load()
+    assert conn.count() == 0
+    tbl.append(df)
+    tbl.delete_rows(spark, [("k", "<", 100)])  # back to empty
+    conn2 = spark.read.format("engine_table").option("root", root).load()
+    assert conn2.count() == 0

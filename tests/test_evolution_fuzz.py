@@ -129,6 +129,16 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
         assert _collect(spark, tbl, key_name, val_name) == sorted(model), (
             f"seed={seed} step={step} op={op}"
         )
+    # the CONNECTOR is an independent read implementation (pyarrow
+    # alignment + executor-side MOR masking, vs Spark's parquet reader
+    # + DataFrame anti-joins): it must agree with the model too —
+    # pending deletes, renames, widenings, and format mix included
+    from java_iceberg_table_spark.sources import register_engine_datasource
+
+    register_engine_datasource(spark)
+    conn = spark.read.format("engine_table").option("root", root).load()
+    got = sorted((int(r[key_name]), r[val_name]) for r in conn.collect())
+    assert got == sorted(model), f"connector read diverges (seed={seed})"
     # and materializing the pending deletes changes nothing
     tbl.rewrite_deletes(spark)
     assert _collect(spark, tbl, key_name, val_name) == sorted(model)
