@@ -91,6 +91,40 @@ _FILTER_OPS = {
 }
 
 
+def _lineage_window(md, a, b) -> list:
+    """Snapshots in (a, b] on the MAIN parent-chain lineage of ``b``,
+    oldest first. The snapshot LOG is append-ordered across refs, so a
+    branch-staged commit (write-audit-publish) lands between two main
+    commits in log order while belonging to neither's lineage — a
+    stream that walked the log would deliver unpublished branch rows
+    to main-table consumers. Walking parent_id back from ``b`` keeps
+    the window exactly the commits a main reader can see; it also
+    refuses a start offset that was rolled past (its rows were
+    retracted — resuming would replay phantoms)."""
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    if b not in by_id:
+        raise ValueError(
+            f"end snapshot {b} not in the retained snapshot log "
+            "(expired under a running stream?)"
+        )
+    chain = []
+    cur = by_id[b]
+    while True:
+        chain.append(cur)
+        p = cur.parent_id
+        if p == a or (p is None and a is None):
+            break
+        cur = by_id.get(p)
+        if cur is None:
+            raise ValueError(
+                f"start offset {a} is not an ancestor of {b}: the "
+                "checkpoint predates snapshot expiry, or the table was "
+                "rolled back past it — restart the stream from scratch"
+            )
+    chain.reverse()
+    return chain
+
+
 def _arrow_schema_for(schema: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -291,7 +325,9 @@ class EngineBatchReader(DataSourceReader):
                 file_key=e["path"],
                 seq=int(e.get("seq", 0)),
                 mask_pos=pos_inline.get(e["path"], []),
-                mask_eq=eq,
+                # per-file slice: each partition carries only payloads
+                # whose sequence and key range can touch THIS file
+                mask_eq=_slice_eq_payloads(e, int(e.get("seq", 0)), eq),
             )
             for e in entries
         ]
@@ -336,22 +372,11 @@ class EngineStreamReader(DataSourceStreamReader):
             return []
         tbl = self._table()
         entries: list[dict] = []
-        seen = a is None
-        found_end = False
-        for s in tbl.metadata.snapshots:  # append-ordered log
-            if not seen:
-                seen = s.snapshot_id == a
-                continue
+        # main-lineage walk, not the log: a branch-staged append (WAP)
+        # between two main commits must not leak into a main window
+        for s in _lineage_window(tbl.metadata, a, b):
             if s.operation == "append":
                 entries.extend(tbl.added_files(s))
-            if s.snapshot_id == b:
-                found_end = True
-                break
-        if not seen or not found_end:
-            raise ValueError(
-                f"offset range ({a}, {b}] not in the retained snapshot log "
-                "(checkpoint older than snapshot expiry?)"
-            )
         return [FilePartition(os.path.join(self.root, e["path"])) for e in entries]
 
     def read(self, partition: FilePartition):
@@ -456,6 +481,32 @@ def _split_delete_payloads(root: str, del_entries, renames):
     return pos_inline, [], eq
 
 
+def _slice_eq_payloads(entry: dict, seq: int, eq_payloads) -> list:
+    """The subset of equality-delete payloads that can possibly touch
+    one data file: later-sequence only (earlier deletes never apply),
+    and for single-column inline payloads, only when the file's stats
+    range can hold at least one delete key (the same key-set check the
+    scan's IN-list pruning uses). File-backed / multi-column payloads
+    stay conservatively. Shipping sliced payloads keeps the partition
+    message O(file's own deletes), not O(table's deletes) — at 10^4
+    files x 10^2 payloads the unsliced broadcast is the planning
+    bottleneck."""
+    from ..table.table import prune_entries_by_keys
+
+    out = []
+    for pl in eq_payloads or []:
+        _, cur, inline_keys, _, dseq = pl
+        if int(dseq) <= int(seq):
+            continue  # sequence semantics: the delete predates the file
+        if inline_keys is None or len(cur) != 1:
+            out.append(pl)
+            continue
+        keys = sorted({k[0] for k in inline_keys if k and k[0] is not None})
+        if keys and prune_entries_by_keys([entry], cur[0], keys):
+            out.append(pl)
+    return out
+
+
 def _eq_delete_hits(df, seq: int, payloads) -> "object":
     """Boolean row mask: which rows of ``df`` match any equality-delete
     payload with a LATER sequence than the data file's (Iceberg
@@ -481,6 +532,20 @@ def _eq_delete_hits(df, seq: int, payloads) -> "object":
             kdf = kdf[list(orig_cols)]
             kdf.columns = list(cur_cols)
         kdf = kdf.dropna()
+        # type keys through the DATA frame's dtypes (df is aligned to
+        # the table schema): inline JSON keys arrive as python objects
+        # (timestamps as ISO strings) and parquet-backed keys may be
+        # narrower ints — an untyped merge would silently never match
+        for c in cur_cols:
+            if kdf[c].dtype == df[c].dtype:
+                continue
+            try:
+                if pd.api.types.is_datetime64_any_dtype(df[c].dtype):
+                    kdf[c] = pd.to_datetime(kdf[c]).astype(df[c].dtype)
+                else:
+                    kdf[c] = kdf[c].astype(df[c].dtype)
+            except (ValueError, TypeError):
+                pass  # incomparable: merge matches nothing, rows kept
         merged = df[list(cur_cols)].merge(
             kdf.drop_duplicates(), on=list(cur_cols), how="left", indicator=True
         )
@@ -598,44 +663,75 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         return _split_delete_payloads(self.root, del_entries, renames)
 
     def partitions(self, start: dict, end: dict):
-        from ..table import format as fmt
         from ..table.table import _renames_of
 
         a, b = start.get("snapshot_id"), end.get("snapshot_id")
         if b is None or a == b:
             return []
         tbl = self._table()
-        md = tbl.metadata
         renames = _renames_of(self.data_schema)
-        to_snap = tbl.snapshot_by_id(b)
-        from_snap = tbl.snapshot_by_id(a) if a is not None else None
-        chain = []
-        seen = a is None
-        found_end = False
-        for s in md.snapshots:
-            if not seen:
-                seen = s.snapshot_id == a
-                continue
-            chain.append(s)
-            if s.snapshot_id == b:
-                found_end = True
-                break
-        if not seen or not found_end:
-            raise ValueError(
-                f"CDC offset range ({a}, {b}] not in the retained snapshot "
-                "log (checkpoint older than snapshot expiry?)"
+        # main-lineage walk (oldest first); raises when the offset was
+        # expired or rolled past — same contract as the append tail
+        chain = _lineage_window(tbl.metadata, a, b)
+        if a is None:
+            # Initial batch: emit the CURRENT state as inserts — the
+            # from-side is empty, so file identity is irrelevant and
+            # historical maintenance commits must not block stream
+            # startup on a table that ever compacted.
+            return self._diff_segment(tbl, None, tbl.snapshot_by_id(b), renames)
+
+        def preserves(s) -> bool:
+            # 'replace' (compaction / z-order / manifest rewrite) never
+            # changes the visible-row multiset; 'overwrite' only when
+            # the committer stamped it (rewrite_deletes folds already-
+            # committed deletes — the deltas were emitted when the
+            # delete commits landed)
+            return s.operation == "replace" or (
+                s.operation == "overwrite"
+                and bool(s.summary.get("content-preserving"))
             )
-        # The rewrite guard applies only to a REAL window (a set): the
-        # initial batch (a is None) just emits the current state as
-        # inserts — from_entries is empty, file identity is irrelevant,
-        # and historical maintenance commits must not block stream
-        # startup on a table that ever compacted.
-        if a is not None and {s.operation for s in chain} & {"overwrite", "replace"}:
-            raise ValueError(
-                "CDC window contains a rewrite commit (compaction/z-order/"
-                "row-level overwrite): file identity stops meaning row "
-                "identity. Cursor the stream between maintenance commits."
-            )
+
+        for s in chain:
+            if s.operation == "overwrite" and not preserves(s):
+                raise ValueError(
+                    "CDC window contains a row-level rewrite "
+                    "(delete_rows/upsert overwrite): the rewrite is not "
+                    "content-preserving and file identity stops meaning "
+                    "row identity — use Table.changes_between's "
+                    "content-diff fallback for this window."
+                )
+        # Segment the window AT content-preserving rewrites: inside a
+        # segment file identity is stable, so the endpoint manifest
+        # diff is exact; the rewrite itself contributes zero changes
+        # (its visible-row multiset is unchanged by definition), so
+        #   scan(a) + sum(ins) - sum(del) == scan(b)
+        # composes across segments. This is how a standing CDC
+        # consumer (the i21 materialized view) survives the
+        # bookkeeper's continuous compaction.
+        parts: list[CDCPartition] = []
+        seg_from = tbl.snapshot_by_id(a)
+        prev = seg_from
+        for s in chain:
+            if preserves(s):
+                if prev is not seg_from:
+                    parts.extend(self._diff_segment(tbl, seg_from, prev, renames))
+                seg_from = prev = s
+            else:
+                prev = s
+        if prev is not seg_from:
+            parts.extend(self._diff_segment(tbl, seg_from, prev, renames))
+        return parts
+
+    def _diff_segment(self, tbl, from_snap, to_snap, renames) -> list:
+        """Endpoint manifest diff over a rewrite-free window: inserts
+        from files added (to-side delete state applied, so
+        dead-on-arrival rows never surface), deletes from files removed
+        (from-side visible rows), and delete hits on common files from
+        the window's NEW delete files. All payloads are sliced per
+        file (sequence + key-range check) before riding the partition
+        message."""
+        from ..table import format as fmt
+
         from_entries = (
             {e["path"]: e for e in tbl.files_of(from_snap)} if from_snap else {}
         )
@@ -665,16 +761,17 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         for p, e in to_entries.items():
             if p in from_entries:
                 continue  # common — handled below
+            seq = int(e.get("seq", 0))
             parts.append(
                 CDCPartition(
                     path=os.path.join(self.root, p),
                     file_key=p,
                     change="insert",
                     mode="survivors",
-                    seq=int(e.get("seq", 0)),
+                    seq=seq,
                     mask_pos=to_pi.get(p, []),
                     mask_pos_paths=to_pp,
-                    mask_eq=to_eq,
+                    mask_eq=_slice_eq_payloads(e, seq, to_eq),
                     emit_pos=[],
                     emit_pos_paths=[],
                     emit_eq=[],
@@ -683,46 +780,29 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         for p, e in from_entries.items():
             if p in to_entries:
                 continue
+            seq = int(e.get("seq", 0))
             parts.append(
                 CDCPartition(
                     path=os.path.join(self.root, p),
                     file_key=p,
                     change="delete",
                     mode="survivors",
-                    seq=int(e.get("seq", 0)),
+                    seq=seq,
                     mask_pos=fr_pi.get(p, []),
                     mask_pos_paths=fr_pp,
-                    mask_eq=fr_eq,
+                    mask_eq=_slice_eq_payloads(e, seq, fr_eq),
                     emit_pos=[],
                     emit_pos_paths=[],
                     emit_eq=[],
                 )
             )
         if new_dels:
-            from ..table.table import prune_entries_by_keys
-
-            def eq_can_touch(entry, seq) -> bool:
-                for _, cur, inline_keys, path, dseq in nw_eq:
-                    if dseq <= seq:
-                        continue
-                    if inline_keys is None or len(cur) != 1:
-                        return True  # file-backed / multi-col: conservative
-                    keys = sorted(
-                        k[0] for k in inline_keys if k and k[0] is not None
-                    )
-                    # stats check: the file's range must hold >=1 key
-                    if prune_entries_by_keys([entry], cur[0], keys):
-                        return True
-                return False
-
             for p, e in to_entries.items():
                 if p not in from_entries:
                     continue  # added files already reflect deletes
                 seq = int(e.get("seq", 0))
-                touchable = (
-                    p in nw_pi or bool(nw_pp) or eq_can_touch(e, seq)
-                )
-                if not touchable:
+                emit_eq = _slice_eq_payloads(e, seq, nw_eq)
+                if not (p in nw_pi or bool(nw_pp) or emit_eq):
                     continue
                 parts.append(
                     CDCPartition(
@@ -733,10 +813,10 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                         seq=seq,
                         mask_pos=fr_pi.get(p, []),
                         mask_pos_paths=fr_pp,
-                        mask_eq=fr_eq,
+                        mask_eq=_slice_eq_payloads(e, seq, fr_eq),
                         emit_pos=nw_pi.get(p, []),
                         emit_pos_paths=nw_pp,
-                        emit_eq=nw_eq,
+                        emit_eq=emit_eq,
                     )
                 )
         return parts

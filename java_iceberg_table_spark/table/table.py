@@ -131,13 +131,26 @@ def _current_projection(schema: StructType, renames: dict[str, list[str]]):
     return cols
 
 
+BLOOM_PROBE_CAP = 256
+
+
 def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dict]:
     """Keep only the manifest entries whose stats range can contain at
     least one of ``keys`` (sorted): binary search per file — stronger
     than a global [min,max] filter for scattered key sets — tightened
     by the per-file Bloom when one covers ``col``. Missing stats keep
     the file (pruning is always conservative). Shared by
-    Table.scan_runtime_filtered and the connector's IN-list pushdown."""
+    Table.scan_runtime_filtered and the connector's IN-list pushdown.
+
+    Driver-cost bounds: the range check is O(log keys) per file; the
+    Bloom probe runs only when at most BLOOM_PROBE_CAP keys fall in
+    the file's range (a wide range over a huge key set would otherwise
+    cost keys x files x k CRC32s on the driver at planning time — and
+    a file whose range holds thousands of candidate keys is about to
+    be read anyway). Stats whose stored type cannot be compared with
+    the key type (timestamp bounds are ISO strings in manifest JSON)
+    keep the file — the same conservatism as the distributed plan
+    path's try_cast."""
     import bisect
 
     kept = []
@@ -146,14 +159,18 @@ def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dic
         if not st or st.get("min") is None or st.get("max") is None:
             kept.append(e)
             continue
-        i = bisect.bisect_left(keys, st["min"])
-        if i >= len(keys) or keys[i] > st["max"]:
-            continue  # no key inside this file's range
+        try:
+            i = bisect.bisect_left(keys, st["min"])
+            if i >= len(keys) or keys[i] > st["max"]:
+                continue  # no key inside this file's range
+            j = bisect.bisect_right(keys, st["max"], lo=i)
+        except TypeError:
+            kept.append(e)  # incomparable stat type: cannot prune
+            continue
         bloom = e.get("bloom")
-        if bloom and bloom.get("column") == col:
+        if bloom and bloom.get("column") == col and j - i <= BLOOM_PROBE_CAP:
             from .bloom_index import bloom_may_contain
 
-            j = bisect.bisect_right(keys, st["max"])
             if not any(bloom_may_contain(bloom, k) for k in keys[i:j]):
                 continue
         kept.append(e)
@@ -1340,13 +1357,19 @@ class Table:
         )
 
     def delete_eq_mor(
-        self, spark: SparkSession, keys: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key_cols: list[str],
+        extra_summary: dict | None = None,
     ) -> Snapshot | None:
         """Merge-on-read EQUALITY delete: register key tuples whose
         rows disappear at read time from every data file with a
         sequence number below this commit's — without reading ANY data
         file now (the cheapest possible delete; Iceberg v2 equality
-        deletes, the streaming-CDC workhorse)."""
+        deletes, the streaming-CDC workhorse). ``extra_summary`` keys
+        land in the SAME commit's summary (commit-atomic markers, e.g.
+        a streaming sink's epoch id)."""
         distinct = keys.select(*key_cols).dropDuplicates(key_cols)
         # inline-DV fast path, same rationale as position deletes: a
         # small key set rides in the manifest entry and the delete
@@ -1374,6 +1397,7 @@ class Table:
                     "added-delete-files": 0,
                     "added-dvs": 1,
                     "added-equality-deletes": rows,
+                    **(extra_summary or {}),
                 },
             )
         written = self._write_delete_file(distinct)
@@ -1382,7 +1406,11 @@ class Table:
         rel, rows = written
         return self._commit_deletes(
             {"path": rel, "content": "eq", "cols": list(key_cols), "rows": rows},
-            {"added-delete-files": 1, "added-equality-deletes": rows},
+            {
+                "added-delete-files": 1,
+                "added-equality-deletes": rows,
+                **(extra_summary or {}),
+            },
         )
 
     def rewrite_deletes(self, spark: SparkSession) -> dict[str, int]:
@@ -1439,6 +1467,11 @@ class Table:
                 {
                     "rewritten-files": len(affected),
                     "dropped-delete-files": len(del_entries),
+                    # visible-row content is unchanged (this rewrite only
+                    # FOLDS already-committed deletes into the data
+                    # files); CDC readers step their cursor through
+                    # marked rewrites instead of raising
+                    "content-preserving": True,
                 },
                 drop_deletes=True,
             )

@@ -380,3 +380,145 @@ def test_connector_reads_empty_table(ds, base_dir):
     tbl.delete_rows(spark, [("k", "<", 100)])  # back to empty
     conn2 = spark.read.format("engine_table").option("root", root).load()
     assert conn2.count() == 0
+
+
+def _fold(rows, key="id"):
+    """Multiset fold of CDC output: +1 per insert, -1 per delete."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for r in rows:
+        c[r[key]] += 1 if r["_change_type"] == "insert" else -1
+    return {k: v for k, v in c.items() if v}
+
+
+def test_cdc_stream_steps_through_compaction(ds, base_dir):
+    """The standing-consumer contract: a window containing a
+    compaction ('replace') must NOT kill the stream — the rewrite is
+    content-preserving, so the segmented diff steps the cursor through
+    it and the fold of all emitted changes still equals the table
+    scan."""
+    spark = ds
+    root = base_dir + "/cdccomp"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("id") % 2 == 0))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcc_")
+    sink = tempfile.mkdtemp(prefix="cdcc_sink_") + "/out"
+    try:
+        _run_cdc_batch(spark, root, ckpt, sink)
+        # window 2: append odds, COMPACT (replace), eq-delete %5,
+        # append a late batch — all before the next trigger
+        tbl.append(df.filter(F.col("id") % 2 == 1))
+        stats = tbl.compact_data_files(spark, target_file_bytes=1 << 30)
+        assert stats["rewritten"] >= 2  # the rewrite really ran
+        tbl.delete_eq_mor(
+            spark, df.filter(F.col("id") % 5 == 0).select("id"), ["id"]
+        )
+        tbl.append(spark.createDataFrame([(100, "late")], "id long, v string"))
+        rows = _run_cdc_batch(spark, root, ckpt, sink).collect()
+        want = {
+            r["id"]: 1 for r in open_table(root).scan(spark).collect()
+        }
+        assert _fold(rows) == want
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_cdc_stream_steps_through_rewrite_deletes(ds, base_dir):
+    """rewrite_deletes commits a content-preserving 'overwrite'
+    (it only folds already-committed deletes); the CDC stream steps
+    through it — the deltas were emitted when the delete commits
+    landed."""
+    spark = ds
+    root = base_dir + "/cdcrd"
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, g long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcrd_")
+    sink = tempfile.mkdtemp(prefix="cdcrd_sink_") + "/out"
+    try:
+        _run_cdc_batch(spark, root, ckpt, sink)
+        # window 2: eq-delete, MATERIALIZE the deletes, then append
+        tbl.delete_eq_mor(
+            spark, df.filter(F.col("id") < 10).select("id"), ["id"]
+        )
+        tbl.rewrite_deletes(spark)
+        tbl.append(spark.createDataFrame([(200, 0)], "id long, g long"))
+        rows = _run_cdc_batch(spark, root, ckpt, sink).collect()
+        want = {r["id"]: 1 for r in open_table(root).scan(spark).collect()}
+        assert _fold(rows) == want
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_streams_skip_branch_staged_commits(ds, base_dir):
+    """A write-audit-publish branch append lands in the snapshot LOG
+    between two main commits but is not on the main lineage: neither
+    the append tail nor the CDC stream may deliver its unpublished
+    rows to main-table consumers."""
+    spark = ds
+    root = base_dir + "/wapstream"
+    df = spark.createDataFrame([(i,) for i in range(4)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("k") == 0))  # main A
+    tbl.create_branch("audit")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_wap_")
+    sink = tempfile.mkdtemp(prefix="wap_sink_") + "/out"
+    try:
+        # staged between two main appends
+        spark.createDataFrame([(99,)], "k long").write.format(
+            "engine_table"
+        ).option("root", root).option("branch", "audit").mode("append").save()
+        tbl.append(df.filter(F.col("k") == 1))  # main B
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["k"]
+            for r in spark.read.schema(tbl.schema()).parquet(sink).collect()
+        )
+        assert got == [0, 1]  # staged 99 must not leak
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_batch_connector_slices_eq_payloads(ds, base_dir):
+    """Each MaskedFilePartition carries only the equality-delete
+    payloads whose key range can touch ITS file — not the table's
+    whole delete state."""
+    spark = ds
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineBatchReader,
+        MaskedFilePartition,
+    )
+
+    root = base_dir + "/slice"
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("k") < 50).coalesce(1))  # file A: [0,49]
+    tbl.append(df.filter(F.col("k") >= 50).coalesce(1))  # file B: [50,99]
+    tbl.delete_eq_mor(
+        spark, spark.createDataFrame([(3,), (7,)], "k long"), ["k"]
+    )
+    reader = EngineBatchReader(root, tbl.schema(), {})
+    parts = reader.partitions()
+    assert all(isinstance(p, MaskedFilePartition) for p in parts)
+    by_payloads = sorted(len(p.mask_eq) for p in parts)
+    assert by_payloads == [0, 1]  # only file A ships the payload
+    # and the read is still exact
+    conn = spark.read.format("engine_table").option("root", root).load()
+    assert conn.count() == 98

@@ -572,3 +572,43 @@ def test_runtime_filtered_scan_set_pruning(spark, troot):
         spark, spark.createDataFrame([], "ts long"), "ts"
     )
     assert info2["files_scanned"] == 0 and empty.count() == 0
+
+
+def test_prune_by_keys_incomparable_stats_kept():
+    """Timestamp/date stats are stored as ISO strings in manifest
+    JSON; an IN-list of ints against them must keep the file (cannot
+    prune), not raise TypeError at planning time."""
+    from java_iceberg_table_spark.table.table import prune_entries_by_keys
+
+    entries = [
+        {"path": "a", "columns": {"ts": {"min": "2020-01-01T00:00:00", "max": "2020-12-31T00:00:00"}}},
+        {"path": "b", "columns": {"ts": {"min": 100, "max": 200}}},
+    ]
+    kept = prune_entries_by_keys(entries, "ts", [150, 999])
+    assert [e["path"] for e in kept] == ["a", "b"]
+    kept2 = prune_entries_by_keys(entries, "ts", [999])
+    assert [e["path"] for e in kept2] == ["a"]  # b pruned, a kept
+
+
+def test_prune_by_keys_bloom_probe_capped():
+    """The per-file Bloom probe is skipped when more keys fall in the
+    file's range than BLOOM_PROBE_CAP — planning stays O(log keys) per
+    file instead of O(keys x k) CRC32s on the driver."""
+    from java_iceberg_table_spark.table.bloom_index import NUM_HASHES, sized_bits
+    from java_iceberg_table_spark.table.table import (
+        BLOOM_PROBE_CAP,
+        prune_entries_by_keys,
+    )
+
+    # an EMPTY bloom proves every key absent
+    bits = sized_bits(10)
+    empty_bloom = {"column": "k", "bits": bits, "k": NUM_HASHES,
+                   "words": [0] * (bits // 64)}
+    entry = {"path": "a", "columns": {"k": {"min": 0, "max": 10**9}},
+             "bloom": empty_bloom}
+    few = list(range(BLOOM_PROBE_CAP))
+    many = list(range(BLOOM_PROBE_CAP + 1))
+    # under the cap: the probe runs and prunes the file
+    assert prune_entries_by_keys([entry], "k", few) == []
+    # over the cap: probe skipped, file conservatively kept
+    assert [e["path"] for e in prune_entries_by_keys([entry], "k", many)] == ["a"]
