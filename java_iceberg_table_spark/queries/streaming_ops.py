@@ -1141,28 +1141,12 @@ def i21_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFra
     )
     view = _ct(view_root, view_schema)
 
-    def merge_batch(batch_df, batch_id):
-        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-        delta = batch_df.groupBy("user_id").agg(
-            F.sum(sign).alias("d_cnt"),
-            F.sum(sign * F.col("value")).alias("d_sv"),
-        )
-        vt = _open(view_root)
-        cur = vt.scan(spark)
-        merged = (
-            cur.join(delta, "user_id", "right")  # only touched keys
-            .select(
-                "user_id",
-                (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
-                (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
-            )
-        )
-        touched = merged.select("user_id")
-        survivors = merged.filter(F.col("cnt") > 0)
-        # replace touched keys: eq-delete then append (the later
-        # sequence wins at read — exact replacement, two tiny commits)
-        vt.delete_eq_mor(spark, touched, ["user_id"])
-        vt.append(survivors)
+    # the idempotent fold: batch ids stamped commit-atomically, replays
+    # skipped, the delete/append crash window rolled back (foreachBatch
+    # is at-least-once; a re-applied delta would double-count)
+    from ..streaming.jobs import maintained_view_merge
+
+    merge_batch = maintained_view_merge(view_root)
 
     def drain():
         q = (

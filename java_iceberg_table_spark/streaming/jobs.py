@@ -534,3 +534,67 @@ def late_data_dead_letter(
         spark.read.schema(schema).parquet(out_ok),
         spark.read.schema(schema).parquet(out_late),
     )
+
+
+def maintained_view_merge(view_root: str, key_col: str = "user_id",
+                          value_col: str = "value"):
+    """I21's maintained-view fold as an idempotent foreachBatch: CDC
+    rows (+_change_type) fold into a count/sum view table keyed by
+    ``key_col``, replacing only touched keys via equality-delete +
+    append.
+
+    foreachBatch is at-least-once, and the fold is NOT naturally
+    idempotent (re-applying a delta double-counts), so each batch's id
+    is stamped commit-atomically: the delete commit carries
+    ``mv-batch-del`` and the append commit ``mv-batch-id``. A replayed
+    batch at or below the append high-watermark is skipped outright; a
+    replay that finds its OWN delete stamp without the matching append
+    stamp hit the crash window between the two commits — the view
+    rolls back to the delete's parent (metadata-only) and the fold
+    reruns against intact state. Either way the maintained view equals
+    the recompute after any sequence of replays."""
+    from pyspark.sql import functions as F
+
+    from ..table import load_table as _open
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vt = _open(view_root)
+        applied = -1
+        partial_del = None
+        for s in vt.metadata.snapshots:
+            bid = s.summary.get("mv-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("mv-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if partial_del is not None:
+            # crash window of a previous attempt: its delete committed
+            # but its append did not — undo the half-applied delete so
+            # this attempt folds against intact state
+            vt.rollback_to(partial_del.parent_id)
+            vt = _open(view_root)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = batch_df.groupBy(key_col).agg(
+            F.sum(sign).alias("d_cnt"),
+            F.sum(sign * F.col(value_col)).alias("d_sv"),
+        )
+        cur = vt.scan(spark)
+        merged = cur.join(delta, key_col, "right").select(
+            key_col,
+            (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
+            (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
+        )
+        touched = merged.select(key_col)
+        survivors = merged.filter(F.col("cnt") > 0)
+        # replace touched keys: eq-delete then append (the later
+        # sequence wins at read — exact replacement, two tiny commits)
+        vt.delete_eq_mor(
+            spark, touched, [key_col],
+            extra_summary={"mv-batch-del": int(batch_id)},
+        )
+        vt.append(survivors, extra_summary={"mv-batch-id": int(batch_id)})
+
+    return merge

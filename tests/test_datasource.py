@@ -522,3 +522,126 @@ def test_batch_connector_slices_eq_payloads(ds, base_dir):
     # and the read is still exact
     conn = spark.read.format("engine_table").option("root", root).load()
     assert conn.count() == 98
+
+
+def _mv_setup(spark, base_dir):
+    src_root, view_root = base_dir + "/mvsrc", base_dir + "/mvview"
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "event_id long, user_id long, value double",
+    )
+    create_table(src_root, df.schema)
+    create_table(
+        view_root,
+        spark.createDataFrame([], "user_id long, cnt long, sv double").schema,
+    )
+    return src_root, view_root, df
+
+
+def _mv_equals_recompute(spark, src_root, view_root) -> bool:
+    src, vt = open_table(src_root), open_table(view_root)
+    mv = vt.scan(spark).select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+    rec = (
+        src.scan(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sv"))
+    )
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def _mv_drain(spark, src_root, ckpt, merge):
+    q = (
+        spark.readStream.format("engine_table")
+        .option("root", src_root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_materialized_view_replay_idempotent(ds, base_dir):
+    """foreachBatch is at-least-once: re-invoking the fold with an
+    already-applied batch id must be a no-op (the delta would
+    double-count otherwise)."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import maintained_view_merge
+
+    src_root, view_root, df = _mv_setup(spark, base_dir)
+    merge = maintained_view_merge(view_root)
+    cdc = df.withColumn("_change_type", F.lit("insert"))
+    open_table(src_root).append(df)
+    merge(cdc, 0)
+    assert _mv_equals_recompute(spark, src_root, view_root)
+    merge(cdc, 0)  # replayed epoch — must not double-count
+    assert _mv_equals_recompute(spark, src_root, view_root)
+
+
+def test_materialized_view_partial_crash_recovery(ds, base_dir):
+    """Crash window between the fold's two commits: the replay finds
+    its own delete stamp without the append stamp, rolls the view back
+    and re-folds — the view still equals the recompute."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import maintained_view_merge
+
+    src_root, view_root, df = _mv_setup(spark, base_dir)
+    merge = maintained_view_merge(view_root)
+    cdc = df.withColumn("_change_type", F.lit("insert"))
+    open_table(src_root).append(df)
+    merge(cdc, 0)
+    # simulate the crash: batch 1's delete lands, its append does not
+    vt = open_table(view_root)
+    more = spark.createDataFrame(
+        [(1000 + i, i % 5, 1.0) for i in range(10)],
+        "event_id long, user_id long, value double",
+    )
+    open_table(src_root).append(more)
+    cdc1 = more.withColumn("_change_type", F.lit("insert"))
+    vt.delete_eq_mor(
+        spark,
+        cdc1.select("user_id").dropDuplicates(),
+        ["user_id"],
+        extra_summary={"mv-batch-del": 1},
+    )
+    merge(cdc1, 1)  # the replay after the simulated crash
+    assert _mv_equals_recompute(spark, src_root, view_root)
+
+
+def test_materialized_view_restart_across_compaction(ds, base_dir):
+    """i21 composed with i19's checkpoint restart AND a maintenance
+    commit: the stream stops at a checkpoint, commits (including a
+    compaction) land while it is down, and the resumed stream brings
+    the view exactly current — the standing-view lifecycle a real
+    table runs weekly."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import maintained_view_merge
+
+    src_root, view_root, df = _mv_setup(spark, base_dir)
+    src = open_table(src_root)
+    merge = maintained_view_merge(view_root)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_mvr_")
+    try:
+        src.append(df.filter(F.col("event_id") % 2 == 0))
+        _mv_drain(spark, src_root, ckpt, merge)
+        assert _mv_equals_recompute(spark, src_root, view_root)
+        # while the stream is down: append, compact, delete, append
+        src.append(df.filter(F.col("event_id") % 2 == 1))
+        src.compact_data_files(spark, target_file_bytes=1 << 30)
+        src.delete_eq_mor(
+            spark,
+            df.filter(F.col("event_id") % 7 == 0).select("event_id"),
+            ["event_id"],
+        )
+        src.append(
+            spark.createDataFrame(
+                [(999, 2, 9.5)], "event_id long, user_id long, value double"
+            )
+        )
+        # resume from the SAME checkpoint (i19's restart recipe)
+        _mv_drain(spark, src_root, ckpt, merge)
+        assert _mv_equals_recompute(spark, src_root, view_root)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
