@@ -69,18 +69,27 @@ _MODULES = [
 # time, so each round's grading automatically rotates the next round's
 # order; the hardcoded r01+r02 union below is the fallback if the
 # artifacts aren't readable.
-def _load_driver_proven(exclude: set[str] = frozenset()) -> frozenset[str]:
+def _green_rounds(exclude: set[str] = frozenset()) -> dict[str, int]:
+    """name -> LAST round whose CORRECTNESS artifact graded it green.
+    The ordering below uses this both as the proven set (keys) and as
+    the staleness signal: an entry last proven on r1-era code has a
+    weaker green than one proven on last round's code, so the oldest
+    greens rotate back through the grading window first."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     repo_root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    proven: set[str] = set()
+    rounds: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        if _os.path.basename(path) in exclude:
+        base = _os.path.basename(path)
+        if base in exclude:
             continue
+        m = _re.search(r"r(\d+)", base)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -93,8 +102,12 @@ def _load_driver_proven(exclude: set[str] = frozenset()) -> frozenset[str]:
                 v for k, v in rec.items() if k.endswith("_match") and v is not None
             ]
             if checks and all(checks):
-                proven.add(name)
-    return frozenset(proven) or _DRIVER_PROVEN_FALLBACK
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _load_driver_proven(exclude: set[str] = frozenset()) -> frozenset[str]:
+    return frozenset(_green_rounds(exclude)) or _DRIVER_PROVEN_FALLBACK
 
 
 _DRIVER_PROVEN_FALLBACK = frozenset({
@@ -137,6 +150,17 @@ _FIXTURE_REGRESSION_REGRADE = frozenset({
 })
 _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
+# Entries whose underlying machinery changed THIS round: they head the
+# grading window so the driver re-proves them on the new code first
+# (round 6: the CDC stream planner grew lineage-walk + maintenance-
+# commit segmentation; the maintained-view fold became idempotent).
+_REVERIFY_HEAD = [
+    "i20_connector_cdc_stream",
+    "i21_streaming_materialized_view",
+    "a3m_engine_datasource_connector",
+    "a3v_engine_runtime_filter_join",
+]
+
 
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry.
@@ -144,13 +168,17 @@ def load_all() -> dict[str, Query]:
     The returned (and in-place) order front-loads what the correctness
     driver (which grades a fixed-size window from the FRONT) most needs
     to grade this round:
-      1. fixture-regression regrades — queries green only in r01/r02,
-         i.e. before the events.ts fixture change broke and then fixed
-         them; their proof must be re-earned on current data;
-      2. everything without a green driver row yet, round-robin
-         interleaved across SURVEY groups so every group is
-         represented early;
-      3. already-proven entries, interleaved the same way.
+      1. canaries — entries whose MACHINERY changed this round (listed
+         in _REVERIFY_HEAD): their green must be re-proved on the new
+         code before anything else;
+      2. fixture-regression regrades (r01/r02-only greens that predate
+         the events fixture change), if any remain;
+      3. everything without a green driver row yet (new registrations),
+         round-robin interleaved across SURVEY groups;
+      4. already-proven entries, STALEST FIRST: bucketed by the last
+         round that graded them green (ascending), interleaved across
+         groups within each bucket — so r1/r2-era greens rotate back
+         through the driver window before fresher ones.
     """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
@@ -169,22 +197,32 @@ def load_all() -> dict[str, Query]:
             depth += 1
         return out
 
-    driver_proven = _load_driver_proven()
+    green = _green_rounds()
+    driver_proven = frozenset(green) or _DRIVER_PROVEN_FALLBACK
     regrade_set = _FIXTURE_REGRESSION_REGRADE - _load_driver_proven(
         exclude=_STALE_PROOF_FILES
     )
-    regrade = [q for q in REGISTRY.values() if q.name in regrade_set]
-    ungraded = [
+    head_set = {n for n in _REVERIFY_HEAD if n in REGISTRY}
+    head = [REGISTRY[n] for n in _REVERIFY_HEAD if n in REGISTRY]
+    regrade = [
         q
         for q in REGISTRY.values()
-        if q.name not in driver_proven and q.name not in regrade_set
+        if q.name in regrade_set and q.name not in head_set
     ]
-    proven = [
+    rest = [
         q
         for q in REGISTRY.values()
-        if q.name in driver_proven and q.name not in regrade_set
+        if q.name not in regrade_set and q.name not in head_set
     ]
-    ordered = regrade + interleave(ungraded) + interleave(proven)
+    ungraded = [q for q in rest if q.name not in driver_proven]
+    proven = [q for q in rest if q.name in driver_proven]
+    by_round: dict[int, list[Query]] = {}
+    for q in proven:
+        by_round.setdefault(green.get(q.name, 0), []).append(q)
+    stale_first: list[Query] = []
+    for rnd in sorted(by_round):
+        stale_first.extend(interleave(by_round[rnd]))
+    ordered = head + regrade + interleave(ungraded) + stale_first
     REGISTRY.clear()
     REGISTRY.update({q.name: q for q in ordered})
     return REGISTRY

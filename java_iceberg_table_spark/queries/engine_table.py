@@ -1065,3 +1065,69 @@ def a3q_engine_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3w_engine_bucket_transform",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+       COUNT(CASE WHEN c_custkey = 41 THEN 1 END) AS k_old_cnt,
+       COUNT(CASE WHEN c_custkey = 120 THEN 1 END) AS k_new_cnt,
+       true AS bucket_pruned
+FROM customer
+""",
+    group="A",
+)
+def a3w_engine_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket[N] partition transform + truncate->bucket spec
+    evolution (Iceberg spec transforms; the reference itself uses only
+    truncate, Constants.java:33-35). Customers below 100 land under
+    truncate(c_custkey, 50); the spec then evolves to bucket(c_custkey,
+    8) — CRC32-of-string hash, bit-identical between the Spark write
+    path (F.crc32) and driver-side planning (zlib.crc32) — and the
+    rest is appended as 8 hash-bucket files. A point lookup must prune
+    BOTH vintages under their own spec: the old file by its truncate
+    range, the new files to the ONE bucket the key hashes to.
+    bucket_pruned grades that plan shape (not just the row counts):
+    hash-bucket layout is what makes point lookups and key-colocated
+    work O(1/N) of the table at 100 TB, where a range transform on a
+    hash-distributed key prunes nothing."""
+    from ..table import bucket
+    from ..table.transforms import _crc_bucket
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    root = tempfile.mkdtemp(prefix="engine_bkt_") + "/t"
+    try:
+        tbl = create_table(root, cust.schema, partition=truncate("c_custkey", 50))
+        tbl.append(cust.filter(F.col("c_custkey") < 100))
+        tbl.update_partition_spec(bucket("c_custkey", 8))
+        tbl.append(cust.filter(F.col("c_custkey") >= 100))
+        hit_old = tbl.plan_files([("c_custkey", "=", 41)])
+        hit_new = tbl.plan_files([("c_custkey", "=", 120)])
+        want_new = _crc_bucket(120, 8)
+        pruned = (
+            all(
+                e["partition"] == 0
+                for e in hit_old
+                if not int(e.get("spec_id", 0) or 0)
+            )
+            and all(
+                e["partition"] == want_new
+                for e in hit_new
+                if int(e.get("spec_id", 0) or 0)
+            )
+            and len(hit_new) < len(tbl.plan_files())
+        )
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("c_custkey").alias("sum_key")
+        ).collect()[0]
+        k_old = tbl.scan(spark, [("c_custkey", "=", 41)]).count()
+        k_new = tbl.scan(spark, [("c_custkey", "=", 120)]).count()
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], k_old, k_new, pruned)],
+            "cnt bigint, sum_key bigint, k_old_cnt bigint, k_new_cnt bigint, "
+            "bucket_pruned boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -187,10 +187,10 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
     import pyarrow.parquet as pq
 
     from ..table.stats import file_stats
-    from ..table.transforms import TruncateTransform
+    from ..table.transforms import transform_from_json
 
     target = _arrow_schema_for(schema)
-    t = TruncateTransform.from_json(spec) if spec else None
+    t = transform_from_json(spec)
     task_id = uuid.uuid4().hex
     out_dir = os.path.join(root, "data", f"ds-{task_id[:8]}")
     os.makedirs(out_dir, exist_ok=True)
@@ -211,17 +211,14 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
                 sink_for(None).write_table(at)
                 continue
             col = at.column(t.source_column)
-            w = pa.scalar(t.width, type=col.type)
-            # floor-mod bucketing v - ((v mod W) + W) mod W in EXACT
-            # integer arithmetic (Arrow integer divide truncates toward
-            # zero; fix up negative remainders). A float64 detour would
-            # lose precision past 2^53 — e.g. nanosecond timestamps —
-            # and mislabel buckets, making plan_files silently prune
-            # files that do contain matching rows. Mirrors
-            # TruncateTransform.apply_py exactly.
-            r = pc.subtract(col, pc.multiply(pc.divide(col, w), w))
-            m = pc.if_else(pc.less(r, pa.scalar(0, col.type)), pc.add(r, w), r)
-            bucket_arr = pc.subtract(col, m)
+            # per-transform Arrow bucketing (transforms.apply_arrow):
+            # truncate = exact integer floor-mod, identity = the value,
+            # bucket[N] = CRC32-of-string — the same buckets apply_py /
+            # apply_col produce, so planning-time pruning agrees with
+            # what the executors wrote
+            bucket_arr = t.apply_arrow(col)
+            if isinstance(bucket_arr, pa.ChunkedArray):
+                bucket_arr = bucket_arr.combine_chunks()
             at = at.append_column("__b", bucket_arr)
             for bucket in pc.unique(bucket_arr).to_pylist():
                 part = at.filter(pc.equal(at.column("__b"), bucket)).drop(["__b"])

@@ -11,6 +11,6 @@ PySpark with no Iceberg jar.
 """
 
 from .table import Table, create_table, load_table
-from .transforms import truncate
+from .transforms import bucket, identity, truncate
 
-__all__ = ["Table", "create_table", "load_table", "truncate"]
+__all__ = ["Table", "create_table", "load_table", "truncate", "identity", "bucket"]

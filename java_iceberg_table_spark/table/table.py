@@ -31,7 +31,7 @@ from pyspark.sql.types import StructField, StructType
 from . import format as fmt
 from .format import Snapshot, TableMetadata
 from .stats import file_stats
-from .transforms import TruncateTransform
+from .transforms import Transform, TruncateTransform, transform_from_json
 
 DEFAULT_PROPERTIES = {
     # reference table properties (Writer.java:114-124), renamed only
@@ -221,28 +221,27 @@ class Table:
         return fmt.load_metadata(self.root)
 
     @property
-    def transform(self) -> TruncateTransform | None:
-        spec = self.metadata.partition_spec
-        return TruncateTransform.from_json(spec) if spec else None
+    def transform(self) -> Transform | None:
+        return transform_from_json(self.metadata.partition_spec)
 
     # ---------- partition spec evolution ----------
 
     @staticmethod
-    def _spec_map(md: TableMetadata) -> dict[int, TruncateTransform | None]:
+    def _spec_map(md: TableMetadata) -> dict[int, Transform | None]:
         """spec_id -> transform for every spec the table has ever had
         (pre-evolution metadata derives {0: current spec})."""
-        out: dict[int, TruncateTransform | None] = {}
+        out: dict[int, Transform | None] = {}
         for s in md.specs():
             spec = s.get("spec")
             out[int(s["spec_id"])] = (
-                TruncateTransform.from_json(spec) if spec else None
+                transform_from_json(spec)
             )
         return out
 
     @staticmethod
     def _entry_transform(
-        entry: dict, specs: dict[int, TruncateTransform | None]
-    ) -> TruncateTransform | None:
+        entry: dict, specs: dict[int, Transform | None]
+    ) -> Transform | None:
         """The transform an entry's partition value was written under:
         entries carry spec_id from the commit that wrote them; entries
         predating evolution default to spec 0."""
@@ -272,7 +271,7 @@ class Table:
 
         fmt.commit(self.root, build)
 
-    def update_partition_spec(self, new: TruncateTransform | None) -> int:
+    def update_partition_spec(self, new: Transform | None) -> int:
         """Iceberg partition evolution: change how FUTURE writes are
         partitioned — metadata-only, no data rewrite. Existing files
         keep the partition values of the spec they were written under
@@ -817,6 +816,12 @@ class Table:
                     f"partition on {column!r}; spec {sid} is "
                     f"{tr.to_json() if tr else None}"
                 )
+            if tr.bucket_range(0) is None:
+                raise ValueError(
+                    f"metadata-only retention delete needs a range-aligned "
+                    f"transform (truncate/identity); spec {sid} is a hash "
+                    f"bucket — use delete_rows / delete_where_mor"
+                )
             if value % tr.width != 0:
                 raise ValueError(
                     f"cutoff {value} not aligned to partition width {tr.width} "
@@ -839,7 +844,7 @@ class Table:
                 def _keeps(e: dict) -> bool:
                     t_e = self._entry_transform(e, specs)
                     return e.get("partition") is None or not (
-                        e["partition"] + t_e.width <= value
+                        t_e.bucket_range(e["partition"])[1] <= value
                     )
 
                 kept = [e for e in entries if _keeps(e)]
@@ -2038,7 +2043,7 @@ class Table:
 
     @staticmethod
     def _entry_certainly_matches(
-        entry: dict, t: TruncateTransform | None, flt: tuple[str, str, object]
+        entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         """True when EVERY row of the file provably satisfies the
         predicate from metadata alone: the file's value range (footer
@@ -2049,8 +2054,10 @@ class Table:
         col, op, val = flt
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
-            lo, hi = t.bucket_range(entry["partition"])
-            hi = hi - 1
+            rng = t.bucket_range(entry["partition"])
+            if rng is not None:  # hash buckets carry no range info
+                lo, hi = rng
+                hi = hi - 1
         cstats = entry.get("columns", {}).get(col)
         if cstats and cstats.get("min") is not None:
             lo = cstats["min"] if lo is None else max(lo, cstats["min"])
@@ -2167,7 +2174,7 @@ class Table:
         self,
         spark: SparkSession,
         snap: Snapshot,
-        specs: dict[int, TruncateTransform | None],
+        specs: dict[int, Transform | None],
         filters: Iterable[tuple[str, str, object]],
     ) -> list[dict]:
         df = self._manifest_entries_df(spark, snap.manifests)
@@ -2203,7 +2210,7 @@ class Table:
 
     @staticmethod
     def _entry_may_match_expr(
-        specs: dict[int, TruncateTransform | None],
+        specs: dict[int, Transform | None],
         flt: tuple[str, str, object],
     ) -> "F.Column":
         """_entry_may_match compiled to a Spark expression over manifest
@@ -2225,9 +2232,20 @@ class Table:
         plo = F.lit(None).cast(typ)
         phi = F.lit(None).cast(typ)
         sid = F.coalesce(F.col("spec_id"), F.lit(0))
+        bucket_keep = F.lit(True)
         for spec_id, t in specs.items():
             if t is not None and col == t.source_column:
                 hit = (sid == F.lit(spec_id)) & F.col("partition").isNotNull()
+                if t.bucket_range(0) is None:
+                    # hash bucket: no range info, but an equality
+                    # predicate maps to exactly one bucket — computed
+                    # driver-side as a literal (hash parity via CRC32)
+                    if op in ("=", "=="):
+                        bucket_keep = bucket_keep & ~(
+                            hit
+                            & (F.col("partition") != F.lit(t.apply_py(val)))
+                        )
+                    continue
                 plo = F.when(hit, F.col("partition").cast(typ)).otherwise(plo)
                 phi = F.when(
                     hit, (F.col("partition") + F.lit(t.width - 1)).cast(typ)
@@ -2251,7 +2269,7 @@ class Table:
             return F.lit(True)  # unknown op -> no pruning
         # a NULL bound on the side the comparison needs = no stats ->
         # cannot prune (same conservatism as the Python loop)
-        out = F.when(used.isNull(), F.lit(True)).otherwise(keep)
+        out = F.when(used.isNull(), F.lit(True)).otherwise(keep) & bucket_keep
         if op in ("=", "=="):
             # Bloom probe, same semantics as the Python loop: the k
             # CRC32 hashes are literals (computed on the driver with
@@ -2280,13 +2298,20 @@ class Table:
 
     @staticmethod
     def _entry_may_match(
-        entry: dict, t: TruncateTransform | None, flt: tuple[str, str, object]
+        entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         col, op, val = flt
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
-            lo, hi = t.bucket_range(entry["partition"])  # [lo, hi)
-            hi = hi - 1  # inclusive bound
+            # equality pruning works for EVERY transform (a hash
+            # bucket included: the predicate value maps to exactly one
+            # bucket — the point-lookup path a bucket table exists for)
+            if op in ("=", "==") and not t.may_contain(entry["partition"], val):
+                return False
+            rng = t.bucket_range(entry["partition"])  # [lo, hi)
+            if rng is not None:  # hash buckets carry no range info
+                lo, hi = rng
+                hi = hi - 1  # inclusive bound
         cstats = entry.get("columns", {}).get(col)
         if cstats and cstats.get("min") is not None:
             lo = cstats["min"] if lo is None else max(lo, cstats["min"])
@@ -2366,7 +2391,7 @@ class Table:
         day — the mapping is derived from the vintage schema itself."""
 
         def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
-            t = TruncateTransform.from_json(current.partition_spec) if current.partition_spec else None
+            t = transform_from_json(current.partition_spec)
             if t is not None and old == t.source_column:
                 raise ValueError(
                     f"cannot rename partition source column {old!r}"
@@ -2740,7 +2765,7 @@ class Table:
 def create_table(
     root: str,
     schema: StructType,
-    partition: TruncateTransform | None = None,
+    partition: Transform | None = None,
     properties: dict[str, str] | None = None,
 ) -> Table:
     """R1: create a partitioned table with tuned properties

@@ -645,3 +645,37 @@ def test_materialized_view_restart_across_compaction(ds, base_dir):
         assert _mv_equals_recompute(spark, src_root, view_root)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_connector_writes_bucket_partitioned(ds, base_dir):
+    """The connector's executor write path buckets rows with the
+    table's transform (CRC32 hash parity with planning): a point
+    lookup through the connector afterwards prunes to one bucket."""
+    spark = ds
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineBatchReader,
+    )
+    from java_iceberg_table_spark.table import bucket
+    from java_iceberg_table_spark.table.transforms import _crc_bucket
+
+    root = base_dir + "/bktw"
+    df = spark.createDataFrame([(i, float(i)) for i in range(300)], "k long, v double")
+    create_table(root, df.schema, partition=bucket("k", 4))
+    df.write.format("engine_table").option("root", root).mode("append").save()
+    tbl = open_table(root)
+    entries = tbl.plan_files()
+    assert {e["partition"] for e in entries} == set(range(4))
+    hit = tbl.plan_files([("k", "=", 77)])
+    assert {e["partition"] for e in hit} == {_crc_bucket(77, 4)}
+    # pushdown through the connector reaches the same pruning
+    reader = EngineBatchReader(root, tbl.schema(), {})
+    n_all = len(reader.partitions())
+    from pyspark.sql.datasource import EqualTo
+
+    list(reader.pushFilters([EqualTo(("k",), 77)]))
+    assert len(reader.partitions()) < n_all
+    got = (
+        spark.read.format("engine_table").option("root", root).load()
+        .filter(F.col("k") == 77).collect()
+    )
+    assert [(r["k"], r["v"]) for r in got] == [(77, 77.0)]

@@ -612,3 +612,84 @@ def test_prune_by_keys_bloom_probe_capped():
     assert prune_entries_by_keys([entry], "k", few) == []
     # over the cap: probe skipped, file conservatively kept
     assert [e["path"] for e in prune_entries_by_keys([entry], "k", many)] == ["a"]
+
+
+def test_identity_partition_pruning(spark, troot):
+    """identity(col): the value IS the partition — a point predicate
+    prunes to exactly the matching partition's files, and the
+    metadata-only retention delete composes (identity = truncate(1))."""
+    from java_iceberg_table_spark.table import create_table, identity
+
+    root = troot + "/ident"
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], "k long, g long")
+    tbl = create_table(root, df.schema, partition=identity("g"))
+    tbl.append(df)
+    all_files = tbl.plan_files()
+    hit = tbl.plan_files([("g", "=", 2)])
+    assert 0 < len(hit) < len(all_files)
+    assert all(e["partition"] == 2 for e in hit)
+    assert sorted(
+        r["k"] for r in tbl.scan(spark, [("g", "=", 2)]).collect()
+    ) == [i for i in range(100) if i % 5 == 2]
+    # range predicate prunes too (identity is range-expressible)
+    lt = tbl.plan_files([("g", "<", 2)])
+    assert {e["partition"] for e in lt} <= {0, 1}
+    # metadata-only retention delete: drop partitions below the cutoff
+    snap = tbl.delete_where("g", "<", 1)
+    assert snap is not None
+    assert sorted(set(r["g"] for r in tbl.scan(spark).collect())) == [1, 2, 3, 4]
+
+
+def test_bucket_partition_point_lookup_pruning(spark, troot):
+    """bucket(col, N): equality predicates prune to the ONE bucket the
+    value hashes to — through the driver loop AND the distributed
+    plan path — while range predicates fall back to stats-only."""
+    from java_iceberg_table_spark.table import bucket, create_table
+    from java_iceberg_table_spark.table.transforms import _crc_bucket
+
+    root = troot + "/bkt"
+    df = spark.createDataFrame([(i, f"u{i % 50}") for i in range(500)], "k long, u string")
+    tbl = create_table(root, df.schema, partition=bucket("k", 8))
+    tbl.append(df)
+    all_files = tbl.plan_files()
+    assert len({e["partition"] for e in all_files}) == 8  # writer fanned out
+    want_bucket = _crc_bucket(42, 8)
+    hit = tbl.plan_files([("k", "=", 42)])
+    assert {e["partition"] for e in hit} == {want_bucket}
+    # the distributed plan path agrees with the driver loop
+    hit_dist = tbl.plan_files([("k", "=", 42)], spark=spark,
+                              distributed_threshold_bytes=0)
+    assert sorted(e["path"] for e in hit_dist) == sorted(e["path"] for e in hit)
+    assert [r["k"] for r in tbl.scan(spark, [("k", "=", 42)]).collect()] == [42]
+    # hash buckets carry no range info: a range scan is still exact
+    assert tbl.scan(spark, [("k", "<", 10)]).count() == 10
+    # and metadata-only retention refuses the non-range transform
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash bucket"):
+        tbl.delete_where("k", "<", 100)
+
+
+def test_spec_evolution_truncate_to_bucket(spark, troot):
+    """Spec evolution truncate -> bucket: entries written under each
+    spec prune under THEIR OWN transform (per-entry spec_id
+    resolution), and a point lookup prunes both vintages."""
+    from java_iceberg_table_spark.table import bucket, create_table, truncate
+    from java_iceberg_table_spark.table.transforms import _crc_bucket
+
+    root = troot + "/evo"
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    tbl = create_table(root, df.schema, partition=truncate("k", 50))
+    tbl.append(df.filter(F.col("k") < 100))
+    tbl.update_partition_spec(bucket("k", 4))
+    tbl.append(df.filter(F.col("k") >= 100))
+    hit = tbl.plan_files([("k", "=", 7)])
+    # old vintage: only the truncate bucket [0,50); new vintage: only
+    # the one hash bucket 7 maps to
+    specs = {int(e.get("spec_id", 0) or 0) for e in hit}
+    for e in hit:
+        sid = int(e.get("spec_id", 0) or 0)
+        assert e["partition"] == (0 if sid == 0 else _crc_bucket(7, 4))
+    assert [r["k"] for r in tbl.scan(spark, [("k", "=", 7)]).collect()] == [7]
+    assert [r["k"] for r in tbl.scan(spark, [("k", "=", 150)]).collect()] == [150]
+    assert tbl.scan(spark).count() == 200
