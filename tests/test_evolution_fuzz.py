@@ -61,6 +61,11 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
 
     append_batch(rng.randint(3, 8))
     deleted_keys: list[int] = []
+    # snapshot-id -> model state, for rollback steps (rollback is
+    # metadata-only: the engine must restore EXACTLY this multiset)
+    history: list[tuple[int, list[tuple[int, str]]]] = [
+        (tbl.metadata.current_snapshot().snapshot_id, list(model))
+    ]
     for step in range(10):
         op = rng.choice(
             [
@@ -74,6 +79,9 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 "compact",
                 "zorder",
                 "rewrite_deletes",
+                "spec_evolve",
+                "branch_wap",
+                "rollback",
             ]
         )
         if op == "append":
@@ -110,14 +118,61 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 val_name = new
             else:
                 new = key_name + "x"
-                tbl.rename_column(key_name, new)
-                key_name = new
+                try:
+                    tbl.rename_column(key_name, new)
+                    key_name = new
+                except ValueError:
+                    # key is the current partition source (spec_evolve
+                    # step): renaming it is refused — rename val instead
+                    new = val_name + "x"
+                    tbl.rename_column(val_name, new)
+                    val_name = new
         elif op == "widen" and not did_widen:
             tbl.widen_column(key_name, "long")
             did_widen = True
         elif op == "avro" and not toggled_avro:
             tbl.set_properties({"write.format.default": "avro"})
             toggled_avro = True
+        elif op == "spec_evolve":
+            # metadata-only: future appends bucket under the new spec,
+            # existing entries keep pruning under their own spec_id
+            from java_iceberg_table_spark.table import bucket, identity, truncate
+
+            choice = rng.choice(["truncate", "bucket", "identity", "none"])
+            new_spec = {
+                "truncate": lambda: truncate(key_name, rng.choice([4, 8])),
+                "bucket": lambda: bucket(key_name, rng.choice([2, 3, 4])),
+                "identity": lambda: identity(key_name),
+                "none": lambda: None,
+            }[choice]()
+            tbl.update_partition_spec(new_spec)
+        elif op == "branch_wap":
+            # write-audit-publish within one step: stage an append on a
+            # branch, then publish (rows land) or discard (they don't);
+            # main-table reads must never see unpublished rows
+            name = f"wap{step}"
+            tbl.create_branch(name)
+            rows = [(next_k + i, f"b{next_k + i}") for i in range(rng.randint(1, 4))]
+            next_k += len(rows)
+            sdf = spark.createDataFrame(
+                rows,
+                f"{key_name} {'long' if did_widen else key_type}, {val_name} string",
+            )
+            tbl.append(sdf, branch=name)
+            assert _collect(spark, tbl, key_name, val_name) == sorted(model), (
+                f"seed={seed} step={step} staged branch rows leaked into main"
+            )
+            if rng.random() < 0.5:
+                tbl.publish_branch(name)
+                model.extend(rows)
+            tbl.drop_ref(name)  # discard (or retire the published ref)
+        elif op == "rollback" and len(history) > 1:
+            cur_id = tbl.metadata.current_snapshot().snapshot_id
+            cands = [(s, m) for s, m in history[:-1] if s != cur_id]
+            if cands:
+                sid, saved = rng.choice(cands)
+                tbl.rollback_to(sid)
+                model = list(saved)
         elif op == "compact" and model:
             # content-invariant maintenance: the model must not move
             tbl.compact_data_files(spark)
@@ -129,6 +184,9 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
         assert _collect(spark, tbl, key_name, val_name) == sorted(model), (
             f"seed={seed} step={step} op={op}"
         )
+        cur = tbl.metadata.current_snapshot()
+        if cur is not None:
+            history.append((cur.snapshot_id, list(model)))
     # the CONNECTOR is an independent read implementation (pyarrow
     # alignment + executor-side MOR masking, vs Spark's parquet reader
     # + DataFrame anti-joins): it must agree with the model too —
