@@ -1131,3 +1131,74 @@ def a3w_engine_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3x_engine_metadata_tables",
+    oracle="""
+SELECT CAST(3 AS BIGINT) AS n_snapshots,
+       COUNT(*) AS live_rows,
+       CAST(2 AS BIGINT) AS n_refs,
+       true AS partitions_balanced,
+       true AS ref_pins_history
+FROM orders WHERE o_orderkey % 10 <> 0
+""",
+    group="A",
+)
+def a3x_engine_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables through the CONNECTOR (Iceberg's
+    db.table.snapshots / .files / .partitions / .refs):
+    option("table", kind) turns plain spark.read into the operator's
+    SQL window on table health — commit log, refs, live files,
+    partition balance — with planning AND row production metadata-only
+    (no data file opened; the distributed variant for million-file
+    tables is Table.inspect). The scenario appends orders partitioned
+    by truncate(1000), tags the append, MOR-deletes every 10th key,
+    then grades: snapshot count from the commit log, LIVE row count as
+    files.record_count minus the delete (manifest arithmetic vs the
+    oracle's recount), ref count, per-partition file balance, and that
+    the files table under the pinned tag still sees the pre-delete
+    state."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_meta_") + "/t"
+    try:
+        from ..sources import register_engine_datasource
+
+        register_engine_datasource(spark)
+        tbl = create_table(
+            root, orders.schema, partition=truncate("o_orderkey", 1000)
+        )
+        tbl.append(orders)
+        tbl.create_tag("v1")
+        tbl.create_branch("audit")
+        victims = orders.filter(F.col("o_orderkey") % 10 == 0)
+        tbl.delete_eq_mor(spark, victims, ["o_orderkey"])
+        tbl.rewrite_deletes(spark)  # fold: files table reflects survivors
+
+        def meta(kind, **opts):
+            r = (
+                spark.read.format("engine_table")
+                .option("root", root)
+                .option("table", kind)
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        n_snaps = meta("snapshots").count()
+        live = meta("files").agg(F.sum("record_count").alias("s")).collect()[0]["s"]
+        n_refs = meta("refs").count()
+        parts = meta("partitions").collect()
+        balanced = all(r["file_count"] >= 1 and r["record_count"] > 0 for r in parts)
+        pinned = (
+            meta("files", ref="v1").agg(F.sum("record_count").alias("s"))
+            .collect()[0]["s"]
+        )
+        total = orders.count()
+        return spark.createDataFrame(
+            [(n_snaps, live, n_refs, balanced, pinned == total)],
+            "n_snapshots bigint, live_rows bigint, n_refs bigint, "
+            "partitions_balanced boolean, ref_pins_history boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -338,6 +338,9 @@ class EngineBatchReader(DataSourceReader):
         yield from _read_file_batches(partition.path, self.schema)
 
 
+_CURSOR_UNSET = object()  # restart: true cursor lives in the checkpoint
+
+
 class EngineStreamReader(DataSourceStreamReader):
     """Commit-log tail: offset = snapshot id (log position, not data
     position — ids are random but the log is append-ordered). This is
@@ -345,11 +348,29 @@ class EngineStreamReader(DataSourceStreamReader):
     the window, as written — later row-level deletes are not replayed
     against earlier batches (a stream cannot retract delivered rows).
     Consumers that need delete-aware output use option("cdc","true"),
-    whose batches carry _change_type rows instead."""
+    whose batches carry _change_type rows instead.
 
-    def __init__(self, root: str, schema: StructType):
+    ``option("maxFilesPerTrigger", N)`` rate-limits catch-up:
+    latestOffset advances the end snapshot only far enough to cover ~N
+    appended files, so a stream starting against a month of history
+    (or resuming after downtime) processes bounded micro-batches
+    instead of one giant one — Iceberg/Delta's max-files-per-trigger.
+    The cap needs the reader's last end offset, and the Python stream
+    API gives latestOffset no view of it (the JVM calls latestOffset
+    BEFORE initialOffset on the first trigger — traced empirically);
+    guessing would risk a reversed window after restart, i.e. silent
+    redelivery. So the FIRST batch after (re)start is uncapped and
+    every subsequent batch honors the cap — pacing is a steady-state
+    guarantee, the same place Spark's own sources put it when a
+    checkpoint predates their limit options."""
+
+    def __init__(self, root: str, schema: StructType, options=None):
         self.root = root
         self.schema = schema
+        opts = options or {}
+        mft = int(opts.get("maxFilesPerTrigger", 0) or 0)
+        self.max_files = mft if mft > 0 else None
+        self._cursor = _CURSOR_UNSET
 
     def _table(self):
         from ..table import load_table
@@ -357,14 +378,37 @@ class EngineStreamReader(DataSourceStreamReader):
         return load_table(self.root)
 
     def initialOffset(self) -> dict:
+        self._cursor = None  # fresh start: pace from the very beginning
         return {"snapshot_id": None}
 
     def latestOffset(self) -> dict:
-        snap = self._table().metadata.current_snapshot()
-        return {"snapshot_id": None if snap is None else snap.snapshot_id}
+        tbl = self._table()
+        snap = tbl.metadata.current_snapshot()
+        head = None if snap is None else snap.snapshot_id
+        if (
+            head is None
+            or self.max_files is None
+            or self._cursor is _CURSOR_UNSET
+            or self._cursor == head
+        ):
+            return {"snapshot_id": head}
+        # advance only far enough to cover ~max_files appended files:
+        # walk the pending lineage forward, stop at the first snapshot
+        # boundary where the budget is spent (offsets are snapshot ids,
+        # so the cap rounds up to a whole commit)
+        n = 0
+        end = self._cursor
+        for s in _lineage_window(tbl.metadata, self._cursor, head):
+            if s.operation == "append":
+                n += len(tbl.added_files(s))
+            end = s.snapshot_id
+            if n >= self.max_files:
+                break
+        return {"snapshot_id": end}
 
     def partitions(self, start: dict, end: dict):
         a, b = start.get("snapshot_id"), end.get("snapshot_id")
+        self._cursor = b  # pacing resumes from this batch's end
         if b is None or a == b:
             return []
         tbl = self._table()
@@ -830,6 +874,152 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class MetaRowsPartition(InputPartition):
+    rows: list  # metadata-scale row tuples, computed driver-side
+
+
+def _meta_schema(kind: str) -> StructType:
+    """Iceberg-style metadata tables (db.table.snapshots / .files /
+    ...) through the connector: option("table", <kind>). Built without
+    DDL parsing — DataSource.schema() runs where no SparkSession is
+    active."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    def st(*fields):
+        return StructType([StructField(n, t) for n, t in fields])
+
+    schemas = {
+        "snapshots": st(
+            ("snapshot_id", LongType()),
+            ("parent_id", LongType()),
+            ("committed_at_ms", LongType()),
+            ("operation", StringType()),
+            ("sequence", LongType()),
+            ("manifest_count", IntegerType()),
+            ("is_current", BooleanType()),
+            ("summary", StringType()),
+        ),
+        "refs": st(
+            ("name", StringType()),
+            ("type", StringType()),
+            ("snapshot_id", LongType()),
+        ),
+        "files": st(
+            ("file_path", StringType()),
+            ("partition", LongType()),
+            ("record_count", LongType()),
+            ("file_size_bytes", LongType()),
+            ("seq", LongType()),
+            ("spec_id", IntegerType()),
+        ),
+        "partitions": st(
+            ("partition", LongType()),
+            ("file_count", LongType()),
+            ("record_count", LongType()),
+            ("total_bytes", LongType()),
+        ),
+    }
+    if kind not in schemas:
+        raise ValueError(
+            f"unknown metadata table {kind!r} (have {sorted(schemas)})"
+        )
+    return schemas[kind]
+
+
+def _meta_rows(root: str, kind: str, options) -> list[tuple]:
+    """Rows of one metadata table, computed from table metadata on the
+    driver (manifest JSON at most — commit-log scale, not data scale;
+    the distributed variant for million-file tables is
+    Table.inspect('files'), which scans manifests as a Spark job)."""
+    import json as _json
+
+    from ..table import load_table
+
+    tbl = load_table(root)
+    md = tbl.metadata
+    if kind == "snapshots":
+        cur = md.current_snapshot_id
+        return [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.timestamp_ms,
+                s.operation,
+                s.sequence,
+                len(s.manifests),
+                s.snapshot_id == cur,
+                _json.dumps(s.summary, sort_keys=True),
+            )
+            for s in md.snapshots
+        ]
+    if kind == "refs":
+        return [
+            (k, v["type"], v["snapshot_id"]) for k, v in sorted(md.refs.items())
+        ]
+    sid = (
+        int(options["snapshot_id"]) if "snapshot_id" in options else None
+    )
+    if options.get("ref"):
+        sid = md.refs[options["ref"]]["snapshot_id"]
+    snap = tbl.snapshot_by_id(sid) if sid is not None else md.current_snapshot()
+    entries = tbl.files_of(snap) if snap is not None else []
+    if kind == "files":
+        return [
+            (
+                e["path"],
+                e.get("partition"),
+                int(e["rows"]),
+                int(e["bytes"]),
+                int(e.get("seq", 0)),
+                int(e.get("spec_id", 0) or 0),
+            )
+            for e in entries
+        ]
+    if kind == "partitions":
+        agg: dict = {}
+        for e in entries:
+            k = e.get("partition")
+            c, r, b = agg.get(k, (0, 0, 0))
+            agg[k] = (c + 1, r + int(e["rows"]), b + int(e["bytes"]))
+        return [
+            (k, c, r, b)
+            for k, (c, r, b) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+    raise ValueError(f"unknown metadata table {kind!r}")
+
+
+class EngineMetaReader(DataSourceReader):
+    def __init__(self, root: str, schema: StructType, kind: str, options):
+        self.schema = schema
+        # rows computed at plan time on the driver; the single
+        # partition carries them (metadata-scale payload, same pattern
+        # as the CDC delete payloads)
+        self.rows = _meta_rows(root, kind, options)
+
+    def partitions(self):
+        return [MetaRowsPartition(self.rows)] if self.rows else []
+
+    def read(self, partition):
+        if partition is None:
+            return
+        import pandas as pd
+        import pyarrow as pa
+
+        df = pd.DataFrame(partition.rows, columns=[f.name for f in self.schema.fields])
+        yield from pa.Table.from_pandas(
+            df, schema=_arrow_schema_for(self.schema), preserve_index=False
+        ).to_batches()
+
+
 class _WriterBase:
     def __init__(self, root: str, schema: StructType, branch: str | None = None):
         from ..table import load_table
@@ -912,11 +1102,16 @@ class EngineTableDataSource(DataSource):
     def _cdc(self) -> bool:
         return str(self.options.get("cdc", "")).lower() in ("true", "1")
 
+    def _meta(self) -> str | None:
+        return self.options.get("table")
+
     def schema(self) -> StructType:
         from pyspark.sql.types import StringType, StructField
 
         from ..table import load_table
 
+        if self._meta():
+            return _meta_schema(self._meta())
         s = load_table(self._root()).schema()
         if self._cdc():
             s = StructType(
@@ -925,14 +1120,20 @@ class EngineTableDataSource(DataSource):
         return s
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._meta():
+            return EngineMetaReader(self._root(), schema, self._meta(), self.options)
         return EngineBatchReader(self._root(), schema, self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._meta():
+            raise ValueError("metadata tables are batch-only")
         if self._cdc():
             return EngineCDCStreamReader(self._root(), schema)
-        return EngineStreamReader(self._root(), schema)
+        return EngineStreamReader(self._root(), schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
+        if self._meta():
+            raise ValueError("metadata tables are read-only")
         if overwrite:
             raise ValueError(
                 "engine_table sink is append-only (mode='append'); use "

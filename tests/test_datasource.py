@@ -679,3 +679,132 @@ def test_connector_writes_bucket_partitioned(ds, base_dir):
         .filter(F.col("k") == 77).collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(77, 77.0)]
+
+
+def test_connector_metadata_tables(ds, base_dir):
+    """option("table", snapshots|refs|files|partitions): Iceberg-style
+    metadata tables through plain spark.read — commit log, refs, live
+    files, partition balance — with no data file opened."""
+    spark = ds
+    from java_iceberg_table_spark.table import truncate
+
+    root = base_dir + "/meta"
+    df = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    tbl = create_table(root, df.schema, partition=truncate("k", 10))
+    s1 = tbl.append(df)
+    tbl.create_branch("audit")
+    tbl.create_tag("v1")
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(3,)], "k long"), ["k"])
+
+    def meta(kind):
+        return (
+            spark.read.format("engine_table")
+            .option("root", root)
+            .option("table", kind)
+            .load()
+        )
+
+    snaps = meta("snapshots").collect()
+    assert [r["operation"] for r in snaps] == ["append", "delete"]
+    assert [r["is_current"] for r in snaps] == [False, True]
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in meta("refs").collect()}
+    assert refs == {"audit": ("branch", s1.snapshot_id), "v1": ("tag", s1.snapshot_id)}
+    files = meta("files").collect()
+    assert sum(r["record_count"] for r in files) == 40
+    parts = {r["partition"]: r["record_count"] for r in meta("partitions").collect()}
+    assert parts == {0: 10, 10: 10, 20: 10, 30: 10}
+    # time travel into metadata: the files table of a pinned ref
+    tbl.append(spark.createDataFrame([(100,)], "k long"))
+    old_files = (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .option("table", "files")
+        .option("ref", "v1")
+        .load()
+    )
+    assert sum(r["record_count"] for r in old_files.collect()) == 40
+    with pytest.raises(Exception, match="read-only"):
+        df.write.format("engine_table").option("root", root).option(
+            "table", "files"
+        ).mode("append").save()
+
+
+def test_stream_max_files_per_trigger(ds, base_dir):
+    """option("maxFilesPerTrigger", N): the append tail paces catch-up
+    — each planned batch covers at most ~N appended files (rounded up
+    to a commit boundary). The FIRST batch after (re)start is uncapped:
+    the JVM calls latestOffset before initialOffset (traced), so the
+    cursor is unknown there and capping blind would risk reversed
+    windows (silent redelivery) after restart."""
+    spark = ds
+    import time as _time
+
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineStreamReader,
+    )
+
+    root = base_dir + "/paced"
+    df = spark.createDataFrame([(i,) for i in range(12)], "k long")
+    tbl = create_table(root, df.schema)
+    for i in range(6):  # 6 commits x 1 file
+        tbl.append(df.filter(F.col("k") % 6 == i).coalesce(1))
+    # unit-level: pacing walk caps each window at 2 files
+    r = EngineStreamReader(root, tbl.schema(), {"maxFilesPerTrigger": "2"})
+    start = r.initialOffset()
+    batches = []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == start:
+            break
+        parts = r.partitions(start, end)
+        batches.append(len(parts))
+        start = end
+    assert batches == [2, 2, 2]  # 6 files drained in paced batches
+    # uncapped reader drains everything at once
+    r2 = EngineStreamReader(root, tbl.schema(), {})
+    s0 = r2.initialOffset()
+    assert len(r2.partitions(s0, r2.latestOffset())) == 6
+    # end-to-end: batch 0 = whole backlog (uncapped by contract); then
+    # 6 single-file commits land between long triggers and must drain
+    # in >= 3 paced batches of <= 2 files
+    ckpt = tempfile.mkdtemp(prefix="ckpt_mft_")
+    sink = tempfile.mkdtemp(prefix="mft_sink_") + "/out"
+    q = (
+        spark.readStream.format("engine_table")
+        .option("root", root)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="4 seconds")
+        .start()
+    )
+    try:
+        def sunk():
+            try:
+                return spark.read.schema(tbl.schema()).parquet(sink).count()
+            except Exception:
+                return 0
+
+        deadline = _time.time() + 60
+        while sunk() < 12 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert sunk() == 12
+        for i in range(6):
+            tbl.append(
+                spark.createDataFrame([(100 + i,)], "k long").coalesce(1)
+            )
+        deadline = _time.time() + 120
+        while sunk() < 18 and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert sunk() == 18
+        sizes = [
+            int(p["numInputRows"]) for p in q.recentProgress if p["numInputRows"]
+        ]
+        assert all(s <= 2 for s in sizes[1:])  # paced after batch 0
+        assert len(sizes) >= 4
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
