@@ -1202,3 +1202,61 @@ def a3x_engine_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3y_engine_maintenance_pass",
+    oracle="""
+SELECT COUNT(CASE WHEN c_custkey % 7 <> 0 THEN 1 END) AS cnt,
+       CAST(SUM(CASE WHEN c_custkey % 7 <> 0 THEN c_custkey END) AS BIGINT)
+         AS sum_key,
+       true AS content_preserved,
+       true AS layout_improved,
+       true AS deletes_folded
+FROM customer
+""",
+    group="A",
+)
+def a3y_engine_maintenance_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.maintain — the operator's standing maintenance loop
+    (SURVEY 4: the bookkeeper runs maintenance continuously) as one
+    policy-driven pass: fold pending MOR deletes, bin-pack small
+    files, snapshot expiry, orphan GC, in that order. Every commit it
+    makes is content-preserving ('replace' / marked 'overwrite'), so
+    the segmented CDC planner steps standing streams through it. The
+    scenario builds a deliberately unhealthy table (8 tiny append
+    files + an equality delete), runs maintain, and grades: the scan
+    equals the oracle recount (content preserved through the rewrite),
+    the live file count dropped (layout actually improved), and the
+    delete manifests are gone (folded). At 100 TB this pass is the
+    difference between a table whose scan cost tracks data size and
+    one whose scan cost tracks commit history."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    root = tempfile.mkdtemp(prefix="engine_mt_") + "/t"
+    try:
+        tbl = create_table(root, cust.schema)
+        for i in range(8):
+            tbl.append(cust.filter(F.col("c_custkey") % 8 == i).coalesce(1))
+        tbl.delete_eq_mor(
+            spark, cust.filter(F.col("c_custkey") % 7 == 0), ["c_custkey"]
+        )
+        files_before = len(tbl.plan_files())
+        report = tbl.maintain(
+            spark,
+            target_file_bytes=1 << 20,
+            small_file_threshold=2,
+            delete_file_threshold=1,
+        )
+        folded = not tbl.metadata.current_snapshot().delete_manifests
+        improved = len(tbl.plan_files()) < files_before
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("c_custkey").alias("sum_key")
+        ).collect()[0]
+        preserved = "skipped" not in report["rewrite_deletes"]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], preserved, improved, folded)],
+            "cnt bigint, sum_key bigint, content_preserved boolean, "
+            "layout_improved boolean, deletes_folded boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

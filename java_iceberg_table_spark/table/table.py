@@ -2758,6 +2758,68 @@ class Table:
             raise KeyError(f"unknown inspection table {kind!r} (have {sorted(fns)})")
         return fns[kind](self, spark, **kw)
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_threshold: int = 8,
+        delete_file_threshold: int = 4,
+        expire_older_than_ms: int | None = None,
+        retain_last: int = 20,
+        orphan_grace_ms: int = 3 * 24 * 3600 * 1000,
+    ) -> dict[str, dict]:
+        """One maintenance pass — the loop a table operator (or the
+        bookkeeper, SURVEY 4) runs continuously, as a single
+        policy-driven call. Order matters and is deliberate:
+
+        1. rewrite_deletes when pending MOR delete FILES exceed the
+           threshold (folding deletes first means the compaction that
+           follows bin-packs the already-clean survivors once, not
+           twice);
+        2. compact_data_files when enough small files accumulated
+           (skipped otherwise: a rewrite that moves little data still
+           costs a full read-write of the touched partitions);
+        3. expire_snapshots when a cutoff is given (after the rewrites
+           so the rewrite parents age out with everything else);
+        4. clean() orphan GC with the grace window.
+
+        Each step commits content-preserving snapshots ('replace', or
+        the content-preserving-marked 'overwrite' of rewrite_deletes),
+        so standing CDC streams and materialized views ride through a
+        maintain() untouched — the property the segmented CDC planner
+        exists for. Returns per-step stats; steps skipped by policy
+        report {"skipped": reason}."""
+        report: dict[str, dict] = {}
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return {"empty": {"skipped": "no snapshots"}}
+        n_dels = sum(
+            len(fmt.read_manifest(self.root, m)) for m in snap.delete_manifests
+        )
+        if n_dels >= delete_file_threshold:
+            report["rewrite_deletes"] = self.rewrite_deletes(spark)
+        else:
+            report["rewrite_deletes"] = {"skipped": f"{n_dels} pending delete files"}
+        snap = self.metadata.current_snapshot()
+        small = [
+            e for e in self.files_of(snap) if e["bytes"] < target_file_bytes // 2
+        ]
+        if len(small) >= small_file_threshold:
+            report["compact"] = self.compact_data_files(
+                spark, target_file_bytes=target_file_bytes
+            )
+        else:
+            report["compact"] = {"skipped": f"{len(small)} small files"}
+        if expire_older_than_ms is not None:
+            report["expire"] = self.expire_snapshots(
+                expire_older_than_ms, retain_last=retain_last, spark=spark
+            )
+        else:
+            report["expire"] = {"skipped": "no cutoff"}
+        report["clean"] = self.clean(older_than_ms=orphan_grace_ms, spark=spark)
+        return report
+
+
     def drop(self) -> None:
         shutil.rmtree(self.root)
 

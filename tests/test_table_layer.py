@@ -693,3 +693,36 @@ def test_spec_evolution_truncate_to_bucket(spark, troot):
     assert [r["k"] for r in tbl.scan(spark, [("k", "=", 7)]).collect()] == [7]
     assert [r["k"] for r in tbl.scan(spark, [("k", "=", 150)]).collect()] == [150]
     assert tbl.scan(spark).count() == 200
+
+
+def test_maintain_policy_pass(spark, troot):
+    """Table.maintain: one policy-driven pass — fold MOR deletes,
+    compact small files, expire, orphan-GC — every commit it makes is
+    content-preserving, so table content is identical before/after
+    and a standing CDC consumer rides through it."""
+    from java_iceberg_table_spark.table import create_table
+
+    root = troot + "/maint"
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k long, v string")
+    tbl = create_table(root, df.schema)
+    for i in range(10):  # 10 tiny files
+        tbl.append(df.filter(F.col("k") % 10 == i).coalesce(1))
+    for i in range(4):  # 4 pending delete files
+        tbl.delete_eq_mor(
+            spark, df.filter(F.col("k") % 50 == i).select("k"), ["k"]
+        )
+    before = sorted((r["k"], r["v"]) for r in tbl.scan(spark).collect())
+    n_files_before = len(tbl.plan_files())
+    # rewrite_deletes itself re-packs the files it touches, so the
+    # follow-on compaction threshold must be low to also engage here
+    report = tbl.maintain(spark, target_file_bytes=1 << 20, small_file_threshold=2)
+    assert "skipped" not in report["rewrite_deletes"]
+    assert "skipped" not in report["compact"]
+    after = sorted((r["k"], r["v"]) for r in tbl.scan(spark).collect())
+    assert after == before  # content preserved exactly
+    assert len(tbl.plan_files()) < n_files_before  # layout improved
+    assert not tbl.metadata.current_snapshot().delete_manifests  # folded
+    # policy respected on an already-healthy table: second pass no-ops
+    report2 = tbl.maintain(spark, target_file_bytes=1 << 20, small_file_threshold=2)
+    assert "skipped" in report2["rewrite_deletes"]
+    assert "skipped" in report2["compact"]
