@@ -249,8 +249,12 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
     # spark.sql.shuffle.partitions to cluster width x data scale.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # symmetric protocol (see bench_sf10): warmup + min-of-5 for the
+    # gated trio, warmup + min-of-2 for the informational sweep —
+    # SAME policy on both engines at this SF
     try:
         for name in sweep:
+            registry[name].fn(spark, sf1_dir).count()  # untimed warmup
             runs = []
             n_runs = 5 if name in gated else 2
             for _ in range(n_runs):
@@ -267,8 +271,9 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
         sql = registry[name].oracle
         if sql is None or name in no_duck_ref:
             continue
+        con.execute(sql).fetchall()  # untimed warmup
         runs = []
-        for _ in range(2):
+        for _ in range(5 if name in gated else 2):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             runs.append(time.perf_counter() - t0)

@@ -116,6 +116,14 @@ def _lineage_window(md, a, b) -> list:
             break
         cur = by_id.get(p)
         if cur is None:
+            if a is None:
+                # from-the-beginning walk on a table whose oldest
+                # snapshots were EXPIRED: expiry drops log entries
+                # without rewriting parent_id, so the oldest retained
+                # snapshot's parent dangles — that snapshot IS the
+                # effective root. (A concrete start offset dangling is
+                # different: those rows were delivered or retracted.)
+                break
             raise ValueError(
                 f"start offset {a} is not an ancestor of {b}: the "
                 "checkpoint predates snapshot expiry, or the table was "
@@ -567,7 +575,8 @@ def _eq_delete_hits(df, seq: int, payloads) -> "object":
         if inline_keys is not None:
             kdf = pd.DataFrame(
                 [tuple(k) for k in inline_keys], columns=list(cur_cols)
-            )
+            ).infer_objects()  # mixed int/float keys -> float64, so the
+            # numeric round-trip guard below sees them as numeric
         else:
             kdf = pq.read_table(path).to_pandas()
             kdf = kdf[list(orig_cols)]
@@ -576,15 +585,27 @@ def _eq_delete_hits(df, seq: int, payloads) -> "object":
         # type keys through the DATA frame's dtypes (df is aligned to
         # the table schema): inline JSON keys arrive as python objects
         # (timestamps as ISO strings) and parquet-backed keys may be
-        # narrower ints — an untyped merge would silently never match
+        # narrower ints — an untyped merge would silently never match.
+        # Numeric narrowing must round-trip exactly: astype(int64) on
+        # a float key 3.5 would TRUNCATE to 3 and delete the wrong
+        # row, so non-round-tripping key rows are dropped instead
+        # (a key no data value can equal deletes nothing).
         for c in cur_cols:
             if kdf[c].dtype == df[c].dtype:
                 continue
             try:
                 if pd.api.types.is_datetime64_any_dtype(df[c].dtype):
                     kdf[c] = pd.to_datetime(kdf[c]).astype(df[c].dtype)
-                else:
-                    kdf[c] = kdf[c].astype(df[c].dtype)
+                    continue
+                conv = kdf[c].astype(df[c].dtype)
+                if pd.api.types.is_numeric_dtype(
+                    kdf[c].dtype
+                ) and pd.api.types.is_numeric_dtype(df[c].dtype):
+                    exact = conv.astype(kdf[c].dtype) == kdf[c]
+                    if not exact.all():
+                        kdf = kdf[exact]
+                        conv = conv[exact]
+                kdf[c] = conv
             except (ValueError, TypeError):
                 pass  # incomparable: merge matches nothing, rows kept
         merged = df[list(cur_cols)].merge(
@@ -711,15 +732,15 @@ class EngineCDCStreamReader(DataSourceStreamReader):
             return []
         tbl = self._table()
         renames = _renames_of(self.data_schema)
-        # main-lineage walk (oldest first); raises when the offset was
-        # expired or rolled past — same contract as the append tail
-        chain = _lineage_window(tbl.metadata, a, b)
         if a is None:
             # Initial batch: emit the CURRENT state as inserts — the
             # from-side is empty, so file identity is irrelevant and
-            # historical maintenance commits must not block stream
-            # startup on a table that ever compacted.
+            # neither historical maintenance commits nor expired early
+            # history may block stream startup (no lineage walk here).
             return self._diff_segment(tbl, None, tbl.snapshot_by_id(b), renames)
+        # main-lineage walk (oldest first); raises when the offset was
+        # expired or rolled past — same contract as the append tail
+        chain = _lineage_window(tbl.metadata, a, b)
 
         def preserves(s) -> bool:
             # 'replace' (compaction / z-order / manifest rewrite) never

@@ -537,7 +537,8 @@ def late_data_dead_letter(
 
 
 def maintained_view_merge(view_root: str, key_col: str = "user_id",
-                          value_col: str = "value"):
+                          value_col: str = "value",
+                          stream_id: str = "default"):
     """I21's maintained-view fold as an idempotent foreachBatch: CDC
     rows (+_change_type) fold into a count/sum view table keyed by
     ``key_col``, replacing only touched keys via equality-delete +
@@ -552,7 +553,14 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
     stamp hit the crash window between the two commits — the view
     rolls back to the delete's parent (metadata-only) and the fold
     reruns against intact state. Either way the maintained view equals
-    the recompute after any sequence of replays."""
+    the recompute after any sequence of replays.
+
+    ``stream_id`` namespaces the watermark (Delta's txnAppId
+    contract): batch ids restart at 0 whenever a checkpoint is
+    recreated, so a view fed again through a FRESH checkpoint must
+    pass a new stream_id — under the old one every new batch would
+    sit below the historical watermark and be silently skipped. One
+    logical stream (one checkpoint) = one stable stream_id."""
     from pyspark.sql import functions as F
 
     from ..table import load_table as _open
@@ -563,6 +571,8 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
         applied = -1
         partial_del = None
         for s in vt.metadata.snapshots:
+            if s.summary.get("mv-stream-id", "default") != stream_id:
+                continue  # another logical stream's watermark
             bid = s.summary.get("mv-batch-id")
             if bid is not None:
                 applied = max(applied, int(bid))
@@ -593,8 +603,11 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
         # sequence wins at read — exact replacement, two tiny commits)
         vt.delete_eq_mor(
             spark, touched, [key_col],
-            extra_summary={"mv-batch-del": int(batch_id)},
+            extra_summary={"mv-batch-del": int(batch_id), "mv-stream-id": stream_id},
         )
-        vt.append(survivors, extra_summary={"mv-batch-id": int(batch_id)})
+        vt.append(
+            survivors,
+            extra_summary={"mv-batch-id": int(batch_id), "mv-stream-id": stream_id},
+        )
 
     return merge

@@ -31,7 +31,7 @@ from pyspark.sql.types import StructField, StructType
 from . import format as fmt
 from .format import Snapshot, TableMetadata
 from .stats import file_stats
-from .transforms import Transform, TruncateTransform, transform_from_json
+from .transforms import Transform, transform_from_json
 
 DEFAULT_PROPERTIES = {
     # reference table properties (Writer.java:114-124), renamed only
@@ -278,6 +278,9 @@ class Table:
         and every read path prunes them with THAT spec (manifest
         entries carry spec_id); new appends partition and prune under
         the new spec. Returns the new spec id."""
+        from .transforms import validate_transform
+
+        validate_transform(new, self.schema())
         result = [0]
 
         def build(current: TableMetadata) -> TableMetadata:
@@ -1374,7 +1377,23 @@ class Table:
         file now (the cheapest possible delete; Iceberg v2 equality
         deletes, the streaming-CDC workhorse). ``extra_summary`` keys
         land in the SAME commit's summary (commit-atomic markers, e.g.
-        a streaming sink's epoch id)."""
+        a streaming sink's epoch id).
+
+        Keys are typed through the TABLE schema at delete time, with a
+        round-trip guard: a key the column type cannot represent
+        exactly (3.5 against a long column) can never equal any stored
+        value, so it is dropped here rather than written — a mistyped
+        key committed raw would poison every subsequent read (the MOR
+        key frame is typed through the schema at scan time)."""
+        tbl_types = {f.name: f.dataType for f in self.schema().fields}
+        for c in key_cols:
+            tgt = tbl_types.get(c)
+            src = keys.schema[c].dataType
+            if tgt is not None and src != tgt:
+                cast = F.col(c).cast(tgt)
+                keys = keys.filter(
+                    cast.isNotNull() & (cast.cast(src) == F.col(c))
+                ).withColumn(c, cast)
         distinct = keys.select(*key_cols).dropDuplicates(key_cols)
         # inline-DV fast path, same rationale as position deletes: a
         # small key set rides in the manifest entry and the delete
@@ -2239,8 +2258,10 @@ class Table:
                 if t.bucket_range(0) is None:
                     # hash bucket: no range info, but an equality
                     # predicate maps to exactly one bucket — computed
-                    # driver-side as a literal (hash parity via CRC32)
-                    if op in ("=", "=="):
+                    # driver-side as a literal (hash parity via CRC32).
+                    # Same type guard as may_contain: only int/str
+                    # values render identically to the stored column.
+                    if op in ("=", "==") and isinstance(val, (int, str)) and not isinstance(val, bool):
                         bucket_keep = bucket_keep & ~(
                             hit
                             & (F.col("partition") != F.lit(t.apply_py(val)))
@@ -2832,6 +2853,9 @@ def create_table(
 ) -> Table:
     """R1: create a partitioned table with tuned properties
     (Writer.java:114-124)."""
+    from .transforms import validate_transform
+
+    validate_transform(partition, schema)
     os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
     for sub in ("manifests", "data", "_pending"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)

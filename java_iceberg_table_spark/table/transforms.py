@@ -159,6 +159,14 @@ class BucketTransform:
         return None  # hashing destroys order: no range pruning
 
     def may_contain(self, bucket: int, value) -> bool:
+        # prune only when the predicate value's string rendering is
+        # guaranteed to match the stored column's (int vs int, str vs
+        # str). A float predicate against a long column renders "42.0"
+        # vs "42" — hashing it would prune the RIGHT file; equality
+        # across numeric types is the engine's residual filter's job,
+        # pruning must stay conservative.
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            return True
         return bucket == _crc_bucket(value, self.n)
 
     def apply_arrow(self, col):
@@ -205,6 +213,35 @@ def transform_from_json(d: dict | None) -> Transform | None:
     if cls is None:
         raise ValueError(f"unknown partition transform {kind!r}")
     return cls.from_json(d)
+
+
+def validate_transform(t: Transform | None, schema) -> None:
+    """Check a transform against the table schema at create /
+    spec-evolution time — the write path and planning both assume
+    integral partition values (``__pb=`` directory parsing, manifest
+    JSON, range pruning), and bucket hashing assumes a string
+    rendering stable between Spark and Python (ints and strings only;
+    a float column renders "42.0" engine-dependently)."""
+    if t is None:
+        return
+    field = next((f for f in schema.fields if f.name == t.source_column), None)
+    if field is None:
+        raise ValueError(
+            f"partition source column {t.source_column!r} not in schema"
+        )
+    ds = field.dataType.simpleString()
+    integral = ds in ("tinyint", "smallint", "int", "bigint")
+    if isinstance(t, BucketTransform):
+        if not (integral or ds == "string"):
+            raise ValueError(
+                f"bucket[N] needs an integer or string column; "
+                f"{t.source_column!r} is {ds}"
+            )
+    elif not integral:
+        raise ValueError(
+            f"{type(t).__name__} needs an integer column; "
+            f"{t.source_column!r} is {ds}"
+        )
 
 
 def truncate(source_column: str, width: int) -> TruncateTransform:

@@ -808,3 +808,117 @@ def test_stream_max_files_per_trigger(ds, base_dir):
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_streams_start_on_expired_history(ds, base_dir):
+    """A table whose oldest snapshots were EXPIRED has a dangling
+    parent_id at its retained root: fresh stream starts (append tail
+    and CDC, start offset None) must walk from the retained root, not
+    fail lineage validation — only a CONCRETE expired start offset is
+    refused."""
+    spark = ds
+    root = base_dir + "/exp"
+    df = spark.createDataFrame([(i,) for i in range(9)], "k long")
+    tbl = create_table(root, df.schema)
+    snaps = [tbl.append(df.filter(F.col("k") % 3 == i).coalesce(1)) for i in range(3)]
+    tbl.expire_snapshots(older_than_ms=10**18, retain_last=2)  # drops s0
+    assert tbl.metadata.snapshots[0].parent_id is not None  # dangling
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineCDCStreamReader,
+        EngineStreamReader,
+    )
+
+    r = EngineStreamReader(root, tbl.schema(), {})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    # only files appended by RETAINED commits stream (expired history
+    # is gone; the CDC initial batch below delivers full state)
+    assert len(parts) == 2
+    cdc_schema = spark.readStream.format("engine_table").option(
+        "root", root
+    ).option("cdc", "true").load().schema
+    rc = EngineCDCStreamReader(root, cdc_schema)
+    cparts = rc.partitions(rc.initialOffset(), rc.latestOffset())
+    assert len(cparts) == 3  # initial batch: ALL live files as inserts
+    # an offset AT the expiry boundary is still resumable: (a, b]
+    # needs only the boundary id, and s1/s2's files are retained
+    assert len(r.partitions({"snapshot_id": snaps[0].snapshot_id}, r.latestOffset())) == 2
+    # a concrete offset expired DEEPER than the boundary is refused
+    tbl.expire_snapshots(older_than_ms=10**18, retain_last=1)  # drops s1
+    with pytest.raises(Exception, match="not an ancestor|not in the retained"):
+        r.partitions({"snapshot_id": snaps[0].snapshot_id}, r.latestOffset())
+
+
+def test_bucket_float_predicate_conservative(ds, base_dir):
+    """A float equality predicate on a bucket[N]-partitioned long
+    column must NOT prune by hash (str(42.0) != str(42) — the hash
+    would prune the matching file); the residual filter still answers
+    exactly."""
+    spark = ds
+    from java_iceberg_table_spark.table import bucket
+
+    root = base_dir + "/bktf"
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    tbl = create_table(root, df.schema, partition=bucket("k", 8))
+    tbl.append(df)
+    assert [r["k"] for r in tbl.scan(spark, [("k", "=", 42.0)]).collect()] == [42]
+    # driver loop and distributed plan path agree
+    hit = tbl.plan_files([("k", "=", 42.0)])
+    hit_dist = tbl.plan_files([("k", "=", 42.0)], spark=spark,
+                              distributed_threshold_bytes=0)
+    assert sorted(e["path"] for e in hit) == sorted(e["path"] for e in hit_dist)
+    # the int-predicate (hash-pruned) plan is a subset of the
+    # conservative float-predicate plan — hash pruning never engaged
+    # for the float, stats alone did the narrowing
+    assert {e["path"] for e in tbl.plan_files([("k", "=", 42)])} <= {
+        e["path"] for e in hit
+    }
+
+
+def test_eq_delete_float_keys_never_truncate(ds, base_dir):
+    """Float equality-delete keys against a long column: 3.5 can match
+    no long value — the connector's dtype coercion must drop the key,
+    not truncate it to 3 and delete the wrong row. An integral float
+    key (7.0) must still match 7."""
+    spark = ds
+    root = base_dir + "/fkeys"
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    tbl.delete_eq_mor(
+        spark, spark.createDataFrame([(3.5,), (7.0,)], "k double"), ["k"]
+    )
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("engine_table")
+        .option("root", root)
+        .load()
+        .collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5, 6, 8, 9]  # 7 gone, 3 SURVIVES
+    # connector equals the table API under the same delete state
+    assert got == sorted(r["k"] for r in tbl.scan(spark).collect())
+
+
+def test_materialized_view_stream_id_namespace(ds, base_dir):
+    """Recreating a checkpoint restarts batch ids at 0: under the SAME
+    stream_id the fold would silently skip (watermark), so a fresh
+    checkpoint must come with a fresh stream_id — and with one, the
+    fold applies."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import maintained_view_merge
+
+    src_root, view_root, df = _mv_setup(spark, base_dir)
+    open_table(src_root).append(df)
+    cdc = df.withColumn("_change_type", F.lit("insert"))
+    m1 = maintained_view_merge(view_root, stream_id="q1")
+    m1(cdc, 0)
+    m1(cdc.limit(0), 5)  # advance q1's watermark
+    more = spark.createDataFrame(
+        [(1000, 1, 2.0)], "event_id long, user_id long, value double"
+    )
+    open_table(src_root).append(more)
+    cdc2 = more.withColumn("_change_type", F.lit("insert"))
+    # same view, FRESH checkpoint: batch ids restart at 0
+    m2 = maintained_view_merge(view_root, stream_id="q2")
+    m2(cdc2, 0)  # would be skipped under q1's watermark
+    assert _mv_equals_recompute(spark, src_root, view_root)

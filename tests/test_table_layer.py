@@ -726,3 +726,46 @@ def test_maintain_policy_pass(spark, troot):
     report2 = tbl.maintain(spark, target_file_bytes=1 << 20, small_file_threshold=2)
     assert "skipped" in report2["rewrite_deletes"]
     assert "skipped" in report2["compact"]
+
+
+def test_transform_schema_validation():
+    """create_table / update_partition_spec validate the transform's
+    source column: integral for truncate/identity, integral-or-string
+    for bucket — the write path and planning assume integral partition
+    values and a stable string rendering."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from java_iceberg_table_spark.table import (
+        bucket,
+        create_table,
+        identity,
+        truncate,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="val_")
+    with _pytest.raises(ValueError, match="integer column"):
+        create_table(base + "/a", schema, partition=identity("name"))
+    with _pytest.raises(ValueError, match="integer or string"):
+        create_table(base + "/b", schema, partition=bucket("x", 4))
+    with _pytest.raises(ValueError, match="not in schema"):
+        create_table(base + "/c", schema, partition=truncate("nope", 10))
+    tbl = create_table(base + "/d", schema, partition=bucket("name", 4))
+    with _pytest.raises(ValueError, match="integer column"):
+        tbl.update_partition_spec(truncate("name", 10))
+    tbl.update_partition_spec(identity("k"))  # valid evolution
