@@ -60,6 +60,7 @@ from pyspark.sql.types import StructType
 @dataclass
 class FilePartition(InputPartition):
     path: str  # absolute
+    filters: list | None = None  # row-level pushdown (parquet only)
 
 
 @dataclass
@@ -75,6 +76,7 @@ class MaskedFilePartition(InputPartition):
     seq: int
     mask_pos: list
     mask_eq: list
+    filters: list | None = None  # row-level pushdown (parquet only)
 
 
 @dataclass
@@ -133,6 +135,44 @@ def _lineage_window(md, a, b) -> list:
     return chain
 
 
+def _ref_head(tbl, ref: str | None):
+    """Head snapshot id for a stream: the table head, or a BRANCH head
+    when option("ref") is set — tailing a write-audit-publish branch
+    means offsets walk the branch lineage (which shares the main
+    ancestry below the fork), so audit pipelines can stream staged
+    commits before publish."""
+    if ref:
+        r = tbl.metadata.refs.get(ref)
+        if r is None:
+            raise ValueError(f"no such ref {ref!r}")
+        return r["snapshot_id"]
+    snap = tbl.metadata.current_snapshot()
+    return None if snap is None else snap.snapshot_id
+
+
+def _paced_head(tbl, cursor, head, max_files: int | None):
+    """Cap the stream's end offset: advance from ``cursor`` toward
+    ``head`` only until ~max_files appended files are covered (always
+    at least one snapshot). Offsets are snapshot ids, so the cap
+    rounds up to a commit boundary."""
+    if (
+        head is None
+        or max_files is None
+        or cursor is _CURSOR_UNSET
+        or cursor == head
+    ):
+        return head
+    n = 0
+    end = cursor
+    for s in _lineage_window(tbl.metadata, cursor, head):
+        if s.operation == "append":
+            n += len(tbl.added_files(s))
+        end = s.snapshot_id
+        if n >= max_files:
+            break
+    return end
+
+
 def _arrow_schema_for(schema: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -150,17 +190,48 @@ def _physical_names(schema: StructType) -> dict[str, list[str]]:
     return out
 
 
-def _aligned_parquet_arrow(path: str, schema: StructType):
+def _translate_filters(filters, names, file_columns):
+    """Pushed predicates -> pyarrow DNF terms under THIS file's
+    physical column names (rename vintages). A predicate whose column
+    is physically absent from the file (added after the file was
+    written: the column reads all-null, which fails every comparison)
+    or whose vintage name differs is translated or dropped
+    conservatively — Spark re-applies every filter after the scan, so
+    partial application only saves I/O, never changes results."""
+    out = []
+    for col, op, val in filters or []:
+        phys = next((n for n in names.get(col, ()) if n in file_columns), None)
+        if phys is None:
+            continue
+        out.append((phys, op, val))
+    return out or None
+
+
+def _aligned_parquet_arrow(path: str, schema: StructType, filters=None):
     """One parquet file -> Arrow table aligned to ``schema``: missing
     columns null-filled, dropped columns pruned, renamed columns
     resolved through their name history, widened types upcast,
-    physical order normalized."""
+    physical order normalized. ``filters`` (engine (col, op, val)
+    triples) push into the parquet read itself — row-group statistics
+    skip whole groups and surviving rows are filtered before they ever
+    reach Arrow, so a selective connector scan reads a slice of each
+    file, not the file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = _arrow_schema_for(schema)
     names = _physical_names(schema)
-    tbl = pq.read_table(path, columns=None)
+    tbl = None
+    if filters:
+        pf = pq.ParquetFile(path)
+        dnf = _translate_filters(filters, names, set(pf.schema_arrow.names))
+        if dnf is not None:
+            try:
+                tbl = pq.read_table(path, filters=dnf)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+                tbl = None  # incomparable literal/type: read unfiltered
+    if tbl is None:
+        tbl = pq.read_table(path, columns=None)
     cols = []
     for fld in target:
         hit = next((n for n in names[fld.name] if n in tbl.column_names), None)
@@ -171,9 +242,11 @@ def _aligned_parquet_arrow(path: str, schema: StructType):
     return pa.Table.from_arrays(cols, schema=target)
 
 
-def _read_file_batches(path: str, schema: StructType):
+def _read_file_batches(path: str, schema: StructType, filters=None):
     """Executor-side: one data file (parquet or avro — the R5 format
-    toggle) -> Arrow batches aligned to the table schema."""
+    toggle) -> Arrow batches aligned to the table schema. ``filters``
+    push into the parquet read (avro reads stay unfiltered — OCF has
+    no row-group statistics)."""
     import pyarrow as pa
 
     if path.endswith(".avro"):
@@ -183,7 +256,7 @@ def _read_file_batches(path: str, schema: StructType):
                 df, schema=_arrow_schema_for(schema), preserve_index=False
             ).to_batches()
         return
-    yield from _aligned_parquet_arrow(path, schema).to_batches()
+    yield from _aligned_parquet_arrow(path, schema, filters=filters).to_batches()
 
 
 def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | None):
@@ -317,25 +390,40 @@ class EngineBatchReader(DataSourceReader):
             if snap is not None
             else []
         )
+        # row-level pushdown into the parquet read itself: every
+        # stats-expressible filter plus exact IN-lists. Spark
+        # re-applies all filters after the scan (pushFilters reports
+        # them unsupported), so this only cuts I/O/decode.
+        rg = list(self.engine_filters) + [
+            (col, "in", vals) for col, vals in self.in_filters
+        ]
+        rg = rg or None
         if not dels:
             return [
-                FilePartition(os.path.join(self.root, e["path"])) for e in entries
+                FilePartition(os.path.join(self.root, e["path"]), filters=rg)
+                for e in entries
             ]
         pos_inline, _, eq = _split_delete_payloads(
             self.root, dels, _renames_of(self.schema)
         )
-        return [
-            MaskedFilePartition(
+
+        def masked(e):
+            mask_pos = pos_inline.get(e["path"], [])
+            return MaskedFilePartition(
                 path=os.path.join(self.root, e["path"]),
                 file_key=e["path"],
                 seq=int(e.get("seq", 0)),
-                mask_pos=pos_inline.get(e["path"], []),
+                mask_pos=mask_pos,
                 # per-file slice: each partition carries only payloads
                 # whose sequence and key range can touch THIS file
                 mask_eq=_slice_eq_payloads(e, int(e.get("seq", 0)), eq),
+                # position deletes key on row position WITHIN the
+                # unfiltered file: a filtered read renumbers rows, so
+                # files with pending position deletes read whole
+                filters=None if mask_pos else rg,
             )
-            for e in entries
-        ]
+
+        return [masked(e) for e in entries]
 
     def read(self, partition):
         if partition is None:
@@ -343,7 +431,9 @@ class EngineBatchReader(DataSourceReader):
         if isinstance(partition, MaskedFilePartition):
             yield from _read_masked_batches(partition, self.schema)
             return
-        yield from _read_file_batches(partition.path, self.schema)
+        yield from _read_file_batches(
+            partition.path, self.schema, filters=partition.filters
+        )
 
 
 _CURSOR_UNSET = object()  # restart: true cursor lives in the checkpoint
@@ -378,6 +468,7 @@ class EngineStreamReader(DataSourceStreamReader):
         opts = options or {}
         mft = int(opts.get("maxFilesPerTrigger", 0) or 0)
         self.max_files = mft if mft > 0 else None
+        self.ref = opts.get("ref")  # tail a branch instead of main
         self._cursor = _CURSOR_UNSET
 
     def _table(self):
@@ -391,28 +482,8 @@ class EngineStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         tbl = self._table()
-        snap = tbl.metadata.current_snapshot()
-        head = None if snap is None else snap.snapshot_id
-        if (
-            head is None
-            or self.max_files is None
-            or self._cursor is _CURSOR_UNSET
-            or self._cursor == head
-        ):
-            return {"snapshot_id": head}
-        # advance only far enough to cover ~max_files appended files:
-        # walk the pending lineage forward, stop at the first snapshot
-        # boundary where the budget is spent (offsets are snapshot ids,
-        # so the cap rounds up to a whole commit)
-        n = 0
-        end = self._cursor
-        for s in _lineage_window(tbl.metadata, self._cursor, head):
-            if s.operation == "append":
-                n += len(tbl.added_files(s))
-            end = s.snapshot_id
-            if n >= self.max_files:
-                break
-        return {"snapshot_id": end}
+        head = _ref_head(tbl, self.ref)
+        return {"snapshot_id": _paced_head(tbl, self._cursor, head, self.max_files)}
 
     def partitions(self, start: dict, end: dict):
         a, b = start.get("snapshot_id"), end.get("snapshot_id")
@@ -461,10 +532,13 @@ class CDCPartition(InputPartition):
     emit_eq: list
 
 
-def _cdc_load_pandas(path: str, schema: StructType):
+def _cdc_load_pandas(path: str, schema: StructType, filters=None):
     """Executor-side: one data file (parquet or avro) -> pandas frame
     aligned to ``schema`` (rename history resolved, widened types
-    upcast), plus the 0-based row-position array."""
+    upcast), plus the 0-based row-position array. ``filters`` (parquet
+    only) push into the read — POSITIONS ARE THEN RENUMBERED, so
+    callers may only pass filters when no position-delete state
+    applies to the file."""
     import numpy as np
 
     if path.endswith(".avro"):
@@ -485,7 +559,7 @@ def _cdc_load_pandas(path: str, schema: StructType):
             else:
                 df[f.name] = raw[hit]
     else:
-        df = _aligned_parquet_arrow(path, schema).to_pandas()
+        df = _aligned_parquet_arrow(path, schema, filters=filters).to_pandas()
     return df, np.arange(len(df))
 
 
@@ -622,7 +696,9 @@ def _read_masked_batches(partition: MaskedFilePartition, schema: StructType):
     import numpy as np
     import pyarrow as pa
 
-    df, pos = _cdc_load_pandas(partition.path, schema)
+    # filters only ever arrive when mask_pos is empty (positions of a
+    # filtered read would be renumbered — the planner guards this)
+    df, pos = _cdc_load_pandas(partition.path, schema, filters=partition.filters)
     if len(df) == 0:
         return
     keep = np.ones(len(df), dtype=bool)
@@ -702,12 +778,17 @@ class EngineCDCStreamReader(DataSourceStreamReader):
     row identity — cursor between maintenance commits, the same
     discipline the batch changes_between documents."""
 
-    def __init__(self, root: str, schema: StructType):
+    def __init__(self, root: str, schema: StructType, options=None):
         self.root = root
         self.out_schema = schema  # table schema + _change_type
         self.data_schema = StructType(
             [f for f in schema.fields if f.name != "_change_type"]
         )
+        opts = options or {}
+        mft = int(opts.get("maxFilesPerTrigger", 0) or 0)
+        self.max_files = mft if mft > 0 else None  # same contract as the tail
+        self.ref = opts.get("ref")
+        self._cursor = _CURSOR_UNSET
 
     def _table(self):
         from ..table import load_table
@@ -715,11 +796,13 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         return load_table(self.root)
 
     def initialOffset(self) -> dict:
+        self._cursor = None
         return {"snapshot_id": None}
 
     def latestOffset(self) -> dict:
-        snap = self._table().metadata.current_snapshot()
-        return {"snapshot_id": None if snap is None else snap.snapshot_id}
+        tbl = self._table()
+        head = _ref_head(tbl, self.ref)
+        return {"snapshot_id": _paced_head(tbl, self._cursor, head, self.max_files)}
 
     def _payloads(self, tbl, del_entries, renames):
         return _split_delete_payloads(self.root, del_entries, renames)
@@ -728,6 +811,7 @@ class EngineCDCStreamReader(DataSourceStreamReader):
         from ..table.table import _renames_of
 
         a, b = start.get("snapshot_id"), end.get("snapshot_id")
+        self._cursor = b  # pacing resumes from this batch's end
         if b is None or a == b:
             return []
         tbl = self._table()
@@ -1149,7 +1233,7 @@ class EngineTableDataSource(DataSource):
         if self._meta():
             raise ValueError("metadata tables are batch-only")
         if self._cdc():
-            return EngineCDCStreamReader(self._root(), schema)
+            return EngineCDCStreamReader(self._root(), schema, self.options)
         return EngineStreamReader(self._root(), schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool):

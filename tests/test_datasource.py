@@ -922,3 +922,145 @@ def test_materialized_view_stream_id_namespace(ds, base_dir):
     m2 = maintained_view_merge(view_root, stream_id="q2")
     m2(cdc2, 0)  # would be skipped under q1's watermark
     assert _mv_equals_recompute(spark, src_root, view_root)
+
+
+def test_rowgroup_pushdown_cuts_rows_read(ds, base_dir):
+    """Pushed filters reach the parquet READ itself (pyarrow DNF):
+    a selective connector scan materializes only matching rows
+    executor-side, across plain, MOR-masked, renamed-vintage, and
+    incomparable-literal cases — results always equal Spark's own
+    re-applied filter."""
+    spark = ds
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        _aligned_parquet_arrow,
+        _read_file_batches,
+    )
+
+    root = base_dir + "/rg"
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "k long, v string")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.coalesce(1))
+    path = tbl.plan_files()[0]["path"]
+    import os as _os
+
+    full = _aligned_parquet_arrow(_os.path.join(root, path), tbl.schema())
+    sliced = _aligned_parquet_arrow(
+        _os.path.join(root, path), tbl.schema(), filters=[("k", "<", 10)]
+    )
+    assert len(full) == 1000 and len(sliced) == 10  # rows cut at read
+    # end to end through spark.read with a filter
+    got = (
+        spark.read.format("engine_table").option("root", root).load()
+        .filter(F.col("k") < 10).count()
+    )
+    assert got == 10
+    # incomparable literal: falls back to unfiltered read, result exact
+    bad = _aligned_parquet_arrow(
+        _os.path.join(root, path), tbl.schema(), filters=[("k", "<", "zzz")]
+    )
+    assert len(bad) == 1000
+    # renamed vintage: filter on the NEW name applies to the OLD bytes
+    tbl.rename_column("k", "kk")
+    sliced2 = _aligned_parquet_arrow(
+        _os.path.join(root, path), tbl.schema(), filters=[("kk", "<", 5)]
+    )
+    assert len(sliced2) == 5
+    # MOR eq-deletes + pushdown compose; pos deletes suppress pushdown
+    tbl2_root = base_dir + "/rg2"
+    tbl2 = create_table(tbl2_root, df.schema)
+    tbl2.append(df.coalesce(1))
+    tbl2.delete_eq_mor(spark, spark.createDataFrame([(3,)], "k long"), ["k"])
+    got2 = sorted(
+        r["k"]
+        for r in spark.read.format("engine_table").option("root", tbl2_root)
+        .load().filter(F.col("k") < 6).collect()
+    )
+    assert got2 == [0, 1, 2, 4, 5]
+    tbl2.delete_where_mor(spark, [("k", ">=", 998)])  # position delete
+    got3 = (
+        spark.read.format("engine_table").option("root", tbl2_root)
+        .load().filter(F.col("k") >= 990).count()
+    )
+    assert got3 == 8  # 990-997 (998,999 pos-deleted; pushdown suppressed)
+
+
+def test_stream_tails_branch_ref(ds, base_dir):
+    """option("ref", branch) on a stream: the tail follows the BRANCH
+    lineage — staged write-audit-publish commits stream to the audit
+    consumer while main consumers see none of them."""
+    spark = ds
+    root = base_dir + "/reftail"
+    df = spark.createDataFrame([(i,) for i in range(6)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("k") < 2).coalesce(1))  # main base
+    tbl.create_branch("audit")
+    extra = spark.createDataFrame([(10,), (11,)], "k long")
+    extra.write.format("engine_table").option("root", root).option(
+        "branch", "audit"
+    ).mode("append").save()
+    tbl.append(df.filter((F.col("k") >= 2) & (F.col("k") < 4)).coalesce(1))
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineCDCStreamReader,
+        EngineStreamReader,
+    )
+
+    # branch tail sees base + staged (fork ancestry), not post-fork main
+    rb = EngineStreamReader(root, tbl.schema(), {"ref": "audit"})
+    parts_b = rb.partitions(rb.initialOffset(), rb.latestOffset())
+    # main tail sees base + post-fork main, not the staged commit
+    rm = EngineStreamReader(root, tbl.schema(), {})
+    parts_m = rm.partitions(rm.initialOffset(), rm.latestOffset())
+    import pyarrow as pa
+
+    def rows(reader, parts):
+        out = []
+        for p in parts:
+            for b in reader.read(p):
+                out.extend(b.to_pydict()["k"] if hasattr(b, "to_pydict") else [])
+        return sorted(out)
+
+    assert rows(rb, parts_b) == [0, 1, 10, 11]
+    assert rows(rm, parts_m) == [0, 1, 2, 3]
+    # CDC initial batch under the ref: staged state as inserts
+    cdc_schema = spark.readStream.format("engine_table").option(
+        "root", root
+    ).option("cdc", "true").load().schema
+    rc = EngineCDCStreamReader(root, cdc_schema, {"ref": "audit"})
+    cparts = rc.partitions(rc.initialOffset(), rc.latestOffset())
+    got = sorted(
+        v
+        for p in cparts
+        for b in rc.read(p)
+        for v in b.to_pydict()["k"]
+    )
+    assert got == [0, 1, 10, 11]
+
+
+def test_cdc_stream_paced(ds, base_dir):
+    """maxFilesPerTrigger paces the CDC stream the same way as the
+    append tail: windows chain at commit boundaries, each covering
+    ~N appended files."""
+    spark = ds
+    from java_iceberg_table_spark.sources.engine_datasource import (
+        EngineCDCStreamReader,
+    )
+
+    root = base_dir + "/cdcpaced"
+    df = spark.createDataFrame([(i,) for i in range(12)], "k long")
+    tbl = create_table(root, df.schema)
+    for i in range(6):
+        tbl.append(df.filter(F.col("k") % 6 == i).coalesce(1))
+    cdc_schema = spark.readStream.format("engine_table").option(
+        "root", root
+    ).option("cdc", "true").load().schema
+    r = EngineCDCStreamReader(root, cdc_schema, {"maxFilesPerTrigger": "2"})
+    start = r.initialOffset()
+    sizes = []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == start:
+            break
+        sizes.append(len(r.partitions(start, end)))
+        start = end
+    # batch 0: initial state = files at first capped head (2), then 2+2
+    assert sizes == [2, 2, 2]
