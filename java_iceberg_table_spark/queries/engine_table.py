@@ -1260,3 +1260,63 @@ def a3y_engine_maintenance_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a3z_engine_time_travel_timestamp",
+    oracle="""
+SELECT COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS cnt_asof,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey END) AS BIGINT)
+         AS sum_asof,
+       COUNT(*) AS cnt_now,
+       true AS staged_excluded
+FROM orders
+""",
+    group="A",
+)
+def a3z_engine_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (Iceberg SQL time travel): scan(as_of_ms=...) /
+    connector option("as_of_timestamp_ms") resolve the snapshot
+    current at a wall-clock instant by walking today's MAIN lineage —
+    so rolled-past commits and write-audit-publish branch commits
+    (which were never main-visible) can never answer for main. The
+    scenario appends even orderkeys, captures the instant, stages a
+    branch append AND commits the odds after it; the as-of read must
+    see exactly the evens while the head sees all — graded against
+    the fixture recount."""
+    import time as _time
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_tt_") + "/t"
+    try:
+        tbl = create_table(root, orders.schema)
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        _time.sleep(0.02)
+        t_mid = tbl.metadata.current_snapshot().timestamp_ms
+        _time.sleep(0.02)
+        tbl.create_branch("staging")
+        tbl.append(orders.limit(10), branch="staging")  # never on main
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        asof = tbl.scan(spark, as_of_ms=t_mid)
+        row = asof.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("o_orderkey").alias("s")
+        ).collect()[0]
+        # connector agrees with the table API under the same instant
+        from ..sources import register_engine_datasource
+
+        register_engine_datasource(spark)
+        conn_cnt = (
+            spark.read.format("engine_table")
+            .option("root", root)
+            .option("as_of_timestamp_ms", str(t_mid))
+            .load()
+            .count()
+        )
+        cnt_now = tbl.scan(spark).count()
+        return spark.createDataFrame(
+            [(row["c"], row["s"], cnt_now, conn_cnt == row["c"])],
+            "cnt_asof bigint, sum_asof bigint, cnt_now bigint, "
+            "staged_excluded boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -333,6 +333,11 @@ class EngineBatchReader(DataSourceReader):
             int(options["snapshot_id"]) if "snapshot_id" in options else None
         )
         self.ref = options.get("ref")
+        self.as_of_ms = (
+            int(options["as_of_timestamp_ms"])
+            if "as_of_timestamp_ms" in options
+            else None
+        )
         self.engine_filters: list[tuple[str, str, object]] = []
         self.in_filters: list[tuple[str, list]] = []
 
@@ -370,6 +375,8 @@ class EngineBatchReader(DataSourceReader):
         sid = self.snapshot_id
         if self.ref is not None:
             sid = tbl.metadata.refs[self.ref]["snapshot_id"]
+        if self.as_of_ms is not None:
+            sid = tbl.snapshot_as_of(self.as_of_ms).snapshot_id
         entries = tbl.plan_files(self.engine_filters, snapshot_id=sid)
         for col, vals in self.in_filters:
             entries = prune_entries_by_keys(entries, col, vals)

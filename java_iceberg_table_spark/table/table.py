@@ -329,6 +329,29 @@ class Table:
         """Commit log view: (snapshot_id, parent, ts, operation, summary)."""
         return [s.to_json() | {"manifests": len(s.manifests)} for s in self.metadata.snapshots]
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """The snapshot current AS OF a wall-clock instant (Iceberg's
+        ``TIMESTAMP AS OF``): the LAST main-lineage snapshot committed
+        at or before the cutoff. Walks the parent chain from the
+        current head, not the log — a rolled-back-then-rewritten
+        history answers with what a reader AT that instant on today's
+        lineage would see, and branch-staged commits (which were never
+        main-visible) don't answer for main."""
+        cur = self.metadata.current_snapshot()
+        hit = None
+        by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
+        while cur is not None:
+            if cur.timestamp_ms <= timestamp_ms:
+                hit = cur
+                break
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        if hit is None:
+            raise KeyError(
+                f"no snapshot at or before {timestamp_ms} (table created later, "
+                "or that history was expired)"
+            )
+        return hit
+
     def added_files(self, snap: Snapshot) -> list[dict]:
         """Manifest entries ADDED by this snapshot relative to its
         parent — the unit a commit-tailing reader consumes
@@ -2731,14 +2754,19 @@ class Table:
         filters: Iterable[tuple[str, str, object]] = (),
         snapshot_id: int | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: plan files from the current (or
         time-travel / ref'd) snapshot, hand Spark the explicit pruned
         list, re-apply the filters as residuals (pruning is
-        conservative). ``ref`` reads a branch head or tag pin."""
+        conservative). ``ref`` reads a branch head or tag pin;
+        ``as_of_ms`` reads the snapshot current at that wall-clock
+        instant (TIMESTAMP AS OF)."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id / ref / as_of_ms")
+        if as_of_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or ref, not both")
             refs = self.metadata.refs
             if ref not in refs:
                 raise KeyError(f"no such ref {ref!r}")

@@ -1064,3 +1064,31 @@ def test_cdc_stream_paced(ds, base_dir):
         start = end
     # batch 0: initial state = files at first capped head (2), then 2+2
     assert sizes == [2, 2, 2]
+
+
+def test_connector_as_of_timestamp(ds, base_dir):
+    """option("as_of_timestamp_ms"): TIMESTAMP AS OF through the
+    connector — the scan plans under the snapshot current at that
+    instant."""
+    spark = ds
+    import time as _time
+
+    root = base_dir + "/asof"
+    df = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df.filter(F.col("k") < 10))
+    _time.sleep(0.02)
+    t_mid = tbl.metadata.current_snapshot().timestamp_ms
+    _time.sleep(0.02)
+    tbl.append(df.filter(F.col("k") >= 10))
+    old = (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .option("as_of_timestamp_ms", str(t_mid))
+        .load()
+    )
+    assert old.count() == 10
+    assert (
+        spark.read.format("engine_table").option("root", root).load().count()
+        == 20
+    )

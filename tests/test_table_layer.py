@@ -769,3 +769,37 @@ def test_transform_schema_validation():
     with _pytest.raises(ValueError, match="integer column"):
         tbl.update_partition_spec(truncate("name", 10))
     tbl.update_partition_spec(identity("k"))  # valid evolution
+
+
+def test_timestamp_time_travel(spark, troot):
+    """TIMESTAMP AS OF: scan(as_of_ms=...) reads the snapshot current
+    at that instant on today's MAIN lineage — rolled-past commits and
+    branch-staged commits never answer."""
+    import time as _time
+
+    from java_iceberg_table_spark.table import create_table
+
+    root = troot + "/asof"
+    df = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    tbl = create_table(root, df.schema)
+    s1 = tbl.append(df.filter(F.col("k") < 10))
+    _time.sleep(0.02)
+    t_mid = tbl.metadata.current_snapshot().timestamp_ms
+    _time.sleep(0.02)
+    tbl.create_branch("b")
+    tbl.append(df.filter(F.col("k") >= 20), branch="b")  # staged only
+    s2 = tbl.append(df.filter((F.col("k") >= 10) & (F.col("k") < 20)))
+    assert tbl.scan(spark, as_of_ms=t_mid).count() == 10  # sees s1 only
+    assert tbl.snapshot_as_of(t_mid).snapshot_id == s1.snapshot_id
+    now = tbl.metadata.current_snapshot().timestamp_ms
+    assert tbl.snapshot_as_of(now).snapshot_id == s2.snapshot_id
+    assert tbl.scan(spark, as_of_ms=now).count() == 20  # staged excluded
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no snapshot"):
+        tbl.snapshot_as_of(s1.timestamp_ms - 10_000)
+    with _pytest.raises(ValueError, match="at most one"):
+        tbl.scan(spark, snapshot_id=s1.snapshot_id, as_of_ms=t_mid)
+    # the rolled-back head answers with the RESTORED lineage
+    tbl.rollback_to(s1.snapshot_id)
+    assert tbl.scan(spark, as_of_ms=now + 10_000).count() == 10
