@@ -197,6 +197,19 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
     conn = spark.read.format("engine_table").option("root", root).load()
     got = sorted((int(r[key_name]), r[val_name]) for r in conn.collect())
     assert got == sorted(model), f"connector read diverges (seed={seed})"
+    # FILTERED connector read: pushed predicates reach the parquet
+    # read (row-level pyarrow pushdown) and must compose with MOR
+    # masks, rename vintages, and the avro branch (which skips
+    # pushdown) — the classic composition surface for silent row loss
+    if model:
+        cut = sorted(k for k, _ in model)[len(model) // 2]
+        fgot = sorted(
+            (int(r[key_name]), r[val_name])
+            for r in conn.filter(F.col(key_name) >= cut).collect()
+        )
+        assert fgot == sorted((k, v) for k, v in model if k >= cut), (
+            f"filtered connector read diverges (seed={seed}, cut={cut})"
+        )
     # and materializing the pending deletes changes nothing
     tbl.rewrite_deletes(spark)
     assert _collect(spark, tbl, key_name, val_name) == sorted(model)
