@@ -277,7 +277,10 @@ def arrow_stats(records, file_bytes: int) -> dict:
         try:
             mm = pc.min_max(col)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
-            entry["min"], entry["max"] = _plain(mn), _plain(mx)
+            # NaN bounds poison planning comparisons (see
+            # table/stats.py): a column containing NaN keeps no bound
+            if not (mn != mn or mx != mx):
+                entry["min"], entry["max"] = _plain(mn), _plain(mx)
         except Exception:
             pass  # stats are optional; pruning treats missing as "keep"
         cols[name] = entry

@@ -190,18 +190,27 @@ def _physical_names(schema: StructType) -> dict[str, list[str]]:
     return out
 
 
-def _translate_filters(filters, names, file_columns):
+def _translate_filters(filters, names, arrow_schema):
     """Pushed predicates -> pyarrow DNF terms under THIS file's
-    physical column names (rename vintages). A predicate whose column
-    is physically absent from the file (added after the file was
-    written: the column reads all-null, which fails every comparison)
-    or whose vintage name differs is translated or dropped
-    conservatively — Spark re-applies every filter after the scan, so
-    partial application only saves I/O, never changes results."""
+    physical column names (rename vintages). Dropped conservatively —
+    Spark re-applies every filter after the scan, so partial
+    application only saves I/O, never changes results — when the
+    column is physically absent from the file (added later: reads
+    all-null, fails every comparison) or when the physical column is
+    FLOATING-POINT: Spark orders NaN above everything and NaN = NaN
+    true, Arrow uses IEEE semantics, so a pushed comparison would drop
+    NaN rows Spark's re-applied filter would keep (a dropped row can
+    never be resurrected)."""
+    import pyarrow as pa
+
     out = []
     for col, op, val in filters or []:
-        phys = next((n for n in names.get(col, ()) if n in file_columns), None)
+        phys = next(
+            (n for n in names.get(col, ()) if n in arrow_schema.names), None
+        )
         if phys is None:
+            continue
+        if pa.types.is_floating(arrow_schema.field(phys).type):
             continue
         out.append((phys, op, val))
     return out or None
@@ -223,8 +232,10 @@ def _aligned_parquet_arrow(path: str, schema: StructType, filters=None):
     names = _physical_names(schema)
     tbl = None
     if filters:
-        pf = pq.ParquetFile(path)
-        dnf = _translate_filters(filters, names, set(pf.schema_arrow.names))
+        # pq.read_schema is a footer-only metadata read; translating
+        # first means the ONE full read below is the only data pass
+        file_schema = pq.read_schema(path)
+        dnf = _translate_filters(filters, names, file_schema)
         if dnf is not None:
             try:
                 tbl = pq.read_table(path, filters=dnf)
@@ -372,9 +383,18 @@ class EngineBatchReader(DataSourceReader):
         from ..table.table import _renames_of, prune_entries_by_keys
 
         tbl = load_table(self.root)
+        picked = [
+            x
+            for x in (self.snapshot_id, self.ref, self.as_of_ms)
+            if x is not None
+        ]
+        if len(picked) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / ref / as_of_timestamp_ms"
+            )
         sid = self.snapshot_id
         if self.ref is not None:
-            sid = tbl.metadata.refs[self.ref]["snapshot_id"]
+            sid = _ref_head(tbl, self.ref)
         if self.as_of_ms is not None:
             sid = tbl.snapshot_as_of(self.as_of_ms).snapshot_id
         entries = tbl.plan_files(self.engine_filters, snapshot_id=sid)

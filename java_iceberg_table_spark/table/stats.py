@@ -43,13 +43,25 @@ def file_stats(path: str) -> dict:
             entry = cols.setdefault(name, {"min": None, "max": None, "nulls": 0})
             if st.has_min_max:
                 mn, mx = _plain(st.min), _plain(st.max)
-                if entry["min"] is None or mn < entry["min"]:
-                    entry["min"] = mn
-                if entry["max"] is None or mx > entry["max"]:
-                    entry["max"] = mx
+                # NaN poisons every bound comparison (NaN < x and
+                # NaN > x are both False, so a NaN max silently prunes
+                # files that DO match — Spark/DuckDB order NaN above
+                # all values). A row group containing NaN gets no
+                # usable bound: drop the column's stats entirely for
+                # this file (absent stats = never pruned).
+                if mn != mn or mx != mx:
+                    entry["min"] = entry["max"] = None
+                    entry["poisoned"] = True
+                elif not entry.get("poisoned"):
+                    if entry["min"] is None or mn < entry["min"]:
+                        entry["min"] = mn
+                    if entry["max"] is None or mx > entry["max"]:
+                        entry["max"] = mx
             entry["nulls"] += st.null_count or 0
     import os
 
+    for entry in cols.values():
+        entry.pop("poisoned", None)  # build-time marker, not manifest data
     return {
         "rows": md.num_rows,
         "bytes": os.path.getsize(path),

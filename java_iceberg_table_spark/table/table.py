@@ -2360,6 +2360,8 @@ class Table:
         if cstats and cstats.get("min") is not None:
             lo = cstats["min"] if lo is None else max(lo, cstats["min"])
             hi = cstats["max"] if hi is None else min(hi, cstats["max"])
+        if lo != lo or hi != hi:  # legacy NaN bounds: every comparison
+            return True  # below would read False and wrongly prune
         if lo is None:
             return True  # no stats -> cannot prune
         if op == "<":

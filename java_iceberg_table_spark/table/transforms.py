@@ -21,6 +21,20 @@ engine supports:
   executors (write-side bucketing) and the driver (planning-time
   pruning) agree with no shared native library — the same hash-parity
   trick as table/bloom_index.py.
+- ``year/month/day/hour(col)`` — Iceberg temporal transforms over
+  timestamp / date / epoch-µs long columns. The partition value is an
+  integral offset since epoch (years / months / days / hours —
+  Iceberg's own partition-value convention), always computed in UTC
+  calendar terms so the bucket a row lands in never depends on the
+  session timezone (Spark side uses ``unix_micros`` + pure DATE
+  arithmetic, both timezone-free; ``F.year(timestamp_col)`` would
+  silently re-bucket under a different session tz). Temporal buckets
+  are MONOTONIC in the source value but not fixed-width in it
+  (months/years vary), so they carry no value-domain ``bucket_range``;
+  planning prunes them in BUCKET space instead — a range predicate's
+  value maps through ``apply_py`` to a bucket ordinal and entries
+  compare ordinally (see ``Table._entry_may_match``). This is the
+  transform projection Iceberg performs for partition pruning.
 
 Every transform exposes the same surface:
   ``apply_py(v)``        Python-side bucket of one value (planning,

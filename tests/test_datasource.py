@@ -1092,3 +1092,48 @@ def test_connector_as_of_timestamp(ds, base_dir):
         spark.read.format("engine_table").option("root", root).load().count()
         == 20
     )
+
+
+def test_pushdown_skips_float_columns_nan(ds, base_dir):
+    """Spark orders NaN above everything; Arrow uses IEEE semantics.
+    Pushdown must skip floating-point columns entirely or a pushed
+    x > 5.0 would drop the NaN rows Spark's re-applied filter keeps."""
+    spark = ds
+    root = base_dir + "/nan"
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 10.0), (3, float("nan"))], "k long, x double"
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df.coalesce(1))
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("engine_table").option("root", root)
+        .load().filter(F.col("x") > 5.0).collect()
+    )
+    assert got == [2, 3]  # NaN > 5.0 under Spark semantics
+    # and int-column pushdown still engages on the same table
+    assert (
+        spark.read.format("engine_table").option("root", root)
+        .load().filter(F.col("k") < 3).count()
+        == 2
+    )
+
+
+def test_connector_time_travel_options_exclusive(ds, base_dir):
+    """The connector refuses combined time-travel options the same way
+    Table.scan does — silently preferring one would return wrong data."""
+    spark = ds
+    root = base_dir + "/excl"
+    df = spark.createDataFrame([(1,)], "k long")
+    tbl = create_table(root, df.schema)
+    s1 = tbl.append(df)
+    tbl.create_tag("v1")
+    with pytest.raises(Exception, match="at most one"):
+        (
+            spark.read.format("engine_table")
+            .option("root", root)
+            .option("ref", "v1")
+            .option("as_of_timestamp_ms", str(s1.timestamp_ms))
+            .load()
+            .count()
+        )

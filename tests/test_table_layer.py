@@ -803,3 +803,23 @@ def test_timestamp_time_travel(spark, troot):
     # the rolled-back head answers with the RESTORED lineage
     tbl.rollback_to(s1.snapshot_id)
     assert tbl.scan(spark, as_of_ms=now + 10_000).count() == 10
+
+
+def test_nan_stats_never_prune(spark, troot):
+    """A file containing NaN in a double column gets NO stats bound
+    for that column (NaN < x and NaN > x are both False — a NaN max
+    would silently prune files that DO match under Spark/DuckDB
+    semantics, where NaN orders above every value)."""
+    from java_iceberg_table_spark.table import create_table
+
+    root = troot + "/nan"
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 10.0), (3, float("nan"))], "k long, x double"
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df.coalesce(1))
+    st = tbl.plan_files()[0]["columns"]
+    assert st["x"]["min"] is None and st["x"]["max"] is None  # no bound
+    assert st["k"]["min"] == 1 and st["k"]["max"] == 3  # others intact
+    assert len(tbl.plan_files([("x", ">", 5.0)])) == 1  # kept
+    assert sorted(r["k"] for r in tbl.scan(spark, [("x", ">", 5.0)]).collect()) == [2, 3]
