@@ -1320,3 +1320,122 @@ def a3z_engine_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4a_engine_temporal_partition",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(7 AS BIGINT) AS days_hit,
+       true AS pruned
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+""",
+    group="A",
+)
+def a4a_engine_temporal_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day(ts) temporal partition transform (Iceberg year/month/day/
+    hour; partition value = UTC days since epoch). Events land in one
+    file per day; a [start, end) time-range query must prune to
+    EXACTLY the seven covered day partitions — including the boundary
+    sharpening that drops the end-midnight bucket (ts < Jan-17 00:00
+    projects to day <= Jan-16, not <= Jan-17, because the predicate
+    value sits on the bucket's own lower boundary). Buckets are
+    computed with timezone-free calendar arithmetic (unix_micros +
+    DATE reconstruction) so the Spark write path, Arrow connector
+    write path, and driver-side planning agree under any session
+    timezone. days_hit grades the plan shape, not just the row set:
+    temporal layout is what makes retention windows and
+    incremental-day reads O(days touched), not O(table), at 100 TB."""
+    from ..table import day
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    root = tempfile.mkdtemp(prefix="engine_day_") + "/t"
+    try:
+        tbl = create_table(root, events.schema, partition=day("ts"))
+        tbl.append(events)
+        flt = [("ts", ">=", "2024-01-10T00:00:00"), ("ts", "<", "2024-01-17T00:00:00")]
+        hit = tbl.plan_files(flt)
+        days_hit = len({e["partition"] for e in hit})
+        pruned = 0 < len(hit) < len(tbl.plan_files())
+        row = tbl.scan(spark, flt).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("sum_id")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_id"], days_hit, pruned)],
+            "cnt bigint, sum_id bigint, days_hit bigint, pruned boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4b_engine_merge_into",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 7) + 5 AS cnt,
+       CAST((SELECT SUM(o_orderkey) FROM orders WHERE o_orderkey % 10 <> 7)
+            + 50000000015 AS BIGINT) AS sum_key,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3) AS n_updated,
+       CAST(5 AS BIGINT) AS n_inserted,
+       true AS atomic_single_commit
+""",
+    group="A",
+)
+def a4b_engine_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (Iceberg RowDelta / Delta MERGE semantics) as ONE
+    atomic merge-on-read commit: WHEN MATCHED AND cond THEN DELETE,
+    WHEN MATCHED THEN UPDATE SET (expressions over t./s.), WHEN NOT
+    MATCHED THEN INSERT. The commit carries an equality-delete entry
+    and the replacement/insert files at the SAME sequence number — the
+    delete masks superseded row versions in older files, never its own
+    replacements, and NO existing data file is rewritten. Orders whose
+    key ends in 3 get their comment updated, keys ending in 7 are
+    deleted, five synthetic keys insert; the oracle reconstructs the
+    post-merge state with plain SQL. atomic_single_commit grades the
+    commit shape: exactly one snapshot, operation 'merge' — at 100 TB
+    a merge touching 0.1% of keys writes 0.1% of the data, where
+    copy-on-write rewrites every candidate file."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="engine_mi_") + "/t"
+    try:
+        tbl = create_table(root, orders.schema)
+        tbl.append(orders)
+        matched_src = orders.filter(
+            F.col("o_orderkey") % 10 == 3
+        ).withColumn("o_orderpriority", F.lit("MERGED")).unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 7)
+        )
+        inserts = spark.createDataFrame(
+            [(10_000_000_000 + i, "NEW") for i in range(1, 6)],
+            "o_orderkey long, o_orderpriority string",
+        )
+        n_before = len(tbl.snapshots())
+        res = tbl.merge_into(
+            spark,
+            matched_src.unionByName(inserts),
+            ["o_orderkey"],
+            update={"o_orderpriority": "s.o_orderpriority"},
+            delete_condition="s.o_orderkey % 10 = 7",
+            insert=True,
+        )
+        snaps = tbl.snapshots()
+        atomic = (
+            len(snaps) == n_before + 1
+            and snaps[-1].operation == "merge"
+            and res["inserted_rows"] == 5
+        )
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.count(F.when(F.col("o_orderpriority") == "MERGED", 1)).alias("n_updated"),
+            F.count(F.when(F.col("o_orderpriority") == "NEW", 1)).alias("n_inserted"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], row["n_updated"], row["n_inserted"], atomic)],
+            "cnt bigint, sum_key bigint, n_updated bigint, n_inserted bigint, "
+            "atomic_single_commit boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -11,6 +11,17 @@ PySpark with no Iceberg jar.
 """
 
 from .table import Table, create_table, load_table
-from .transforms import bucket, identity, truncate
+from .transforms import bucket, day, hour, identity, month, truncate, year
 
-__all__ = ["Table", "create_table", "load_table", "truncate", "identity", "bucket"]
+__all__ = [
+    "Table",
+    "create_table",
+    "load_table",
+    "truncate",
+    "identity",
+    "bucket",
+    "year",
+    "month",
+    "day",
+    "hour",
+]

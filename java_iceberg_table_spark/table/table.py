@@ -131,6 +131,45 @@ def _current_projection(schema: StructType, renames: dict[str, list[str]]):
     return cols
 
 
+def _normalize_stat_value(val):
+    """Predicate value -> the rendering footer stats use: datetimes and
+    dates become their ISO string (stats.py _plain stores temporal
+    bounds as isoformat; ISO lexicographic order == temporal order even
+    across mixed fractional precision). The connector's pushed filters
+    carry real datetime objects, Table.scan callers often pass ISO
+    strings — both must compare against the same stat strings."""
+    import datetime as _dt2
+
+    if isinstance(val, (_dt2.datetime, _dt2.date)):
+        return val.isoformat()
+    return val
+
+
+def _on_bucket_start(t, val, vb: int) -> bool:
+    """True when ``val`` is exactly the inclusive lower boundary of
+    bucket ``vb`` — the sharpening that lets ``ts < midnight`` drop the
+    midnight bucket. Conservative False on any parse trouble."""
+    start = getattr(t, "bucket_start_us", None)
+    if start is None:
+        return False
+    try:
+        from .transforms import _value_to_epoch_us
+
+        return _value_to_epoch_us(val) <= start(vb)
+    except (TypeError, ValueError):
+        return False
+
+
+def _dtype_of(df, column: str) -> str | None:
+    """simpleString dtype of one DataFrame column, None if absent —
+    transforms branch on it (a temporal transform reads a timestamp
+    via unix_micros but a long as epoch-µs directly)."""
+    try:
+        return df.schema[column].dataType.simpleString()
+    except Exception:
+        return None
+
+
 BLOOM_PROBE_CAP = 256
 
 
@@ -457,7 +496,10 @@ class Table:
             from ..sources.avro_io import write_avro_manifest_df
 
             if t is not None:
-                bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
+                bucketed = df.withColumn(
+                    "__pb",
+                    t.apply_col(t.source_column, _dtype_of(df, t.source_column)),
+                )
                 if n_tasks is not None:
                     bucketed = bucketed.repartition(n_tasks, "__pb")
                 if sort_order:
@@ -494,7 +536,9 @@ class Table:
                 if f["rows"] > 0
             ]
         if t is not None:
-            bucketed = df.withColumn("__pb", t.apply_col(t.source_column))
+            bucketed = df.withColumn(
+                "__pb", t.apply_col(t.source_column, _dtype_of(df, t.source_column))
+            )
             if n_tasks is not None:
                 bucketed = bucketed.repartition(n_tasks, "__pb")
             if sort_order:
@@ -845,8 +889,9 @@ class Table:
             if tr.bucket_range(0) is None:
                 raise ValueError(
                     f"metadata-only retention delete needs a range-aligned "
-                    f"transform (truncate/identity); spec {sid} is a hash "
-                    f"bucket — use delete_rows / delete_where_mor"
+                    f"transform (truncate/identity); spec {sid} "
+                    f"({tr.to_json()['transform']}) carries no value-domain "
+                    f"range — use delete_rows / delete_where_mor"
                 )
             if value % tr.width != 0:
                 raise ValueError(
@@ -1050,6 +1095,249 @@ class Table:
                     "upserted_rows": sum(e["rows"] for e in inserted),
                 }
         raise fmt.CommitConflict("upsert lost the commit race 3 times")
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+        *,
+        update: dict[str, str] | str | None = "all",
+        update_condition: str | None = None,
+        delete_condition: str | None = None,
+        insert: bool = True,
+    ) -> dict[str, int]:
+        """MERGE INTO (Iceberg/Delta semantics), merge-on-read flavor:
+
+          WHEN MATCHED AND <delete_condition> THEN DELETE
+          WHEN MATCHED [AND <update_condition>] THEN UPDATE SET ...
+          WHEN NOT MATCHED THEN INSERT *            (``insert=True``)
+
+        Clause order is DELETE before UPDATE (first match wins, Delta's
+        contract). ``update='all'`` replaces the whole row with the
+        source row; a dict maps target columns to SQL expressions over
+        ``t.*`` (target) and ``s.*`` (source), e.g.
+        ``{"qty": "t.qty + s.qty"}``. Conditions are SQL over the same
+        aliases.
+
+        Cost is O(changes), not O(table): matched rows come from
+        key-bound-pruned candidate files only; the change lands as ONE
+        atomic snapshot carrying an equality-delete entry (seq N —
+        masks the superseded row versions in files at seq < N) plus
+        the replacement/insert data files (stamped seq N, so the
+        delete they travel with can never mask them). No existing data
+        file is rewritten — at 100 TB a merge touching 0.1%% of keys
+        writes 0.1%% of the data and zero rewrites, where
+        copy-on-write ``upsert`` rewrites every candidate file."""
+        if update is None and delete_condition is None and not insert:
+            raise ValueError("merge_into with no clauses would do nothing")
+        cols = [f.name for f in self.schema().fields]
+        missing = [c for c in on if c not in cols]
+        if missing:
+            raise ValueError(f"merge keys not in table schema: {missing}")
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            entries = self.files_of(snap) if snap is not None else []
+            bounds_row = source.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in on],
+                *[F.max(c).alias(f"hi_{c}") for c in on],
+            ).collect()[0]
+
+            def may_hold(e: dict) -> bool:
+                for c in on:
+                    lo, hi = bounds_row[f"lo_{c}"], bounds_row[f"hi_{c}"]
+                    if lo is None:
+                        return False  # empty source: nothing matches
+                    cstats = e.get("columns", {}).get(c)
+                    if not cstats or cstats.get("min") is None:
+                        continue  # no stats: must assume overlap
+                    if cstats["max"] < lo or cstats["min"] > hi:
+                        return False
+                return True
+
+            cands = [e for e in entries if may_hold(e)]
+            src = source.alias("s")
+            schema = self.schema()
+
+            def aligned(df: DataFrame) -> DataFrame:
+                return df.select(
+                    [F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
+                )
+
+            matched = None
+            if cands:
+                # explicit t./s. join condition (not USING) so clause
+                # expressions can reference both sides of the key
+                tgt = self._read_with_deletes(spark, cands, snap).alias("t")
+                cond = None
+                for c in on:
+                    eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+                    cond = eq if cond is None else (cond & eq)
+                matched = tgt.join(F.broadcast(src), cond, "inner")
+            deletes = updates = None
+            del_cond = F.expr(delete_condition) if delete_condition else F.lit(False)
+            if matched is not None:
+                if delete_condition:
+                    deletes = matched.filter(del_cond)
+                if update is not None:
+                    upd = matched.filter(~del_cond)
+                    if update_condition:
+                        upd = upd.filter(F.expr(update_condition))
+                    if update == "all":
+                        updates = aligned(
+                            upd.select([F.col(f"s.{c}").alias(c) for c in cols])
+                        )
+                    else:
+                        bad = [c for c in update if c not in cols]
+                        if bad:
+                            raise ValueError(f"update targets not in schema: {bad}")
+                        updates = aligned(
+                            upd.select(
+                                [
+                                    F.expr(update[c]).alias(c)
+                                    if c in update
+                                    else F.col(f"t.{c}").alias(c)
+                                    for c in cols
+                                ]
+                            )
+                        )
+            changed_keys = None
+            n_deleted = n_updated = 0
+            for piece, counter in ((deletes, "del"), (updates, "upd")):
+                if piece is None:
+                    continue
+                # superseded row versions are keyed by the TARGET row's
+                # key (== source key under the equi-join)
+                pk = (
+                    piece.select([F.col(f"t.{c}").alias(c) for c in on])
+                    if counter == "del"
+                    else piece.select(*on)
+                )
+                n = pk.count()
+                if counter == "del":
+                    n_deleted = n
+                else:
+                    n_updated = n
+                changed_keys = (
+                    pk if changed_keys is None else changed_keys.unionByName(pk)
+                )
+            inserts = None
+            n_inserted = 0
+            if insert:
+                inserts = src
+                if cands:
+                    tgt_keys = self._read_with_deletes(spark, cands, snap).select(*on)
+                    inserts = src.join(tgt_keys, on, "left_anti")
+                inserts = aligned(inserts)
+                n_inserted = inserts.count()
+                if n_inserted == 0:
+                    inserts = None
+            new_data = None
+            for piece in (updates, inserts):
+                if piece is None:
+                    continue
+                new_data = piece if new_data is None else new_data.unionByName(piece)
+            del_entry, n_del_files = (
+                self._build_eq_delete_entry(changed_keys, list(on))
+                if changed_keys is not None
+                else (None, 0)
+            )
+            data_entries = (
+                self._write_data_files(new_data, prefix="mi")
+                if new_data is not None
+                else []
+            )
+            if del_entry is None and not data_entries:
+                return {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0}
+            committed = self._commit_row_delta(
+                snap.snapshot_id if snap is not None else None,
+                del_entry,
+                data_entries,
+                {
+                    "merged-update-rows": n_updated,
+                    "merged-delete-rows": n_deleted,
+                    "merged-insert-rows": n_inserted,
+                    **(
+                        {"added-equality-deletes": del_entry["rows"],
+                         "added-delete-files": n_del_files}
+                        if del_entry is not None
+                        else {}
+                    ),
+                },
+            )
+            if committed:
+                return {
+                    "updated_rows": n_updated,
+                    "deleted_rows": n_deleted,
+                    "inserted_rows": n_inserted,
+                }
+        raise fmt.CommitConflict("merge_into lost the commit race 3 times")
+
+    def _commit_row_delta(
+        self,
+        expected_parent: int | None,
+        del_entry: dict | None,
+        data_entries: list[dict],
+        summary: dict,
+    ) -> Snapshot | None:
+        """One atomic 'merge' snapshot adding an equality-delete entry
+        AND new data files with the SAME sequence number: the delete
+        masks only rows in files at seq < N, so the replacement rows it
+        travels with are never masked — the row-delta commit shape
+        MERGE needs (Iceberg RowDelta). Refuses (returns None, caller
+        retries) when the head moved past the snapshot the delta was
+        computed against — the matched set may be stale."""
+        result: list[Snapshot] = []
+        stale: list[str] = []
+
+        def build(current: TableMetadata) -> TableMetadata | None:
+            for rel in stale:  # lost-CAS leftovers
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+            stale.clear()
+            parent = current.current_snapshot()
+            parent_id = parent.snapshot_id if parent else None
+            if parent_id != expected_parent:
+                result.clear()
+                return None  # computed against a stale head: recompute
+            seq = (parent.sequence if parent else 0) + 1
+            manifests = list(parent.manifests) if parent else []
+            delete_manifests = list(parent.delete_manifests) if parent else []
+            if data_entries:
+                m = fmt.write_manifest(
+                    self.root, [{**e, "seq": seq} for e in data_entries]
+                )
+                stale.append(m)
+                manifests = manifests + [m]
+            if del_entry is not None:
+                dm = fmt.write_manifest(self.root, [{**del_entry, "seq": seq}])
+                stale.append(dm)
+                delete_manifests = delete_manifests + [dm]
+            snap = Snapshot(
+                snapshot_id=fmt.new_snapshot_id(),
+                parent_id=parent_id,
+                timestamp_ms=fmt.now_ms(),
+                schema_id=current.current_schema_id,
+                operation="merge",
+                manifests=manifests,
+                sequence=seq,
+                delete_manifests=delete_manifests,
+                summary=summary,
+            )
+            result.clear()
+            result.append(snap)
+            return replace(
+                current,
+                version=current.version + 1,
+                snapshots=current.snapshots + [snap],
+                current_snapshot_id=snap.snapshot_id,
+            )
+
+        fmt.commit(self.root, build)
+        return result[0] if result else None
 
     # ---------- merge-on-read row-level deletes (Iceberg v2) ----------
 
@@ -1408,6 +1696,28 @@ class Table:
         value, so it is dropped here rather than written — a mistyped
         key committed raw would poison every subsequent read (the MOR
         key frame is typed through the schema at scan time)."""
+        entry, n_files = self._build_eq_delete_entry(keys, key_cols)
+        if entry is None:
+            return None
+        return self._commit_deletes(
+            entry,
+            {
+                "added-delete-files": n_files,
+                **({"added-dvs": 1} if n_files == 0 else {}),
+                "added-equality-deletes": entry["rows"],
+                **(extra_summary or {}),
+            },
+        )
+
+    def _type_keys_through_schema(
+        self, keys: DataFrame, key_cols: list[str]
+    ) -> DataFrame:
+        """Cast key columns to the TABLE schema's types with a
+        round-trip guard: a key the column type cannot represent
+        exactly (3.5 against a long column) can never equal any stored
+        value, so it is dropped rather than committed — a mistyped key
+        would poison every subsequent read (the MOR key frame is typed
+        through the schema at scan time)."""
         tbl_types = {f.name: f.dataType for f in self.schema().fields}
         for c in key_cols:
             tgt = tbl_types.get(c)
@@ -1417,6 +1727,18 @@ class Table:
                 keys = keys.filter(
                     cast.isNotNull() & (cast.cast(src) == F.col(c))
                 ).withColumn(c, cast)
+        return keys
+
+    def _build_eq_delete_entry(
+        self, keys: DataFrame, key_cols: list[str]
+    ) -> tuple[dict | None, int]:
+        """(manifest delete entry, delete-files-written) for an
+        equality-delete key set — inline-DV fast path for small
+        JSON-representable key sets (the delete writes no files),
+        parquet delete file otherwise. None when the key set is empty.
+        Keys are typed through the table schema first (round-trip
+        guard). Shared by delete_eq_mor and merge_into."""
+        keys = self._type_keys_through_schema(keys, key_cols)
         distinct = keys.select(*key_cols).dropDuplicates(key_cols)
         # inline-DV fast path, same rationale as position deletes: a
         # small key set rides in the manifest entry and the delete
@@ -1430,35 +1752,24 @@ class Table:
         )
         if inlinable:
             if not probe:
-                return None
-            rows = len(probe)
-            return self._commit_deletes(
-                {
-                    "path": None,
-                    "content": "eq",
-                    "cols": list(key_cols),
-                    "rows": rows,
-                    "keys": [list(r) for r in probe],
-                },
-                {
-                    "added-delete-files": 0,
-                    "added-dvs": 1,
-                    "added-equality-deletes": rows,
-                    **(extra_summary or {}),
-                },
-            )
+                return None, 0
+            return {
+                "path": None,
+                "content": "eq",
+                "cols": list(key_cols),
+                "rows": len(probe),
+                "keys": [list(r) for r in probe],
+            }, 0
         written = self._write_delete_file(distinct)
         if written is None:
-            return None
+            return None, 0
         rel, rows = written
-        return self._commit_deletes(
-            {"path": rel, "content": "eq", "cols": list(key_cols), "rows": rows},
-            {
-                "added-delete-files": 1,
-                "added-equality-deletes": rows,
-                **(extra_summary or {}),
-            },
-        )
+        return {
+            "path": rel,
+            "content": "eq",
+            "cols": list(key_cols),
+            "rows": rows,
+        }, 1
 
     def rewrite_deletes(self, spark: SparkSession) -> dict[str, int]:
         """Materialize pending MOR deletes copy-on-write and drop the
@@ -2094,6 +2405,7 @@ class Table:
         the column has zero nulls (a null row fails any comparison).
         Conservative by construction — False just means 'must scan'."""
         col, op, val = flt
+        val = _normalize_stat_value(val)
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
             rng = t.bucket_range(entry["partition"])
@@ -2107,16 +2419,19 @@ class Table:
         nulls = (cstats or {}).get("nulls")
         if lo is None or hi is None or nulls is None or nulls > 0:
             return False
-        if op == "<":
-            return hi < val
-        if op == "<=":
-            return hi <= val
-        if op == ">":
-            return lo > val
-        if op == ">=":
-            return lo >= val
-        if op in ("=", "=="):
-            return lo == val == hi
+        try:
+            if op == "<":
+                return hi < val
+            if op == "<=":
+                return hi <= val
+            if op == ">":
+                return lo > val
+            if op == ">=":
+                return lo >= val
+            if op in ("=", "=="):
+                return lo == val == hi
+        except TypeError:
+            return False  # incomparable types: not provably certain
         return False
 
     def count_rows(
@@ -2266,6 +2581,10 @@ class Table:
         (spec_id, evolution-aware) — a CASE chain over the spec log,
         which is metadata-scale (a handful of literals)."""
         col, op, val = flt
+        # datetime predicates compare against ISO-string stat bounds —
+        # F.lit(datetime).cast("string") would render with a space
+        # separator and mis-order against the 'T'-separated stats
+        val = _normalize_stat_value(val)
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
         typ = "decimal(38,9)" if numeric else "string"
         stats = F.col("columns").getItem(col)
@@ -2279,16 +2598,43 @@ class Table:
             if t is not None and col == t.source_column:
                 hit = (sid == F.lit(spec_id)) & F.col("partition").isNotNull()
                 if t.bucket_range(0) is None:
-                    # hash bucket: no range info, but an equality
-                    # predicate maps to exactly one bucket — computed
-                    # driver-side as a literal (hash parity via CRC32).
+                    # no value-domain range info. An equality predicate
+                    # still maps to exactly one bucket — computed
+                    # driver-side as a literal (hash parity via CRC32
+                    # for bucket[N]; UTC calendar math for temporal).
                     # Same type guard as may_contain: only int/str
                     # values render identically to the stored column.
-                    if op in ("=", "==") and isinstance(val, (int, str)) and not isinstance(val, bool):
-                        bucket_keep = bucket_keep & ~(
-                            hit
-                            & (F.col("partition") != F.lit(t.apply_py(val)))
-                        )
+                    # MONOTONIC bucketless transforms (year/month/day/
+                    # hour) additionally project range predicates into
+                    # bucket space, mirroring _entry_may_match.
+                    vb = None
+                    if isinstance(val, (int, str)) and not isinstance(val, bool):
+                        try:
+                            vb = t.apply_py(val)
+                        except (TypeError, ValueError):
+                            vb = None
+                    if vb is not None:
+                        if op in ("=", "=="):
+                            bucket_keep = bucket_keep & ~(
+                                hit & (F.col("partition") != F.lit(vb))
+                            )
+                        elif getattr(t, "monotonic", False):
+                            if op in ("<", "<="):
+                                # boundary sharpening mirrors
+                                # _entry_may_match: ts < V with V on
+                                # the bucket start drops that bucket
+                                lim = (
+                                    vb - 1
+                                    if op == "<" and _on_bucket_start(t, val, vb)
+                                    else vb
+                                )
+                                bucket_keep = bucket_keep & ~(
+                                    hit & (F.col("partition") > F.lit(lim))
+                                )
+                            elif op in (">", ">="):
+                                bucket_keep = bucket_keep & ~(
+                                    hit & (F.col("partition") < F.lit(vb))
+                                )
                     continue
                 plo = F.when(hit, F.col("partition").cast(typ)).otherwise(plo)
                 phi = F.when(
@@ -2345,6 +2691,7 @@ class Table:
         entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         col, op, val = flt
+        val = _normalize_stat_value(val)
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
             # equality pruning works for EVERY transform (a hash
@@ -2356,6 +2703,29 @@ class Table:
             if rng is not None:  # hash buckets carry no range info
                 lo, hi = rng
                 hi = hi - 1  # inclusive bound
+            elif getattr(t, "monotonic", False):
+                # temporal buckets: not value-range-expressible (months
+                # vary in width) but MONOTONIC, so project the predicate
+                # value into bucket space and prune ordinally — Iceberg's
+                # transform projection. bucket(v) < bucket(V) implies
+                # v < V (and symmetrically), so a file whose bucket lies
+                # strictly on the wrong side can hold no matching row.
+                try:
+                    vb = t.apply_py(val)
+                except (TypeError, ValueError):
+                    vb = None
+                if vb is not None:
+                    b = entry["partition"]
+                    if op in ("<", "<=") and b > vb:
+                        return False
+                    if op in (">", ">=") and b < vb:
+                        return False
+                    # boundary sharpening: ts < V with V exactly ON the
+                    # bucket's lower boundary (the canonical [start,
+                    # end) range query) prunes the end bucket as well —
+                    # it holds no value strictly below its own start
+                    if op == "<" and b == vb and _on_bucket_start(t, val, vb):
+                        return False
         cstats = entry.get("columns", {}).get(col)
         if cstats and cstats.get("min") is not None:
             lo = cstats["min"] if lo is None else max(lo, cstats["min"])
@@ -2364,16 +2734,23 @@ class Table:
             return True  # below would read False and wrongly prune
         if lo is None:
             return True  # no stats -> cannot prune
-        if op == "<":
-            return lo < val
-        if op == "<=":
-            return lo <= val
-        if op == ">":
-            return hi > val
-        if op == ">=":
-            return hi >= val
+        try:
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+        except TypeError:
+            return True  # incomparable predicate/stat types: keep
         if op in ("=", "=="):
-            if not lo <= val <= hi:
+            try:
+                inside = lo <= val <= hi
+            except TypeError:
+                return True
+            if not inside:
                 return False
             # manifest-level Bloom probe: min/max admits the file, but
             # the per-file filter can still prove the key absent —

@@ -55,6 +55,7 @@ comparisons stay type-stable end to end.
 
 from __future__ import annotations
 
+import datetime as _dt
 import zlib
 from dataclasses import dataclass
 
@@ -67,10 +68,14 @@ class TruncateTransform:
     source_column: str
     width: int
 
+    # monotone non-decreasing in the source value: range predicates
+    # project into bucket space (see Table._entry_may_match)
+    monotonic = True
+
     def apply_py(self, value: int) -> int:
         return value - (value % self.width)  # Python % is already floor-mod
 
-    def apply_col(self, col: Column | str) -> Column:
+    def apply_col(self, col: Column | str, dtype: str | None = None) -> Column:
         c = F.col(col) if isinstance(col, str) else col
         return c - F.pmod(c, F.lit(self.width))
 
@@ -120,10 +125,12 @@ class IdentityTransform:
     # width of the conceptual bucket: identity is truncate(1) over ints
     width: int = 1
 
+    monotonic = True
+
     def apply_py(self, value: int) -> int:
         return int(value)
 
-    def apply_col(self, col: Column | str) -> Column:
+    def apply_col(self, col: Column | str, dtype: str | None = None) -> Column:
         c = F.col(col) if isinstance(col, str) else col
         return c.cast("long")
 
@@ -159,10 +166,12 @@ class BucketTransform:
     source_column: str
     n: int
 
+    monotonic = False  # hashing destroys order: equality pruning only
+
     def apply_py(self, value) -> int:
         return _crc_bucket(value, self.n)
 
-    def apply_col(self, col: Column | str) -> Column:
+    def apply_col(self, col: Column | str, dtype: str | None = None) -> Column:
         c = F.col(col) if isinstance(col, str) else col
         # CRC32 over the string rendering — bit-identical to apply_py
         # for integer and string columns (Spark's CAST(long AS STRING)
@@ -208,12 +217,165 @@ class BucketTransform:
         return BucketTransform(d["source_column"], int(d["n"]))
 
 
-Transform = TruncateTransform | IdentityTransform | BucketTransform
+_US_PER = {"hour": 3_600_000_000, "day": 86_400_000_000}
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _value_to_epoch_us(value) -> int:
+    """One value -> epoch microseconds, UTC. Accepts the renderings a
+    predicate or a data row can arrive in: datetime (naive = UTC, the
+    engine's storage convention; aware converted), date (UTC
+    midnight), ISO-8601 string, or a raw int already in the engine's
+    epoch-µs convention (Constants.java:25 — timeperiod columns)."""
+    import calendar
+
+    if isinstance(value, bool):
+        raise TypeError("boolean is not a temporal value")
+    if isinstance(value, int):
+        return value  # already epoch µs (engine long convention)
+    if isinstance(value, str):
+        value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.datetime):
+        # timegm is the tz-free inverse of utctimetuple: no dependence
+        # on the host timezone, unlike datetime.timestamp() on naives
+        return (
+            calendar.timegm(value.utctimetuple()) * 1_000_000
+            + value.microsecond
+        )
+    if isinstance(value, _dt.date):
+        return calendar.timegm(value.timetuple()) * 1_000_000
+    # numpy.datetime64 / pandas.Timestamp without importing either:
+    # both expose .to_pydatetime()/.astype — try the generic protocols
+    to_py = getattr(value, "to_pydatetime", None)
+    if to_py is not None:
+        return _value_to_epoch_us(to_py())
+    astype = getattr(value, "astype", None)
+    if astype is not None:
+        return int(value.astype("datetime64[us]").astype("int64"))
+    raise TypeError(f"not a temporal value: {value!r}")
+
+
+@dataclass(frozen=True)
+class TemporalTransform:
+    """Iceberg ``year``/``month``/``day``/``hour`` partition transform.
+
+    Partition value = integral UTC offset since epoch at the chosen
+    granularity (Iceberg's partition-value convention: 2024-03-05
+    under ``day`` is 19787). Monotonic in the source value, so range
+    predicates prune ordinally in bucket space; not range-expressible
+    back into the value domain (months and years vary in width), so
+    ``bucket_range`` is None and value-domain pruning falls to footer
+    stats.
+    """
+
+    source_column: str
+    granularity: str  # "year" | "month" | "day" | "hour"
+
+    monotonic = True
+
+    def apply_py(self, value) -> int:
+        us = _value_to_epoch_us(value)
+        days = us // 86_400_000_000
+        if self.granularity == "hour":
+            return us // 3_600_000_000
+        if self.granularity == "day":
+            return days
+        d = _EPOCH_DATE + _dt.timedelta(days=days)
+        if self.granularity == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        return d.year - 1970
+
+    def apply_col(self, col: Column | str, dtype: str | None = None) -> Column:
+        """Timezone-free Spark expression for the same bucket.
+
+        ``unix_micros`` (exact long, no tz) for timestamps; ``datediff``
+        against epoch for dates; raw value for epoch-µs longs. Calendar
+        fields are then taken from a reconstructed DATE — ``F.year`` on
+        a DATE is pure calendar arithmetic, where ``F.year`` on a
+        TIMESTAMP would re-interpret under the session timezone and
+        disagree with apply_py's UTC buckets."""
+        c = F.col(col) if isinstance(col, str) else col
+        if dtype == "date":
+            days = F.datediff(c, F.to_date(F.lit("1970-01-01")))
+            if self.granularity == "day":
+                return days.cast("long")
+            if self.granularity == "month":
+                return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
+            if self.granularity == "year":
+                return (F.year(c) - 1970).cast("long")
+            raise ValueError("hour() is not defined on a date column")
+        if dtype in ("timestamp", "timestamp_ntz", None):
+            us = F.unix_micros(c.cast("timestamp"))
+        else:  # integral column already in engine epoch-µs convention
+            us = c.cast("long")
+        if self.granularity in _US_PER:
+            per = _US_PER[self.granularity]
+            return ((us - F.pmod(us, F.lit(per))) / F.lit(per)).cast("long")
+        days = ((us - F.pmod(us, F.lit(86_400_000_000))) / F.lit(86_400_000_000)).cast(
+            "int"
+        )
+        d = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+        if self.granularity == "month":
+            return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("long")
+        return (F.year(d) - 1970).cast("long")
+
+    def bucket_range(self, bucket: int) -> None:
+        return None  # not value-range-expressible; prune in bucket space
+
+    def bucket_start_us(self, bucket: int) -> int:
+        """Epoch-µs of the bucket's inclusive lower boundary. Lets the
+        pruner sharpen ``ts < V`` when V sits exactly ON a boundary
+        (the canonical [start, end) time-range query): the end bucket
+        then contains no matching value and is pruned too."""
+        if self.granularity in _US_PER:
+            return bucket * _US_PER[self.granularity]
+        if self.granularity == "month":
+            y, m = 1970 + bucket // 12, bucket % 12 + 1
+            d = _dt.date(y, m, 1)
+        else:
+            d = _dt.date(1970 + bucket, 1, 1)
+        return (d - _EPOCH_DATE).days * 86_400_000_000
+
+    def may_contain(self, bucket: int, value) -> bool:
+        try:
+            return bucket == self.apply_py(value)
+        except (TypeError, ValueError):
+            return True  # unparseable predicate value: cannot prune
+
+    def apply_arrow(self, col):
+        """Executor-side Arrow bucketing: to_pylist yields datetime /
+        date / int per the column's logical type — exactly the types
+        apply_py accepts — so the loop shares one bucket definition
+        with the Spark and planning paths. Per-task and parallel, same
+        shape as BucketTransform.apply_arrow."""
+        import pyarrow as pa
+
+        return pa.array(
+            (None if v is None else self.apply_py(v) for v in col.to_pylist()),
+            type=pa.int64(),
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "transform": self.granularity,
+            "source_column": self.source_column,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TemporalTransform":
+        assert d["transform"] in ("year", "month", "day", "hour")
+        return TemporalTransform(d["source_column"], d["transform"])
+
+
+Transform = (
+    TruncateTransform | IdentityTransform | BucketTransform | TemporalTransform
+)
 
 _KINDS = {
     "truncate": TruncateTransform,
     "identity": IdentityTransform,
     "bucket": BucketTransform,
+    **{k: TemporalTransform for k in ("year", "month", "day", "hour")},
 }
 
 
@@ -251,6 +413,15 @@ def validate_transform(t: Transform | None, schema) -> None:
                 f"bucket[N] needs an integer or string column; "
                 f"{t.source_column!r} is {ds}"
             )
+    elif isinstance(t, TemporalTransform):
+        temporal = ds in ("timestamp", "timestamp_ntz", "date") or integral
+        if not temporal:
+            raise ValueError(
+                f"{t.granularity}() needs a timestamp, date, or epoch-µs "
+                f"integer column; {t.source_column!r} is {ds}"
+            )
+        if ds == "date" and t.granularity == "hour":
+            raise ValueError("hour() is not defined on a date column")
     elif not integral:
         raise ValueError(
             f"{type(t).__name__} needs an integer column; "
@@ -270,3 +441,19 @@ def bucket(source_column: str, n: int) -> BucketTransform:
     if n <= 0:
         raise ValueError("bucket(N) requires N >= 1")
     return BucketTransform(source_column, n)
+
+
+def year(source_column: str) -> TemporalTransform:
+    return TemporalTransform(source_column, "year")
+
+
+def month(source_column: str) -> TemporalTransform:
+    return TemporalTransform(source_column, "month")
+
+
+def day(source_column: str) -> TemporalTransform:
+    return TemporalTransform(source_column, "day")
+
+
+def hour(source_column: str) -> TemporalTransform:
+    return TemporalTransform(source_column, "hour")

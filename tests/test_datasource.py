@@ -1137,3 +1137,42 @@ def test_connector_time_travel_options_exclusive(ds, base_dir):
             .load()
             .count()
         )
+
+
+def test_connector_writes_day_partitioned(ds, base_dir):
+    """The connector's executor write path buckets rows with a
+    temporal transform (UTC calendar parity with planning): a
+    time-range read through the connector afterwards prunes to the
+    matching day partitions."""
+    import datetime as dt
+
+    spark = ds
+    from java_iceberg_table_spark.table import day
+
+    root = base_dir + "/dayw"
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=6 * i)) for i in range(40)],
+        "k long, ts timestamp",
+    )
+    create_table(root, df.schema, partition=day("ts"))
+    df.write.format("engine_table").option("root", root).mode("append").save()
+    tbl = open_table(root)
+    day0 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    assert {e["partition"] for e in tbl.plan_files()} == set(
+        range(day0, day0 + 10)
+    )
+    hit = tbl.plan_files(
+        [("ts", ">=", "2024-03-04T00:00:00"), ("ts", "<", "2024-03-05T00:00:00")]
+    )
+    assert {e["partition"] for e in hit} == {day0 + 3}
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("engine_table").option("root", root).load()
+        .filter(
+            (F.col("ts") >= "2024-03-04 00:00:00")
+            & (F.col("ts") < "2024-03-05 00:00:00")
+        )
+        .collect()
+    )
+    assert got == [12, 13, 14, 15]

@@ -82,6 +82,7 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 "spec_evolve",
                 "branch_wap",
                 "rollback",
+                "merge",
             ]
         )
         if op == "append":
@@ -136,13 +137,26 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
         elif op == "spec_evolve":
             # metadata-only: future appends bucket under the new spec,
             # existing entries keep pruning under their own spec_id
-            from java_iceberg_table_spark.table import bucket, identity, truncate
+            from java_iceberg_table_spark.table import (
+                bucket,
+                day,
+                hour,
+                identity,
+                truncate,
+            )
 
-            choice = rng.choice(["truncate", "bucket", "identity", "none"])
+            choice = rng.choice(
+                ["truncate", "bucket", "identity", "day", "hour", "none"]
+            )
             new_spec = {
                 "truncate": lambda: truncate(key_name, rng.choice([4, 8])),
                 "bucket": lambda: bucket(key_name, rng.choice([2, 3, 4])),
                 "identity": lambda: identity(key_name),
+                # temporal over the integral key read as epoch-µs (the
+                # engine's long convention): exercises the monotonic
+                # bucketless transform through every read path
+                "day": lambda: day(key_name),
+                "hour": lambda: hour(key_name),
                 "none": lambda: None,
             }[choice]()
             tbl.update_partition_spec(new_spec)
@@ -173,6 +187,20 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 sid, saved = rng.choice(cands)
                 tbl.rollback_to(sid)
                 model = list(saved)
+        elif op == "merge" and model:
+            # MERGE INTO row delta: update some existing keys, insert
+            # fresh ones — one atomic commit whose eq-delete must mask
+            # exactly the superseded versions, never its replacements
+            upd = rng.sample([k for k, _ in model], min(2, len(model)))
+            ins = [next_k, next_k + 1]
+            next_k += 2
+            rows = [(k, f"m{k}") for k in upd] + [(k, f"i{k}") for k in ins]
+            sdf = spark.createDataFrame(
+                rows,
+                f"{key_name} {'long' if did_widen else key_type}, {val_name} string",
+            )
+            tbl.merge_into(spark, sdf, [key_name], update="all", insert=True)
+            model = [(k, v) for k, v in model if k not in upd] + rows
         elif op == "compact" and model:
             # content-invariant maintenance: the model must not move
             tbl.compact_data_files(spark)

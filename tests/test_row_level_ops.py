@@ -175,3 +175,110 @@ def test_upsert_multi_bucket_single_write_job(spark, tmp_path):
     for i in range(600):
         expect_v = "UP" if i % 7 == 0 else f"v{i}"
         assert (i, expect_v) in got
+
+
+def test_merge_into_clauses(spark, tmp_path):
+    """MERGE INTO, merge-on-read row-delta: DELETE clause first, then
+    conditional UPDATE SET (expressions over t./s.), then INSERT for
+    unmatched — all landing as ONE atomic 'merge' snapshot whose
+    eq-delete (seq N) masks superseded versions in files at seq < N
+    while the replacement rows (also seq N) survive."""
+    root = str(tmp_path / "mi")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)], "k long, v string, x double"
+    )
+    tbl = create_table(root, df.schema, partition=truncate("k", 25))
+    tbl.append(df)
+    src = spark.createDataFrame(
+        [
+            (i, f"s{i}", float(i) + 1000)
+            for i in [*range(10, 20), *range(90, 95), *range(200, 205)]
+        ],
+        "k long, v string, x double",
+    )
+    res = tbl.merge_into(
+        spark,
+        src,
+        ["k"],
+        update={"x": "s.x", "v": "s.v"},
+        delete_condition="s.k >= 90",
+        insert=True,
+    )
+    assert res == {"updated_rows": 10, "deleted_rows": 5, "inserted_rows": 5}
+    out = {r["k"]: (r["v"], r["x"]) for r in tbl.scan(spark).collect()}
+    assert len(out) == 100
+    assert out[10] == ("s10", 1010.0)  # updated
+    assert 90 not in out  # deleted
+    assert out[95] == ("v95", 95.0)  # matched rows failing both clauses kept
+    assert out[200] == ("s200", 1200.0)  # inserted
+    assert out[5] == ("v5", 5.0)  # untouched
+    # ONE snapshot; no data file rewritten (MOR: old files carried)
+    assert [s.operation for s in tbl.snapshots()] == ["append", "merge"]
+    # time travel sees the pre-merge image
+    pre = tbl.snapshots()[0].snapshot_id
+    assert tbl.scan(spark, snapshot_id=pre).count() == 100
+    assert {
+        r["k"]: r["x"] for r in tbl.scan(spark, snapshot_id=pre).collect()
+    }[10] == 10.0
+
+
+def test_merge_into_update_expressions_both_sides(spark, tmp_path):
+    """Partial UPDATE SET with arithmetic over both sides; unlisted
+    columns keep the target value."""
+    root = str(tmp_path / "mi2")
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k long, v string, x double")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    src = spark.createDataFrame([(1, "zzz", 2.5)], "k long, v string, x double")
+    res = tbl.merge_into(spark, src, ["k"], update={"x": "t.x + s.x"}, insert=False)
+    assert res == {"updated_rows": 1, "deleted_rows": 0, "inserted_rows": 0}
+    out = {r["k"]: (r["v"], r["x"]) for r in tbl.scan(spark).collect()}
+    assert out[1] == ("a", 3.5)  # v kept from target
+    assert out[2] == ("b", 2.0)
+
+
+def test_merge_into_cdc_window(spark, tmp_path):
+    """changes_between across a merge commit runs on the CHEAP
+    manifest-diff path (no full-content diff): inserts are the merge's
+    new rows, deletes the superseded versions — and
+    scan(pre) + ins - del == scan(post)."""
+    root = str(tmp_path / "mi3")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double"
+    )
+    tbl = create_table(root, df.schema)
+    s1 = tbl.append(df)
+    src = spark.createDataFrame(
+        [(5, 500.0), (6, 600.0), (100, 1.0)], "k long, x double"
+    )
+    tbl.merge_into(spark, src, ["k"], update="all", insert=True)
+    ch = tbl.changes_between(spark, s1.snapshot_id).toPandas()
+    ins = {(r.k, r.x) for r in ch.itertuples() if r._3 == "insert"}
+    dels = {(r.k, r.x) for r in ch.itertuples() if r._3 == "delete"}
+    assert ins == {(5, 500.0), (6, 600.0), (100, 1.0)}
+    assert dels == {(5, 5.0), (6, 6.0)}
+
+
+def test_merge_into_empty_and_conflicting(spark, tmp_path):
+    """Empty source is a no-op (no snapshot); merges refuse clause-less
+    calls; a later eq-delete composes with the merge's row versions."""
+    root = str(tmp_path / "mi4")
+    df = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    res = tbl.merge_into(spark, df.filter("k < 0"), ["k"])
+    assert res == {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0}
+    assert len(tbl.snapshots()) == 1
+    with pytest.raises(ValueError, match="no clauses"):
+        tbl.merge_into(spark, df, ["k"], update=None, insert=False)
+    with pytest.raises(ValueError, match="not in table schema"):
+        tbl.merge_into(spark, df, ["nope"])
+    # merge then eq-delete the merged key: later sequence wins
+    tbl.merge_into(
+        spark,
+        spark.createDataFrame([(1, 9.0), (2, 2.0)], "k long, x double"),
+        ["k"],
+        update="all",
+    )
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert {r["k"] for r in tbl.scan(spark).collect()} == {2}

@@ -666,7 +666,7 @@ def test_bucket_partition_point_lookup_pruning(spark, troot):
     # and metadata-only retention refuses the non-range transform
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="hash bucket"):
+    with _pytest.raises(ValueError, match="no value-domain range"):
         tbl.delete_where("k", "<", 100)
 
 
@@ -823,3 +823,170 @@ def test_nan_stats_never_prune(spark, troot):
     assert st["k"]["min"] == 1 and st["k"]["max"] == 3  # others intact
     assert len(tbl.plan_files([("x", ">", 5.0)])) == 1  # kept
     assert sorted(r["k"] for r in tbl.scan(spark, [("x", ">", 5.0)]).collect()) == [2, 3]
+
+
+def test_temporal_transform_parity(spark):
+    """year/month/day/hour buckets agree across all three compute
+    paths — Python (planning), Spark Column (table write), Arrow
+    (connector executor write) — for timestamp, epoch-µs long, and
+    date sources, including pre-1970 values (floor semantics, not
+    truncation toward zero)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from java_iceberg_table_spark.table.transforms import TemporalTransform
+
+    rows = [
+        dt.datetime(2024, 3, 5, 10, 30, 45, 123456),
+        dt.datetime(1970, 1, 1),
+        dt.datetime(1969, 12, 31, 23, 59, 59),
+        dt.datetime(2000, 2, 29, 23, 0, 0),
+        dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1900, 6, 15, 12, 0, 0),
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "ts timestamp")
+    us = [round((r - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) for r in rows]
+    dfl = spark.createDataFrame([(u,) for u in us], "ts bigint")
+    for g in ("year", "month", "day", "hour"):
+        t = TemporalTransform("ts", g)
+        py = [t.apply_py(r) for r in rows]
+        assert py == [
+            r[0] for r in df.select(t.apply_col("ts", "timestamp")).collect()
+        ], g
+        assert py == t.apply_arrow(pa.array(rows, type=pa.timestamp("us"))).to_pylist()
+        assert py == [t.apply_py(u) for u in us]  # µs ints bucket identically
+        assert py == [
+            r[0] for r in dfl.select(t.apply_col("ts", "bigint")).collect()
+        ]
+    # pre-1970 floor check pinned explicitly: 1969-12-31 23:59:59 is day -1
+    assert TemporalTransform("ts", "day").apply_py(rows[2]) == -1
+    assert TemporalTransform("ts", "month").apply_py(rows[2]) == -1
+    # date columns: day == epoch-day ordinal, month/year by calendar
+    ds = [dt.date(2024, 3, 5), dt.date(1970, 1, 1), dt.date(1969, 12, 31)]
+    dfd = spark.createDataFrame([(d,) for d in ds], "d date")
+    for g in ("year", "month", "day"):
+        t = TemporalTransform("d", g)
+        py = [t.apply_py(v) for v in ds]
+        assert py == [r[0] for r in dfd.select(t.apply_col("d", "date")).collect()]
+        assert py == t.apply_arrow(pa.array(ds, type=pa.date32())).to_pylist()
+    # ISO-string predicates parse into the same bucket (fromisoformat)
+    t = TemporalTransform("ts", "month")
+    assert t.apply_py("2024-03-05T10:30:45") == t.apply_py(rows[0])
+
+
+def test_day_partition_pruning(spark, troot):
+    """day(ts): a time-range predicate prunes to the matching day
+    partitions through the driver loop AND the distributed plan path
+    (monotonic bucket-space projection — months/days carry no
+    value-domain range, so pruning compares bucket ordinals)."""
+    import datetime as dt
+
+    from java_iceberg_table_spark.table import create_table, day
+
+    root = troot + "/day"
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=6 * i)) for i in range(40)
+    ]  # 10 distinct days, 4 rows each
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    tbl = create_table(root, df.schema, partition=day("ts"))
+    tbl.append(df)
+    all_files = tbl.plan_files()
+    assert len({e["partition"] for e in all_files}) == 10
+    day0 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    assert {e["partition"] for e in all_files} == set(range(day0, day0 + 10))
+    # equality-day predicate: exactly one partition survives
+    hit = tbl.plan_files([("ts", ">=", "2024-03-04T00:00:00"),
+                          ("ts", "<", "2024-03-05T00:00:00")])
+    assert {e["partition"] for e in hit} == {day0 + 3}
+    # distributed path agrees
+    hit_dist = tbl.plan_files(
+        [("ts", ">=", "2024-03-04T00:00:00"), ("ts", "<", "2024-03-05T00:00:00")],
+        spark=spark,
+        distributed_threshold_bytes=0,
+    )
+    assert sorted(e["path"] for e in hit_dist) == sorted(e["path"] for e in hit)
+    got = sorted(
+        r["k"]
+        for r in tbl.scan(
+            spark,
+            [("ts", ">=", "2024-03-04T00:00:00"), ("ts", "<", "2024-03-05T00:00:00")],
+        ).collect()
+    )
+    assert got == [12, 13, 14, 15]
+    # metadata-only retention refuses the non-range transform
+    with pytest.raises(ValueError, match="no value-domain range"):
+        tbl.delete_where("ts", "<", 0)
+
+
+def test_spec_evolution_day_to_month(spark, troot):
+    """Temporal spec evolution day -> month: each vintage prunes under
+    its own granularity; a range crossing both vintages reads exactly
+    the union."""
+    import datetime as dt
+
+    from java_iceberg_table_spark.table import create_table, day, month
+
+    root = troot + "/d2m"
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i)) for i in range(120)],
+        "k long, ts timestamp",
+    )
+    tbl = create_table(root, df.schema, partition=day("ts"))
+    tbl.append(df.filter(F.col("k") < 60))
+    tbl.update_partition_spec(month("ts"))
+    tbl.append(df.filter(F.col("k") >= 60))
+    # old vintage: per-day files; new vintage: per-month files
+    sids = {int(e.get("spec_id", 0) or 0) for e in tbl.plan_files()}
+    assert sids == {0, 1}
+    hit = tbl.plan_files([("ts", ">=", "2024-02-25T00:00:00"),
+                          ("ts", "<", "2024-03-10T00:00:00")])
+    for e in hit:
+        sid = int(e.get("spec_id", 0) or 0)
+        if sid == 0:  # day buckets 2024-02-25..2024-02-29 only
+            d0 = (dt.date(2024, 2, 25) - dt.date(1970, 1, 1)).days
+            assert d0 <= e["partition"] <= d0 + 5
+        else:  # month buckets Feb(649) / Mar(650) 2024 only
+            assert e["partition"] in ((2024 - 1970) * 12 + 1, (2024 - 1970) * 12 + 2)
+    got = tbl.scan(
+        spark,
+        [("ts", ">=", "2024-02-25T00:00:00"), ("ts", "<", "2024-03-10T00:00:00")],
+    ).count()
+    assert got == (dt.date(2024, 3, 10) - dt.date(2024, 2, 25)).days
+    assert tbl.scan(spark).count() == 120
+
+
+def test_temporal_schema_validation(spark):
+    """Temporal transforms validate their source column type: hour()
+    refuses date columns, every granularity refuses strings/floats."""
+    import tempfile
+
+    from java_iceberg_table_spark.table import create_table, day, hour, year
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    sch = StructType(
+        [
+            StructField("ts", TimestampType(), True),
+            StructField("d", DateType(), True),
+            StructField("s", StringType(), True),
+            StructField("x", DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="tval_")
+    create_table(base + "/ok1", sch, partition=day("ts"))
+    create_table(base + "/ok2", sch, partition=year("d"))
+    with pytest.raises(ValueError, match="hour.*not defined on a date"):
+        create_table(base + "/bad1", sch, partition=hour("d"))
+    with pytest.raises(ValueError, match="timestamp, date"):
+        create_table(base + "/bad2", sch, partition=day("s"))
+    with pytest.raises(ValueError, match="timestamp, date"):
+        create_table(base + "/bad3", sch, partition=hour("x"))
