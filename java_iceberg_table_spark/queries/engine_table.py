@@ -1439,3 +1439,65 @@ def a4b_engine_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4c_engine_ndv_sketch",
+    oracle="""
+SELECT COUNT(DISTINCT c_nationkey) AS nation_ndv,
+       true AS full_ok,
+       true AS subset_ok,
+       true AS metadata_only
+FROM customer
+""",
+    group="A",
+)
+def a4c_engine_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE + metadata-only NDV (Iceberg Puffin/theta-sketch
+    statistics, rebuilt as per-file KMV sketches; table/ndv.py).
+    One distributed job hashes values JVM-side (xxhash64 in codegen)
+    and keeps the k smallest distinct hashes per (file, column);
+    estimates are then driver-side sketch merges with NO data read —
+    including over a PRUNED file subset, because KMV sketches are
+    closed under union. Grades: the low-cardinality column comes back
+    exact (< k distinct), the unique-key estimate lands within 10% of
+    truth both for the full table and for a key-range subset, and
+    every considered file was covered by the analysis (the estimate is
+    genuinely metadata-complete). At 100 TB this is the difference
+    between a COUNT(DISTINCT) costing a scan and costing a JSON read."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    root = tempfile.mkdtemp(prefix="engine_ndv_") + "/t"
+    try:
+        n = cust.count()
+        width = max(n // 8, 1)
+        tbl = create_table(root, cust.schema, partition=truncate("c_custkey", width))
+        tbl.append(cust)
+        tbl.analyze(spark, ["c_custkey", "c_nationkey"])
+        nation = tbl.approx_ndv("c_nationkey")
+        full = tbl.approx_ndv("c_custkey")
+        # sketches are file-granular, so a subset estimate is the NDV
+        # of the PRUNED FILE SET — cut on a partition boundary so the
+        # file set and the predicate describe the same rows
+        cut = 4 * width
+        sub = tbl.approx_ndv("c_custkey", [("c_custkey", "<", cut)])
+        exact_full = cust.select("c_custkey").distinct().count()
+        exact_sub = (
+            cust.filter(F.col("c_custkey") < cut).select("c_custkey").distinct().count()
+        )
+        full_ok = abs(full["ndv"] / exact_full - 1) < 0.15
+        subset_ok = (
+            abs(sub["ndv"] / exact_sub - 1) < 0.15
+            and sub["files_considered"] < full["files_considered"]
+        )
+        meta_only = (
+            nation["exact"]
+            and full["files_covered"] == full["files_considered"]
+            and sub["files_covered"] == sub["files_considered"]
+        )
+        return spark.createDataFrame(
+            [(int(nation["ndv"]), full_ok, subset_ok, meta_only)],
+            "nation_ndv bigint, full_ok boolean, subset_ok boolean, "
+            "metadata_only boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -2976,6 +2976,90 @@ class Table:
             df = df.select(*_current_projection(schema, renames))
         return df
 
+    # ---------- NDV statistics (ANALYZE TABLE / Puffin analogue) ----------
+
+    def analyze(
+        self, spark: SparkSession, columns: list[str], k: int | None = None
+    ) -> dict:
+        """ANALYZE TABLE: compute per-(file, column) KMV distinct-count
+        sketches with one distributed job per column and attach them to
+        table metadata (``stats.file`` property — the Puffin statistics
+        file analogue; see table/ndv.py for the estimator and the scale
+        shape). Hashing runs with ``xxhash64`` inside codegen; only one
+        row PER FILE is ever collected."""
+        from . import ndv as _ndv
+
+        k = k or _ndv.DEFAULT_K
+        schema = self.schema()
+        missing = [c for c in columns if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(f"analyze columns not in schema: {missing}")
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            raise ValueError("cannot analyze an empty table")
+        entries = self.files_of(snap)
+        renames = _renames_of(schema)
+        phys = _physical_schema(schema, renames) if renames else schema
+        proj = _current_projection(schema, renames) if renames else [F.col("*")]
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        avro = [p for p in paths if p.endswith(".avro")]
+        parquet = [p for p in paths if not p.endswith(".avro")]
+        frames: list[DataFrame] = []
+        if parquet:
+            frames.append(
+                spark.read.schema(phys)
+                .parquet(*parquet)
+                .select(*proj, _file_key_col().alias("__file"))
+            )
+        if avro:
+            from ..sources.avro_io import read_avro_df
+
+            adf = read_avro_df(spark, avro, phys, with_pos=True)
+            frames.append(adf.select(*proj, "__file"))
+        sketches = _ndv.compute_file_sketches(frames, columns, k)
+        rel = _ndv.write_stats_file(self.root, snap.snapshot_id, k, sketches)
+        self.set_properties(
+            {"stats.file": rel, "stats.snapshot-id": str(snap.snapshot_id)}
+        )
+        return {
+            "stats_file": rel,
+            "columns": columns,
+            "files": len(entries),
+            "k": k,
+        }
+
+    def approx_ndv(
+        self,
+        column: str,
+        filters: Iterable[tuple[str, str, object]] = (),
+    ) -> dict:
+        """Approximate COUNT(DISTINCT column) from the analyzed
+        sketches — METADATA-ONLY, no data read. ``filters`` first prune
+        the file set exactly like a scan would (partition buckets +
+        footer stats), then the surviving files' sketches merge
+        driver-side: the NDV of one day's partition costs a JSON read,
+        not a scan. Files added after the last ANALYZE have no sketch
+        and are reported so callers know the estimate's coverage."""
+        from . import ndv as _ndv
+
+        rel = self.metadata.properties.get("stats.file")
+        if rel is None:
+            raise ValueError("no statistics: run analyze() first")
+        stats = _ndv.load_stats_file(self.root, rel)
+        per_file = stats["columns"].get(column)
+        if per_file is None:
+            raise ValueError(f"column {column!r} was not analyzed")
+        k = int(stats["k"])
+        entries = self.plan_files(list(filters))
+        covered = [e["path"] for e in entries if e["path"] in per_file]
+        merged = _ndv.merge_sketches([per_file[p] for p in covered], k)
+        return {
+            "ndv": _ndv.kmv_estimate(merged, k),
+            "exact": len(merged) < k,
+            "files_considered": len(entries),
+            "files_covered": len(covered),
+        }
+
     def scan_runtime_filtered(
         self,
         spark: SparkSession,

@@ -990,3 +990,60 @@ def test_temporal_schema_validation(spark):
         create_table(base + "/bad2", sch, partition=day("s"))
     with pytest.raises(ValueError, match="timestamp, date"):
         create_table(base + "/bad3", sch, partition=hour("x"))
+
+
+def test_ndv_sketch_analyze(spark, troot):
+    """ANALYZE TABLE (Puffin/theta analogue): per-(file, column) KMV
+    sketches from one distributed job; NDV estimates are then
+    METADATA-ONLY merges — full table, pruned subset, low-cardinality
+    exact path, and coverage reporting for files added after the
+    analysis."""
+    from java_iceberg_table_spark.table import create_table, truncate
+
+    root = troot + "/ndv"
+    df = spark.createDataFrame(
+        [(i, i % 37, f"g{i % 5}") for i in range(20000)], "k long, m long, g string"
+    )
+    tbl = create_table(root, df.schema, partition=truncate("k", 5000))
+    tbl.append(df.repartition(8))
+    rep = tbl.analyze(spark, ["k", "m", "g"])
+    assert rep["files"] == len(tbl.plan_files())
+    full = tbl.approx_ndv("k")
+    assert not full["exact"]
+    assert abs(full["ndv"] / 20000 - 1) < 0.15  # k=256 ~6% typical
+    assert tbl.approx_ndv("m") == {
+        "ndv": 37.0, "exact": True,
+        "files_considered": full["files_considered"],
+        "files_covered": full["files_covered"],
+    }
+    # pruned-subset estimate: one partition's files only
+    sub = tbl.approx_ndv("k", [("k", "<", 5000)])
+    assert sub["files_covered"] < full["files_covered"]
+    assert abs(sub["ndv"] / 5000 - 1) < 0.2
+    # files appended after ANALYZE are reported as uncovered
+    tbl.append(spark.createDataFrame([(99999, 1, "z")], df.schema))
+    post = tbl.approx_ndv("k")
+    assert post["files_covered"] == full["files_covered"]
+    assert post["files_considered"] == full["files_considered"] + 1
+    # un-analyzed column refused; empty-property table refused
+    with pytest.raises(ValueError, match="not analyzed"):
+        tbl.approx_ndv("nope")
+
+
+def test_ndv_sketch_merge_property():
+    """KMV merge algebra: merging per-file sketches equals sketching
+    the union — the property that makes subset estimates valid."""
+    import random
+
+    from java_iceberg_table_spark.table.ndv import kmv_estimate, merge_sketches
+
+    rng = random.Random(7)
+    k = 64
+    # simulate hashed values (distinct ints as stand-in hashes)
+    a = sorted({rng.getrandbits(62) - 2**61 for _ in range(500)})[:k]
+    b = sorted({rng.getrandbits(62) - 2**61 for _ in range(500)})[:k]
+    m = merge_sketches([a, b], k)
+    assert m == sorted(set(a) | set(b))[:k]
+    assert len(m) == k
+    # exact path below k
+    assert kmv_estimate([1, 2, 3], k) == 3.0
