@@ -1176,3 +1176,42 @@ def test_connector_writes_day_partitioned(ds, base_dir):
         .collect()
     )
     assert got == [12, 13, 14, 15]
+
+
+def test_cdc_stream_across_merge_commit(ds, base_dir):
+    """A MERGE INTO row-delta commit flows through the streaming CDC
+    source's cheap endpoint diff (it is neither 'replace' nor
+    'overwrite'): the window emits the merge's inserts/updated rows as
+    inserts and the superseded versions as deletes — and
+    scan(pre) + ins - del == scan(post)."""
+    spark = ds
+    root = base_dir + "/cdcm"
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, x double")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdcm_")
+    sink = tempfile.mkdtemp(prefix="cdcm_sink_") + "/out"
+    try:
+        r1 = _run_cdc_batch(spark, root, ckpt, sink).collect()
+        seen = {(r["k"], r["x"], r["_change_type"]) for r in r1}
+        tbl.merge_into(
+            spark,
+            spark.createDataFrame(
+                [(3, 300.0), (4, 400.0), (50, 1.0)], "k long, x double"
+            ),
+            ["k"],
+            update="all",
+            insert=True,
+        )
+        r2 = [
+            r
+            for r in _run_cdc_batch(spark, root, ckpt, sink).collect()
+            if (r["k"], r["x"], r["_change_type"]) not in seen
+        ]
+        ins = sorted((r["k"], r["x"]) for r in r2 if r["_change_type"] == "insert")
+        dels = sorted((r["k"], r["x"]) for r in r2 if r["_change_type"] == "delete")
+        assert ins == [(3, 300.0), (4, 400.0), (50, 1.0)]
+        assert dels == [(3, 3.0), (4, 4.0)]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
