@@ -1264,3 +1264,52 @@ def i22_paced_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i23_stream_dedup_watermark",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+""",
+    group="I",
+)
+def i23_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id and
+    expires its dedup state once the watermark passes — the
+    exactly-once ingestion shape for at-least-once upstream feeds
+    (every real queue redelivers). The staged source duplicates EVERY
+    event (two copies across different files, arriving in different
+    micro-batches); the deduped stream must equal the original
+    fixture exactly. State is keyed by event_id and sized by the
+    watermark horizon, not the stream length — the property that lets
+    this run forever at 100 TB/day where a global dropDuplicates
+    would accumulate unbounded state."""
+    from ..fixtures import load_table as _load
+
+    def _stage() -> str:
+        out = tempfile.mkdtemp(prefix="stream_dup_")
+        ev = _load(spark, sf_dir, "events")
+        src = os.path.join(out, "events")
+        # two full copies, shuffled into 4 files -> each event_id
+        # appears twice, usually in different micro-batches
+        ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(src)
+        return src
+
+    src = shared_staged((sf_dir, "dup2"), _stage)
+    stream = file_stream(spark, src, max_files_per_trigger=2)
+    # 45-day delay >= the fixture's full span: no dedup state expires
+    # mid-run, so the result is exactly DISTINCT (the oracle); a
+    # production feed sizes the delay to its redelivery horizon
+    deduped = stream.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    result = run_to_memory(deduped)
+    return result.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_id"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
