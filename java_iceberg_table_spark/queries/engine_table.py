@@ -1501,3 +1501,79 @@ def a4c_engine_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4d_engine_column_defaults",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       COUNT(CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) FROM orders)
+                  THEN 1 END) AS n_defaulted,
+       CAST(0 AS BIGINT) AS n_null_new,
+       true AS vintage_clean,
+       true AS connector_agrees
+FROM orders
+""",
+    group="A",
+)
+def a4d_engine_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column initial defaults (Iceberg v3): add_column(default=...)
+    is metadata-only, yet pre-existing rows read the default while
+    rows written afterwards keep their stored values — including
+    explicit NULLs. Selection is by entry SEQUENCE NUMBER (a file
+    written before the add provably lacks the column, since retired
+    names can never return), so no data is rewritten and no per-file
+    footer probe happens at plan time. Applied in every read path:
+    the Table reader fills per entry GROUP, the connector ships
+    (col, value) pairs per file partition and fills executor-side
+    after MOR masking. The scenario adds a defaulted tier column over
+    the orders fixture, appends new rows carrying real values, and
+    grades: every original row reads the default, the new rows keep
+    theirs, a pre-add snapshot has no such column, and the connector
+    returns the identical frame."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_def_") + "/t"
+    try:
+        from ..sources import register_engine_datasource
+
+        register_engine_datasource(spark)
+        tbl = create_table(root, orders.schema)
+        s1 = tbl.append(orders)
+        hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        tbl.add_column("tier", "string", default="standard")
+        tbl.append(
+            spark.createDataFrame(
+                [(hi + 1, "gold"), (hi + 2, None)], "o_orderkey long, tier string"
+            )
+        )
+        cur = tbl.scan(spark)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.when(F.col("tier") == "standard", 1)).alias("n_defaulted"),
+            F.count(
+                F.when((F.col("o_orderkey") > hi) & F.col("tier").isNull()
+                       & (F.col("o_orderkey") != hi + 2), 1)
+            ).alias("bad_nulls"),
+        ).collect()[0]
+        # exactly ONE new row carries an explicit NULL; it must stay NULL
+        n_null_new = (
+            cur.filter((F.col("o_orderkey") > hi) & F.col("tier").isNull()).count() - 1
+        )
+        vintage = tbl.scan(spark, snapshot_id=s1.snapshot_id).columns == ["o_orderkey"]
+        # one .load() per query: Spark caches the planned read per
+        # loaded relation and only re-plans when filters are pushed
+        # (see sources/engine_datasource.py module docstring)
+        def conn():
+            return spark.read.format("engine_table").option("root", root).load()
+
+        agrees = (
+            conn().filter(F.col("tier") == "standard").count() == row["n_defaulted"]
+            and conn().count() == row["cnt"]
+        )
+        return spark.createDataFrame(
+            [(row["cnt"] - 2, row["n_defaulted"], n_null_new, vintage, agrees)],
+            "cnt bigint, n_defaulted bigint, n_null_new bigint, "
+            "vintage_clean boolean, connector_agrees boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

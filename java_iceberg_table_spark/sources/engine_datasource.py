@@ -31,6 +31,18 @@ Scale design:
 - **Streaming writes are exactly-once.** The epoch commit stamps
   Spark's batch id into the snapshot summary; a replayed epoch is
   detected by the batch-id high-watermark and skipped.
+
+KNOWN SPARK LIMITATION (pinned in
+tests/test_datasource.py::test_reused_dataframe_filter_order): Spark's
+Python-DataSource integration caches the planned read (read function +
+partitions) on the loaded relation, keyed per ``.load()`` call, and
+re-plans it ONLY when a query pushes filters. Reusing one loaded
+DataFrame for a FILTERED action and then an UNFILTERED one therefore
+replays the filtered plan's partitions for the unfiltered query. Call
+``.load()`` per query (cheap — planning is metadata-only), or run the
+unfiltered materialization first. This reader resets and consumes its
+pushed-filter state defensively so no PYTHON-side state survives a
+query, but the JVM-side plan cache is out of a source's reach.
 """
 
 from __future__ import annotations
@@ -61,6 +73,7 @@ from pyspark.sql.types import StructType
 class FilePartition(InputPartition):
     path: str  # absolute
     filters: list | None = None  # row-level pushdown (parquet only)
+    fill: list | None = None  # initial-default (col, value) pairs
 
 
 @dataclass
@@ -77,6 +90,7 @@ class MaskedFilePartition(InputPartition):
     mask_pos: list
     mask_eq: list
     filters: list | None = None  # row-level pushdown (parquet only)
+    fill: list | None = None  # initial-default (col, value) pairs
 
 
 @dataclass
@@ -216,7 +230,20 @@ def _translate_filters(filters, names, arrow_schema):
     return out or None
 
 
-def _aligned_parquet_arrow(path: str, schema: StructType, filters=None):
+def _fill_of(schema: StructType, entry: dict) -> list | None:
+    """Planner-side: the (col, value) initial-default pairs that apply
+    to this manifest entry — non-empty only for files written before a
+    defaulted column was added (entry seq <= the column's add seq)."""
+    from ..table.table import _default_sig, _defaults_of
+
+    defaults = _defaults_of(schema)
+    if not defaults:
+        return None
+    sig = _default_sig(entry, defaults)
+    return [(c, defaults[c][0]) for c in sorted(sig)] or None
+
+
+def _aligned_parquet_arrow(path: str, schema: StructType, filters=None, fill=None):
     """One parquet file -> Arrow table aligned to ``schema``: missing
     columns null-filled, dropped columns pruned, renamed columns
     resolved through their name history, widened types upcast,
@@ -224,10 +251,14 @@ def _aligned_parquet_arrow(path: str, schema: StructType, filters=None):
     triples) push into the parquet read itself — row-group statistics
     skip whole groups and surviving rows are filtered before they ever
     reach Arrow, so a selective connector scan reads a slice of each
-    file, not the file."""
+    file, not the file. ``fill`` ((col, value) pairs) fills PHYSICALLY
+    ABSENT columns with an initial-default constant instead of null —
+    the planner passes it only for files that provably predate the
+    column (see table._defaults_of)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    fills = dict(fill or [])
     target = _arrow_schema_for(schema)
     names = _physical_names(schema)
     tbl = None
@@ -248,26 +279,35 @@ def _aligned_parquet_arrow(path: str, schema: StructType, filters=None):
         hit = next((n for n in names[fld.name] if n in tbl.column_names), None)
         if hit is not None:
             cols.append(tbl.column(hit).cast(fld.type))
+        elif fld.name in fills:
+            cols.append(
+                pa.nulls(len(tbl), fld.type).fill_null(
+                    pa.scalar(fills[fld.name]).cast(fld.type)
+                )
+            )
         else:
             cols.append(pa.nulls(len(tbl), fld.type))
     return pa.Table.from_arrays(cols, schema=target)
 
 
-def _read_file_batches(path: str, schema: StructType, filters=None):
+def _read_file_batches(path: str, schema: StructType, filters=None, fill=None):
     """Executor-side: one data file (parquet or avro — the R5 format
     toggle) -> Arrow batches aligned to the table schema. ``filters``
     push into the parquet read (avro reads stay unfiltered — OCF has
-    no row-group statistics)."""
+    no row-group statistics); ``fill`` carries initial-default
+    constants for provably-absent columns."""
     import pyarrow as pa
 
     if path.endswith(".avro"):
-        df, _ = _cdc_load_pandas(path, schema)
+        df, _ = _cdc_load_pandas(path, schema, fill=fill)
         if len(df):
             yield from pa.Table.from_pandas(
                 df, schema=_arrow_schema_for(schema), preserve_index=False
             ).to_batches()
         return
-    yield from _aligned_parquet_arrow(path, schema, filters=filters).to_batches()
+    yield from _aligned_parquet_arrow(
+        path, schema, filters=filters, fill=fill
+    ).to_batches()
 
 
 def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | None):
@@ -362,7 +402,16 @@ class EngineBatchReader(DataSourceReader):
         produce) prune with the key-set check: a file survives only if
         its stats range contains at least one listed value — far
         stronger than the [min,max]-of-the-list bound for scattered
-        sets."""
+        sets.
+
+        State RESETS on every call: Spark reuses ONE reader instance
+        across all queries planned from the same loaded DataFrame, and
+        pushFilters runs per query — accumulating across calls would
+        leak one query's filters into the next (df.filter(p).count()
+        then df.count() silently dropped the rows p excluded; caught
+        by the a4d scenario's connector-parity check)."""
+        self.engine_filters = []
+        self.in_filters = []
         for f in filters:
             if isinstance(f, In) and len(f.attribute) == 1:
                 vals = sorted(v for v in f.value if v is not None)
@@ -397,8 +446,19 @@ class EngineBatchReader(DataSourceReader):
             sid = _ref_head(tbl, self.ref)
         if self.as_of_ms is not None:
             sid = tbl.snapshot_as_of(self.as_of_ms).snapshot_id
-        entries = tbl.plan_files(self.engine_filters, snapshot_id=sid)
-        for col, vals in self.in_filters:
+        # CONSUME the pushed filters: Spark reuses one reader instance
+        # across every query planned from the same loaded DataFrame,
+        # and pushFilters is NOT invoked for filterless plans — a
+        # leftover filter set from a previous action would silently
+        # prune rows the current query wants (df.filter(p).count()
+        # then df.count()). Clearing here means a plan that pushed
+        # nothing scans everything; a re-entered partitions() after a
+        # clear only loses pruning, never rows, because Spark
+        # re-applies every filter above the scan.
+        engine_filters, self.engine_filters = self.engine_filters, []
+        in_filters, self.in_filters = self.in_filters, []
+        entries = tbl.plan_files(engine_filters, snapshot_id=sid)
+        for col, vals in in_filters:
             entries = prune_entries_by_keys(entries, col, vals)
         # merge-on-read delete state of the SCANNED snapshot rides in
         # the partitions so the connector returns exactly what
@@ -421,13 +481,17 @@ class EngineBatchReader(DataSourceReader):
         # stats-expressible filter plus exact IN-lists. Spark
         # re-applies all filters after the scan (pushFilters reports
         # them unsupported), so this only cuts I/O/decode.
-        rg = list(self.engine_filters) + [
-            (col, "in", vals) for col, vals in self.in_filters
+        rg = list(engine_filters) + [
+            (col, "in", vals) for col, vals in in_filters
         ]
         rg = rg or None
         if not dels:
             return [
-                FilePartition(os.path.join(self.root, e["path"]), filters=rg)
+                FilePartition(
+                    os.path.join(self.root, e["path"]),
+                    filters=rg,
+                    fill=_fill_of(self.schema, e),
+                )
                 for e in entries
             ]
         pos_inline, _, eq = _split_delete_payloads(
@@ -448,6 +512,7 @@ class EngineBatchReader(DataSourceReader):
                 # unfiltered file: a filtered read renumbers rows, so
                 # files with pending position deletes read whole
                 filters=None if mask_pos else rg,
+                fill=_fill_of(self.schema, e),
             )
 
         return [masked(e) for e in entries]
@@ -459,7 +524,10 @@ class EngineBatchReader(DataSourceReader):
             yield from _read_masked_batches(partition, self.schema)
             return
         yield from _read_file_batches(
-            partition.path, self.schema, filters=partition.filters
+            partition.path,
+            self.schema,
+            filters=partition.filters,
+            fill=partition.fill,
         )
 
 
@@ -524,12 +592,20 @@ class EngineStreamReader(DataSourceStreamReader):
         for s in _lineage_window(tbl.metadata, a, b):
             if s.operation == "append":
                 entries.extend(tbl.added_files(s))
-        return [FilePartition(os.path.join(self.root, e["path"])) for e in entries]
+        return [
+            FilePartition(
+                os.path.join(self.root, e["path"]),
+                fill=_fill_of(self.schema, e),
+            )
+            for e in entries
+        ]
 
     def read(self, partition: FilePartition):
         if partition is None:
             return  # empty window: Spark calls read(None) once
-        yield from _read_file_batches(partition.path, self.schema)
+        yield from _read_file_batches(
+            partition.path, self.schema, fill=partition.fill
+        )
 
     def commit(self, end: dict) -> None:
         pass  # retention is the table's expiry policy, not the stream's
@@ -557,15 +633,18 @@ class CDCPartition(InputPartition):
     emit_pos: list
     emit_pos_paths: list
     emit_eq: list
+    fill: list | None = None  # initial-default (col, value) pairs
 
 
-def _cdc_load_pandas(path: str, schema: StructType, filters=None):
+def _cdc_load_pandas(path: str, schema: StructType, filters=None, fill=None):
     """Executor-side: one data file (parquet or avro) -> pandas frame
     aligned to ``schema`` (rename history resolved, widened types
     upcast), plus the 0-based row-position array. ``filters`` (parquet
     only) push into the read — POSITIONS ARE THEN RENUMBERED, so
     callers may only pass filters when no position-delete state
-    applies to the file."""
+    applies to the file. ``fill`` carries initial-default constants
+    for provably-absent columns; MOR callers pass it separately to
+    _apply_fill AFTER delete masking (deletes match physical values)."""
     import numpy as np
 
     if path.endswith(".avro"):
@@ -573,6 +652,7 @@ def _cdc_load_pandas(path: str, schema: StructType, filters=None):
 
         from .avro_io import read_ocf
 
+        fills = dict(fill or [])
         names = _physical_names(schema)
         _, rows = read_ocf(path)
         raw = pd.DataFrame(rows)
@@ -580,14 +660,24 @@ def _cdc_load_pandas(path: str, schema: StructType, filters=None):
         for f in schema.fields:
             hit = next((n for n in names[f.name] if n in raw.columns), None)
             if hit is None:
-                df[f.name] = pd.Series([None] * len(raw), dtype="object")
+                v = fills.get(f.name)
+                df[f.name] = pd.Series([v] * len(raw), dtype="object")
             elif f.dataType.simpleString().startswith("timestamp"):
                 df[f.name] = pd.to_datetime(raw[hit], unit="us")
             else:
                 df[f.name] = raw[hit]
     else:
-        df = _aligned_parquet_arrow(path, schema, filters=filters).to_pandas()
+        df = _aligned_parquet_arrow(path, schema, filters=filters, fill=fill).to_pandas()
     return df, np.arange(len(df))
+
+
+def _apply_fill(df, fill):
+    """Fill initial-default columns on a pandas frame AFTER delete
+    masking: the file provably lacks these columns (every physical
+    value is null), so the constant replaces the whole column."""
+    for c, v in fill or []:
+        df = df.assign(**{c: v})
+    return df
 
 
 def _split_delete_payloads(root: str, del_entries, renames):
@@ -732,7 +822,7 @@ def _read_masked_batches(partition: MaskedFilePartition, schema: StructType):
     if partition.mask_pos:
         keep &= ~np.isin(pos, np.fromiter(set(partition.mask_pos), dtype="int64"))
     keep &= ~_eq_delete_hits(df, partition.seq, partition.mask_eq)
-    out = df[keep]
+    out = _apply_fill(df[keep], partition.fill)
     if len(out) == 0:
         return
     yield from pa.Table.from_pandas(
@@ -783,7 +873,7 @@ def _cdc_read(partition: CDCPartition, data_schema: StructType, out_schema: Stru
         out = df[keep & hits]
     if len(out) == 0:
         return
-    out = out.assign(_change_type=partition.change)
+    out = _apply_fill(out, partition.fill).assign(_change_type=partition.change)
     target = _arrow_schema_for(out_schema)
     yield from pa.Table.from_pandas(
         out, schema=target, preserve_index=False
@@ -948,6 +1038,7 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                     emit_pos=[],
                     emit_pos_paths=[],
                     emit_eq=[],
+                    fill=_fill_of(self.data_schema, e),
                 )
             )
         for p, e in from_entries.items():
@@ -967,6 +1058,7 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                     emit_pos=[],
                     emit_pos_paths=[],
                     emit_eq=[],
+                    fill=_fill_of(self.data_schema, e),
                 )
             )
         if new_dels:
@@ -990,6 +1082,7 @@ class EngineCDCStreamReader(DataSourceStreamReader):
                         emit_pos=nw_pi.get(p, []),
                         emit_pos_paths=nw_pp,
                         emit_eq=emit_eq,
+                        fill=_fill_of(self.data_schema, e),
                     )
                 )
         return parts
@@ -1160,13 +1253,23 @@ class _WriterBase:
         self.schema = schema
         self.branch = branch
         # capture the partition spec driver-side; executors get plain data
-        self.spec = load_table(root).metadata.partition_spec
+        tbl = load_table(root)
+        self.spec = tbl.metadata.partition_spec
+        # the spec-evolution invariant: every entry-writing path stamps
+        # the spec its partition values were computed under. Unstamped
+        # entries resolve as spec 0 at plan time — after a spec
+        # evolution that silently mis-prunes every connector-written
+        # file (a hash-bucket value read as a truncate range start).
+        self.spec_id = tbl.current_spec_id()
 
     def write(self, iterator):
         return FilesCommit(_write_task_files(iterator, self.root, self.schema, self.spec))
 
     def _all_entries(self, messages):
-        return [e for m in messages if m is not None for e in m.entries]
+        stamp = {"spec_id": self.spec_id} if self.spec_id else {}
+        return [
+            {**e, **stamp} for m in messages if m is not None for e in m.entries
+        ]
 
     def _delete_files(self, messages):
         for e in self._all_entries(messages):
@@ -1177,15 +1280,40 @@ class _WriterBase:
 
 
 class EngineBatchWriter(_WriterBase, DataSourceArrowWriter):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        branch: str | None = None,
+        overwrite_mode: str | None = None,
+    ):
+        super().__init__(root, schema, branch)
+        self.overwrite_mode = overwrite_mode
+
     def commit(self, messages) -> None:
         from ..table import load_table
 
         entries = self._all_entries(messages)
-        if entries:
-            # option("branch", ...): write-audit-publish through the
-            # connector — the commit moves the branch ref, main stays
-            # untouched until fast-forward publish
-            load_table(self.root).append_entries(entries, branch=self.branch)
+        tbl = load_table(self.root)
+        if self.overwrite_mode is None:
+            if entries:
+                # option("branch", ...): write-audit-publish through the
+                # connector — the commit moves the branch ref, main stays
+                # untouched until fast-forward publish
+                tbl.append_entries(entries, branch=self.branch)
+            return
+        # mode("overwrite"): Spark INSERT OVERWRITE. Static replaces
+        # the whole table (an empty frame truncates); dynamic replaces
+        # only the partitions the written data touches (Spark's
+        # partitionOverwriteMode=dynamic semantics; an empty frame
+        # replaces nothing).
+        if self.overwrite_mode == "dynamic" and self.spec is not None:
+            if not entries:
+                return
+            parts = {e["partition"] for e in entries}
+            tbl.overwrite_entries(entries, partitions=parts)
+            return
+        tbl.overwrite_entries(entries)
 
     def abort(self, messages) -> None:
         self._delete_files(messages)
@@ -1266,12 +1394,23 @@ class EngineTableDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         if self._meta():
             raise ValueError("metadata tables are read-only")
-        if overwrite:
+        if overwrite and self.options.get("branch"):
             raise ValueError(
-                "engine_table sink is append-only (mode='append'); use "
-                "Table.upsert/delete_rows for row-level changes"
+                "overwrite through a branch is not supported — stage an "
+                "append on the branch (write-audit-publish) instead"
             )
-        return EngineBatchWriter(self._root(), schema, self.options.get("branch"))
+        mode = None
+        if overwrite:
+            # INSERT OVERWRITE: option("overwriteMode", "dynamic")
+            # replaces only the partitions the written data touches
+            # (Spark's partitionOverwriteMode=dynamic); default static
+            # replaces the whole table, empty frame = truncate
+            mode = str(self.options.get("overwritemode", "static")).lower()
+            if mode not in ("static", "dynamic"):
+                raise ValueError(f"unknown overwriteMode {mode!r}")
+        return EngineBatchWriter(
+            self._root(), schema, self.options.get("branch"), overwrite_mode=mode
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return EngineStreamWriter(self._root(), schema)

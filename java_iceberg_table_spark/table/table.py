@@ -90,6 +90,31 @@ def _renames_of(schema: StructType) -> dict[str, list[str]]:
     return out
 
 
+def _defaults_of(schema: StructType) -> dict[str, tuple[object, int]]:
+    """Current field name -> (initial default value, sequence number of
+    the snapshot current when the column was added), from the metadata
+    ``add_column(default=...)`` stamps. Iceberg v3 initial-default
+    semantics: the default applies ONLY to rows physically written
+    before the column existed (entry seq <= default_seq — the column
+    is provably absent from those files, since retired names can never
+    be re-added); rows written afterwards keep their stored values,
+    including explicit NULLs. Derived from the schema OBJECT, so time
+    travel is automatic — a vintage schema predating the add has no
+    such field at all."""
+    out: dict[str, tuple[object, int]] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "initial_default" in md:
+            out[f.name] = (md["initial_default"], int(md.get("default_seq", 0)))
+    return out
+
+
+def _default_sig(entry: dict, defaults: dict[str, tuple[object, int]]) -> frozenset:
+    """Which defaulted columns apply to this manifest entry."""
+    seq = int(entry.get("seq", 0) or 0)
+    return frozenset(c for c, (_, dseq) in defaults.items() if seq <= dseq)
+
+
 def _physical_schema(schema: StructType, renames: dict[str, list[str]]) -> StructType:
     """The read schema that covers every physical vintage: current
     fields plus one nullable field per historical name (typed as the
@@ -1348,6 +1373,24 @@ class Table:
         snap: Snapshot | None,
         schema: StructType | None = None,
     ) -> DataFrame:
+        schema = schema or self.schema()
+        # deletes anti-join on PHYSICAL values first (an equality
+        # delete can never match a default-filled row — consistent
+        # with the connector's executor-side masking), then the
+        # initial-default columns fill per entry group
+        return self._apply_default_groups(
+            entries,
+            schema,
+            lambda es: self._read_with_deletes_raw(spark, es, snap, schema),
+        )
+
+    def _read_with_deletes_raw(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        snap: Snapshot | None,
+        schema: StructType | None = None,
+    ) -> DataFrame:
         """Read planned data entries with the snapshot's MOR delete
         files applied.
 
@@ -1376,7 +1419,7 @@ class Table:
             else []
         )
         if not del_entries or not entries:
-            return self.read_entries(spark, entries, schema)
+            return self._read_entries_raw(spark, entries, schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         # Both file formats produce the same (__file, __pos) MOR join
         # keys: parquet from _metadata, avro from the position-aware
@@ -1839,6 +1882,55 @@ class Table:
                     "dropped_delete_files": len(del_entries),
                 }
         raise fmt.CommitConflict("rewrite_deletes lost the commit race 3 times")
+
+    def overwrite_entries(
+        self,
+        entries: list[dict],
+        partitions: set | None = None,
+        extra_summary: dict | None = None,
+    ) -> None:
+        """INSERT OVERWRITE: atomically replace table content with
+        pre-written ``entries``. ``partitions=None`` is STATIC mode —
+        the whole table is replaced (empty entries = truncate) and
+        pending MOR delete state is dropped with the content it
+        applied to. A set of partition values is DYNAMIC mode — only
+        current-spec entries whose partition value is in the set are
+        replaced; files written under OLDER specs are conservatively
+        carried (partition values are not comparable across specs:
+        spec evolution leaves old vintages for compaction to migrate),
+        and pending deletes are carried with them. One 'overwrite'
+        snapshot either way — readers see the old or the new content,
+        never a mix. This is the connector's mode('overwrite') commit
+        (Spark INSERT OVERWRITE static/dynamic semantics)."""
+        cur_sid = self.current_spec_id()
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            cur = self.files_of(snap) if snap is not None else []
+            if partitions is None:
+                carried: list[dict] = []
+            else:
+                pset = set(partitions)
+                carried = [
+                    e
+                    for e in cur
+                    if int(e.get("spec_id", 0) or 0) != cur_sid
+                    or e.get("partition") not in pset
+                ]
+            if self._commit_overwrite(
+                snap.snapshot_id if snap is not None else None,
+                carried,
+                entries,
+                {
+                    "overwrite-mode": "static" if partitions is None else "dynamic",
+                    "replaced-files": len(cur) - len(carried),
+                    "added-files": len(entries),
+                    **(extra_summary or {}),
+                },
+                drop_deletes=partitions is None,
+            ):
+                return
+        raise fmt.CommitConflict("overwrite lost the commit race 3 times")
 
     def _commit_overwrite(
         self,
@@ -2766,15 +2858,36 @@ class Table:
 
     # ---------- schema evolution (Iceberg UpdateSchema semantics) ----------
 
-    def add_column(self, name: str, dtype: str | dict) -> None:
+    def add_column(
+        self, name: str, dtype: str | dict, default: object = None
+    ) -> None:
         """Add a nullable column — metadata-only commit, no data
         rewrite. Files written before the evolution read as NULL for
-        the column (name-based projection at scan time); the schema log
-        keeps every prior schema so time travel reads a snapshot with
-        the schema it was committed under.
+        the column (name-based projection at scan time) — or as
+        ``default`` when one is given (Iceberg v3 initial-default):
+        the default applies ONLY to pre-existing rows, selected by
+        entry sequence number (entry seq <= the sequence current at
+        this add — the column is provably absent from those files
+        because retired names can never be re-added), so explicit
+        NULLs written after the add stay NULL. The schema log keeps
+        every prior schema so time travel reads a snapshot with the
+        schema it was committed under.
 
         The reference inherits this from Iceberg's UpdateSchema; here
         it is one optimistic-retry commit appending to the schema log."""
+        if default is not None and not isinstance(default, (int, float, str)):
+            raise ValueError(
+                "initial default must be a JSON scalar (int/float/str/bool)"
+            )
+        if isinstance(dtype, str):
+            # accept Spark simpleString spellings alongside the schema-
+            # JSON names (StructType.fromJson knows "long", not "bigint")
+            dtype = {
+                "bigint": "long",
+                "int": "integer",
+                "smallint": "short",
+                "tinyint": "byte",
+            }.get(dtype, dtype)
 
         def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
             fields = list(current.schema_json["fields"])
@@ -2788,9 +2901,16 @@ class Table:
                     f"column name {name!r} is retired (used earlier in "
                     "this table's schema history); pick a fresh name"
                 )
+            md: dict = {}
+            if default is not None:
+                snap = current.current_snapshot()
+                md = {
+                    "initial_default": default,
+                    "default_seq": snap.sequence if snap is not None else 0,
+                }
             new_schema = dict(current.schema_json)
             new_schema["fields"] = fields + [
-                {"name": name, "type": dtype, "nullable": True, "metadata": {}}
+                {"name": name, "type": dtype, "nullable": True, "metadata": md}
             ]
             new_id = max(s["schema_id"] for s in current.schemas) + 1
             return replace(
@@ -2952,8 +3072,45 @@ class Table:
         """Materialize a planned entry list as a DataFrame. Parquet and
         avro files (the R5 format toggle) can coexist in one table:
         each format scans with its own distributed reader and the
-        branches union."""
+        branches union. Initial-default columns are applied per entry
+        GROUP (see _apply_default_groups)."""
         schema = schema or self.schema()
+        return self._apply_default_groups(
+            entries, schema, lambda es: self._read_entries_raw(spark, es, schema)
+        )
+
+    def _apply_default_groups(self, entries, schema, read_group):
+        """Split ``entries`` by which initial-default columns apply
+        (entry seq <= the column's add sequence), read each group with
+        ``read_group``, fill the applicable columns with their literal
+        default (wholesale: those files provably lack the column, so
+        every physical value is null), and union. One group — the
+        universal no-defaults case — costs nothing extra."""
+        defaults = _defaults_of(schema)
+        if not defaults or not entries:
+            return read_group(entries)
+        groups: dict[frozenset, list[dict]] = {}
+        for e in entries:
+            groups.setdefault(_default_sig(e, defaults), []).append(e)
+        parts = []
+        for sig, es in groups.items():
+            df = read_group(es)
+            for c in sig:
+                df = df.withColumn(
+                    c, F.lit(defaults[c][0]).cast(schema[c].dataType)
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_entries_raw(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        schema: StructType,
+    ) -> DataFrame:
         if not entries:
             return spark.createDataFrame([], schema)
         renames = _renames_of(schema)

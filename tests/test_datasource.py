@@ -1215,3 +1215,109 @@ def test_cdc_stream_across_merge_commit(ds, base_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_reused_dataframe_filter_order(ds, base_dir):
+    """Spark's Python-DataSource integration caches the planned read
+    per .load() and re-plans ONLY when a query pushes filters — so a
+    loaded DataFrame reused for a filtered action then an unfiltered
+    one replays the filtered partitions (upstream behavior, out of a
+    source's reach). Pin the SAFE patterns: a fresh load per query is
+    always exact, and filtered queries on a reused frame are each
+    correct for their own predicate."""
+    spark = ds
+    root = base_dir + "/reuse"
+    df = spark.createDataFrame([(i, i % 3) for i in range(90)], "k long, g long")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+
+    def fresh():
+        return spark.read.format("engine_table").option("root", root).load()
+
+    assert fresh().filter(F.col("g") == 0).count() == 30
+    assert fresh().count() == 90  # fresh load: exact after a filtered query
+    assert fresh().filter(F.col("k") < 10).count() == 10
+    assert fresh().count() == 90
+    conn = fresh()
+    assert conn.count() == 90  # unfiltered-first reuse is safe:
+    assert conn.filter(F.col("g") == 1).count() == 30  # filters re-applied
+    # each FILTERED query on a reused frame re-plans with its own
+    # predicate (pushFilters resets state per call)
+    conn2 = fresh()
+    assert conn2.filter(F.col("g") == 2).count() == 30
+    assert conn2.filter(F.col("k") >= 45).count() == 45
+
+
+def test_connector_write_after_spec_evolution(ds, base_dir):
+    """Connector-written entries stamp the spec id their partition
+    values were computed under. Unstamped entries resolve as spec 0 at
+    plan time — after a truncate->bucket evolution that read hash
+    buckets as truncate range starts and SILENTLY pruned every
+    connector-written file out of point lookups (found round 6)."""
+    spark = ds
+    from java_iceberg_table_spark.table import bucket, truncate
+
+    root = base_dir + "/specw"
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    tbl = create_table(root, df.schema, partition=truncate("k", 50))
+    tbl.append(df.filter(F.col("k") < 50))
+    tbl.update_partition_spec(bucket("k", 4))
+    df.filter(F.col("k") >= 50).write.format("engine_table").option(
+        "root", root
+    ).mode("append").save()
+    tbl = open_table(root)
+    new = [e for e in tbl.plan_files() if int(e.get("spec_id", 0) or 0) == 1]
+    assert new and all(0 <= e["partition"] < 4 for e in new)
+    assert sorted(
+        r["k"] for r in tbl.scan(spark, [("k", "=", 60)]).collect()
+    ) == [60]
+    assert tbl.scan(spark).count() == 100
+
+
+def test_connector_overwrite_modes(ds, base_dir):
+    """mode('overwrite'): static replaces the whole table atomically
+    (one 'overwrite' snapshot, old content time-travelable, empty
+    frame truncates, pending MOR deletes dropped with the content);
+    option('overwriteMode','dynamic') replaces only the partitions the
+    written data touches, carrying other partitions and older-spec
+    vintages by reference."""
+    spark = ds
+    from java_iceberg_table_spark.table import truncate
+
+    root = base_dir + "/ovw"
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(80)], "k long, g long"
+    )
+    tbl = create_table(root, df.schema, partition=truncate("g", 1))
+    tbl.append(df)
+    s1 = tbl.metadata.current_snapshot()
+    # dynamic: rewrite only partitions 0 and 1 with new values
+    repl = spark.createDataFrame(
+        [(1000 + i, i % 2) for i in range(10)], "k long, g long"
+    )
+    repl.write.format("engine_table").option("root", root).option(
+        "overwriteMode", "dynamic"
+    ).mode("overwrite").save()
+    tbl = open_table(root)
+    got = {r["g"]: set() for r in tbl.scan(spark).collect()}
+    for r in tbl.scan(spark).collect():
+        got[r["g"]].add(r["k"])
+    assert got[0] == {1000 + i for i in range(10) if i % 2 == 0}
+    assert got[1] == {1000 + i for i in range(10) if i % 2 == 1}
+    assert got[2] == {i for i in range(80) if i % 4 == 2}  # untouched
+    assert got[3] == {i for i in range(80) if i % 4 == 3}
+    assert tbl.metadata.current_snapshot().operation == "overwrite"
+    # static: whole-table replace
+    spark.createDataFrame([(1, 9)], "k long, g long").write.format(
+        "engine_table"
+    ).option("root", root).mode("overwrite").save()
+    tbl = open_table(root)
+    assert [(r["k"], r["g"]) for r in tbl.scan(spark).collect()] == [(1, 9)]
+    # the pre-overwrite content is still time-travelable
+    assert tbl.scan(spark, snapshot_id=s1.snapshot_id).count() == 80
+    # branch + overwrite refused
+    tbl.create_branch("b1")
+    with pytest.raises(Exception, match="branch"):
+        repl.write.format("engine_table").option("root", root).option(
+            "branch", "b1"
+        ).mode("overwrite").save()

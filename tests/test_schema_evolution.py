@@ -206,3 +206,86 @@ def test_append_spanning_a_rename_commit(spark, tmp_path):
     tbl.append_entries(pending)  # the racing writer's commit lands
     rows = {r["id"]: r["label"] for r in tbl.scan(spark).collect()}
     assert rows == {1: "a", 2: "b", 10: "x", 11: "y"}
+
+
+def test_add_column_initial_default(spark, tmp_path):
+    """add_column(default=...) — Iceberg v3 initial-default: the
+    default applies ONLY to rows physically written before the column
+    existed (selected by entry sequence number); explicit NULLs
+    written afterwards stay NULL; time travel predating the add has no
+    such column; MOR deletes anti-join on physical values first;
+    compaction materializes the default and preserves content."""
+    tbl = _mk(spark, tmp_path)
+    s1 = tbl.metadata.current_snapshot()
+    tbl.add_column("status", "string", default="active")
+    tbl.append(
+        spark.createDataFrame(
+            [(3, "c", "new"), (4, "d", None)], "id long, name string, status string"
+        )
+    )
+    out = {r["id"]: r["status"] for r in tbl.scan(spark).collect()}
+    assert out == {1: "active", 2: "active", 3: "new", 4: None}
+    # vintage schema predates the column entirely
+    assert tbl.scan(spark, snapshot_id=s1.snapshot_id).columns == ["id", "name"]
+    # an equality delete composes (physical values: old rows keyed by id)
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(1,), (3,)], "id long"), ["id"])
+    out2 = {r["id"]: r["status"] for r in tbl.scan(spark).collect()}
+    assert out2 == {2: "active", 4: None}
+    # compaction rewrites old files: the default MATERIALIZES, content equal
+    tbl.compact_data_files(spark)
+    assert {r["id"]: r["status"] for r in tbl.scan(spark).collect()} == out2
+    # numeric defaults + simpleString dtype names accepted
+    tbl.add_column("score", "bigint", default=7)
+    got = {r["id"]: (r["status"], r["score"]) for r in tbl.scan(spark).collect()}
+    assert got == {2: ("active", 7), 4: (None, 7)}
+    # non-scalar defaults refused
+    with pytest.raises(ValueError, match="JSON scalar"):
+        tbl.add_column("bad", "string", default=["x"])
+
+
+def test_initial_default_through_connector(spark, tmp_path):
+    """The connector's executor-side read paths (batch aligned-arrow,
+    MOR-masked pandas, CDC) apply initial defaults per FILE — parity
+    with Table.scan, including under delete state."""
+    from java_iceberg_table_spark.sources import register_engine_datasource
+
+    register_engine_datasource(spark)
+    root = str(tmp_path / "c")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, name string")
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    tbl.add_column("status", "string", default="active")
+    tbl.append(
+        spark.createDataFrame(
+            [(100, "x", None), (101, "y", "set")], "id long, name string, status string"
+        )
+    )
+    tbl.delete_eq_mor(spark, spark.createDataFrame([(2,), (100,)], "id long"), ["id"])
+    want = sorted(
+        (r["id"], r["name"], r["status"]) for r in tbl.scan(spark).collect()
+    )
+    got = sorted(
+        (r["id"], r["name"], r["status"])
+        for r in spark.read.format("engine_table").option("root", root).load().collect()
+    )
+    assert got == want
+    assert (100, "x", None) not in got and (2, "v2", "active") not in got
+    assert (5, "v5", "active") in got and (101, "y", "set") in got
+    # avro-format files take the pandas decode path: same parity
+    tbl.set_properties({"write.format.default": "avro"})
+    tbl.add_column("grade", "bigint", default=3)
+    tbl.append(
+        spark.createDataFrame(
+            [(200, "z", "s", 9)], "id long, name string, status string, grade long"
+        )
+    )
+    want2 = sorted(
+        tuple(r) for r in tbl.scan(spark).select("id", "status", "grade").collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.format("engine_table").option("root", root).load()
+        .select("id", "status", "grade").collect()
+    )
+    assert got2 == want2
+    assert (200, "s", 9) in got2 and (5, "active", 3) in got2
