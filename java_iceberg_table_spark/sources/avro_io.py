@@ -270,15 +270,26 @@ def arrow_stats(records, file_bytes: int) -> dict:
 
     from ..table.stats import _plain
 
+    import pyarrow as pa
+
     cols: dict[str, dict] = {}
     for name in records.column_names:
         col = records.column(name)
         entry = {"min": None, "max": None, "nulls": col.null_count}
         try:
+            # a float column CONTAINING NaN keeps no bound: Arrow's
+            # min_max (like pyarrow's parquet writer) skips NaN, so the
+            # returned bounds look clean while Spark/DuckDB order NaN
+            # ABOVE every value — a clean max would silently prune
+            # files whose NaN rows match (checking the bounds for NaN
+            # is not enough; the presence check is the real guard)
+            if pa.types.is_floating(col.type) and pc.any(
+                pc.is_nan(col)
+            ).as_py():
+                cols[name] = entry
+                continue
             mm = pc.min_max(col)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
-            # NaN bounds poison planning comparisons (see
-            # table/stats.py): a column containing NaN keeps no bound
             if not (mn != mn or mx != mx):
                 entry["min"], entry["max"] = _plain(mn), _plain(mx)
         except Exception:
@@ -305,6 +316,12 @@ def _avro_records(g: "pd.DataFrame", ts_cols, int_cols) -> list[dict]:
         )
         iv[g[c].isna().values] = None
         g[c] = iv
+    # NOTE: float NaN collapses to None here — numpy float64 is both
+    # the NaN carrier and pandas' missing marker, and Spark's
+    # arrow->pandas hand-off already conflates a float NULL with NaN,
+    # so the distinction is unrecoverable at this boundary. The avro
+    # format toggle therefore stores NaN as NULL; stats, pruning, and
+    # scans all agree on that interpretation (no silent divergence).
     return g.astype(object).where(pd.notnull(g), None).to_dict("records")
 
 

@@ -328,12 +328,25 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
     os.makedirs(out_dir, exist_ok=True)
     writers: dict[object, pq.ParquetWriter] = {}
     paths: dict[object, str] = {}
+    # pyarrow's parquet writer records NaN-STRIPPED min/max — clean-
+    # looking bounds even when the column holds NaN — while Spark
+    # orders NaN above every value, so both our manifest pruning AND
+    # Spark's own row-group pushdown (reading the same footer) would
+    # silently drop NaN rows that match. parquet-mr's answer is to
+    # write no float stats when NaN is present; a streaming writer
+    # can't know in advance, so float columns get NO footer stats at
+    # all (missing stats are never pruned, by every consumer). The
+    # trade is float-range file-skipping on connector-written files —
+    # correctness over pruning.
+    stats_cols = [f.name for f in target if not pa.types.is_floating(f.type)]
 
     def sink_for(bucket):
         if bucket not in writers:
             suffix = "" if bucket is None else f"-p{bucket}"
             paths[bucket] = os.path.join(out_dir, f"f-{task_id}{suffix}.parquet")
-            writers[bucket] = pq.ParquetWriter(paths[bucket], target)
+            writers[bucket] = pq.ParquetWriter(
+                paths[bucket], target, write_statistics=stats_cols
+            )
         return writers[bucket]
 
     try:

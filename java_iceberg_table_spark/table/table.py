@@ -170,6 +170,60 @@ def _normalize_stat_value(val):
     return val
 
 
+def _stat_value_renderings(val) -> list:
+    """Every footer-stat rendering a predicate value may need to
+    compare against. A plain DATE is ambiguous: against a DATE
+    column's stats it must render 'YYYY-MM-DD', against a TIMESTAMP
+    column's 'YYYY-MM-DDT00:00:00' — and 'YYYY-MM-DD' sorts BEFORE
+    its own T-suffixed midnight, so picking one rendering mis-prunes
+    the other column type at day boundaries. The pruner keeps a file
+    if ANY rendering admits it (and is 'certain' only if all are)."""
+    import datetime as _dt2
+
+    if isinstance(val, _dt2.datetime):
+        return [val.isoformat()]
+    if isinstance(val, _dt2.date):
+        return [val.isoformat(), val.isoformat() + "T00:00:00"]
+    return [val]
+
+
+def _key_bounds(source: DataFrame, key_cols: list[str]):
+    """One tiny aggregate: per-key-column min/max of the source side —
+    the pruning probe for upsert/merge candidate selection."""
+    return source.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in key_cols],
+        *[F.max(c).alias(f"hi_{c}") for c in key_cols],
+    ).collect()[0]
+
+
+def _key_bound_candidates(
+    entries: list[dict], bounds_row, key_cols: list[str]
+) -> list[dict]:
+    """Manifest entries whose stats range can overlap the source key
+    bounds — the shared rewrite/match pruning for upsert and
+    merge_into. Bounds normalize to the footer-stat rendering
+    (datetimes -> ISO strings) and incomparable stat/bound types keep
+    the file: pruning is conservative, never row-losing."""
+
+    def may_hold(e: dict) -> bool:
+        for c in key_cols:
+            lo = _normalize_stat_value(bounds_row[f"lo_{c}"])
+            hi = _normalize_stat_value(bounds_row[f"hi_{c}"])
+            if lo is None:
+                return False  # empty source: no file matches
+            cstats = e.get("columns", {}).get(c)
+            if not cstats or cstats.get("min") is None:
+                continue  # no stats: must assume overlap
+            try:
+                if cstats["max"] < lo or cstats["min"] > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable: must assume overlap
+        return True
+
+    return [e for e in entries if may_hold(e)]
+
+
 def _on_bucket_start(t, val, vb: int) -> bool:
     """True when ``val`` is exactly the inclusive lower boundary of
     bucket ``vb`` — the sharpening that lets ``ts < midnight`` drop the
@@ -1066,24 +1120,9 @@ class Table:
             snap = md.current_snapshot()
             t = self.transform
             entries = self.files_of(snap) if snap is not None else []
-            bounds_row = updates.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in key_cols],
-                *[F.max(c).alias(f"hi_{c}") for c in key_cols],
-            ).collect()[0]
-
-            def may_hold(e: dict) -> bool:
-                for c in key_cols:
-                    lo, hi = bounds_row[f"lo_{c}"], bounds_row[f"hi_{c}"]
-                    if lo is None:
-                        return False  # empty updates: no file matches
-                    cstats = e.get("columns", {}).get(c)
-                    if not cstats or cstats.get("min") is None:
-                        continue  # no stats: must assume overlap
-                    if cstats["max"] < lo or cstats["min"] > hi:
-                        return False
-                return True
-
-            cands = [e for e in entries if may_hold(e)]
+            cands = _key_bound_candidates(
+                entries, _key_bounds(updates, key_cols), key_cols
+            )
             cand_paths = {e["path"] for e in cands}
             keep = [e for e in entries if e["path"] not in cand_paths]
             keys = updates.select(*key_cols).dropDuplicates(key_cols)
@@ -1160,28 +1199,40 @@ class Table:
         missing = [c for c in on if c not in cols]
         if missing:
             raise ValueError(f"merge keys not in table schema: {missing}")
+        # a merge key carrying an initial default cannot be supported:
+        # matching sees the FILLED value but the equality delete masks
+        # only PHYSICAL values, so the superseded pre-add row (physical
+        # NULL) would survive next to its replacement
+        defaulted = [c for c in on if c in _defaults_of(self.schema())]
+        if defaulted:
+            raise ValueError(
+                f"merge keys {defaulted} carry an initial default; merge on "
+                "columns without one (or rewrite the table first)"
+            )
+        if update is not None or delete_condition is not None:
+            # Delta/Iceberg MERGE contract: multiple source rows
+            # matching one target row is an error, not a silent
+            # row multiplication (each duplicate would append its own
+            # replacement while the single eq-delete key masks only
+            # the one superseded version)
+            dup = (
+                source.groupBy(*on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has multiple rows per key; aggregate it "
+                    "to one row per key first (MERGE matched-clause "
+                    "cardinality violation)"
+                )
         for attempt in range(3):
             md = self.metadata
             snap = md.current_snapshot()
             entries = self.files_of(snap) if snap is not None else []
-            bounds_row = source.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in on],
-                *[F.max(c).alias(f"hi_{c}") for c in on],
-            ).collect()[0]
-
-            def may_hold(e: dict) -> bool:
-                for c in on:
-                    lo, hi = bounds_row[f"lo_{c}"], bounds_row[f"hi_{c}"]
-                    if lo is None:
-                        return False  # empty source: nothing matches
-                    cstats = e.get("columns", {}).get(c)
-                    if not cstats or cstats.get("min") is None:
-                        continue  # no stats: must assume overlap
-                    if cstats["max"] < lo or cstats["min"] > hi:
-                        return False
-                return True
-
-            cands = [e for e in entries if may_hold(e)]
+            cands = _key_bound_candidates(entries, _key_bounds(source, on), on)
             src = source.alias("s")
             schema = self.schema()
 
@@ -1206,7 +1257,11 @@ class Table:
                 if delete_condition:
                     deletes = matched.filter(del_cond)
                 if update is not None:
-                    upd = matched.filter(~del_cond)
+                    # NULL-valued delete conditions fall through to the
+                    # UPDATE clause (first-match-wins over three-valued
+                    # logic: ~NULL is NULL and would drop the row from
+                    # BOTH clauses, leaving a stale target row)
+                    upd = matched.filter(~F.coalesce(del_cond, F.lit(False)))
                     if update_condition:
                         upd = upd.filter(F.expr(update_condition))
                     if update == "all":
@@ -2497,6 +2552,12 @@ class Table:
         the column has zero nulls (a null row fails any comparison).
         Conservative by construction — False just means 'must scan'."""
         col, op, val = flt
+        cands = _stat_value_renderings(val)
+        if len(cands) > 1:  # certain only when EVERY rendering is
+            return all(
+                Table._entry_certainly_matches(entry, t, (col, op, v))
+                for v in cands
+            )
         val = _normalize_stat_value(val)
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
@@ -2675,7 +2736,12 @@ class Table:
         col, op, val = flt
         # datetime predicates compare against ISO-string stat bounds —
         # F.lit(datetime).cast("string") would render with a space
-        # separator and mis-order against the 'T'-separated stats
+        # separator and mis-order against the 'T'-separated stats. A
+        # plain DATE is rendering-ambiguous (see _stat_value_renderings);
+        # the distributed path skips pruning on it entirely rather than
+        # compiling the two-rendering disjunction
+        if len(_stat_value_renderings(val)) > 1:
+            return F.lit(True)
         val = _normalize_stat_value(val)
         numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
         typ = "decimal(38,9)" if numeric else "string"
@@ -2783,6 +2849,13 @@ class Table:
         entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         col, op, val = flt
+        # a DATE predicate compares under BOTH stat renderings (date
+        # vs timestamp column); keep the file if either admits it
+        cands = _stat_value_renderings(val)
+        if len(cands) > 1:
+            return any(
+                Table._entry_may_match(entry, t, (col, op, v)) for v in cands
+            )
         val = _normalize_stat_value(val)
         lo = hi = None
         if t is not None and col == t.source_column and entry.get("partition") is not None:
@@ -3172,7 +3245,11 @@ class Table:
             from ..sources.avro_io import read_avro_df
 
             adf = read_avro_df(spark, avro, phys, with_pos=True)
-            frames.append(adf.select(*proj, "__file"))
+            # explicit field list, never '*': the position-aware avro
+            # decode already carries __file/__pos, and '*' + '__file'
+            # would project the column twice (AMBIGUOUS_REFERENCE)
+            sel = proj if renames else [F.col(f.name) for f in schema.fields]
+            frames.append(adf.select(*sel, "__file"))
         sketches = _ndv.compute_file_sketches(frames, columns, k)
         rel = _ndv.write_stats_file(self.root, snap.snapshot_id, k, sketches)
         self.set_properties(

@@ -94,14 +94,16 @@ def test_time_travel_option(ds, sf_dir, base_dir):
 
 
 def test_overwrite_mode_rejected(ds, sf_dir, base_dir):
+    """mode('overwrite') is supported (test_connector_overwrite_modes);
+    an UNKNOWN overwriteMode value is still refused loudly."""
     spark = ds
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     root = base_dir + "/t"
     create_table(root, cust.schema)
-    with pytest.raises(Exception, match="append-only"):
-        cust.write.format("engine_table").option("root", root).mode(
-            "overwrite"
-        ).save()
+    with pytest.raises(Exception, match="unknown overwriteMode"):
+        cust.write.format("engine_table").option("root", root).option(
+            "overwriteMode", "replace"
+        ).mode("overwrite").save()
 
 
 def test_stream_read_tails_commits(ds, sf_dir, base_dir):

@@ -282,3 +282,68 @@ def test_merge_into_empty_and_conflicting(spark, tmp_path):
     )
     tbl.delete_eq_mor(spark, spark.createDataFrame([(1,)], "k long"), ["k"])
     assert {r["k"] for r in tbl.scan(spark).collect()} == {2}
+
+
+def test_merge_into_null_delete_condition_falls_to_update(spark, tmp_path):
+    """A matched row whose delete_condition evaluates to NULL is NOT
+    deleted AND still reaches the UPDATE clause (first-match-wins over
+    three-valued logic; ~NULL would silently drop it from both)."""
+    root = str(tmp_path / "mn")
+    tbl = create_table(
+        root, spark.createDataFrame([(1, 1.0)], "k long, x double").schema
+    )
+    tbl.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double"))
+    src = spark.createDataFrame(
+        [(1, None), (2, 50.0)], "k long, x double"
+    )  # s.x NULL for k=1
+    res = tbl.merge_into(
+        spark, src, ["k"], update={"x": "t.x + 100"},
+        delete_condition="s.x > 10", insert=False,
+    )
+    assert res == {"updated_rows": 1, "deleted_rows": 1, "inserted_rows": 0}
+    out = {r["k"]: r["x"] for r in tbl.scan(spark).collect()}
+    assert out == {1: 101.0}  # k=1 updated (NULL cond), k=2 deleted
+
+
+def test_merge_into_timestamp_key(spark, tmp_path):
+    """Candidate pruning with a timestamp merge key: source bounds are
+    datetimes, footer stats ISO strings — normalized, not TypeError."""
+    import datetime as dt
+
+    root = str(tmp_path / "mt")
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(hours=i), float(i)) for i in range(10)],
+        "ts timestamp, x double",
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df)
+    src = spark.createDataFrame(
+        [(base + dt.timedelta(hours=3), 999.0)], "ts timestamp, x double"
+    )
+    res = tbl.merge_into(spark, src, ["ts"], update="all", insert=False)
+    assert res["updated_rows"] == 1
+    got = {r["ts"]: r["x"] for r in tbl.scan(spark).collect()}
+    assert got[base + dt.timedelta(hours=3)] == 999.0
+
+
+def test_merge_into_guards(spark, tmp_path):
+    """Cardinality violation (multiple source rows per key) and
+    initial-defaulted merge keys are refused loudly — both would
+    silently corrupt the table (row multiplication / surviving
+    superseded rows)."""
+    root = str(tmp_path / "mg")
+    tbl = create_table(
+        root, spark.createDataFrame([(1, 1.0)], "k long, x double").schema
+    )
+    tbl.append(spark.createDataFrame([(1, 1.0)], "k long, x double"))
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, x double")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        tbl.merge_into(spark, dup, ["k"], update="all")
+    tbl.add_column("g", "long", default=5)
+    with pytest.raises(ValueError, match="initial default"):
+        tbl.merge_into(
+            spark,
+            spark.createDataFrame([(5, 1.0, 5)], "g long, x double, k long"),
+            ["g"],
+        )

@@ -1047,3 +1047,89 @@ def test_ndv_sketch_merge_property():
     assert len(m) == k
     # exact path below k
     assert kmv_estimate([1, 2, 3], k) == 3.0
+
+
+def test_nan_stats_connector_and_avro_writers(spark, troot):
+    """NaN-safe bounds hold for ALL THREE stats producers. pyarrow's
+    parquet writer and Arrow min_max both SKIP NaN — the footer looks
+    clean while Spark orders NaN above everything — so the connector
+    sink tracks NaN presence per (file, float column) at write time
+    and the avro sink checks is_nan before trusting min_max."""
+    from java_iceberg_table_spark.sources import register_engine_datasource
+    from java_iceberg_table_spark.table import create_table, load_table
+
+    register_engine_datasource(spark)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 10.0), (3, float("nan"))], "k long, x double"
+    )
+    # connector (pyarrow ParquetWriter) sink
+    root1 = troot + "/nanconn"
+    create_table(root1, df.schema)
+    df.coalesce(1).write.format("engine_table").option("root", root1).mode(
+        "append"
+    ).save()
+    t1 = load_table(root1)
+    st = t1.plan_files()[0]["columns"]
+    # float columns carry NO footer stats from the connector writer
+    # (pyarrow would record NaN-stripped bounds Spark's own row-group
+    # pushdown would then trust); missing stats are never pruned
+    assert "x" not in st or (st["x"]["min"] is None and st["x"]["max"] is None)
+    assert st["k"]["min"] == 1 and st["k"]["max"] == 3  # int stats intact
+    assert sorted(
+        r["k"] for r in t1.scan(spark, [("x", ">", 20.0)]).collect()
+    ) == [3]  # NaN > 20.0 under Spark semantics — file must not prune
+    # avro sink: float NaN COLLAPSES to NULL at the pandas boundary
+    # (numpy float64 is both the NaN carrier and the missing marker;
+    # Spark's arrow->pandas hand-off already conflates them), so the
+    # written data holds NULL, the stats record it as a null, and
+    # pruning + scan agree on the NULL interpretation end to end
+    root2 = troot + "/nanavro"
+    t2 = create_table(root2, df.schema)
+    t2.set_properties({"write.format.default": "avro"})
+    t2.append(df.coalesce(1))
+    rows = {r["k"]: r["x"] for r in t2.scan(spark).collect()}
+    assert rows[3] is None or rows[3] != rows[3]  # NULL (or NaN) — never 0
+    got = sorted(r["k"] for r in t2.scan(spark, [("x", ">", 20.0)]).collect())
+    plan = t2.plan_files([("x", ">", 20.0)])
+    # consistency: if planning keeps no file, the scan must also be
+    # empty under the same interpretation (no silent divergence)
+    assert (len(plan) == 0) == (len(got) == 0)
+    assert t2.scan(spark, [("x", ">", 5.0)]).count() == 1
+
+
+def test_analyze_on_avro_table(spark, troot):
+    """ANALYZE works on avro-format tables (the position-aware decode
+    already carries __file; the projection must not duplicate it)."""
+    from java_iceberg_table_spark.table import create_table
+
+    root = troot + "/ndvavro"
+    df = spark.createDataFrame([(i, i % 9) for i in range(200)], "k long, m long")
+    tbl = create_table(root, df.schema)
+    tbl.set_properties({"write.format.default": "avro"})
+    tbl.append(df.repartition(3))
+    tbl.analyze(spark, ["k", "m"])
+    assert tbl.approx_ndv("m")["ndv"] == 9.0
+    full = tbl.approx_ndv("k")
+    assert full["exact"] and full["ndv"] == 200.0  # 200 < k: exact path
+
+
+def test_date_predicate_on_timestamp_stats(spark, troot):
+    """A plain DATE predicate against a TIMESTAMP column's ISO stats:
+    'YYYY-MM-DD' sorts before its own T-suffixed midnight, so a
+    single-rendering comparison would prune a file whose earliest row
+    is exactly midnight. The pruner evaluates both renderings."""
+    import datetime as dt
+
+    from java_iceberg_table_spark.table import create_table
+
+    root = troot + "/dts"
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 5) + dt.timedelta(hours=i)) for i in range(4)],
+        "k long, ts timestamp",
+    )
+    tbl = create_table(root, df.schema)
+    tbl.append(df.coalesce(1))
+    # file min == midnight 2024-03-05 exactly
+    assert len(tbl.plan_files([("ts", "<=", dt.date(2024, 3, 5))])) == 1
+    assert tbl.scan(spark, [("ts", "<=", dt.date(2024, 3, 5))]).count() == 1
+    assert len(tbl.plan_files([("ts", "=", dt.date(2024, 3, 5))])) == 1
