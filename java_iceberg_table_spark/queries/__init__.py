@@ -152,13 +152,18 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first
-# (round 6: the CDC stream planner grew lineage-walk + maintenance-
-# commit segmentation; the maintained-view fold became idempotent).
+# (round 6: the CDC stream planner grew lineage-walk + segmentation;
+# the connector grew pushdown-state consumption, spec stamping,
+# overwrite modes, and NaN-safe float stats; d1 moved to exact int64
+# fixed-point money math; the Table read paths grew default-fill
+# grouping).
 _REVERIFY_HEAD = [
     "i20_connector_cdc_stream",
     "i21_streaming_materialized_view",
     "a3m_engine_datasource_connector",
     "a3v_engine_runtime_filter_join",
+    "d1_tpch_q1",
+    "a3_engine_table_scan",
 ]
 
 

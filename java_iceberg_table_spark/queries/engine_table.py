@@ -1577,3 +1577,68 @@ def a4d_engine_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4e_engine_insert_overwrite",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 NOT IN (0, 1)) + 10
+         AS cnt,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 2) AS kept_p2,
+       CAST(10 AS BIGINT) AS replaced_rows,
+       true AS atomic_overwrite,
+       true AS pre_image_travels
+FROM orders LIMIT 1
+""",
+    group="A",
+)
+def a4e_engine_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE through the connector. Dynamic mode
+    (option('overwriteMode','dynamic')) replaces ONLY the partitions
+    the written data touches — here buckets 0 and 1 of an
+    identity(o_orderkey % 4)-style layout get 10 replacement rows
+    while buckets 2 and 3 are carried by reference, untouched bytes —
+    in ONE atomic 'overwrite' snapshot; the pre-overwrite content
+    stays time-travelable. At 100 TB this is the daily-partition
+    reload shape: rewriting one day costs one day, not the table, and
+    readers never see a mix."""
+    from ..table import identity
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_ovw_") + "/t"
+    try:
+        from ..sources import register_engine_datasource
+
+        register_engine_datasource(spark)
+        base = orders.withColumn("bucket", F.col("o_orderkey") % 4)
+        tbl = create_table(root, base.schema, partition=identity("bucket"))
+        s1 = tbl.append(base)
+        repl = spark.createDataFrame(
+            [(10_000_000_000 + i, i % 2) for i in range(10)],
+            "o_orderkey long, bucket long",
+        )
+        repl.write.format("engine_table").option("root", root).option(
+            "overwriteMode", "dynamic"
+        ).mode("overwrite").save()
+        tbl = open_table(root)
+        snaps = tbl.snapshots()
+        atomic = (
+            snaps[-1].operation == "overwrite"
+            and snaps[-1].summary.get("overwrite-mode") == "dynamic"
+            and len(snaps) == 2
+        )
+        cur = tbl.scan(spark)
+        cnt = cur.count()
+        kept_p2 = cur.filter(F.col("bucket") == 2).count()
+        replaced = cur.filter(F.col("o_orderkey") >= 10_000_000_000).count()
+        travels = (
+            tbl.scan(spark, snapshot_id=s1.snapshot_id).count()
+            == orders.count()
+        )
+        return spark.createDataFrame(
+            [(cnt, kept_p2, replaced, atomic, travels)],
+            "cnt bigint, kept_p2 bigint, replaced_rows bigint, "
+            "atomic_overwrite boolean, pre_image_travels boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -1313,3 +1313,123 @@ def i23_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_id"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "i24_scd2_history_stream",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey % 5 <> 0) AS n_open,
+       (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                      + CASE WHEN c_custkey % 3 = 0 THEN 1000 ELSE 0 END)
+               AS DOUBLE)
+          FROM customer WHERE c_custkey % 5 <> 0) AS sum_open,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0)
+         + (SELECT COUNT(*) FROM customer WHERE c_custkey % 5 = 0) AS n_closed,
+       true AS open_equals_source,
+       true AS versions_correct
+""",
+    group="I",
+)
+def i24_scd2_history_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history maintained by the CDC
+    STREAM (streaming/jobs.scd2_merge): every upstream change lands as
+    a closed version row plus a new open row, so 'what was this value
+    when the model trained' is one as-of filter over (valid_from,
+    valid_to] — the feature-lineage primitive. The scenario seeds
+    customer balances, updates one third (+1000), then deletes one
+    fifth; the maintained history must show exactly the surviving
+    open rows equal to a source recompute, one closed version per
+    update or delete, and the closed versions carrying their ORIGINAL
+    values. Per-batch cost is O(touched keys): closing is an equality
+    delete + re-append of just those keys' open rows, never a history
+    rewrite — the shape that stands at 100 TB of dimension churn."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import SCD2_OPEN, scd2_merge
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_acctbal").cast("double").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    src_root, hist_root, ckpt = base + "/src", base + "/hist", base + "/ckpt"
+    src = _ct(src_root, cust.schema)
+    hist_schema = spark.createDataFrame(
+        [], "user_id long, value double, valid_from long, valid_to long"
+    ).schema
+    _ct(hist_root, hist_schema)
+    fold = scd2_merge(hist_root)
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # the fold's per-batch joins/groupBys run under the SESSION's
+    # shuffle partitioning; at dimension-churn scale that is sized to
+    # the cluster, here it is clamped to the fixture (same rationale
+    # as run_to_memory's state_partitions)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src.append(cust)
+        drain()  # batch 0: every key opens
+        upd = cust.filter(F.col("user_id") % 3 == 0)
+        src.delete_eq_mor(spark, upd.select("user_id"), ["user_id"])
+        src.append(upd.withColumn("value", F.col("value") + 1000))
+        drain()  # batch: one third close v1, open v2
+        src.delete_eq_mor(
+            spark,
+            cust.filter(F.col("user_id") % 5 == 0).select("user_id"),
+            ["user_id"],
+        )
+        drain()  # batch: one fifth close with no successor
+        hs = _open(hist_root).scan(spark)
+        open_rows = hs.filter(F.col("valid_to") == SCD2_OPEN)
+        closed_rows = hs.filter(F.col("valid_to") != SCD2_OPEN)
+        source_now = src.scan(spark)
+        a = open_rows.select("user_id", F.round("value", 4).alias("value"))
+        b = source_now.select("user_id", F.round("value", 4).alias("value"))
+        open_eq = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        # closed versions carry their ORIGINAL (pre-update) values
+        orig = cust.withColumnRenamed("value", "v0")
+        mismatches = (
+            closed_rows.filter(F.col("valid_from") == 0)
+            .join(orig, "user_id")
+            .filter(F.round(F.col("value"), 4) != F.round(F.col("v0"), 4))
+            .count()
+        )
+        row = open_rows.agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_open"),
+        ).collect()[0]
+        n_closed = closed_rows.count()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_open"],
+                    row["sum_open"],
+                    n_closed,
+                    open_eq,
+                    mismatches == 0 and n_closed > 0,
+                )
+            ],
+            "n_open bigint, sum_open double, n_closed bigint, "
+            "open_equals_source boolean, versions_correct boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

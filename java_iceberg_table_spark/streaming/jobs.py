@@ -611,3 +611,104 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
         )
 
     return merge
+
+
+SCD2_OPEN = 1 << 62  # sentinel valid_to of the OPEN (current) version
+
+
+def scd2_merge(
+    hist_root: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    stream_id: str = "scd2",
+):
+    """CDC stream -> foreachBatch maintaining a TYPE-2 slowly-changing-
+    dimension history table ``(key, value, valid_from, valid_to)``:
+    exactly one OPEN row (``valid_to == SCD2_OPEN``) per live key,
+    superseded versions CLOSED by stamping ``valid_to`` with the
+    closing batch id — the training-data lineage primitive ("what was
+    this feature worth when the model trained"). Versions are
+    micro-batch granular: a value that appears and disappears inside
+    one batch window never materializes (the CDC delta cancels).
+
+    Per batch, entirely declarative: the batch's net (key, value)
+    delta picks each touched key's new current version, the open rows
+    of touched keys close via equality-delete on
+    ``(key, valid_to=OPEN)`` + re-append with the closing stamp, and
+    the new versions append OPEN — cost O(touched keys), never a
+    history rewrite. Idempotent under foreachBatch replay with the
+    same commit-atomic batch-watermark + partial-crash rollback
+    contract as maintained_view_merge (scd-* summary keys;
+    ``stream_id`` namespaces the watermark per logical stream)."""
+    from pyspark.sql import functions as F
+
+    from ..table import load_table as _open
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ht = _open(hist_root)
+        applied = -1
+        partial_del = None
+        for s in ht.metadata.snapshots:
+            if s.summary.get("scd-stream-id", "default") != stream_id:
+                continue
+            bid = s.summary.get("scd-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("scd-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if partial_del is not None:
+            # crash window: the close-delete committed, the append did
+            # not — roll back to intact state and refold
+            ht.rollback_to(partial_del.parent_id)
+            ht = _open(hist_root)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = batch_df.groupBy(key_col, value_col).agg(
+            F.sum(sign).alias("net")
+        )
+        new_cur = delta.filter(F.col("net") > 0).select(key_col, value_col)
+        touched = batch_df.select(key_col).distinct()
+        to_close = (
+            ht.scan(spark)
+            .filter(F.col("valid_to") == SCD2_OPEN)
+            .join(touched, key_col, "inner")
+        )
+        closed = to_close.select(
+            key_col,
+            value_col,
+            "valid_from",
+            F.lit(int(batch_id)).alias("valid_to"),
+        )
+        new_open = new_cur.select(
+            key_col,
+            value_col,
+            F.lit(int(batch_id)).alias("valid_from"),
+            F.lit(SCD2_OPEN).alias("valid_to"),
+        )
+        rows = closed.unionByName(new_open)
+        if rows.isEmpty():
+            return  # nothing changed in this window: no commits
+        del_keys = to_close.select(
+            key_col, F.lit(SCD2_OPEN).alias("valid_to")
+        )
+        if not del_keys.isEmpty():
+            ht.delete_eq_mor(
+                spark,
+                del_keys,
+                [key_col, "valid_to"],
+                extra_summary={
+                    "scd-batch-del": int(batch_id),
+                    "scd-stream-id": stream_id,
+                },
+            )
+        ht.append(
+            rows,
+            extra_summary={
+                "scd-batch-id": int(batch_id),
+                "scd-stream-id": stream_id,
+            },
+        )
+
+    return merge
