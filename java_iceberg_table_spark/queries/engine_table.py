@@ -1642,3 +1642,130 @@ def a4e_engine_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4f_engine_add_files",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(2 AS BIGINT) AS files_imported,
+       true AS zero_copy,
+       true AS stats_prune
+FROM orders
+""",
+    group="A",
+)
+def a4f_engine_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only import of existing parquet (Iceberg's add_files
+    procedure / migrate path): two externally-written files adopt into
+    an engine table by HARDLINK — same inode, zero data rewrite — with
+    manifest stats read from the footers alone, so file skipping works
+    on the imported data immediately (the low-half/high-half split
+    proves it: a half-range predicate plans exactly one of the two
+    files). The 100 TB story is adoption cost: migrating a parquet
+    lake into the table format is O(files) metadata, not a copy."""
+    import glob as g
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    work = tempfile.mkdtemp(prefix="engine_add_")
+    root = work + "/t"
+    try:
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        split = mx // 2
+        lo_dir, hi_dir = os.path.join(work, "lo"), os.path.join(work, "hi")
+        orders.filter(F.col("o_orderkey") <= split).coalesce(1).write.parquet(lo_dir)
+        orders.filter(F.col("o_orderkey") > split).coalesce(1).write.parquet(hi_dir)
+        srcs = sorted(
+            g.glob(os.path.join(lo_dir, "*.parquet"))
+            + g.glob(os.path.join(hi_dir, "*.parquet"))
+        )
+        tbl = create_table(root, orders.schema)
+        snap = tbl.add_files(srcs)
+        ents = tbl.current_files()
+        src_inodes = {os.stat(s).st_ino for s in srcs}
+        zero_copy = all(
+            os.stat(os.path.join(root, e["path"])).st_ino in src_inodes
+            for e in ents
+        )
+        stats_prune = (
+            len(tbl.plan_files([("o_orderkey", "<=", split)])) == 1
+            and len(tbl.plan_files([("o_orderkey", ">", split)])) == 1
+        )
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("o_orderkey").alias("sum_key")
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row["cnt"],
+                    row["sum_key"],
+                    int(snap.summary.get("added-files-import", 0)),
+                    zero_copy,
+                    stats_prune,
+                )
+            ],
+            "cnt bigint, sum_key bigint, files_imported bigint, "
+            "zero_copy boolean, stats_prune boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "a4g_engine_cherry_pick",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders) + 25 AS cnt,
+       CAST(25 AS BIGINT) AS picked_rows,
+       true AS ff_refused,
+       true AS repick_noop,
+       true AS zero_copy
+""",
+    group="A",
+)
+def a4g_engine_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch cherry-pick (Iceberg cherrypickSnapshot): the
+    write-audit-publish completion when main has MOVED since the
+    branch staged its append, so fast-forward publish is impossible.
+    The staged snapshot's entries replay onto the new head by
+    reference — same data files, zero copy, restamped sequence — in
+    one conflict-free commit (appends are purely additive); a second
+    pick of the same snapshot is a None no-op because its paths are
+    already referenced. At 100 TB this is how audited batches land on
+    a busy table without serializing every producer through one
+    lineage."""
+    from ..table.format import CommitConflict
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="engine_cp_") + "/t"
+    try:
+        tbl = create_table(root, orders.schema)
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        tbl.create_branch("audit")
+        staged = tbl.append(
+            spark.range(25).select(
+                (F.col("id") + 20_000_000_000).alias("o_orderkey")
+            ),
+            branch="audit",
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        try:
+            tbl.publish_branch("audit")
+            ff_refused = False
+        except CommitConflict:
+            ff_refused = True
+        staged_paths = {e["path"] for e in tbl.added_files(staged)}
+        picked = tbl.cherry_pick(staged.snapshot_id)
+        zero_copy = {e["path"] for e in tbl.added_files(picked)} == staged_paths
+        repick_noop = tbl.cherry_pick(staged.snapshot_id) is None
+        cnt = tbl.scan(spark).count()
+        picked_rows = tbl.scan(
+            spark, [("o_orderkey", ">=", 20_000_000_000)]
+        ).count()
+        return spark.createDataFrame(
+            [(cnt, picked_rows, ff_refused, repick_noop, zero_copy)],
+            "cnt bigint, picked_rows bigint, ff_refused boolean, "
+            "repick_noop boolean, zero_copy boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -112,6 +112,13 @@ class TableMetadata:
     # old partition values and are pruned under the spec they were
     # written with (manifest entries carry spec_id).
     spec_log: list[dict] = field(default_factory=list)
+    # row-lineage high-water mark (Iceberg v3 next-row-id): every
+    # entry-adding commit claims [next_row_id, next_row_id + rows) and
+    # stamps each added entry's first_row_id from the claimed range, so
+    # _row_id = first_row_id + row position is table-unique and stable.
+    # Old metadata (and old entries) default to 0 / absent — their rows
+    # simply predate lineage.
+    next_row_id: int = 0
 
     def specs(self) -> list[dict]:
         return self.spec_log or [{"spec_id": 0, "spec": self.partition_spec}]
@@ -146,6 +153,7 @@ class TableMetadata:
             "current_schema_id": self.current_schema_id,
             "refs": self.refs,
             "spec_log": self.specs(),
+            "next_row_id": self.next_row_id,
         }
 
     @staticmethod
@@ -163,6 +171,7 @@ class TableMetadata:
             current_schema_id=int(d.get("current_schema_id", 0)),
             refs=dict(d.get("refs", {})),
             spec_log=list(d.get("spec_log") or []),
+            next_row_id=int(d.get("next_row_id", 0)),
         )
 
 

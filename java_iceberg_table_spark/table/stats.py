@@ -16,13 +16,22 @@ import pyarrow.parquet as pq
 
 
 def _plain(v: Any) -> Any:
-    """JSON-safe representation of a footer min/max value."""
+    """JSON-safe representation of a footer min/max value. Temporal
+    bounds render as NAIVE-UTC isoformat: pyarrow hands back tz-aware
+    datetimes for UTC-adjusted int64 timestamps, and a '+00:00' suffix
+    would break boundary equality against predicate/key renderings
+    (naive '…T11:15:00' sorts BEFORE '…T11:15:00+00:00', so a key equal
+    to a file's min would prune the file that holds it)."""
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return v.hex()
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return v
 

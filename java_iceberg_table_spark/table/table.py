@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import shutil
@@ -26,7 +27,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from . import format as fmt
 from .format import Snapshot, TableMetadata
@@ -162,10 +163,15 @@ def _normalize_stat_value(val):
     bounds as isoformat; ISO lexicographic order == temporal order even
     across mixed fractional precision). The connector's pushed filters
     carry real datetime objects, Table.scan callers often pass ISO
-    strings — both must compare against the same stat strings."""
+    strings — both must compare against the same stat strings (stats
+    render naive-UTC; a tz-aware predicate value converts to match)."""
     import datetime as _dt2
 
-    if isinstance(val, (_dt2.datetime, _dt2.date)):
+    if isinstance(val, _dt2.datetime):
+        if val.tzinfo is not None:
+            val = val.astimezone(_dt2.timezone.utc).replace(tzinfo=None)
+        return val.isoformat()
+    if isinstance(val, _dt2.date):
         return val.isoformat()
     return val
 
@@ -181,7 +187,7 @@ def _stat_value_renderings(val) -> list:
     import datetime as _dt2
 
     if isinstance(val, _dt2.datetime):
-        return [val.isoformat()]
+        return [_normalize_stat_value(val)]
     if isinstance(val, _dt2.date):
         return [val.isoformat(), val.isoformat() + "T00:00:00"]
     return [val]
@@ -252,6 +258,69 @@ def _dtype_of(df, column: str) -> str | None:
 BLOOM_PROBE_CAP = 256
 
 
+def _arrow_import_compatible(at, st) -> bool:
+    """Can a parquet column of arrow type ``at`` be read as Spark type
+    ``st`` without rewrite? Exact matches plus the upcasts the parquet
+    readers perform natively (narrower signed int -> int/long,
+    float -> double, any timestamp unit/tz — Spark reads INT96 and
+    int64 micros alike as TimestampType)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(st, T.LongType):
+        return pa.types.is_integer(at) and not pa.types.is_unsigned_integer(at)
+    if isinstance(st, T.IntegerType):
+        return (
+            pa.types.is_integer(at)
+            and not pa.types.is_unsigned_integer(at)
+            and at.bit_width <= 32
+        )
+    if isinstance(st, T.DoubleType):
+        return pa.types.is_floating(at)
+    if isinstance(st, T.FloatType):
+        return pa.types.is_float32(at)
+    if isinstance(st, T.StringType):
+        return pa.types.is_string(at) or pa.types.is_large_string(at)
+    if isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+        return pa.types.is_timestamp(at)
+    if isinstance(st, T.DateType):
+        return pa.types.is_date(at)
+    if isinstance(st, T.BooleanType):
+        return pa.types.is_boolean(at)
+    if isinstance(st, T.BinaryType):
+        return pa.types.is_binary(at) or pa.types.is_large_binary(at)
+    if isinstance(st, T.DecimalType):
+        return (
+            pa.types.is_decimal(at)
+            and at.precision <= st.precision
+            and at.scale == st.scale
+        )
+    if isinstance(st, T.ArrayType) and (
+        pa.types.is_list(at) or pa.types.is_large_list(at)
+    ):
+        return _arrow_import_compatible(at.value_type, st.elementType)
+    return False
+
+
+@contextlib.contextmanager
+def _micros_timestamps(spark: SparkSession):
+    """Engine data/delete files store timestamps as INT64 micros for
+    the duration of a write. Spark's default INT96 encoding carries NO
+    footer statistics, so a table with a timestamp column would lose
+    file skipping on its primary pruning dimension (and eq-delete
+    payload slicing on temporal keys); Iceberg's spec likewise mandates
+    int64 micros and forbids INT96. Session-conf scoped because the
+    parquet writer ignores a per-write option for this key (verified
+    empirically on Spark 4.1)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dict]:
     """Keep only the manifest entries whose stats range can contain at
     least one of ``keys`` (sorted): binary search per file — stronger
@@ -266,11 +335,23 @@ def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dic
     cost keys x files x k CRC32s on the driver at planning time — and
     a file whose range holds thousands of candidate keys is about to
     be read anyway). Stats whose stored type cannot be compared with
-    the key type (timestamp bounds are ISO strings in manifest JSON)
-    keep the file — the same conservatism as the distributed plan
-    path's try_cast."""
-    import bisect
+    the key type keep the file — the same conservatism as the
+    distributed plan path's try_cast.
 
+    Temporal keys (datetime/date) prune through their footer-stat
+    renderings (ISO strings — lexicographic order == temporal order,
+    and a plain DATE gets both its date and midnight-timestamp forms,
+    so either stat column type prunes correctly). Their Bloom probe is
+    SKIPPED: the bloom build hashes Spark's CAST-to-string rendering
+    (space separator, trimmed fraction), not isoformat — a mismatched
+    probe would prune files that do hold the key."""
+    import bisect
+    import datetime as _dt
+
+    probe_bloom = True
+    if keys and isinstance(keys[0], (_dt.datetime, _dt.date)):
+        keys = sorted({r for k in keys for r in _stat_value_renderings(k)})
+        probe_bloom = False
     kept = []
     for e in entries:
         st = (e.get("columns") or {}).get(col)
@@ -286,7 +367,7 @@ def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dic
             kept.append(e)  # incomparable stat type: cannot prune
             continue
         bloom = e.get("bloom")
-        if bloom and bloom.get("column") == col and j - i <= BLOOM_PROBE_CAP:
+        if probe_bloom and bloom and bloom.get("column") == col and j - i <= BLOOM_PROBE_CAP:
             from .bloom_index import bloom_may_contain
 
             if not any(bloom_may_contain(bloom, k) for k in keys[i:j]):
@@ -625,7 +706,8 @@ class Table:
             w = bucketed.write
             if max_records is not None:
                 w = w.option("maxRecordsPerFile", max_records)
-            w.partitionBy("__pb").parquet(out_dir)
+            with _micros_timestamps(df.sparkSession):
+                w.partitionBy("__pb").parquet(out_dir)
         else:
             if sort_order:
                 # range-partition + sort: every output file covers a
@@ -642,7 +724,8 @@ class Table:
             w = df.write
             if max_records is not None:
                 w = w.option("maxRecordsPerFile", max_records)
-            w.parquet(out_dir)
+            with _micros_timestamps(df.sparkSession):
+                w.parquet(out_dir)
         entries = []
         for path in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(path, self.root)
@@ -688,6 +771,114 @@ class Table:
         entries = self._write_data_files(df)
         self._attach_blooms(df.sparkSession, entries)
         return self.append_entries(entries, branch=branch, extra_summary=extra_summary)
+
+    def add_files(self, paths: list[str], link: bool = True) -> Snapshot:
+        """Metadata-only import of EXISTING parquet files (Iceberg's
+        ``add_files`` procedure): each file is hardlinked (or copied
+        when linking fails — cross-device) under data/ and committed as
+        one fast-append snapshot, with manifest stats read from the
+        footer alone — O(row groups) per file, zero data rewrite. The
+        migration path at 100 TB: adopting a directory of parquet into
+        an engine table costs metadata, not a copy of the data.
+
+        Validation before anything is committed:
+        - every file column must exist in the current schema with a
+          compatible arrow type (exact, or a native parquet upcast:
+          narrower int -> long/int, float -> double, any timestamp
+          unit); table columns absent from a file must be nullable
+          (they read as NULL, or their initial default when one is
+          declared);
+        - on a partitioned table each file must lie provably inside
+          ONE partition bucket (transform of footer min == max for
+          monotonic transforms; single-valued column for hash
+          buckets) — otherwise partition-aligned operations
+          (delete_where, bucket pruning) would be wrong about it."""
+        import pyarrow.parquet as _pq
+
+        md = self.metadata
+        schema = self.schema()
+        by_name = {f.name: f for f in schema.fields}
+        defaults = _defaults_of(schema)
+        t = self.transform
+        spec_id = self.current_spec_id(md)
+        staged: list[tuple[str, dict]] = []  # (src, entry-sans-path)
+        for src in paths:
+            fsch = _pq.read_schema(src)
+            for name in fsch.names:
+                f = by_name.get(name)
+                if f is None:
+                    raise ValueError(
+                        f"{src}: column {name!r} not in table schema"
+                    )
+                if not _arrow_import_compatible(fsch.field(name).type, f.dataType):
+                    raise ValueError(
+                        f"{src}: column {name!r} is {fsch.field(name).type}, "
+                        f"incompatible with table type {f.dataType.simpleString()}"
+                    )
+            for f in schema.fields:
+                if f.name not in fsch.names and not f.nullable and f.name not in defaults:
+                    raise ValueError(
+                        f"{src}: required column {f.name!r} missing"
+                    )
+            st = file_stats(src)
+            partition = None
+            if t is not None:
+                cst = st["columns"].get(t.source_column)
+                if not cst or cst.get("min") is None or cst.get("nulls", 0) > 0:
+                    raise ValueError(
+                        f"{src}: cannot derive a partition value — no "
+                        f"usable footer stats on {t.source_column!r}"
+                    )
+                try:
+                    lo, hi = t.apply_py(cst["min"]), t.apply_py(cst["max"])
+                except (TypeError, ValueError) as exc:
+                    raise ValueError(
+                        f"{src}: partition source stats not transformable: {exc}"
+                    ) from exc
+                ok = (
+                    lo == hi
+                    if getattr(t, "monotonic", False)
+                    else cst["min"] == cst["max"]
+                )
+                if not ok:
+                    raise ValueError(
+                        f"{src}: file spans partition buckets {lo}..{hi} — "
+                        "import requires one bucket per file (rewrite instead)"
+                    )
+                partition = lo
+            staged.append(
+                (
+                    src,
+                    {
+                        "rows": st["rows"],
+                        "bytes": st["bytes"],
+                        "partition": partition,
+                        "columns": st["columns"],
+                        **({"spec_id": spec_id} if spec_id else {}),
+                    },
+                )
+            )
+        batch = uuid.uuid4().hex
+        out_dir = os.path.join(self.root, "data", f"imp-{batch}")
+        os.makedirs(out_dir, exist_ok=True)
+        entries = []
+        for i, (src, entry) in enumerate(staged):
+            dst = os.path.join(out_dir, f"{i:05d}-{os.path.basename(src)}")
+            if link:
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device: copy
+            else:
+                shutil.copy2(src, dst)
+            entries.append({"path": os.path.relpath(dst, self.root), **entry})
+        # driver-only by design (no SparkSession in the signature):
+        # with write.bloom.column set the imported files simply carry
+        # no bloom — absent blooms never mis-prune, and a later
+        # rewrite attaches them
+        return self.append_entries(
+            entries, extra_summary={"added-files-import": len(entries)}
+        )
 
     def _attach_blooms(self, spark: SparkSession, entries: list[dict]) -> None:
         """Attach per-file Bloom filters to freshly written entries when
@@ -773,7 +964,19 @@ class Table:
             # stamped with this commit's sequence number (MOR delete
             # applicability — see Snapshot.sequence).
             seq = (parent.sequence if parent else 0) + 1
-            use = [{**e, "seq": seq} for e in use]
+            # row lineage (Iceberg v3): this commit claims the id range
+            # [next_row_id, next_row_id + added rows); each entry's
+            # first_row_id makes _row_id = first_row_id + row position
+            # table-unique and stable. Entries REUSED by cherry-pick
+            # get fresh ids here — they are new rows of the target
+            # lineage. Rewrite paths carry ids differently (physical
+            # __row_id column); this is the ASSIGNMENT point.
+            rid = current.next_row_id
+            stamped = []
+            for e in use:
+                stamped.append({**e, "seq": seq, "first_row_id": rid})
+                rid += int(e["rows"])
+            use = stamped
             manifest_rel = fmt.write_manifest(self.root, use)
             stale_manifests.append(manifest_rel)
             manifests = (list(parent.manifests) if parent else []) + [manifest_rel]
@@ -833,6 +1036,7 @@ class Table:
                 snapshots=current.snapshots + [snap],
                 current_snapshot_id=head,
                 refs=new_refs,
+                next_row_id=rid,
             )
 
         retries = int(self.metadata.properties.get("commit.retry.num-retries", "1000"))
@@ -933,6 +1137,39 @@ class Table:
 
         fmt.commit(self.root, build)
 
+
+    def cherry_pick(self, snapshot_id: int) -> Snapshot | None:
+        """Apply ONE snapshot's changes onto the current head as a new
+        commit (Iceberg cherrypickSnapshot — the WAP primitive when
+        main has moved and a fast-forward publish is impossible).
+
+        Only 'append' snapshots are pickable: an append is purely
+        additive, so replaying its entries onto any head is
+        conflict-free by construction — the data files already exist
+        and are reused by reference (zero copy), and append_entries
+        restamps their sequence number to the NEW commit, so later
+        equality deletes order correctly against the picked rows.
+        Delete/overwrite/replace snapshots are refused: their effect
+        depends on the table state they were committed against
+        (sequence-ordered MOR masks, replaced file sets), and
+        replaying that against a different head silently corrupts —
+        Iceberg draws the same line.
+
+        Picking a snapshot whose files the head ALREADY references
+        (e.g. its branch was published meanwhile) is a no-op returning
+        None rather than a double-append."""
+        snap = self.snapshot_by_id(snapshot_id)
+        if snap.operation != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only; "
+                f"{snapshot_id} is {snap.operation!r}"
+            )
+        entries = self.added_files(snap)
+        return self.append_entries(
+            entries,
+            dedupe_paths=True,
+            extra_summary={"source-snapshot-id": str(snapshot_id)},
+        )
 
     def delete_where(self, column: str, op: str, value: int) -> Snapshot | None:
         """Metadata-only delete: drop whole data files whose partition
@@ -1427,6 +1664,7 @@ class Table:
         entries: list[dict],
         snap: Snapshot | None,
         schema: StructType | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame:
         schema = schema or self.schema()
         # deletes anti-join on PHYSICAL values first (an equality
@@ -1436,7 +1674,9 @@ class Table:
         return self._apply_default_groups(
             entries,
             schema,
-            lambda es: self._read_with_deletes_raw(spark, es, snap, schema),
+            lambda es: self._read_with_deletes_raw(
+                spark, es, snap, schema, keep_pos=keep_pos
+            ),
         )
 
     def _read_with_deletes_raw(
@@ -1445,6 +1685,7 @@ class Table:
         entries: list[dict],
         snap: Snapshot | None,
         schema: StructType | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Read planned data entries with the snapshot's MOR delete
         files applied.
@@ -1474,7 +1715,7 @@ class Table:
             else []
         )
         if not del_entries or not entries:
-            return self._read_entries_raw(spark, entries, schema)
+            return self._read_entries_raw(spark, entries, schema, keep_pos=keep_pos)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         # Both file formats produce the same (__file, __pos) MOR join
         # keys: parquet from _metadata, avro from the position-aware
@@ -1611,7 +1852,10 @@ class Table:
             for c in cols:
                 cond = cond & (F.col(c) == F.col(f"__k_{c}"))
             df = df.join(F.broadcast(keys), cond, "left_anti")
-        return df.select(*[f.name for f in schema.fields])
+        cols = [f.name for f in schema.fields]
+        if keep_pos:
+            cols += ["__file", "__pos"]
+        return df.select(*cols)
 
     def _write_delete_file(self, df: DataFrame) -> tuple[str, int] | None:
         """Write a delete-content parquet file under data/; returns
@@ -1620,7 +1864,8 @@ class Table:
         delete_rows, the copy-on-write path)."""
         batch = uuid.uuid4().hex
         out_dir = os.path.join(self.root, "data", f"del-{batch}")
-        df.coalesce(1).write.parquet(out_dir)
+        with _micros_timestamps(df.sparkSession):
+            df.coalesce(1).write.parquet(out_dir)
         parts = glob.glob(os.path.join(out_dir, "*.parquet"))
         total = sum(file_stats(p)["rows"] for p in parts)
         if total == 0:
@@ -2327,7 +2572,8 @@ class Table:
             df = self._read_with_deletes(spark, es, snap)
             sub = f"s{spec_id}__pb={part}" if part is not None else "clustered"
             out_dir = os.path.join(self.root, "data", f"z-{batch}", sub)
-            zorder_frame(df, cluster_by, n_files).write.parquet(out_dir)
+            with _micros_timestamps(spark):
+                zorder_frame(df, cluster_by, n_files).write.parquet(out_dir)
             for path in glob.glob(os.path.join(out_dir, "*.parquet")):
                 rel = os.path.relpath(path, self.root)
                 st = file_stats(path)
@@ -2420,11 +2666,22 @@ class Table:
         for e in small:
             key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
             by_partition.setdefault(key, []).append(e)
+        # row.lineage=preserve: the rewrite materializes each row's
+        # (__row_id, __upd_seq) as physical columns in the compacted
+        # files, so scan_with_lineage keeps answering the SAME ids
+        # across maintenance — the Iceberg-v3 rewrite contract. Costs
+        # 2 int64 columns only in rewritten files; plain scans read
+        # with an explicit schema and never see them.
+        preserve = md.properties.get("row.lineage") == "preserve"
         for (spec_id, part), es in by_partition.items():
             # deletes-applied read: compacted rows carry THIS commit's
             # sequence, so pending equality deletes stop applying to
             # them — they must already be filtered out here
-            df = self._read_with_deletes(spark, es, snap)
+            df = (
+                self._read_with_lineage(spark, es, snap)
+                if preserve
+                else self._read_with_deletes(spark, es, snap)
+            )
             total = sum(e["bytes"] for e in es)
             n_out = max(1, total // target_file_bytes)
             sub = f"s{spec_id}__pb={part}" if part is not None else "compacted"
@@ -2434,16 +2691,20 @@ class Table:
                 # DISJOINT key range, so its min/max stats are tight
                 # and plan_files skipping becomes surgical — the
                 # cluster-by/z-order analogue for 1-d keys.
-                (
-                    df.repartitionByRange(int(n_out), *sort_by)
-                    .sortWithinPartitions(*sort_by)
-                    .write.parquet(out_dir)
-                )
+                with _micros_timestamps(spark):
+                    (
+                        df.repartitionByRange(int(n_out), *sort_by)
+                        .sortWithinPartitions(*sort_by)
+                        .write.parquet(out_dir)
+                    )
             else:
-                df.coalesce(int(n_out)).write.parquet(out_dir)
+                with _micros_timestamps(spark):
+                    df.coalesce(int(n_out)).write.parquet(out_dir)
             for path in glob.glob(os.path.join(out_dir, "*.parquet")):
                 rel = os.path.relpath(path, self.root)
                 st = file_stats(path)
+                st["columns"].pop("__row_id", None)  # lineage carry, not data
+                st["columns"].pop("__upd_seq", None)
                 new_entries.append(
                     {
                         "path": rel,
@@ -2451,6 +2712,7 @@ class Table:
                         "bytes": st["bytes"],
                         "partition": part,
                         "columns": st["columns"],
+                        **({"row_ids_inline": True} if preserve else {}),
                         **({"spec_id": spec_id} if spec_id else {}),
                     }
                 )
@@ -3183,25 +3445,48 @@ class Table:
         spark: SparkSession,
         entries: list[dict],
         schema: StructType,
+        keep_pos: bool = False,
     ) -> DataFrame:
+        """``keep_pos`` carries (__file, __pos) through to the result —
+        the row-lineage read derives _row_id from them."""
         if not entries:
-            return spark.createDataFrame([], schema)
+            out_schema = schema
+            if keep_pos:
+                out_schema = StructType(
+                    list(schema.fields)
+                    + [
+                        StructField("__file", StringType(), True),
+                        StructField("__pos", LongType(), True),
+                    ]
+                )
+            return spark.createDataFrame([], out_schema)
         renames = _renames_of(schema)
         phys = _physical_schema(schema, renames) if renames else schema
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         avro = [p for p in paths if p.endswith(".avro")]
         parquet = [p for p in paths if not p.endswith(".avro")]
+        proj = _current_projection(schema, renames) if renames else [F.col("*")]
         parts: list[DataFrame] = []
         if parquet:
-            parts.append(spark.read.schema(phys).parquet(*parquet))
+            df = spark.read.schema(phys).parquet(*parquet)
+            if keep_pos:
+                df = df.select(
+                    *proj,
+                    _file_key_col().alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            parts.append(df)
         if avro:
             from ..sources.avro_io import read_avro_df
 
-            parts.append(read_avro_df(spark, avro, phys))
+            adf = read_avro_df(spark, avro, phys, with_pos=keep_pos)
+            if keep_pos and renames:
+                adf = adf.select(*proj, "__file", "__pos")
+            parts.append(adf)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if renames:
+        if renames and not keep_pos:
             # one projection maps every vintage onto the current names
             df = df.select(*_current_projection(schema, renames))
         return df
@@ -3483,6 +3768,99 @@ class Table:
         for col, op, val in filters:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
         return df
+
+    def scan_with_lineage(
+        self,
+        spark: SparkSession,
+        filters: Iterable[tuple[str, str, object]] = (),
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read plus two row-lineage columns (Iceberg v3):
+        ``_row_id`` — table-unique stable id, ``first_row_id + row
+        position`` for files in their original commit, or the PHYSICAL
+        __row_id column for files rewritten by a lineage-preserving
+        compaction; ``_last_updated_seq`` — the sequence number of the
+        commit that last added/updated the row (original entry seq, or
+        the carried __upd_seq through a preserving rewrite).
+
+        Derivation, not storage: ordinary appends pay ZERO bytes for
+        lineage (ids are arithmetic over the manifest's first_row_id
+        and the parquet reader's _metadata.row_index); only
+        lineage-preserving rewrites materialize the two columns, read
+        back here by a column-pruned side read joined on (file, pos).
+        Rows whose entries predate lineage (old tables) or came
+        through a non-preserving rewrite read NULL — loudly unknown,
+        never wrong. At 100 TB this is what lets incremental consumers
+        (SCD2 sinks, dedup ledgers) identify rows across compactions
+        without a key column."""
+        entries = self.plan_files(filters, snapshot_id=snapshot_id, spark=spark)
+        md = self.metadata
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else md.current_snapshot()
+        )
+        df = self._read_with_lineage(spark, entries, snap)
+        ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__", "==": "__eq__"}
+        for col, op, val in filters:
+            df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+        return df.select(
+            *[f.name for f in self.schema().fields],
+            F.col("__row_id").alias("_row_id"),
+            F.col("__upd_seq").alias("_last_updated_seq"),
+        )
+
+    def _read_with_lineage(
+        self, spark: SparkSession, entries: list[dict], snap: Snapshot | None
+    ) -> DataFrame:
+        """Entry-subset read carrying physical-named lineage columns
+        (__row_id, __upd_seq) — shared by scan_with_lineage and the
+        lineage-preserving compaction rewrite (which writes these two
+        columns into the rewritten files verbatim)."""
+        df = self._read_with_deletes(spark, entries, snap, keep_pos=True)
+        frid_rows = [
+            (
+                e["path"],
+                e.get("first_row_id"),
+                int(e.get("seq", 0)),
+                bool(e.get("row_ids_inline")),
+            )
+            for e in entries
+        ]
+        frid = spark.createDataFrame(
+            frid_rows, "__file string, __frid long, __eseq long, __inline boolean"
+        )
+        df = df.join(F.broadcast(frid), "__file", "left")
+        carried = [e for e in entries if e.get("row_ids_inline")]
+        if carried:
+            # column-pruned side read: ONLY the two lineage columns +
+            # file/pos come off disk for the rewritten files
+            lin = (
+                spark.read.schema("__row_id long, __upd_seq long")
+                .parquet(*[os.path.join(self.root, e["path"]) for e in carried])
+                .select(
+                    F.col("__row_id").alias("__crid"),
+                    F.col("__upd_seq").alias("__cseq"),
+                    _file_key_col().alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            )
+            df = df.join(F.broadcast(lin), ["__file", "__pos"], "left")
+        else:
+            df = df.withColumn("__crid", F.lit(None).cast("long")).withColumn(
+                "__cseq", F.lit(None).cast("long")
+            )
+        row_id = F.when(F.col("__inline"), F.col("__crid")).otherwise(
+            F.col("__frid") + F.col("__pos")
+        )
+        upd_seq = F.when(F.col("__inline"), F.col("__cseq")).otherwise(
+            F.when(F.col("__frid").isNotNull(), F.col("__eseq"))
+        )
+        return df.select(
+            *[f.name for f in self.schema().fields],
+            row_id.alias("__row_id"),
+            upd_seq.alias("__upd_seq"),
+        )
 
     # ---------- metadata inspection tables (table/inspect.py) ----------
 

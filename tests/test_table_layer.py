@@ -574,6 +574,238 @@ def test_runtime_filtered_scan_set_pruning(spark, troot):
     assert info2["files_scanned"] == 0 and empty.count() == 0
 
 
+def test_add_files_metadata_only_import(spark, troot, tmp_path):
+    """Iceberg add_files parity: existing parquet adopts into the table
+    with footer-derived stats and ZERO data rewrite (hardlink, same
+    inode); schema subset fills nullable columns with NULL; incompatible
+    columns and unknown names are rejected before any commit."""
+    ext = str(tmp_path / "ext")
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 7).alias("ts"),
+    ).coalesce(1).write.parquet(ext)
+    import glob as g
+
+    src = g.glob(os.path.join(ext, "*.parquet"))
+    tbl = create_table(troot, SIMPLE_SCHEMA)
+    snap = tbl.add_files(src)
+    assert snap.summary.get("added-files-import") == 1
+    got = tbl.scan(spark)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).first()[0] == 99 * 100 // 2
+    # metadata-only: same inode, no data copy
+    e = tbl.current_files()[0]
+    assert os.stat(os.path.join(troot, e["path"])).st_ino == os.stat(src[0]).st_ino
+    # footer stats landed in the manifest -> pruning works immediately
+    assert e["columns"]["k"]["min"] == 0 and e["columns"]["k"]["max"] == 99
+    assert tbl.plan_files([("k", ">", 1000)]) == []
+    # subset schema: missing nullable column reads as NULL
+    ext2 = str(tmp_path / "ext2")
+    spark.range(5).select(
+        (F.col("id") + 1000).alias("k"), (F.col("id")).alias("ts")
+    ).coalesce(1).write.parquet(ext2)
+    tbl.add_files(g.glob(os.path.join(ext2, "*.parquet")))
+    assert tbl.scan(spark, [("k", ">=", 1000)]).filter(
+        F.col("v").isNull()
+    ).count() == 5
+    # unknown column rejected, nothing committed
+    ext3 = str(tmp_path / "ext3")
+    spark.range(3).select(F.col("id").alias("zzz")).coalesce(1).write.parquet(ext3)
+    before = tbl.metadata.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="zzz"):
+        tbl.add_files(g.glob(os.path.join(ext3, "*.parquet")))
+    # incompatible type (string where long expected) rejected
+    ext4 = str(tmp_path / "ext4")
+    spark.range(3).select(F.col("id").cast("string").alias("k")).coalesce(
+        1
+    ).write.parquet(ext4)
+    with pytest.raises(ValueError, match="incompatible"):
+        tbl.add_files(g.glob(os.path.join(ext4, "*.parquet")))
+    assert tbl.metadata.current_snapshot().snapshot_id == before
+
+
+def test_add_files_partitioned_single_bucket_rule(spark, troot, tmp_path):
+    """On a partitioned table an imported file must lie inside ONE
+    bucket (derived from footer min/max under the transform); a file
+    spanning buckets is refused — partition-aligned delete_where on
+    the imported data then stays exact."""
+    tbl = create_table(troot, SIMPLE_SCHEMA, partition=truncate("ts", 100))
+    one = str(tmp_path / "one")
+    spark.range(50).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"), (F.col("id") + 100).alias("ts")
+    ).coalesce(1).write.parquet(one)  # ts in [100,149] -> bucket 100
+    import glob as g
+
+    tbl.add_files(g.glob(os.path.join(one, "*.parquet")))
+    assert tbl.current_files()[0]["partition"] == 100
+    # partition pruning applies to the imported entry
+    assert tbl.plan_files([("ts", ">=", 200)]) == []
+    assert len(tbl.plan_files([("ts", "=", 120)])) == 1
+    spanning = str(tmp_path / "span")
+    spark.range(300).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"), F.col("id").alias("ts")
+    ).coalesce(1).write.parquet(spanning)
+    with pytest.raises(ValueError, match="spans partition buckets"):
+        tbl.add_files(g.glob(os.path.join(spanning, "*.parquet")))
+    # metadata-only retention delete composes with the imported entry
+    tbl.delete_where("ts", "<", 200)
+    assert tbl.scan(spark).count() == 0
+
+
+def test_row_lineage_ids_assigned_and_stable(spark, troot):
+    """Iceberg-v3 row lineage: appends claim disjoint id ranges from
+    metadata next_row_id (zero storage — _row_id = first_row_id + row
+    position); ids are table-unique across commits; MOR-deleted rows
+    drop out with their ids; a row.lineage=preserve compaction carries
+    the SAME ids through the rewrite via physical columns while plain
+    scans stay oblivious."""
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"), F.lit("x").alias("v"), F.col("id").alias("ts")
+        )
+
+    tbl = create_table(
+        troot, SIMPLE_SCHEMA, properties={"row.lineage": "preserve"}
+    )
+    tbl.append(batch(0, 100).repartition(4))
+    tbl.append(batch(100, 50))
+    lin = tbl.scan_with_lineage(spark).toPandas()
+    assert len(lin) == 150
+    ids = sorted(lin["_row_id"])
+    assert ids == list(range(150))  # unique, dense, no NULLs
+    assert tbl.metadata.next_row_id == 150
+    # the mapping k -> _row_id is what must survive maintenance
+    before = dict(zip(lin["k"], lin["_row_id"]))
+    # MOR delete removes rows, their ids never reappear
+    tbl.delete_where_mor(spark, [("k", "=", 7)])
+    # compaction preserves ids for every surviving row
+    res = tbl.compact_data_files(spark, target_file_bytes=10**9)
+    assert res["rewritten"] > 0
+    after_df = tbl.scan_with_lineage(spark)
+    after = dict(
+        zip(*(lambda p: (p["k"], p["_row_id"]))(after_df.toPandas()))
+    )
+    assert 7 not in after
+    for k, rid in after.items():
+        assert before[k] == rid, f"row id changed for k={k}"
+    assert after_df.filter(F.col("_last_updated_seq").isNull()).count() == 0
+    # plain scan never sees lineage plumbing
+    assert tbl.scan(spark).columns == ["k", "v", "ts"]
+    # new appends continue above the high-water mark
+    tbl.append(batch(900, 10))
+    top = tbl.scan_with_lineage(spark, [("k", ">=", 900)]).toPandas()
+    assert sorted(top["_row_id"]) == list(range(150, 160))
+
+
+def test_cherry_pick_staged_append_onto_moved_head(spark, troot):
+    """WAP completion when fast-forward is impossible: main advanced
+    while an append sat staged on a branch, publish_branch refuses,
+    cherry_pick replays the staged entries onto the new head by
+    reference (same files, fresh sequence); re-pick is a None no-op;
+    non-append snapshots refuse; dropping the branch + GC must not
+    reap the picked files (main references them)."""
+    from java_iceberg_table_spark.table.format import CommitConflict
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"), F.lit("x").alias("v"), F.col("id").alias("ts")
+        )
+
+    tbl = create_table(troot, SIMPLE_SCHEMA)
+    tbl.append(batch(0, 100))
+    tbl.create_branch("audit")
+    staged = tbl.append(batch(1000, 50), branch="audit")
+    tbl.append(batch(100, 100))  # main moves on -> no fast-forward
+    with pytest.raises(CommitConflict):
+        tbl.publish_branch("audit")
+    picked = tbl.cherry_pick(staged.snapshot_id)
+    assert picked.summary["source-snapshot-id"] == str(staged.snapshot_id)
+    assert tbl.scan(spark).count() == 250
+    assert tbl.scan(spark, [("k", ">=", 1000)]).count() == 50
+    # idempotent: the picked files are already referenced
+    assert tbl.cherry_pick(staged.snapshot_id) is None
+    # only appends are pickable
+    tbl.delete_rows(spark, [("k", "=", 5)])
+    del_sid = tbl.metadata.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="append snapshots only"):
+        tbl.cherry_pick(del_sid)
+    # branch gone + expiry + orphan clean: picked data survives
+    import time as _time
+
+    tbl.drop_ref("audit")
+    tbl.expire_snapshots(int(_time.time() * 1000) + 10_000, retain_last=1)
+    tbl.clean(older_than_ms=0)
+    assert tbl.scan(spark, [("k", ">=", 1000)]).count() == 50
+
+
+def test_runtime_filtered_scan_temporal_keys(spark, troot):
+    """Datetime keys PRUNE (not just keep conservatively): manifest
+    stats store temporal bounds as ISO strings, and the key-set pruner
+    renders datetime/date keys the same way — a sparse set of event
+    timestamps skips the sorted files whose time range holds none of
+    them, while every matching row still survives."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("ev", TimestampType(), True),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.lit(base) + F.make_interval(mins=F.col("id"))).alias("ev"),
+    )
+    tbl = create_table(troot, schema, properties={"write.sort.order": "ev"})
+    tbl.append(df.repartition(8))
+    n_files = len(tbl.current_files())
+    assert n_files > 1
+    # 3 scattered minutes out of 10k: most sorted files hold none
+    keys = [base + dt.timedelta(minutes=m) for m in (10, 5000, 9990)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "ev timestamp")
+    got, info = tbl.scan_runtime_filtered(spark, kdf, "ev")
+    assert info["files_scanned"] < info["files_total"] == n_files
+    hit = sorted(r["ev"] for r in got.filter(F.col("ev").isin(keys)).collect())
+    assert hit == keys
+
+
+def test_prune_by_keys_date_renders_both_stat_forms():
+    """A plain DATE key must admit files under BOTH stat renderings:
+    date-column stats ('YYYY-MM-DD') and timestamp-column stats
+    ('YYYY-MM-DDTHH:MM:SS') — and its Bloom probe is skipped (bloom
+    hashes Spark's cast rendering, not isoformat)."""
+    import datetime as dt
+
+    from java_iceberg_table_spark.table.bloom_index import NUM_HASHES, sized_bits
+    from java_iceberg_table_spark.table.table import prune_entries_by_keys
+
+    key = [dt.date(2020, 6, 15)]
+    date_stats = {"path": "d", "columns": {"c": {"min": "2020-06-01", "max": "2020-06-30"}}}
+    ts_stats = {"path": "t", "columns": {"c": {"min": "2020-06-14T22:00:00", "max": "2020-06-15T20:00:00"}}}
+    # a date key coerces to MIDNIGHT against a timestamp column (Spark
+    # comparison semantics) — a file spanning only 08:00-20:00 of that
+    # day provably cannot contain it and is correctly pruned
+    day_interior = {"path": "i", "columns": {"c": {"min": "2020-06-15T08:00:00", "max": "2020-06-15T20:00:00"}}}
+    off = {"path": "o", "columns": {"c": {"min": "2020-07-01", "max": "2020-07-31"}}}
+    kept = prune_entries_by_keys([date_stats, ts_stats, day_interior, off], "c", key)
+    assert [e["path"] for e in kept] == ["d", "t"]
+    # an empty bloom would "prove" any key absent — temporal keys must
+    # not probe it (rendering mismatch would lose live files)
+    bits = sized_bits(10)
+    bloomed = {
+        "path": "b",
+        "columns": {"c": {"min": "2020-06-01", "max": "2020-06-30"}},
+        "bloom": {"column": "c", "bits": bits, "k": NUM_HASHES,
+                  "words": [0] * (bits // 64)},
+    }
+    assert [e["path"] for e in prune_entries_by_keys([bloomed], "c", key)] == ["b"]
+
+
 def test_prune_by_keys_incomparable_stats_kept():
     """Timestamp/date stats are stored as ISO strings in manifest
     JSON; an IN-list of ints against them must keep the file (cannot
