@@ -582,3 +582,262 @@ def h37_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# h46 — hybrid retrieval: BM25 + embedding cosine fused by RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_C = 100  # per-retriever candidate-list depth
+
+_RRF_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(str_split(text, ' '))::DOUBLE AS dl FROM documents
+),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'hash', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM bm ORDER BY score DESC, doc_id LIMIT {_RRF_C}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM v WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(q.vec, c.vec), 4) AS sim
+  FROM v c CROSS JOIN q WHERE c.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rk
+  FROM sims ORDER BY sim DESC, doc_id LIMIT {_RRF_C}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + lex.rk), 0)
+             + COALESCE(1.0 / ({_RRF_K} + sem.rk), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("h46_rrf_hybrid_retrieval", oracle=_RRF_ORACLE, group="H")
+def h46_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 (query {table,scan,hash,merge})
+    and embedding-cosine (query vector = vec_id 0) candidate lists
+    fused by reciprocal-rank fusion, score = Σ 1/(60 + rank) — the
+    standard zero-tuning fusion for RAG retrieval stacks.
+
+    Scale shape: each retriever reduces the corpus to a top-C
+    candidate list via TakeOrderedAndProject (orderBy().limit() — no
+    global sort, no single-partition window over the corpus); ranks
+    are then assigned by a window over the C-row lists (driver-small
+    by construction) and fused with one tiny full-outer join. Both
+    rankings order by ROUND(score, 4) with doc_id tiebreak so the
+    Spark and DuckDB rank sequences are bit-identical. At 100 TB the
+    corpus-side work stays the two retrievers' own scale paths (BM25's
+    query-term-filtered shuffle, ANN's IVF/LSH buckets feeding the
+    same top-C contract)."""
+    from ..operators.similarity import cosine_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # --- lexical: BM25 over the fixed query terms (h32's plan) ---
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 4
+            ).alias("score")
+        )
+    )
+    lex = bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_C)
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    # --- semantic: cosine to the query vector, same top-C contract ---
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qv"))
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr("qv", "vec"), 4).alias("sim"),
+        )
+    )
+    sem = sims.orderBy(F.desc("sim"), F.asc("doc_id")).limit(_RRF_C)
+    sem = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    # --- fuse the two C-row lists ---
+    fused = (
+        lex.select("doc_id", F.col("rk").alias("rk_lex"))
+        .join(
+            sem.select("doc_id", F.col("rk").alias("rk_sem")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rk_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rk_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    out = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    return out.select(
+        "doc_id",
+        "rrf",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# h47 — DSIR-style importance weighting for data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT w)::DOUBLE AS v FROM toks),
+tgt AS (
+  SELECT w, COUNT(*)::DOUBLE AS ct FROM toks WHERE doc_id < 50 GROUP BY w
+),
+raw AS (
+  SELECT w, COUNT(*)::DOUBLE AS cr FROM toks WHERE doc_id >= 50 GROUP BY w
+),
+nt AS (SELECT SUM(ct) AS n_t FROM tgt),
+nr AS (SELECT SUM(cr) AS n_r FROM raw),
+scored AS (
+  SELECT toks.doc_id,
+         ROUND(AVG(
+           ln( (COALESCE(tgt.ct, 0) + 1.0) / (nt.n_t + vocab.v) )
+         - ln( (COALESCE(raw.cr, 0) + 1.0) / (nr.n_r + vocab.v) )
+         ), 4) AS w_imp
+  FROM toks
+  LEFT JOIN tgt USING (w)
+  LEFT JOIN raw USING (w)
+  CROSS JOIN nt CROSS JOIN nr CROSS JOIN vocab
+  WHERE toks.doc_id >= 50
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, w_imp,
+       ROW_NUMBER() OVER (ORDER BY w_imp DESC, doc_id) AS rk
+FROM scored ORDER BY w_imp DESC, doc_id LIMIT 50
+"""
+
+
+@register("h47_dsir_importance_selection", oracle=_DSIR_ORACLE, group="H")
+def h47_dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR,
+    arXiv:2302.03169) in its exact-unigram-LM form: score every RAW
+    document (doc_id >= 50) by the mean per-token log importance ratio
+    ln(p_target(w) / p_raw(w)) with add-one smoothing over the shared
+    vocabulary (target domain sample = doc_id < 50), then keep the
+    top-50 — the deterministic top-quota variant of the paper's
+    importance resampling.
+
+    Scale shape: one explode into (doc, token); the two LM sides are
+    token-keyed aggregates of that same relation (map-side
+    combinable); the per-token joins key on the term — broadcast at
+    fixture vocab, a term-keyed shuffle join at web-corpus vocab, and
+    the paper's own answer past that is the hashing trick (h42's
+    machinery: fixed-width feature space, no vocabulary build at
+    all). Per-doc score is one combinable AVG; selection is
+    TakeOrderedAndProject. Nothing is quadratic and nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.agg(F.countDistinct("w").cast("double").alias("v"))
+    tgt = (
+        toks.filter(F.col("doc_id") < 50)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    raw = (
+        toks.filter(F.col("doc_id") >= 50)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    )
+    nt = tgt.agg(F.sum("ct").alias("n_t"))
+    nr = raw.agg(F.sum("cr").alias("n_r"))
+    ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0) / (F.col("n_t") + F.col("v"))
+    ) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0.0)) + 1.0) / (F.col("n_r") + F.col("v"))
+    )
+    scored = (
+        toks.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(tgt), "w", "left")
+        .join(F.broadcast(raw), "w", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(ratio), 4).alias("w_imp"))
+    )
+    out = scored.orderBy(F.desc("w_imp"), F.asc("doc_id")).limit(50)
+    return out.select(
+        "doc_id",
+        "w_imp",
+        F.row_number()
+        .over(Window.orderBy(F.desc("w_imp"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rk"),
+    )
