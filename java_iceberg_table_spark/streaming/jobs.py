@@ -580,6 +580,13 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
+        if batch_df.isEmpty():
+            # zero-change window (e.g. the source compacted — content-
+            # preserving rewrites emit no CDC rows): folding would
+            # commit a no-op delete+append pair per idle trigger. Skip
+            # without stamping; a replay of this batch is empty again,
+            # and any later non-empty batch advances the watermark.
+            return
         if partial_del is not None:
             # crash window of a previous attempt: its delete committed
             # but its append did not — undo the half-applied delete so
@@ -659,6 +666,8 @@ def scd2_merge(
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
+        if batch_df.isEmpty():
+            return  # zero-change window: no no-op close/append commits
         if partial_del is not None:
             # crash window: the close-delete committed, the append did
             # not — roll back to intact state and refold
