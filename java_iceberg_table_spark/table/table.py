@@ -2568,8 +2568,15 @@ class Table:
             key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
             by_partition.setdefault(key, []).append(e)
         new_entries: list[dict] = []
+        # row.lineage=preserve: carry (__row_id, __upd_seq) through the
+        # layout rewrite exactly as compact_data_files does
+        preserve = md.properties.get("row.lineage") == "preserve"
         for (spec_id, part), es in by_partition.items():
-            df = self._read_with_deletes(spark, es, snap)
+            df = (
+                self._read_with_lineage(spark, es, snap)
+                if preserve
+                else self._read_with_deletes(spark, es, snap)
+            )
             sub = f"s{spec_id}__pb={part}" if part is not None else "clustered"
             out_dir = os.path.join(self.root, "data", f"z-{batch}", sub)
             with _micros_timestamps(spark):
@@ -2577,9 +2584,12 @@ class Table:
             for path in glob.glob(os.path.join(out_dir, "*.parquet")):
                 rel = os.path.relpath(path, self.root)
                 st = file_stats(path)
+                st["columns"].pop("__row_id", None)
+                st["columns"].pop("__upd_seq", None)
                 new_entries.append(
                     {
                         "path": rel,
+                        **({"row_ids_inline": True} if preserve else {}),
                         "rows": st["rows"],
                         "bytes": st["bytes"],
                         "partition": part,

@@ -697,6 +697,14 @@ def test_row_lineage_ids_assigned_and_stable(spark, troot):
     tbl.append(batch(900, 10))
     top = tbl.scan_with_lineage(spark, [("k", ">=", 900)]).toPandas()
     assert sorted(top["_row_id"]) == list(range(150, 160))
+    # z-order rewrite preserves too (ids survive a second-generation
+    # rewrite: compacted-carried ids re-carry through the zorder)
+    snapshot = dict(before)
+    snapshot.update(zip(top["k"], top["_row_id"]))
+    snapshot.pop(7)
+    tbl.rewrite_clustered(spark, ["k", "ts"], n_files=4)
+    z = tbl.scan_with_lineage(spark).toPandas()
+    assert dict(zip(z["k"], z["_row_id"])) == snapshot
 
 
 def test_cherry_pick_staged_append_onto_moved_head(spark, troot):
