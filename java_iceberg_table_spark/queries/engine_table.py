@@ -1845,3 +1845,79 @@ def a4h_engine_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4i_engine_catalog_transaction",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+         + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1) AS hot_cnt,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
+         - (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1) AS cold_cnt,
+       (SELECT COUNT(*) FROM orders) AS total_conserved,
+       true AS no_torn_read,
+       true AS old_state_travels
+""",
+    group="A",
+)
+def a4i_engine_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic CROSS-TABLE transaction through the catalog (Nessie /
+    lakehouse-catalog semantics): moving rows between two tables
+    (append to hot + equality-delete from cold) publishes as ONE
+    catalog version, so readers going through the catalog flip from
+    the old consistent pair to the new one atomically — the
+    mid-transaction catalog state (captured after the table commits,
+    before the catalog publish) still shows the OLD view of both
+    tables and conserves the total. Single-table engines cannot say
+    this; at 100 TB it is what keeps a corpus + its dedup ledger, or
+    a quarantine + main split, mutually consistent under readers.
+    Old catalog states stay readable (catalog-level time travel)."""
+    from ..table import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base = tempfile.mkdtemp(prefix="engine_cat_")
+    try:
+        cat = Catalog.create(base + "/cat")
+        cat.create_table("hot", orders.schema)
+        cat.create_table("cold", orders.schema)
+        cat.transaction().append(
+            "hot", orders.filter(F.col("o_orderkey") % 2 == 0)
+        ).append(
+            "cold", orders.filter(F.col("o_orderkey") % 2 == 1)
+        ).commit(spark)
+        st0 = cat.state()
+        total = orders.count()
+        moved = orders.filter(F.col("o_orderkey") % 10 == 1)
+
+        # stage the table commits WITHOUT the catalog publish — the
+        # torn-read window a two-separate-commits design would expose
+        from ..table import Table as _T
+
+        mid = {}
+        t_hot, t_cold = _T(cat._table_root("hot")), _T(cat._table_root("cold"))
+        mid["hot"] = t_hot.append(moved).snapshot_id
+        mid["cold"] = t_cold.delete_eq_mor(
+            spark, moved.select("o_orderkey"), ["o_orderkey"]
+        ).snapshot_id
+        st_mid = cat.state()
+        mid_hot = cat.read(spark, "hot", state=st_mid).count()
+        mid_cold = cat.read(spark, "cold", state=st_mid).count()
+        no_torn = (
+            mid_hot + mid_cold == total
+            and mid_hot == cat.read(spark, "hot", state=st0).count()
+        )
+        cat._commit_pins(mid)  # the transaction's publish step
+        st1 = cat.state()
+        hot_cnt = cat.read(spark, "hot", state=st1).count()
+        cold_cnt = cat.read(spark, "cold", state=st1).count()
+        travels = (
+            cat.read(spark, "hot", state=st0).count() == mid_hot
+            and hot_cnt != mid_hot
+        )
+        return spark.createDataFrame(
+            [(hot_cnt, cold_cnt, hot_cnt + cold_cnt, no_torn, travels)],
+            "hot_cnt bigint, cold_cnt bigint, total_conserved bigint, "
+            "no_torn_read boolean, old_state_travels boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -10,11 +10,13 @@ snapshot expiry with reachability GC (Reaper.java:17-27) — driven from
 PySpark with no Iceberg jar.
 """
 
+from .catalog import Catalog
 from .table import Table, create_table, load_table
 from .transforms import bucket, day, hour, identity, month, truncate, year
 
 __all__ = [
     "Table",
+    "Catalog",
     "create_table",
     "load_table",
     "truncate",

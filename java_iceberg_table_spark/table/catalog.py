@@ -1,0 +1,267 @@
+"""Multi-table catalog with atomic cross-table transactions.
+
+The engine's tables commit independently (one CAS per table root —
+format.py). That gives single-table atomicity, but a pipeline step
+that moves rows BETWEEN tables (dedup ledger + corpus, fact +
+aggregate, quarantine + main) needs a reader to see either both
+sides of the move or neither. Iceberg alone cannot say that; the
+lakehouse answer (Nessie, modern REST catalogs) is a CATALOG-level
+commit: a versioned mapping ``table name -> pinned snapshot id``
+published with the same link-CAS used for table metadata.
+
+Contract:
+- ``Catalog.read(spark, name)`` scans the snapshot pinned by the
+  CURRENT catalog version — a set of reads against one catalog
+  version is a consistent cross-table view (snapshot isolation at
+  the catalog level).
+- ``catalog.transaction()`` buffers appends / equality deletes
+  across any number of tables; ``commit()`` applies them as ordinary
+  table commits (each atomic on its table) and then publishes ONE
+  catalog version moving every touched pin. Readers through the
+  catalog flip from the old consistent view to the new one
+  atomically.
+- A crash between the table commits and the catalog commit leaves
+  catalog readers on the old view (nothing torn); the already-
+  committed table snapshots sit unpinned on the table lineage until
+  the transaction is re-driven or snapshot expiry reclaims them.
+- Readers that bypass the catalog (``Table.scan`` on the raw root)
+  see per-table heads, including mid-transaction states — the same
+  caveat Nessie documents: cross-table consistency is a property of
+  reading THROUGH the catalog.
+
+Concurrent transactions serialize per table through the table CAS
+and per catalog through the catalog CAS; on a catalog retry a pin
+only ever moves FORWARD along its table's lineage (``_later_of``),
+so a slow transaction can never retract a faster one's commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import format as fmt
+from .table import Table, create_table
+
+
+@dataclass
+class CatalogState:
+    version: int
+    # table name -> pinned snapshot id (absent = pinned to empty:
+    # the table existed at this version but had no committed data)
+    pins: dict[str, int | None] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {"version": self.version, "pins": self.pins}
+
+    @staticmethod
+    def from_json(d: dict) -> "CatalogState":
+        return CatalogState(
+            version=int(d["version"]),
+            pins={k: v for k, v in dict(d.get("pins", {})).items()},
+        )
+
+
+def _cat_dir(root: str) -> str:
+    return os.path.join(root, "catalog")
+
+
+def _cat_version_path(root: str, version: int) -> str:
+    return os.path.join(_cat_dir(root), f"v{version}.json")
+
+
+def _cat_current_version(root: str) -> int:
+    cdir = _cat_dir(root)
+    hint = os.path.join(cdir, "version-hint.text")
+    v = 0
+    try:
+        with open(hint) as f:
+            v = int(f.read().strip())
+    except (OSError, ValueError):
+        versions = [
+            int(p[1:-5])
+            for p in os.listdir(cdir)
+            if p.startswith("v") and p.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no catalog under {cdir}")
+        return max(versions)
+    while os.path.exists(_cat_version_path(root, v + 1)):
+        v += 1
+    return v
+
+
+def _cat_try_commit(root: str, state: CatalogState) -> None:
+    """Same link-CAS publish as table metadata (format.py
+    try_commit_version): the version file appears atomically with its
+    full content or not at all; losing the race raises."""
+    path = _cat_version_path(root, state.version)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state.to_json(), f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        raise fmt.CommitConflict(
+            f"catalog version {state.version} already committed"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_cat_dir(root), "version-hint.text")
+    htmp = f"{hint}.{uuid.uuid4().hex}.tmp"
+    with open(htmp, "w") as f:
+        f.write(str(state.version))
+    os.rename(htmp, hint)
+
+
+def _later_of(tbl: Table, a: int | None, b: int | None) -> int | None:
+    """The lineage-later of two snapshot ids of one table: walking
+    parent_id from ``b``, if ``a`` appears, ``b`` descends from it.
+    Used so a catalog retry only ever moves a pin FORWARD — setting a
+    pin back to an ancestor would retract a concurrent transaction's
+    published rows."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    by_id = {s.snapshot_id: s for s in tbl.metadata.snapshots}
+    cur = by_id.get(b)
+    while cur is not None:
+        if cur.snapshot_id == a:
+            return b
+        cur = by_id.get(cur.parent_id)
+    return a
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+
+    # ---------- lifecycle ----------
+
+    @staticmethod
+    def create(root: str) -> "Catalog":
+        os.makedirs(_cat_dir(root), exist_ok=True)
+        _cat_try_commit(root, CatalogState(version=1, pins={}))
+        return Catalog(root)
+
+    def _table_root(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad table name {name!r}")
+        return os.path.join(self.root, "tables", name)
+
+    def create_table(self, name: str, schema, **kw) -> Table:
+        """Create a table and register it in the catalog (one catalog
+        commit; the new table is pinned empty)."""
+        if name in self.state().pins:
+            raise ValueError(f"table {name!r} already exists")
+        tbl = create_table(self._table_root(name), schema, **kw)
+        self._commit_pins({name: None})
+        return tbl
+
+    def table(self, name: str) -> Table:
+        """Direct (head-level, uncoordinated) table access."""
+        if name not in self.state().pins:
+            raise KeyError(f"no such table {name!r}")
+        return Table(self._table_root(name))
+
+    def list_tables(self) -> list[str]:
+        return sorted(self.state().pins)
+
+    def state(self) -> CatalogState:
+        v = _cat_current_version(self.root)
+        with open(_cat_version_path(self.root, v)) as f:
+            return CatalogState.from_json(json.load(f))
+
+    # ---------- consistent reads ----------
+
+    def read(
+        self, spark: SparkSession, name: str, filters=(), state: CatalogState | None = None
+    ) -> DataFrame:
+        """Scan ``name`` at its pinned snapshot. Pass one ``state``
+        (from ``catalog.state()``) to several read() calls for a
+        cross-table-consistent view — pins inside one state were
+        published by one atomic catalog commit."""
+        st = state or self.state()
+        if name not in st.pins:
+            raise KeyError(f"no such table {name!r}")
+        pin = st.pins[name]
+        tbl = Table(self._table_root(name))
+        if pin is None:
+            return spark.createDataFrame([], tbl.schema())
+        return tbl.scan(spark, filters, snapshot_id=pin)
+
+    # ---------- transactions ----------
+
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+    def _commit_pins(self, updates: dict[str, int | None]) -> CatalogState:
+        for attempt in range(1000):
+            cur = self.state()
+            pins = dict(cur.pins)
+            for name, sid in updates.items():
+                if name in pins:
+                    pins[name] = _later_of(
+                        Table(self._table_root(name)), pins.get(name), sid
+                    )
+                else:
+                    pins[name] = sid
+            new = CatalogState(version=cur.version + 1, pins=pins)
+            try:
+                _cat_try_commit(self.root, new)
+                return new
+            except fmt.CommitConflict:
+                if attempt == 999:
+                    raise
+                time.sleep(min(0.001 * (2 ** min(attempt, 6)), 0.1))
+        raise fmt.CommitConflict("catalog retries exhausted")
+
+
+class CatalogTransaction:
+    """Buffered multi-table write set. Operations stage in order;
+    ``commit(spark)`` applies them as real table commits and then
+    publishes every touched pin in ONE catalog version."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self._ops: list[tuple] = []
+        self.committed: CatalogState | None = None
+
+    def append(self, name: str, df: DataFrame) -> "CatalogTransaction":
+        self._ops.append(("append", name, df))
+        return self
+
+    def delete_eq(
+        self, name: str, keys: DataFrame, key_cols: list[str]
+    ) -> "CatalogTransaction":
+        self._ops.append(("delete_eq", name, (keys, list(key_cols))))
+        return self
+
+    def commit(self, spark: SparkSession) -> CatalogState:
+        if self.committed is not None:
+            raise RuntimeError("transaction already committed")
+        if not self._ops:
+            raise ValueError("empty transaction")
+        pins_before = self.catalog.state().pins
+        touched: dict[str, int] = {}
+        for kind, name, payload in self._ops:
+            if name not in pins_before and name not in touched:
+                raise KeyError(f"no such table {name!r}")
+            tbl = Table(self.catalog._table_root(name))
+            if kind == "append":
+                snap = tbl.append(payload)
+            else:
+                keys, key_cols = payload
+                snap = tbl.delete_eq_mor(spark, keys, key_cols)
+            if snap is not None:
+                touched[name] = snap.snapshot_id
+        self.committed = self.catalog._commit_pins(touched)
+        return self.committed

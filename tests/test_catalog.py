@@ -1,0 +1,139 @@
+"""Multi-table catalog: atomic cross-table transactions, consistent
+pinned reads, crash-window behavior, forward-only pin movement."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from java_iceberg_table_spark.table import Catalog
+from java_iceberg_table_spark.table.catalog import CatalogTransaction
+
+SCHEMA = StructType(
+    [StructField("k", LongType(), False), StructField("v", StringType(), True)]
+)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog.create(str(tmp_path / "cat"))
+
+
+def rows(spark, lo, n, tag="x"):
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def test_transaction_moves_rows_atomically(spark, cat):
+    """The canonical move: delete from quarantine + append to main in
+    ONE transaction. A catalog state captured mid-transaction (after
+    the table commits, before the catalog commit) must show the OLD
+    view of both tables; the post-commit state shows the new view of
+    both. Totals are conserved in every consistent view."""
+    cat.create_table("main", SCHEMA)
+    cat.create_table("quarantine", SCHEMA)
+    cat.transaction().append("quarantine", rows(spark, 0, 100, "q")).commit(spark)
+    cat.transaction().append("main", rows(spark, 1000, 50, "m")).commit(spark)
+
+    st0 = cat.state()
+    assert cat.read(spark, "main", state=st0).count() == 50
+    assert cat.read(spark, "quarantine", state=st0).count() == 100
+
+    # stage the move's TABLE commits without the catalog commit —
+    # exactly the crash window
+    txn = cat.transaction()
+    promoted = rows(spark, 0, 100, "q").filter(F.col("k") < 40)
+    txn.append("main", promoted)
+    txn.delete_eq("quarantine", promoted.select("k"), ["k"])
+    ops, txn._ops = txn._ops, []  # hold back the catalog publish
+    mid_touched = {}
+    from java_iceberg_table_spark.table import Table
+
+    for kind, name, payload in ops:
+        tbl = Table(cat._table_root(name))
+        if kind == "append":
+            snap = tbl.append(payload)
+        else:
+            snap = tbl.delete_eq_mor(spark, payload[0], payload[1])
+        mid_touched[name] = snap.snapshot_id
+    # direct table heads already moved…
+    assert Table(cat._table_root("main")).scan(spark).count() == 90
+    # …but every catalog view is still the OLD consistent pair
+    st_mid = cat.state()
+    assert cat.read(spark, "main", state=st_mid).count() == 50
+    assert cat.read(spark, "quarantine", state=st_mid).count() == 100
+    # total across the consistent view is conserved at every instant
+    assert (
+        cat.read(spark, "main", state=st_mid).count()
+        + cat.read(spark, "quarantine", state=st_mid).count()
+        == 150
+    )
+    # the recovery/completion: publish the pins
+    cat._commit_pins(mid_touched)
+    st1 = cat.state()
+    assert cat.read(spark, "main", state=st1).count() == 90
+    assert cat.read(spark, "quarantine", state=st1).count() == 60
+    assert (
+        cat.read(spark, "main", state=st1).count()
+        + cat.read(spark, "quarantine", state=st1).count()
+        == 150
+    )
+    # old state still readable (snapshot isolation, time travel)
+    assert cat.read(spark, "main", state=st0).count() == 50
+
+
+def test_pins_move_forward_only(spark, cat):
+    """A slow transaction's catalog publish must not retract a faster
+    one: pins resolve to the lineage-later snapshot."""
+    cat.create_table("t", SCHEMA)
+    s1 = cat.transaction().append("t", rows(spark, 0, 10)).commit(spark)
+    tbl = cat.table("t")
+    snap2 = tbl.append(rows(spark, 100, 5))  # faster txn's table commit
+    cat._commit_pins({"t": snap2.snapshot_id})
+    # a straggler trying to publish the OLD snapshot id again
+    cat._commit_pins({"t": s1.pins["t"]})
+    assert cat.read(spark, "t").count() == 15  # later pin kept
+
+
+def test_concurrent_transactions_both_publish(spark, cat):
+    cat.create_table("a", SCHEMA)
+    cat.create_table("b", SCHEMA)
+    errs = []
+
+    def run(name, lo):
+        try:
+            cat.transaction().append(name, rows(spark, lo, 20)).commit(spark)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=run, args=("a", 0)),
+        threading.Thread(target=run, args=("b", 100)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    st = cat.state()
+    assert cat.read(spark, "a", state=st).count() == 20
+    assert cat.read(spark, "b", state=st).count() == 20
+
+
+def test_catalog_guards(spark, cat):
+    cat.create_table("t", SCHEMA)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("t", SCHEMA)
+    with pytest.raises(KeyError):
+        cat.read(spark, "nope")
+    with pytest.raises(ValueError, match="empty transaction"):
+        cat.transaction().commit(spark)
+    txn = cat.transaction().append("t", rows(spark, 0, 1))
+    txn.commit(spark)
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn.commit(spark)
+    assert cat.list_tables() == ["t"]
