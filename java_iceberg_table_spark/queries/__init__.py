@@ -152,18 +152,21 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first
-# (round 6: the CDC stream planner grew lineage-walk + segmentation;
-# the connector grew pushdown-state consumption, spec stamping,
-# overwrite modes, and NaN-safe float stats; d1 moved to exact int64
-# fixed-point money math; the Table read paths grew default-fill
-# grouping).
+# (round 7: every engine write now emits INT64-micros timestamps with
+# naive-UTC stat renderings — a4/a4a exercise temporal stats and
+# pruning end to end; key-set pruning gained temporal renderings
+# (a3v, connector IN-lists via a3m); the read paths grew keep_pos
+# plumbing for row lineage (a3, a3g MOR); the view/SCD2 folds now
+# skip empty batches (i21, i24)).
 _REVERIFY_HEAD = [
-    "i20_connector_cdc_stream",
-    "i21_streaming_materialized_view",
-    "a3m_engine_datasource_connector",
+    "a4_time_filtered_scan",
+    "a4a_engine_temporal_partition",
     "a3v_engine_runtime_filter_join",
-    "d1_tpch_q1",
+    "a3m_engine_datasource_connector",
     "a3_engine_table_scan",
+    "a3g_engine_mor_delete",
+    "i21_streaming_materialized_view",
+    "i24_scd2_history_stream",
 ]
 
 

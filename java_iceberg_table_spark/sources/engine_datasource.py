@@ -74,6 +74,7 @@ class FilePartition(InputPartition):
     path: str  # absolute
     filters: list | None = None  # row-level pushdown (parquet only)
     fill: list | None = None  # initial-default (col, value) pairs
+    lineage: tuple | None = None  # (first_row_id, entry_seq, row_ids_inline)
 
 
 @dataclass
@@ -91,6 +92,7 @@ class MaskedFilePartition(InputPartition):
     mask_eq: list
     filters: list | None = None  # row-level pushdown (parquet only)
     fill: list | None = None  # initial-default (col, value) pairs
+    lineage: tuple | None = None  # (first_row_id, entry_seq, row_ids_inline)
 
 
 @dataclass
@@ -310,6 +312,38 @@ def _read_file_batches(path: str, schema: StructType, filters=None, fill=None):
     ).to_batches()
 
 
+_LINEAGE_COLS = ("_row_id", "_last_updated_seq")
+
+
+def _strip_lineage(schema: StructType) -> StructType:
+    return StructType([f for f in schema.fields if f.name not in _LINEAGE_COLS])
+
+
+def _attach_lineage(df, pos, path: str, lineage):
+    """Add _row_id/_last_updated_seq columns to a loaded data frame:
+    derived (first_row_id + position) for files in their original
+    commit, read from the physical carry columns for files rewritten
+    by a lineage-preserving compaction, NULL when the entry predates
+    lineage."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frid, eseq, inline = lineage
+    if inline:
+        t = pq.read_table(path, columns=["__row_id", "__upd_seq"])
+        rid = t["__row_id"].to_numpy()
+        useq = t["__upd_seq"].to_numpy()
+        df["_row_id"] = pd.array(rid[pos], dtype="Int64")
+        df["_last_updated_seq"] = pd.array(useq[pos], dtype="Int64")
+    elif frid is not None:
+        df["_row_id"] = pd.array(int(frid) + pos, dtype="Int64")
+        df["_last_updated_seq"] = pd.array([int(eseq)] * len(df), dtype="Int64")
+    else:
+        df["_row_id"] = pd.array([None] * len(df), dtype="Int64")
+        df["_last_updated_seq"] = pd.array([None] * len(df), dtype="Int64")
+    return df
+
+
 def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | None):
     """Executor-side: stream this task's Arrow batches into data/ —
     one file per partition bucket per task when the table is
@@ -404,6 +438,11 @@ class EngineBatchReader(DataSourceReader):
         )
         self.engine_filters: list[tuple[str, str, object]] = []
         self.in_filters: list[tuple[str, list]] = []
+        # option("withLineage","true"): rows carry _row_id /
+        # _last_updated_seq (Iceberg v3), parity with scan_with_lineage
+        self.lineage_on = str(
+            (options or {}).get("withlineage", "")
+        ).lower() in ("true", "1")
 
     def pushFilters(self, filters):
         """Use every stats-expressible filter for manifest pruning but
@@ -498,12 +537,28 @@ class EngineBatchReader(DataSourceReader):
             (col, "in", vals) for col, vals in in_filters
         ]
         rg = rg or None
+        if self.lineage_on:
+            # lineage derives _row_id from row POSITION — a filtered
+            # read renumbers rows, so row-group pushdown is disabled
+            # (Spark re-applies every filter above the scan anyway)
+            rg = None
+
+        def _lin(e):
+            if not self.lineage_on:
+                return None
+            return (
+                e.get("first_row_id"),
+                int(e.get("seq", 0)),
+                bool(e.get("row_ids_inline")),
+            )
+
         if not dels:
             return [
                 FilePartition(
                     os.path.join(self.root, e["path"]),
                     filters=rg,
                     fill=_fill_of(self.schema, e),
+                    lineage=_lin(e),
                 )
                 for e in entries
             ]
@@ -526,6 +581,7 @@ class EngineBatchReader(DataSourceReader):
                 # files with pending position deletes read whole
                 filters=None if mask_pos else rg,
                 fill=_fill_of(self.schema, e),
+                lineage=_lin(e),
             )
 
         return [masked(e) for e in entries]
@@ -535,6 +591,20 @@ class EngineBatchReader(DataSourceReader):
             return  # empty plan: Spark calls read(None) once
         if isinstance(partition, MaskedFilePartition):
             yield from _read_masked_batches(partition, self.schema)
+            return
+        if partition.lineage is not None:
+            import pyarrow as pa
+
+            df, pos = _cdc_load_pandas(
+                partition.path, _strip_lineage(self.schema)
+            )
+            if len(df) == 0:
+                return
+            df = _attach_lineage(df, pos, partition.path, partition.lineage)
+            out = _apply_fill(df, partition.fill)
+            yield from pa.Table.from_pandas(
+                out, schema=_arrow_schema_for(self.schema), preserve_index=False
+            ).to_batches()
             return
         yield from _read_file_batches(
             partition.path,
@@ -828,13 +898,20 @@ def _read_masked_batches(partition: MaskedFilePartition, schema: StructType):
 
     # filters only ever arrive when mask_pos is empty (positions of a
     # filtered read would be renumbered — the planner guards this)
-    df, pos = _cdc_load_pandas(partition.path, schema, filters=partition.filters)
+    data_schema = (
+        _strip_lineage(schema) if partition.lineage is not None else schema
+    )
+    df, pos = _cdc_load_pandas(partition.path, data_schema, filters=partition.filters)
     if len(df) == 0:
         return
     keep = np.ones(len(df), dtype=bool)
     if partition.mask_pos:
         keep &= ~np.isin(pos, np.fromiter(set(partition.mask_pos), dtype="int64"))
     keep &= ~_eq_delete_hits(df, partition.seq, partition.mask_eq)
+    if partition.lineage is not None:
+        # attach BEFORE masking: ids key on the file's original row
+        # positions, and surviving rows must keep theirs
+        df = _attach_lineage(df, pos, partition.path, partition.lineage)
     out = _apply_fill(df[keep], partition.fill)
     if len(out) == 0:
         return
@@ -1375,11 +1452,14 @@ class EngineTableDataSource(DataSource):
     def _cdc(self) -> bool:
         return str(self.options.get("cdc", "")).lower() in ("true", "1")
 
+    def _lineage(self) -> bool:
+        return str(self.options.get("withlineage", "")).lower() in ("true", "1")
+
     def _meta(self) -> str | None:
         return self.options.get("table")
 
     def schema(self) -> StructType:
-        from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import LongType, StringType, StructField
 
         from ..table import load_table
 
@@ -1389,6 +1469,14 @@ class EngineTableDataSource(DataSource):
         if self._cdc():
             s = StructType(
                 list(s.fields) + [StructField("_change_type", StringType())]
+            )
+        elif self._lineage():
+            s = StructType(
+                list(s.fields)
+                + [
+                    StructField("_row_id", LongType()),
+                    StructField("_last_updated_seq", LongType()),
+                ]
             )
         return s
 
@@ -1400,6 +1488,8 @@ class EngineTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self._meta():
             raise ValueError("metadata tables are batch-only")
+        if self._lineage():
+            raise ValueError("withLineage is batch-only (CDC streams key rows by content)")
         if self._cdc():
             return EngineCDCStreamReader(self._root(), schema, self.options)
         return EngineStreamReader(self._root(), schema, self.options)

@@ -198,6 +198,24 @@ class Catalog:
             return spark.createDataFrame([], tbl.schema())
         return tbl.scan(spark, filters, snapshot_id=pin)
 
+    def register_views(
+        self,
+        spark: SparkSession,
+        state: CatalogState | None = None,
+        prefix: str = "",
+    ) -> CatalogState:
+        """Register every catalog table as a temp view pinned to ONE
+        catalog state, so plain ``spark.sql`` joins across them read a
+        cross-table-consistent snapshot — the SQL face of the
+        transactional catalog. Returns the state used; re-register to
+        move the SQL view of the world forward."""
+        st = state or self.state()
+        for name in st.pins:
+            self.read(spark, name, state=st).createOrReplaceTempView(
+                f"{prefix}{name}"
+            )
+        return st
+
     # ---------- transactions ----------
 
     def transaction(self) -> "CatalogTransaction":

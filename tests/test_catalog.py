@@ -124,6 +124,30 @@ def test_concurrent_transactions_both_publish(spark, cat):
     assert cat.read(spark, "b", state=st).count() == 20
 
 
+def test_register_views_sql_face(spark, cat):
+    """spark.sql across registered views reads one pinned catalog
+    state; a transaction committing underneath does not move the SQL
+    world until views are re-registered."""
+    cat.create_table("facts", SCHEMA)
+    cat.create_table("dims", SCHEMA)
+    cat.transaction().append("facts", rows(spark, 0, 30, "f")).append(
+        "dims", rows(spark, 0, 10, "d")
+    ).commit(spark)
+    cat.register_views(spark, prefix="cat_")
+    joined = spark.sql(
+        "SELECT COUNT(*) c FROM cat_facts f JOIN cat_dims d ON f.k = d.k"
+    )
+    assert joined.first()["c"] == 10
+    cat.transaction().append("dims", rows(spark, 10, 10, "d")).commit(spark)
+    # old views still pinned…
+    assert joined.first()["c"] == 10
+    # …until re-registered
+    cat.register_views(spark, prefix="cat_")
+    assert spark.sql(
+        "SELECT COUNT(*) c FROM cat_facts f JOIN cat_dims d ON f.k = d.k"
+    ).first()["c"] == 20
+
+
 def test_catalog_guards(spark, cat):
     cat.create_table("t", SCHEMA)
     with pytest.raises(ValueError, match="already exists"):

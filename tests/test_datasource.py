@@ -1323,3 +1323,62 @@ def test_connector_overwrite_modes(ds, base_dir):
         repl.write.format("engine_table").option("root", root).option(
             "branch", "b1"
         ).mode("overwrite").save()
+
+
+def test_connector_row_lineage_parity(ds, base_dir):
+    """option("withLineage","true"): the connector's _row_id /
+    _last_updated_seq equal scan_with_lineage exactly — through
+    appends, a MOR equality delete, and a lineage-preserving
+    compaction (physical carry columns). Streaming refuses the
+    option by contract."""
+    spark = ds
+    root = base_dir + "/t"
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    tbl = create_table(root, df.schema, properties={"row.lineage": "preserve"})
+    tbl.append(df.filter(F.col("k") < 120).repartition(3))
+    tbl.append(df.filter(F.col("k") >= 120))
+    tbl.delete_eq_mor(
+        spark, spark.range(5).select((F.col("id") * 10).alias("k")), ["k"]
+    )
+
+    def conn():
+        return (
+            spark.read.format("engine_table")
+            .option("root", root)
+            .option("withLineage", "true")
+            .load()
+            .select("k", "_row_id", "_last_updated_seq")
+        )
+
+    def api():
+        return tbl.scan_with_lineage(spark).select(
+            "k", "_row_id", "_last_updated_seq"
+        )
+
+    before = {r["k"]: (r["_row_id"], r["_last_updated_seq"]) for r in api().collect()}
+    got = {r["k"]: (r["_row_id"], r["_last_updated_seq"]) for r in conn().collect()}
+    assert got == before and len(got) == 195
+    # compaction: ids stable, connector still agrees (inline carry path)
+    tbl.compact_data_files(spark, target_file_bytes=10**9)
+    after_api = {r["k"]: (r["_row_id"], r["_last_updated_seq"]) for r in api().collect()}
+    after_conn = {r["k"]: (r["_row_id"], r["_last_updated_seq"]) for r in conn().collect()}
+    assert after_conn == after_api
+    assert {k: v[0] for k, v in after_conn.items()} == {
+        k: v[0] for k, v in before.items()
+    }
+    # filters still correct with lineage on (row-group pushdown is
+    # disabled, Spark re-applies residuals)
+    assert conn().filter(F.col("k") >= 120).count() == 80
+    q = (
+        spark.readStream.format("engine_table")
+        .option("root", root)
+        .option("withLineage", "true")
+        .load()
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="batch-only"):
+        q.awaitTermination()
