@@ -22,7 +22,7 @@ def _collect(spark, tbl, key_col, val_col):
     return sorted((int(r[key_col]), r[val_col]) for r in rows)
 
 
-@pytest.mark.parametrize("seed", [7, 23, 91])
+@pytest.mark.parametrize("seed", [7, 23, 91, 137, 211])
 def test_randomized_evolution_differential(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / f"t{seed}")
@@ -34,6 +34,9 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 StructField("v", StringType(), True),
             ]
         ),
+        # lineage preservation rides along under every mutation; the
+        # end-of-run invariant checks id uniqueness survived it all
+        properties={"row.lineage": "preserve"},
     )
     # model state: list of (k, v); column names tracked separately
     model: list[tuple[int, str]] = []
@@ -83,6 +86,8 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
                 "branch_wap",
                 "rollback",
                 "merge",
+                "add_files",
+                "cherry_pick",
             ]
         )
         if op == "append":
@@ -201,6 +206,42 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
             )
             tbl.merge_into(spark, sdf, [key_name], update="all", insert=True)
             model = [(k, v) for k, v in model if k not in upd] + rows
+        elif op == "add_files" and tbl.transform is None:
+            # metadata-only import of externally-written parquet; the
+            # single-bucket rule makes partitioned imports fiddly to
+            # randomize, so the step only fires while unpartitioned
+            rows = [(next_k + i, f"x{next_k + i}") for i in range(rng.randint(1, 4))]
+            next_k += len(rows)
+            # post-widen the table key is long; an int-typed file must
+            # still import (native parquet upcast)
+            ktype = (
+                rng.choice(["int", "long"]) if did_widen else "int"
+            )
+            ext = str(tmp_path / f"ext{seed}_{step}")
+            spark.createDataFrame(
+                rows, f"{key_name} {ktype}, {val_name} string"
+            ).coalesce(1).write.parquet(ext)
+            import glob as _g
+
+            tbl.add_files(_g.glob(ext + "/*.parquet"))
+            model.extend(rows)
+        elif op == "cherry_pick":
+            # stage on a branch, let main move, then cherry-pick the
+            # staged snapshot onto the moved head
+            name = f"cp{step}"
+            tbl.create_branch(name)
+            rows = [(next_k + i, f"c{next_k + i}") for i in range(rng.randint(1, 3))]
+            next_k += len(rows)
+            sdf = spark.createDataFrame(
+                rows,
+                f"{key_name} {'long' if did_widen else key_type}, {val_name} string",
+            )
+            staged = tbl.append(sdf, branch=name)
+            if rng.random() < 0.5:
+                append_batch(rng.randint(1, 3))  # main moves first
+            tbl.cherry_pick(staged.snapshot_id)
+            model.extend(rows)
+            tbl.drop_ref(name)
         elif op == "compact" and model:
             # content-invariant maintenance: the model must not move
             tbl.compact_data_files(spark)
@@ -241,3 +282,12 @@ def test_randomized_evolution_differential(spark, tmp_path, seed):
     # and materializing the pending deletes changes nothing
     tbl.rewrite_deletes(spark)
     assert _collect(spark, tbl, key_name, val_name) == sorted(model)
+    # row-lineage invariant after the whole mutation sequence: every
+    # non-null _row_id unique (appends/imports/cherry-picks assign
+    # from disjoint ranges; preserve-mode rewrites carry ids; merge
+    # replacement files legitimately read NULL), and the lineage scan
+    # sees exactly the model's rows
+    lin = tbl.scan_with_lineage(spark).select(key_name, "_row_id").collect()
+    assert len(lin) == len(model), f"lineage scan row count (seed={seed})"
+    ids = [r["_row_id"] for r in lin if r["_row_id"] is not None]
+    assert len(ids) == len(set(ids)), f"duplicate _row_id (seed={seed})"
