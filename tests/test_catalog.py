@@ -161,3 +161,67 @@ def test_catalog_guards(spark, cat):
     with pytest.raises(RuntimeError, match="already committed"):
         txn.commit(spark)
     assert cat.list_tables() == ["t"]
+
+
+def test_catalog_fanout_sink_exactly_once(spark, cat, tmp_path):
+    """One stream, two tables, atomic per-batch publish: route events
+    into ok/flagged tables; every catalog state conserves the split
+    invariant; a simulated crash (one table applied, no publish) is
+    repaired by the sink's replay path without double-appending."""
+    import shutil as _sh
+
+    from java_iceberg_table_spark.streaming.jobs import catalog_fanout_sink
+    from java_iceberg_table_spark.table import Table
+
+    ev_schema = "k long, flag long"
+    cat.create_table("ok", spark.createDataFrame([], ev_schema).schema)
+    cat.create_table("flagged", spark.createDataFrame([], ev_schema).schema)
+    src = str(tmp_path / "src")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5 == 0).cast("long").alias("flag")
+    )
+    df.repartition(4).write.parquet(src)
+    routes = [
+        ("ok", lambda d: d.filter(F.col("flag") == 0)),
+        ("flagged", lambda d: d.filter(F.col("flag") == 1)),
+    ]
+    sink = catalog_fanout_sink(cat.root, routes, stream_id="s1")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    st = cat.state()
+    ok_n = cat.read(spark, "ok", state=st).count()
+    fl_n = cat.read(spark, "flagged", state=st).count()
+    assert ok_n == 80 and fl_n == 20
+    # replay of an already-applied batch is a no-op (at-least-once)
+    batch_df = spark.read.parquet(src)
+    sink(batch_df, 0)
+    assert cat.read(spark, "ok").count() == 80
+    # crash simulation: batch 99 half-applied (one table committed,
+    # no publish) -> re-driving the batch repairs instead of doubling
+    extra = spark.createDataFrame([(1000, 0), (1001, 1)], ev_schema)
+    Table(cat._table_root("ok")).append(
+        extra.filter(F.col("flag") == 0),
+        extra_summary={"fo-batch-id": 99, "fo-stream-id": "s1"},
+    )
+    # catalog view unmoved (publish never happened)
+    assert cat.read(spark, "ok").count() == 80
+    sink(extra, 99)
+    st2 = cat.state()
+    assert cat.read(spark, "ok", state=st2).count() == 81
+    assert cat.read(spark, "flagged", state=st2).count() == 21
+    # the half-applied commit was rolled back, not stacked: direct
+    # table content equals the catalog view
+    assert Table(cat._table_root("ok")).scan(spark).count() == 81
