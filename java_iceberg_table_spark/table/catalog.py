@@ -122,22 +122,27 @@ def _cat_try_commit(root: str, state: CatalogState) -> None:
 
 
 def _later_of(tbl: Table, a: int | None, b: int | None) -> int | None:
-    """The lineage-later of two snapshot ids of one table: walking
-    parent_id from ``b``, if ``a`` appears, ``b`` descends from it.
-    Used so a catalog retry only ever moves a pin FORWARD — setting a
-    pin back to an ancestor would retract a concurrent transaction's
-    published rows."""
+    """The commit-order-later of two snapshot ids of one table. Used
+    so a catalog retry only ever moves a pin FORWARD — setting a pin
+    back to an earlier snapshot would retract a concurrent
+    transaction's published rows.
+
+    Compared by SEQUENCE number (every commit type bumps it), not by
+    walking parent_id: snapshot expiry drops intermediate log entries
+    without rewriting parents, so an ancestry walk dangles exactly
+    when maintenance has run — the common case. A pin whose snapshot
+    left the log entirely yields to the surviving one."""
     if a is None:
         return b
     if b is None:
         return a
     by_id = {s.snapshot_id: s for s in tbl.metadata.snapshots}
-    cur = by_id.get(b)
-    while cur is not None:
-        if cur.snapshot_id == a:
-            return b
-        cur = by_id.get(cur.parent_id)
-    return a
+    sa, sb = by_id.get(a), by_id.get(b)
+    if sa is None:
+        return b
+    if sb is None:
+        return a
+    return b if (sb.sequence, sb.timestamp_ms) >= (sa.sequence, sa.timestamp_ms) else a
 
 
 class Catalog:
@@ -197,6 +202,26 @@ class Catalog:
         if pin is None:
             return spark.createDataFrame([], tbl.schema())
         return tbl.scan(spark, filters, snapshot_id=pin)
+
+    def maintain(self, spark: SparkSession, **kw) -> dict:
+        """Run each table's maintenance pass with the catalog's pins
+        protected: the pinned snapshot gets a ``__catalog_pin`` tag
+        (tags are snapshot-expiry GC roots) before maintenance runs,
+        so a table operator's expire/compact can never reap the
+        snapshot catalog readers are currently pinned to — even when
+        the table head has moved past it (a transaction's table
+        commits landing before its publish, or direct writers). Older
+        catalog states age out exactly like table time travel does."""
+        st = self.state()
+        results = {}
+        for name, pin in st.pins.items():
+            tbl = Table(self._table_root(name))
+            if pin is not None:
+                if "__catalog_pin" in tbl.metadata.refs:
+                    tbl.drop_ref("__catalog_pin")
+                tbl.create_tag("__catalog_pin", pin)
+            results[name] = tbl.maintain(spark, **kw)
+        return results
 
     def register_views(
         self,

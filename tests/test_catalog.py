@@ -225,3 +225,38 @@ def test_catalog_fanout_sink_exactly_once(spark, cat, tmp_path):
     # the half-applied commit was rolled back, not stacked: direct
     # table content equals the catalog view
     assert Table(cat._table_root("ok")).scan(spark).count() == 81
+
+
+def test_catalog_maintain_protects_pins(spark, cat):
+    """Maintenance through the catalog may never reap the pinned
+    snapshot: after the table head moves past the pin, an aggressive
+    expire (retain_last=1) still leaves the catalog's consistent view
+    readable; after the next publish, maintenance reclaims the old
+    generation."""
+    import time as _time
+
+    from java_iceberg_table_spark.table import Table
+
+    cat.create_table("t", SCHEMA)
+    cat.transaction().append("t", rows(spark, 0, 30)).commit(spark)
+    st_pin = cat.state()
+    # head moves past the pin WITHOUT a catalog publish
+    tbl = Table(cat._table_root("t"))
+    tbl.append(rows(spark, 100, 10))
+    tbl.append(rows(spark, 200, 10))
+    cat.maintain(
+        spark,
+        expire_older_than_ms=int(_time.time() * 1000) + 10_000,
+        retain_last=1,
+    )
+    # the pinned snapshot survived the aggressive expiry
+    assert cat.read(spark, "t", state=st_pin).count() == 30
+    assert cat.read(spark, "t").count() == 30  # current pin = same
+    # publish the new head; maintain again: old pin may now age out
+    cat._commit_pins({"t": tbl.metadata.current_snapshot().snapshot_id})
+    cat.maintain(
+        spark,
+        expire_older_than_ms=int(_time.time() * 1000) + 10_000,
+        retain_last=1,
+    )
+    assert cat.read(spark, "t").count() == 50
