@@ -1921,3 +1921,72 @@ def a4i_engine_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "a4j_engine_update_where",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN o_orderkey + 1000000 ELSE o_orderkey END) AS BIGINT)
+         AS sum_key,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS updated_rows,
+       true AS pruned_rewrite,
+       true AS pre_image_travels
+FROM orders
+""",
+    group="A",
+)
+def a4j_engine_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE … SET … WHERE as copy-on-write (completing the DML
+    verb set next to MERGE INTO, DELETE, INSERT OVERWRITE): SET
+    expressions evaluate against the OLD row, results cast to the
+    column's type, one atomic 'overwrite' snapshot whose pre-image
+    stays time-travelable. The rewrite set is stats-pruned BEFORE any
+    data IO — on a sort-ordered table an UPDATE keyed to a value range
+    rewrites only the files whose min/max admit matches (graded
+    below), everything else carries by reference; all touched buckets
+    rewrite in ONE Spark job. The 100 TB shape: an UPDATE touching one
+    day costs one day."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="engine_upd_") + "/t"
+    try:
+        tbl = create_table(
+            root, orders.schema, properties={"write.sort.order": "o_orderkey"}
+        )
+        tbl.append(orders.repartition(8))
+        s1 = tbl.metadata.current_snapshot().snapshot_id
+        n_files = len(tbl.current_files())
+        res = tbl.update_where(
+            spark,
+            [("o_orderstatus", "=", "O")],
+            {"o_orderkey": "o_orderkey + 1000000"},
+        )
+        # range-keyed second update proves stats pruning: only the
+        # files whose o_orderkey range admits [0, 50) rewrite
+        res2 = tbl.update_where(
+            spark,
+            [("o_orderkey", "<", 50)],
+            {"o_orderstatus": "'X'"},
+        )
+        pruned = 0 < res2["rewritten_files"] < n_files
+        row = tbl.scan(spark).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").alias("sum_key"),
+        ).collect()[0]
+        travels = (
+            tbl.scan(spark, snapshot_id=s1)
+            .filter(F.col("o_orderkey") >= 1000000)
+            .count()
+            == 0
+        )
+        # the X-status rewrite must not disturb sum_key; statuses do
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_key"], res["updated_rows"], pruned, travels)],
+            "cnt bigint, sum_key bigint, updated_rows bigint, "
+            "pruned_rewrite boolean, pre_image_travels boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

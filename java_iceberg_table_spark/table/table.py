@@ -1339,6 +1339,94 @@ class Table:
                 return {"rewritten_files": len(cands), "deleted_rows": deleted}
         raise fmt.CommitConflict("delete_rows lost the commit race 3 times")
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        filters: Iterable[tuple[str, str, object]],
+        set_exprs: dict[str, object],
+    ) -> dict[str, int]:
+        """SQL ``UPDATE … SET … WHERE`` with copy-on-write (Iceberg
+        overwrite semantics) — the remaining DML verb next to
+        delete_rows / merge_into / INSERT OVERWRITE. ``set_exprs``
+        maps column -> SQL expression string (or Column) evaluated
+        against the current row; results cast to the column's declared
+        type (SQL UPDATE semantics). Rows where the predicate is NULL
+        are NOT updated.
+
+        Scale design is delete_rows': file stats prune the rewrite set
+        before any data IO, every candidate file rewrites in ONE Spark
+        job clustered by partition bucket (updating the partition
+        source re-buckets rows automatically — the write path derives
+        buckets from row content), untouched files are carried by
+        reference, one atomic 'overwrite' snapshot with optimistic
+        re-plan on conflict."""
+        filters = list(filters)
+        if not filters:
+            raise ValueError("update_where requires at least one predicate")
+        schema = self.schema()
+        by_name = {f.name: f for f in schema.fields}
+        for c in set_exprs:
+            if c not in by_name:
+                raise ValueError(f"unknown column {c!r}")
+        for attempt in range(3):
+            md = self.metadata
+            snap = md.current_snapshot()
+            if snap is None:
+                return {"rewritten_files": 0, "updated_rows": 0}
+            specs = self._spec_map(md)
+            entries = self.files_of(snap)
+            cands = [
+                e for e in entries
+                if all(
+                    self._entry_may_match(e, self._entry_transform(e, specs), f)
+                    for f in filters
+                )
+            ]
+            if not cands:
+                return {"rewritten_files": 0, "updated_rows": 0}
+            cand_paths = {e["path"] for e in cands}
+            keep = [e for e in entries if e["path"] not in cand_paths]
+            match = F.coalesce(self._and_predicate(filters), F.lit(False))
+            df = self._read_with_deletes(spark, cands, snap)
+            updated_rows = df.filter(match).count()
+            # ONE select so every SET expression evaluates against the
+            # OLD row (SQL UPDATE semantics) — sequential withColumn
+            # would feed one assignment's result into the next
+            new_vals = {
+                c: (F.expr(e) if isinstance(e, str) else e).cast(
+                    by_name[c].dataType
+                )
+                for c, e in set_exprs.items()
+            }
+            out = df.select(
+                *[
+                    F.when(match, new_vals[f.name])
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in new_vals
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            new_entries = self._write_data_files(
+                out, prefix="up", n_tasks=max(1, len(cands) // 4)
+            )
+            committed = self._commit_overwrite(
+                snap.snapshot_id,
+                keep,
+                new_entries,
+                {
+                    "rewritten-files": len(cands),
+                    "updated-rows": updated_rows,
+                },
+            )
+            if committed:
+                return {
+                    "rewritten_files": len(cands),
+                    "updated_rows": updated_rows,
+                }
+        raise fmt.CommitConflict("update_where lost the commit race 3 times")
+
     def upsert(
         self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
     ) -> dict[str, int]:

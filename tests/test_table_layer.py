@@ -707,6 +707,42 @@ def test_row_lineage_ids_assigned_and_stable(spark, troot):
     assert dict(zip(z["k"], z["_row_id"])) == snapshot
 
 
+def test_update_where_copy_on_write(spark, troot):
+    """SQL UPDATE semantics: SET expressions evaluate against the OLD
+    row (including swaps), NULL predicates don't update, untouched
+    files carry by reference, one atomic overwrite snapshot."""
+    tbl = create_table(troot, SIMPLE_SCHEMA, properties={"write.sort.order": "k"})
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.lit("x")).alias("v"),
+        F.col("id").alias("ts"),
+    )
+    tbl.append(df.repartition(4))
+    n_before = len(tbl.current_files())
+    # swap-flavored update: ts = ts + k must see the OLD k even though
+    # k is also being SET in the same statement
+    res = tbl.update_where(
+        spark,
+        [("k", ">=", 100), ("k", "<", 200)],
+        {"k": "k + 10000", "ts": "ts + k"},
+    )
+    assert res["updated_rows"] == 100
+    got = tbl.scan(spark)
+    assert got.count() == 1000
+    moved = got.filter(F.col("k") >= 10000)
+    assert moved.count() == 100
+    # ts doubled from its old value (ts == k before): old-row semantics
+    assert moved.filter(F.col("ts") != (F.col("k") - 10000) * 2).count() == 0
+    # stats-pruned rewrite: sorted files outside [100,200) untouched
+    assert int(tbl.metadata.current_snapshot().summary["rewritten-files"]) < n_before
+    # NULL predicate rows are not updated
+    res2 = tbl.update_where(spark, [("v", "=", "nope")], {"ts": "0"})
+    assert res2["updated_rows"] == 0
+    assert tbl.scan(spark, [("ts", "=", 0)]).count() == 1  # only k=0 original
+    with pytest.raises(ValueError, match="unknown column"):
+        tbl.update_where(spark, [("k", "=", 1)], {"zzz": "1"})
+
+
 def test_cherry_pick_staged_append_onto_moved_head(spark, troot):
     """WAP completion when fast-forward is impossible: main advanced
     while an append sat staged on a branch, publish_branch refuses,
