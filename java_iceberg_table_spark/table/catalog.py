@@ -177,6 +177,30 @@ class Catalog:
             raise KeyError(f"no such table {name!r}")
         return Table(self._table_root(name))
 
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """Unregister a table (one catalog commit). With ``purge`` the
+        table directory is deleted too; without it the data stays on
+        disk for re-registration or external cleanup (Iceberg's
+        DROP TABLE vs DROP TABLE PURGE split)."""
+        for attempt in range(1000):
+            cur = self.state()
+            if name not in cur.pins:
+                raise KeyError(f"no such table {name!r}")
+            pins = {k: v for k, v in cur.pins.items() if k != name}
+            try:
+                _cat_try_commit(
+                    self.root, CatalogState(version=cur.version + 1, pins=pins)
+                )
+                break
+            except fmt.CommitConflict:
+                if attempt == 999:
+                    raise
+                time.sleep(min(0.001 * (2 ** min(attempt, 6)), 0.1))
+        if purge:
+            import shutil
+
+            shutil.rmtree(self._table_root(name), ignore_errors=True)
+
     def list_tables(self) -> list[str]:
         return sorted(self.state().pins)
 

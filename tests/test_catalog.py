@@ -260,3 +260,21 @@ def test_catalog_maintain_protects_pins(spark, cat):
         retain_last=1,
     )
     assert cat.read(spark, "t").count() == 50
+
+
+def test_drop_table_and_purge(spark, cat, tmp_path):
+    import os
+
+    cat.create_table("keep", SCHEMA)
+    cat.create_table("gone", SCHEMA)
+    cat.transaction().append("gone", rows(spark, 0, 5)).commit(spark)
+    root_gone = cat._table_root("gone")
+    cat.drop_table("gone")  # no purge: directory stays
+    assert cat.list_tables() == ["keep"]
+    assert os.path.isdir(root_gone)
+    with pytest.raises(KeyError):
+        cat.read(spark, "gone")
+    # re-register by recreating is refused only while present
+    cat.create_table("gone2", SCHEMA)
+    cat.drop_table("gone2", purge=True)
+    assert not os.path.isdir(cat._table_root("gone2"))
