@@ -227,6 +227,32 @@ class Catalog:
             return spark.createDataFrame([], tbl.schema())
         return tbl.scan(spark, filters, snapshot_id=pin)
 
+    def expire_versions(self, keep_last: int = 20) -> int:
+        """Drop old catalog version files, keeping the newest
+        ``keep_last`` (the current version always survives). Old
+        catalog STATES age out like table time travel; the snapshots
+        they pinned remain governed by each table's own expiry (plus
+        the __catalog_pin tag for the current state). Returns the
+        number of versions removed."""
+        cur = _cat_current_version(self.root)
+        cutoff = cur - max(1, int(keep_last)) + 1
+        removed = 0
+        cdir = _cat_dir(self.root)
+        for p in os.listdir(cdir):
+            if not (p.startswith("v") and p.endswith(".json")):
+                continue
+            try:
+                v = int(p[1:-5])
+            except ValueError:
+                continue
+            if v < cutoff:
+                try:
+                    os.remove(os.path.join(cdir, p))
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
     def maintain(self, spark: SparkSession, **kw) -> dict:
         """Run each table's maintenance pass with the catalog's pins
         protected: the pinned snapshot gets a ``__catalog_pin`` tag

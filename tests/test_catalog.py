@@ -278,3 +278,18 @@ def test_drop_table_and_purge(spark, cat, tmp_path):
     cat.create_table("gone2", SCHEMA)
     cat.drop_table("gone2", purge=True)
     assert not os.path.isdir(cat._table_root("gone2"))
+
+
+def test_expire_versions(spark, cat):
+    import os
+
+    cat.create_table("t", SCHEMA)
+    for i in range(10):
+        cat.transaction().append("t", rows(spark, i * 10, 3)).commit(spark)
+    v = cat.state().version
+    removed = cat.expire_versions(keep_last=3)
+    assert removed > 0
+    assert cat.state().version == v  # current untouched
+    files = [p for p in os.listdir(cat.root + "/catalog") if p.endswith(".json")]
+    assert len(files) == 3
+    assert cat.read(spark, "t").count() == 30
