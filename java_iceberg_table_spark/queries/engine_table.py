@@ -1990,3 +1990,69 @@ def a4j_engine_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4k_engine_token_search",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id,
+         text || ' blk' || CAST(doc_id // 64 AS VARCHAR) AS body
+  FROM documents
+)
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       true AS pruned,
+       true AS exact_residual
+FROM tagged
+WHERE list_contains(str_split(body, ' '), 'blk7')
+""",
+    group="A",
+)
+def a4k_engine_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search with manifest-level file skipping
+    (write.token.bloom.column): per-file Bloom filters over DISTINCT
+    text tokens — min/max stats cannot prune a contains-predicate, so
+    without this a corpus keyword probe is a full scan. Documents get
+    a block marker token and sort by doc_id, so each sorted file holds
+    few distinct markers; probing one marker plans only the file(s)
+    whose bloom admits it, and the residual token filter keeps the
+    result exact (bloom false positives cost IO, never correctness).
+    At 100 TB: 'which documents mention X' reads O(files containing
+    X), decided from manifest metadata alone."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" blk"),
+            (F.col("doc_id") / 64).cast("long").cast("string"),
+        ).alias("body"),
+    )
+    root = tempfile.mkdtemp(prefix="engine_ts_") + "/t"
+    try:
+        tbl = create_table(
+            root,
+            docs.schema,
+            properties={
+                "write.token.bloom.column": "body",
+                "write.sort.order": "doc_id",
+            },
+        )
+        tbl.append(docs.repartition(8))
+        got, info = tbl.scan_token_search(spark, ["blk7"])
+        row = got.agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("sum_id")
+        ).collect()[0]
+        pruned = info["files_scanned"] < info["files_total"]
+        # exactness: the pruned-scan result equals the residual filter
+        # over a FULL scan (blooms may admit extra files, never rows)
+        full = tbl.scan(spark).filter(
+            F.array_contains(F.split("body", "\\s+"), "blk7")
+        )
+        exact = full.count() == row["cnt"]
+        return spark.createDataFrame(
+            [(row["cnt"], row["sum_id"], pruned, exact)],
+            "cnt bigint, sum_id bigint, pruned boolean, exact_residual boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

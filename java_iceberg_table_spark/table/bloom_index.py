@@ -132,3 +132,87 @@ def bloom_may_contain(bloom: dict, value: object) -> bool:
         if not int(words[p // 64]) & (1 << (p % 64)):
             return False
     return True
+
+
+def build_file_token_blooms(
+    spark: SparkSession,
+    paths: list[str],
+    column: str,
+) -> dict[str, dict]:
+    """Per-file Bloom filters over the DISTINCT whitespace TOKENS of a
+    text column — keyword-search file skipping for document corpora: a
+    `text has-token w` lookup rules out every file whose filter proves
+    the token absent, from manifest metadata alone. Two small Spark
+    jobs per append: one distinct-token count per file (exact sizing —
+    token cardinality is not derivable from row counts), one
+    hash+bit_or build. Same CRC32 build/probe parity contract as the
+    value blooms above; probe via ``bloom_may_contain``."""
+    toks = (
+        spark.read.parquet(*paths)
+        .select(
+            F.explode(F.split(F.col(column), "\\s+")).alias("__t"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__f"),
+        )
+        .filter(F.col("__t") != "")
+        .distinct()
+    )
+    toks = toks.persist()
+    try:
+        counts = {
+            r["__f"]: r["n"]
+            for r in toks.groupBy("__f").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        base_bits = {f: sized_bits(n) for f, n in counts.items()}
+        bits_map = F.create_map(
+            *[F.lit(x) for kv in base_bits.items() for x in kv]
+        )
+        df = toks.withColumn("__bits", F.element_at(bits_map, F.col("__f")))
+        pos = F.array(
+            *[
+                F.pmod(
+                    F.crc32(
+                        F.concat(F.lit(_SEED_FMT.format(i=i)), F.col("__t")).cast(
+                            "binary"
+                        )
+                    ),
+                    F.col("__bits"),
+                )
+                for i in range(NUM_HASHES)
+            ]
+        )
+        words = (
+            df.select("__f", F.explode(pos).alias("__p"))
+            .select(
+                "__f",
+                (F.col("__p") / 64).cast("long").alias("__w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"
+                ).alias("__m"),
+            )
+            .groupBy("__f", "__w")
+            .agg(F.bit_or("__m").alias("__word"))
+            .collect()
+        )
+    finally:
+        toks.unpersist()
+    by_file: dict[str, dict[int, int]] = {}
+    for r in words:
+        by_file.setdefault(r["__f"], {})[int(r["__w"])] = int(r["__word"])
+    out: dict[str, dict] = {}
+    for p in paths:
+        base = p.rsplit("/", 1)[-1]
+        if base not in base_bits:
+            continue  # file had no tokens
+        bits = base_bits[base]
+        dense = [0] * (bits // 64)
+        for w, v in by_file.get(base, {}).items():
+            dense[w] = v
+        out[p] = {
+            "column": column,
+            "bits": bits,
+            "k": NUM_HASHES,
+            "words": dense,
+        }
+    return out

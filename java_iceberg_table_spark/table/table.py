@@ -886,18 +886,33 @@ class Table:
         path that creates data files (append, compaction, z-order
         rewrite) — a rewrite that dropped the blooms would silently
         regress point-lookup pruning on the rewritten files."""
-        bloom_col = self.metadata.properties.get("write.bloom.column")
+        props = self.metadata.properties
+        bloom_col = props.get("write.bloom.column")
+        token_col = props.get("write.token.bloom.column")
         parquet = [e for e in entries if not e["path"].endswith(".avro")]
-        if not bloom_col or not parquet:
+        if not parquet or not (bloom_col or token_col):
             return
-        from .bloom_index import build_file_blooms
+        if bloom_col:
+            from .bloom_index import build_file_blooms
 
-        file_rows = {
-            os.path.join(self.root, e["path"]): e["rows"] for e in parquet
-        }
-        blooms = build_file_blooms(spark, file_rows, bloom_col)
-        for e in parquet:
-            e["bloom"] = blooms[os.path.join(self.root, e["path"])]
+            file_rows = {
+                os.path.join(self.root, e["path"]): e["rows"] for e in parquet
+            }
+            blooms = build_file_blooms(spark, file_rows, bloom_col)
+            for e in parquet:
+                e["bloom"] = blooms[os.path.join(self.root, e["path"])]
+        if token_col:
+            from .bloom_index import build_file_token_blooms
+
+            tblooms = build_file_token_blooms(
+                spark,
+                [os.path.join(self.root, e["path"]) for e in parquet],
+                token_col,
+            )
+            for e in parquet:
+                tb = tblooms.get(os.path.join(self.root, e["path"]))
+                if tb is not None:
+                    e["token_bloom"] = tb
 
     def append_entries(
         self,
@@ -3866,6 +3881,54 @@ class Table:
         for col, op, val in filters:
             df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
         return df
+
+    def scan_token_search(
+        self,
+        spark: SparkSession,
+        tokens: list[str],
+        column: str | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Keyword search with manifest-level file skipping: return the
+        rows whose ``column`` contains ALL of ``tokens`` (whitespace
+        token membership), reading only the files whose per-file token
+        Bloom (``write.token.bloom.column``) cannot rule the tokens
+        out. Min/max stats are useless for text-contains predicates —
+        this index is what turns a corpus-wide keyword probe from a
+        full scan into O(matching files) at 100 TB. Files without a
+        token bloom (avro, pre-index appends) are conservatively
+        scanned; the residual filter makes the result exact either
+        way. Returns (df, {files_total, files_scanned})."""
+        from .bloom_index import bloom_may_contain
+
+        column = column or self.metadata.properties.get(
+            "write.token.bloom.column"
+        )
+        if not column:
+            raise ValueError(
+                "no column given and write.token.bloom.column unset"
+            )
+        if not tokens:
+            raise ValueError("scan_token_search requires at least one token")
+        snap = self.metadata.current_snapshot()
+        entries = self.files_of(snap) if snap else []
+        kept = []
+        for e in entries:
+            tb = e.get("token_bloom")
+            if tb is None or tb.get("column") != column:
+                kept.append(e)  # unindexed file: cannot prune
+                continue
+            if all(bloom_may_contain(tb, t) for t in tokens):
+                kept.append(e)
+        df = self._read_with_deletes(spark, kept, snap)
+        cond = F.lit(True)
+        for t in tokens:
+            cond = cond & F.array_contains(
+                F.split(F.col(column), "\\s+"), t
+            )
+        return df.filter(cond), {
+            "files_total": len(entries),
+            "files_scanned": len(kept),
+        }
 
     def scan_with_lineage(
         self,

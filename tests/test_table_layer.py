@@ -707,6 +707,58 @@ def test_row_lineage_ids_assigned_and_stable(spark, troot):
     assert dict(zip(z["k"], z["_row_id"])) == snapshot
 
 
+def test_token_bloom_search_file_skipping(spark, troot):
+    """write.token.bloom.column: per-file blooms over distinct text
+    tokens let a keyword probe skip files that provably lack the
+    token; result stays exact via the residual filter; the index
+    survives compaction (blooms re-attach on rewrite)."""
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("body", StringType(), True),
+        ]
+    )
+    tbl = create_table(
+        troot,
+        schema,
+        properties={
+            "write.token.bloom.column": "body",
+            "write.sort.order": "k",
+        },
+    )
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("common words everywhere tag"),
+            (F.col("id") / 100).cast("long").cast("string"),
+        ).alias("body"),
+    )
+    tbl.append(df.repartition(4))
+    n_files = len(tbl.current_files())
+    assert n_files > 2
+    got, info = tbl.scan_token_search(spark, ["tag3"])
+    assert info["files_scanned"] < info["files_total"] == n_files
+    assert got.count() == 100
+    assert got.agg(F.min("k"), F.max("k")).first() == (300, 399)
+    # common token: present in every file, nothing pruned, all rows
+    got2, info2 = tbl.scan_token_search(spark, ["common"])
+    assert info2["files_scanned"] == n_files and got2.count() == 800
+    # multi-token AND narrows to the intersection
+    got3, _ = tbl.scan_token_search(spark, ["tag3", "common"])
+    assert got3.count() == 100
+    got4, _ = tbl.scan_token_search(spark, ["tag3", "tag4"])
+    assert got4.count() == 0
+    # compaction rebuilds the token blooms on the rewritten files
+    tbl.compact_data_files(spark, target_file_bytes=10**9, sort_by=["k"])
+    got5, info5 = tbl.scan_token_search(spark, ["tag3"])
+    assert got5.count() == 100
+    assert all(
+        "token_bloom" in e for e in tbl.current_files()
+    ), "rewritten files lost the token index"
+
+
 def test_update_where_copy_on_write(spark, troot):
     """SQL UPDATE semantics: SET expressions evaluate against the OLD
     row (including swaps), NULL predicates don't update, untouched
