@@ -13,7 +13,7 @@ SFs) — or registered without an oracle (rows-only gate + unit tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import load_table
@@ -1775,4 +1775,82 @@ def h45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "h49_canonical_selection",
+    oracle="""
+WITH RECURSIVE
+tok AS (SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b) WHERE j >= 0.95),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach AS (SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+grp AS (SELECT id AS doc_id, MIN(r) AS group_id FROM reach GROUP BY id),
+allg AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id,
+                len(d.text) AS quality
+         FROM documents d LEFT JOIN grp g USING (doc_id)),
+ranked AS (SELECT doc_id, group_id, quality,
+                  ROW_NUMBER() OVER (PARTITION BY group_id
+                                     ORDER BY quality DESC, doc_id) AS rk,
+                  COUNT(*) OVER (PARTITION BY group_id) AS members
+           FROM allg)
+SELECT group_id, doc_id AS kept_doc, CAST(members AS BIGINT) AS members,
+       CAST(quality AS BIGINT) AS kept_quality
+FROM ranked WHERE rk = 1 AND members > 1 ORDER BY group_id
+""",
+    group="H",
+)
+def h49_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: after duplicate-group resolution (h18's
+    connected components over LSH-verified near-dup pairs), keep ONE
+    document per group by a deterministic quality rule (here: longest
+    text, doc_id tiebreak — a real pipeline plugs in the h34 quality
+    chain). This is the step that turns 'we found the duplicates'
+    into 'this is the corpus we train on', and the keep-rule being
+    per-GROUP arg-max (WindowGroupLimit over group_id) is what makes
+    it one shuffle at any scale — never a cross-group comparison.
+    Output = the kept representative of every multi-member group."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _dedup_components(spark, sf_dir)
+    allg = (
+        docs.select("doc_id", F.length("text").alias("quality"))
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("group_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = allg.select(
+        "doc_id",
+        "group_id",
+        "quality",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("group_id")).alias("members"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("members") > 1))
+        .select(
+            "group_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("members").cast("long").alias("members"),
+            F.col("quality").cast("long").alias("kept_quality"),
+        )
+        .orderBy("group_id")
     )
