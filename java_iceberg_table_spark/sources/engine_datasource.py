@@ -331,10 +331,13 @@ def _attach_lineage(df, pos, path: str, lineage):
     frid, eseq, inline = lineage
     if inline:
         t = pq.read_table(path, columns=["__row_id", "__upd_seq"])
-        rid = t["__row_id"].to_numpy()
-        useq = t["__upd_seq"].to_numpy()
-        df["_row_id"] = pd.array(rid[pos], dtype="Int64")
-        df["_last_updated_seq"] = pd.array(useq[pos], dtype="Int64")
+        # null-safe: a preserve-mode rewrite carries NULL ids for rows
+        # whose entries predate lineage; to_numpy() would degrade the
+        # column to float64/NaN (precision + NA loss)
+        rid = pd.array(t["__row_id"].to_pylist(), dtype="Int64")
+        useq = pd.array(t["__upd_seq"].to_pylist(), dtype="Int64")
+        df["_row_id"] = rid[pos]
+        df["_last_updated_seq"] = useq[pos]
     elif frid is not None:
         df["_row_id"] = pd.array(int(frid) + pos, dtype="Int64")
         df["_last_updated_seq"] = pd.array([int(eseq)] * len(df), dtype="Int64")
