@@ -1382,3 +1382,39 @@ def test_connector_row_lineage_parity(ds, base_dir):
     )
     with pytest.raises(Exception, match="batch-only"):
         q.awaitTermination()
+
+
+def test_connector_lineage_null_carry_after_merge(ds, base_dir):
+    """Rows written by a MERGE rewrite have no assigned ids (lineage
+    is assignment-point scoped); a preserve-mode compaction carries
+    those NULLs physically, and the connector's lineage read returns
+    NULL for them while keeping every other row's id — never a wrong
+    id, never a crash on the nullable carry column."""
+    spark = ds
+    root = base_dir + "/t"
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    tbl = create_table(root, df.schema, properties={"row.lineage": "preserve"})
+    tbl.append(df)
+    before = {
+        r["k"]: r["_row_id"]
+        for r in tbl.scan_with_lineage(spark).select("k", "_row_id").collect()
+    }
+    upd = spark.range(10).select(
+        (F.col("id") * 3).alias("k"), F.lit(99).alias("v")
+    )
+    tbl.merge_into(spark, upd, ["k"], update="all", insert=True)
+    tbl.compact_data_files(spark, target_file_bytes=10**9)
+    got = (
+        spark.read.format("engine_table")
+        .option("root", root)
+        .option("withLineage", "true")
+        .load()
+        .select("k", "v", "_row_id")
+        .collect()
+    )
+    assert len(got) == 100
+    for r in got:
+        if r["v"] == 99:  # merge-rewritten: id unknown, loudly NULL
+            assert r["_row_id"] is None
+        else:  # untouched rows keep their exact ids through compaction
+            assert r["_row_id"] == before[r["k"]]
