@@ -182,15 +182,13 @@ def minhash_rep_graph(
     # (MEMORY_AND_DISK default; Spark's ContextCleaner reclaims it).
     groups = toks_all.withColumn("fp", F.md5(F.concat_ws("\x1f", "toks"))).persist()
     members = groups.select("id", "fp")
+    # rep = min id per fingerprint; all rows of an fp-group carry the
+    # IDENTICAL sorted token array by construction, so any(first) toks
+    # is the rep's toks — one aggregate, no join-back/dropDuplicates
+    # (the former 3-shuffle formulation materialized the same frame).
     reps = (
         groups.groupBy("fp")
-        .agg(F.min("id").alias("rep"))
-        .join(
-            groups.select(
-                F.col("id").alias("rep"), F.col("fp"), F.col("toks")
-            ).dropDuplicates(["rep"]),
-            ["fp", "rep"],
-        )
+        .agg(F.min("id").alias("rep"), F.first("toks").alias("toks"))
         .persist()
     )
 
@@ -594,27 +592,63 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the did-anything-change bit INSIDE the propagated frame:
+        # the convergence probe is then a scan-count of the checkpointed
+        # result instead of a second labels-vs-new-labels join per round.
+        stepped = (
             labels.join(nbr, labels.id == nbr.s, "left")
             .select(
                 labels.id,
                 F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
-                    "comp"
+                    "new_comp"
                 ),
+                F.col("comp").alias("old_comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.withColumnRenamed("comp", "old_comp")
-            .join(new_labels, "id")
-            .filter(F.col("old_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("new_comp") != F.col("old_comp")).count()
+        labels = stepped.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     sym.unpersist()
     return labels
+
+
+def resolve_components(
+    rep_pairs: DataFrame, membership: DataFrame
+) -> DataFrame:
+    """(id, comp) labels for every node of the near-dup graph, taking
+    the COLLAPSED graph (``minhash_rep_graph`` output) and keeping it
+    collapsed through resolution: min-label propagation runs ONLY over
+    the rep-pair edges, then ONE join folds the membership stars in.
+
+    Equivalent to ``connected_components(rep edges + star edges)``
+    because rep = the min id of its identical-set group, so the min
+    member id reachable from any node equals the min REP reachable in
+    the rep graph. At 100 TB this is the difference between iterating
+    joins over a corpus-sized label frame (every star member carried
+    through every round) and iterating over the near-dup rep edges —
+    which duplication keeps small — with the corpus touched once at
+    the end. Node set matches the expanded graph exactly: members of
+    multi-doc set-groups (star endpoints, including the rep itself)
+    plus reps with a verified near-dup edge.
+    """
+    comp_rep = connected_components(rep_pairs.select("id_a", "id_b"))
+    group_sz = membership.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        membership.join(group_sz, "rep")
+        .join(
+            comp_rep.select(
+                F.col("id").alias("rep"), F.col("comp").alias("rep_comp")
+            ),
+            "rep",
+            "left",
+        )
+        .filter((F.col("n_members") > 1) | F.col("rep_comp").isNotNull())
+        .select("id", F.coalesce("rep_comp", F.col("rep")).alias("comp"))
+    )
 
 
 def chunk_dup_stats(

@@ -629,21 +629,36 @@ _CC_CACHE: dict = {}
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, comp) connected components of the verified near-dup graph
     (collapsed rep edges + membership stars), persisted for reuse."""
-    from ..operators.dedup import connected_components, minhash_rep_graph
+    from ..operators.dedup import minhash_rep_graph, resolve_components
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CC_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        rep_pairs, membership = minhash_rep_graph(
-            docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
+        # Size the pipeline's shuffles to the INPUT, not the session's
+        # global width: the LSH/CC subtree persists and localCheckpoints
+        # its intermediates, and cached-plan output partitioning is
+        # exempt from AQE coalescing — under a plain 200-partition
+        # session every iteration materializes 200 near-empty tasks.
+        # Width = max(cores, input split count) grows with the data
+        # (100 TB of documents => thousands of input splits) and
+        # collapses to core count on small SFs. Restored in finally,
+        # same clamp-and-restore pattern as the streaming state ops.
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            docs.rdd.getNumPartitions(),
         )
-        edges = rep_pairs.select("id_a", "id_b").unionByName(
-            membership.filter(F.col("id") != F.col("rep")).select(
-                F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            rep_pairs, membership = minhash_rep_graph(
+                docs, "doc_id", "text", threshold=0.95, num_hashes=64, bands=16
             )
-        )
-        cc = connected_components(edges).persist()
-        cc.count()
+            # CC over rep edges only; stars folded in with one join —
+            # label propagation never carries the corpus-sized frame.
+            cc = resolve_components(rep_pairs, membership).persist()
+            cc.count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         _CC_CACHE[key] = cc
     return _CC_CACHE[key]
 
