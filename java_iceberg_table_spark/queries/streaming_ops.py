@@ -1161,7 +1161,11 @@ def i21_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFra
         )
         q.awaitTermination()
 
+    # fixture-scale shuffle clamp for the scenario's own queries (the
+    # fold clamps itself per batch); same rationale as i24's
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         src.append(ev.filter(F.col("event_id") % 3 == 0))
         drain()  # view now holds the base state
         src.append(ev.filter(F.col("event_id") % 3 == 1))
@@ -1173,14 +1177,14 @@ def i21_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFra
         src.append(ev.filter(F.col("event_id") % 3 == 2))
         drain()  # deltas fold in; no recompute
         vt = _open(view_root)
-        mv = vt.scan(spark)
+        mv = vt.scan(spark).persist()
         recompute = (
             src.scan(spark)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
         )
         a = mv.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
-        b = recompute.select("user_id", "cnt", F.round("sv", 6).alias("sv"))
+        b = recompute.select("user_id", "cnt", F.round("sv", 6).alias("sv")).persist()
         equal = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
         row = mv.agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -1193,6 +1197,7 @@ def i21_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFra
             "mv_equals_recompute boolean",
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -1395,10 +1400,12 @@ def i24_scd2_history_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id"],
         )
         drain()  # batch: one fifth close with no successor
-        hs = _open(hist_root).scan(spark)
+        # the assertions below run 6+ actions over the history and the
+        # source; persist both scans so each is read once
+        hs = _open(hist_root).scan(spark).persist()
         open_rows = hs.filter(F.col("valid_to") == SCD2_OPEN)
         closed_rows = hs.filter(F.col("valid_to") != SCD2_OPEN)
-        source_now = src.scan(spark)
+        source_now = src.scan(spark).persist()
         a = open_rows.select("user_id", F.round("value", 4).alias("value"))
         b = source_now.select("user_id", F.round("value", 4).alias("value"))
         open_eq = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

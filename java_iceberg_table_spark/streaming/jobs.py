@@ -580,42 +580,65 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
-        if batch_df.isEmpty():
-            # zero-change window (e.g. the source compacted — content-
-            # preserving rewrites emit no CDC rows): folding would
-            # commit a no-op delete+append pair per idle trigger. Skip
-            # without stamping; a replay of this batch is empty again,
-            # and any later non-empty batch advances the watermark.
-            return
-        if partial_del is not None:
-            # crash window of a previous attempt: its delete committed
-            # but its append did not — undo the half-applied delete so
-            # this attempt folds against intact state
-            vt.rollback_to(partial_del.parent_id)
-            vt = _open(view_root)
-        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-        delta = batch_df.groupBy(key_col).agg(
-            F.sum(sign).alias("d_cnt"),
-            F.sum(sign * F.col(value_col)).alias("d_sv"),
+        # every action below re-plans its inputs, and batch_df is a
+        # Python-source CDC read — without a persist each of the
+        # isEmpty / delete / append actions re-reads the CDC window.
+        # The fold's joins/aggregates work on ONE batch's delta, so its
+        # shuffles are sized to the batch (max(cores, CDC partitions)),
+        # not the session's global width — under a plain 200-partition
+        # session each per-batch join would otherwise materialize 200
+        # near-empty tasks (and the persisted frames are exempt from
+        # AQE coalescing).
+        batch_df.persist()
+        merged = None
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
         )
-        cur = vt.scan(spark)
-        merged = cur.join(delta, key_col, "right").select(
-            key_col,
-            (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
-            (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
-        )
-        touched = merged.select(key_col)
-        survivors = merged.filter(F.col("cnt") > 0)
-        # replace touched keys: eq-delete then append (the later
-        # sequence wins at read — exact replacement, two tiny commits)
-        vt.delete_eq_mor(
-            spark, touched, [key_col],
-            extra_summary={"mv-batch-del": int(batch_id), "mv-stream-id": stream_id},
-        )
-        vt.append(
-            survivors,
-            extra_summary={"mv-batch-id": int(batch_id), "mv-stream-id": stream_id},
-        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                # zero-change window (e.g. the source compacted — content-
+                # preserving rewrites emit no CDC rows): folding would
+                # commit a no-op delete+append pair per idle trigger. Skip
+                # without stamping; a replay of this batch is empty again,
+                # and any later non-empty batch advances the watermark.
+                return
+            if partial_del is not None:
+                # crash window of a previous attempt: its delete committed
+                # but its append did not — undo the half-applied delete so
+                # this attempt folds against intact state
+                vt.rollback_to(partial_del.parent_id)
+                vt = _open(view_root)
+            sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            delta = batch_df.groupBy(key_col).agg(
+                F.sum(sign).alias("d_cnt"),
+                F.sum(sign * F.col(value_col)).alias("d_sv"),
+            )
+            cur = vt.scan(spark)
+            merged = cur.join(delta, key_col, "right").select(
+                key_col,
+                (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
+                (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
+            ).persist()
+            touched = merged.select(key_col)
+            survivors = merged.filter(F.col("cnt") > 0)
+            # replace touched keys: eq-delete then append (the later
+            # sequence wins at read — exact replacement, two tiny commits)
+            vt.delete_eq_mor(
+                spark, touched, [key_col],
+                extra_summary={"mv-batch-del": int(batch_id), "mv-stream-id": stream_id},
+            )
+            vt.append(
+                survivors,
+                extra_summary={"mv-batch-id": int(batch_id), "mv-stream-id": stream_id},
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+            if merged is not None:
+                merged.unpersist()
 
     return merge
 
@@ -666,59 +689,80 @@ def scd2_merge(
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
-        if batch_df.isEmpty():
-            return  # zero-change window: no no-op close/append commits
-        if partial_del is not None:
-            # crash window: the close-delete committed, the append did
-            # not — roll back to intact state and refold
-            ht.rollback_to(partial_del.parent_id)
-            ht = _open(hist_root)
-        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
-        delta = batch_df.groupBy(key_col, value_col).agg(
-            F.sum(sign).alias("net")
+        # persist the per-batch frames: batch_df is a Python-source CDC
+        # read and to_close re-scans the history table — each is used
+        # by several downstream actions (isEmpty probes, the close
+        # delete, the append), and without caching every action would
+        # replay the CDC window / table scan from scratch. Shuffles are
+        # sized to the batch, same rationale as maintained_view_merge.
+        batch_df.persist()
+        to_close = None
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
         )
-        new_cur = delta.filter(F.col("net") > 0).select(key_col, value_col)
-        touched = batch_df.select(key_col).distinct()
-        to_close = (
-            ht.scan(spark)
-            .filter(F.col("valid_to") == SCD2_OPEN)
-            .join(touched, key_col, "inner")
-        )
-        closed = to_close.select(
-            key_col,
-            value_col,
-            "valid_from",
-            F.lit(int(batch_id)).alias("valid_to"),
-        )
-        new_open = new_cur.select(
-            key_col,
-            value_col,
-            F.lit(int(batch_id)).alias("valid_from"),
-            F.lit(SCD2_OPEN).alias("valid_to"),
-        )
-        rows = closed.unionByName(new_open)
-        if rows.isEmpty():
-            return  # nothing changed in this window: no commits
-        del_keys = to_close.select(
-            key_col, F.lit(SCD2_OPEN).alias("valid_to")
-        )
-        if not del_keys.isEmpty():
-            ht.delete_eq_mor(
-                spark,
-                del_keys,
-                [key_col, "valid_to"],
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                return  # zero-change window: no no-op close/append commits
+            if partial_del is not None:
+                # crash window: the close-delete committed, the append did
+                # not — roll back to intact state and refold
+                ht.rollback_to(partial_del.parent_id)
+                ht = _open(hist_root)
+            sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            delta = batch_df.groupBy(key_col, value_col).agg(
+                F.sum(sign).alias("net")
+            )
+            new_cur = delta.filter(F.col("net") > 0).select(key_col, value_col)
+            touched = batch_df.select(key_col).distinct()
+            to_close = (
+                ht.scan(spark)
+                .filter(F.col("valid_to") == SCD2_OPEN)
+                .join(touched, key_col, "inner")
+                .persist()
+            )
+            closed = to_close.select(
+                key_col,
+                value_col,
+                "valid_from",
+                F.lit(int(batch_id)).alias("valid_to"),
+            )
+            new_open = new_cur.select(
+                key_col,
+                value_col,
+                F.lit(int(batch_id)).alias("valid_from"),
+                F.lit(SCD2_OPEN).alias("valid_to"),
+            )
+            rows = closed.unionByName(new_open)
+            if rows.isEmpty():
+                return  # nothing changed in this window: no commits
+            del_keys = to_close.select(
+                key_col, F.lit(SCD2_OPEN).alias("valid_to")
+            )
+            if not del_keys.isEmpty():
+                ht.delete_eq_mor(
+                    spark,
+                    del_keys,
+                    [key_col, "valid_to"],
+                    extra_summary={
+                        "scd-batch-del": int(batch_id),
+                        "scd-stream-id": stream_id,
+                    },
+                )
+            ht.append(
+                rows,
                 extra_summary={
-                    "scd-batch-del": int(batch_id),
+                    "scd-batch-id": int(batch_id),
                     "scd-stream-id": stream_id,
                 },
             )
-        ht.append(
-            rows,
-            extra_summary={
-                "scd-batch-id": int(batch_id),
-                "scd-stream-id": stream_id,
-            },
-        )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+            if to_close is not None:
+                to_close.unpersist()
 
     return merge
 
