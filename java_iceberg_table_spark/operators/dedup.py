@@ -109,15 +109,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
-    """Band the signature and join docs sharing any band bucket.
-
-    Returns distinct (id_a < id_b) candidate pairs. The join key is
-    (band_idx, hash(band slice)) — collisions, not n², bound the cost."""
-    num_hashes = None  # derived from the array at runtime via slice expr
-    k_expr = F.size("sig")
-    rows_per_band = (k_expr / bands).cast("int")
-    banded = sig_df.select(
+def lsh_band_index(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """(id, band_idx, band_hash) — the banded form of a signature
+    frame. Self-joined it yields candidate pairs; PERSISTED (e.g. as
+    an engine table) it is the probe-able LSH index an incremental
+    ingest dedups new batches against without touching the corpus."""
+    return sig_df.select(
         "id",
         F.posexplode(
             F.expr(
@@ -126,6 +123,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature and join docs sharing any band bucket.
+
+    Returns distinct (id_a < id_b) candidate pairs. The join key is
+    (band_idx, hash(band slice)) — collisions, not n², bound the cost."""
+    banded = lsh_band_index(sig_df, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -649,6 +654,143 @@ def resolve_components(
         .filter((F.col("n_members") > 1) | F.col("rep_comp").isNotNull())
         .select("id", F.coalesce("rep_comp", F.col("rep")).alias("comp"))
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics at k-token granularity —
+    the exact-substring dedup signal of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    a span is duplicated when its k-token shingle occurs more than once
+    in the corpus (any document, including its own). Returns
+    ``(id, n_shingles, n_dup_shingles)`` per document that has at least
+    k tokens; callers derive dup fractions / removal decisions.
+
+    Shape: shingles never leave the executors as strings — each k-token
+    window is hashed to 64 bits in the projection (xxhash64), so the
+    two shuffles (global shingle counts, per-doc rollup) move fixed-
+    width longs, not text. At 100 TB the shingle-count aggregate is the
+    dominant shuffle and it is map-side-combinable; a 64-bit collision
+    marks a span duplicated spuriously at P ~ n²/2⁶⁵ — the standard
+    trade every suffix-free implementation of this pipeline makes."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    )
+    sh = w.filter(F.size("w") >= k).select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> xxhash64(array_join(slice(w, i, {k}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    per = sh.groupBy("h", "id").agg(F.count(F.lit(1)).alias("n_hi"))
+    tot = per.groupBy("h").agg(F.sum("n_hi").alias("tot"))
+    return (
+        per.join(tot, "h")
+        .groupBy("id")
+        .agg(
+            F.sum("n_hi").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("tot") > 1, F.col("n_hi")).otherwise(F.lit(0))
+            ).alias("n_dup_shingles"),
+        )
+    )
+
+
+def incremental_near_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.95,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus — the
+    operational form of dedup at 100 TB: daily ingest is checked
+    against the standing index, the corpus is never re-paired with
+    itself. Returns ``(new_id, corpus_id, jaccard)`` for every batch
+    document whose token-set Jaccard with a corpus document is >=
+    threshold.
+
+    Two-path, like ``minhash_rep_graph``:
+    - IDENTICAL token sets short-circuit through a fingerprint
+      equi-join (md5 of the sorted distinct tokens) — recall exactly 1
+      for verbatim copies, which dominate real duplication;
+    - near-but-not-identical pairs go bands(batch) ⋈ bands(corpus) on
+      ``(band_idx, band_hash)`` then EXACT Jaccard verification on the
+      candidates. The corpus side is precisely the frame a standing
+      pipeline persists as its LSH index (``lsh_band_index``); probe
+      cost is O(batch × collisions), independent of corpus size.
+    Cost at scale: the batch is small by definition; the only
+    corpus-sized work is building the index once, and that amortizes
+    across every subsequent batch."""
+
+    def prep(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.array_sort(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("toks"),
+        ).withColumn("fp", F.md5(F.concat_ws("\x1f", "toks")))
+
+    c = prep(corpus, "corpus_id").persist()
+    b = prep(batch, "new_id").persist()
+    exact = (
+        b.select("new_id", "fp")
+        .join(c.select("corpus_id", "fp"), "fp")
+        .select("new_id", "corpus_id", F.lit(1.0).alias("jaccard"))
+    )
+
+    def sig(df: DataFrame, idc: str) -> DataFrame:
+        docs = df.select(
+            F.col(idc).alias(id_col), F.array_join("toks", " ").alias(text_col)
+        )
+        return minhash_signatures(docs, id_col, text_col, num_hashes, seed)
+
+    cband = lsh_band_index(sig(c, "corpus_id"), bands).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    bband = lsh_band_index(sig(b, "new_id"), bands).withColumnRenamed(
+        "id", "new_id"
+    )
+    cand = (
+        bband.join(cband, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    near = (
+        cand.join(
+            b.select(
+                "new_id", F.col("toks").alias("toks_n"), F.col("fp").alias("fp_n")
+            ),
+            "new_id",
+        )
+        .join(
+            c.select(
+                "corpus_id",
+                F.col("toks").alias("toks_c"),
+                F.col("fp").alias("fp_c"),
+            ),
+            "corpus_id",
+        )
+        .filter(F.col("fp_n") != F.col("fp_c"))  # exact path owns these
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("toks_n", "toks_c"))
+                / F.size(F.array_union("toks_n", "toks_c"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return exact.unionByName(near)
 
 
 def chunk_dup_stats(

@@ -1869,3 +1869,96 @@ def h49_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@register(
+    "h50_duplicated_span_stats",
+    oracle="""
+WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, source, array_to_string(ws[i:i+7], ' ') AS s
+       FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+       WHERE len(ws) >= 8),
+cnt AS (SELECT s, COUNT(*) AS tot FROM sh GROUP BY s),
+doc AS (SELECT sh.doc_id, sh.source, COUNT(*) AS n_sh,
+               SUM(CASE WHEN tot > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN cnt USING (s) GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup_shingles,
+       ROUND(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_sh), 4) AS dup_fraction,
+       CAST(COUNT(CASE WHEN n_dup > 0 THEN 1 END) AS BIGINT) AS docs_with_dup
+FROM doc GROUP BY source ORDER BY source
+""",
+    group="H",
+)
+def h50_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN measurement at 8-token granularity (Lee et
+    al. 2021, arXiv:2107.06499): a span is duplicated when its shingle
+    occurs anywhere else in the corpus. Unlike document-level dedup
+    (h1/h6b) this catches boilerplate INSIDE otherwise-unique documents
+    — headers, license blocks, templated paragraphs — which document
+    Jaccard never sees. Per-source rollup: shingle volume, duplicated
+    volume, the duplicated fraction, and how many documents carry any
+    duplicated span. The Spark side hashes shingles to 64-bit before
+    the shuffle (the oracle counts the strings themselves; at 500-15k
+    shingles a collision is ~1e-11, and the dtype-strict driver hash
+    would catch one)."""
+    from ..operators.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = duplicated_span_stats(docs, "doc_id", "text", k=8)
+    return (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(d, "id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_dup_shingles").alias("n_dup_shingles"),
+            F.round(
+                F.sum("n_dup_shingles") / F.sum("n_shingles"), 4
+            ).alias("dup_fraction"),
+            F.sum(
+                F.when(F.col("n_dup_shingles") > 0, 1).otherwise(0)
+            ).cast("long").alias("docs_with_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "h51_incremental_dedup",
+    oracle="""
+WITH w AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts FROM documents),
+b AS (SELECT doc_id AS new_id, ts FROM w WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id AS corpus_id, ts FROM w WHERE doc_id % 10 <> 0)
+SELECT new_id, corpus_id,
+       ROUND(CAST(len(list_intersect(b.ts, c.ts)) AS DOUBLE)
+             / len(list_distinct(b.ts || c.ts)), 4) AS jaccard
+FROM b, c
+WHERE CAST(len(list_intersect(b.ts, c.ts)) AS DOUBLE)
+      / len(list_distinct(b.ts || c.ts)) >= 0.95
+ORDER BY new_id, corpus_id
+""",
+    group="H",
+)
+def h51_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the NEW batch (doc_id % 10 == 0) is
+    checked against the EXISTING corpus (the rest) — fingerprint
+    equi-join for verbatim copies, LSH-index probe + exact verification
+    for near-dups (operators/dedup.py incremental_near_duplicates).
+    This is how dedup actually runs at 100 TB: the corpus index is
+    built once and persisted; each day's batch probes it at O(batch ×
+    collisions) instead of re-pairing the corpus with itself. The
+    oracle is the brute-force batch×corpus exact Jaccard at the same
+    threshold — equality grades both recall and the verify step."""
+    from ..operators.dedup import incremental_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = incremental_near_duplicates(
+        corpus, batch, "doc_id", "text", threshold=0.95
+    )
+    return pairs.select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("new_id", "corpus_id")

@@ -370,3 +370,66 @@ def test_bpe_merge_fold_matches_python_reference(spark):
         }
         for i, syms in rows:
             assert got[i] == ref_merge(syms, a, b), (syms, a, b)
+
+
+def test_duplicated_span_stats_toy(spark):
+    """8-token spans: doc 1 and 2 share an 8-token prefix (their first
+    shingles collide); doc 3 is unique; doc 4 is too short to shingle;
+    doc 5 repeats an 8-token phrase INSIDE itself (self-duplication
+    counts — same contract as Lee et al.'s suffix dedup)."""
+    from java_iceberg_table_spark.operators.dedup import duplicated_span_stats
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " one two"),
+        (2, shared + " three"),
+        (3, "unique tokens here made just for doc three padded out"),
+        (4, "too short"),
+        (5, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_dup_shingles"])
+        for r in duplicated_span_stats(df, "doc_id", "text", k=8).collect()
+    }
+    # doc1: 10 tokens -> 3 shingles, only the prefix one duplicated
+    assert got[1] == (3, 1)
+    # doc2: 9 tokens -> 2 shingles, prefix duplicated
+    assert got[2] == (2, 1)
+    # doc3: 10 tokens -> 3 shingles, none duplicated
+    assert got[3] == (3, 0)
+    # doc4: below k -> absent
+    assert 4 not in got
+    # doc5: 16 tokens -> 9 shingles; the x1..x8 shingle occurs at
+    # positions 1 and 9 -> 2 duplicated instances
+    assert got[5] == (9, 2)
+
+
+def test_incremental_near_duplicates_toy(spark):
+    """Batch vs corpus: verbatim copy (fp path, jaccard 1.0), token-set
+    near-dup above threshold (LSH+verify path), unique doc (no row),
+    and batch-internal duplicates are NOT paired with each other."""
+    from java_iceberg_table_spark.operators.dedup import (
+        incremental_near_duplicates,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"  # 39/41 = 0.951
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different content here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, near), (12, "nothing like anything"),
+         (13, "nothing like anything")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_duplicates(
+            corpus, batch, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got[(10, 1)] == 1.0
+    assert abs(got[(11, 1)] - 39 / 41) < 1e-9
+    assert set(got) == {(10, 1), (11, 1)}  # 12/13 pair absent: b-vs-c only
