@@ -1655,3 +1655,111 @@ def i26_catalog_fanout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i27_streaming_ingest_dedup",
+    oracle="""
+WITH g AS (SELECT doc_id,
+                  MIN(doc_id) OVER (
+                    PARTITION BY array_to_string(
+                      list_sort(list_distinct(str_split(text, ' '))), chr(31))
+                  ) AS kept
+           FROM documents)
+SELECT doc_id, kept AS kept_doc, true AS curated_ok
+FROM g WHERE doc_id <> kept ORDER BY doc_id
+""",
+    group="I",
+)
+def i27_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data ingestion with STREAMING content dedup: documents
+    arrive as engine-table commits (two id-ordered slices — ingest
+    order tracks id, so first-seen-wins equals keep-min-id and the SQL
+    oracle is order-free); a foreachBatch sink
+    (streaming/jobs.ingest_dedup_sink) fingerprints each batch,
+    dedups it within-batch AND against the standing curated table, and
+    routes losers to a dup-log table with their canonical id. The
+    dedup state is the curated TABLE, not the state store — the only
+    restartable form at 100 TB, and per-batch cost is one fingerprint
+    equi-join. Graded output: the full dup log (every routed duplicate
+    + the doc it lost to), with curated_ok asserting the curated table
+    equals the batch min-id-per-fingerprint recompute exactly."""
+    from pyspark.sql.window import Window
+
+    from ..fixtures import load_table as load_fixture_table
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import ingest_dedup_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open_tbl
+
+    register_engine_datasource(spark)
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="stream_idd_")
+    src_root, cur_root, log_root, ckpt = (
+        base + "/src", base + "/cur", base + "/log", base + "/ckpt",
+    )
+    src = _ct(src_root, docs.schema)
+    cur_schema = docs.withColumn("fp", F.lit("x")).schema
+    _ct(cur_root, cur_schema)
+    log_schema = spark.createDataFrame(
+        [], "doc_id long, kept_doc long"
+    ).schema
+    _ct(log_root, log_schema)
+    fold = ingest_dedup_sink(cur_root, log_root)
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        src.append(docs.filter(F.col("doc_id") <= mid))
+        drain()  # slice 1: within-batch dups resolve
+        src.append(docs.filter(F.col("doc_id") > mid))
+        drain()  # slice 2: cross-batch dups hit the standing curated set
+        fpc = F.md5(
+            F.concat_ws(
+                "\x1f", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        )
+        curated = _open_tbl(cur_root).scan(spark).persist()
+        recompute = (
+            docs.withColumn("fp", fpc)
+            .withColumn(
+                "_m", F.min("doc_id").over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("doc_id") == F.col("_m"))
+            .select(*docs.columns)
+            .persist()
+        )
+        got = curated.select(*docs.columns)
+        curated_ok = (
+            got.exceptAll(recompute).isEmpty()
+            and recompute.exceptAll(got).isEmpty()
+        )
+        # materialize before the finally removes the temp tables (the
+        # caller collects AFTER this function returns)
+        log_rows = (
+            _open_tbl(log_root)
+            .scan(spark)
+            .select("doc_id", "kept_doc")
+            .orderBy("doc_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["doc_id"], r["kept_doc"], bool(curated_ok)) for r in log_rows],
+            "doc_id long, kept_doc long, curated_ok boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

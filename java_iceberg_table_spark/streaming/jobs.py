@@ -767,6 +767,133 @@ def scd2_merge(
     return merge
 
 
+def ingest_dedup_sink(
+    curated_root: str,
+    log_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_id: str = "ingest-dedup",
+):
+    """Streaming content dedup at ingest, first-seen-wins (FIFO): each
+    micro-batch's documents are fingerprinted (md5 of the sorted
+    distinct token set — stored as a ``fp`` column on the curated
+    table, the content-hash column every curation pipeline carries),
+    deduped within the batch (min id per fingerprint) and against the
+    STANDING curated table, then split: winners append to curated,
+    losers append to a dup-log table as ``(doc_id, kept_doc)``. The
+    dedup state is the curated table itself — disk-backed, unbounded,
+    shared with every other reader — not the stream's state store,
+    which is what makes the operator restartable and 100 TB-sized: the
+    per-batch cost is one fingerprint equi-join against curated.
+
+    Exactly-once under foreachBatch's at-least-once contract, same
+    two-table protocol as catalog_fanout_sink: curated appends stamp
+    ``idd-batch-cur`` (the crash-window marker), the log commit stamps
+    ``idd-batch-id`` (the watermark; a data-less ``append_entries([])``
+    when the batch had no duplicates). A replay at/below the watermark
+    skips; a replay that finds its own curated stamp without the log
+    watermark rolls curated back to the stamped snapshot's parent and
+    refolds against intact state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..table import load_table as _open
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ct, lt = _open(curated_root), _open(log_root)
+        applied = -1
+        partial_cur = None
+        for s in lt.metadata.snapshots:
+            if s.summary.get("idd-stream-id") != stream_id:
+                continue
+            b = s.summary.get("idd-batch-id")
+            if b is not None:
+                applied = max(applied, int(b))
+        for s in ct.metadata.snapshots:
+            if s.summary.get("idd-stream-id") != stream_id:
+                continue
+            if s.summary.get("idd-batch-cur") == int(batch_id):
+                partial_cur = s
+        if batch_id <= applied:
+            return  # replayed epoch: fully folded
+        batch_df.persist()
+        joined = None
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
+        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                return
+            if partial_cur is not None:
+                ct.rollback_to(partial_cur.parent_id)
+                ct = _open(curated_root)
+            fp = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.array_sort(
+                        F.array_distinct(F.split(F.col(text_col), " "))
+                    ),
+                )
+            )
+            wfp = batch_df.withColumn("fp", fp)
+            cur = ct.scan(spark).select(
+                "fp", F.col(id_col).alias("_kept")
+            )
+            joined = (
+                wfp.join(cur, "fp", "left")
+                .withColumn(
+                    "_wmin", F.min(id_col).over(Window.partitionBy("fp"))
+                )
+                .persist()
+            )
+            new_rows = joined.filter(
+                F.col("_kept").isNull() & (F.col(id_col) == F.col("_wmin"))
+            ).select(*batch_df.columns, "fp")
+            dup_rows = joined.filter(
+                F.col("_kept").isNotNull() | (F.col(id_col) != F.col("_wmin"))
+            ).select(
+                F.col(id_col).alias(id_col),
+                F.coalesce("_kept", "_wmin").alias("kept_doc"),
+            )
+            if not new_rows.isEmpty():
+                ct.append(
+                    new_rows,
+                    extra_summary={
+                        "idd-batch-cur": int(batch_id),
+                        "idd-stream-id": stream_id,
+                    },
+                )
+            if dup_rows.isEmpty():
+                # watermark must advance even with no duplicates: a
+                # data-less stamped commit, never a second crash window
+                lt.append_entries(
+                    [],
+                    extra_summary={
+                        "idd-batch-id": int(batch_id),
+                        "idd-stream-id": stream_id,
+                    },
+                )
+            else:
+                lt.append(
+                    dup_rows,
+                    extra_summary={
+                        "idd-batch-id": int(batch_id),
+                        "idd-stream-id": stream_id,
+                    },
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+            if joined is not None:
+                joined.unpersist()
+
+    return fold
+
+
 def catalog_fanout_sink(cat_root: str, routes, stream_id: str = "fanout"):
     """Exactly-once streaming fan-out into MULTIPLE engine tables with
     cross-table atomicity through the catalog: each micro-batch splits

@@ -1418,3 +1418,107 @@ def test_connector_lineage_null_carry_after_merge(ds, base_dir):
             assert r["_row_id"] is None
         else:  # untouched rows keep their exact ids through compaction
             assert r["_row_id"] == before[r["k"]]
+
+
+# ---------- ingest_dedup_sink (i27's fold) ----------
+
+
+def _idd_setup(spark, base_dir, tag):
+    cur_root = base_dir + f"/idd_cur_{tag}"
+    log_root = base_dir + f"/idd_log_{tag}"
+    create_table(
+        cur_root,
+        spark.createDataFrame([], "doc_id long, text string, fp string").schema,
+    )
+    create_table(
+        log_root, spark.createDataFrame([], "doc_id long, kept_doc long").schema
+    )
+    return cur_root, log_root
+
+
+def _idd_state(spark, cur_root, log_root):
+    cur = {
+        r["doc_id"]
+        for r in open_table(cur_root).scan(spark).select("doc_id").collect()
+    }
+    log = {
+        (r["doc_id"], r["kept_doc"])
+        for r in open_table(log_root).scan(spark).collect()
+    }
+    return cur, log
+
+
+def test_ingest_dedup_replay_idempotent(ds, base_dir):
+    """Re-invoking the fold with an applied batch id is a no-op; the
+    within-batch and vs-curated paths both resolve to first-seen."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import ingest_dedup_sink
+
+    cur_root, log_root = _idd_setup(spark, base_dir, "a")
+    fold = ingest_dedup_sink(cur_root, log_root)
+    b0 = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    fold(b0, 0)
+    assert _idd_state(spark, cur_root, log_root) == ({1, 3}, {(2, 1)})
+    fold(b0, 0)  # replay: nothing moves
+    assert _idd_state(spark, cur_root, log_root) == ({1, 3}, {(2, 1)})
+    b1 = spark.createDataFrame(
+        [(4, "b a"), (5, "e f")], "doc_id long, text string"
+    )
+    fold(b1, 1)  # "b a" == token set {a,b}: cross-batch dup of doc 1
+    assert _idd_state(spark, cur_root, log_root) == ({1, 3, 5}, {(2, 1), (4, 1)})
+    fold(b1, 1)
+    assert _idd_state(spark, cur_root, log_root) == ({1, 3, 5}, {(2, 1), (4, 1)})
+
+
+def test_ingest_dedup_no_dup_batch_advances_watermark(ds, base_dir):
+    """A batch with zero duplicates stamps the watermark with a
+    data-less log commit — its replay must not re-append curated."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import ingest_dedup_sink
+
+    cur_root, log_root = _idd_setup(spark, base_dir, "b")
+    fold = ingest_dedup_sink(cur_root, log_root)
+    b0 = spark.createDataFrame([(1, "x y"), (2, "p q")], "doc_id long, text string")
+    fold(b0, 0)
+    assert _idd_state(spark, cur_root, log_root) == ({1, 2}, set())
+    n_snaps = len(open_table(cur_root).metadata.snapshots)
+    fold(b0, 0)  # replay skipped via the data-less watermark commit
+    assert _idd_state(spark, cur_root, log_root) == ({1, 2}, set())
+    assert len(open_table(cur_root).metadata.snapshots) == n_snaps
+
+
+def test_ingest_dedup_partial_crash_recovery(ds, base_dir):
+    """Crash window between the curated append and the log commit: the
+    replay finds its own curated stamp without the watermark, rolls
+    curated back and refolds against intact state."""
+    spark = ds
+    from java_iceberg_table_spark.streaming.jobs import ingest_dedup_sink
+
+    cur_root, log_root = _idd_setup(spark, base_dir, "c")
+    fold = ingest_dedup_sink(cur_root, log_root)
+    fold(
+        spark.createDataFrame([(1, "a b"), (3, "c d")], "doc_id long, text string"),
+        0,
+    )
+    # simulate batch 1's crash: curated append landed, log commit did not
+    ct = open_table(cur_root)
+    ct.append(
+        spark.createDataFrame(
+            [(5, "e f", "deadbeef")], "doc_id long, text string, fp string"
+        ),
+        extra_summary={"idd-batch-cur": 1, "idd-stream-id": "ingest-dedup"},
+    )
+    b1 = spark.createDataFrame(
+        [(5, "e f"), (6, "a b")], "doc_id long, text string"
+    )
+    fold(b1, 1)  # replay after the crash: rollback + refold
+    cur, log = _idd_state(spark, cur_root, log_root)
+    assert cur == {1, 3, 5} and log == {(6, 1)}
+    # the half-applied row must carry the REFOLDED fp, not "deadbeef"
+    fps = {
+        r["fp"]
+        for r in open_table(cur_root).scan(spark).filter("doc_id = 5").collect()
+    }
+    assert fps != {"deadbeef"} and len(fps) == 1
