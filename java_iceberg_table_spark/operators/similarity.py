@@ -443,6 +443,204 @@ def ivf_topk(
     )
 
 
+def pq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization index (Jégou/Douze/Schmid 2011, IEEE TPAMI
+    "Product quantization for nearest neighbor search"): each
+    normalized vector splits into ``m`` subvectors, each subspace gets
+    its own ``n_codes``-centroid k-means codebook, and a vector is
+    stored as ``m`` small codes — 64 dims x float32 becomes 8 bytes at
+    the defaults, the compression that lets a 100 TB embedding corpus
+    sit in RAM-adjacent storage for scanning.
+
+    All m subspaces train in ONE distributed loop: the exploded
+    (id, sub, svec) frame joins the broadcast (m x n_codes)-row
+    codebook, argmin via min_by, and the Lloyd update is a single
+    (sub, code, pos)-keyed aggregate whose result — the model, m x
+    n_codes x (d/m) doubles — is the only thing collected. Per
+    iteration: one shuffle keyed by (id, sub), one model-scale collect.
+    Deterministic init: the n_codes rows with the smallest
+    xxhash64(id + seed), same convention as _ivf_fit.
+
+    Returns ``(codes_df, codebooks)``: codes_df = (id, vec, code:
+    array<int> ordered by subspace) over normalized vectors, codebooks
+    = [sub][code] -> centroid list."""
+    spark = corpus.sparkSession
+    v = _as_double(corpus, id_col, vec_col)
+    v = v.select(
+        "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
+    ).persist()
+    first = v.select(F.size("vec").alias("d")).head()
+    dim = int(first["d"]) if first else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    subs = v.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice(vec, s * {sub_d} + 1, {sub_d}))"
+            )
+        ).alias("sub", "svec"),
+    )
+    sample = (
+        v.withColumn("h", F.xxhash64(F.col("id") + seed))
+        .orderBy("h")
+        .limit(n_codes)
+        .select("vec")
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [list(r["vec"])[s * sub_d : (s + 1) * sub_d] for r in sample]
+        for s in range(m)
+    ]
+
+    def cb_df():
+        return F.broadcast(
+            spark.createDataFrame(
+                [
+                    (s, c, books[s][c])
+                    for s in range(m)
+                    for c in range(len(books[s]))
+                ],
+                "sub int, code int, cvec array<double>",
+            )
+        )
+
+    d2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        rows = (
+            subs.join(cb_df(), "sub")
+            .withColumn("d2", d2)
+            .groupBy("id", "sub")
+            .agg(F.min(F.struct("d2", "code"))["code"].alias("code"),
+                 F.first("svec").alias("svec"))
+            .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("avg_x"))
+            .collect()
+        )
+        agg: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            agg.setdefault((r["sub"], r["code"]), [0.0] * sub_d)[r["pos"]] = r["avg_x"]
+        books = [
+            [agg.get((s, c), books[s][c]) for c in range(n_codes)]
+            for s in range(m)
+        ]
+    assigned = (
+        subs.join(cb_df(), "sub")
+        .withColumn("d2", d2)
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("d2", "code"))["code"].alias("code"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda st: st["code"],
+            ).alias("code")
+        )
+    )
+    codes_df = v.join(assigned, "id").select("id", "vec", "code")
+    return codes_df, books
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over a PQ index, then exact
+    re-rank: per query the (m x n_codes) distance TABLE is computed
+    once against the broadcast codebooks, the whole corpus is scored
+    by summing m table lookups per vector (never touching the original
+    floats), the best ``rerank * k`` candidates per query re-rank by
+    exact cosine, top-k survive. Returns (query_id, neighbor_id, sim),
+    self excluded — the h8-family contract. At 100 TB the ADC scan
+    reads codes (m bytes/vector), not embeddings; the exact re-rank
+    touches only rerank*k rows per query."""
+    spark = codes_df.sparkSession
+    m = len(books)
+    sub_d = len(books[0][0])
+    q = _as_double(queries, id_col, vec_col)
+    q = q.select(
+        F.col("id").alias("query_id"),
+        F.transform("vec", lambda x: x / norm_expr("vec")).alias("qvec"),
+    )
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
+            "sub int, code int, cvec array<double>",
+        )
+    )
+    qsubs = q.select(
+        "query_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice(qvec, s * {sub_d} + 1, {sub_d}))"
+            )
+        ).alias("sub", "qsvec"),
+    )
+    dt = F.broadcast(
+        qsubs.join(cb, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with("qsvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    scored = (
+        codes_df.select("id", F.posexplode("code").alias("sub", "code"))
+        .join(dt, ["sub", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= rerank * k)
+        .drop("rn", "adc_d2")
+    )
+    exact = cand.join(
+        codes_df.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec")),
+        "neighbor_id",
+    ).join(F.broadcast(q), "query_id")
+    sim = dot_expr("qvec", "nvec")  # both sides normalized
+    ranked = exact.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(sim, round_to) if round_to else sim).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def int8_quantize_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Scalar int8 quantization of an embedding column + reconstruction
     error report — the storage/serving compression step of an embedding

@@ -433,3 +433,30 @@ def test_incremental_near_duplicates_toy(spark):
     assert got[(10, 1)] == 1.0
     assert abs(got[(11, 1)] - 39 / 41) < 1e-9
     assert set(got) == {(10, 1), (11, 1)}  # 12/13 pair absent: b-vs-c only
+
+
+def test_pq_codes_shape_and_adc_monotonicity(spark):
+    """PQ contract: every vector encodes to exactly m in-range codes,
+    and an exact duplicate of a corpus vector ranks itself first under
+    ADC + re-rank (zero quantization distance to its own codes)."""
+    import numpy as np
+
+    from java_iceberg_table_spark.operators.similarity import pq_build, pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype(float)
+    vecs[1] = vecs[0]  # planted duplicate pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    codes_df, books = pq_build(df, m=4, n_codes=8, iters=2)
+    rows = codes_df.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert len(r["code"]) == 4
+        assert all(0 <= c < 8 for c in r["code"])
+    q = df.filter(F.col("vec_id") == 0)
+    top = pq_topk(codes_df, books, q, k=3, rerank=4).collect()
+    best = min(top, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 1 and abs(best["sim"] - 1.0) < 1e-6
