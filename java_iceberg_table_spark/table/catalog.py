@@ -209,6 +209,30 @@ class Catalog:
         with open(_cat_version_path(self.root, v)) as f:
             return CatalogState.from_json(json.load(f))
 
+    def state_at(self, version: int) -> CatalogState:
+        """The catalog's state as of ``version`` — CATALOG-level time
+        travel: pass the result to ``read(state=...)`` /
+        ``register_views(state=...)`` for a cross-table-consistent view
+        of the whole catalog as it stood at that publish. Raises
+        FileNotFoundError once ``expire_versions`` has aged the version
+        out (and a table read under an expired state may further fail
+        when table-level snapshot expiry reaped its pin — the same
+        layered retention contract as table time travel)."""
+        path = _cat_version_path(self.root, int(version))
+        with open(path) as f:
+            return CatalogState.from_json(json.load(f))
+
+    def versions(self) -> list[int]:
+        """Retained catalog versions, ascending (the time-travel axis)."""
+        out = []
+        for p in os.listdir(_cat_dir(self.root)):
+            if p.startswith("v") and p.endswith(".json"):
+                try:
+                    out.append(int(p[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     # ---------- consistent reads ----------
 
     def read(

@@ -399,3 +399,32 @@ def test_catalog_randomized_consistency(spark, cat, seed):
         except Exception:
             continue  # snapshot expired by maintenance: state aged out
         assert got == published_totals[v], f"seed={seed} v={v}"
+
+
+def test_catalog_version_time_travel(spark, cat):
+    """state_at(v) + read(state=...) reproduces the catalog's whole
+    cross-table world as of version v; versions() lists the retained
+    axis; expire_versions ages old states out (FileNotFoundError),
+    while the current state still reads."""
+    cat.create_table("a", SCHEMA)
+    cat.create_table("b", SCHEMA)
+    v0 = cat.state().version
+    cat.transaction().append("a", rows(spark, 0, 10, "r1")).commit(spark)
+    v1 = cat.state().version
+    cat.transaction().append("a", rows(spark, 10, 5, "r2")).append(
+        "b", rows(spark, 100, 7, "r2")
+    ).commit(spark)
+    v2 = cat.state().version
+    assert v0 < v1 < v2
+    st1 = cat.state_at(v1)
+    assert cat.read(spark, "a", state=st1).count() == 10
+    assert cat.read(spark, "b", state=st1).count() == 0
+    st2 = cat.state_at(v2)
+    assert cat.read(spark, "a", state=st2).count() == 15
+    assert cat.read(spark, "b", state=st2).count() == 7
+    assert set(cat.versions()) >= {v1, v2}
+    # age out everything but the newest version
+    cat.expire_versions(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        cat.state_at(v1)
+    assert cat.read(spark, "a").count() == 15  # current state unaffected
