@@ -306,3 +306,45 @@ def test_h38b_encode_is_one_broadcast_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_h51_incremental_probe_no_cartesian(spark, sf_dir):
+    """The batch-vs-corpus probe must be equi-joins end to end (fp
+    match + band-bucket match + candidate verify) — never a cartesian
+    between batch and corpus, at any corpus size."""
+    plan = plan_of(spark, sf_dir, "h51_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_h52_pq_adc_broadcasts_tables_no_cartesian(spark, sf_dir):
+    """ADC scoring is codes JOIN broadcast distance-table: the corpus
+    codes never shuffle against queries pairwise. The only acceptable
+    join strategies on the scoring path are broadcast/sort-merge
+    equi-joins."""
+    from java_iceberg_table_spark.operators.similarity import pq_build, pq_topk
+    from java_iceberg_table_spark.fixtures import load_table as _lt
+    import pyspark.sql.functions as F
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    codes_df, books = pq_build(emb, m=4, n_codes=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 2)
+    df = pq_topk(codes_df, books, q, k=3, rerank=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the distance-table lookup side
+    # top-k per query compiles to the rank-pushdown form, not a full sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_h50_span_shuffle_carries_hashes_not_strings(spark, sf_dir):
+    """The duplicated-span aggregate must shuffle the 64-bit shingle
+    hash, never the shingle text: no string shingle column survives
+    into the exchange (the projection hashes before the explode)."""
+    plan = plan_of(spark, sf_dir, "h50_duplicated_span_stats")
+    assert "xxhash64" in plan  # hashing happens IN the scan projection
+    assert "array_join" in plan  # ...of the joined k-token window
+    # the aggregate keys are the hash column, present in the exchange
+    assert "CartesianProduct" not in plan
