@@ -445,3 +445,59 @@ def g17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "g18_higher_order_array_functions",
+    oracle="""
+WITH base AS (SELECT l_orderkey,
+                     list_sort(list(CAST(l_quantity AS DOUBLE))) AS q
+              FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(q) AS BIGINT) AS n_items,
+       ROUND(list_aggregate(q, 'sum'), 4) AS total_qty,
+       CAST(len(list_filter(q, x -> x >= 25)) AS BIGINT) AS n_big,
+       ROUND(list_aggregate(list_transform(q, x -> x * 2), 'sum'), 4)
+         AS doubled_total,
+       ROUND(q[1] + q[-1], 4) AS ends_sum
+FROM base ORDER BY l_orderkey LIMIT 20
+""",
+    group="G",
+)
+def g18_higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — transform / filter /
+    aggregate lambdas plus negative indexing, all JVM-side expressions
+    inside whole-stage codegen (the reason embeddings/token arrays
+    never need Python in this repo: every per-element loop is a
+    Catalyst lambda). The per-order quantity array is sorted first so
+    the left-fold sums are order-deterministic against DuckDB's list
+    lambdas."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("double"))
+        ).alias("q")
+    )
+    return (
+        base.select(
+            "l_orderkey",
+            F.size("q").cast("long").alias("n_items"),
+            F.round(
+                F.aggregate("q", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("total_qty"),
+            F.size(F.filter("q", lambda x: x >= 25)).cast("long").alias("n_big"),
+            F.round(
+                F.aggregate(
+                    F.transform("q", lambda x: x * 2),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            ).alias("doubled_total"),
+            F.round(
+                F.element_at("q", 1) + F.element_at("q", -1), 4
+            ).alias("ends_sum"),
+        )
+        .orderBy("l_orderkey")
+        .limit(20)
+    )
