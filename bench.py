@@ -543,7 +543,38 @@ def main() -> None:
         out["sf1"] = sf1
     if sf10 is not None:
         out["sf10"] = sf10
-    print(json.dumps(out))
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # the final line as the round's bench JSON. Round 7's single full
+    # line outgrew that window (BENCH_r07.parsed == null), so: the FULL
+    # result goes to BENCH_LOCAL.json (committed in-repo, auditable),
+    # and stdout ends with ONE compact line — gate trio + ratios +
+    # ingest KPIs — guaranteed to fit the tail capture.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    gate = ("d1_tpch_q1", "c3_multiway_join", "e1_row_number_topk")
+    ratios = {
+        q: round(queries[q] / duck[q], 2)
+        for q in gate
+        if q in queries and duck.get(q)
+    }
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {q: queries[q] for q in gate if q in queries},
+        "duckdb_reference": duck,
+        "ratio_vs_duckdb": ratios,
+        "ingest": ingest,
+        "n_queries": len(queries),
+        "full": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # belt-and-braces: never outgrow the capture
+        compact.pop("ingest", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

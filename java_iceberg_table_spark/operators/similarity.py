@@ -498,6 +498,15 @@ def pq_build(
         .select("vec")
         .collect()
     )
+    if len(sample) < n_codes:
+        # fewer vectors than codes: the Lloyd update below indexes
+        # books[s][c] for c in range(n_codes) and would IndexError
+        # mid-iteration; fail with the actual cause instead
+        v.unpersist()
+        raise ValueError(
+            f"corpus has {len(sample)} vectors but n_codes={n_codes}; "
+            "reduce n_codes to at most the corpus size"
+        )
     books: list[list[list[float]]] = [
         [list(r["vec"])[s * sub_d : (s + 1) * sub_d] for r in sample]
         for s in range(m)
@@ -553,6 +562,10 @@ def pq_build(
         )
     )
     codes_df = v.join(assigned, "id").select("id", "vec", "code")
+    # training is done with the cache; consumers of codes_df recompute
+    # the normalization projection (one cheap scan) rather than pinning
+    # the whole corpus in storage memory for the index's lifetime
+    v.unpersist()
     return codes_df, books
 
 

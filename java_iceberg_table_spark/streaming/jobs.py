@@ -829,7 +829,13 @@ def ingest_dedup_sink(
             if batch_df.isEmpty():
                 return
             if partial_cur is not None:
-                ct.rollback_to(partial_cur.parent_id)
+                # a prior attempt may have crashed AFTER its own
+                # rollback committed but before re-applying: the head
+                # then already sits at parent_id, and rolling back
+                # again would raise ('already at the requested
+                # snapshot'), permanently wedging every retry
+                if ct.metadata.current_snapshot_id != partial_cur.parent_id:
+                    ct.rollback_to(partial_cur.parent_id)
                 ct = _open(curated_root)
             fp = F.md5(
                 F.concat_ws(
@@ -905,45 +911,67 @@ def catalog_fanout_sink(cat_root: str, routes, stream_id: str = "fanout"):
     ``routes`` = [(table_name, predicate_fn)], predicate_fn(df) -> df.
 
     Idempotence (foreachBatch is at-least-once), per table via the
-    ``fo-batch-id`` snapshot watermark:
-    - all tables at/above this batch -> full replay, skip;
-    - SOME tables applied it (crash between table commits, or between
-      them and the catalog publish) -> roll the applied tables back to
-      the batch's parent (metadata-only; the stream is the table's
-      single writer, so nothing sits above the half-applied commit)
-      and re-apply everything, then publish once.
+    ``fo-batch-id`` snapshot watermark over the table's LIVE lineage
+    (ancestors of the current head — a snapshot rolled past by an
+    external rollback no longer counts as applied):
+    - table already carries the batch on its lineage -> keep that
+      commit, no re-append (foreachBatch replays deliver the same
+      rows for the same batch id, so the durable commit is the batch);
+    - a LATER batch is on the lineage but this one's snapshot has been
+      expired from the log -> also applied (single writer commits
+      batches in order), no re-append;
+    - otherwise append.
+    The pins of ALL routed tables then publish in ONE catalog version
+    — including on full replays, because a crash between the last
+    table commit and the catalog publish would otherwise leave the
+    batch catalog-invisible forever. ``_commit_pins`` folds forward
+    via ``_later_of``, so re-publishing is idempotent.
     Empty route splits still append (an empty commit carries the
     watermark, keeping the per-table cursors aligned)."""
     from ..table.catalog import Catalog
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(cat_root)
-        tables = {}
+        touched: dict[str, int] = {}
         for name, flt in routes:
             tbl = Table(cat._table_root(name))
-            mine = [
+            md = tbl.metadata
+            by_id = {s.snapshot_id: s for s in md.snapshots}
+            anc: set[int] = set()
+            cur = md.current_snapshot_id
+            while cur is not None and cur in by_id and cur not in anc:
+                anc.add(cur)
+                cur = by_id[cur].parent_id
+            live = [
                 s
-                for s in tbl.metadata.snapshots
-                if s.summary.get("fo-stream-id") == stream_id
+                for s in md.snapshots
+                if s.snapshot_id in anc
+                and s.summary.get("fo-stream-id") == stream_id
                 and s.summary.get("fo-batch-id") is not None
             ]
-            applied = max(
-                (int(s.summary["fo-batch-id"]) for s in mine), default=-1
-            )
             this = next(
-                (s for s in mine if int(s.summary["fo-batch-id"]) == int(batch_id)),
+                (
+                    s
+                    for s in live
+                    if int(s.summary["fo-batch-id"]) == int(batch_id)
+                ),
                 None,
             )
-            tables[name] = (tbl, flt, applied, this)
-        if all(applied >= batch_id for _, _, applied, _ in tables.values()):
-            return  # full replay: every table already carries the batch
-        for name, (tbl, flt, applied, this) in tables.items():
             if this is not None:
-                # partial application from a crashed attempt: undo it
-                tbl.rollback_to(this.parent_id)
-                tables[name] = (Table(tbl.root), flt, applied, None)
-        touched = {}
-        for name, (tbl, flt, _, _) in tables.items():
+                touched[name] = this.snapshot_id
+                continue
+            applied = max(
+                (int(s.summary["fo-batch-id"]) for s in live), default=-1
+            )
+            if applied >= batch_id:
+                # this batch's snapshot expired from the log but a later
+                # one is live: the batch is durably folded in — pin the
+                # latest live fanout snapshot (forward-only merge keeps
+                # a fresher pin untouched)
+                touched[name] = max(
+                    live, key=lambda s: (s.sequence, s.timestamp_ms)
+                ).snapshot_id
+                continue
             snap = tbl.append(
                 flt(batch_df),
                 extra_summary={
@@ -952,6 +980,7 @@ def catalog_fanout_sink(cat_root: str, routes, stream_id: str = "fanout"):
                 },
             )
             touched[name] = snap.snapshot_id
-        cat._commit_pins(touched)
+        if touched:
+            cat._commit_pins(touched)
 
     return write

@@ -27,6 +27,7 @@ Design:
 
 from __future__ import annotations
 
+import re
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,26 @@ from pyspark.sql import functions as F
 BITS_PER_KEY = 10
 NUM_HASHES = 7
 _SEED_FMT = "bloomseed{i}:"
+
+
+def _rel_key(p: str) -> str:
+    """Root-relative ``data/...`` key for a file path — the same key
+    ``table._file_key_col`` extracts on the scan side. Basenames are
+    NOT usable: a partitioned append emits the same part-file name
+    into every partition directory, and basename-keyed builds would
+    merge those files' value sets into one oversized shared bloom
+    (never a false negative, but prunes less than sized for).
+    Falls back to the basename only for paths outside a data/ root
+    (direct test harness calls)."""
+    m = re.search(r"/(data/.+)$", p)
+    return m.group(1) if m else p.rsplit("/", 1)[-1]
+
+
+def _rel_key_col():
+    """Spark-side mirror of ``_rel_key`` over ``_metadata.file_path``."""
+    ext = F.regexp_extract(F.col("_metadata.file_path"), r"^.*/(data/.+)$", 1)
+    base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return F.when(ext == "", base).otherwise(ext)
 
 
 def _next_pow2(n: int) -> int:
@@ -61,7 +82,7 @@ def build_file_blooms(
     (path basename -> bits), so files of different sizes get
     right-sized filters in the same job."""
     paths = sorted(file_rows)
-    base_bits = {p.rsplit("/", 1)[-1]: sized_bits(file_rows[p]) for p in paths}
+    base_bits = {_rel_key(p): sized_bits(file_rows[p]) for p in paths}
     bits_map = F.create_map(
         *[F.lit(x) for kv in base_bits.items() for x in kv]
     )
@@ -69,9 +90,7 @@ def build_file_blooms(
         spark.read.parquet(*paths)
         .select(
             F.col(column).cast("string").alias("__v"),
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__f"),
+            _rel_key_col().alias("__f"),
         )
         .filter(F.col("__v").isNotNull())
         .withColumn("__bits", F.element_at(bits_map, F.col("__f")))
@@ -105,7 +124,7 @@ def build_file_blooms(
         by_file.setdefault(r["__f"], {})[int(r["__w"])] = int(r["__word"])
     out: dict[str, dict] = {}
     for p in paths:
-        base = p.rsplit("/", 1)[-1]
+        base = _rel_key(p)
         bits = base_bits[base]
         dense = [0] * (bits // 64)
         for w, v in by_file.get(base, {}).items():
@@ -151,9 +170,7 @@ def build_file_token_blooms(
         spark.read.parquet(*paths)
         .select(
             F.explode(F.split(F.col(column), "\\s+")).alias("__t"),
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__f"),
+            _rel_key_col().alias("__f"),
         )
         .filter(F.col("__t") != "")
         .distinct()
@@ -202,7 +219,7 @@ def build_file_token_blooms(
         by_file.setdefault(r["__f"], {})[int(r["__w"])] = int(r["__word"])
     out: dict[str, dict] = {}
     for p in paths:
-        base = p.rsplit("/", 1)[-1]
+        base = _rel_key(p)
         if base not in base_bits:
             continue  # file had no tokens
         bits = base_bits[base]

@@ -69,6 +69,24 @@ MANIFEST_SCHEMA = T.StructType(
                                 ]
                             ),
                         ),
+                        T.StructField(
+                            "token_bloom",
+                            T.StructType(
+                                [
+                                    T.StructField("column", T.StringType()),
+                                    T.StructField("bits", T.LongType()),
+                                    T.StructField("k", T.LongType()),
+                                    T.StructField("words", T.ArrayType(T.LongType())),
+                                ]
+                            ),
+                        ),
+                        # row-lineage bookkeeping (Iceberg v3): omitting
+                        # these from the distributed read made every
+                        # _row_id/_last_updated_seq silently NULL exactly
+                        # once manifests crossed the distributed-planning
+                        # threshold
+                        T.StructField("first_row_id", T.LongType()),
+                        T.StructField("row_ids_inline", T.BooleanType()),
                     ]
                 )
             ),

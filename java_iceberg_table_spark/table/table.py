@@ -3089,6 +3089,29 @@ class Table:
                         if "bloom" in r.__fields__ and r["bloom"] is not None
                         else {}
                     ),
+                    **(
+                        {"token_bloom": r["token_bloom"].asDict(recursive=True)}
+                        if "token_bloom" in r.__fields__
+                        and r["token_bloom"] is not None
+                        else {}
+                    ),
+                    # row-lineage fields must survive the distributed
+                    # path: scan_with_lineage plans through here once
+                    # manifests cross DIST_PLAN_MIN_MANIFEST_BYTES, and
+                    # dropping them here made _row_id NULL exactly at
+                    # the scale the feature targets
+                    **(
+                        {"first_row_id": int(r["first_row_id"])}
+                        if "first_row_id" in r.__fields__
+                        and r["first_row_id"] is not None
+                        else {}
+                    ),
+                    **(
+                        {"row_ids_inline": True}
+                        if "row_ids_inline" in r.__fields__
+                        and r["row_ids_inline"]
+                        else {}
+                    ),
                 }
             )
         return out

@@ -428,3 +428,69 @@ def test_catalog_version_time_travel(spark, cat):
     with pytest.raises(FileNotFoundError):
         cat.state_at(v1)
     assert cat.read(spark, "a").count() == 15  # current state unaffected
+
+
+def test_fanout_sink_publishes_on_full_replay(spark, cat, tmp_path):
+    """Round-8 regression (ADVICE r7): a crash BETWEEN the last table
+    commit and the catalog publish leaves every table carrying the
+    batch but the catalog blind to it; the replay path must publish
+    the pins instead of returning early — else the final batch of a
+    stream stays catalog-invisible forever."""
+    from java_iceberg_table_spark.streaming.jobs import catalog_fanout_sink
+    from java_iceberg_table_spark.table import Table
+
+    ev_schema = "k long, flag long"
+    cat.create_table("ok2", spark.createDataFrame([], ev_schema).schema)
+    cat.create_table("fl2", spark.createDataFrame([], ev_schema).schema)
+    routes = [
+        ("ok2", lambda d: d.filter(F.col("flag") == 0)),
+        ("fl2", lambda d: d.filter(F.col("flag") == 1)),
+    ]
+    sink = catalog_fanout_sink(cat.root, routes, stream_id="s2")
+    batch = spark.createDataFrame([(1, 0), (2, 1), (3, 0)], ev_schema)
+    # simulate the crash window: BOTH tables committed the batch, the
+    # publish never ran
+    for name, flt in routes:
+        Table(cat._table_root(name)).append(
+            flt(batch),
+            extra_summary={"fo-batch-id": 7, "fo-stream-id": "s2"},
+        )
+    assert cat.read(spark, "ok2").count() == 0  # catalog blind
+    sink(batch, 7)  # replay: all tables applied -> must still publish
+    st = cat.state()
+    assert cat.read(spark, "ok2", state=st).count() == 2
+    assert cat.read(spark, "fl2", state=st).count() == 1
+    # and it stays idempotent: a second replay changes nothing
+    sink(batch, 7)
+    assert cat.read(spark, "ok2").count() == 2
+
+
+def test_fanout_sink_survives_rollback_then_crash(spark, cat, tmp_path):
+    """Round-8 regression (ADVICE r7): if a prior repair attempt's
+    rollback committed but the re-append didn't, the head already sits
+    at the batch's parent; a retry must not call rollback_to again
+    (which raises 'already at the requested snapshot' and wedges the
+    stream forever)."""
+    from java_iceberg_table_spark.streaming.jobs import catalog_fanout_sink
+    from java_iceberg_table_spark.table import Table
+
+    ev_schema = "k long, flag long"
+    cat.create_table("ok3", spark.createDataFrame([], ev_schema).schema)
+    routes = [("ok3", lambda d: d)]
+    sink = catalog_fanout_sink(cat.root, routes, stream_id="s3")
+    base = spark.createDataFrame([(10, 0)], ev_schema)
+    sink(base, 0)
+    assert cat.read(spark, "ok3").count() == 1
+    # half-applied batch 1, then a repair attempt that rolled back and
+    # crashed before re-appending: head is back at the parent but the
+    # batch-1 snapshot still sits in the log
+    t = Table(cat._table_root("ok3"))
+    snap = t.append(
+        spark.createDataFrame([(11, 0), (12, 0)], ev_schema),
+        extra_summary={"fo-batch-id": 1, "fo-stream-id": "s3"},
+    )
+    t.rollback_to(snap.parent_id)
+    sink(spark.createDataFrame([(11, 0), (12, 0)], ev_schema), 1)
+    st = cat.state()
+    assert cat.read(spark, "ok3", state=st).count() == 3
+    assert Table(cat._table_root("ok3")).scan(spark).count() == 3

@@ -202,3 +202,46 @@ def test_distributed_clean_parity(spark):
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
+
+
+def test_distributed_plan_carries_lineage_and_token_bloom(spark):
+    """Round-8 regression (ADVICE r7): the distributed planner's entry
+    reconstruction must carry first_row_id / row_ids_inline /
+    token_bloom — scan_with_lineage routes through it once manifests
+    cross the size threshold, and dropping the fields made every
+    _row_id silently NULL exactly at the scale lineage targets."""
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="dist_lineage_") + "/t"
+    try:
+        tbl = create_table(root, SCHEMA, partition=truncate("tp", WIDTH))
+        entries = _mk_entries(20)
+        for i, e in enumerate(entries):
+            e["first_row_id"] = 1000 + i * 10
+            if i % 3 == 0:
+                e["row_ids_inline"] = True
+            if i % 4 == 0:
+                e["token_bloom"] = {
+                    "column": "text",
+                    "bits": 1024,
+                    "k": 7,
+                    "words": [3, 0] + [0] * 14,
+                }
+        tbl.append_entries(entries)
+        py = {e["path"]: e for e in tbl.plan_files()}
+        dist = {
+            e["path"]: e
+            for e in tbl.plan_files(spark=spark, distributed_threshold_bytes=0)
+        }
+        assert sorted(py) == sorted(dist)
+        for path, p in py.items():
+            d = dist[path]
+            assert d.get("first_row_id") == p.get("first_row_id")
+            assert bool(d.get("row_ids_inline")) == bool(p.get("row_ids_inline"))
+            tb_p, tb_d = p.get("token_bloom"), d.get("token_bloom")
+            assert (tb_d is None) == (tb_p is None)
+            if tb_p is not None:
+                assert tb_d["bits"] == tb_p["bits"]
+                assert list(tb_d["words"]) == list(tb_p["words"])
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
