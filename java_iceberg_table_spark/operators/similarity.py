@@ -654,6 +654,168 @@ def pq_topk(
     )
 
 
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 2,
+    pq_iters: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index (FAISS IVFPQ; Jégou/Douze/Schmid 2011 §IV): the
+    composition that survives 100 TB. IVF alone still stores full
+    floats per cell; PQ alone still ADC-scans EVERY corpus code per
+    query batch — O(corpus) however small each code is. Composed, a
+    query batch reads only the nprobe probed cells' CODES: candidate
+    volume is (nprobe / n_centroids) x m bytes per vector, both knobs
+    independent of corpus size.
+
+    v1 trains flat PQ on the normalized vectors themselves (not cell
+    residuals) — at these cell counts the residual rotation buys
+    little, and flat codes keep the codebook query-independent. The
+    coarse quantizer (k-means cells) and the PQ codebooks train in the
+    same two passes their standalone builders use; the corpus-facing
+    result is ONE frame, (id, vec, cluster, code), which at scale is
+    written partitioned by cluster so a probe reads nprobe/n_centroids
+    of the files (the same layout contract as ivf_index).
+
+    Returns (index_df, centroids, codebooks)."""
+    v, cents = _ivf_fit(corpus, id_col, vec_col, n_centroids, kmeans_iters, seed)
+    codes_df, books = pq_build(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=pq_iters, seed=seed
+    )
+    assigned = _assign_literal(v, cents, top=1).select("id", "cluster")
+    index_df = codes_df.join(assigned, "id").select("id", "vec", "cluster", "code")
+    return index_df, cents, books
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k over an ivfpq_build index: queries
+    probe their nprobe nearest cells, the ADC scan scores ONLY the
+    probed cells' codes (sum of m table lookups), the best rerank*k
+    candidates per query re-rank by exact cosine. Returns (query_id,
+    neighbor_id, sim, rank), self excluded — the h8-family contract.
+
+    Plan shape: the probe set (|queries| x nprobe rows) and the
+    per-query distance tables (|queries| x m x n_codes rows) both
+    broadcast; the inverted file never shuffles on anything but its
+    own cluster key — no cartesian anywhere, gated in test_plans."""
+    spark = index_df.sparkSession
+    m = len(books)
+    sub_d = len(books[0][0])
+    qv = _as_double(queries, id_col, vec_col)
+    qv = qv.select(
+        F.col("id").alias("query_id"),
+        F.transform("vec", lambda x: x / norm_expr("vec")).alias("qvec"),
+    )
+    probes = _assign_literal(
+        qv.select(F.col("query_id").alias("id"), F.col("qvec").alias("vec")),
+        cents,
+        top=nprobe,
+    ).select(F.col("id").alias("query_id"), "cluster")
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
+            "sub int, code int, cvec array<double>",
+        )
+    )
+    qsubs = qv.select(
+        "query_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice(qvec, s * {sub_d} + 1, {sub_d}))"
+            )
+        ).alias("sub", "qsvec"),
+    )
+    dt = F.broadcast(
+        qsubs.join(cb, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with("qsvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    # the IVF gate: only codes in probed cells enter the ADC scan
+    cand = (
+        F.broadcast(probes)
+        .join(index_df, "cluster")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), "code")
+    )
+    scored = (
+        cand.select("query_id", "neighbor_id", F.posexplode("code").alias("sub", "code"))
+        .join(dt, ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= rerank * k)
+        .drop("rn", "adc_d2")
+    )
+    exact = short.join(
+        index_df.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec")),
+        "neighbor_id",
+    ).join(F.broadcast(qv), "query_id")
+    sim = dot_expr("qvec", "nvec")  # both sides normalized
+    ranked = exact.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(sim, round_to) if round_to else sim).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivfpq_candidate_fraction(
+    index_df: DataFrame,
+    cents: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> float:
+    """Measured fraction of the corpus the ADC scan actually touches
+    for this query batch — the number IVF-PQ exists to shrink. 1.0
+    would be h52's flat-PQ full scan; the target is nprobe/n_centroids
+    (exactly that when cells are balanced)."""
+    qv = _as_double(queries, id_col, vec_col)
+    qv = qv.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    probes = _assign_literal(qv, cents, top=nprobe).select(
+        F.col("id").alias("query_id"), "cluster"
+    )
+    n_corpus = index_df.count()
+    n_queries = probes.select("query_id").distinct().count()
+    if n_corpus == 0 or n_queries == 0:
+        return 0.0
+    touched = F.broadcast(probes).join(index_df, "cluster").count()
+    return touched / (n_corpus * n_queries)
+
+
 def int8_quantize_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Scalar int8 quantization of an embedding column + reconstruction
     error report — the storage/serving compression step of an embedding

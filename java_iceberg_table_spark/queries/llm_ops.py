@@ -292,6 +292,32 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev_w)
             idx = (codes_df, books)
+        elif kind == "ivfpq":
+            from ..operators.similarity import _assign_literal, _ivf_fit
+
+            # compose from the cached PQ codes (same knobs as the 'pq'
+            # kind) + a fresh coarse quantizer — exactly how a deployed
+            # IVF-PQ reuses one codes table across coarse re-clusterings.
+            # Width clamp as in the other builders.
+            codes_df, books = _ann_index(spark, sf_dir, "pq")
+            prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(spark.sparkContext.defaultParallelism),
+                )
+                v, cents = _ivf_fit(
+                    emb, "vec_id", "embedding", n_centroids=8, iters=3, seed=42
+                )
+                assigned = _assign_literal(v, cents, top=1).select("id", "cluster")
+                index_df = codes_df.join(assigned, "id").select(
+                    "id", "vec", "cluster", "code"
+                )
+                index_df = index_df.persist()
+                index_df.count()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+            idx = (index_df, cents, books)
         elif kind == "queries":
             # The probe batch itself: in a deployment the query vectors
             # arrive from the caller; re-scanning the corpus parquet for
@@ -2009,3 +2035,42 @@ def h52_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(codes_df, books, queries, k=5, rerank=20)
     exact = _ann_index(spark, sf_dir, "exact")
     return _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5)
+
+
+@register("h53_ann_ivfpq_topk", oracle=_ANN_SELFCHECK_ORACLE, group="H")
+def h53_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 5-NN via IVF-PQ (FAISS IVFPQ; Jégou et al. 2011
+    §IV) — the COMPOSITION that survives 100 TB: h8c's IVF bounds WHAT
+    the scan touches (nprobe of n_centroids cells) but stores floats;
+    h52's PQ shrinks WHAT each touch reads (m code bytes) but scans
+    the whole corpus. Composed, a query batch ADC-scans only the
+    probed cells' codes — candidate volume (nprobe/n_centroids) x m
+    bytes per vector, both independent of corpus size. Graded like the
+    rest of the ANN family: self-check summary, mean recall@5 vs brute
+    force >= 0.9. nprobe=6/8 is the near-isotropic-fixture knob, same
+    as h8c; the candidate-fraction property (the point of the
+    composition) is asserted in tests/test_operators.py and
+    plan-gated no-cartesian in tests/test_plans.py."""
+    from ..operators.similarity import annotate_recall, ivfpq_topk
+
+    index_df, cents, books = _ann_index(spark, sf_dir, "ivfpq")
+    queries = _ann_index(spark, sf_dir, "queries")
+    exact = _ann_index(spark, sf_dir, "exact")
+    # materialize the 1-row verdict inside a width clamp (the probe's
+    # shuffles carry candidate rows, model-scale here; a plain
+    # 200-partition driver session would pay ~6 x 200 near-empty tasks)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        approx = ivfpq_topk(
+            index_df, cents, books, queries, k=5, nprobe=6, rerank=20
+        )
+        rows = _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        rows, "n_queries bigint, k bigint, recall_ok boolean"
+    )

@@ -460,3 +460,57 @@ def test_pq_codes_shape_and_adc_monotonicity(spark):
     top = pq_topk(codes_df, books, q, k=3, rerank=4).collect()
     best = min(top, key=lambda r: r["rank"])
     assert best["neighbor_id"] == 1 and abs(best["sim"] - 1.0) < 1e-6
+
+
+def test_ivfpq_recall_and_candidate_fraction(spark, sf_dir):
+    """IVF-PQ (round 8): recall@5 >= 0.9 vs brute force on the
+    fixture, AND the ADC scan provably touches a small fraction of the
+    corpus — the property flat PQ (h52) lacks and the reason the
+    composition is the 100 TB ANN plan."""
+    from java_iceberg_table_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_candidate_fraction,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    index_df, cents, books = ivfpq_build(
+        emb, n_centroids=8, m=16, n_codes=32, kmeans_iters=2, pq_iters=1
+    )
+    index_df = index_df.persist()
+    try:
+        # nprobe=6/8: the fixture corpora are near-isotropic (h8c's
+        # measured knob), so recall tracks the probed fraction; a real
+        # clustered corpus gets more centroids and narrower probes
+        approx = ivfpq_topk(
+            index_df, cents, books, queries, k=5, nprobe=6, rerank=20
+        ).collect()
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        exact_by_q: dict = {}
+        for r in exact:
+            exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got_by_q: dict = {}
+        for r in approx:
+            got_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(exact_by_q[q] & got_by_q.get(q, set())) / len(exact_by_q[q])
+            for q in exact_by_q
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.9, f"IVF-PQ recall too low: {mean_recall}"
+        # reported sims are exact cosines (re-rank): agree with brute force
+        exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+        for r in approx:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_sims:
+                assert abs(r["sim"] - exact_sims[key]) < 1e-9
+        # the scale property: candidate fraction ~ nprobe/n_centroids,
+        # strictly below the full scan h52 pays
+        frac = ivfpq_candidate_fraction(index_df, cents, queries, nprobe=6)
+        assert frac < 0.95, f"ADC scan touched {frac:.2%} of the corpus"
+        # and with fewer probes the gate tightens further
+        frac1 = ivfpq_candidate_fraction(index_df, cents, queries, nprobe=1)
+        assert frac1 < frac
+    finally:
+        index_df.unpersist()

@@ -339,6 +339,32 @@ def test_h52_pq_adc_broadcasts_tables_no_cartesian(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_h53_ivfpq_probe_gated_no_cartesian(spark, sf_dir):
+    """IVF-PQ: the ADC scan joins the broadcast probe set on cluster
+    and the broadcast distance tables on (query, sub, code) — the
+    inverted file never cross-joins queries, and top-k compiles to the
+    rank-pushdown form."""
+    from java_iceberg_table_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from java_iceberg_table_spark.fixtures import load_table as _lt
+    import pyspark.sql.functions as F
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    index_df, cents, books = ivfpq_build(
+        emb, n_centroids=4, m=4, n_codes=8, kmeans_iters=1, pq_iters=1
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    df = ivfpq_topk(index_df, cents, books, q, k=3, nprobe=2, rerank=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_h50_span_shuffle_carries_hashes_not_strings(spark, sf_dir):
     """The duplicated-span aggregate must shuffle the 64-bit shingle
     hash, never the shingle text: no string shingle column survives
