@@ -2056,3 +2056,94 @@ def a4k_engine_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@register(
+    "a4l_engine_sql_dml",
+    oracle="""
+WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'),
+     mk AS (SELECT MIN(o_orderkey) AS k FROM base)
+SELECT (SELECT COUNT(*) FROM base) + 1 AS cnt,
+       CAST((SELECT SUM(o_orderkey) FROM base) + 999999999 AS BIGINT) AS sum_key,
+       (SELECT COUNT(*) FROM base
+         WHERE o_orderkey < 100 AND o_orderkey <> (SELECT k FROM mk)) AS x_rows,
+       CAST(1 AS BIGINT) AS m_rows,
+       CAST(1 AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS refused,
+       TRUE AS catalog_sees
+""",
+    group="A",
+)
+def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL face of the DML verbs (round 8): ``Catalog.sql`` routes
+    DELETE / UPDATE / MERGE INTO statements onto the engine's
+    stats-pruned row-level operations (table/sql_dml.py) and publishes
+    the touched pins in one catalog version — Iceberg users type SQL,
+    and until now the engine's write side was Python-API-only. The
+    scenario runs all three verbs through the router against an
+    orders-derived table, proves catalog readers see the result, and
+    proves the router REFUSES non-routable statements loudly (an
+    unparseable predicate must never fall through to a full-table
+    rewrite). Oracle = the same three statements replayed in relational
+    algebra over the fixture."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    croot = tempfile.mkdtemp(prefix="engine_sqldml_") + "/cat"
+    try:
+        cat = Catalog.create(croot)
+        t = cat.create_table("t", orders.schema)
+        t.append(orders.repartition(8))
+        cat._commit_pins({"t": t.metadata.current_snapshot_id})
+        cat.sql(spark, "DELETE FROM t WHERE o_orderstatus = 'F'")
+        cat.sql(
+            spark,
+            "UPDATE t SET o_orderstatus = 'X' WHERE o_orderkey < 100",
+        )
+        k = cat.table("t").scan(spark).agg(F.min("o_orderkey")).collect()[0][0]
+        spark.createDataFrame(
+            [(int(k), "M"), (999999999, "N")], orders.schema
+        ).createOrReplaceTempView("a4l_src")
+        cat.sql(
+            spark,
+            """MERGE INTO t AS tgt USING a4l_src AS s
+               ON tgt.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+        )
+        refused = 0
+        for bad in (
+            "DELETE FROM t WHERE o_orderkey IN (1, 2)",
+            "UPDATE t SET o_orderstatus = 'Y'",
+            "SELECT COUNT(*) FROM t",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        final = cat.read(spark, "t")
+        row = final.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum((F.col("o_orderstatus") == "X").cast("long")).alias("x_rows"),
+            F.sum((F.col("o_orderstatus") == "M").cast("long")).alias("m_rows"),
+            F.sum((F.col("o_orderstatus") == "N").cast("long")).alias("n_rows"),
+        ).collect()[0]
+        catalog_sees = (
+            cat.table("t").scan(spark).count() == row["cnt"]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["cnt"], row["sum_key"], row["x_rows"], row["m_rows"],
+                    row["n_rows"], refused, catalog_sees,
+                )
+            ],
+            "cnt bigint, sum_key bigint, x_rows bigint, m_rows bigint, "
+            "n_rows bigint, refused bigint, catalog_sees boolean",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

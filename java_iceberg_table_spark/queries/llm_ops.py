@@ -2009,6 +2009,63 @@ def h51_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+@register(
+    "h51b_incremental_dedup_verdicts",
+    oracle="""
+WITH w AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts FROM documents),
+b AS (SELECT doc_id AS new_id, ts FROM w WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id AS corpus_id, ts FROM w WHERE doc_id % 10 <> 0),
+m AS (
+  SELECT new_id, MIN(corpus_id) AS canonical_id
+  FROM b, c
+  WHERE CAST(len(list_intersect(b.ts, c.ts)) AS DOUBLE)
+        / len(list_distinct(b.ts || c.ts)) >= 0.95
+  GROUP BY new_id
+)
+SELECT b.new_id,
+       CASE WHEN m.canonical_id IS NULL THEN 'clean' ELSE 'dup' END AS verdict,
+       m.canonical_id
+FROM b LEFT JOIN m USING (new_id)
+ORDER BY new_id
+""",
+    group="H",
+)
+def h51b_incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h51's PRODUCTION output shape: one verdict row per batch
+    document — (new_id, 'dup'|'clean', canonical_id = smallest
+    matching corpus doc) — the form an ingest pipeline actually
+    consumes (i27's streaming fold emits exactly this), instead of
+    h51's oracle-friendly expanded pair list whose size is
+    O(batch x matches). Same probe machinery (fingerprint equi-join +
+    LSH index probe + exact verify); the pairs aggregate to one row
+    per batch doc BEFORE output, so the result is O(batch) whatever
+    the duplication rate. The oracle is the brute-force batch x corpus
+    Jaccard aggregated to the same verdicts."""
+    from ..operators.dedup import incremental_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = incremental_near_duplicates(
+        corpus, batch, "doc_id", "text", threshold=0.95
+    )
+    canon = pairs.groupBy("new_id").agg(
+        F.min("corpus_id").alias("canonical_id")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("new_id"))
+        .join(canon, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("canonical_id").isNull(), F.lit("clean"))
+            .otherwise(F.lit("dup"))
+            .alias("verdict"),
+            "canonical_id",
+        )
+        .orderBy("new_id")
+    )
+
+
 @register("h52_ann_pq_topk", oracle=_ANN_SELFCHECK_ORACLE, group="H")
 def h52_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate 5-NN via product quantization + ADC scan + exact

@@ -315,6 +315,32 @@ class Catalog:
             )
         return st
 
+    def sql(self, spark: SparkSession, statement: str) -> dict:
+        """Route a DML statement (DELETE / UPDATE / MERGE INTO, the
+        grammar in ``sql_dml``) onto this catalog's tables, then
+        publish the touched tables' new snapshots in ONE catalog
+        version so catalog readers see the change — the write-side
+        complement of ``register_views``. Returns the operation's
+        stats dict. SELECTs are refused (register_views + spark.sql
+        is the read path)."""
+        from .sql_dml import run_dml
+
+        touched: dict[str, Table] = {}
+
+        def resolve(name: str) -> Table:
+            t = self.table(name)
+            touched[name] = t
+            return t
+
+        res = run_dml(spark, statement, resolve)
+        pins = {
+            name: Table(t.root).metadata.current_snapshot_id
+            for name, t in touched.items()
+        }
+        if pins:
+            self._commit_pins(pins)
+        return res
+
     # ---------- transactions ----------
 
     def transaction(self) -> "CatalogTransaction":

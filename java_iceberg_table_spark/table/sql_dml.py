@@ -1,0 +1,321 @@
+"""SQL DML router: DELETE / UPDATE / MERGE INTO statements onto the
+engine's row-level operations.
+
+Iceberg exposes row-level DML as Spark SQL; this engine's write side is
+a Python API (``delete_rows`` / ``update_where`` / ``merge_into``, the
+read side already speaks SQL via ``Catalog.register_views``). The
+router closes that gap for the three statements users actually type,
+with a deliberately TINY grammar — everything it accepts maps 1:1 onto
+an existing engine operation, and anything else raises
+``UnsupportedSQL`` with the reason, instead of half-parsing:
+
+  DELETE FROM t WHERE col <op> literal [AND ...]
+  UPDATE t SET col = <sql expr> [, ...] WHERE col <op> literal [AND ...]
+  MERGE INTO t [AS a] USING (<view name> | (<subquery>)) [AS b]
+    ON a.k = b.k [AND a.k2 = b.k2]
+    [WHEN MATCHED AND <cond> THEN DELETE]
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | col = <expr>[, ...]]
+    [WHEN NOT MATCHED THEN INSERT *]
+
+WHERE predicates are conjunctions of ``column <op> literal`` because
+that is precisely the filter algebra the engine's stats-pruned rewrite
+planning consumes ((col, op, value) triples — a predicate the planner
+can't prune on would silently rewrite the whole table, so the router
+refuses it loudly). UPDATE's SET right-hand sides and MERGE's clause
+conditions pass through as raw SQL — the underlying ops evaluate them
+with Spark, so the full expression language works there.
+
+No reference-engine counterpart: the reference defers all reads AND
+row-level writes to Spark (Writer.java:143-145); this is the Spark-
+facing surface an Iceberg user expects (Iceberg docs "Spark Writes").
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import Table
+
+
+class UnsupportedSQL(ValueError):
+    """Statement is outside the router's grammar; message says why."""
+
+
+_NUM = re.compile(r"^[+-]?\d+(\.\d+)?$")
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_OPS = ("<=", ">=", "==", "=", "<", ">")
+
+
+def _strip(s: str) -> str:
+    return " ".join(s.strip().split())
+
+
+def _split_depth0(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, respecting single quotes."""
+    out, depth, cur, in_q = [], 0, [], False
+    for ch in s:
+        if in_q:
+            cur.append(ch)
+            if ch == "'":
+                in_q = False
+            continue
+        if ch == "'":
+            in_q = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def _split_and_depth0(s: str) -> list[str]:
+    """Split on top-level AND (case-insensitive, word-bounded)."""
+    parts, depth, in_q, i, start = [], 0, False, 0, 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if in_q:
+            if ch == "'":
+                in_q = False
+            i += 1
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not up[i - 1].isalnum() and up[i - 1] != "_")
+            and (
+                i + 3 >= len(up)
+                or not up[i + 3].isalnum() and up[i + 3] != "_"
+            )
+        ):
+            parts.append(s[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if _NUM.match(tok):
+        return float(tok) if "." in tok else int(tok)
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1].replace("''", "'")
+    up = tok.upper()
+    if up == "TRUE":
+        return True
+    if up == "FALSE":
+        return False
+    raise UnsupportedSQL(
+        f"literal {tok!r} not supported: WHERE predicates take numbers, "
+        "'strings', TRUE/FALSE (the stats-prunable filter algebra)"
+    )
+
+
+def _parse_predicates(where: str) -> list[tuple[str, str, object]]:
+    """Conjunction of ``column <op> literal`` -> (col, op, value) list."""
+    if re.search(r"\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|\bLIKE\b", where, re.I):
+        raise UnsupportedSQL(
+            "only AND-conjunctions of column <op> literal are routable: "
+            "they map onto the engine's stats-pruned rewrite planning; "
+            "OR/NOT/IN/BETWEEN/LIKE predicates are not (use the Python "
+            "API with a manual rewrite if you really need them)"
+        )
+    preds = []
+    for part in _split_and_depth0(where):
+        for op in _OPS:
+            idx = part.find(op)
+            if idx > 0:
+                col, lit = part[:idx].strip(), part[idx + len(op) :].strip()
+                if not _IDENT.match(col):
+                    raise UnsupportedSQL(
+                        f"left side {col!r} must be a bare column name"
+                    )
+                preds.append((col, "=" if op == "==" else op, _parse_literal(lit)))
+                break
+        else:
+            raise UnsupportedSQL(f"cannot parse predicate {part!r}")
+    if not preds:
+        raise UnsupportedSQL("WHERE clause required (no full-table DML)")
+    return preds
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_depth0(s):
+        eq = part.find("=")
+        if eq <= 0:
+            raise UnsupportedSQL(f"cannot parse assignment {part!r}")
+        col, expr = part[:eq].strip(), part[eq + 1 :].strip()
+        if not _IDENT.match(col):
+            raise UnsupportedSQL(f"assignment target {col!r} must be a column")
+        if not expr:
+            raise UnsupportedSQL(f"empty expression in assignment {part!r}")
+        out[col] = expr
+    if not out:
+        raise UnsupportedSQL("SET clause is empty")
+    return out
+
+
+_DELETE = re.compile(r"^DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", re.I | re.S)
+_UPDATE = re.compile(
+    r"^UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
+)
+_MERGE = re.compile(
+    r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+"
+    r"(\(.*?\)|\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+    re.I | re.S,
+)
+_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*(?=WHEN\s|$)",
+    re.I | re.S,
+)
+
+
+def run_dml(
+    spark: SparkSession,
+    statement: str,
+    resolve,
+) -> dict:
+    """Parse + execute one DML statement. ``resolve(name) -> Table``
+    maps statement table names onto engine tables (the Catalog passes
+    its own lookup). Returns the underlying operation's stats dict,
+    plus ``{"statement": <kind>}``."""
+    sql = _strip(statement).rstrip(";").strip()
+
+    m = _DELETE.match(sql)
+    if m:
+        tbl: Table = resolve(m.group(1))
+        preds = _parse_predicates(m.group(2))
+        res = tbl.delete_rows(spark, preds)
+        return {"statement": "delete", **res}
+
+    m = _UPDATE.match(sql)
+    if m:
+        tbl = resolve(m.group(1))
+        sets = _parse_assignments(m.group(2))
+        preds = _parse_predicates(m.group(3))
+        res = tbl.update_where(spark, preds, sets)
+        return {"statement": "update", **res}
+
+    m = _MERGE.match(sql)
+    if m:
+        name, t_alias, src_sql, s_alias, on_sql, whens = m.groups()
+        t_alias = t_alias or name
+        on = []
+        for part in _split_and_depth0(on_sql):
+            pm = re.match(
+                r"^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+                r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",
+                part.strip(),
+            )
+            if not pm:
+                raise UnsupportedSQL(
+                    f"ON condition {part!r} must be alias.col = alias.col "
+                    "(equi-join keys only — that is what merge_into's "
+                    "key-bound file pruning needs)"
+                )
+            a1, c1, a2, c2 = pm.groups()
+            if c1 != c2:
+                raise UnsupportedSQL(
+                    f"ON keys must share a name on both sides ({c1} != {c2})"
+                )
+            aliases = {a1, a2}
+            if s_alias and s_alias not in aliases or t_alias not in aliases:
+                raise UnsupportedSQL(
+                    f"ON aliases {aliases} don't match MERGE aliases "
+                    f"({t_alias!r}, {s_alias!r})"
+                )
+            on.append(c1)
+        update = None
+        update_condition = None
+        delete_condition = None
+        insert = False
+
+        def norm_aliases(expr: str) -> str:
+            # merge_into's clause language uses t. / s. aliases
+            out = expr
+            if t_alias and t_alias != "t":
+                out = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", out)
+            if s_alias and s_alias != "s":
+                out = re.sub(rf"\b{re.escape(s_alias)}\.", "s.", out)
+            return out
+
+        consumed = 0
+        for wm in _WHEN.finditer(whens):
+            consumed += 1
+            is_not, cond, action = wm.groups()
+            action_up = _strip(action).upper()
+            if is_not:
+                if cond or action_up != "INSERT *":
+                    raise UnsupportedSQL(
+                        "WHEN NOT MATCHED supports exactly "
+                        "'THEN INSERT *' (full source row)"
+                    )
+                insert = True
+            elif action_up == "DELETE":
+                delete_condition = norm_aliases(cond) if cond else "true"
+            elif action_up.startswith("UPDATE SET"):
+                set_sql = _strip(action)[len("UPDATE SET") :].strip()
+                if set_sql == "*":
+                    update = "all"
+                else:
+                    update = {
+                        c: norm_aliases(e)
+                        for c, e in _parse_assignments(set_sql).items()
+                    }
+                update_condition = norm_aliases(cond) if cond else None
+            else:
+                raise UnsupportedSQL(f"unsupported WHEN action {action!r}")
+        if not consumed or not _WHEN.sub("", whens).strip() == "":
+            raise UnsupportedSQL(
+                f"unparsed MERGE clauses in {whens!r} (supported: WHEN "
+                "MATCHED [AND cond] THEN UPDATE SET/DELETE, WHEN NOT "
+                "MATCHED THEN INSERT *)"
+            )
+        # grammar is fully validated — only now touch the catalog/session
+        tbl = resolve(name)
+        if src_sql.startswith("("):
+            source: DataFrame = spark.sql(src_sql[1:-1])
+        else:
+            source = spark.table(src_sql)
+        res = tbl.merge_into(
+            spark,
+            source,
+            on,
+            update=update,
+            update_condition=update_condition,
+            delete_condition=delete_condition,
+            insert=insert,
+        )
+        return {"statement": "merge", **res}
+
+    head = sql.split(None, 1)[0].upper() if sql else ""
+    if head in ("DELETE", "UPDATE", "MERGE"):
+        raise UnsupportedSQL(
+            f"statement shape not recognized for {head}: {sql[:80]!r}"
+        )
+    raise UnsupportedSQL(
+        f"not a routable DML statement (got {head or 'empty'}; SELECTs go "
+        "through Catalog.register_views + spark.sql)"
+    )

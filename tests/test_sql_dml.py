@@ -1,0 +1,137 @@
+"""SQL DML router: DELETE / UPDATE / MERGE statements onto
+delete_rows / update_where / merge_into, with loud refusal of
+anything outside the tiny routable grammar."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from java_iceberg_table_spark.table import Catalog
+from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL, run_dml
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), False),
+        StructField("v", StringType(), True),
+        StructField("qty", LongType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(tmp_path, spark):
+    c = Catalog.create(str(tmp_path / "cat"))
+    t = c.create_table("t", SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(i, "old" if i % 2 == 0 else "odd", i * 10) for i in range(10)],
+            SCHEMA,
+        )
+    )
+    c._commit_pins({"t": t.metadata.current_snapshot_id})
+    return c
+
+
+def test_delete_statement(spark, cat):
+    res = cat.sql(spark, "DELETE FROM t WHERE k >= 7")
+    assert res["statement"] == "delete"
+    assert res["deleted_rows"] == 3
+    assert cat.read(spark, "t").count() == 7  # pin published
+    # conjunction + string literal
+    res = cat.sql(spark, "DELETE FROM t WHERE v = 'odd' AND k < 4")
+    assert res["deleted_rows"] == 2  # k=1, k=3
+    assert cat.table("t").scan(spark).count() == 5
+
+
+def test_update_statement(spark, cat):
+    res = cat.sql(
+        spark, "UPDATE t SET qty = qty + 5, v = upper(v) WHERE k <= 2;"
+    )
+    assert res["statement"] == "update"
+    assert res["updated_rows"] == 3
+    rows = {
+        r["k"]: (r["v"], r["qty"])
+        for r in cat.read(spark, "t").collect()
+    }
+    assert rows[0] == ("OLD", 5)
+    assert rows[1] == ("ODD", 15)
+    assert rows[3] == ("odd", 30)  # untouched
+
+
+def test_merge_statement(spark, cat):
+    spark.createDataFrame(
+        [(1, "merged", 111), (100, "new", 1000)], SCHEMA
+    ).createOrReplaceTempView("src_view")
+    res = cat.sql(
+        spark,
+        """MERGE INTO t AS tgt USING src_view AS s
+           ON tgt.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert res["statement"] == "merge"
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert rows[1] == ("merged", 111)
+    assert rows[100] == ("new", 1000)
+    assert len(rows) == 11
+
+
+def test_merge_with_subquery_and_clauses(spark, cat):
+    spark.createDataFrame(
+        [(2, "x", 0), (4, "y", 7), (200, "n", 1)], SCHEMA
+    ).createOrReplaceTempView("src2")
+    res = cat.sql(
+        spark,
+        """MERGE INTO t USING (SELECT * FROM src2 WHERE k < 300) AS s
+           ON t.k = s.k
+           WHEN MATCHED AND s.qty = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    rows = {r["k"]: r["qty"] for r in cat.table("t").scan(spark).collect()}
+    assert 2 not in rows  # deleted
+    assert rows[4] == 47  # 40 + 7
+    assert rows[200] == 1  # inserted
+    assert res["statement"] == "merge"
+
+
+@pytest.mark.parametrize(
+    "bad, why",
+    [
+        ("DELETE FROM t WHERE k IN (1, 2)", "IN"),
+        ("DELETE FROM t WHERE k = 1 OR k = 2", "OR"),
+        ("DELETE FROM t", "no WHERE"),
+        ("UPDATE t SET qty = 0", "no WHERE"),
+        ("UPDATE t SET qty = 0 WHERE upper(v) = 'ODD'", "function lhs"),
+        ("SELECT * FROM t", "not DML"),
+        ("TRUNCATE TABLE t", "not DML"),
+        (
+            "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN DELETE",
+            "non-equi ON",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)",
+            "column-list INSERT",
+        ),
+    ],
+)
+def test_refusals(spark, cat, bad, why):
+    before = cat.table("t").scan(spark).count()
+    with pytest.raises(UnsupportedSQL):
+        cat.sql(spark, bad)
+    assert cat.table("t").scan(spark).count() == before, why
+
+
+def test_run_dml_direct_resolver(spark, tmp_path):
+    """run_dml works against a bare resolver (no catalog)."""
+    from java_iceberg_table_spark.table import create_table
+
+    root = str(tmp_path / "solo")
+    t = create_table(root + "/t", SCHEMA)
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "b", 2)], SCHEMA))
+    res = run_dml(spark, "DELETE FROM anyname WHERE k = 2", lambda _: t)
+    assert res["deleted_rows"] == 1
+    assert t.scan(spark).count() == 1
