@@ -152,26 +152,21 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first
-# (round 7: every engine write now emits INT64-micros timestamps with
-# naive-UTC stat renderings — a4/a4a exercise temporal stats and
-# pruning end to end; key-set pruning gained temporal renderings
-# (a3v, connector IN-lists via a3m); the read paths grew keep_pos
-# plumbing for row lineage (a3, a3g MOR); the view/SCD2 folds gained
-# empty-batch skip + per-batch persists/width clamps (i21, i24);
-# duplicate-group resolution moved to the collapsed rep graph (h18 —
-# first canary of the h18/h19/h49 shared-resolution family; placing it
-# ahead of h49 also warms the (session, sf)-keyed CC cache the
-# never-graded h49 reuses).
+# (round 8: bloom index builders re-keyed by root-relative path — a4k
+# probes token blooms end to end; the distributed planner now carries
+# first_row_id/row_ids_inline/token_bloom — a4h reads lineage;
+# catalog_fanout_sink was restructured to live-lineage detection with
+# replay pin publishing — i26; ingest_dedup_sink gained the
+# rollback-already-at-parent guard — i27; pq_build gained the
+# small-corpus guard + unpersist — h52, which also precedes the
+# never-graded h53 so the shared (session, sf)-keyed PQ codes cache
+# is warm when h53's IVF-PQ index composes from it).
 _REVERIFY_HEAD = [
-    "a4_time_filtered_scan",
-    "a4a_engine_temporal_partition",
-    "a3v_engine_runtime_filter_join",
-    "a3m_engine_datasource_connector",
-    "a3_engine_table_scan",
-    "a3g_engine_mor_delete",
-    "i21_streaming_materialized_view",
-    "i24_scd2_history_stream",
-    "h18_dedup_groups",
+    "a4k_engine_token_search",
+    "a4h_engine_row_lineage",
+    "i26_catalog_fanout_stream",
+    "i27_streaming_ingest_dedup",
+    "h52_ann_pq_topk",
 ]
 
 
