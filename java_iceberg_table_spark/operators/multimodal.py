@@ -170,3 +170,117 @@ def decode_sampled_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return joined.mapInPandas(run, schema=_FRAME_FIELDS)
+
+
+# ---------- real BMP codec (round 8) ----------
+#
+# One REAL decoder next to the stubs: uncompressed 24-bit BMP is fully
+# specified in ~60 lines of struct math, needs no codec library, and
+# makes the decode stage measure genuine byte parsing — header
+# validation, stride/padding arithmetic, bottom-up row order — instead
+# of a hash of the bytes. The Spark-side contract is identical to the
+# stubbed decoders: bytes stay in the executor, decode runs inside
+# Arrow-batched mapInPandas.
+
+import struct
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up, rows padded to 4 bytes) — the format every viewer reads."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    # pixel data: bottom-up rows, BGR order, zero-padded stride
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp(content: bytes) -> "np.ndarray":
+    """Parse an uncompressed 24-bit BMP back to (h, w, 3) uint8 RGB.
+    GENUINE parsing: magic check, header-declared pixel offset, signed
+    height (top-down vs bottom-up), stride/padding undo. Raises
+    ValueError on anything that is not a plain 24-bit BMP."""
+    if content is None or len(content) < 54:
+        raise ValueError("not a BMP: too short")
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", content, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (hdr_size, w, h_signed, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", content, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = (w * 3 + 3) & ~3
+    need = offset + stride * h
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need}")
+    rows = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb if top_down else rgb[::-1]
+
+
+def synthetic_bmp_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Media table whose image rows carry REAL encoded BMPs (seeded
+    pixels, varied dims incl. widths that force nonzero row padding)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w = 10 + (i % 7)  # 10..16: strides hit every padding width 0-3
+        h = 6 + (i % 5)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_bmp(px)), w, h, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_BMP_STATS_FIELDS = (
+    "media_id bigint, dec_width int, dec_height int, "
+    "mean_r double, mean_g double, mean_b double, pool_mean double"
+)
+
+
+def bmp_image_stats(media: DataFrame) -> DataFrame:
+    """Decode real BMP blobs inside Arrow-batched mapInPandas and emit
+    per-image stats FROM THE DECODED PIXELS (dims as parsed from the
+    header, channel means, and the mean after a genuine 2x2
+    mean-pool resize) — the measurable version of the h29 decode
+    stage. Blobs never leave the executor; the binary column is
+    projected only here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "dec_width", "dec_height",
+                "mean_r", "mean_g", "mean_b", "pool_mean",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_bmp(content)
+                hh, ww = px.shape[0] & ~1, px.shape[1] & ~1
+                pooled = (
+                    px[:hh, :ww].astype(np.float64)
+                    .reshape(hh // 2, 2, ww // 2, 2, 3)
+                    .mean(axis=(1, 3))
+                )
+                out["media_id"].append(int(mid))
+                out["dec_width"].append(px.shape[1])
+                out["dec_height"].append(px.shape[0])
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["pool_mean"].append(float(pooled.mean()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(run, schema=_BMP_STATS_FIELDS)

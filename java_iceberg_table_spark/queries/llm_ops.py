@@ -1337,6 +1337,65 @@ def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---- real BMP decode pipeline (h29b, round 8) ---------------------------
+@register(
+    "h29b_multimodal_bmp_decode",
+    oracle="""
+SELECT CAST(32 AS BIGINT) AS n_images,
+       TRUE AS dims_exact, TRUE AS means_exact, TRUE AS resize_exact
+""",
+    group="H",
+)
+def h29b_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h29's decode stage with a REAL codec (VERDICT r7 stretch item):
+    uncompressed 24-bit BMP encode/decode in pure numpy+struct —
+    genuine header validation, stride/padding arithmetic, bottom-up
+    row order — run Arrow-batched inside mapInPandas, so the graded
+    pipeline measures actual byte parsing instead of a stub hash.
+    Verdict: every seeded image decodes to the exact dimensions,
+    channel means, and 2x2 mean-pool stats recomputed independently
+    from the same seeded pixels on the driver. The encode side is
+    exercised by the same row (the fixtures ARE our encoder's output;
+    the operator test pins decode(encode(px)) == px bit-exactly and
+    rejection of corrupt headers)."""
+    import numpy as np
+
+    from ..operators.multimodal import bmp_image_stats, synthetic_bmp_media
+
+    n = 32
+    media = synthetic_bmp_media(spark, n=n)
+    got = {r["media_id"]: r for r in bmp_image_stats(media).collect()}
+    rng = np.random.RandomState(42)  # same stream as synthetic_bmp_media
+    dims_ok = means_ok = resize_ok = True
+    for i in range(n):
+        w = 10 + (i % 7)
+        h = 6 + (i % 5)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        r = got.get(i)
+        if r is None or (r["dec_width"], r["dec_height"]) != (w, h):
+            dims_ok = False
+            continue
+        if any(
+            abs(r[k] - px[:, :, c].mean()) > 1e-9
+            for c, k in enumerate(("mean_r", "mean_g", "mean_b"))
+        ):
+            means_ok = False
+        hh, ww = h & ~1, w & ~1
+        pool = (
+            px[:hh, :ww].astype(np.float64)
+            .reshape(hh // 2, 2, ww // 2, 2, 3)
+            .mean(axis=(1, 3))
+            .mean()
+        )
+        if abs(r["pool_mean"] - pool) > 1e-9:
+            resize_ok = False
+    return spark.createDataFrame(
+        [(len(got), dims_ok, means_ok, resize_ok)],
+        "n_images bigint, dims_exact boolean, means_exact boolean, "
+        "resize_exact boolean",
+    )
+
+
 # ---- source mixture sampling (h30) -------------------------------------
 @register(
     "h30_source_mixture_sample",

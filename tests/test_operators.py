@@ -514,3 +514,53 @@ def test_ivfpq_recall_and_candidate_fraction(spark, sf_dir):
         assert frac1 < frac
     finally:
         index_df.unpersist()
+
+
+def test_bmp_codec_roundtrip_and_rejection(spark):
+    """Real BMP codec (round 8): decode(encode(px)) is bit-exact across
+    every row-padding width, top-down BMPs parse, and corrupt inputs
+    raise instead of returning garbage."""
+    import numpy as np
+    import struct
+    import pytest as _pytest
+
+    from java_iceberg_table_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(6, 10), (7, 11), (8, 12), (5, 13), (1, 1), (3, 16)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+    # top-down variant (negative height) must parse too
+    px = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px[::-1]))  # encoder stores bottom-up
+    struct.pack_into("<i", blob, 14 + 8, -4)  # flip to top-down
+    assert (decode_bmp(bytes(blob)) == px[::-1][::-1]).all()
+    for bad in (b"", b"XX" + bytes(60), encode_bmp(px)[:20]):
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
+    # 8-bpp / compressed headers refused
+    blob = bytearray(encode_bmp(px))
+    struct.pack_into("<H", blob, 14 + 14, 8)
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+
+
+def test_bmp_stats_spark_side(spark):
+    """bmp_image_stats decodes real blobs in mapInPandas and the plan
+    projects only (media_id, content) — metadata never rides along."""
+    from java_iceberg_table_spark.operators.multimodal import (
+        bmp_image_stats,
+        synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(spark, n=12)
+    stats = bmp_image_stats(media)
+    rows = stats.collect()
+    assert len(rows) == 12
+    meta = {r["media_id"]: (r["width"], r["height"]) for r in media.collect()}
+    for r in rows:
+        assert (r["dec_width"], r["dec_height"]) == meta[r["media_id"]]
+        assert 0.0 <= r["mean_r"] <= 255.0
