@@ -374,3 +374,17 @@ def test_h50_span_shuffle_carries_hashes_not_strings(spark, sf_dir):
     assert "array_join" in plan  # ...of the joined k-token window
     # the aggregate keys are the hash column, present in the exchange
     assert "CartesianProduct" not in plan
+
+
+def test_d1e_engine_q1_vectorized_no_python(spark, sf_dir):
+    """Engine-storage Q1 (round 8): the prepared plan must aggregate
+    int64 columns in the vectorized reader + whole-stage codegen with
+    the shipdate filter pushed to the engine scan — no Python in the
+    plan, partial aggregation before the exchange."""
+    plan = plan_of(spark, sf_dir, "d1e_engine_q1_cents", executed=True)
+    assert "Batched: true" in plan
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "price_c" in rs and "qty_c" in rs
