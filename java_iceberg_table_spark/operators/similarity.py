@@ -850,3 +850,72 @@ def int8_quantize_error(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         (F.avg("se") * 1e6).alias("mse_e6"),
         (F.max("ae") * 1e3).alias("max_abs_err_e3"),
     )
+
+
+def ivfpq_write_table(
+    root: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 2,
+    pq_iters: int = 3,
+    seed: int = 42,
+):
+    """Persist an IVF-PQ index AS AN ENGINE TABLE partitioned by
+    cluster (identity transform) — the 100 TB form of the inverted
+    file: each cell's codes live in their own files with
+    min=max=cluster footer stats, so a probe PLANS only the nprobe
+    probed cells' files from manifest metadata (zero data IO for the
+    other cells), and index maintenance (compaction, snapshots, GC,
+    time travel) is the table layer's existing machinery for free.
+
+    Returns (table, centroids, codebooks)."""
+    from ..table import create_table, identity
+
+    index_df, cents, books = ivfpq_build(
+        corpus, id_col, vec_col, n_centroids, m, n_codes,
+        kmeans_iters, pq_iters, seed,
+    )
+    tbl = create_table(root, index_df.schema, partition=identity("cluster"))
+    # repartition by cluster: each cell's rows land contiguously, so
+    # files are single-cell and stats-pruning is exact per cell
+    # one shuffle partition per cell: every file is single-cell, so
+    # per-file stats pruning is exact (and no default-width shuffle)
+    tbl.append(index_df.repartition(len(cents), "cluster"))
+    return tbl, cents, books
+
+
+def ivfpq_table_topk(
+    spark,
+    tbl,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 4,
+    round_to: int | None = 4,
+) -> tuple[DataFrame, dict]:
+    """Probe a persisted IVF-PQ table: assign queries to their nprobe
+    cells, PRUNE the table scan to those cells' files via the engine's
+    runtime-filtered planning (binary search over per-file stats; with
+    identity(cluster) partitioning the non-probed cells' files never
+    plan), then run the standard cell-gated ADC + exact re-rank over
+    the pruned frame. Returns (topk_df, info) where info carries
+    files_total / files_scanned — the metadata-level proof that the
+    probe read only the probed fraction of the index."""
+    qv = _as_double(queries, id_col, vec_col)
+    qv = qv.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    probes = _assign_literal(qv, cents, top=nprobe)
+    cells_df = probes.select(F.col("cluster")).distinct()
+    pruned, info = tbl.scan_runtime_filtered(spark, cells_df, "cluster")
+    top = ivfpq_topk(
+        pruned, cents, books, queries, id_col, vec_col,
+        k=k, nprobe=nprobe, rerank=rerank, round_to=round_to,
+    )
+    return top, info

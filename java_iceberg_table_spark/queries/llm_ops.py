@@ -13,6 +13,8 @@ SFs) — or registered without an oracle (rows-only gate + unit tests).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -318,6 +320,31 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev_w)
             idx = (index_df, cents, books)
+        elif kind == "ivfpq_table":
+            # the PERSISTED form: same composed index written as an
+            # engine table partitioned by cluster (identity transform),
+            # probed via runtime-filtered planning. Reuses the cached
+            # in-memory index's codebooks/cells so the two graded rows
+            # share one training.
+            import atexit as _atexit
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            from ..operators.similarity import _assign_literal
+            from ..table import create_table, identity
+
+            index_df, cents, books = _ann_index(spark, sf_dir, "ivfpq")
+            root = _tempfile.mkdtemp(prefix="ann_ivfpq_tbl_") + "/t"
+            _atexit.register(
+                _shutil.rmtree, os.path.dirname(root), ignore_errors=True
+            )
+            tbl = create_table(
+                root, index_df.schema, partition=identity("cluster")
+            )
+            # one shuffle partition per cell: files land single-cell
+            # (exact stats pruning) without a 200-task default shuffle
+            tbl.append(index_df.repartition(len(cents), "cluster"))
+            idx = (tbl, cents, books)
         elif kind == "queries":
             # The probe batch itself: in a deployment the query vectors
             # arrive from the caller; re-scanning the corpus parquet for
@@ -1334,6 +1361,60 @@ def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_frames"),
         F.round(F.avg("frame_f0"), 4).alias("avg_frame_f0"),
         F.round(F.avg("pooled_f0"), 4).alias("avg_pooled_f0"),
+    )
+
+
+@register(
+    "h54_ann_ivfpq_table",
+    oracle="""
+SELECT COUNT(*)::BIGINT AS n_queries, CAST(5 AS BIGINT) AS k,
+       TRUE AS recall_ok, TRUE AS pruned
+FROM embeddings WHERE vec_id < 5
+""",
+    group="H",
+)
+def h54_ann_ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ persisted AS AN ENGINE TABLE partitioned by cluster
+    (identity transform) and probed through the engine's
+    runtime-filtered scan planning — the deployment form of h53: at
+    100 TB the inverted file is not a DataFrame you rebuilt, it is a
+    table whose per-cell files carry min=max=cluster stats, so a probe
+    PLANS only the nprobe probed cells' files from manifest metadata
+    (zero data IO for every other cell) and index maintenance is the
+    table layer's ordinary compaction/expiry/time-travel. Graded
+    verdict adds ``pruned`` — files_scanned strictly below files_total
+    straight from the planner's own accounting — to the family's
+    recall self-check."""
+    from ..operators.similarity import annotate_recall, ivfpq_table_topk
+
+    tbl, cents, books = _ann_index(spark, sf_dir, "ivfpq_table")
+    queries = _ann_index(spark, sf_dir, "queries")
+    exact = _ann_index(spark, sf_dir, "exact")
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        approx, _batch_info = ivfpq_table_topk(
+            spark, tbl, cents, books, queries, k=5, nprobe=6, rerank=20
+        )
+        rows = _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5).collect()
+        # the pruning property is PER QUERY (nprobe cells of
+        # n_centroids); a 5-query batch at nprobe=6/8 legitimately
+        # unions to all cells on this tiny fixture, so grade the
+        # planner accounting on a single-query probe
+        one = queries.orderBy("vec_id").limit(1)
+        _top1, info = ivfpq_table_topk(
+            spark, tbl, cents, books, one, k=5, nprobe=6, rerank=20
+        )
+        _top1.collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    pruned = 0 < info["files_scanned"] < info["files_total"]
+    return spark.createDataFrame(
+        [(rows[0]["n_queries"], rows[0]["k"], rows[0]["recall_ok"], pruned)],
+        "n_queries bigint, k bigint, recall_ok boolean, pruned boolean",
     )
 
 

@@ -564,3 +564,38 @@ def test_bmp_stats_spark_side(spark):
     for r in rows:
         assert (r["dec_width"], r["dec_height"]) == meta[r["media_id"]]
         assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_ivfpq_table_probe_prunes_files(spark, sf_dir, tmp_path):
+    """Table-backed IVF-PQ (round 8): the persisted index is an engine
+    table partitioned by cluster; a probe's runtime-filtered plan
+    touches only the probed cells' files, and results equal the
+    in-memory ivfpq_topk over the same index."""
+    from java_iceberg_table_spark.operators.similarity import (
+        ivfpq_table_topk,
+        ivfpq_topk,
+        ivfpq_write_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tbl, cents, books = ivfpq_write_table(
+        str(tmp_path / "idx"), emb,
+        n_centroids=8, m=16, n_codes=32, kmeans_iters=2, pq_iters=1,
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    got, info = ivfpq_table_topk(
+        spark, tbl, cents, books, q, k=5, nprobe=2, rerank=20
+    )
+    got = got.collect()
+    assert info["files_scanned"] < info["files_total"]
+    assert info["files_scanned"] > 0
+    # parity with the in-memory probe at the same parameters
+    mem = ivfpq_topk(
+        tbl.scan(spark).select(
+            F.col("id"), F.col("vec"), F.col("cluster"), F.col("code")
+        ),
+        cents, books, q, k=5, nprobe=2, rerank=20,
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in got} == {
+        (r["query_id"], r["neighbor_id"]) for r in mem
+    }
