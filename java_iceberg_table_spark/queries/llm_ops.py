@@ -1365,6 +1365,81 @@ def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "h55_leakage_safe_split",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (
+           PARTITION BY md5(list_aggr(list_sort(list_distinct(
+             str_split(text, ' '))), 'string_agg', CHR(31)))
+         ) AS canonical_id
+  FROM documents
+),
+s AS (
+  SELECT doc_id, canonical_id,
+         CASE WHEN (canonical_id * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (canonical_id * 2654435761) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM g
+)
+SELECT split,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT canonical_id)::BIGINT AS n_groups,
+       (SELECT COUNT(*) FROM (
+          SELECT canonical_id FROM s GROUP BY canonical_id
+          HAVING COUNT(DISTINCT split) > 1))::BIGINT AS leaked_groups
+FROM s GROUP BY split ORDER BY split
+""",
+    group="H",
+)
+def h55_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (round 8): the assignment that
+    keeps DUPLICATE GROUPS on one side of the split — hashing raw doc
+    ids leaks near-identical text across train and eval (the classic
+    contamination bug dedup papers warn about); hashing the group's
+    CANONICAL id cannot, by construction. Each doc resolves to its
+    exact-duplicate canonical (min doc_id per token-set fingerprint —
+    one hash shuffle; the near-dup generalization swaps in
+    minhash_rep_graph's component id, unit-tested in
+    tests/test_operators.py), the split is a deterministic
+    multiplicative hash of the canonical id (seed-free, replayable on
+    any cluster), and the graded output carries ``leaked_groups`` —
+    the number of groups spanning splits, 0 by construction — next to
+    the per-split doc/group counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", F.array_sort(F.array_distinct(F.split("text", " ")))
+        )
+    )
+    g = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(fp)).alias("canonical_id"),
+    )
+    r = (F.col("canonical_id") * F.lit(2654435761)) % 100
+    s = g.select(
+        "doc_id",
+        "canonical_id",
+        F.when(r < 80, "train").when(r < 90, "val").otherwise("test").alias("split"),
+    )
+    leaked = (
+        s.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_groups"),
+        )
+        .withColumn("leaked_groups", F.lit(leaked).cast("long"))
+        .orderBy("split")
+    )
+
+
+@register(
     "h54_ann_ivfpq_table",
     oracle="""
 SELECT COUNT(*)::BIGINT AS n_queries, CAST(5 AS BIGINT) AS k,

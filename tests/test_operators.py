@@ -599,3 +599,44 @@ def test_ivfpq_table_probe_prunes_files(spark, sf_dir, tmp_path):
     assert {(r["query_id"], r["neighbor_id"]) for r in got} == {
         (r["query_id"], r["neighbor_id"]) for r in mem
     }
+
+
+def test_leakage_safe_split_near_dup_variant(spark, sf_dir):
+    """The near-dup generalization of h55: split on the connected
+    COMPONENT id of the minhash graph instead of the exact-dup
+    canonical. No component may span splits, every doc gets exactly
+    one split, and docs outside any component split independently."""
+    from java_iceberg_table_spark.operators.dedup import (
+        minhash_rep_graph,
+        resolve_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep_pairs, membership = minhash_rep_graph(
+        docs, "doc_id", "text", threshold=0.8
+    )
+    comp = resolve_components(rep_pairs, membership)  # (id, comp)
+    labeled = docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("group_id"),
+    )
+    r = (F.col("group_id") * F.lit(2654435761)) % 100
+    s = labeled.select(
+        "doc_id",
+        "group_id",
+        F.when(r < 80, "train").when(r < 90, "val").otherwise("test").alias("split"),
+    )
+    n_docs = docs.count()
+    assert s.count() == n_docs
+    assert s.select("doc_id").distinct().count() == n_docs
+    leaked = (
+        s.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaked == 0
+    splits = {r["split"] for r in s.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
