@@ -180,11 +180,53 @@ _DELETE = re.compile(r"^DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", re.I | re.S)
 _UPDATE = re.compile(
     r"^UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
 )
-_MERGE = re.compile(
-    r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+"
-    r"(\(.*?\)|\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+_MERGE_HEAD = re.compile(
+    r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
     re.I | re.S,
 )
+_MERGE_TAIL = re.compile(
+    r"^(?:\s*AS)?(?:\s+([A-Za-z_]\w*))?\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+    re.I | re.S,
+)
+
+
+def _match_merge(sql: str):
+    """MERGE split: head regex to USING, then the source as either a
+    BALANCED-paren subquery (a lazy regex would cut a nested
+    ``f(y)`` at the first ``)``) or a bare view name, then the
+    ON/WHEN tail. Returns the same 6-tuple the old single regex did,
+    or None."""
+    hm = _MERGE_HEAD.match(sql)
+    if not hm:
+        return None
+    rest = sql[hm.end() :]
+    if rest.startswith("("):
+        depth, in_q, i = 0, False, 0
+        for i, ch in enumerate(rest):
+            if in_q:
+                if ch == "'":
+                    in_q = False
+                continue
+            if ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            return None
+        src, rest = rest[: i + 1], rest[i + 1 :]
+    else:
+        sm = re.match(r"^(\S+)", rest)
+        if not sm:
+            return None
+        src, rest = sm.group(1), rest[sm.end() :]
+    tm = _MERGE_TAIL.match(rest)
+    if not tm:
+        return None
+    return (hm.group(1), hm.group(2), src, *tm.groups())
 _WHEN = re.compile(
     r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*(?=WHEN\s|$)",
@@ -218,9 +260,9 @@ def run_dml(
         res = tbl.update_where(spark, preds, sets)
         return {"statement": "update", **res}
 
-    m = _MERGE.match(sql)
+    m = _match_merge(sql)
     if m:
-        name, t_alias, src_sql, s_alias, on_sql, whens = m.groups()
+        name, t_alias, src_sql, s_alias, on_sql, whens = m
         t_alias = t_alias or name
         on = []
         for part in _split_and_depth0(on_sql):

@@ -135,3 +135,26 @@ def test_run_dml_direct_resolver(spark, tmp_path):
     res = run_dml(spark, "DELETE FROM anyname WHERE k = 2", lambda _: t)
     assert res["deleted_rows"] == 1
     assert t.scan(spark).count() == 1
+
+
+def test_merge_subquery_with_nested_parens(spark, cat):
+    """Round-8 parser fix: a USING subquery containing nested parens
+    (function calls) must parse to the full balanced subquery, not cut
+    at the first close-paren."""
+    spark.createDataFrame(
+        [(3, "zz", 5), (300, "nn", 9)], SCHEMA
+    ).createOrReplaceTempView("src3")
+    res = cat.sql(
+        spark,
+        """MERGE INTO t USING (
+             SELECT k, upper(substring(v, 1, 1)) AS v, qty
+             FROM src3 WHERE coalesce(qty, 0) > 0
+           ) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert res["statement"] == "merge"
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.table("t").scan(spark).collect()}
+    assert rows[3] == ("Z", 5)
+    assert rows[300] == ("N", 9)
