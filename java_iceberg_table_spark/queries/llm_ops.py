@@ -2216,12 +2216,26 @@ def h51_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    pairs = incremental_near_duplicates(
-        corpus, batch, "doc_id", "text", threshold=0.95
+    # width clamp (round 8, same rationale as h51b): the probe joins
+    # shuffle batch-scale frames; a 200-partition driver session pays
+    # ~10 near-empty stages otherwise
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        pairs = incremental_near_duplicates(
+            corpus, batch, "doc_id", "text", threshold=0.95
+        )
+        rows = pairs.select(
+            "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+        ).orderBy("new_id", "corpus_id").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        rows, "new_id bigint, corpus_id bigint, jaccard double"
     )
-    return pairs.select(
-        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("new_id", "corpus_id")
 
 
 @register(
@@ -2261,23 +2275,39 @@ def h51b_incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    pairs = incremental_near_duplicates(
-        corpus, batch, "doc_id", "text", threshold=0.95
-    )
-    canon = pairs.groupBy("new_id").agg(
-        F.min("corpus_id").alias("canonical_id")
-    )
-    return (
-        batch.select(F.col("doc_id").alias("new_id"))
-        .join(canon, "new_id", "left")
-        .select(
-            "new_id",
-            F.when(F.col("canonical_id").isNull(), F.lit("clean"))
-            .otherwise(F.lit("dup"))
-            .alias("verdict"),
-            "canonical_id",
+    # width clamp + materialize (the i-row pattern): the probe's LSH
+    # band joins shuffle batch-sized frames — model-scale here — and a
+    # plain 200-partition driver session pays ~10 near-empty stages
+    # (measured at sf0.1: 59 s at 200 partitions vs ~7 s clamped)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
         )
-        .orderBy("new_id")
+        pairs = incremental_near_duplicates(
+            corpus, batch, "doc_id", "text", threshold=0.95
+        )
+        canon = pairs.groupBy("new_id").agg(
+            F.min("corpus_id").alias("canonical_id")
+        )
+        rows = (
+            batch.select(F.col("doc_id").alias("new_id"))
+            .join(canon, "new_id", "left")
+            .select(
+                "new_id",
+                F.when(F.col("canonical_id").isNull(), F.lit("clean"))
+                .otherwise(F.lit("dup"))
+                .alias("verdict"),
+                "canonical_id",
+            )
+            .orderBy("new_id")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    return spark.createDataFrame(
+        rows, "new_id bigint, verdict string, canonical_id bigint"
     )
 
 
