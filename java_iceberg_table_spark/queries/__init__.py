@@ -167,6 +167,10 @@ _REVERIFY_HEAD = [
     "i26_catalog_fanout_stream",
     "i27_streaming_ingest_dedup",
     "h52_ann_pq_topk",
+    # h51's row gained the width-clamp + materialize wrapper (values
+    # identical, but it IS in-row code — re-prove it); its sibling
+    # h51b is never-graded and follows in the new-row section
+    "h51_incremental_dedup",
 ]
 
 
