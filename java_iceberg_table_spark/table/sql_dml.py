@@ -80,9 +80,14 @@ def _split_depth0(s: str, sep: str = ",") -> list[str]:
 
 
 def _split_and_depth0(s: str) -> list[str]:
-    """Split on top-level AND (case-insensitive, word-bounded)."""
+    """Split on top-level AND (case-insensitive, word-bounded).
+
+    Case-folds per SLICE, never the whole string: Python ``upper()``
+    can CHANGE LENGTH ('ŉ' -> 'ʼN', 'ß' -> 'SS'), so indexing a
+    pre-uppercased copy with offsets from the original silently
+    misaligns the scan on non-ASCII text (caught by the hypothesis
+    round-trip property in tests/test_sql_dml.py)."""
     parts, depth, in_q, i, start = [], 0, False, 0, 0
-    up = s.upper()
     while i < len(s):
         ch = s[i]
         if in_q:
@@ -98,11 +103,11 @@ def _split_and_depth0(s: str) -> list[str]:
             depth -= 1
         elif (
             depth == 0
-            and up.startswith("AND", i)
-            and (i == 0 or not up[i - 1].isalnum() and up[i - 1] != "_")
+            and s[i : i + 3].upper() == "AND"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
             and (
-                i + 3 >= len(up)
-                or not up[i + 3].isalnum() and up[i + 3] != "_"
+                i + 3 >= len(s)
+                or not (s[i + 3].isalnum() or s[i + 3] == "_")
             )
         ):
             parts.append(s[start:i])

@@ -158,3 +158,47 @@ def test_merge_subquery_with_nested_parens(spark, cat):
     rows = {r["k"]: (r["v"], r["qty"]) for r in cat.table("t").scan(spark).collect()}
     assert rows[3] == ("Z", 5)
     assert rows[300] == ("N", 9)
+
+
+def test_predicate_parser_roundtrip_property():
+    """Property: any rendered AND-conjunction of col <op> literal
+    parses back to exactly the triples that produced it (no Spark
+    needed — pure parser)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from java_iceberg_table_spark.table.sql_dml import _parse_predicates
+
+    ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True).filter(
+        lambda s: s.upper() not in ("AND", "OR", "NOT", "IN", "LIKE", "BETWEEN")
+    )
+    op = st.sampled_from(["<", "<=", ">", ">=", "="])
+    lit = st.one_of(
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), whitelist_characters=" _-"
+            ),
+            max_size=12,
+        ).filter(
+            lambda s: "'" not in s
+            and not any(
+                w in s.upper().split()
+                for w in ("AND", "OR", "NOT", "IN", "LIKE", "BETWEEN")
+            )
+        ),
+    )
+
+    def render(c, o, v):
+        if isinstance(v, str):
+            return f"{c} {o} '{v}'"
+        return f"{c} {o} {v}"
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(ident, op, lit), min_size=1, max_size=5))
+    def check(triples):
+        where = " AND ".join(render(*t) for t in triples)
+        parsed = _parse_predicates(where)
+        assert parsed == [(c, o, v) for c, o, v in triples]
+
+    check()
