@@ -9,6 +9,7 @@ so an operator of the reference can run the same roles here:
     python -m java_iceberg_table_spark.cli reaper <table> --iterations N [--max-age-ms MS] [--retain-last K]
     python -m java_iceberg_table_spark.cli clean  <table>
     python -m java_iceberg_table_spark.cli history <table>
+    python -m java_iceberg_table_spark.cli sql <catalog_root> --statement "DELETE FROM t WHERE ..."
 
 Writers/bookkeeper are separate OS processes against one table dir,
 exactly like the reference's 5-JVM fan-out (run.sh:36-46); commit
@@ -52,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="java_iceberg_table_spark")
     p.add_argument("role", choices=[
         "create", "writers", "writeandcommitfiles", "bookkeeper",
-        "bookkeeper2", "reaper", "clean", "history",
+        "bookkeeper2", "reaper", "clean", "history", "sql",
     ])
     p.add_argument("table")
     p.add_argument("--width", type=int, default=WIDTH_US_DEFAULT)
@@ -66,9 +67,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-age-ms", type=int, default=10 * 60 * 1000)
     p.add_argument("--retain-last", type=int, default=20)
     p.add_argument("--messages-file", default=None)
+    p.add_argument("--statement", default=None)
     args = p.parse_args(argv)
 
     from .table import create_table, load_table, truncate
+
+    if args.role == "sql":
+        # <table> positional is the CATALOG root here. DML routes
+        # through Catalog.sql (write side); SELECTs run over pinned
+        # views (read side) and print JSON lines.
+        from .session import get_spark
+        from .table import Catalog
+        from .table.sql_dml import UnsupportedSQL
+
+        if not args.statement:
+            print("--statement required for sql role", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="engine-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        cat = Catalog(args.table)
+        head = args.statement.strip().split(None, 1)[0].upper()
+        if head == "SELECT":
+            cat.register_views(spark)
+            for row in spark.sql(args.statement).collect():
+                print(json.dumps(row.asDict(), default=str))
+            return 0
+        try:
+            print(json.dumps(cat.sql(spark, args.statement)))
+            return 0
+        except UnsupportedSQL as ex:
+            print(json.dumps({"error": str(ex)}), file=sys.stderr)
+            return 2
 
     if args.role == "create":
         create_table(
