@@ -1,0 +1,99 @@
+"""Time-series gap filling over bucketed aggregates (the hypertable
+rollup family: TimescaleDB's ``time_bucket_gapfill`` + ``locf`` +
+``interpolate``, expressed Spark-first).
+
+The shape at 100 TB: the observed aggregate is one hash shuffle keyed
+by (series, bucket) with map-side partial aggregation; the bucket
+SPINE (series x buckets) is generated from a sequence expression —
+metadata-scale, never a scan; the fills are window functions over the
+spine, partitioned by series and ordered by bucket, so each series
+fills independently (one exchange keyed by series, skew bounded by
+buckets-per-series, not rows). Nothing here is per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Bucketed average per (series, bucket) over a DENSE bucket spine
+    spanning the data's global [min, max] — every series gets a row
+    for every bucket — with three fill columns for the gaps:
+
+    - ``avg_value``  — the observed aggregate, NULL in gaps;
+    - ``locf_value`` — last observation carried forward;
+    - ``lin_value``  — linear interpolation between the neighboring
+      observed buckets (edges fall back to the one existing side).
+
+    Returns (series, bucket_ts: date, n_events, avg_value, locf_value,
+    lin_value). Only ``day`` buckets for now — the bucket arithmetic
+    (datediff) is what the interpolation weights need, and days keep
+    it exact."""
+    if bucket != "day":
+        raise ValueError("only day buckets supported (v1)")
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.to_date(ts_col).alias("bucket_ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    observed = base.groupBy("series", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("v").alias("avg_value"),
+    )
+    # global span: ONE tiny aggregate row, broadcast into the spine —
+    # the spine itself is sequence()-generated, never a data scan
+    span = base.agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    spine = (
+        base.select("series")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "series",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("bucket_ts"),
+        )
+    )
+    g = spine.join(observed, ["series", "bucket_ts"], "left")
+    w_back = (
+        Window.partitionBy("series")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("series")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("avg_value").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
+    span_days = F.datediff(next_d, prev_d)
+    frac = F.datediff(F.col("bucket_ts"), prev_d) / span_days
+    lin = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return g.select(
+        "series",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        prev_v.alias("locf_value"),
+        lin.alias("lin_value"),
+    )

@@ -316,3 +316,81 @@ def e9_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(300)
     )
+
+
+@register(
+    "e10_time_bucket_gapfill",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS series, CAST(ts AS DATE) AS bucket_ts, value AS v
+  FROM events
+),
+obs AS (
+  SELECT series, bucket_ts, COUNT(*) AS n_events, AVG(v) AS avg_value
+  FROM base GROUP BY 1, 2
+),
+span AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM base),
+spine AS (
+  SELECT s.series, CAST(d.d AS DATE) AS bucket_ts
+  FROM (SELECT DISTINCT series FROM base) s,
+       (SELECT UNNEST(generate_series(
+          (SELECT lo FROM span), (SELECT hi FROM span), INTERVAL 1 DAY)) AS d) d
+),
+g AS (
+  SELECT spine.series, spine.bucket_ts, obs.n_events, obs.avg_value
+  FROM spine LEFT JOIN obs USING (series, bucket_ts)
+),
+f AS (
+  SELECT series, bucket_ts,
+         COALESCE(n_events, 0) AS n_events,
+         avg_value,
+         LAST_VALUE(avg_value IGNORE NULLS) OVER wb AS prev_v,
+         LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END
+                    IGNORE NULLS) OVER wb AS prev_d,
+         FIRST_VALUE(avg_value IGNORE NULLS) OVER wf AS next_v,
+         FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END
+                     IGNORE NULLS) OVER wf AS next_d
+  FROM g
+  WINDOW wb AS (PARTITION BY series ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY series ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series, strftime(bucket_ts, '%Y-%m-%d') AS bucket_day, n_events,
+       ROUND(avg_value, 4) AS avg_value,
+       ROUND(prev_v, 4) AS locf_value,
+       ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (date_diff('day', prev_d, bucket_ts)::DOUBLE
+                          / date_diff('day', prev_d, next_d)) END, 4)
+         AS lin_value
+FROM f ORDER BY series, bucket_ts
+""",
+    group="E",
+)
+def e10_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with LOCF and linear interpolation
+    (round 8) — the hypertable-rollup family op
+    (TimescaleDB time_bucket_gapfill/locf/interpolate) the event-
+    stream domain expects: per event_type, a DENSE daily spine over
+    the data's span with the observed per-day average, the last
+    observation carried forward, and the linear interpolation between
+    neighboring observed days. Spark shape (operators/timeseries.py):
+    one (series, day) hash aggregate with map-side partials, a
+    sequence()-generated spine (never a scan), and two windows
+    partitioned by series — each series fills independently, skew
+    bounded by days-per-series at any corpus size."""
+    from ..operators.timeseries import time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    g = time_bucket_gapfill(ev, "event_type", "ts", "value", bucket="day")
+    return g.select(
+        "series",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_day"),
+        "n_events",
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("locf_value", 4).alias("locf_value"),
+        F.round("lin_value", 4).alias("lin_value"),
+    ).orderBy("series", "bucket_day")

@@ -640,3 +640,41 @@ def test_leakage_safe_split_near_dup_variant(spark, sf_dir):
     assert leaked == 0
     splits = {r["split"] for r in s.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_time_bucket_gapfill_semantics(spark):
+    """Gap-fill contract on a hand-built series: dense spine, LOCF
+    carries the last observation, interpolation is exact linear math,
+    edges fall back to the one existing side."""
+    from datetime import datetime
+
+    from java_iceberg_table_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    rows = [
+        # series "a": days 1, 4 observed -> gaps on 2, 3
+        ("a", datetime(2024, 1, 1, 5), 10.0),
+        ("a", datetime(2024, 1, 4, 7), 40.0),
+        # series "b": only day 2 observed -> edges fill from it
+        ("b", datetime(2024, 1, 2, 9), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, v double")
+    out = {
+        (r["series"], str(r["bucket_ts"])): r
+        for r in time_bucket_gapfill(df, "s", "ts", "v").collect()
+    }
+    # spine is GLOBAL span (Jan 1-4) x both series = 8 rows
+    assert len(out) == 8
+    a2 = out[("a", "2024-01-02")]
+    a3 = out[("a", "2024-01-03")]
+    assert a2["n_events"] == 0 and a2["avg_value"] is None
+    assert a2["locf_value"] == 10.0 and a3["locf_value"] == 10.0
+    assert abs(a2["lin_value"] - 20.0) < 1e-9  # 10 + (40-10)*(1/3)
+    assert abs(a3["lin_value"] - 30.0) < 1e-9
+    b1 = out[("b", "2024-01-01")]
+    b4 = out[("b", "2024-01-04")]
+    assert b1["locf_value"] is None and b1["lin_value"] == 7.0  # next-edge
+    assert b4["locf_value"] == 7.0 and b4["lin_value"] == 7.0  # prev-edge
+    obs = out[("a", "2024-01-01")]
+    assert obs["avg_value"] == obs["locf_value"] == obs["lin_value"] == 10.0
