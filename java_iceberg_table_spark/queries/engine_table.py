@@ -2063,12 +2063,12 @@ def a4k_engine_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'),
      mk AS (SELECT MIN(o_orderkey) AS k FROM base)
-SELECT (SELECT COUNT(*) FROM base) + 1 AS cnt,
-       CAST((SELECT SUM(o_orderkey) FROM base) + 999999999 AS BIGINT) AS sum_key,
+SELECT (SELECT COUNT(*) FROM base) AS cnt,
+       CAST((SELECT SUM(o_orderkey) FROM base) AS BIGINT) AS sum_key,
        (SELECT COUNT(*) FROM base
          WHERE o_orderkey < 100 AND o_orderkey <> (SELECT k FROM mk)) AS x_rows,
        CAST(1 AS BIGINT) AS m_rows,
-       CAST(1 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_rows,
        CAST(3 AS BIGINT) AS refused,
        TRUE AS catalog_sees
 """,
@@ -2114,9 +2114,16 @@ def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN MATCHED THEN UPDATE SET *
                WHEN NOT MATCHED THEN INSERT *""",
         )
+        # fourth verb: key-set DELETE ... IN (...) -> MOR equality
+        # delete (metadata-only) removes the row the merge inserted;
+        # the second key matches nothing (a no-op key is legal)
+        cat.sql(
+            spark,
+            "DELETE FROM t WHERE o_orderkey IN (999999999, 888888888)",
+        )
         refused = 0
         for bad in (
-            "DELETE FROM t WHERE o_orderkey IN (1, 2)",
+            "DELETE FROM t WHERE o_orderkey NOT IN (1, 2)",
             "UPDATE t SET o_orderstatus = 'Y'",
             "SELECT COUNT(*) FROM t",
         ):

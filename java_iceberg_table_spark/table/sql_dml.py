@@ -10,6 +10,7 @@ an existing engine operation, and anything else raises
 ``UnsupportedSQL`` with the reason, instead of half-parsing:
 
   DELETE FROM t WHERE col <op> literal [AND ...]
+  DELETE FROM t WHERE col IN (<subquery> | literal[, ...])   -- MOR eq-delete
   UPDATE t SET col = <sql expr> [, ...] WHERE col <op> literal [AND ...]
   MERGE INTO t [AS a] USING (<view name> | (<subquery>)) [AS b]
     ON a.k = b.k [AND a.k2 = b.k2]
@@ -182,6 +183,10 @@ def _parse_assignments(s: str) -> dict[str, str]:
 
 
 _DELETE = re.compile(r"^DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", re.I | re.S)
+_DELETE_IN = re.compile(
+    r"^DELETE\s+FROM\s+(\S+)\s+WHERE\s+([A-Za-z_]\w*)\s+IN\s*\((.+)\)$",
+    re.I | re.S,
+)
 _UPDATE = re.compile(
     r"^UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
 )
@@ -249,6 +254,38 @@ def run_dml(
     its own lookup). Returns the underlying operation's stats dict,
     plus ``{"statement": <kind>}``."""
     sql = _strip(statement).rstrip(";").strip()
+
+    m = _DELETE_IN.match(sql)
+    if m:
+        # DELETE ... WHERE col IN (subquery | literal list): the key-set
+        # delete real pipelines hit most (GDPR erasure, backfill undo).
+        # Routes onto the MOR EQUALITY delete — key tuples registered in
+        # one metadata commit, zero data files read or rewritten now
+        # (Iceberg v2 equality deletes), applied at read time.
+        name, col, inner = m.groups()
+        inner = inner.strip()
+        tbl = resolve(name)
+        if re.match(r"^SELECT\b", inner, re.I):
+            keys = spark.sql(inner)
+            if len(keys.columns) != 1:
+                raise UnsupportedSQL(
+                    f"IN subquery must select exactly one column "
+                    f"(got {len(keys.columns)})"
+                )
+            keys = keys.toDF(col)
+        else:
+            vals = [_parse_literal(t) for t in _split_depth0(inner)]
+            if not vals:
+                raise UnsupportedSQL("empty IN list")
+            keys = spark.createDataFrame([(v,) for v in vals]).toDF(col)
+        n_keys = keys.distinct().count()
+        snap = tbl.delete_eq_mor(spark, keys, [col])
+        return {
+            "statement": "delete",
+            "mode": "eq_mor",
+            "deleted_keys": n_keys,
+            "committed": snap is not None,
+        }
 
     m = _DELETE.match(sql)
     if m:

@@ -100,7 +100,8 @@ def test_merge_with_subquery_and_clauses(spark, cat):
 @pytest.mark.parametrize(
     "bad, why",
     [
-        ("DELETE FROM t WHERE k IN (1, 2)", "IN"),
+        ("DELETE FROM t WHERE k IN (1, 2) AND v = 'x'", "IN combined with AND"),
+        ("DELETE FROM t WHERE k NOT IN (1, 2)", "NOT IN"),
         ("DELETE FROM t WHERE k = 1 OR k = 2", "OR"),
         ("DELETE FROM t", "no WHERE"),
         ("UPDATE t SET qty = 0", "no WHERE"),
@@ -123,6 +124,29 @@ def test_refusals(spark, cat, bad, why):
     with pytest.raises(UnsupportedSQL):
         cat.sql(spark, bad)
     assert cat.table("t").scan(spark).count() == before, why
+
+
+def test_delete_in_list_and_subquery(spark, cat):
+    """DELETE ... WHERE col IN (...) routes onto MOR equality deletes:
+    one metadata commit, no data rewrite, rows gone at read time."""
+    before_files = len(cat.table("t").current_files())
+    res = cat.sql(spark, "DELETE FROM t WHERE k IN (1, 3, 999)")
+    assert res["mode"] == "eq_mor" and res["deleted_keys"] == 3
+    assert cat.read(spark, "t").filter(F.col("k").isin(1, 3)).count() == 0
+    assert cat.read(spark, "t").count() == 8
+    # no data file was rewritten (metadata-only commit)
+    assert len(cat.table("t").current_files()) == before_files
+    # subquery form
+    spark.createDataFrame(
+        [(5, "x", 0), (7, "x", 0)], SCHEMA
+    ).createOrReplaceTempView("kill_keys")
+    res = cat.sql(
+        spark, "DELETE FROM t WHERE k IN (SELECT k FROM kill_keys)"
+    )
+    assert res["deleted_keys"] == 2
+    assert cat.read(spark, "t").count() == 6
+    with pytest.raises(UnsupportedSQL):
+        cat.sql(spark, "DELETE FROM t WHERE k IN (SELECT k, v FROM kill_keys)")
 
 
 def test_run_dml_direct_resolver(spark, tmp_path):
