@@ -226,3 +226,66 @@ def test_predicate_parser_roundtrip_property():
         assert parsed == [(c, o, v) for c, o, v in triples]
 
     check()
+
+
+def test_merge_parser_roundtrip_property():
+    """Property: rendered MERGE statements (aliases optional, subquery
+    or view source, 1-3 ON keys, any clause combination) parse back to
+    the exact components. Pure parser — no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from java_iceberg_table_spark.table.sql_dml import _match_merge
+
+    ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+        lambda s: s.upper()
+        not in ("AS", "ON", "USING", "WHEN", "MERGE", "INTO", "AND",
+                "MATCHED", "THEN", "SELECT", "NOT")
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        name=ident, t_alias=st.one_of(st.none(), ident),
+        s_alias=ident, src_view=ident,
+        keys=st.lists(ident, min_size=1, max_size=3, unique=True),
+        use_subquery=st.booleans(),
+        with_delete=st.booleans(),
+        with_update=st.booleans(),
+        with_insert=st.booleans(),
+    )
+    def check(name, t_alias, s_alias, src_view, keys,
+              use_subquery, with_delete, with_update, with_insert):
+        if not (with_delete or with_update or with_insert):
+            with_insert = True
+        ta = t_alias or name
+        src = (
+            f"(SELECT k, coalesce(v, upper(v)) AS v FROM {src_view})"
+            if use_subquery
+            else src_view
+        )
+        on = " AND ".join(f"{ta}.{k} = {s_alias}.{k}" for k in keys)
+        whens = []
+        if with_delete:
+            whens.append(f"WHEN MATCHED AND {s_alias}.flag = 1 THEN DELETE")
+        if with_update:
+            whens.append("WHEN MATCHED THEN UPDATE SET *")
+        if with_insert:
+            whens.append("WHEN NOT MATCHED THEN INSERT *")
+        alias_sql = f" AS {t_alias}" if t_alias else ""
+        sql = (
+            f"MERGE INTO {name}{alias_sql} USING {src} AS {s_alias} "
+            f"ON {on} " + " ".join(whens)
+        )
+        got = _match_merge(sql)
+        assert got is not None, sql
+        g_name, g_talias, g_src, g_salias, g_on, g_whens = got
+        assert g_name == name
+        assert (g_talias or None) == t_alias
+        assert g_src == src
+        assert g_salias == s_alias
+        assert [p.strip() for p in g_on.split(" AND ")] == [
+            f"{ta}.{k} = {s_alias}.{k}" for k in keys
+        ]
+        assert g_whens.count("WHEN") == len(whens)
+
+    check()
