@@ -2038,7 +2038,19 @@ def a4k_engine_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "write.sort.order": "doc_id",
             },
         )
-        tbl.append(docs.repartition(8))
+        # width clamp around the append: the token-bloom build's
+        # distinct-token groupBys shuffle corpus tokens, and a plain
+        # 200-partition driver session pays 3 near-empty 200-task
+        # stages for this fixture-scale table
+        prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+            tbl.append(docs.repartition(8))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         got, info = tbl.scan_token_search(spark, ["blk7"])
         row = got.agg(
             F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("sum_id")
