@@ -55,15 +55,24 @@ class CatalogState:
     # table name -> pinned snapshot id (absent = pinned to empty:
     # the table existed at this version but had no committed data)
     pins: dict[str, int | None] = field(default_factory=dict)
+    # view name -> {"sql": <SELECT text>, "created_version": int}
+    # (Iceberg view spec shape: views are versioned catalog objects;
+    # a view's definition history IS the catalog version log, so
+    # state_at(v) reads the definition current at v)
+    views: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return {"version": self.version, "pins": self.pins}
+        out = {"version": self.version, "pins": self.pins}
+        if self.views:
+            out["views"] = self.views
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "CatalogState":
         return CatalogState(
             version=int(d["version"]),
             pins={k: v for k, v in dict(d.get("pins", {})).items()},
+            views={k: dict(v) for k, v in dict(d.get("views", {})).items()},
         )
 
 
@@ -189,7 +198,10 @@ class Catalog:
             pins = {k: v for k, v in cur.pins.items() if k != name}
             try:
                 _cat_try_commit(
-                    self.root, CatalogState(version=cur.version + 1, pins=pins)
+                    self.root,
+                    CatalogState(
+                        version=cur.version + 1, pins=pins, views=cur.views
+                    ),
                 )
                 break
             except fmt.CommitConflict:
@@ -315,6 +327,106 @@ class Catalog:
             )
         return st
 
+    # ---------- views (Iceberg view spec shape) ----------
+
+    def create_view(
+        self, name: str, sql: str, replace: bool = False
+    ) -> CatalogState:
+        """Register a named SQL view as a VERSIONED catalog object
+        (Iceberg view spec): the definition commits as one catalog
+        version, so ``state_at(v)`` reads the definition current at v
+        and ``read_view(state=...)`` evaluates it against that state's
+        PINS — a view result is reproducible for any catalog version.
+        The SQL may reference catalog tables and previously created
+        views (no cycles; resolution is create-order)."""
+        head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH"):
+            raise ValueError("view SQL must be a SELECT/WITH statement")
+        for attempt in range(1000):
+            cur = self.state()
+            if name in cur.pins:
+                raise ValueError(f"{name!r} is a table")
+            if name in cur.views and not replace:
+                raise ValueError(
+                    f"view {name!r} already exists (pass replace=True)"
+                )
+            views = dict(cur.views)
+            views[name] = {"sql": sql, "created_version": cur.version + 1}
+            new = CatalogState(
+                version=cur.version + 1, pins=cur.pins, views=views
+            )
+            try:
+                _cat_try_commit(self.root, new)
+                return new
+            except fmt.CommitConflict:
+                if attempt == 999:
+                    raise
+                time.sleep(min(0.001 * (2 ** min(attempt, 6)), 0.1))
+        raise fmt.CommitConflict("catalog retries exhausted")
+
+    def drop_view(self, name: str) -> None:
+        for attempt in range(1000):
+            cur = self.state()
+            if name not in cur.views:
+                raise KeyError(f"no such view {name!r}")
+            views = {k: v for k, v in cur.views.items() if k != name}
+            try:
+                _cat_try_commit(
+                    self.root,
+                    CatalogState(
+                        version=cur.version + 1, pins=cur.pins, views=views
+                    ),
+                )
+                return
+            except fmt.CommitConflict:
+                if attempt == 999:
+                    raise
+                time.sleep(min(0.001 * (2 ** min(attempt, 6)), 0.1))
+
+    def list_views(self) -> list[str]:
+        return sorted(self.state().views)
+
+    def read_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        state: CatalogState | None = None,
+    ) -> DataFrame:
+        """Evaluate a catalog view against ONE catalog state: tables
+        resolve to that state's pinned snapshots and other views to
+        that state's definitions, so the result is the
+        cross-table-consistent answer as of that version — catalog
+        time travel works for views exactly as for tables."""
+        st = state or self.state()
+        if name not in st.views:
+            raise KeyError(f"no such view {name!r}")
+        self.register_views(spark, state=st)
+        # materialize views to a dependency fixpoint: creation order
+        # resolves the common case (a view references only earlier
+        # views); the retry pass covers definitions replaced AFTER a
+        # dependent was created. A genuinely unresolvable definition
+        # (dropped table, cycle via replace) raises with the names.
+        pending = sorted(
+            st.views.items(), key=lambda kv: kv[1].get("created_version", 0)
+        )
+        last_err = None
+        for _ in range(len(pending)):
+            rest = []
+            for vname, spec in pending:
+                try:
+                    spark.sql(spec["sql"]).createOrReplaceTempView(vname)
+                except Exception as ex:  # unresolved dependency: retry
+                    last_err = ex
+                    rest.append((vname, spec))
+            pending = rest
+            if not pending:
+                break
+        if pending:
+            raise ValueError(
+                f"unresolvable view definitions {[v for v, _ in pending]}"
+            ) from last_err
+        return spark.table(name)
+
     def sql(self, spark: SparkSession, statement: str) -> dict:
         """Route a DML statement (DELETE / UPDATE / MERGE INTO, the
         grammar in ``sql_dml``) onto this catalog's tables, then
@@ -357,7 +469,9 @@ class Catalog:
                     )
                 else:
                     pins[name] = sid
-            new = CatalogState(version=cur.version + 1, pins=pins)
+            new = CatalogState(
+                version=cur.version + 1, pins=pins, views=cur.views
+            )
             try:
                 _cat_try_commit(self.root, new)
                 return new

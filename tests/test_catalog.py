@@ -494,3 +494,42 @@ def test_fanout_sink_survives_rollback_then_crash(spark, cat, tmp_path):
     st = cat.state()
     assert cat.read(spark, "ok3", state=st).count() == 3
     assert Table(cat._table_root("ok3")).scan(spark).count() == 3
+
+
+def test_catalog_views_versioned(spark, cat):
+    """Iceberg-view-spec shape: views are versioned catalog objects;
+    read_view(state=...) evaluates the definition AND the table pins
+    of that state, so a view answer is reproducible per version."""
+    cat.create_table("t", SCHEMA)
+    cat.transaction().append("t", rows(spark, 0, 10, "a")).commit(spark)
+    st1 = cat.create_view(
+        "v_sum", "SELECT COUNT(*) AS n, SUM(k) AS s FROM t"
+    )
+    assert cat.list_views() == ["v_sum"]
+    r = cat.read_view(spark, "v_sum").collect()[0]
+    assert (r["n"], r["s"]) == (10, 45)
+    # views compose: a later view over an earlier one
+    cat.create_view("v_double", "SELECT n * 2 AS n2 FROM v_sum")
+    assert cat.read_view(spark, "v_double").collect()[0]["n2"] == 20
+    # new data + new publish: the LIVE view moves, the pinned one doesn't
+    cat.transaction().append("t", rows(spark, 100, 5, "b")).commit(spark)
+    assert cat.read_view(spark, "v_sum").collect()[0]["n"] == 15
+    assert cat.read_view(spark, "v_sum", state=st1).collect()[0]["n"] == 10
+    # replace changes the definition in one commit; history survives
+    cat.create_view("v_sum", "SELECT COUNT(*) AS n, MIN(k) AS s FROM t",
+                    replace=True)
+    r2 = cat.read_view(spark, "v_sum").collect()[0]
+    assert (r2["n"], r2["s"]) == (15, 0)
+    old = cat.state_at(st1.version)
+    assert cat.read_view(spark, "v_sum", state=old).collect()[0]["s"] == 45
+    # guards
+    with pytest.raises(ValueError):
+        cat.create_view("v_sum", "SELECT 1 AS one")  # exists, no replace
+    with pytest.raises(ValueError):
+        cat.create_view("t", "SELECT 1 AS one")  # name is a table
+    with pytest.raises(ValueError):
+        cat.create_view("v_bad", "DELETE FROM t WHERE k = 1")  # not a SELECT
+    cat.drop_view("v_double")
+    assert cat.list_views() == ["v_sum"]
+    with pytest.raises(KeyError):
+        cat.read_view(spark, "v_double")
