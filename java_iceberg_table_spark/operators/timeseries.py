@@ -97,3 +97,45 @@ def time_bucket_gapfill(
         prev_v.alias("locf_value"),
         lin.alias("lin_value"),
     )
+
+
+def counter_delta(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    counter_col: str,
+) -> DataFrame:
+    """Monotonic-counter deltas with RESET detection (the Prometheus
+    ``increase``/``rate`` contract): a counter that goes DOWN was
+    reset (process restart), so the increase since the previous sample
+    is the new value itself, not a negative difference. One window
+    per series ordered by time — the same single-exchange shape as the
+    gap-fill windows; nothing is collected.
+
+    Returns (series, ts, value, delta, rate_per_sec, was_reset):
+    ``delta`` is NULL on each series' first sample (no baseline),
+    ``rate_per_sec`` divides by the elapsed seconds to the previous
+    sample (NULL when elapsed is zero)."""
+    w = Window.partitionBy("series").orderBy("ts")
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        F.col(counter_col).cast("double").alias("value"),
+    )
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    reset = F.col("value") < prev_v
+    delta = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(reset, F.col("value"))
+        .otherwise(F.col("value") - prev_v)
+    )
+    elapsed = F.col("ts").cast("double") - prev_t.cast("double")
+    return base.select(
+        "series",
+        "ts",
+        "value",
+        delta.alias("delta"),
+        F.when(elapsed > 0, delta / elapsed).alias("rate_per_sec"),
+        F.coalesce(reset, F.lit(False)).alias("was_reset"),
+    )

@@ -678,3 +678,34 @@ def test_time_bucket_gapfill_semantics(spark):
     assert b4["locf_value"] == 7.0 and b4["lin_value"] == 7.0  # prev-edge
     obs = out[("a", "2024-01-01")]
     assert obs["avg_value"] == obs["locf_value"] == obs["lin_value"] == 10.0
+
+
+def test_counter_delta_reset_semantics(spark):
+    """Counter deltas: first sample NULL, monotone increases subtract,
+    a drop is a reset (delta = new value), rates divide by elapsed."""
+    from datetime import datetime
+
+    from java_iceberg_table_spark.operators.timeseries import counter_delta
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 100.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 10), 160.0),   # +60 over 10 s
+        ("a", datetime(2024, 1, 1, 0, 0, 20), 5.0),     # reset -> 5
+        ("a", datetime(2024, 1, 1, 0, 0, 30), 25.0),    # +20
+        ("b", datetime(2024, 1, 1, 0, 0, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, c double")
+    got = {
+        (r["series"], str(r["ts"])): r
+        for r in counter_delta(df, "s", "ts", "c").collect()
+    }
+    a0 = got[("a", "2024-01-01 00:00:00")]
+    assert a0["delta"] is None and a0["rate_per_sec"] is None
+    a1 = got[("a", "2024-01-01 00:00:10")]
+    assert a1["delta"] == 60.0 and abs(a1["rate_per_sec"] - 6.0) < 1e-9
+    a2 = got[("a", "2024-01-01 00:00:20")]
+    assert a2["was_reset"] and a2["delta"] == 5.0
+    a3 = got[("a", "2024-01-01 00:00:30")]
+    assert not a3["was_reset"] and a3["delta"] == 20.0
+    b0 = got[("b", "2024-01-01 00:00:00")]
+    assert b0["delta"] is None and not b0["was_reset"]
