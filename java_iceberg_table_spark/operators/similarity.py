@@ -472,11 +472,27 @@ def pq_build(
     Returns ``(codes_df, codebooks)``: codes_df = (id, vec, code:
     array<int> ordered by subspace) over normalized vectors, codebooks
     = [sub][code] -> centroid list."""
-    spark = corpus.sparkSession
     v = _as_double(corpus, id_col, vec_col)
     v = v.select(
         "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
-    ).persist()
+    )
+    return _pq_fit(v, m, n_codes, iters, seed)
+
+
+def _pq_fit(
+    v: DataFrame,
+    m: int,
+    n_codes: int,
+    iters: int,
+    seed: int,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """PQ training core over an ALREADY-PREPPED (id, vec) frame — no
+    normalization here, so callers choose the geometry: pq_build feeds
+    unit vectors, the residual IVF-PQ path feeds cell residuals
+    (which must NOT be re-normalized — their magnitude IS the
+    information PQ encodes)."""
+    spark = v.sparkSession
+    v = v.persist()
     first = v.select(F.size("vec").alias("d")).head()
     dim = int(first["d"]) if first else 0
     if dim == 0 or dim % m != 0:
@@ -664,6 +680,7 @@ def ivfpq_build(
     kmeans_iters: int = 2,
     pq_iters: int = 3,
     seed: int = 42,
+    residual: bool = False,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """IVF-PQ index (FAISS IVFPQ; Jégou/Douze/Schmid 2011 §IV): the
     composition that survives 100 TB. IVF alone still stores full
@@ -682,12 +699,39 @@ def ivfpq_build(
     written partitioned by cluster so a probe reads nprobe/n_centroids
     of the files (the same layout contract as ivf_index).
 
+    With ``residual=True`` the PQ codebooks train on CELL RESIDUALS
+    (vec − its cell centroid) instead of the raw vectors — the actual
+    FAISS IVFPQ/IVFADC construction (Jégou 2011 §IV): residuals have
+    far smaller variance than vectors, so the same m×n_codes code
+    budget quantizes them with less error, and the ADC distance
+    ||q−x||² ≈ ||(q−c) − r(x)||² holds per probed cell. Residuals are
+    NOT normalized — their magnitude is the information.
+
     Returns (index_df, centroids, codebooks)."""
     v, cents = _ivf_fit(corpus, id_col, vec_col, n_centroids, kmeans_iters, seed)
+    assigned_full = _assign_literal(v, cents, top=1)
+    if residual:
+        spark = corpus.sparkSession
+        cents_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cluster int, cvec array<double>",
+            )
+        )
+        res = assigned_full.join(cents_df, "cluster").select(
+            "id", F.zip_with("vec", "cvec", lambda x, y: x - y).alias("vec")
+        )
+        codes_df, books = _pq_fit(res, m, n_codes, pq_iters, seed)
+        index_df = (
+            codes_df.select("id", "code")
+            .join(assigned_full, "id")
+            .select("id", "vec", "cluster", "code")
+        )
+        return index_df, cents, books
     codes_df, books = pq_build(
         corpus, id_col, vec_col, m=m, n_codes=n_codes, iters=pq_iters, seed=seed
     )
-    assigned = _assign_literal(v, cents, top=1).select("id", "cluster")
+    assigned = assigned_full.select("id", "cluster")
     index_df = codes_df.join(assigned, "id").select("id", "vec", "cluster", "code")
     return index_df, cents, books
 
@@ -703,17 +747,21 @@ def ivfpq_topk(
     nprobe: int = 4,
     rerank: int = 4,
     round_to: int | None = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over an ivfpq_build index: queries
     probe their nprobe nearest cells, the ADC scan scores ONLY the
     probed cells' codes (sum of m table lookups), the best rerank*k
     candidates per query re-rank by exact cosine. Returns (query_id,
     neighbor_id, sim, rank), self excluded — the h8-family contract.
+    ``residual`` must match the build: residual indexes get PER-CELL
+    distance tables over the query's cell residual (q − c), the IVFADC
+    lookup — |queries| x nprobe x m x n_codes rows, still broadcast.
 
     Plan shape: the probe set (|queries| x nprobe rows) and the
-    per-query distance tables (|queries| x m x n_codes rows) both
-    broadcast; the inverted file never shuffles on anything but its
-    own cluster key — no cartesian anywhere, gated in test_plans."""
+    per-query distance tables both broadcast; the inverted file never
+    shuffles on anything but its own cluster key — no cartesian
+    anywhere, gated in test_plans."""
     spark = index_df.sparkSession
     m = len(books)
     sub_d = len(books[0][0])
@@ -722,30 +770,57 @@ def ivfpq_topk(
         F.col("id").alias("query_id"),
         F.transform("vec", lambda x: x / norm_expr("vec")).alias("qvec"),
     )
-    probes = _assign_literal(
+    probes_full = _assign_literal(
         qv.select(F.col("query_id").alias("id"), F.col("qvec").alias("vec")),
         cents,
         top=nprobe,
-    ).select(F.col("id").alias("query_id"), "cluster")
+    )
+    probes = probes_full.select(F.col("id").alias("query_id"), "cluster")
     cb = F.broadcast(
         spark.createDataFrame(
             [(s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))],
             "sub int, code int, cvec array<double>",
         )
     )
-    qsubs = qv.select(
-        "query_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"s -> slice(qvec, s * {sub_d} + 1, {sub_d}))"
+    if residual:
+        # IVFADC: the lookup vector is the query's residual IN EACH
+        # probed cell, so tables key by (query, cluster, sub, code)
+        cents_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cluster int, cvec_cell array<double>",
             )
-        ).alias("sub", "qsvec"),
-    )
+        )
+        qres = probes_full.join(cents_df, "cluster").select(
+            F.col("id").alias("query_id"),
+            "cluster",
+            F.zip_with("vec", "cvec_cell", lambda x, y: x - y).alias("qrvec"),
+        )
+        qsubs = qres.select(
+            "query_id",
+            "cluster",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), "
+                    f"s -> slice(qrvec, s * {sub_d} + 1, {sub_d}))"
+                )
+            ).alias("sub", "qsvec"),
+        )
+        dt_keys = ["query_id", "cluster", "sub", "code"]
+    else:
+        qsubs = qv.select(
+            "query_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), "
+                    f"s -> slice(qvec, s * {sub_d} + 1, {sub_d}))"
+                )
+            ).alias("sub", "qsvec"),
+        )
+        dt_keys = ["query_id", "sub", "code"]
     dt = F.broadcast(
         qsubs.join(cb, "sub").select(
-            "query_id",
-            "sub",
+            *[c for c in dt_keys if c != "code"],
             "code",
             F.aggregate(
                 F.zip_with("qsvec", "cvec", lambda x, y: (x - y) * (x - y)),
@@ -759,11 +834,18 @@ def ivfpq_topk(
         F.broadcast(probes)
         .join(index_df, "cluster")
         .filter(F.col("query_id") != F.col("id"))
-        .select("query_id", F.col("id").alias("neighbor_id"), "code")
+        .select(
+            "query_id", "cluster", F.col("id").alias("neighbor_id"), "code"
+        )
     )
     scored = (
-        cand.select("query_id", "neighbor_id", F.posexplode("code").alias("sub", "code"))
-        .join(dt, ["query_id", "sub", "code"])
+        cand.select(
+            "query_id",
+            "cluster",
+            "neighbor_id",
+            F.posexplode("code").alias("sub", "code"),
+        )
+        .join(dt, dt_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
