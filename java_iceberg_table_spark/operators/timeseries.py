@@ -34,15 +34,22 @@ def time_bucket_gapfill(
     - ``lin_value``  — linear interpolation between the neighboring
       observed buckets (edges fall back to the one existing side).
 
-    Returns (series, bucket_ts: date, n_events, avg_value, locf_value,
-    lin_value). Only ``day`` buckets for now — the bucket arithmetic
-    (datediff) is what the interpolation weights need, and days keep
-    it exact."""
-    if bucket != "day":
-        raise ValueError("only day buckets supported (v1)")
+    Returns (series, bucket_ts, n_events, avg_value, locf_value,
+    lin_value); bucket_ts is a date for ``day`` buckets, a timestamp
+    for ``hour``. Buckets must be UNIFORM so interpolation weights are
+    exact integer step counts (day: datediff; hour: epoch/3600) —
+    month buckets are non-uniform and deliberately unsupported."""
+    if bucket == "day":
+        bucket_expr = F.to_date(ts_col)
+        step = F.expr("interval 1 day")
+    elif bucket == "hour":
+        bucket_expr = F.date_trunc("hour", F.col(ts_col))
+        step = F.expr("interval 1 hour")
+    else:
+        raise ValueError(f"unsupported bucket {bucket!r} (day | hour)")
     base = df.select(
         F.col(series_col).alias("series"),
-        F.to_date(ts_col).alias("bucket_ts"),
+        bucket_expr.alias("bucket_ts"),
         F.col(value_col).cast("double").alias("v"),
     )
     observed = base.groupBy("series", "bucket_ts").agg(
@@ -61,7 +68,7 @@ def time_bucket_gapfill(
         .select(
             "series",
             F.explode(
-                F.sequence("lo", "hi", F.expr("interval 1 day"))
+                F.sequence("lo", "hi", step)
             ).alias("bucket_ts"),
         )
     )
@@ -81,8 +88,17 @@ def time_bucket_gapfill(
     prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
     next_v = F.first("avg_value", ignorenulls=True).over(w_fwd)
     next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
-    span_days = F.datediff(next_d, prev_d)
-    frac = F.datediff(F.col("bucket_ts"), prev_d) / span_days
+    if bucket == "day":
+        steps_between = F.datediff(next_d, prev_d)
+        steps_from_prev = F.datediff(F.col("bucket_ts"), prev_d)
+    else:  # hour: uniform 3600-second steps in epoch seconds
+        steps_between = (
+            next_d.cast("double") - prev_d.cast("double")
+        ) / 3600.0
+        steps_from_prev = (
+            F.col("bucket_ts").cast("double") - prev_d.cast("double")
+        ) / 3600.0
+    frac = steps_from_prev / steps_between
     lin = (
         F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
         .when(prev_v.isNull(), next_v)

@@ -763,3 +763,30 @@ def test_ivfpq_residual_encoding(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+def test_time_bucket_gapfill_hourly(spark):
+    """Hour buckets: same fill semantics with timestamp buckets and
+    3600-second interpolation steps."""
+    from datetime import datetime
+
+    from java_iceberg_table_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 50), 40.0),  # gaps at 01:00, 02:00
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, v double")
+    out = {
+        str(r["bucket_ts"]): r
+        for r in time_bucket_gapfill(df, "s", "ts", "v", bucket="hour").collect()
+    }
+    assert len(out) == 4
+    assert abs(out["2024-01-01 01:00:00"]["lin_value"] - 20.0) < 1e-9
+    assert abs(out["2024-01-01 02:00:00"]["lin_value"] - 30.0) < 1e-9
+    assert out["2024-01-01 02:00:00"]["locf_value"] == 10.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        time_bucket_gapfill(df, "s", "ts", "v", bucket="month")
