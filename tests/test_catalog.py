@@ -533,3 +533,40 @@ def test_catalog_views_versioned(spark, cat):
     assert cat.list_views() == ["v_sum"]
     with pytest.raises(KeyError):
         cat.read_view(spark, "v_double")
+
+
+def test_view_commits_race_pin_publishes(spark, cat):
+    """Views and pins share the catalog CAS: concurrent create_view
+    calls and pin publishes must all land (retry loops), with no lost
+    update in either map."""
+    cat.create_table("t", SCHEMA)
+    t = cat.table("t")
+    t.append(rows(spark, 0, 10))
+    snap = t.metadata.current_snapshot_id
+    errs = []
+
+    def mk_view(i):
+        try:
+            cat.create_view(f"v{i}", f"SELECT COUNT(*) + {i} AS n FROM t")
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def publish(i):
+        try:
+            cat._commit_pins({"t": snap})
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=mk_view, args=(i,)) for i in range(6)
+    ] + [threading.Thread(target=publish, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    st = cat.state()
+    assert sorted(st.views) == [f"v{i}" for i in range(6)]
+    assert st.pins["t"] == snap
+    # and every view evaluates against the final state
+    assert cat.read_view(spark, "v3").collect()[0]["n"] == 13
