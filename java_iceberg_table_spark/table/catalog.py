@@ -318,14 +318,45 @@ class Catalog:
         """Register every catalog table as a temp view pinned to ONE
         catalog state, so plain ``spark.sql`` joins across them read a
         cross-table-consistent snapshot — the SQL face of the
-        transactional catalog. Returns the state used; re-register to
-        move the SQL view of the world forward."""
+        transactional catalog. Catalog VIEWS materialize too (their
+        definitions reference unprefixed names, so they are skipped
+        when a ``prefix`` is given). Returns the state used;
+        re-register to move the SQL view of the world forward."""
         st = state or self.state()
         for name in st.pins:
             self.read(spark, name, state=st).createOrReplaceTempView(
                 f"{prefix}{name}"
             )
+        if st.views and not prefix:
+            self._materialize_views(spark, st)
         return st
+
+    def _materialize_views(self, spark: SparkSession, st: CatalogState) -> None:
+        """Materialize view definitions to a dependency fixpoint:
+        creation order resolves the common case (a view references
+        only earlier views); the retry pass covers definitions
+        replaced AFTER a dependent was created. A genuinely
+        unresolvable definition (dropped table, cycle via replace)
+        raises with the names."""
+        pending = sorted(
+            st.views.items(), key=lambda kv: kv[1].get("created_version", 0)
+        )
+        last_err = None
+        for _ in range(len(pending)):
+            rest = []
+            for vname, spec in pending:
+                try:
+                    spark.sql(spec["sql"]).createOrReplaceTempView(vname)
+                except Exception as ex:  # unresolved dependency: retry
+                    last_err = ex
+                    rest.append((vname, spec))
+            pending = rest
+            if not pending:
+                break
+        if pending:
+            raise ValueError(
+                f"unresolvable view definitions {[v for v, _ in pending]}"
+            ) from last_err
 
     # ---------- views (Iceberg view spec shape) ----------
 
@@ -400,31 +431,7 @@ class Catalog:
         st = state or self.state()
         if name not in st.views:
             raise KeyError(f"no such view {name!r}")
-        self.register_views(spark, state=st)
-        # materialize views to a dependency fixpoint: creation order
-        # resolves the common case (a view references only earlier
-        # views); the retry pass covers definitions replaced AFTER a
-        # dependent was created. A genuinely unresolvable definition
-        # (dropped table, cycle via replace) raises with the names.
-        pending = sorted(
-            st.views.items(), key=lambda kv: kv[1].get("created_version", 0)
-        )
-        last_err = None
-        for _ in range(len(pending)):
-            rest = []
-            for vname, spec in pending:
-                try:
-                    spark.sql(spec["sql"]).createOrReplaceTempView(vname)
-                except Exception as ex:  # unresolved dependency: retry
-                    last_err = ex
-                    rest.append((vname, spec))
-            pending = rest
-            if not pending:
-                break
-        if pending:
-            raise ValueError(
-                f"unresolvable view definitions {[v for v, _ in pending]}"
-            ) from last_err
+        self.register_views(spark, state=st)  # tables + view fixpoint
         return spark.table(name)
 
     def sql(self, spark: SparkSession, statement: str) -> dict:

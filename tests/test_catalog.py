@@ -570,3 +570,19 @@ def test_view_commits_race_pin_publishes(spark, cat):
     assert st.pins["t"] == snap
     # and every view evaluates against the final state
     assert cat.read_view(spark, "v3").collect()[0]["n"] == 13
+
+
+def test_views_visible_through_plain_sql(spark, cat):
+    """register_views materializes catalog views too: plain spark.sql
+    can join a view with a table; prefixed registration skips views
+    (their SQL references unprefixed names)."""
+    cat.create_table("t", SCHEMA)
+    cat.transaction().append("t", rows(spark, 0, 8, "a")).commit(spark)
+    cat.create_view("v_top", "SELECT k FROM t WHERE k >= 6")
+    cat.register_views(spark)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM t JOIN v_top USING (k)"
+    ).collect()[0]["n"]
+    assert got == 2
+    cat.register_views(spark, prefix="p_")  # must not raise on views
+    assert spark.table("p_t").count() == 8
