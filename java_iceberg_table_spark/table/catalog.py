@@ -451,7 +451,7 @@ class Catalog:
             touched[name] = t
             return t
 
-        res = run_dml(spark, statement, resolve)
+        res = run_dml(spark, statement, resolve, catalog=self)
         pins = {
             name: Table(t.root).metadata.current_snapshot_id
             for name, t in touched.items()

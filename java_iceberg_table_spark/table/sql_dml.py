@@ -12,6 +12,8 @@ an existing engine operation, and anything else raises
   DELETE FROM t WHERE col <op> literal [AND ...]
   DELETE FROM t WHERE col IN (<subquery> | literal[, ...])   -- MOR eq-delete
   UPDATE t SET col = <sql expr> [, ...] WHERE col <op> literal [AND ...]
+  CREATE [OR REPLACE] VIEW v AS <select>    -- catalog view (versioned)
+  DROP VIEW v
   MERGE INTO t [AS a] USING (<view name> | (<subquery>)) [AS b]
     ON a.k = b.k [AND a.k2 = b.k2]
     [WHEN MATCHED AND <cond> THEN DELETE]
@@ -190,6 +192,11 @@ _DELETE_IN = re.compile(
 _UPDATE = re.compile(
     r"^UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", re.I | re.S
 )
+_CREATE_VIEW = re.compile(
+    r"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+)$",
+    re.I | re.S,
+)
+_DROP_VIEW = re.compile(r"^DROP\s+VIEW\s+([A-Za-z_]\w*)$", re.I)
 _MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
     re.I | re.S,
@@ -248,12 +255,38 @@ def run_dml(
     spark: SparkSession,
     statement: str,
     resolve,
+    catalog=None,
 ) -> dict:
     """Parse + execute one DML statement. ``resolve(name) -> Table``
     maps statement table names onto engine tables (the Catalog passes
-    its own lookup). Returns the underlying operation's stats dict,
-    plus ``{"statement": <kind>}``."""
+    its own lookup). ``catalog`` (a Catalog) enables the view DDL
+    statements (CREATE [OR REPLACE] VIEW / DROP VIEW), which are
+    catalog-level objects. Returns the underlying operation's stats
+    dict, plus ``{"statement": <kind>}``."""
     sql = _strip(statement).rstrip(";").strip()
+
+    m = _CREATE_VIEW.match(sql)
+    if m:
+        if catalog is None:
+            raise UnsupportedSQL(
+                "CREATE VIEW needs a catalog (views are catalog objects)"
+            )
+        replace, name, body = m.groups()
+        st = catalog.create_view(name, body.strip(), replace=bool(replace))
+        return {
+            "statement": "create_view",
+            "view": name,
+            "catalog_version": st.version,
+        }
+
+    m = _DROP_VIEW.match(sql)
+    if m:
+        if catalog is None:
+            raise UnsupportedSQL(
+                "DROP VIEW needs a catalog (views are catalog objects)"
+            )
+        catalog.drop_view(m.group(1))
+        return {"statement": "drop_view", "view": m.group(1)}
 
     m = _DELETE_IN.match(sql)
     if m:
@@ -395,7 +428,7 @@ def run_dml(
         return {"statement": "merge", **res}
 
     head = sql.split(None, 1)[0].upper() if sql else ""
-    if head in ("DELETE", "UPDATE", "MERGE"):
+    if head in ("DELETE", "UPDATE", "MERGE", "CREATE", "DROP"):
         raise UnsupportedSQL(
             f"statement shape not recognized for {head}: {sql[:80]!r}"
         )

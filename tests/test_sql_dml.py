@@ -289,3 +289,23 @@ def test_merge_parser_roundtrip_property():
         assert g_whens.count("WHEN") == len(whens)
 
     check()
+
+
+def test_view_ddl_statements(spark, cat):
+    """CREATE [OR REPLACE] VIEW / DROP VIEW route to catalog views."""
+    res = cat.sql(spark, "CREATE VIEW big AS SELECT k FROM t WHERE k >= 8")
+    assert res["statement"] == "create_view"
+    cat.register_views(spark)
+    assert spark.table("big").count() == 2
+    with pytest.raises(ValueError):
+        cat.sql(spark, "CREATE VIEW big AS SELECT 1 AS one")
+    res = cat.sql(
+        spark, "CREATE OR REPLACE VIEW big AS SELECT k FROM t WHERE k >= 5"
+    )
+    cat.register_views(spark)
+    assert spark.table("big").count() == 5
+    assert cat.sql(spark, "DROP VIEW big")["statement"] == "drop_view"
+    assert cat.list_views() == []
+    # bare resolver (no catalog) refuses view DDL
+    with pytest.raises(UnsupportedSQL):
+        run_dml(spark, "CREATE VIEW x AS SELECT 1 AS one", lambda _: None)
