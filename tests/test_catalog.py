@@ -586,3 +586,69 @@ def test_views_visible_through_plain_sql(spark, cat):
     assert got == 2
     cat.register_views(spark, prefix="p_")  # must not raise on views
     assert spark.table("p_t").count() == 8
+
+
+def test_fanout_sink_random_crash_schedules(spark, cat, tmp_path):
+    """Adversarial replay schedules for the round-8 fanout logic: for
+    each batch a seeded scenario — clean apply / half-applied crash /
+    publish-skipped crash / external rollback — always followed by a
+    full replay (at-least-once). Exactly-once must hold: final table
+    contents equal the union of each batch applied once, and the
+    catalog view equals the table heads."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import catalog_fanout_sink
+    from java_iceberg_table_spark.table import Table
+
+    ev_schema = "k long, flag long"
+    cat.create_table("even", spark.createDataFrame([], ev_schema).schema)
+    cat.create_table("odd", spark.createDataFrame([], ev_schema).schema)
+    routes = [
+        ("even", lambda d: d.filter(F.col("flag") == 0)),
+        ("odd", lambda d: d.filter(F.col("flag") == 1)),
+    ]
+    sink = catalog_fanout_sink(cat.root, routes, stream_id="chaos")
+    rng = random.Random(1234)
+    expected_even, expected_odd = set(), set()
+    for b in range(12):
+        rows_b = [(b * 100 + i, (b * 100 + i) % 2) for i in range(6)]
+        expected_even |= {k for k, f in rows_b if f == 0}
+        expected_odd |= {k for k, f in rows_b if f == 1}
+        batch = spark.createDataFrame(rows_b, ev_schema)
+        scenario = rng.choice(["clean", "half", "no_publish", "rollback"])
+        if scenario == "half":
+            # one table committed by a crashed attempt, no publish
+            name, flt = routes[rng.randrange(2)]
+            Table(cat._table_root(name)).append(
+                flt(batch),
+                extra_summary={"fo-batch-id": b, "fo-stream-id": "chaos"},
+            )
+        elif scenario == "no_publish":
+            for name, flt in routes:
+                Table(cat._table_root(name)).append(
+                    flt(batch),
+                    extra_summary={"fo-batch-id": b, "fo-stream-id": "chaos"},
+                )
+        elif scenario == "rollback":
+            # crashed attempt applied then got rolled back externally
+            name, flt = routes[rng.randrange(2)]
+            t = Table(cat._table_root(name))
+            snap = t.append(
+                flt(batch),
+                extra_summary={"fo-batch-id": b, "fo-stream-id": "chaos"},
+            )
+            if snap.parent_id is not None:
+                t.rollback_to(snap.parent_id)
+            # (a first-ever snapshot can't roll back to 'empty';
+            # the un-rolled-back form is the 'half' scenario)
+        sink(batch, b)   # the replay that must repair everything
+        if rng.random() < 0.4:
+            sink(batch, b)  # occasional double replay
+    st = cat.state()
+    got_even = {r["k"] for r in cat.read(spark, "even", state=st).collect()}
+    got_odd = {r["k"] for r in cat.read(spark, "odd", state=st).collect()}
+    assert got_even == expected_even
+    assert got_odd == expected_odd
+    # catalog view == table heads (nothing half-landed anywhere)
+    assert Table(cat._table_root("even")).scan(spark).count() == len(expected_even)
+    assert Table(cat._table_root("odd")).scan(spark).count() == len(expected_odd)
