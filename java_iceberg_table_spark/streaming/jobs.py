@@ -799,19 +799,39 @@ def ingest_dedup_sink(
 
     from ..table import load_table as _open
 
+    def _lineage(md) -> set:
+        by_id = {s.snapshot_id: s for s in md.snapshots}
+        anc: set = set()
+        cur = md.current_snapshot_id
+        while cur is not None and cur in by_id and cur not in anc:
+            anc.add(cur)
+            cur = by_id[cur].parent_id
+        return anc
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ct, lt = _open(curated_root), _open(log_root)
         applied = -1
         partial_cur = None
+        # LIVE-lineage only (same discipline as catalog_fanout_sink): a
+        # watermark commit rolled past by an external repair must not
+        # count as applied — it would skip the replay and lose the
+        # batch forever; likewise a rolled-past curated marker is not a
+        # half-applied state to repair.
+        log_live = _lineage(lt.metadata)
+        cur_live = _lineage(ct.metadata)
         for s in lt.metadata.snapshots:
             if s.summary.get("idd-stream-id") != stream_id:
+                continue
+            if s.snapshot_id not in log_live:
                 continue
             b = s.summary.get("idd-batch-id")
             if b is not None:
                 applied = max(applied, int(b))
         for s in ct.metadata.snapshots:
             if s.summary.get("idd-stream-id") != stream_id:
+                continue
+            if s.snapshot_id not in cur_live:
                 continue
             if s.summary.get("idd-batch-cur") == int(batch_id):
                 partial_cur = s

@@ -1522,3 +1522,74 @@ def test_ingest_dedup_partial_crash_recovery(ds, base_dir):
         for r in open_table(cur_root).scan(spark).filter("doc_id = 5").collect()
     }
     assert fps != {"deadbeef"} and len(fps) == 1
+
+
+def test_ingest_dedup_sink_crash_schedules(spark, tmp_path):
+    """Chaos replays for the two-table ingest-dedup protocol: lost log
+    commits (crash between curated and log) and lost log+curated
+    rollbacks, each followed by replays. Exactly-once invariant:
+    curated = first-seen-wins winners, log = one verdict per loser."""
+    from java_iceberg_table_spark.streaming.jobs import ingest_dedup_sink
+    from java_iceberg_table_spark.table import create_table, load_table
+
+    schema = "doc_id long, text string"
+    cur_root = str(tmp_path / "cur")
+    log_root = str(tmp_path / "log")
+    create_table(
+        cur_root, spark.createDataFrame([], schema + ", fp string").schema
+    )
+    create_table(
+        log_root, spark.createDataFrame([], "doc_id long, kept_doc long").schema
+    )
+    fold = ingest_dedup_sink(cur_root, log_root)
+    batches = [
+        [(1, "a b c"), (2, "a b c"), (3, "x y")],      # 2 dups 1
+        [(4, "x y"), (5, "new one")],                   # 4 dups 3
+        [(6, "a b c"), (7, "q r"), (8, "q r")],         # 6 dups 1, 8 dups 7
+    ]
+    expected_cur = {1, 3, 5, 7}
+    expected_log = {(2, 1), (4, 3), (6, 1), (8, 7)}
+
+    def crash_lose_log(b):
+        lt = load_table(log_root)
+        snap = lt.metadata.current_snapshot()
+        mine = [
+            s for s in lt.metadata.snapshots
+            if s.summary.get("idd-batch-id") == b
+        ]
+        assert mine and snap.snapshot_id == mine[-1].snapshot_id
+        if snap.parent_id is not None:
+            lt.rollback_to(snap.parent_id)
+            return True
+        return False
+
+    for b, rows_b in enumerate(batches):
+        df = spark.createDataFrame(rows_b, schema)
+        fold(df, b)
+        if b == 0:
+            # crash window: log commit lost -> replay must roll curated
+            # back (idd-batch-cur marker) and refold
+            if crash_lose_log(b):
+                fold(df, b)
+        if b == 1:
+            # deeper crash: log lost AND a repair attempt rolled curated
+            # back before dying -> replay must not wedge
+            if crash_lose_log(b):
+                ct = load_table(cur_root)
+                partial = [
+                    s for s in ct.metadata.snapshots
+                    if s.summary.get("idd-batch-cur") == b
+                ][-1]
+                if ct.metadata.current_snapshot_id == partial.snapshot_id:
+                    ct.rollback_to(partial.parent_id)
+                fold(df, b)
+        fold(df, b)  # unconditional at-least-once replay
+    got_cur = {
+        r["doc_id"] for r in load_table(cur_root).scan(spark).collect()
+    }
+    got_log = {
+        (r["doc_id"], r["kept_doc"])
+        for r in load_table(log_root).scan(spark).collect()
+    }
+    assert got_cur == expected_cur
+    assert got_log == expected_log
