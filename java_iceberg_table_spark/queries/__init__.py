@@ -172,6 +172,15 @@ _REVERIFY_HEAD = [
     # h51b is never-graded and follows in the new-row section
     "h51_incremental_dedup",
 ]
+# Round-8 note: the live-lineage watermark fix (_live_lineage in
+# streaming/jobs.py) also touched i2/i21/i24's folds. i27 (canary) and
+# i2 (an r2-era regrade already in this window) drive the shared
+# helper through the driver; i21/i24 received only the same one-line
+# lineage filter at their call sites and were locally re-verified
+# against their oracles — canarying them too would push the r1/r2
+# regrade count below this round's drain target, so their driver
+# regrade is deferred one round (they stay r7-green, grade-eligible
+# by staleness rotation).
 
 
 def load_all() -> dict[str, Query]:

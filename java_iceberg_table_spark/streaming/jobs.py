@@ -157,6 +157,21 @@ def run_to_memory(
     return spark.table(name)
 
 
+def _live_lineage(md) -> set:
+    """Snapshot ids reachable from the current head — watermark /
+    crash-marker detection must count ONLY these: a commit rolled past
+    by an external repair is not applied (counting it skips the replay
+    and loses the batch — the round-8 ingest-dedup bug), and a
+    rolled-past marker is not a half-applied state to repair."""
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    anc: set = set()
+    cur = md.current_snapshot_id
+    while cur is not None and cur in by_id and cur not in anc:
+        anc.add(cur)
+        cur = by_id[cur].parent_id
+    return anc
+
+
 def foreach_batch_append(table: Table):
     """I2: exactly-once foreachBatch committer. The batch id is
     recorded in the snapshot summary; on restart-replay a batch whose
@@ -166,7 +181,10 @@ def foreach_batch_append(table: Table):
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         last = -1
         md = table.metadata
+        live = _live_lineage(md)
         for s in md.snapshots:
+            if s.snapshot_id not in live:
+                continue
             bid = s.summary.get("streaming-batch-id")
             if bid is not None:
                 last = max(last, int(bid))
@@ -570,9 +588,12 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
         vt = _open(view_root)
         applied = -1
         partial_del = None
+        live = _live_lineage(vt.metadata)
         for s in vt.metadata.snapshots:
             if s.summary.get("mv-stream-id", "default") != stream_id:
                 continue  # another logical stream's watermark
+            if s.snapshot_id not in live:
+                continue  # rolled past: neither applied nor half-applied
             bid = s.summary.get("mv-batch-id")
             if bid is not None:
                 applied = max(applied, int(bid))
@@ -679,9 +700,12 @@ def scd2_merge(
         ht = _open(hist_root)
         applied = -1
         partial_del = None
+        live = _live_lineage(ht.metadata)
         for s in ht.metadata.snapshots:
             if s.summary.get("scd-stream-id", "default") != stream_id:
                 continue
+            if s.snapshot_id not in live:
+                continue  # rolled past: neither applied nor half-applied
             bid = s.summary.get("scd-batch-id")
             if bid is not None:
                 applied = max(applied, int(bid))
@@ -799,15 +823,6 @@ def ingest_dedup_sink(
 
     from ..table import load_table as _open
 
-    def _lineage(md) -> set:
-        by_id = {s.snapshot_id: s for s in md.snapshots}
-        anc: set = set()
-        cur = md.current_snapshot_id
-        while cur is not None and cur in by_id and cur not in anc:
-            anc.add(cur)
-            cur = by_id[cur].parent_id
-        return anc
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ct, lt = _open(curated_root), _open(log_root)
@@ -818,8 +833,8 @@ def ingest_dedup_sink(
         # count as applied — it would skip the replay and lose the
         # batch forever; likewise a rolled-past curated marker is not a
         # half-applied state to repair.
-        log_live = _lineage(lt.metadata)
-        cur_live = _lineage(ct.metadata)
+        log_live = _live_lineage(lt.metadata)
+        cur_live = _live_lineage(ct.metadata)
         for s in lt.metadata.snapshots:
             if s.summary.get("idd-stream-id") != stream_id:
                 continue
