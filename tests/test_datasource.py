@@ -1593,3 +1593,53 @@ def test_ingest_dedup_sink_crash_schedules(spark, tmp_path):
     }
     assert got_cur == expected_cur
     assert got_log == expected_log
+
+
+def test_materialized_view_crash_schedules(ds, base_dir):
+    """Chaos replays for the mv fold (round 8, mirrors the dedup/fanout
+    chaos tests): per batch a seeded scenario — clean, crash between
+    the delete and append commits, external rollback onto the delete
+    commit, external rollback past BOTH commits — each followed by
+    replays. Invariant: view == recompute after every batch."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import maintained_view_merge
+
+    spark = ds
+    src_root, view_root, df = _mv_setup(spark, base_dir)
+    merge = maintained_view_merge(view_root)
+    open_table(src_root).append(df)
+    merge(df.withColumn("_change_type", F.lit("insert")), 0)
+    rng = random.Random(99)
+    for b in range(1, 9):
+        more = spark.createDataFrame(
+            [(b * 1000 + i, (b + i) % 7, float(i)) for i in range(8)],
+            "event_id long, user_id long, value double",
+        )
+        open_table(src_root).append(more)
+        cdc = more.withColumn("_change_type", F.lit("insert"))
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            # crash window: delete lands, append does not
+            open_table(view_root).delete_eq_mor(
+                spark,
+                cdc.select("user_id").dropDuplicates(),
+                ["user_id"],
+                extra_summary={"mv-batch-del": b},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            merge(cdc, b)  # fully applied...
+            vt = open_table(view_root)
+            snaps = vt.metadata.snapshots
+            head = vt.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                vt.rollback_to(head.parent_id)  # head = the delete commit
+            else:
+                by_id = {s.snapshot_id: s for s in snaps}
+                delete_snap = by_id[head.parent_id]
+                vt.rollback_to(delete_snap.parent_id)  # before both
+        merge(cdc, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            merge(cdc, b)
+        assert _mv_equals_recompute(spark, src_root, view_root), (b, scenario)
