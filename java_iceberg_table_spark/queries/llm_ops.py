@@ -31,6 +31,29 @@ from . import register
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+# Deterministic multiplicative split/sample hashes: ids are pre-reduced
+# modulo floor(sqrt(2^63-1)) so id' * 2654435761 stays inside int64 for
+# ANY id. Without the reduction, ids past ~3.5e9 wrap: Spark's long
+# arithmetic wraps silently (negative products -> signed % -> negative
+# remainders falling through WHEN chains), while DuckDB promotes to
+# HUGEINT — the two sides diverge exactly when ids get large. The
+# double-mod on the SQL side mirrors Spark's pmod for negative ids too.
+# For ids below the modulus (every test fixture) the reduction is the
+# identity, so assignments are unchanged at test scale.
+HASH_RED = 3037000499
+
+
+def safe_mult_hash(col, add: int = 0):
+    """Overflow-safe ``pmod(id, HASH_RED) * 2654435761 + add`` as a
+    Spark column; callers apply their own outer modulus."""
+    return F.pmod(F.col(col), F.lit(HASH_RED)) * F.lit(2654435761) + F.lit(add)
+
+
+def safe_mult_hash_sql(col: str, add: int = 0) -> str:
+    """DuckDB rendering of ``safe_mult_hash`` (identical values)."""
+    red = f"(({col} % {HASH_RED} + {HASH_RED}) % {HASH_RED})"
+    return f"({red} * 2654435761 + {add})"
+
 
 @register(
     "h1_exact_dedup",
@@ -1366,7 +1389,7 @@ def h29_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "h55_leakage_safe_split",
-    oracle="""
+    oracle=f"""
 WITH g AS (
   SELECT doc_id,
          MIN(doc_id) OVER (
@@ -1377,8 +1400,8 @@ WITH g AS (
 ),
 s AS (
   SELECT doc_id, canonical_id,
-         CASE WHEN (canonical_id * 2654435761) % 100 < 80 THEN 'train'
-              WHEN (canonical_id * 2654435761) % 100 < 90 THEN 'val'
+         CASE WHEN {safe_mult_hash_sql("canonical_id")} % 100 < 80 THEN 'train'
+              WHEN {safe_mult_hash_sql("canonical_id")} % 100 < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM g
 )
@@ -1416,7 +1439,7 @@ def h55_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.min("doc_id").over(Window.partitionBy(fp)).alias("canonical_id"),
     )
-    r = (F.col("canonical_id") * F.lit(2654435761)) % 100
+    r = F.pmod(safe_mult_hash("canonical_id"), F.lit(100))
     s = g.select(
         "doc_id",
         "canonical_id",
@@ -1555,10 +1578,10 @@ def h29b_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- source mixture sampling (h30) -------------------------------------
 @register(
     "h30_source_mixture_sample",
-    oracle="""
+    oracle=f"""
 WITH d AS (
   SELECT source,
-         (doc_id * 2654435761) % 1000 AS r,
+         {safe_mult_hash_sql("doc_id")} % 1000 AS r,
          CASE WHEN CAST(SUBSTR(source, 4) AS BIGINT) % 2 = 0
               THEN 750 ELSE 250 END AS w
   FROM documents)
@@ -1579,7 +1602,7 @@ def h30_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     data never resamples old rows. Even-numbered sources keep 75%,
     odd 25%."""
     docs = load_table(spark, sf_dir, "documents")
-    r = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    r = F.pmod(safe_mult_hash("doc_id"), F.lit(1000))
     w = F.when(
         F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit(750)
     ).otherwise(F.lit(250))
@@ -1801,10 +1824,10 @@ def h40_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- exact-k weighted stratified sampling (h41) ------------------------
 @register(
     "h41_weighted_sample_topk",
-    oracle="""
+    oracle=f"""
 WITH keyed AS (
   SELECT lang, doc_id,
-         ln(((doc_id * 2654435761 + 12345) % 1048576 + 1) / 1048577.0)
+         ln(({safe_mult_hash_sql("doc_id", 12345)} % 1048576 + 1) / 1048577.0)
            / n_chars AS es_key
   FROM documents WHERE n_chars > 0
 ), ranked AS (
@@ -1834,7 +1857,7 @@ def h41_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = ((F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(1048576) + 1) / F.lit(1048577.0)
+    u = (F.pmod(safe_mult_hash("doc_id", 12345), F.lit(1048576)) + 1) / F.lit(1048577.0)
     keyed = docs.select(
         "lang", "doc_id", (F.log(u) / F.col("n_chars")).alias("es_key")
     )
@@ -1945,12 +1968,12 @@ def h43_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- temperature-scaled source mixing (h44) ----------------------------
 @register(
     "h44_temperature_mixing",
-    oracle="""
+    oracle=f"""
 WITH sz AS (SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source),
 w AS (SELECT source, n, sqrt(n) / (SELECT SUM(sqrt(n)) FROM sz) AS p FROM sz),
 t AS (SELECT source, n, p, CAST(floor(p * 1000000) AS BIGINT) AS thresh FROM w)
 SELECT d.source, CAST(t.n AS BIGINT) AS n_total, t.thresh AS thresh,
-       SUM(CASE WHEN (d.doc_id * 2654435761 + 987) % 1000000 < t.thresh
+       SUM(CASE WHEN {safe_mult_hash_sql("d.doc_id", 987)} % 1000000 < t.thresh
                 THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM documents d JOIN t ON d.source = t.source
 GROUP BY d.source, t.n, t.thresh ORDER BY d.source
@@ -1975,7 +1998,7 @@ def h44_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n",
         F.floor(F.sqrt("n") / F.col("z") * 1_000_000).cast("long").alias("thresh"),
     )
-    r = (F.col("doc_id") * F.lit(2654435761) + F.lit(987)) % F.lit(1_000_000)
+    r = F.pmod(safe_mult_hash("doc_id", 987), F.lit(1_000_000))
     return (
         docs.join(F.broadcast(w), "source")
         .groupBy("source", F.col("n").cast("long").alias("n_total"), "thresh")

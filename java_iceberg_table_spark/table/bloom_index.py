@@ -46,8 +46,16 @@ def _rel_key(p: str) -> str:
     merge those files' value sets into one oversized shared bloom
     (never a false negative, but prunes less than sized for).
     Falls back to the basename only for paths outside a data/ root
-    (direct test harness calls)."""
-    m = re.search(r"/(data/.+)$", p)
+    (direct test harness calls).
+
+    The greedy ``^.*/`` prefix anchors the LAST ``/data/`` segment —
+    exactly what the Spark-side ``regexp_extract(^.*/(data/.+)$)``
+    mirror extracts. ``re.search(r"/(data/.+)$")`` would anchor the
+    FIRST ``/data/``; for a table rooted under a path that itself
+    contains a ``data`` component (e.g. ``/data/warehouse/t``) the
+    build keys and scan keys would then disagree and every probe
+    would see an all-zero bloom (silent missing rows)."""
+    m = re.match(r"^.*/(data/.+)$", p)
     return m.group(1) if m else p.rsplit("/", 1)[-1]
 
 

@@ -52,7 +52,32 @@ _OPS = ("<=", ">=", "==", "=", "<", ">")
 
 
 def _strip(s: str) -> str:
-    return " ".join(s.strip().split())
+    """Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    string literals. Inside a literal every character is payload:
+    ``DELETE FROM t WHERE v = 'a  b'`` must keep both spaces (a naive
+    ``' '.join(s.split())`` would silently rewrite the statement to
+    match/write different rows). The `''` escape is two adjacent
+    quote toggles with nothing between them, so it round-trips
+    unchanged."""
+    out: list[str] = []
+    in_q = False
+    pending_space = False
+    for ch in s:
+        if in_q:
+            out.append(ch)
+            if ch == "'":
+                in_q = False
+            continue
+        if ch.isspace():
+            pending_space = True
+            continue
+        if pending_space and out:
+            out.append(" ")
+        pending_space = False
+        out.append(ch)
+        if ch == "'":
+            in_q = True
+    return "".join(out)
 
 
 def _split_depth0(s: str, sep: str = ",") -> list[str]:
@@ -391,8 +416,34 @@ def run_dml(
                     )
                 insert = True
             elif action_up == "DELETE":
+                # merge_into executes DELETE before UPDATE; SQL evaluates
+                # WHEN clauses in WRITTEN order with first-match-wins. A
+                # DELETE written after an UPDATE would therefore run with
+                # different semantics than written (the delete would fire
+                # where SQL would have updated) — refuse instead of
+                # silently reordering. Same for a second DELETE clause
+                # (last-one-wins would drop the first silently).
+                if delete_condition is not None:
+                    raise UnsupportedSQL(
+                        "multiple WHEN MATCHED ... DELETE clauses are not "
+                        "routable (the engine has one delete condition)"
+                    )
+                if update is not None:
+                    raise UnsupportedSQL(
+                        "WHEN MATCHED ... DELETE written AFTER an UPDATE "
+                        "clause is not routable: the engine applies DELETE "
+                        "before UPDATE, which would reorder SQL's in-order "
+                        "first-match evaluation — write the DELETE clause "
+                        "first"
+                    )
                 delete_condition = norm_aliases(cond) if cond else "true"
             elif action_up.startswith("UPDATE SET"):
+                if update is not None:
+                    raise UnsupportedSQL(
+                        "multiple WHEN MATCHED ... UPDATE clauses are not "
+                        "routable (SQL's first-match across several UPDATE "
+                        "conditions has no engine equivalent)"
+                    )
                 set_sql = _strip(action)[len("UPDATE SET") :].strip()
                 if set_sql == "*":
                     update = "all"

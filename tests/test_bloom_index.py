@@ -129,6 +129,55 @@ def test_build_probe_hash_parity(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_root_containing_data_segment(spark, sf_dir):
+    # A table rooted under a path that itself contains a /data/
+    # component (e.g. <tmp>/data/warehouse/t) must still key its
+    # blooms by the LAST data/ segment — the one the scan side
+    # extracts. A first-segment anchor would build keys like
+    # "data/warehouse/t/data/part-..." while the Spark mirror and
+    # table._file_key_col extract "data/part-...": every probe would
+    # then see an all-zero bloom and present keys would be pruned
+    # away (silent missing rows).
+    import os
+
+    from java_iceberg_table_spark.fixtures import load_table
+    from java_iceberg_table_spark.table.bloom_index import _rel_key
+
+    assert _rel_key("/x/data/warehouse/t/data/f.parquet") == "data/f.parquet"
+
+    base = tempfile.mkdtemp(prefix="bloom_dataroot_")
+    root = os.path.join(base, "data", "warehouse", "t")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl = create_table(
+            root, orders.schema, properties={"write.bloom.column": "o_orderkey"}
+        )
+        tbl.append(orders.repartition(4))
+        entries = tbl.plan_files()
+        assert entries and all("bloom" in e for e in entries)
+        # blooms must be non-trivial (a key mismatch yields all-zero words)
+        assert any(any(w != 0 for w in e["bloom"]["words"]) for e in entries)
+        keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+        for k in keys[:: max(1, len(keys) // 25)][:25]:
+            assert tbl.plan_files([("o_orderkey", "=", int(k))]), (
+                f"present key {k} pruned away under /data/-containing root"
+            )
+        # absent keys must still prune (the bloom is real, not a
+        # survive-everything fallback)
+        n_all = len(entries)
+        absent = [int(keys[-1]) + 10**9 + i for i in range(50)]
+        matched = sum(
+            len(tbl.plan_files([("o_orderkey", "=", v)])) for v in absent
+        )
+        assert matched <= 0.1 * len(absent) * n_all
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_distributed_plan_path_honors_bloom(spark, bloom_table):
     tbl, keys = bloom_table
     k = int(min(keys))

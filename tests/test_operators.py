@@ -601,6 +601,44 @@ def test_ivfpq_table_probe_prunes_files(spark, sf_dir, tmp_path):
     }
 
 
+def test_split_hash_overflow_safe_engine_parity(spark):
+    """The split hash must agree between Spark and DuckDB for ids past
+    the old wrap point (~3.5e9, where raw id*2654435761 leaves int64:
+    Spark wrapped to negative remainders while DuckDB promoted), and
+    must never emit a negative bucket."""
+    import duckdb
+
+    from java_iceberg_table_spark.queries.llm_ops import (
+        HASH_RED,
+        safe_mult_hash,
+        safe_mult_hash_sql,
+    )
+
+    ids = [
+        0, 1, 7, HASH_RED - 1, HASH_RED, HASH_RED + 13,
+        3_500_000_000, 2**32, 2**40 + 3, 4 * 10**18,
+        2**63 - 1, -5, -(2**40),
+    ]
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long").select(
+        "id", F.pmod(safe_mult_hash("id"), F.lit(100)).alias("bucket")
+    )
+    got = {r["id"]: r["bucket"] for r in sdf.collect()}
+    con = duckdb.connect()
+    expr = f"{safe_mult_hash_sql('id')} % 100"
+    want = dict(
+        con.execute(
+            f"SELECT id, {expr} FROM (SELECT UNNEST(?::BIGINT[]) AS id)",
+            [ids],
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= b < 100 for b in got.values())
+    # identity below the reduction modulus: small-id assignments are
+    # exactly what the unreduced hash gave (fixture-scale unchanged)
+    for i in (0, 1, 7, HASH_RED - 1):
+        assert got[i] == (i * 2654435761) % 100
+
+
 def test_leakage_safe_split_near_dup_variant(spark, sf_dir):
     """The near-dup generalization of h55: split on the connected
     COMPONENT id of the minhash graph instead of the exact-dup
@@ -622,7 +660,9 @@ def test_leakage_safe_split_near_dup_variant(spark, sf_dir):
         "doc_id",
         F.coalesce("comp", "doc_id").alias("group_id"),
     )
-    r = (F.col("group_id") * F.lit(2654435761)) % 100
+    from java_iceberg_table_spark.queries.llm_ops import safe_mult_hash
+
+    r = F.pmod(safe_mult_hash("group_id"), F.lit(100))
     s = labeled.select(
         "doc_id",
         "group_id",

@@ -126,6 +126,66 @@ def test_refusals(spark, cat, bad, why):
     assert cat.table("t").scan(spark).count() == before, why
 
 
+def test_whitespace_preserved_inside_string_literals(spark, cat):
+    """Whitespace normalization must not reach inside quoted literals:
+    'a  b' (two spaces) is a different value than 'a b'."""
+    t = cat.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(100, "a  b", 1), (101, "a b", 1), (102, "a\tb", 1)], SCHEMA
+        )
+    )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    res = cat.sql(spark, "DELETE FROM t WHERE v = 'a  b'")
+    assert res["deleted_rows"] == 1
+    vals = {r["v"] for r in cat.table("t").scan(spark).collect()}
+    assert "a b" in vals and "a\tb" in vals and "a  b" not in vals
+    # UPDATE writes the literal verbatim, tabs and newlines included
+    res = cat.sql(spark, "UPDATE t SET v = 'x \t y' WHERE k = 101")
+    assert res["updated_rows"] == 1
+    row = {r["k"]: r["v"] for r in cat.table("t").scan(spark).collect()}
+    assert row[101] == "x \t y"
+
+
+def test_strip_quote_awareness_unit():
+    from java_iceberg_table_spark.table.sql_dml import _strip
+
+    assert _strip("  a   b  ") == "a b"
+    assert _strip("v = 'a  b'") == "v = 'a  b'"
+    assert _strip("v\t=\n'a\t\nb'  AND  x='c''  d'") == "v = 'a\t\nb' AND x='c''  d'"
+    assert _strip("'  lead'") == "'  lead'"
+
+
+@pytest.mark.parametrize(
+    "bad, why",
+    [
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.qty = 0 THEN DELETE",
+            "DELETE after UPDATE would reorder SQL first-match semantics",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.qty = 0 THEN UPDATE SET qty = 0 "
+            "WHEN MATCHED THEN UPDATE SET *",
+            "second UPDATE clause (last-one-wins is silent)",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED AND s.qty = 0 THEN DELETE "
+            "WHEN MATCHED AND s.qty = 1 THEN DELETE",
+            "second DELETE clause",
+        ),
+    ],
+)
+def test_merge_clause_order_refusals(spark, cat, bad, why):
+    before = cat.table("t").scan(spark).count()
+    with pytest.raises(UnsupportedSQL):
+        cat.sql(spark, bad)
+    assert cat.table("t").scan(spark).count() == before, why
+
+
 def test_delete_in_list_and_subquery(spark, cat):
     """DELETE ... WHERE col IN (...) routes onto MOR equality deletes:
     one metadata commit, no data rewrite, rows gone at read time."""
