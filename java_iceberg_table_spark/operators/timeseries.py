@@ -131,7 +131,13 @@ def counter_delta(
     Returns (series, ts, value, delta, rate_per_sec, was_reset):
     ``delta`` is NULL on each series' first sample (no baseline),
     ``rate_per_sec`` divides by the elapsed seconds to the previous
-    sample (NULL when elapsed is zero)."""
+    sample (NULL when elapsed is zero).
+
+    Elapsed time is computed from integer microseconds
+    (``unix_micros(ts) - unix_micros(prev)``, exact) and divided by
+    1e6 once — not from per-timestamp double seconds, whose two
+    roundings before the subtraction would make the rate diverge from
+    any engine that differences integer epochs (DuckDB ``epoch_us``)."""
     w = Window.partitionBy("series").orderBy("ts")
     base = df.select(
         F.col(series_col).alias("series"),
@@ -139,14 +145,16 @@ def counter_delta(
         F.col(counter_col).cast("double").alias("value"),
     )
     prev_v = F.lag("value").over(w)
-    prev_t = F.lag("ts").over(w)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
     reset = F.col("value") < prev_v
     delta = (
         F.when(prev_v.isNull(), F.lit(None).cast("double"))
         .when(reset, F.col("value"))
         .otherwise(F.col("value") - prev_v)
     )
-    elapsed = F.col("ts").cast("double") - prev_t.cast("double")
+    elapsed = (
+        (F.unix_micros(F.col("ts")) - prev_us).cast("double") / F.lit(1e6)
+    )
     return base.select(
         "series",
         "ts",

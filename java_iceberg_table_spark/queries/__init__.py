@@ -152,35 +152,28 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first
-# (round 8: bloom index builders re-keyed by root-relative path — a4k
-# probes token blooms end to end; the distributed planner now carries
-# first_row_id/row_ids_inline/token_bloom — a4h reads lineage;
-# catalog_fanout_sink was restructured to live-lineage detection with
-# replay pin publishing — i26; ingest_dedup_sink gained the
-# rollback-already-at-parent guard — i27; pq_build gained the
-# small-corpus guard + unpersist — h52, which also precedes the
-# never-graded h53 so the shared (session, sf)-keyed PQ codes cache
-# is warm when h53's IVF-PQ index composes from it).
+# (round 9, all four ADVICE items executed: bloom_index._rel_key now
+# anchors the LAST data/ segment like its Spark mirror — a3j probes
+# value blooms, a4k token blooms; sql_dml gained the quote-aware
+# _strip and the MERGE clause-order refusals — a4l runs all four verbs
+# through the router; the h-group split/sample hashes pre-reduce ids
+# so id*2654435761 never leaves int64 — h55/h30/h41/h44 all carry the
+# changed expression in-row, value-identical at fixture scale but
+# re-proved by the driver anyway).
 _REVERIFY_HEAD = [
+    "a3j_engine_bloom_point_lookup",
     "a4k_engine_token_search",
-    "a4h_engine_row_lineage",
-    "i26_catalog_fanout_stream",
-    "i27_streaming_ingest_dedup",
-    "h52_ann_pq_topk",
-    # h51's row gained the width-clamp + materialize wrapper (values
-    # identical, but it IS in-row code — re-prove it); its sibling
-    # h51b is never-graded and follows in the new-row section
-    "h51_incremental_dedup",
+    "a4l_engine_sql_dml",
+    "h55_leakage_safe_split",
+    "h30_source_mixture_sample",
+    "h41_weighted_sample_topk",
+    "h44_temperature_mixing",
 ]
-# Round-8 note: the live-lineage watermark fix (_live_lineage in
-# streaming/jobs.py) also touched i2/i21/i24's folds. i27 (canary) and
-# i2 (an r2-era regrade already in this window) drive the shared
-# helper through the driver; i21/i24 received only the same one-line
-# lineage filter at their call sites and were locally re-verified
-# against their oracles — canarying them too would push the r1/r2
-# regrade count below this round's drain target, so their driver
-# regrade is deferred one round (they stay r7-green, grade-eligible
-# by staleness rotation).
+# Round-9 note: counter_delta's elapsed-time math moved to integer
+# microseconds (exact) — its graded face e11_counter_deltas is
+# NEVER-graded and so already claims a front slot in the new-row
+# section (no canary needed); e10 shares only the module, not the
+# changed function.
 
 
 def load_all() -> dict[str, Query]:

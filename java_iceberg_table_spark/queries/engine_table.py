@@ -2168,6 +2168,128 @@ def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
 
 
+@register(
+    "a4n_engine_catalog_view",
+    oracle="""
+SELECT COUNT(DISTINCT n_regionkey)::BIGINT AS v1_rows,
+       COUNT(*)::BIGINT AS v2_total,
+       COUNT(*)::BIGINT AS pinned_total,
+       (2 * COUNT(*))::BIGINT AS live_total,
+       (SELECT 2 * MAX(cnt) FROM (
+          SELECT COUNT(*) AS cnt FROM nation GROUP BY n_regionkey))::BIGINT
+         AS replaced_max,
+       (SELECT COUNT(*) FROM nation)::BIGINT AS old_def_pinned,
+       TRUE AS dropped,
+       CAST(3 AS BIGINT) AS refused
+FROM nation
+""",
+    group="A",
+)
+def a4n_engine_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog VIEWS as versioned objects (Iceberg view spec shape;
+    implemented + unit-tested in round 8 — tests/test_catalog.py,
+    tests/test_sql_dml.py — this registers the capability for the
+    driver gate). A view definition commits as one catalog version;
+    evaluation binds to a catalog STATE, so a view result is
+    reproducible for any version: tables resolve to that state's
+    pinned snapshots, views to that state's definitions. The scenario
+    proves: (1) view + view-over-view evaluation, (2) TIME TRAVEL — a
+    view evaluated at a pre-append state still sees the old pins after
+    the table grows, while the live state sees the new rows, (3)
+    CREATE OR REPLACE through the SQL router swaps the definition,
+    (4) DROP VIEW removes it, (5) loud refusals: non-SELECT view
+    bodies, duplicate CREATE without OR REPLACE, dropping a missing
+    view. Oracle = the same counts in relational algebra over the
+    nation fixture (25 rows; scenario cost is catalog-metadata-scale,
+    the table itself never exceeds two fixture copies)."""
+    from ..table import Catalog
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    croot = tempfile.mkdtemp(prefix="engine_catview_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # width clamp: view evaluation runs groupBys through a PLAIN
+        # driver session (200 shuffle partitions) over a 25-row table
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        cat = Catalog.create(croot)
+        t = cat.create_table("t", nation.schema)
+        t.append(nation.coalesce(1))
+        cat._commit_pins({"t": t.metadata.current_snapshot_id})
+        cat.sql(
+            spark,
+            "CREATE VIEW v1 AS SELECT n_regionkey, COUNT(*) AS n "
+            "FROM t GROUP BY n_regionkey",
+        )
+        cat.create_view("v2", "SELECT SUM(n) AS total FROM v1")
+        v1_rows = cat.read_view(spark, "v1").count()
+        v2_total = int(
+            cat.read_view(spark, "v2").collect()[0]["total"]
+        )
+        pinned_state = cat.state()
+        # the table grows by a second fixture copy; the pinned state's
+        # view answer must NOT move
+        t2 = cat.table("t")
+        t2.append(
+            nation.select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_regionkey",
+            ).coalesce(1)
+        )
+        cat._commit_pins({"t": t2.metadata.current_snapshot_id})
+        pinned_total = int(
+            cat.read_view(spark, "v2", state=pinned_state)
+            .collect()[0]["total"]
+        )
+        live_total = int(
+            cat.read_view(spark, "v2").collect()[0]["total"]
+        )
+        cat.sql(
+            spark,
+            "CREATE OR REPLACE VIEW v2 AS SELECT MAX(n) AS total FROM v1",
+        )
+        # after replace, the LIVE state evaluates the NEW definition
+        # over the grown table (2x per-region max) — while the pinned
+        # state still carries the OLD definition (SUM over old pins):
+        # definitions are versioned exactly like pins
+        replaced_max = int(
+            cat.read_view(spark, "v2").collect()[0]["total"]
+        )
+        old_def_pinned = int(
+            cat.read_view(spark, "v2", state=pinned_state)
+            .collect()[0]["total"]
+        )
+        cat.sql(spark, "DROP VIEW v2")
+        dropped = "v2" not in cat.list_views() and "v1" in cat.list_views()
+        refused = 0
+        import contextlib
+
+        for fn in (
+            lambda: cat.create_view("v3", "DELETE FROM t WHERE 1 = 1"),
+            lambda: cat.create_view("v1", "SELECT 1 AS one"),
+            lambda: cat.drop_view("nope"),
+        ):
+            with contextlib.suppress(ValueError, KeyError):
+                fn()
+                continue
+            refused += 1
+        return spark.createDataFrame(
+            [
+                (
+                    v1_rows, v2_total, pinned_total, live_total,
+                    replaced_max, old_def_pinned, dropped, refused,
+                )
+            ],
+            "v1_rows bigint, v2_total bigint, pinned_total bigint, "
+            "live_total bigint, replaced_max bigint, old_def_pinned "
+            "bigint, dropped boolean, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
 _Q1E_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 

@@ -394,3 +394,54 @@ def e10_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("locf_value", 4).alias("locf_value"),
         F.round("lin_value", 4).alias("lin_value"),
     ).orderBy("series", "bucket_day")
+
+
+@register(
+    "e11_counter_deltas",
+    oracle="""
+WITH d AS (
+  SELECT event_type AS series, epoch_us(ts) AS ts_us, value,
+         LAG(value) OVER w AS prev_v,
+         LAG(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+)
+SELECT series, ts_us, ROUND(value, 6) AS value,
+       ROUND(CASE WHEN prev_v IS NULL THEN NULL
+                  WHEN value < prev_v THEN value
+                  ELSE value - prev_v END, 6) AS delta,
+       ROUND(CASE WHEN prev_us IS NULL OR ts_us = prev_us THEN NULL
+                  WHEN value < prev_v
+                  THEN value / ((ts_us - prev_us) / 1000000.0)
+                  ELSE (value - prev_v) / ((ts_us - prev_us) / 1000000.0)
+             END, 6) AS rate_per_sec,
+       COALESCE(value < prev_v, FALSE) AS was_reset
+FROM d ORDER BY series, ts_us
+""",
+    group="E",
+)
+def e11_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter deltas with reset detection (round 9) — the
+    Prometheus ``increase``/``rate`` contract over the events stream
+    (operators/timeseries.py counter_delta, unit-tested on hand-built
+    reset schedules since round 8; this registers it for the driver's
+    oracle gate). A counter that goes DOWN was reset (process
+    restart): the increase since the previous sample is the new value
+    itself, never a negative difference. Spark shape: ONE window per
+    series ordered by time — a single hash exchange on the series key,
+    per-series work bounded by samples-per-series at any corpus size,
+    nothing collected. Elapsed time differences integer microseconds
+    (exact) before one division, so the rate is bit-identical to the
+    DuckDB oracle's epoch_us arithmetic."""
+    from ..operators.timeseries import counter_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    d = counter_delta(ev, "event_type", "ts", "value")
+    return d.select(
+        "series",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.round("delta", 6).alias("delta"),
+        F.round("rate_per_sec", 6).alias("rate_per_sec"),
+        "was_reset",
+    ).orderBy("series", "ts_us")
