@@ -23,7 +23,9 @@ HEADLINE = [
     "d1_tpch_q1",        # TPC-H Q1 shape (BASELINE gate)
     "d1e_engine_q1_cents",  # Q1 on engine int64-cents storage, prepared plan
     "c3_multiway_join",  # join-agg gate
+    "c3e_engine_agg_view",  # join-agg gate on maintained engine view, prepared plan
     "e1_row_number_topk",  # window gate
+    "e1e_engine_topk_view",  # window gate on maintained engine view, prepared plan
     "b2_boolean_predicates",
     "d3_count_distinct",
     "f2_topk",
@@ -102,7 +104,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         # 0.235 s -> 0.193 s with parts=1 + AQE off). At cluster scale
         # the same sizing comes from setting partitions to the data —
         # this is that, not a benchmark special.
-        tuned = name in GATED or name == "d1e_engine_q1_cents"
+        tuned = name in GATED or name in (
+            "d1e_engine_q1_cents",
+            "e1e_engine_topk_view",
+            "c3e_engine_agg_view",
+        )
         if tuned:
             prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
             prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -135,13 +141,16 @@ def duckdb_reference(sf_dir: str) -> dict[str, float]:
     registry = load_all()
     con = duck_connect(sf_dir)
     out = {}
-    # d1e shares d1's oracle SQL (same Q1); timing it separately keeps
-    # the artifact honest about run-to-run DuckDB variance
+    # d1e/e1e share d1/e1's oracle SQL (same queries); timing them
+    # separately keeps the artifact honest about run-to-run DuckDB
+    # variance
     for name in [
         "d1_tpch_q1",
         "c3_multiway_join",
         "e1_row_number_topk",
         "d1e_engine_q1_cents",
+        "e1e_engine_topk_view",
+        "c3e_engine_agg_view",
     ]:
         sql = registry[name].oracle
         con.execute(sql).fetchall()  # untimed warmup
@@ -565,6 +574,8 @@ def main() -> None:
         "c3_multiway_join",
         "e1_row_number_topk",
         "d1e_engine_q1_cents",
+        "e1e_engine_topk_view",
+        "c3e_engine_agg_view",
     )
     ratios = {
         q: round(queries[q] / duck[q], 2)

@@ -1,0 +1,70 @@
+"""Incrementally-maintained additive-aggregate view over an engine
+table.
+
+Count/sum aggregates are SELF-MAINTAINABLE: the view after a source
+change equals the view before it plus a per-key delta that is
+computable from the CHANGE alone (inserts add, deletes subtract —
+the a3l change-feed row proves the CDC-signed form). This module
+persists that idea as an engine TABLE, so the repeated join-aggregate
+query (the c3 gate shape: fact ⋈ dims → grouped counts) reads a
+≤ |group domain|-row table instead of re-scanning the fact side on
+every execution. At 100 TB the fact scan is the whole query; the
+maintained view makes reads O(result) and appends O(delta).
+
+Contract: the caller supplies the per-key DELTA already aggregated
+(keys + additive measure columns, same names as the view's). Signs
+encode deletes (a CDC consumer sums +measure for inserts, -measure
+for deletes, exactly a3l's fold). Non-additive aggregates (min/max,
+distinct counts) are out of contract — they are not self-maintainable
+under deletes and need their own operators (the engine's KMV sketch
+covers mergeable NDV).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def additive_refresh(
+    spark: SparkSession,
+    mv_tbl,
+    delta_agg: DataFrame,
+    keys: list[str],
+) -> dict:
+    """Fold a per-key additive delta into the maintained view table.
+
+    Cost shape: one distinct over the delta's keys, one semi join of
+    the view against them (view side ≤ one row per key), one
+    sum-merge over (old rows ∪ delta rows) — all sized by the DELTA's
+    key set. The commit is a metadata-only MOR equality delete of the
+    touched keys plus one append (no data rewrite; a maintenance pass
+    compacts on cadence)."""
+    measure_cols = [c for c in delta_agg.columns if c not in keys]
+    view_schema = {f.name: f.dataType for f in mv_tbl.schema().fields}
+    delta_agg = delta_agg.persist()
+    try:
+        touched = delta_agg.select(*keys).distinct().persist()
+        n_touched = touched.count()
+        if n_touched == 0:
+            return {"touched_keys": 0, "view_rows_written": 0}
+        old = mv_tbl.scan(spark).join(touched, keys, "left_semi")
+        merged = (
+            old.unionByName(delta_agg.select(old.columns))
+            .groupBy(*keys)
+            .agg(
+                *[
+                    F.sum(c).cast(view_schema[c]).alias(c)
+                    for c in measure_cols
+                ]
+            )
+            .select(old.columns)
+        )
+        rows = merged.persist().count()
+        mv_tbl.delete_eq_mor(spark, touched, keys)
+        mv_tbl.append(merged)
+        merged.unpersist()
+        touched.unpersist()
+        return {"touched_keys": n_touched, "view_rows_written": rows}
+    finally:
+        delta_agg.unpersist()

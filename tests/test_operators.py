@@ -720,6 +720,101 @@ def test_time_bucket_gapfill_semantics(spark):
     assert obs["avg_value"] == obs["locf_value"] == obs["lin_value"] == 10.0
 
 
+def test_topk_view_incremental_folds(spark, tmp_path):
+    """Maintained top-k view: after EVERY fold the view equals a full
+    top-k recompute over all source rows so far — including folds
+    that displace previously-held rows, touch only some keys, add
+    brand-new keys, or are empty. Commits are MOR equality delete +
+    append (no data rewrite until the maintenance pass)."""
+    from java_iceberg_table_spark.operators.topk_view import (
+        topk_frame,
+        topk_refresh,
+    )
+    from java_iceberg_table_spark.table import create_table
+
+    schema = "k long, v long, ts long"
+    batches = [
+        # initial: key 1 has 4 rows (one already outside top-3)
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (1, 40, 4), (2, 5, 1)],
+        # displaces key 1's rank-2/3 (earlier ts), leaves key 2 alone
+        [(1, 99, 0)],
+        # new key + key-2 growth past k
+        [(3, 7, 1), (2, 6, 0), (2, 8, 2), (2, 9, 3)],
+        [],  # empty fold is a no-op
+        [(3, 1, 0), (1, 50, 5)],  # one displacing, one ignorable
+    ]
+    order_cols = ["ts", "v"]
+    all_rows: list[tuple] = []
+    root = str(tmp_path / "mv")
+    init = spark.createDataFrame(batches[0], schema)
+    all_rows += batches[0]
+    mv = create_table(
+        root, topk_frame(init, "k", order_cols, 3).schema
+    )
+    mv.append(topk_frame(init, "k", order_cols, 3))
+    for batch in batches[1:]:
+        delta = spark.createDataFrame(batch, schema) if batch else (
+            spark.createDataFrame([], schema)
+        )
+        stats = topk_refresh(spark, mv, delta, "k", order_cols, 3)
+        all_rows += batch
+        if not batch:
+            assert stats == {"touched_keys": 0, "view_rows_written": 0}
+        expect = {
+            tuple(r)
+            for r in topk_frame(
+                spark.createDataFrame(all_rows, schema), "k", order_cols, 3
+            ).collect()
+        }
+        got = {tuple(r) for r in mv.scan(spark).collect()}
+        assert got == expect, f"after fold {batch}"
+    # maintenance pass: masks materialize, content identical
+    mv.rewrite_deletes(spark)
+    mv.compact_data_files(spark, sort_by=["k", "rn"])
+    got = {tuple(r) for r in mv.scan(spark).collect()}
+    assert got == expect
+    snap = mv.metadata.current_snapshot()
+    assert snap is not None and not snap.delete_manifests
+
+
+def test_additive_agg_view_folds(spark, tmp_path):
+    """Maintained additive-aggregate view: each fold of a per-key
+    delta (positive = inserts, negative = CDC deletes) leaves the
+    view equal to a full recompute — touched keys merge, untouched
+    keys persist, new keys appear."""
+    from java_iceberg_table_spark.operators.agg_view import additive_refresh
+    from java_iceberg_table_spark.table import create_table
+
+    schema = "k string, cnt long, sv double"
+    root = str(tmp_path / "mv")
+    mv = create_table(root, spark.createDataFrame([], schema).schema)
+    mv.append(spark.createDataFrame([("a", 3, 30.0), ("b", 1, 5.0)], schema))
+    state = {"a": (3, 30.0), "b": (1, 5.0)}
+    folds = [
+        [("a", 2, 12.5)],                      # touched key merges
+        [("c", 4, 1.0), ("b", -1, -5.0)],      # new key + delete-signed
+        [],                                     # no-op
+    ]
+    for fold in folds:
+        delta = spark.createDataFrame(fold, schema) if fold else (
+            spark.createDataFrame([], schema)
+        )
+        stats = additive_refresh(spark, mv, delta, ["k"])
+        for k, c, s in fold:
+            oc, os_ = state.get(k, (0, 0.0))
+            state[k] = (oc + c, os_ + s)
+        if not fold:
+            assert stats == {"touched_keys": 0, "view_rows_written": 0}
+        got = {
+            r["k"]: (r["cnt"], r["sv"]) for r in mv.scan(spark).collect()
+        }
+        assert got == state, f"after fold {fold}"
+    mv.rewrite_deletes(spark)
+    mv.compact_data_files(spark, sort_by=["k"])
+    got = {r["k"]: (r["cnt"], r["sv"]) for r in mv.scan(spark).collect()}
+    assert got == state
+
+
 def test_counter_delta_reset_semantics(spark):
     """Counter deltas: first sample NULL, monotone increases subtract,
     a drop is a reset (delta = new value), rates divide by elapsed."""
