@@ -2567,10 +2567,15 @@ def c3e_engine_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     tbl = open_table(_agg_view_root(spark, sf_dir))
+    # coalesce(1) + in-partition sort, NOT orderBy: a global sort
+    # range-partitions 25 rows through an Exchange (200 near-empty
+    # tasks under a plain session); one partition sorting 25 rows is
+    # the whole job (plan-gated: no Exchange in the read)
     plan = (
         tbl.scan(spark)
         .select("r_name", "n_name", F.col("cnt").cast("long").alias("cnt"))
-        .orderBy("r_name", "n_name")
+        .coalesce(1)
+        .sortWithinPartitions("r_name", "n_name")
     )
     _C3E_PLAN_CACHE[key] = plan
     return plan

@@ -55,6 +55,26 @@ def test_c3_multiway_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # the fact table never shuffles for joins
 
 
+def test_e1e_view_read_has_no_window_or_exchange(spark, sf_dir):
+    # the maintained top-k view's whole point: the read must be a pure
+    # scan + TakeOrdered — any Window or Exchange means the view is
+    # re-paying the write-side sort on every read
+    plan = plan_of(spark, sf_dir, "e1e_engine_topk_view")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_c3e_view_read_has_no_join_or_exchange(spark, sf_dir):
+    # the maintained aggregate view must read O(result): no fact scan,
+    # no joins, no aggregate, no shuffle
+    plan = plan_of(spark, sf_dir, "c3e_engine_agg_view")
+    for op in ("Join", "Exchange", "HashAggregate"):
+        assert op not in plan, op
+    assert "Scan parquet" in plan
+
+
 def test_f2_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "f2_topk")
     assert "TakeOrderedAndProject" in plan  # per-partition top-k, no global sort
