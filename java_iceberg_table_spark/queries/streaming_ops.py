@@ -1763,3 +1763,101 @@ def i27_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i28_streaming_topk_view",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT COUNT(*)::BIGINT AS view_rows,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       TRUE AS equals_recompute
+FROM ranked WHERE rn <= 3
+""",
+    group="I",
+)
+def i28_streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained TOP-K view (round 9): the CDC stream
+    drives ``streaming/jobs.py topk_view_sink``, folding each batch
+    into an engine table that holds the first 3 events per user with
+    the rank materialized — the streaming face of
+    ``operators/topk_view.py`` (e1e's batch build), under the mv
+    fold's idempotence protocol (commit-atomic batch stamps,
+    live-lineage watermark, delete/append crash-window rollback;
+    chaos-tested in tests/test_datasource.py). Per-batch cost is
+    O(batch) + O(k x touched users); the view stays queryable between
+    batches and reads are scan-only (no window). equals_recompute
+    grades the maintained view against a from-scratch top-k of the
+    source."""
+    from ..fixtures import load_table
+    from ..operators.topk_view import topk_frame
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import topk_view_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream_topk_")
+    src_root, view_root, ckpt = base + "/src", base + "/view", base + "/ckpt"
+    src = _ct(src_root, ev.schema)
+    view_schema = ev.withColumn("rn", F.lit(1).cast("int")).schema
+    _ct(view_root, view_schema)
+    fold = topk_view_sink(
+        view_root, "user_id", ["ts", "event_id"], 3, stream_id="i28"
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src.append(ev.filter(F.col("event_id") % 3 == 0))
+        drain()  # view holds the base top-k
+        src.append(ev.filter(F.col("event_id") % 3 == 1))
+        src.append(ev.filter(F.col("event_id") % 3 == 2))
+        drain()  # two delta commits fold in; no recompute
+        vt = _open(view_root)
+        mv = vt.scan(spark).persist()
+        rec = topk_frame(
+            src.scan(spark), "user_id", ["ts", "event_id"], 3
+        ).select(mv.columns).persist()
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("view_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("sum_event_id"),
+        ).collect()[0]
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["view_rows"], row["n_users"],
+                    row["sum_event_id"], equal,
+                )
+            ],
+            "view_rows bigint, n_users bigint, sum_event_id bigint, "
+            "equals_recompute boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

@@ -664,6 +664,113 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
     return merge
 
 
+def topk_view_sink(
+    view_root: str,
+    part_key: str,
+    order_cols: list[str],
+    k: int,
+    stream_id: str = "topk",
+):
+    """Streaming maintenance of a TOP-K view (the batch operator
+    ``operators/topk_view.py`` under ``maintained_view_merge``'s
+    idempotence protocol): each micro-batch of source APPENDS folds
+    into a view table holding ≤ k rows per key with the rank
+    materialized — candidates are (old top-k of touched keys) ∪
+    (batch rows), so fold work is sized by the batch, never the view.
+
+    Idempotence, exactly the mv fold's discipline: the delete commit
+    stamps ``mv-batch-del`` and the append ``mv-batch-id``
+    commit-atomically; watermark and crash markers are read from the
+    LIVE lineage only (_live_lineage — rolled-past commits are
+    neither applied nor half-applied); a replay at/below the
+    watermark skips; a replay finding its own delete stamp without
+    the append rolls the view back to the delete's parent and reruns
+    against intact state. ``stream_id`` namespaces the watermark (one
+    logical stream/checkpoint = one stable id).
+
+    INSERT-ONLY contract (like any maintained top-k without a
+    k-buffer): a CDC batch carrying deletes is refused loudly —
+    deletes can promote rows the view no longer holds, which needs
+    ``topk_view.rebuild_keys`` against source data."""
+    from pyspark.sql import functions as F
+
+    from ..operators.topk_view import topk_frame
+    from ..table import load_table as _open
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vt = _open(view_root)
+        applied = -1
+        partial_del = None
+        live = _live_lineage(vt.metadata)
+        for s in vt.metadata.snapshots:
+            if s.summary.get("mv-stream-id", "default") != stream_id:
+                continue
+            if s.snapshot_id not in live:
+                continue
+            bid = s.summary.get("mv-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("mv-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if "_change_type" in batch_df.columns:
+            if not batch_df.filter(F.col("_change_type") != "insert").isEmpty():
+                raise ValueError(
+                    "topk_view_sink is insert-only: a delete can promote "
+                    "rows the view no longer holds — route affected keys "
+                    "through topk_view.rebuild_keys against the source"
+                )
+            batch_df = batch_df.drop("_change_type")
+        batch_df = batch_df.persist()
+        new_top = None
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
+        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                return  # idle trigger: skip without stamping
+            if partial_del is not None:
+                vt.rollback_to(partial_del.parent_id)
+                vt = _open(view_root)
+            touched = batch_df.select(part_key).distinct()
+            old = (
+                vt.scan(spark)
+                .join(touched, part_key, "left_semi")
+                .drop("rn")
+            )
+            cand = old.unionByName(batch_df.select(old.columns))
+            new_top = topk_frame(cand, part_key, order_cols, k).select(
+                *old.columns, "rn"
+            ).persist()
+            new_top.count()
+            vt.delete_eq_mor(
+                spark, touched, [part_key],
+                extra_summary={
+                    "mv-batch-del": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+            )
+            vt.append(
+                new_top,
+                extra_summary={
+                    "mv-batch-id": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+            if new_top is not None:
+                new_top.unpersist()
+
+    return fold
+
+
 SCD2_OPEN = 1 << 62  # sentinel valid_to of the OPEN (current) version
 
 

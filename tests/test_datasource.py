@@ -1643,3 +1643,104 @@ def test_materialized_view_crash_schedules(ds, base_dir):
         if rng.random() < 0.5:
             merge(cdc, b)
         assert _mv_equals_recompute(spark, src_root, view_root), (b, scenario)
+
+
+def _topk_setup(spark, base_dir):
+    src_root, view_root = base_dir + "/tksrc", base_dir + "/tkview"
+    df = spark.createDataFrame(
+        [(i, i % 5, float((i * 37) % 100)) for i in range(40)],
+        "event_id long, user_id long, value double",
+    )
+    create_table(src_root, df.schema)
+    create_table(
+        view_root,
+        spark.createDataFrame(
+            [], "event_id long, user_id long, value double, rn int"
+        ).schema,
+    )
+    return src_root, view_root, df
+
+
+def _topk_equals_recompute(spark, src_root, view_root, k=3) -> bool:
+    from java_iceberg_table_spark.operators.topk_view import topk_frame
+
+    src, vt = open_table(src_root), open_table(view_root)
+    mv = vt.scan(spark)
+    rec = topk_frame(
+        src.scan(spark), "user_id", ["value", "event_id"], k
+    ).select(mv.columns)
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def test_topk_view_sink_crash_schedules(ds, base_dir):
+    """Chaos replays for the streaming top-k fold (round 9, mirrors
+    the mv/dedup/fanout chaos tests): per batch a seeded scenario —
+    clean, crash between the delete and append commits, external
+    rollback onto the delete commit, external rollback past both —
+    each followed by replays. Invariant: view == top-k recompute over
+    all source rows after every batch."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import topk_view_sink
+
+    spark = ds
+    src_root, view_root, df = _topk_setup(spark, base_dir)
+    fold = topk_view_sink(
+        view_root, "user_id", ["value", "event_id"], 3, stream_id="chaos"
+    )
+    open_table(src_root).append(df)
+    fold(df, 0)
+    assert _topk_equals_recompute(spark, src_root, view_root)
+    rng = random.Random(41)
+    for b in range(1, 9):
+        more = spark.createDataFrame(
+            [
+                (b * 1000 + i, (b + i) % 7, float((b * 13 + i * 7) % 50))
+                for i in range(8)
+            ],
+            "event_id long, user_id long, value double",
+        )
+        open_table(src_root).append(more)
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            open_table(view_root).delete_eq_mor(
+                spark,
+                more.select("user_id").dropDuplicates(),
+                ["user_id"],
+                extra_summary={"mv-batch-del": b, "mv-stream-id": "chaos"},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            fold(more, b)  # fully applied...
+            vt = open_table(view_root)
+            head = vt.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                vt.rollback_to(head.parent_id)
+            else:
+                by_id = {s.snapshot_id: s for s in vt.metadata.snapshots}
+                vt.rollback_to(by_id[head.parent_id].parent_id)
+        fold(more, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            fold(more, b)
+        assert _topk_equals_recompute(spark, src_root, view_root), (
+            b,
+            scenario,
+        )
+
+
+def test_topk_view_sink_refuses_cdc_deletes(ds, base_dir):
+    from java_iceberg_table_spark.streaming.jobs import topk_view_sink
+
+    spark = ds
+    src_root, view_root, df = _topk_setup(spark, base_dir)
+    fold = topk_view_sink(view_root, "user_id", ["value", "event_id"], 3)
+    cdc = df.withColumn(
+        "_change_type",
+        F.when(F.col("event_id") % 10 == 0, "delete").otherwise("insert"),
+    )
+    with pytest.raises(ValueError, match="insert-only"):
+        fold(cdc, 0)
+    # pure-insert CDC batches fold fine (the _change_type column drops)
+    fold(df.withColumn("_change_type", F.lit("insert")), 0)
+    open_table(src_root).append(df)
+    assert _topk_equals_recompute(spark, src_root, view_root)
