@@ -2399,3 +2399,92 @@ def h53_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_queries bigint, k bigint, recall_ok boolean"
     )
+
+
+_CLUSTERED_IVFPQ_CACHE: dict[str, tuple] = {}
+
+
+@register(
+    "h53r_ann_ivfpq_residual_clustered",
+    oracle="""
+SELECT CAST(12 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+       TRUE AS recall_ok, TRUE AS sims_exact
+""",
+    group="H",
+)
+def h53r_ann_ivfpq_residual_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVF-PQ (IVFADC, Jégou 2011 §IV) on a CLUSTERED corpus
+    (round 9, closing the round-8 caveat): codebooks train on cell
+    RESIDUALS (v − centroid) with per-cell query distance tables. On
+    the driver's near-isotropic embeddings fixture residuals measure
+    ~equal to flat codes — cells capture little structure, so h53
+    grades the flat form there. Real embedding corpora are clustered;
+    on ``similarity.clustered_corpus`` (deterministic
+    mixture-of-Gaussians, unit centers, σ=0.12 noise) the residual
+    win is MEASURED, not asserted: recall@5 0.850 residual vs 0.733
+    flat at identical m/codes/nprobe/rerank (the margin is asserted
+    with headroom in tests/test_operators.py). This row grades the
+    residual path end to end: every query answered, mean recall@5
+    ≥ 0.8 vs brute force, and reported sims bit-equal to exact
+    cosines (the re-rank contract). Corpus is sf-independent
+    (generated, seeded); index cached per session like the other ANN
+    indexes."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        clustered_corpus,
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        app = spark.sparkContext.applicationId
+        cached = _CLUSTERED_IVFPQ_CACHE.get(app)
+        if cached is None:
+            emb = clustered_corpus(spark).persist()
+            emb.count()
+            index_df, cents, books = ivfpq_build(
+                emb, n_centroids=16, m=16, n_codes=16,
+                kmeans_iters=3, pq_iters=3, residual=True,
+            )
+            index_df = index_df.persist()
+            index_df.count()
+            cached = (emb, index_df, cents, books)
+            _CLUSTERED_IVFPQ_CACHE[app] = cached
+        emb, index_df, cents, books = cached
+        queries = emb.filter(F.col("vec_id") < 12)
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = ivfpq_topk(
+            index_df, cents, books, queries,
+            k=5, nprobe=4, rerank=4, residual=True,
+        ).collect()
+        exact_by_q: dict = {}
+        exact_sims: dict = {}
+        for r in exact:
+            exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            exact_sims[(r["query_id"], r["neighbor_id"])] = r["sim"]
+        got: dict = {}
+        sims_exact = True
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_sims and abs(r["sim"] - exact_sims[key]) > 1e-9:
+                sims_exact = False
+        recalls = [
+            len(exact_by_q[q] & got.get(q, set())) / len(exact_by_q[q])
+            for q in exact_by_q
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        return spark.createDataFrame(
+            [(len(got), 5, mean_recall >= 0.8, sims_exact)],
+            "n_queries bigint, k bigint, recall_ok boolean, "
+            "sims_exact boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)

@@ -900,6 +900,57 @@ def test_ivfpq_residual_encoding(spark, sf_dir):
             assert abs(r["sim"] - exact_sims[key]) < 1e-9
 
 
+def test_ivfpq_residual_beats_flat_on_clustered(spark):
+    """The round-8 caveat, closed with a measurement: on a CLUSTERED
+    corpus (where cell variance >> residual variance) residual
+    codebooks (IVFADC) beat flat PQ codes at identical parameters.
+    Measured: residual 0.850 vs flat 0.733 recall@5; asserted with
+    headroom (>= +0.05 margin, residual >= 0.8) so float-reduction
+    jitter across session widths can't flip the verdict."""
+    from java_iceberg_table_spark.operators.similarity import (
+        brute_force_topk,
+        clustered_corpus,
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = clustered_corpus(spark, n=4000).persist()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    exact_by_q: dict = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall_of(residual: bool) -> float:
+        index_df, cents, books = ivfpq_build(
+            emb, n_centroids=16, m=16, n_codes=16,
+            kmeans_iters=3, pq_iters=3, residual=residual,
+        )
+        index_df = index_df.persist()
+        try:
+            approx = ivfpq_topk(
+                index_df, cents, books, queries,
+                k=5, nprobe=4, rerank=4, residual=residual,
+            ).collect()
+        finally:
+            index_df.unpersist()
+        got: dict = {}
+        for r in approx:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = [
+            len(exact_by_q[q] & got.get(q, set())) / len(exact_by_q[q])
+            for q in exact_by_q
+        ]
+        return sum(recs) / len(recs)
+
+    rec_flat = recall_of(False)
+    rec_res = recall_of(True)
+    emb.unpersist()
+    assert rec_res >= 0.8, rec_res
+    assert rec_res >= rec_flat + 0.05, (rec_res, rec_flat)
+
+
 def test_time_bucket_gapfill_hourly(spark):
     """Hour buckets: same fill semantics with timestamp buckets and
     3600-second interpolation steps."""
