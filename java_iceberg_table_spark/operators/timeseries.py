@@ -163,3 +163,46 @@ def counter_delta(
         F.when(elapsed > 0, delta / elapsed).alias("rate_per_sec"),
         F.coalesce(reset, F.lit(False)).alias("was_reset"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep the four points a line rendering actually needs —
+    first, last, min and max — so a billion-point series reduces to
+    4 x buckets rows with NO visible difference at bucket-per-pixel
+    resolution. The canonical dashboard/preview query over raw event
+    history.
+
+    Spark shape: ONE hash aggregate keyed by (series, bucket) with
+    map-side partials — min/max are plain aggregates, first/last are
+    ``min_by``/``max_by`` on the timestamp. No window, no sort, no
+    spine: this is strictly cheaper than the gap-fill family and
+    scales as a single exchange at any corpus size. first/last are
+    deterministic whenever timestamps are unique within a bucket;
+    min_v/max_v are plain value extrema, tie-free by construction.
+
+    Returns one row per observed (series, bucket):
+    (series, bucket_ts, n_points, first_ts, first_v, last_ts, last_v,
+    min_v, max_v)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    return (
+        df.select(F.col(series_col).alias("series"), b, ts.alias("__ts"), v.alias("__v"))
+        .groupBy("series", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__ts").alias("first_ts"),
+            F.min_by("__v", "__ts").alias("first_v"),
+            F.max("__ts").alias("last_ts"),
+            F.max_by("__v", "__ts").alias("last_v"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )

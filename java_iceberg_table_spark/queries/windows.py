@@ -445,3 +445,47 @@ def e11_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_per_sec", 6).alias("rate_per_sec"),
         "was_reset",
     ).orderBy("series", "ts_us")
+
+
+@register(
+    "e12_m4_downsample",
+    oracle="""
+SELECT event_type AS series,
+       epoch_us(date_trunc('day', ts)) AS bucket_us,
+       COUNT(*)::BIGINT AS n_points,
+       epoch_us(MIN(ts)) AS first_us,
+       ROUND(arg_min(value, ts), 6) AS first_v,
+       epoch_us(MAX(ts)) AS last_us,
+       ROUND(arg_max(value, ts), 6) AS last_v,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    group="E",
+)
+def e12_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (round 9; Jugel et al., VLDB 2014) — per
+    (series, day) the four points a line rendering needs: first, last,
+    min, max. The dashboard/preview query that turns a billion-point
+    series into 4 x buckets rows with no visible difference at
+    bucket-per-pixel resolution. ONE hash aggregate with map-side
+    partials (operators/timeseries.py m4_downsample): no window, no
+    sort, no spine — a single exchange at any corpus size. Timestamps
+    emitted as integer microseconds on both engines (exact)."""
+    from ..operators.timeseries import m4_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    d = m4_downsample(ev, "event_type", "ts", "value", bucket="day")
+    return d.select(
+        "series",
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "n_points",
+        F.unix_micros(F.col("first_ts")).alias("first_us"),
+        F.round("first_v", 6).alias("first_v"),
+        F.unix_micros(F.col("last_ts")).alias("last_us"),
+        F.round("last_v", 6).alias("last_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    ).orderBy("series", "bucket_us")

@@ -900,6 +900,43 @@ def test_ivfpq_residual_encoding(spark, sf_dir):
             assert abs(r["sim"] - exact_sims[key]) < 1e-9
 
 
+def test_m4_downsample_semantics(spark):
+    """M4 contract on a hand-built series: per bucket exactly one row
+    carrying first/last by time and min/max by value; buckets with one
+    point collapse all four roles onto it."""
+    from datetime import datetime
+
+    from java_iceberg_table_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 1), 5.0),
+        ("a", datetime(2024, 1, 1, 9), 1.0),   # min
+        ("a", datetime(2024, 1, 1, 15), 9.0),  # max
+        ("a", datetime(2024, 1, 1, 23), 4.0),  # last
+        ("a", datetime(2024, 1, 2, 8), 7.0),   # singleton bucket
+        ("b", datetime(2024, 1, 1, 3), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, v double")
+    got = {
+        (r["series"], str(r["bucket_ts"])): r
+        for r in m4_downsample(df, "s", "ts", "v").collect()
+    }
+    assert len(got) == 3
+    a1 = got[("a", "2024-01-01 00:00:00")]
+    assert a1["n_points"] == 4
+    assert a1["first_v"] == 5.0 and a1["last_v"] == 4.0
+    assert a1["min_v"] == 1.0 and a1["max_v"] == 9.0
+    assert str(a1["first_ts"]) == "2024-01-01 01:00:00"
+    assert str(a1["last_ts"]) == "2024-01-01 23:00:00"
+    a2 = got[("a", "2024-01-02 00:00:00")]
+    assert (
+        a2["n_points"] == 1
+        and a2["first_v"] == a2["last_v"] == a2["min_v"] == a2["max_v"] == 7.0
+    )
+    b1 = got[("b", "2024-01-01 00:00:00")]
+    assert b1["n_points"] == 1 and b1["min_v"] == 2.0
+
+
 def test_ivfpq_residual_beats_flat_on_clustered(spark):
     """The round-8 caveat, closed with a measurement: on a CLUSTERED
     corpus (where cell variance >> residual variance) residual
