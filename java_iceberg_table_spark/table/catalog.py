@@ -460,6 +460,55 @@ class Catalog:
             self._commit_pins(pins)
         return res
 
+    def sql_script(self, spark: SparkSession, script: str) -> list[dict]:
+        """Execute a semicolon-separated SCRIPT of DML statements
+        (DELETE / UPDATE / MERGE INTO — the ``sql_dml`` grammar)
+        sequentially against this catalog's tables, publishing ALL
+        touched pins in ONE catalog version at the end. Visibility is
+        publish-atomic: later statements see earlier statements'
+        effects through the TABLES, while catalog readers see either
+        the pre-script pins or the whole script's outcome — never a
+        prefix. (This is atomic VISIBILITY, not table-level rollback:
+        a failing statement aborts the publish, leaving table heads
+        advanced but unpinned — the same crash-window contract as
+        ``CatalogTransaction``.)
+
+        Refused loudly: view DDL inside a script (CREATE/DROP VIEW
+        commit catalog versions of their own — run them standalone),
+        and empty scripts. IN-subqueries evaluate against the
+        session's registered views, which are pinned at registration
+        time — they do NOT see the script's own intermediate state.
+        Statement splitting is quote-aware ('...;...' stays one
+        literal)."""
+        from .sql_dml import UnsupportedSQL, _split_depth0, run_dml
+
+        stmts = [s for s in _split_depth0(script, ";") if s.strip()]
+        if not stmts:
+            raise UnsupportedSQL("empty script")
+        for st in stmts:
+            head = st.split(None, 1)[0].upper() if st.split() else ""
+            if head in ("CREATE", "DROP"):
+                raise UnsupportedSQL(
+                    "view DDL commits a catalog version of its own and "
+                    "cannot join a script's single publish — run "
+                    f"{head} VIEW as a standalone statement"
+                )
+        touched: dict[str, Table] = {}
+
+        def resolve(name: str) -> Table:
+            t = self.table(name)
+            touched[name] = t
+            return t
+
+        results = [run_dml(spark, st, resolve) for st in stmts]
+        pins = {
+            name: Table(t.root).metadata.current_snapshot_id
+            for name, t in touched.items()
+        }
+        if pins:
+            self._commit_pins(pins)
+        return results
+
     # ---------- transactions ----------
 
     def transaction(self) -> "CatalogTransaction":

@@ -351,6 +351,41 @@ def test_merge_parser_roundtrip_property():
     check()
 
 
+def test_sql_script_single_publish(spark, cat):
+    """A semicolon script runs statements sequentially (later ones see
+    earlier effects through the tables) but publishes ONE catalog
+    version; statement splitting is quote-aware."""
+    v0 = cat.state().version
+    res = cat.sql_script(
+        spark,
+        """DELETE FROM t WHERE k >= 8;
+           UPDATE t SET qty = qty + 100, v = 'a;b' WHERE k >= 6;
+           DELETE FROM t WHERE v = 'a;b' AND k = 6""",
+    )
+    assert [r["statement"] for r in res] == ["delete", "update", "delete"]
+    assert res[0]["deleted_rows"] == 2  # k=8,9
+    assert res[1]["updated_rows"] == 2  # k=6,7 (post-delete state)
+    assert res[2]["deleted_rows"] == 1  # quote-aware: 'a;b' intact
+    assert cat.state().version == v0 + 1  # ONE publish for the script
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 7}
+    assert rows[7] == ("a;b", 170)
+
+
+def test_sql_script_refusals(spark, cat):
+    v0 = cat.state().version
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark,
+            "DELETE FROM t WHERE k = 1; CREATE VIEW v AS SELECT 1 AS one",
+        )
+    with pytest.raises(UnsupportedSQL, match="empty"):
+        cat.sql_script(spark, " ; ; ")
+    # nothing published, nothing visible
+    assert cat.state().version == v0
+    assert cat.read(spark, "t").count() == 10
+
+
 def test_view_ddl_statements(spark, cat):
     """CREATE [OR REPLACE] VIEW / DROP VIEW route to catalog views."""
     res = cat.sql(spark, "CREATE VIEW big AS SELECT k FROM t WHERE k >= 8")
