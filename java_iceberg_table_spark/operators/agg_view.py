@@ -48,7 +48,14 @@ def additive_refresh(
         n_touched = touched.count()
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
-        old = mv_tbl.scan(spark).join(touched, keys, "left_semi")
+        # runtime-filtered view read on the FIRST key + broadcast semi
+        # join on the full key tuple: the fold reads only files whose
+        # stats admit a touched key (effective once maintenance has
+        # key-sorted the files) and the view side never shuffles.
+        scanned, info = mv_tbl.scan_runtime_filtered(
+            spark, touched, keys[0]
+        )
+        old = scanned.join(F.broadcast(touched), keys, "left_semi")
         merged = (
             old.unionByName(delta_agg.select(old.columns))
             .groupBy(*keys)
@@ -65,6 +72,11 @@ def additive_refresh(
         mv_tbl.append(merged)
         merged.unpersist()
         touched.unpersist()
-        return {"touched_keys": n_touched, "view_rows_written": rows}
+        return {
+            "touched_keys": n_touched,
+            "view_rows_written": rows,
+            "view_files_total": info["files_total"],
+            "view_files_scanned": info["files_scanned"],
+        }
     finally:
         delta_agg.unpersist()

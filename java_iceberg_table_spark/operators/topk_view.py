@@ -72,9 +72,17 @@ def topk_refresh(
         n_touched = touched.count()
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
+        # runtime-filtered view read: the fold must NOT scan the whole
+        # view at 100 TB — file stats prune to the files that can hold
+        # a touched key (effective once maintenance has key-sorted the
+        # files), and the broadcast semi join keeps the view side
+        # shuffle-free; the view never moves through an exchange.
+        scanned, info = mv_tbl.scan_runtime_filtered(
+            spark, touched, part_key
+        )
         old = (
-            mv_tbl.scan(spark)
-            .join(touched, part_key, "left_semi")
+            scanned
+            .join(F.broadcast(touched), part_key, "left_semi")
             .drop("rn")
         )
         cand = old.unionByName(delta_df.select(old.columns))
@@ -86,7 +94,12 @@ def topk_refresh(
         mv_tbl.append(new_top)
         new_top.unpersist()
         touched.unpersist()
-        return {"touched_keys": n_touched, "view_rows_written": rows}
+        return {
+            "touched_keys": n_touched,
+            "view_rows_written": rows,
+            "view_files_total": info["files_total"],
+            "view_files_scanned": info["files_scanned"],
+        }
     finally:
         delta_df.unpersist()
 

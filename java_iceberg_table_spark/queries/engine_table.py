@@ -2418,7 +2418,13 @@ def _topk_view_root(spark: SparkSession, sf_dir: str) -> str:
                 str(spark.sparkContext.defaultParallelism),
             )
             init = topk_frame(prefix, "o_custkey", order_cols, 3)
-            tbl = create_table(root, init.schema)
+            # key-sorted files (disjoint o_custkey ranges): folds'
+            # runtime-filtered view reads then prune to the files
+            # admitting a touched key instead of scanning the view
+            tbl = create_table(
+                root, init.schema,
+                properties={"write.sort.order": "o_custkey"},
+            )
             tbl.append(init.repartition(4))
             topk_refresh(spark, tbl, delta, "o_custkey", order_cols, 3)
             tbl.rewrite_deletes(spark)

@@ -738,9 +738,16 @@ def topk_view_sink(
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
             touched = batch_df.select(part_key).distinct()
+            # runtime-filtered view read (operators/topk_view.py has
+            # the rationale): file stats prune the view to the files
+            # that can hold a touched key; the broadcast semi join
+            # keeps the view side shuffle-free per micro-batch
+            scanned, _info = vt.scan_runtime_filtered(
+                spark, touched, part_key
+            )
             old = (
-                vt.scan(spark)
-                .join(touched, part_key, "left_semi")
+                scanned
+                .join(F.broadcast(touched), part_key, "left_semi")
                 .drop("rn")
             )
             cand = old.unionByName(batch_df.select(old.columns))

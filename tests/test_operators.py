@@ -777,6 +777,44 @@ def test_topk_view_incremental_folds(spark, tmp_path):
     assert snap is not None and not snap.delete_manifests
 
 
+def test_topk_fold_prunes_view_files(spark, tmp_path):
+    """The fold's view read is runtime-filtered: on a key-sorted view
+    (disjoint key ranges per file) a fold touching a narrow key range
+    reads only the admitting files, never the whole view — the
+    property that keeps fold cost delta-sized at 100 TB."""
+    from java_iceberg_table_spark.operators.topk_view import (
+        topk_frame,
+        topk_refresh,
+    )
+    from java_iceberg_table_spark.table import create_table
+
+    schema = "k long, v long, ts long"
+    src = spark.createDataFrame(
+        [(i % 400, i, i) for i in range(4000)], schema
+    )
+    init = topk_frame(src, "k", ["ts", "v"], 3)
+    mv = create_table(
+        str(tmp_path / "mv"), init.schema,
+        properties={"write.sort.order": "k"},
+    )
+    mv.append(init.repartition(4))
+    n_files = len(mv.plan_files())
+    assert n_files >= 4  # sorted into disjoint k-ranges
+    delta = spark.createDataFrame([(3, 9999, 0), (7, 9998, 0)], schema)
+    stats = topk_refresh(spark, mv, delta, "k", ["ts", "v"], 3)
+    assert stats["touched_keys"] == 2
+    assert stats["view_files_total"] == n_files
+    assert 1 <= stats["view_files_scanned"] < n_files
+    # and the fold is still exact
+    expect = {
+        tuple(r)
+        for r in topk_frame(
+            src.unionByName(delta), "k", ["ts", "v"], 3
+        ).collect()
+    }
+    assert {tuple(r) for r in mv.scan(spark).collect()} == expect
+
+
 def test_additive_agg_view_folds(spark, tmp_path):
     """Maintained additive-aggregate view: each fold of a per-key
     delta (positive = inserts, negative = CDC deletes) leaves the
