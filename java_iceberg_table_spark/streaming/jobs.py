@@ -612,6 +612,7 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
         # AQE coalescing).
         batch_df.persist()
         merged = None
+        delta = None
         width = max(
             spark.sparkContext.defaultParallelism,
             batch_df.rdd.getNumPartitions(),
@@ -636,8 +637,12 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
             delta = batch_df.groupBy(key_col).agg(
                 F.sum(sign).alias("d_cnt"),
                 F.sum(sign * F.col(value_col)).alias("d_sv"),
-            )
-            cur = vt.scan(spark)
+            ).persist()
+            # runtime-filtered view read (same rationale as
+            # topk_view_sink): only files whose stats admit a touched
+            # key are read — the right join restricts to delta keys
+            # anyway, so pruning the scan changes cost, not content
+            cur, _info = vt.scan_runtime_filtered(spark, delta, key_col)
             merged = cur.join(delta, key_col, "right").select(
                 key_col,
                 (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
@@ -660,6 +665,8 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
             batch_df.unpersist()
             if merged is not None:
                 merged.unpersist()
+            if delta is not None:
+                delta.unpersist()
 
     return merge
 
