@@ -31,6 +31,8 @@ def additive_refresh(
     mv_tbl,
     delta_agg: DataFrame,
     keys: list[str],
+    extra_summary: dict | None = None,
+    extra_summary_delete: dict | None = None,
 ) -> dict:
     """Fold a per-key additive delta into the maintained view table.
 
@@ -68,8 +70,10 @@ def additive_refresh(
             .select(old.columns)
         )
         rows = merged.persist().count()
-        mv_tbl.delete_eq_mor(spark, touched, keys)
-        mv_tbl.append(merged)
+        mv_tbl.delete_eq_mor(
+            spark, touched, keys, extra_summary=extra_summary_delete
+        )
+        mv_tbl.append(merged, extra_summary=extra_summary)
         merged.unpersist()
         touched.unpersist()
         return {

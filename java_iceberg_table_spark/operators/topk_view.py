@@ -56,6 +56,8 @@ def topk_refresh(
     part_key: str,
     order_cols: list[str],
     k: int,
+    extra_summary: dict | None = None,
+    extra_summary_delete: dict | None = None,
 ) -> dict:
     """Fold one insert-only source delta into the maintained view
     table ``mv_tbl`` (an engine Table whose schema is the delta's
@@ -90,8 +92,10 @@ def topk_refresh(
             *old.columns, "rn"
         )
         rows = new_top.persist().count()
-        mv_tbl.delete_eq_mor(spark, touched, [part_key])
-        mv_tbl.append(new_top)
+        mv_tbl.delete_eq_mor(
+            spark, touched, [part_key], extra_summary=extra_summary_delete
+        )
+        mv_tbl.append(new_top, extra_summary=extra_summary)
         new_top.unpersist()
         touched.unpersist()
         return {
@@ -112,6 +116,8 @@ def rebuild_keys(
     part_key: str,
     order_cols: list[str],
     k: int,
+    extra_summary: dict | None = None,
+    extra_summary_delete: dict | None = None,
 ) -> dict:
     """Recompute the view for an explicit key set from SOURCE data —
     the delete-path escape hatch. Work is O(source rows of those
@@ -121,8 +127,13 @@ def rebuild_keys(
     src = source_df.join(keys, part_key, "left_semi")
     new_top = topk_frame(src, part_key, order_cols, k)
     rows = new_top.persist().count()
-    mv_tbl.delete_eq_mor(spark, keys, [part_key])
-    mv_tbl.append(new_top.select(*[c for c in new_top.columns]))
+    mv_tbl.delete_eq_mor(
+        spark, keys, [part_key], extra_summary=extra_summary_delete
+    )
+    mv_tbl.append(
+        new_top.select(*[c for c in new_top.columns]),
+        extra_summary=extra_summary,
+    )
     new_top.unpersist()
     keys.unpersist()
     return {"touched_keys": n, "view_rows_written": rows}

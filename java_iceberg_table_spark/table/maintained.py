@@ -1,0 +1,237 @@
+"""Maintained views as CATALOG objects: the fold operators
+(operators/topk_view.py, operators/agg_view.py) bound to catalog
+tables with a CDC-cursor refresh — the engine-level shape of the
+Iceberg materialized-view direction (a storage table + freshness
+lineage back to the source).
+
+Design:
+- the view IS an engine table in the catalog; its definition lives in
+  its own TABLE PROPERTIES (``mv.kind`` = topk | agg, ``mv.source``,
+  ``mv.key``, ``mv.order``, ``mv.k``, ``mv.value``) — no new catalog
+  state shape, time travel and concurrency come for free;
+- freshness is a SOURCE-SNAPSHOT CURSOR stamped commit-atomically in
+  each refresh's append summary (``mv-source-cursor``), read back via
+  the live lineage exactly like the streaming folds' batch watermarks
+  — an externally rolled-back refresh is not counted, a replayed
+  refresh is a no-op;
+- ``refresh`` reads the source's row-level CHANGE FEED since the
+  cursor (``changes_between`` — O(changed files), not O(table)) and
+  folds it: additive views take delete-signed deltas directly; top-k
+  views fold inserts incrementally and REBUILD the delete-touched
+  keys from source (the only correct delete path without a k-buffer);
+- both table commits (the fold's delete+append) and the catalog pin
+  publish happen per refresh, so catalog readers move atomically from
+  one consistent (source-version, view-content) pair to the next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.agg_view import additive_refresh
+from ..operators.topk_view import rebuild_keys, topk_frame, topk_refresh
+from .table import Table
+
+
+def _live_cursor(vt: Table) -> int | None:
+    """Last source-snapshot cursor stamped on the view's LIVE lineage
+    (rolled-past refreshes are neither applied nor half-applied)."""
+    md = vt.metadata
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    cur = md.current_snapshot_id
+    while cur is not None and cur in by_id:
+        s = by_id[cur]
+        stamp = s.summary.get("mv-source-cursor")
+        if stamp is not None:
+            return int(stamp)
+        cur = s.parent_id
+    return None
+
+
+def create_maintained_topk(
+    cat,
+    spark: SparkSession,
+    name: str,
+    source: str,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    columns: list[str] | None = None,
+) -> Table:
+    """Create a maintained top-k view table over catalog table
+    ``source`` and build its initial state from the source's CURRENT
+    snapshot (cursor stamped in the same commit)."""
+    src = cat.table(source)
+    src_df = src.scan(spark)
+    if columns:
+        src_df = src_df.select(*columns)
+    init = topk_frame(src_df, key, order_cols, k)
+    vt = cat.create_table(
+        name,
+        init.schema,
+        properties={
+            "mv.kind": "topk",
+            "mv.source": source,
+            "mv.key": key,
+            "mv.order": ",".join(order_cols),
+            "mv.k": str(k),
+            **({"mv.columns": ",".join(columns)} if columns else {}),
+            "write.sort.order": key,
+        },
+    )
+    cursor = src.metadata.current_snapshot_id
+    vt.append(init, extra_summary={"mv-source-cursor": int(cursor)})
+    cat._commit_pins({name: vt.metadata.current_snapshot_id})
+    return vt
+
+
+def create_maintained_agg(
+    cat,
+    spark: SparkSession,
+    name: str,
+    source: str,
+    key: str,
+    value: str,
+) -> Table:
+    """Create a maintained per-key (cnt, sv) additive view over
+    catalog table ``source`` (count/sum of ``value``)."""
+    src = cat.table(source)
+    init = (
+        src.scan(spark)
+        .groupBy(F.col(key).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value).cast("double")).alias("sv"),
+        )
+        .withColumnRenamed("key", key)
+    )
+    vt = cat.create_table(
+        name,
+        init.schema,
+        properties={
+            "mv.kind": "agg",
+            "mv.source": source,
+            "mv.key": key,
+            "mv.value": value,
+            "write.sort.order": key,
+        },
+    )
+    cursor = src.metadata.current_snapshot_id
+    vt.append(init, extra_summary={"mv-source-cursor": int(cursor)})
+    cat._commit_pins({name: vt.metadata.current_snapshot_id})
+    return vt
+
+
+def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
+    """Bring the maintained view ``name`` current with its source:
+    read the source CDC since the view's cursor, fold it, stamp the
+    new cursor, publish the pin. Idempotent — a refresh against an
+    unchanged source is a no-op (no commits, no pin motion). Returns
+    refresh stats incl. the cursor window."""
+    vt = cat.table(name)
+    props = vt.metadata.properties
+    kind = props.get("mv.kind")
+    if kind not in ("topk", "agg"):
+        raise ValueError(f"{name!r} is not a maintained view (mv.kind absent)")
+    source = props["mv.source"]
+    key = props["mv.key"]
+    src = cat.table(source)
+    cursor = _live_cursor(vt)
+    head = src.metadata.current_snapshot_id
+    if cursor is None:
+        raise ValueError(
+            f"maintained view {name!r} has no live source cursor — its "
+            "refresh lineage was rolled away; rebuild the view"
+        )
+    if head == cursor:
+        return {"refreshed": False, "cursor": cursor}
+    # crash-window repair, the streaming folds' discipline: the cursor
+    # stamp rides the fold's APPEND; the fold's DELETE is stamped with
+    # the refresh id (the target source snapshot). Finding a LIVE
+    # delete stamped with THIS refresh id while the cursor has not
+    # advanced means a previous attempt crashed between its two
+    # commits — the view's touched keys are deleted but not rewritten.
+    # Roll back to the delete's parent and fold against intact state.
+    # (rebuild_keys needs no guard: it recomputes from SOURCE.)
+    md = vt.metadata
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    cur_id = md.current_snapshot_id
+    while cur_id is not None and cur_id in by_id:
+        s = by_id[cur_id]
+        if s.summary.get("mv-refresh-del") == int(head):
+            vt.rollback_to(s.parent_id)
+            vt = cat.table(name)
+            break
+        cur_id = s.parent_id
+    stamp = {"mv-source-cursor": int(head)}
+    del_stamp = {"mv-refresh-del": int(head)}
+    cdc = src.changes_between(spark, cursor).persist()
+    try:
+        stats: dict
+        if kind == "agg":
+            value = props["mv.value"]
+            sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            delta = cdc.groupBy(F.col(key)).agg(
+                F.sum(sign).cast("long").alias("cnt"),
+                F.sum(sign * F.col(value).cast("double")).alias("sv"),
+            )
+            stats = additive_refresh(
+                spark, vt, delta, [key],
+                extra_summary=stamp, extra_summary_delete=del_stamp,
+            )
+        else:
+            order_cols = props["mv.order"].split(",")
+            k = int(props["mv.k"])
+            cols = (
+                props["mv.columns"].split(",")
+                if "mv.columns" in props
+                else [c for c in cdc.columns if c != "_change_type"]
+            )
+            deletes = cdc.filter(F.col("_change_type") == "delete")
+            inserts = cdc.filter(F.col("_change_type") == "insert").select(cols)
+            del_keys = deletes.select(key).distinct().persist()
+            n_del = del_keys.count()
+            if n_del:
+                # delete-touched keys rebuild from SOURCE (a delete can
+                # promote a row the view no longer holds); insert-only
+                # keys fold incrementally, stamping the cursor
+                src_df = src.scan(spark)
+                if "mv.columns" in props:
+                    src_df = src_df.select(cols)
+                stats = rebuild_keys(
+                    spark, vt, src_df, del_keys, key, order_cols, k
+                )
+                inserts = inserts.join(del_keys, key, "left_anti")
+                s2 = topk_refresh(
+                    spark, vt, inserts, key, order_cols, k,
+                    extra_summary=stamp, extra_summary_delete=del_stamp,
+                )
+                stats = {
+                    "touched_keys": stats["touched_keys"] + s2["touched_keys"],
+                    "view_rows_written": stats["view_rows_written"]
+                    + s2["view_rows_written"],
+                }
+            else:
+                stats = topk_refresh(
+                    spark, vt, inserts, key, order_cols, k,
+                    extra_summary=stamp, extra_summary_delete=del_stamp,
+                )
+            del_keys.unpersist()
+        # a no-op fold (empty CDC window — e.g. the source only
+        # compacted — or every insert key rebuilt) commits nothing, so
+        # the cursor still needs a stamp: a metadata-only empty append.
+        # Re-folding an empty window on replay is harmless, so this
+        # stamp needs no crash guard.
+        vt = cat.table(name)
+        if _live_cursor(vt) != head:
+            vt.append(spark.createDataFrame([], vt.schema()), extra_summary=stamp)
+        cat._commit_pins({name: vt.metadata.current_snapshot_id})
+        return {
+            "refreshed": True,
+            "cursor_from": cursor,
+            "cursor_to": head,
+            **stats,
+        }
+    finally:
+        cdc.unpersist()

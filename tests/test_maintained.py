@@ -1,0 +1,159 @@
+"""Maintained views as catalog objects: create, CDC-cursor refresh,
+delete-path rebuild, idempotence, crash-window repair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from java_iceberg_table_spark.operators.topk_view import topk_frame
+from java_iceberg_table_spark.table import Catalog
+from java_iceberg_table_spark.table.maintained import (
+    create_maintained_agg,
+    create_maintained_topk,
+    refresh_maintained,
+)
+
+
+@pytest.fixture()
+def cat(tmp_path, spark):
+    c = Catalog.create(str(tmp_path / "cat"))
+    src = c.create_table(
+        "events", spark.createDataFrame([], "k long, v long, ts long").schema
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i % 5, (i * 37) % 100, i) for i in range(40)],
+            "k long, v long, ts long",
+        )
+    )
+    c._commit_pins({"events": src.metadata.current_snapshot_id})
+    return c
+
+
+def _topk_equals(spark, cat, k=3) -> bool:
+    src = cat.table("events").scan(spark)
+    mv = cat.table("top_events").scan(spark)
+    rec = topk_frame(src, "k", ["ts", "v"], k).select(mv.columns)
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def _agg_equals(spark, cat) -> bool:
+    src = cat.table("events").scan(spark)
+    mv = cat.table("sums").scan(spark).select(
+        "k", "cnt", F.round("sv", 6).alias("sv")
+    )
+    rec = src.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("v").cast("double")), 6).alias("sv"),
+    )
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def test_maintained_topk_lifecycle(spark, cat):
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    assert _topk_equals(spark, cat)
+    # unchanged source: refresh is a no-op, no commits
+    n_snaps = len(cat.table("top_events").metadata.snapshots)
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res == {"refreshed": False, "cursor": res["cursor"]}
+    assert len(cat.table("top_events").metadata.snapshots) == n_snaps
+    # source grows (some displacing rows): refresh folds the delta
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame(
+            [(1, 200, 0), (6, 1, 1), (6, 2, 2)], "k long, v long, ts long"
+        )
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"] and res["touched_keys"] == 2  # keys 1, 6
+    assert _topk_equals(spark, cat)
+    # refresh again: cursor caught up, no-op
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+
+
+def test_maintained_topk_source_delete_rebuilds(spark, cat):
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    # delete rows that are IN the current top-3 of key 0 (ts 0,5,10):
+    # the view must promote later rows it no longer holds
+    src.delete_eq_mor(
+        spark,
+        spark.createDataFrame([(0,), (5,)], "ts long"),
+        ["ts"],
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"]
+    assert _topk_equals(spark, cat)
+
+
+def test_maintained_agg_lifecycle(spark, cat):
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    assert _agg_equals(spark, cat)
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(2, 50, 100), (7, 3, 101)], "k long, v long, ts long")
+    )
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(1,), (6,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_maintained(cat, spark, "sums")
+    assert res["refreshed"]
+    assert _agg_equals(spark, cat)
+    assert refresh_maintained(cat, spark, "sums")["refreshed"] is False
+
+
+def test_maintained_refresh_crash_window_repair(spark, cat):
+    """A refresh that crashed between its fold's delete and append
+    leaves the view's touched keys deleted; the next refresh must find
+    the stamped half-applied delete, roll it back, and fold against
+    intact state."""
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    more = spark.createDataFrame([(1, 200, 0)], "k long, v long, ts long")
+    src.append(more)
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    head = src.metadata.current_snapshot_id
+    # simulate the crash window: the fold's stamped delete lands, the
+    # append (which would carry the cursor) does not
+    vt = cat.table("top_events")
+    vt.delete_eq_mor(
+        spark,
+        more.select("k").distinct(),
+        ["k"],
+        extra_summary={"mv-refresh-del": int(head)},
+    )
+    # view is now WRONG (key 1's rows masked); refresh must repair
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"]
+    assert _topk_equals(spark, cat)
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+
+
+def test_maintained_refresh_compaction_only_window(spark, cat):
+    """A source window with no row changes (compaction) still advances
+    the cursor (empty-append stamp), so the window is not re-read."""
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    src.compact_data_files(spark)
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"] and res.get("touched_keys", 0) == 0
+    assert _topk_equals(spark, cat)
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+
+
+def test_refresh_refuses_non_maintained(spark, cat):
+    with pytest.raises(ValueError, match="not a maintained view"):
+        refresh_maintained(cat, spark, "events")
