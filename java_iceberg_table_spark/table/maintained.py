@@ -123,12 +123,57 @@ def create_maintained_agg(
     return vt
 
 
+def _recompute_frame(spark: SparkSession, src: Table, props: dict) -> DataFrame:
+    """The view's full content recomputed from the source's CURRENT
+    snapshot, per its stored definition."""
+    key = props["mv.key"]
+    src_df = src.scan(spark)
+    if props["mv.kind"] == "agg":
+        value = props["mv.value"]
+        return (
+            src_df.groupBy(F.col(key).alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col(value).cast("double")).alias("sv"),
+            )
+            .withColumnRenamed("key", key)
+        )
+    if "mv.columns" in props:
+        src_df = src_df.select(props["mv.columns"].split(","))
+    return topk_frame(src_df, key, props["mv.order"].split(","), int(props["mv.k"]))
+
+
+def _full_rebuild(cat, spark: SparkSession, name: str, vt: Table,
+                  src: Table, props: dict, head: int) -> dict:
+    """Replace the view's whole content with a recompute in ONE atomic
+    overwrite commit carrying the new cursor — the self-heal path when
+    incremental refresh is impossible (cursor snapshot expired from
+    the source's history, or the view's refresh lineage was rolled
+    away). Cost is O(source), the price Iceberg's own MV spec pays in
+    the same situation (REFRESH after the change log is gone)."""
+    frame = _recompute_frame(spark, src, props)
+    entries = vt._write_data_files(frame)
+    vt.overwrite_entries(
+        entries, extra_summary={"mv-source-cursor": int(head)}
+    )
+    cat._commit_pins({name: vt.metadata.current_snapshot_id})
+    return {"refreshed": True, "rebuilt": True, "cursor_to": head}
+
+
 def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
     """Bring the maintained view ``name`` current with its source:
     read the source CDC since the view's cursor, fold it, stamp the
     new cursor, publish the pin. Idempotent — a refresh against an
     unchanged source is a no-op (no commits, no pin motion). Returns
-    refresh stats incl. the cursor window."""
+    refresh stats incl. the cursor window.
+
+    Falls back to an atomic FULL REBUILD when incremental refresh is
+    impossible: the cursor's source snapshot expired (GC outran the
+    refresh cadence) or the view's refresh lineage was rolled away.
+
+    Single-refresher contract (Iceberg MV maintenance-job semantics):
+    concurrent refreshes of the SAME view may double-fold a window —
+    run one refresher per view, like one streaming query per sink."""
     vt = cat.table(name)
     props = vt.metadata.properties
     kind = props.get("mv.kind")
@@ -140,12 +185,14 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
     cursor = _live_cursor(vt)
     head = src.metadata.current_snapshot_id
     if cursor is None:
-        raise ValueError(
-            f"maintained view {name!r} has no live source cursor — its "
-            "refresh lineage was rolled away; rebuild the view"
-        )
+        return _full_rebuild(cat, spark, name, vt, src, props, head)
     if head == cursor:
         return {"refreshed": False, "cursor": cursor}
+    try:
+        src.snapshot_by_id(cursor)
+    except KeyError:
+        # cursor expired from the source's history: no change feed
+        return _full_rebuild(cat, spark, name, vt, src, props, head)
     # crash-window repair, the streaming folds' discipline: the cursor
     # stamp rides the fold's APPEND; the fold's DELETE is stamped with
     # the refresh id (the target source snapshot). Finding a LIVE

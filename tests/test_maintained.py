@@ -154,6 +154,30 @@ def test_maintained_refresh_compaction_only_window(spark, cat):
     assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
 
 
+def test_maintained_refresh_after_cursor_expiry_rebuilds(spark, cat):
+    """When the source expires the cursor's snapshot (GC outran the
+    refresh cadence) there is no change feed — refresh must self-heal
+    with an atomic full rebuild carrying the new cursor."""
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(1, 200, 0), (9, 5, 1)], "k long, v long, ts long")
+    )
+    import time as _time
+
+    src.expire_snapshots(
+        older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"] and res.get("rebuilt") is True
+    assert _topk_equals(spark, cat)
+    # cursor advanced in the same overwrite commit: next refresh no-ops
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+
+
 def test_refresh_refuses_non_maintained(spark, cat):
     with pytest.raises(ValueError, match="not a maintained view"):
         refresh_maintained(cat, spark, "events")
