@@ -2290,6 +2290,117 @@ def a4n_engine_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
 
 
+@register(
+    "a4p_engine_maintained_view",
+    oracle="""
+WITH final AS (
+  -- equality-delete SEQUENCE semantics: the delete (committed before
+  -- the %3==2 append) masks only rows already in the table, so
+  -- %10==1 keys arriving in the later append survive
+  SELECT * FROM orders
+  WHERE NOT (o_orderkey % 10 = 1 AND o_orderkey % 3 <> 2)
+),
+ranked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM final
+)
+SELECT COUNT(*)::BIGINT AS view_rows,
+       COUNT(DISTINCT o_custkey)::BIGINT AS n_keys,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       TRUE AS equals_recompute,
+       TRUE AS final_refresh_noop
+FROM ranked WHERE rn <= 3
+""",
+    group="A",
+)
+def a4p_engine_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained views as CATALOG objects (round 9,
+    table/maintained.py): the fold operators bound to catalog tables
+    with a CDC source-snapshot CURSOR — the engine-level shape of the
+    Iceberg materialized-view direction. The view's definition lives
+    in its own table properties; each ``refresh_maintained`` reads the
+    source's row-level change feed since the cursor (O(changed
+    files)), folds it (top-k: incremental inserts + delete-touched
+    keys REBUILT from source), stamps the new cursor commit-atomically
+    on the fold's append, and publishes the pin. The scenario drives
+    the full lifecycle: create over a prefix → append + incremental
+    refresh → MOR source deletes + rebuild-path refresh → append +
+    refresh → final no-op refresh; equals_recompute grades the view
+    against a from-scratch top-k of the surviving source rows.
+    Crash-window repair and cursor-expiry full rebuild are covered in
+    tests/test_maintained.py."""
+    from ..table import Catalog
+    from ..table.maintained import create_maintained_topk, refresh_maintained
+    from ..operators.topk_view import topk_frame
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    croot = tempfile.mkdtemp(prefix="engine_mv_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        create_maintained_topk(
+            cat, spark, "top_orders", "orders_t", "o_custkey",
+            ["o_orderdate", "o_orderkey"], 3,
+        )
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        r1 = refresh_maintained(cat, spark, "top_orders")
+        # MOR source deletes hitting held rows -> rebuild-path refresh
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        r2 = refresh_maintained(cat, spark, "top_orders")
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        r3 = refresh_maintained(cat, spark, "top_orders")
+        r4 = refresh_maintained(cat, spark, "top_orders")  # caught up
+        assert r1["refreshed"] and r2["refreshed"] and r3["refreshed"]
+        mv = cat.read(spark, "top_orders").persist()
+        rec = topk_frame(
+            cat.table("orders_t").scan(spark),
+            "o_custkey", ["o_orderdate", "o_orderkey"], 3,
+        ).select(mv.columns).persist()
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("view_rows"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        ).collect()[0]
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["view_rows"], row["n_keys"], row["sum_orderkey"],
+                    equal, r4["refreshed"] is False,
+                )
+            ],
+            "view_rows bigint, n_keys bigint, sum_orderkey bigint, "
+            "equals_recompute boolean, final_refresh_noop boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
 _Q1E_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
