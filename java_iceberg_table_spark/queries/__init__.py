@@ -168,6 +168,12 @@ _REVERIFY_HEAD = [
     "h30_source_mixture_sample",
     "h41_weighted_sample_topk",
     "h44_temperature_mixing",
+    # the maintained-view fold (streaming/jobs.py maintained_view_merge)
+    # switched to a runtime-filtered view read late round 9 — i21 drives
+    # the shared helper through the driver; i25 received the same change
+    # at the same call site and was locally re-driven green (chaos +
+    # oracle), its driver regrade rides staleness rotation next round
+    "i21_streaming_materialized_view",
 ]
 # Round-9 note: counter_delta's elapsed-time math moved to integer
 # microseconds (exact) — its graded face e11_counter_deltas is
