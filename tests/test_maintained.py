@@ -178,6 +178,67 @@ def test_maintained_refresh_after_cursor_expiry_rebuilds(spark, cat):
     assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
 
 
+def test_maintained_refresh_random_crash_schedules(spark, cat):
+    """Chaos replays for the catalog refresh (mirrors the streaming
+    folds' chaos tests): per round a seeded scenario — clean refresh,
+    crash between the fold's delete and append (stamped half-applied
+    delete), external rollback of the view past the whole refresh —
+    each followed by a repairing refresh. Invariant: view equals the
+    top-k recompute after every round, and a final extra refresh is a
+    no-op."""
+    import random
+
+    from java_iceberg_table_spark.table import load_table as open_table
+
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    rng = random.Random(17)
+    for b in range(1, 7):
+        src = cat.table("events")
+        more = spark.createDataFrame(
+            [(b * 100 + i, (b + i) % 6, 1000 + b * 10 + i) for i in range(5)],
+            "k long, v long, ts long",
+        )
+        src.append(more)
+        cat._commit_pins({"events": src.metadata.current_snapshot_id})
+        head = src.metadata.current_snapshot_id
+        scenario = rng.choice(["clean", "del_only", "rb_past"])
+        if scenario == "del_only":
+            # the fold's stamped delete lands; the cursor append does not
+            vt = cat.table("top_events")
+            vt.delete_eq_mor(
+                spark,
+                more.select("k").distinct(),
+                ["k"],
+                extra_summary={"mv-refresh-del": int(head)},
+            )
+        elif scenario == "rb_past":
+            # a completed refresh rolled away externally: cursor AND
+            # content regress together; the next refresh re-folds the
+            # wider window against the rolled-back state
+            res = refresh_maintained(cat, spark, "top_events")
+            assert res["refreshed"]
+            vt = open_table(cat.table("top_events").root)
+            head_snap = vt.metadata.current_snapshot()
+            # walk back past this refresh's commits (cursor append +
+            # delete): roll to the delete's parent's parent if the fold
+            # committed, else just the stamp commit's parent
+            by_id = {s.snapshot_id: s for s in vt.metadata.snapshots}
+            target = head_snap.parent_id
+            if target in by_id and by_id[target].summary.get(
+                "mv-refresh-del"
+            ) == int(head):
+                target = by_id[target].parent_id
+            vt.rollback_to(target)
+        res = refresh_maintained(cat, spark, "top_events")
+        assert res["refreshed"], (b, scenario)
+        assert _topk_equals(spark, cat), (b, scenario)
+        assert (
+            refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+        ), (b, scenario)
+
+
 def test_refresh_refuses_non_maintained(spark, cat):
     with pytest.raises(ValueError, match="not a maintained view"):
         refresh_maintained(cat, spark, "events")

@@ -975,6 +975,30 @@ def test_m4_downsample_semantics(spark):
     assert b1["n_points"] == 1 and b1["min_v"] == 2.0
 
 
+def test_m4_downsample_month_bucket(spark):
+    """The bucket parameter generalizes: month buckets roll whole
+    months into one M4 row (non-uniform bucket widths are fine here —
+    unlike gap-fill interpolation, M4 needs no uniform step)."""
+    from datetime import datetime
+
+    from java_iceberg_table_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        ("a", datetime(2024, 1, 5), 3.0),
+        ("a", datetime(2024, 1, 25), 8.0),
+        ("a", datetime(2024, 2, 2), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "s string, ts timestamp, v double")
+    got = {
+        str(r["bucket_ts"]): r
+        for r in m4_downsample(df, "s", "ts", "v", bucket="month").collect()
+    }
+    assert set(got) == {"2024-01-01 00:00:00", "2024-02-01 00:00:00"}
+    jan = got["2024-01-01 00:00:00"]
+    assert jan["n_points"] == 2 and jan["first_v"] == 3.0
+    assert jan["last_v"] == 8.0 and jan["max_v"] == 8.0
+
+
 def test_ivfpq_residual_beats_flat_on_clustered(spark):
     """The round-8 caveat, closed with a measurement: on a CLUSTERED
     corpus (where cell variance >> residual variance) residual
