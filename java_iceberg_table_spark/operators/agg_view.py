@@ -33,6 +33,7 @@ def additive_refresh(
     keys: list[str],
     extra_summary: dict | None = None,
     extra_summary_delete: dict | None = None,
+    drop_when_zero: str | None = None,
 ) -> dict:
     """Fold a per-key additive delta into the maintained view table.
 
@@ -41,7 +42,14 @@ def additive_refresh(
     sum-merge over (old rows ∪ delta rows) — all sized by the DELTA's
     key set. The commit is a metadata-only MOR equality delete of the
     touched keys plus one append (no data rewrite; a maintenance pass
-    compacts on cadence)."""
+    compacts on cadence).
+
+    ``drop_when_zero`` names the COUNT measure: keys whose merged
+    count reaches 0 leave the view entirely (a key all of whose source
+    rows were deleted must not linger as a zero row — the recompute
+    has no row for it). Views without a count column can't infer
+    emptiness and keep zero-sum rows; pass the count column whenever
+    the source takes deletes."""
     measure_cols = [c for c in delta_agg.columns if c not in keys]
     view_schema = {f.name: f.dataType for f in mv_tbl.schema().fields}
     delta_agg = delta_agg.persist()
@@ -69,6 +77,8 @@ def additive_refresh(
             )
             .select(old.columns)
         )
+        if drop_when_zero is not None:
+            merged = merged.filter(F.col(drop_when_zero) != 0)
         rows = merged.persist().count()
         mv_tbl.delete_eq_mor(
             spark, touched, keys, extra_summary=extra_summary_delete

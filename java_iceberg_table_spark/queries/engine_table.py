@@ -2642,6 +2642,7 @@ def _agg_view_root(spark: SparkSession, sf_dir: str) -> str:
                 tbl,
                 agg(cust.filter(F.col("c_custkey") % 5 == 0)),
                 ["r_name", "n_name"],
+                drop_when_zero="cnt",
             )
             tbl.rewrite_deletes(spark)
             tbl.compact_data_files(spark, sort_by=["r_name", "n_name"])

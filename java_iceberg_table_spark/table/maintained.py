@@ -226,6 +226,7 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
             stats = additive_refresh(
                 spark, vt, delta, [key],
                 extra_summary=stamp, extra_summary_delete=del_stamp,
+                drop_when_zero="cnt",
             )
         else:
             order_cols = props["mv.order"].split(",")

@@ -108,6 +108,20 @@ def test_maintained_agg_lifecycle(spark, cat):
     assert res["refreshed"]
     assert _agg_equals(spark, cat)
     assert refresh_maintained(cat, spark, "sums")["refreshed"] is False
+    # a key whose EVERY source row is deleted must leave the view
+    # entirely (not linger as a zero row — the recompute has no row)
+    src = cat.table("events")
+    key7_ts = [
+        (r["ts"],)
+        for r in src.scan(spark).filter(F.col("k") == 7).select("ts").collect()
+    ]
+    src.delete_eq_mor(spark, spark.createDataFrame(key7_ts, "ts long"), ["ts"])
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert refresh_maintained(cat, spark, "sums")["refreshed"]
+    assert _agg_equals(spark, cat)
+    assert (
+        cat.table("sums").scan(spark).filter(F.col("k") == 7).count() == 0
+    )
 
 
 def test_maintained_refresh_crash_window_repair(spark, cat):

@@ -832,15 +832,20 @@ def test_additive_agg_view_folds(spark, tmp_path):
         [("a", 2, 12.5)],                      # touched key merges
         [("c", 4, 1.0), ("b", -1, -5.0)],      # new key + delete-signed
         [],                                     # no-op
+        [("c", -4, -1.0)],                      # count reaches 0 -> row leaves
     ]
     for fold in folds:
         delta = spark.createDataFrame(fold, schema) if fold else (
             spark.createDataFrame([], schema)
         )
-        stats = additive_refresh(spark, mv, delta, ["k"])
+        stats = additive_refresh(
+            spark, mv, delta, ["k"], drop_when_zero="cnt"
+        )
         for k, c, s in fold:
             oc, os_ = state.get(k, (0, 0.0))
             state[k] = (oc + c, os_ + s)
+            if state[k][0] == 0:
+                del state[k]
         if not fold:
             assert stats == {"touched_keys": 0, "view_rows_written": 0}
         got = {
