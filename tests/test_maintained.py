@@ -91,6 +91,21 @@ def test_maintained_topk_source_delete_rebuilds(spark, cat):
     res = refresh_maintained(cat, spark, "top_events")
     assert res["refreshed"]
     assert _topk_equals(spark, cat)
+    # a key whose EVERY source row is deleted leaves the view (the
+    # rebuild recomputes its top-k from an empty set)
+    src = cat.table("events")
+    key0_ts = [
+        (r["ts"],)
+        for r in src.scan(spark).filter(F.col("k") == 0).select("ts").collect()
+    ]
+    src.delete_eq_mor(spark, spark.createDataFrame(key0_ts, "ts long"), ["ts"])
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"]
+    assert _topk_equals(spark, cat)
+    assert (
+        cat.table("top_events").scan(spark).filter(F.col("k") == 0).count()
+        == 0
+    )
 
 
 def test_maintained_agg_lifecycle(spark, cat):
