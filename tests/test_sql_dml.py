@@ -244,6 +244,71 @@ def test_merge_subquery_with_nested_parens(spark, cat):
     assert rows[300] == ("N", 9)
 
 
+def test_script_split_and_strip_roundtrip_property():
+    """Properties of the script tokenizer, pure parser:
+    - joining split statements with ';' preserves every non-separator
+      character (quote-aware: ';' and whitespace runs inside single-
+      quoted literals are payload, never separators);
+    - _strip never alters text inside literals and collapses every
+      whitespace run outside them to one space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from java_iceberg_table_spark.table.sql_dml import _split_depth0, _strip
+
+    word = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Nd"), whitelist_characters="_",
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    # literals may contain separators, quotes ('' escape), whitespace
+    lit_body = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Nd"),
+            whitelist_characters=" ;\t\n-",
+        ),
+        max_size=10,
+    ).map(lambda s: "'" + s.replace("'", "''") + "'")
+    token = st.one_of(word, lit_body)
+    stmt = st.lists(token, min_size=1, max_size=5).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(stmt, min_size=1, max_size=5))
+    def check(stmts):
+        script = " ; ".join(stmts)
+        parts = _split_depth0(script, ";")
+        assert parts == [s.strip() for s in stmts if s.strip()]
+        for orig, part in zip([s for s in stmts if s.strip()], parts):
+            stripped = _strip(part)
+            # literal payloads survive verbatim
+            for tok in orig.split(" "):
+                if tok.startswith("'") and tok.endswith("'") and len(tok) > 1:
+                    assert tok in stripped or tok in part
+            # no double spaces outside literals
+            in_q = False
+            prev_space = False
+            for ch in stripped:
+                if in_q:
+                    if ch == "'":
+                        in_q = False
+                    prev_space = False
+                    continue
+                if ch == "'":
+                    in_q = True
+                    prev_space = False
+                    continue
+                if ch == " ":
+                    assert not prev_space, stripped
+                    prev_space = True
+                else:
+                    assert not ch.isspace(), stripped
+                    prev_space = False
+
+    check()
+
+
 def test_predicate_parser_roundtrip_property():
     """Property: any rendered AND-conjunction of col <op> literal
     parses back to exactly the triples that produced it (no Spark
