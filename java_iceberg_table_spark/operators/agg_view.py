@@ -58,6 +58,9 @@ def additive_refresh(
         n_touched = touched.count()
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
+        from .topk_view import refuse_null_keys
+
+        refuse_null_keys(touched, keys, "additive_refresh")
         # runtime-filtered view read on the FIRST key + broadcast semi
         # join on the full key tuple: the fold reads only files whose
         # stats admit a touched key (effective once maintenance has

@@ -30,9 +30,32 @@ paths route affected keys through ``rebuild_keys``.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def refuse_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
+    """NULL partition keys break the fold invariant everywhere a fold
+    replaces touched keys: the broadcast left-semi join and the MOR
+    equality delete both use null-rejecting equality, so a NULL-keyed
+    group's OLD view rows are never matched (not read as candidates,
+    not deleted) while the fold still APPENDS a fresh NULL-group
+    result — duplicate view rows accumulate for the NULL key on every
+    fold. Refuse loudly at fold entry, matching the operators' other
+    loud-refusal contracts (e.g. topk_view_sink's insert-only check);
+    callers with NULL-keyed data filter or bucket NULLs explicitly."""
+    cond = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+    if not touched.filter(cond).isEmpty():
+        raise ValueError(
+            f"{op}: NULL values in key column(s) {keys} are out of "
+            "contract — equality deletes and semi joins never match "
+            "NULL, so the fold would duplicate the NULL group's view "
+            "rows; filter NULL keys (or map them to a sentinel) "
+            "before folding"
+        )
 
 
 def topk_frame(
@@ -74,6 +97,7 @@ def topk_refresh(
         n_touched = touched.count()
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
+        refuse_null_keys(touched, [part_key], "topk_refresh")
         # runtime-filtered view read: the fold must NOT scan the whole
         # view at 100 TB — file stats prune to the files that can hold
         # a touched key (effective once maintenance has key-sorted the
@@ -124,6 +148,7 @@ def rebuild_keys(
     keys), still never O(table) when the source is key-partitioned."""
     keys = keys_df.select(part_key).distinct().persist()
     n = keys.count()
+    refuse_null_keys(keys, [part_key], "rebuild_keys")
     src = source_df.join(keys, part_key, "left_semi")
     new_top = topk_frame(src, part_key, order_cols, k)
     rows = new_top.persist().count()

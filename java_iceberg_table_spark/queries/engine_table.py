@@ -2082,6 +2082,7 @@ SELECT (SELECT COUNT(*) FROM base) AS cnt,
        CAST(1 AS BIGINT) AS m_rows,
        CAST(0 AS BIGINT) AS n_rows,
        CAST(3 AS BIGINT) AS refused,
+       (SELECT COUNT(*) FROM base) AS sel_cnt,
        TRUE AS catalog_sees
 """,
     group="A",
@@ -2137,12 +2138,18 @@ def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bad in (
             "DELETE FROM t WHERE o_orderkey NOT IN (1, 2)",
             "UPDATE t SET o_orderstatus = 'Y'",
-            "SELECT COUNT(*) FROM t",
+            "TRUNCATE TABLE t",
         ):
             try:
                 cat.sql(spark, bad)
             except UnsupportedSQL:
                 refused += 1
+        # round 10: SELECT routes through the SAME entry point
+        # (register_views + spark.sql under one pinned state), so the
+        # whole SQL surface — reads and writes — is Catalog.sql
+        sel_cnt = int(
+            cat.sql(spark, "SELECT COUNT(*) AS c FROM t").collect()[0]["c"]
+        )
         final = cat.read(spark, "t")
         row = final.agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -2158,11 +2165,12 @@ def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (
                     row["cnt"], row["sum_key"], row["x_rows"], row["m_rows"],
-                    row["n_rows"], refused, catalog_sees,
+                    row["n_rows"], refused, sel_cnt, catalog_sees,
                 )
             ],
             "cnt bigint, sum_key bigint, x_rows bigint, m_rows bigint, "
-            "n_rows bigint, refused bigint, catalog_sees boolean",
+            "n_rows bigint, refused bigint, sel_cnt bigint, "
+            "catalog_sees boolean",
         )
     finally:
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

@@ -581,6 +581,7 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
     logical stream (one checkpoint) = one stable stream_id."""
     from pyspark.sql import functions as F
 
+    from ..operators.topk_view import refuse_null_keys
     from ..table import load_table as _open
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -638,6 +639,7 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
                 F.sum(sign).alias("d_cnt"),
                 F.sum(sign * F.col(value_col)).alias("d_sv"),
             ).persist()
+            refuse_null_keys(delta, [key_col], "maintained_view_merge")
             # runtime-filtered view read (same rationale as
             # topk_view_sink): only files whose stats admit a touched
             # key are read — the right join restricts to delta keys
@@ -701,7 +703,7 @@ def topk_view_sink(
     ``topk_view.rebuild_keys`` against source data."""
     from pyspark.sql import functions as F
 
-    from ..operators.topk_view import topk_frame
+    from ..operators.topk_view import refuse_null_keys, topk_frame
     from ..table import load_table as _open
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -745,6 +747,7 @@ def topk_view_sink(
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
             touched = batch_df.select(part_key).distinct()
+            refuse_null_keys(touched, [part_key], "topk_view_sink")
             # runtime-filtered view read (operators/topk_view.py has
             # the rationale): file stats prune the view to the files
             # that can hold a touched key; the broadcast semi join

@@ -434,15 +434,31 @@ class Catalog:
         self.register_views(spark, state=st)  # tables + view fixpoint
         return spark.table(name)
 
-    def sql(self, spark: SparkSession, statement: str) -> dict:
-        """Route a DML statement (DELETE / UPDATE / MERGE INTO, the
-        grammar in ``sql_dml``) onto this catalog's tables, then
-        publish the touched tables' new snapshots in ONE catalog
-        version so catalog readers see the change — the write-side
-        complement of ``register_views``. Returns the operation's
-        stats dict. SELECTs are refused (register_views + spark.sql
-        is the read path)."""
-        from .sql_dml import run_dml
+    def sql(self, spark: SparkSession, statement: str):
+        """One entry point for the whole SQL surface.
+
+        DML statements (DELETE / UPDATE / MERGE INTO, the grammar in
+        ``sql_dml``) route onto this catalog's tables, then publish
+        the touched tables' new snapshots in ONE catalog version so
+        catalog readers see the change — the write-side complement of
+        ``register_views``. Returns the operation's stats dict.
+
+        SELECT / WITH statements pass through to ``register_views`` +
+        ``spark.sql`` with PINNED-STATE semantics: every referenced
+        table resolves to one atomic catalog state's pinned snapshot
+        (and catalog views materialize against the same state), so a
+        multi-table read is cross-table consistent even while writers
+        advance table heads concurrently. Returns the result
+        DataFrame (lazily planned — pins are resolved NOW, execution
+        happens at the caller's action). Pass ``state=`` via
+        ``register_views`` directly for time-traveled reads."""
+        from .sql_dml import _strip, run_dml
+
+        head_tok = _strip(statement).lstrip("(").split(None, 1)
+        head = head_tok[0].upper() if head_tok else ""
+        if head in ("SELECT", "WITH"):
+            self.register_views(spark)
+            return spark.sql(statement)
 
         touched: dict[str, Table] = {}
 
@@ -492,6 +508,11 @@ class Catalog:
                     "view DDL commits a catalog version of its own and "
                     "cannot join a script's single publish — run "
                     f"{head} VIEW as a standalone statement"
+                )
+            if head in ("SELECT", "WITH"):
+                raise UnsupportedSQL(
+                    "reads don't participate in a DML script's single "
+                    "publish — run SELECT through Catalog.sql standalone"
                 )
         touched: dict[str, Table] = {}
 

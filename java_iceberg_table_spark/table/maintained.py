@@ -187,6 +187,15 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
     if cursor is None:
         return _full_rebuild(cat, spark, name, vt, src, props, head)
     if head == cursor:
+        # caught up — but a crash between a previous fold's cursor
+        # append and its pin publish leaves the catalog serving the
+        # pre-refresh snapshot forever (this early return used to skip
+        # publishing). Republish when the pin lags the view's head.
+        pinned = cat.state().pins.get(name)
+        cur_snap = vt.metadata.current_snapshot_id
+        if pinned != cur_snap:
+            cat._commit_pins({name: cur_snap})
+            return {"refreshed": False, "cursor": cursor, "pin_republished": True}
         return {"refreshed": False, "cursor": cursor}
     try:
         src.snapshot_by_id(cursor)
@@ -194,19 +203,27 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         # cursor expired from the source's history: no change feed
         return _full_rebuild(cat, spark, name, vt, src, props, head)
     # crash-window repair, the streaming folds' discipline: the cursor
-    # stamp rides the fold's APPEND; the fold's DELETE is stamped with
-    # the refresh id (the target source snapshot). Finding a LIVE
-    # delete stamped with THIS refresh id while the cursor has not
-    # advanced means a previous attempt crashed between its two
-    # commits — the view's touched keys are deleted but not rewritten.
-    # Roll back to the delete's parent and fold against intact state.
-    # (rebuild_keys needs no guard: it recomputes from SOURCE.)
+    # stamp rides the fold's APPEND; the fold's DELETE is stamped
+    # ``mv-refresh-del``. ANY live delete stamp sitting ABOVE the
+    # latest cursor append is a half-applied fold — the view's touched
+    # keys are masked but not rewritten — regardless of which target
+    # snapshot the stamp names: if the source took another commit
+    # after the crash, head has advanced past the stamped id, and
+    # matching only the CURRENT head would leave the stale delete in
+    # place forever (the view silently loses those keys' rows). A
+    # completed refresh's delete always sits BELOW its cursor append,
+    # so stopping the walk at the first cursor stamp cannot roll back
+    # an applied fold. Roll back to the delete's parent and fold
+    # against intact state. (rebuild_keys needs no guard: it
+    # recomputes its keys from SOURCE, so replaying it is idempotent.)
     md = vt.metadata
     by_id = {s.snapshot_id: s for s in md.snapshots}
     cur_id = md.current_snapshot_id
     while cur_id is not None and cur_id in by_id:
         s = by_id[cur_id]
-        if s.summary.get("mv-refresh-del") == int(head):
+        if s.summary.get("mv-source-cursor") is not None:
+            break  # completed-refresh boundary: everything below is applied
+        if s.summary.get("mv-refresh-del") is not None:
             vt.rollback_to(s.parent_id)
             vt = cat.table(name)
             break

@@ -484,6 +484,7 @@ def run_dml(
             f"statement shape not recognized for {head}: {sql[:80]!r}"
         )
     raise UnsupportedSQL(
-        f"not a routable DML statement (got {head or 'empty'}; SELECTs go "
-        "through Catalog.register_views + spark.sql)"
+        f"not a routable DML statement (got {head or 'empty'}; SELECTs route "
+        "through Catalog.sql's read pass-through — register_views + "
+        "spark.sql under one pinned state)"
     )

@@ -271,3 +271,112 @@ def test_maintained_refresh_random_crash_schedules(spark, cat):
 def test_refresh_refuses_non_maintained(spark, cat):
     with pytest.raises(ValueError, match="not a maintained view"):
         refresh_maintained(cat, spark, "events")
+
+
+def test_maintained_refresh_stale_crash_delete_repaired(spark, cat):
+    """Crash repair when the SOURCE MOVED ON after the crash: a fold
+    targeting head1 commits its stamped delete and dies; the source
+    then takes another commit (head2) before the next refresh. The
+    half-applied delete is stamped with head1 while the repairing
+    refresh targets head2 — matching only the current head would leave
+    the stale delete in place forever and the view would silently lose
+    the touched keys' rows. The repair rule must treat ANY live
+    mv-refresh-del above the latest cursor append as half-applied."""
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    more = spark.createDataFrame([(1, 200, 500)], "k long, v long, ts long")
+    src.append(more)
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    head1 = src.metadata.current_snapshot_id
+    # crashed fold for the head1 refresh: stamped delete, no append
+    vt = cat.table("top_events")
+    vt.delete_eq_mor(
+        spark,
+        more.select("k").distinct(),
+        ["k"],
+        extra_summary={"mv-refresh-del": int(head1)},
+    )
+    # the source advances BEFORE the repairing refresh runs
+    src.append(
+        spark.createDataFrame([(2, 300, 501)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert src.metadata.current_snapshot_id != head1
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"]
+    assert _topk_equals(spark, cat)  # key 1's pre-existing rows intact
+    assert refresh_maintained(cat, spark, "top_events")["refreshed"] is False
+
+
+def test_maintained_caughtup_refresh_republishes_stale_pin(
+    spark, cat, monkeypatch
+):
+    """Crash between the fold's cursor append and the catalog pin
+    publish: the next refresh takes the caught-up early return, which
+    must still republish the pin — otherwise catalog readers serve the
+    pre-refresh snapshot until an unrelated source change."""
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(1, 200, 500)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    vt_before = cat.state().pins["top_events"]
+    # crash window: the fold's commits land, the pin publish does not
+    monkeypatch.setattr(cat, "_commit_pins", lambda updates: None)
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"]
+    monkeypatch.undo()
+    fresh = cat.table("top_events").metadata.current_snapshot_id
+    assert cat.state().pins["top_events"] == vt_before != fresh
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res["refreshed"] is False and res.get("pin_republished") is True
+    assert cat.state().pins["top_events"] == fresh
+    # catalog read now serves the refreshed content
+    mv = cat.read(spark, "top_events")
+    rec = topk_frame(cat.read(spark, "events"), "k", ["ts", "v"], 3).select(
+        mv.columns
+    )
+    assert mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+    # steady state: no further republish churn
+    res = refresh_maintained(cat, spark, "top_events")
+    assert res == {"refreshed": False, "cursor": res["cursor"]}
+
+
+def test_fold_refuses_null_keys(spark, cat):
+    """NULL partition keys are out of the fold contract (eq-delete and
+    semi join never match NULL → duplicate view rows accumulate): every
+    fold entry refuses them loudly instead of corrupting the view."""
+    from java_iceberg_table_spark.operators.agg_view import additive_refresh
+    from java_iceberg_table_spark.operators.topk_view import (
+        rebuild_keys,
+        topk_refresh,
+    )
+
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    vt = cat.table("top_events")
+    null_delta = spark.createDataFrame(
+        [(None, 1, 999), (3, 2, 1000)], "k long, v long, ts long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        topk_refresh(spark, vt, null_delta, "k", ["ts", "v"], 3)
+    with pytest.raises(ValueError, match="NULL"):
+        rebuild_keys(
+            spark, vt, cat.table("events").scan(spark),
+            null_delta.select("k"), "k", ["ts", "v"], 3,
+        )
+    at = cat.table("sums")
+    null_agg = spark.createDataFrame(
+        [(None, 2, 5.0)], "k long, cnt long, sv double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        additive_refresh(spark, at, null_agg, ["k"])
+    # the view is untouched by a refused fold
+    assert _topk_equals(spark, cat) and _agg_equals(spark, cat)

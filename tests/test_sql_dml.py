@@ -106,7 +106,6 @@ def test_merge_with_subquery_and_clauses(spark, cat):
         ("DELETE FROM t", "no WHERE"),
         ("UPDATE t SET qty = 0", "no WHERE"),
         ("UPDATE t SET qty = 0 WHERE upper(v) = 'ODD'", "function lhs"),
-        ("SELECT * FROM t", "not DML"),
         ("TRUNCATE TABLE t", "not DML"),
         (
             "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN DELETE",
@@ -469,3 +468,56 @@ def test_view_ddl_statements(spark, cat):
     # bare resolver (no catalog) refuses view DDL
     with pytest.raises(UnsupportedSQL):
         run_dml(spark, "CREATE VIEW x AS SELECT 1 AS one", lambda _: None)
+
+
+def test_sql_select_passthrough_pinned_state(spark, cat):
+    """SELECT / WITH route through Catalog.sql to register_views +
+    spark.sql: the read resolves every table to ONE catalog state's
+    pinned snapshot, so unpublished head motion is invisible and a
+    later publish is picked up — uniform entry point, pinned-state
+    semantics."""
+    df = cat.sql(spark, "SELECT count(*) AS n FROM t WHERE k >= 5")
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    assert df.collect()[0]["n"] == 5
+    # WITH works too
+    df = cat.sql(
+        spark,
+        "WITH big AS (SELECT k FROM t WHERE k >= 8) "
+        "SELECT count(*) AS n FROM big",
+    )
+    assert df.collect()[0]["n"] == 2
+    # head motion WITHOUT a pin publish is invisible to the read
+    t = cat.table("t")
+    t.append(spark.createDataFrame([(100, "new", 1)], SCHEMA))
+    assert (
+        cat.sql(spark, "SELECT count(*) AS n FROM t").collect()[0]["n"] == 10
+    )
+    # publish: the same statement now sees the new row
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    assert (
+        cat.sql(spark, "SELECT count(*) AS n FROM t").collect()[0]["n"] == 11
+    )
+
+
+def test_sql_select_over_catalog_view(spark, cat):
+    """The pass-through materializes catalog VIEWS under the same
+    state, so SELECTs may reference them directly."""
+    cat.sql(spark, "CREATE VIEW evens AS SELECT k, qty FROM t WHERE k % 2 = 0")
+    df = cat.sql(
+        spark, "SELECT count(*) AS n, sum(qty) AS total FROM evens"
+    )
+    row = df.collect()[0]
+    assert row["n"] == 5 and row["total"] == sum(i * 10 for i in range(0, 10, 2))
+    # DML then read through the one entry point: uniform surface
+    cat.sql(spark, "DELETE FROM t WHERE k = 0")
+    assert (
+        cat.sql(spark, "SELECT count(*) AS n FROM evens").collect()[0]["n"]
+        == 4
+    )
+
+
+def test_sql_script_refuses_select(spark, cat):
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(spark, "DELETE FROM t WHERE k = 1; SELECT * FROM t")
