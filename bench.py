@@ -22,6 +22,7 @@ import time
 HEADLINE = [
     "d1_tpch_q1",        # TPC-H Q1 shape (BASELINE gate)
     "d1e_engine_q1_cents",  # Q1 on engine int64-cents storage, prepared plan
+    "d1p_prepared_tpch_q1",  # Q1 on the raw fixture, prepared plan (no storage help)
     "c3_multiway_join",  # join-agg gate
     "c3e_engine_agg_view",  # join-agg gate on maintained engine view, prepared plan
     "e1_row_number_topk",  # window gate
@@ -106,6 +107,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         # this is that, not a benchmark special.
         tuned = name in GATED or name in (
             "d1e_engine_q1_cents",
+            "d1p_prepared_tpch_q1",
             "e1e_engine_topk_view",
             "c3e_engine_agg_view",
         )
@@ -149,6 +151,7 @@ def duckdb_reference(sf_dir: str) -> dict[str, float]:
         "c3_multiway_join",
         "e1_row_number_topk",
         "d1e_engine_q1_cents",
+        "d1p_prepared_tpch_q1",
         "e1e_engine_topk_view",
         "c3e_engine_agg_view",
     ]:
@@ -574,6 +577,7 @@ def main() -> None:
         "c3_multiway_join",
         "e1_row_number_topk",
         "d1e_engine_q1_cents",
+        "d1p_prepared_tpch_q1",
         "e1e_engine_topk_view",
         "c3e_engine_agg_view",
     )

@@ -85,6 +85,53 @@ def d1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d1p_prepared_tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    group="D",
+)
+def d1p_prepared_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 under the PREPARED protocol (round 10, VERDICT r9
+    item 3): byte-identical query to d1 over the SAME raw fixture
+    parquet — no engine-storage help — with the constructed DataFrame
+    cached per (session, sf_dir) through ``queries/prepared.py``.
+
+    PROTOCOL, stated loudly: the first call builds the statement and
+    pays py4j construction + Catalyst analysis once; every subsequent
+    call re-executes the same prepared statement against the files on
+    disk (nothing about the RESULT is cached — each run re-reads,
+    re-filters, re-aggregates). This is the prepared-statement /
+    plan-cache treatment every engine gives a repeated query, and the
+    honest protocol for the d1 gate's repeated-execution story: the
+    round-8 decomposition (BASELINE.md) showed ~80-90% of d1's gate
+    miss is the ~0.3 s per-statement construction floor, which a
+    repeated workload pays once, not per execution. d1 stays
+    registered construction-per-call so both protocols are visible
+    side by side. Same full Q1 oracle as d1."""
+    from .prepared import prepared_plan
+
+    return prepared_plan(
+        spark, sf_dir, "d1p", lambda: d1_tpch_q1(spark, sf_dir)
+    )
+
+
+@register(
     "d2_global_aggregate",
     oracle="""
 SELECT COUNT(*) AS cnt,
