@@ -206,3 +206,104 @@ def m4_downsample(
             F.max("__v").alias("max_v"),
         )
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    n_out: int = 24,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the perceptual line-chart downsampler: keep the first and last
+    point of each series, split the middle into ``n_out - 2``
+    index-equal buckets, and from each bucket keep the point forming
+    the LARGEST TRIANGLE with the previously kept point and the next
+    bucket's centroid. Complements e12's M4 (exact min/max/first/last
+    envelope): M4 preserves extremes, LTTB preserves shape.
+
+    Spark shape: the selection is inherently SEQUENTIAL within a
+    series (each pick depends on the previous pick), so it runs as
+    one vectorized ``applyInPandas`` per series — series are the unit
+    of parallelism, per-series work is one sort + one numpy pass. At
+    100 TB a series outgrows one task's memory long before this loop
+    matters; the production composition is M4/time-bucket
+    pre-aggregation (e12: one map-side-combinable hash aggregate) down
+    to ~1e5 points per series, then LTTB over THAT — same pattern as
+    topk_view feeding the e1 gate.
+
+    Cross-engine determinism (the oracle replays this relationally):
+    timestamps quantize to integer microseconds and values to integer
+    1e-6 units, so bucket sums are exact integers in both engines;
+    the area comparison is |double(na*xp - SX) * double(vc - vp)
+    - double(xp - xc) * double(SV - na*vp)| — every factor an
+    exactly-represented integer, every product/difference one IEEE
+    double op, identical bit patterns on both sides. Ties break to
+    the smallest (x, vq). Points order by (x, vq) within a series —
+    a caller whose (ts, value) pairs collide should pre-dedup or
+    extend the value column (total order is the contract).
+
+    Returns (series, ts_us, value), ≤ n_out rows per series (all
+    points when a series has ≤ n_out)."""
+    import numpy as np
+
+    if n_out < 3:
+        raise ValueError("lttb_downsample needs n_out >= 3")
+    nb = n_out - 2
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.unix_micros(F.col(ts_col)).alias("x"),
+        F.round(F.col(value_col).cast("double") * 1e6).cast("long").alias("vq"),
+    )
+
+    def one_series(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["x", "vq"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        x = pdf["x"].to_numpy(np.int64)
+        v = pdf["vq"].to_numpy(np.int64)
+        if n <= n_out:
+            sel = list(range(n))
+        else:
+            mid = n - 2
+            b = (np.arange(mid, dtype=np.int64) * nb) // mid  # bucket of rn-2
+            starts = np.searchsorted(b, np.arange(nb), side="left") + 1
+            ends = np.searchsorted(b, np.arange(nb), side="right") + 1
+            sel = [0]
+            prev = 0
+            for k in range(nb):
+                s, e = int(starts[k]), int(ends[k])
+                if k < nb - 1:
+                    s2, e2 = int(starts[k + 1]), int(ends[k + 1])
+                    na = e2 - s2
+                    sx = int(x[s2:e2].sum())
+                    sv = int(v[s2:e2].sum())
+                else:  # last middle bucket pairs with the final point
+                    na, sx, sv = 1, int(x[n - 1]), int(v[n - 1])
+                xp, vp = int(x[prev]), int(v[prev])
+                t1 = float(na * xp - sx) * (v[s:e] - vp).astype(np.float64)
+                t2 = (xp - x[s:e]).astype(np.float64) * float(sv - na * vp)
+                area2 = np.abs(t1 - t2)
+                # max area, ties to smallest (x, vq): lexsort is
+                # last-key-primary, so order keys (vq, x, -area)
+                j = s + int(np.lexsort((v[s:e], x[s:e], -area2))[0])
+                sel.append(j)
+                prev = j
+            sel.append(n - 1)
+        out = pdf.iloc[sel]
+        return pd.DataFrame(
+            {
+                "series": out["series"].to_numpy(),
+                "ts_us": out["x"].to_numpy(np.int64),
+                "value": out["vq"].to_numpy(np.int64) / 1e6,
+            }
+        )
+
+    series_type = dict(zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields]))["series"]
+    return base.groupBy("series").applyInPandas(
+        one_series, schema=f"series {series_type}, ts_us long, value double"
+    )

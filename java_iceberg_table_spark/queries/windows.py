@@ -489,3 +489,80 @@ def e12_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
     ).orderBy("series", "bucket_us")
+
+
+@register(
+    "e13_lttb_downsample",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT event_type AS series,
+         epoch_us(ts) AS x,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY epoch_us(ts),
+                                     CAST(ROUND(value * 1000000) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+mid AS (
+  SELECT series, x, vq, ((rn - 2) * 22) // (n - 2) AS b
+  FROM pts WHERE rn >= 2 AND rn <= n - 1 AND n > 24
+),
+nxt AS (
+  SELECT series, b - 1 AS b, COUNT(*) AS cnt, SUM(x) AS sx, SUM(vq) AS sv
+  FROM mid WHERE b >= 1 GROUP BY series, b
+  UNION ALL
+  SELECT series, 21 AS b, 1 AS cnt, x AS sx, vq AS sv
+  FROM pts WHERE rn = n AND n > 24
+),
+sel AS (
+  SELECT series, CAST(-1 AS BIGINT) AS b, x, vq FROM pts WHERE rn = 1 AND n > 24
+  UNION ALL
+  SELECT p.series, p.b,
+         (max(struct_pack(
+            a := abs(CAST(a.cnt * s.x - a.sx AS DOUBLE)
+                       * CAST(p.vq - s.vq AS DOUBLE)
+                     - CAST(s.x - p.x AS DOUBLE)
+                       * CAST(a.sv - a.cnt * s.vq AS DOUBLE)),
+            nx := -p.x, nvq := -p.vq, x := p.x, vq := p.vq))).x,
+         (max(struct_pack(
+            a := abs(CAST(a.cnt * s.x - a.sx AS DOUBLE)
+                       * CAST(p.vq - s.vq AS DOUBLE)
+                     - CAST(s.x - p.x AS DOUBLE)
+                       * CAST(a.sv - a.cnt * s.vq AS DOUBLE)),
+            nx := -p.x, nvq := -p.vq, x := p.x, vq := p.vq))).vq
+  FROM sel s
+  JOIN mid p ON p.series = s.series AND p.b = s.b + 1
+  JOIN nxt a ON a.series = p.series AND a.b = p.b
+  GROUP BY p.series, p.b
+),
+keep AS (
+  SELECT series, x, vq FROM sel
+  UNION ALL
+  SELECT series, x, vq FROM pts WHERE rn = n AND n > 24
+  UNION ALL
+  SELECT series, x, vq FROM pts WHERE n <= 24
+)
+SELECT series, x AS ts_us, vq / 1000000.0 AS value
+FROM keep ORDER BY series, ts_us, value
+""",
+    group="E",
+)
+def e13_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB perceptual downsampling to 24 points per series (round 10,
+    VERDICT r9 item 5; Steinarsson 2013) — the shape-preserving
+    companion to e12's M4 envelope. The selection is sequential within
+    a series, so the operator (operators/timeseries.py lttb_downsample)
+    runs one vectorized applyInPandas per series — series parallelize,
+    per-series work is one sort + one numpy pass; the 100-TB path
+    pre-aggregates with e12's M4 to bound points-per-series first.
+    Arithmetic is exact cross-engine (integer-microsecond timestamps,
+    1e-6-unit values, one IEEE double op per comparison term), so the
+    DuckDB oracle replays the algorithm RELATIONALLY: a recursive CTE
+    walks the buckets left to right, arg_max re-picking exactly the
+    operator's triangle-area maximization with identical tie-breaks."""
+    from ..operators.timeseries import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    d = lttb_downsample(ev, "event_type", "ts", "value", n_out=24)
+    return d.orderBy("series", "ts_us", "value")

@@ -1080,3 +1080,28 @@ def test_time_bucket_gapfill_hourly(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         time_bucket_gapfill(df, "s", "ts", "v", bucket="month")
+
+
+def test_lttb_downsample_hand_series(spark):
+    """LTTB on a hand-computed series (n_out=5, 7 points, buckets
+    {1,2},{3,4},{5}): step 1 picks (1,10) (area 61 vs 11 against
+    bucket-2's centroid), step 2 picks (4,8) (19 vs 18 against the
+    bucket-3 point), step 3 keeps (5,1); first/last always kept."""
+    from java_iceberg_table_spark.operators.timeseries import lttb_downsample
+
+    pts = [(0, 0.0), (1, 10.0), (2, 1.0), (3, 1.0), (4, 8.0), (5, 1.0), (6, 0.0)]
+    df = spark.createDataFrame(
+        [("a", i * 1_000_000, v) for i, v in pts], "s string, us long, v double"
+    ).select("s", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    out = sorted(
+        (r["ts_us"] // 1_000_000, r["value"])
+        for r in lttb_downsample(df, "s", "ts", "v", n_out=5).collect()
+    )
+    assert out == [(0, 0.0), (1, 10.0), (4, 8.0), (5, 1.0), (6, 0.0)]
+    # a series at-or-under n_out passes through whole
+    small = lttb_downsample(df, "s", "ts", "v", n_out=7).collect()
+    assert len(small) == 7
+    # per-series independence: two series downsample separately
+    df2 = df.unionByName(df.withColumn("s", F.lit("b")))
+    both = lttb_downsample(df2, "s", "ts", "v", n_out=5).collect()
+    assert len(both) == 10
