@@ -441,6 +441,12 @@ class EngineBatchReader(DataSourceReader):
         )
         self.engine_filters: list[tuple[str, str, object]] = []
         self.in_filters: list[tuple[str, list]] = []
+        # a catalog read whose pin is None (table registered, nothing
+        # published yet) scans EMPTY — the table head must stay
+        # invisible, so this cannot fall through to a head scan
+        self.empty_scan = str(
+            (options or {}).get("empty_scan", "")
+        ).lower() in ("true", "1")
         # option("withLineage","true"): rows carry _row_id /
         # _last_updated_seq (Iceberg v3), parity with scan_with_lineage
         self.lineage_on = str(
@@ -486,6 +492,8 @@ class EngineBatchReader(DataSourceReader):
         from ..table import load_table
         from ..table.table import _renames_of, prune_entries_by_keys
 
+        if self.empty_scan:
+            return []
         tbl = load_table(self.root)
         picked = [
             x
@@ -1440,17 +1448,74 @@ class EngineStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
 
 class EngineTableDataSource(DataSource):
     """format("engine_table").option("root", <table root>); readers
-    also accept option("snapshot_id") / option("ref") for time travel."""
+    also accept option("snapshot_id") / option("ref") for time travel.
+
+    CATALOG reads (round 10): .option("catalog", <catalog root>) +
+    .option("name", <table>) resolve the table THROUGH the catalog and
+    pin the batch scan to the catalog state's published snapshot —
+    plain spark.read sees exactly what Catalog.read serves, including
+    none of a direct writer's unpublished head motion. Adding
+    .option("catalog_version", N) pins to the state as of catalog
+    version N instead (catalog-level time travel: one version number
+    names a cross-table-consistent world, so several reads with the
+    same catalog_version line up the way a3y/a4i's state_at() reads
+    do). Batch-read semantics only: streams tail the commit log at
+    head, and writers commit to the table head (publish moves pins)."""
 
     @classmethod
     def name(cls) -> str:
         return "engine_table"
 
     def _root(self) -> str:
+        cat = self.options.get("catalog")
+        if cat:
+            name = self.options.get("name")
+            if not name:
+                raise ValueError(
+                    'catalog reads need .option("name", <table name>)'
+                )
+            if "/" in name or name.startswith("."):
+                raise ValueError(f"bad table name {name!r}")
+            root = os.path.join(cat, "tables", name)
+            if not os.path.isdir(root):
+                raise KeyError(f"no table {name!r} in catalog {cat!r}")
+            return root
         root = self.options.get("root")
         if not root:
-            raise ValueError('engine_table requires .option("root", <table root>)')
+            raise ValueError(
+                'engine_table requires .option("root", <table root>) or '
+                '.option("catalog", <catalog root>) + .option("name", ...)'
+            )
         return root
+
+    def _pinned_options(self) -> dict:
+        """Resolve the catalog options to a snapshot-pinned option set
+        for the batch reader: the pin comes from the PUBLISHED catalog
+        state (current, or state_at(catalog_version)), never the table
+        head. A never-published (empty-pinned) table scans empty."""
+        from ..table.catalog import Catalog
+
+        for o in ("snapshot_id", "ref", "as_of_timestamp_ms"):
+            if o in self.options:
+                raise ValueError(
+                    "catalog reads pin the snapshot from the catalog "
+                    f"state — don't combine with option({o!r})"
+                )
+        cat = Catalog(self.options["catalog"])
+        v = self.options.get("catalog_version")
+        st = cat.state_at(int(v)) if v is not None else cat.state()
+        name = self.options["name"]
+        if name not in st.pins:
+            raise KeyError(
+                f"no table {name!r} in catalog version {st.version}"
+            )
+        pin = st.pins[name]
+        opts = dict(self.options)
+        if pin is None:
+            opts["empty_scan"] = "true"
+        else:
+            opts["snapshot_id"] = str(int(pin))
+        return opts
 
     def _cdc(self) -> bool:
         return str(self.options.get("cdc", "")).lower() in ("true", "1")
@@ -1486,7 +1551,10 @@ class EngineTableDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         if self._meta():
             return EngineMetaReader(self._root(), schema, self._meta(), self.options)
-        return EngineBatchReader(self._root(), schema, self.options)
+        opts = (
+            self._pinned_options() if self.options.get("catalog") else self.options
+        )
+        return EngineBatchReader(self._root(), schema, opts)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         if self._meta():

@@ -1744,3 +1744,65 @@ def test_topk_view_sink_refuses_cdc_deletes(ds, base_dir):
     fold(df.withColumn("_change_type", F.lit("insert")), 0)
     open_table(src_root).append(df)
     assert _topk_equals_recompute(spark, src_root, view_root)
+
+
+def test_catalog_read_pinned_and_time_travel(ds, base_dir):
+    """Connector catalog reads (round 10): option("catalog")+option
+    ("name") pin the scan to the PUBLISHED catalog state — parity with
+    Catalog.read — and option("catalog_version", N) time-travels the
+    whole catalog; unpublished head motion stays invisible; a
+    registered-but-never-published table scans empty; combining with
+    table-level time-travel options is refused."""
+    from java_iceberg_table_spark.table import Catalog
+
+    spark = ds
+    croot = base_dir + "/cat"
+    cat = Catalog.create(croot)
+    t = cat.create_table(
+        "t", spark.createDataFrame([], "k long, v string").schema
+    )
+    v_none = cat.state().version  # pin is None: registered, unpublished
+
+    def rd(**opts):
+        r = (
+            spark.read.format("engine_table")
+            .option("catalog", croot)
+            .option("name", "t")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert rd().count() == 0  # empty pin != head scan
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    v_a = cat.state().version
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    v_b = cat.state().version
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))  # NOT published
+    # current state: published rows only, head motion invisible
+    assert {r["k"] for r in rd().collect()} == {1, 2, 3}
+    # catalog-version time travel + parity with Catalog.read(state_at)
+    for v in (v_a, v_b):
+        via_connector = {r["k"] for r in rd(catalog_version=str(v)).collect()}
+        via_catalog = {
+            r["k"]
+            for r in cat.read(spark, "t", state=cat.state_at(v)).collect()
+        }
+        assert via_connector == via_catalog
+    assert {r["k"] for r in rd(catalog_version=str(v_a)).collect()} == {1, 2}
+    assert rd(catalog_version=str(v_none)).count() == 0
+    # pushed filters still prune through the pinned scan
+    assert rd().filter(F.col("k") >= 2).count() == 2
+    # refusals: combining with table-level time travel; unknown table
+    with pytest.raises(Exception, match="don't combine"):
+        rd(snapshot_id="1").collect()
+    with pytest.raises(Exception, match="no table"):
+        (
+            spark.read.format("engine_table")
+            .option("catalog", croot)
+            .option("name", "zzz")
+            .load()
+            .collect()
+        )
