@@ -34,9 +34,12 @@ def time_bucket_gapfill(
     - ``lin_value``  — linear interpolation between the neighboring
       observed buckets (edges fall back to the one existing side).
 
-    Returns (series, bucket_ts, n_events, avg_value, locf_value,
-    lin_value); bucket_ts is a date for ``day`` buckets, a timestamp
-    for ``hour``. Buckets must be UNIFORM so interpolation weights are
+    Returns (series, bucket_ts, n_events, avg_value, first_value,
+    last_value, locf_value, lin_value) — first/last are the earliest/
+    latest observation in the bucket (NULL in gaps), tie-broken by
+    value on timestamp collisions so re-runs and oracles agree;
+    bucket_ts is a date for ``day`` buckets, a timestamp for
+    ``hour``. Buckets must be UNIFORM so interpolation weights are
     exact integer step counts (day: datediff; hour: epoch/3600) —
     month buckets are non-uniform and deliberately unsupported."""
     if bucket == "day":
@@ -50,11 +53,18 @@ def time_bucket_gapfill(
     base = df.select(
         F.col(series_col).alias("series"),
         bucket_expr.alias("bucket_ts"),
+        F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("v"),
     )
+    # first/last observation per bucket (round 10): min/max of the
+    # (ts, v) struct — tie-broken by value when timestamps collide, so
+    # both engines pick identically — then the value field extracted.
+    # Still ONE map-side-combinable hash aggregate, no window.
     observed = base.groupBy("series", "bucket_ts").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.avg("v").alias("avg_value"),
+        F.min(F.struct("ts", "v")).getField("v").alias("first_value"),
+        F.max(F.struct("ts", "v")).getField("v").alias("last_value"),
     )
     # global span: ONE tiny aggregate row, broadcast into the spine —
     # the spine itself is sequence()-generated, never a data scan
@@ -110,6 +120,8 @@ def time_bucket_gapfill(
         "bucket_ts",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "avg_value",
+        "first_value",
+        "last_value",
         prev_v.alias("locf_value"),
         lin.alias("lin_value"),
     )

@@ -322,11 +322,14 @@ def e9_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e10_time_bucket_gapfill",
     oracle="""
 WITH base AS (
-  SELECT event_type AS series, CAST(ts AS DATE) AS bucket_ts, value AS v
+  SELECT event_type AS series, CAST(ts AS DATE) AS bucket_ts,
+         epoch_us(ts) AS tus, value AS v
   FROM events
 ),
 obs AS (
-  SELECT series, bucket_ts, COUNT(*) AS n_events, AVG(v) AS avg_value
+  SELECT series, bucket_ts, COUNT(*) AS n_events, AVG(v) AS avg_value,
+         (min(struct_pack(t := tus, v := v))).v AS first_value,
+         (max(struct_pack(t := tus, v := v))).v AS last_value
   FROM base GROUP BY 1, 2
 ),
 span AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM base),
@@ -337,13 +340,14 @@ spine AS (
           (SELECT lo FROM span), (SELECT hi FROM span), INTERVAL 1 DAY)) AS d) d
 ),
 g AS (
-  SELECT spine.series, spine.bucket_ts, obs.n_events, obs.avg_value
+  SELECT spine.series, spine.bucket_ts, obs.n_events, obs.avg_value,
+         obs.first_value, obs.last_value
   FROM spine LEFT JOIN obs USING (series, bucket_ts)
 ),
 f AS (
   SELECT series, bucket_ts,
          COALESCE(n_events, 0) AS n_events,
-         avg_value,
+         avg_value, first_value, last_value,
          LAST_VALUE(avg_value IGNORE NULLS) OVER wb AS prev_v,
          LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END
                     IGNORE NULLS) OVER wb AS prev_d,
@@ -358,6 +362,8 @@ f AS (
 )
 SELECT series, strftime(bucket_ts, '%Y-%m-%d') AS bucket_day, n_events,
        ROUND(avg_value, 4) AS avg_value,
+       ROUND(first_value, 4) AS first_value,
+       ROUND(last_value, 4) AS last_value,
        ROUND(prev_v, 4) AS locf_value,
        ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
                   WHEN prev_v IS NULL THEN next_v
@@ -375,9 +381,12 @@ def e10_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 8) — the hypertable-rollup family op
     (TimescaleDB time_bucket_gapfill/locf/interpolate) the event-
     stream domain expects: per event_type, a DENSE daily spine over
-    the data's span with the observed per-day average, the last
-    observation carried forward, and the linear interpolation between
-    neighboring observed days. Spark shape (operators/timeseries.py):
+    the data's span with the observed per-day average, the bucket's
+    FIRST and LAST observation (round 10 — TimescaleDB's first()/
+    last() rollup aggregates, tie-broken by value so both engines
+    agree on timestamp collisions), the last observation carried
+    forward, and the linear interpolation between neighboring
+    observed days. Spark shape (operators/timeseries.py):
     one (series, day) hash aggregate with map-side partials, a
     sequence()-generated spine (never a scan), and two windows
     partitioned by series — each series fills independently, skew
@@ -391,6 +400,8 @@ def e10_time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_day"),
         "n_events",
         F.round("avg_value", 4).alias("avg_value"),
+        F.round("first_value", 4).alias("first_value"),
+        F.round("last_value", 4).alias("last_value"),
         F.round("locf_value", 4).alias("locf_value"),
         F.round("lin_value", 4).alias("lin_value"),
     ).orderBy("series", "bucket_day")
