@@ -549,8 +549,9 @@ def h37_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.51 s — [^A-Za-z] is one NFA class; deleting 70 listed chars is
     not). Dropped docs collapse into one NULL group per source whose
     partial counts combine map-side, so the skew is counts-only. No
-    joins on data, no windows, no UDFs. Measured at sf1: 4.32 s ->
-    2.4 s (DuckDB 1.3 s)."""
+    joins on data, no windows, no UDFs. Measured at sf1 (warm
+    min-of-5): 4.32 s -> 1.83 s vs DuckDB 1.42 s — 1.29x, inside the
+    2x letter (was 3.6x)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     n_tok = F.size(t)
