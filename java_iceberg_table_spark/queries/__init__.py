@@ -161,25 +161,35 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 # changed expression in-row, value-identical at fixture scale but
 # re-proved by the driver anyway).
 _REVERIFY_HEAD = [
-    "a3j_engine_bloom_point_lookup",
-    "a4k_engine_token_search",
+    # round-10 canaries (changed machinery; kept to 8 so ~40 window
+    # slots drain the r3/r4 stale-grade backlog — VERDICT r9 item 1):
+    # a3m first — the connector changed (catalog-pinned reads) AND its
+    # run prepays the Python-datasource worker startup that the
+    # never-graded a4q (first new-row slot) would otherwise pay cold
+    "a3m_engine_datasource_connector",
+    # maintained-view family: crash-repair rule generalized (any live
+    # mv-refresh-del above the cursor append), caught-up pin
+    # republish, NULL-key fold refusal, prepared_plan migration
+    "e1e_engine_topk_view",
+    "c3e_engine_agg_view",
+    "a4p_engine_maintained_view",
+    # topk_view_sink gained the NULL-key refusal
+    "i28_streaming_topk_view",
+    # SQL router: SELECT/WITH now pass through Catalog.sql
     "a4l_engine_sql_dml",
-    "h55_leakage_safe_split",
-    "h30_source_mixture_sample",
-    "h41_weighted_sample_topk",
-    "h44_temperature_mixing",
-    # the maintained-view fold (streaming/jobs.py maintained_view_merge)
-    # switched to a runtime-filtered view read late round 9 — i21 drives
-    # the shared helper through the driver; i25 received the same change
-    # at the same call site and was locally re-driven green (chaos +
-    # oracle), its driver regrade rides staleness rotation next round
-    "i21_streaming_materialized_view",
+    # gapfill operator gained first/last bucket aggregates
+    "e10_time_bucket_gapfill",
+    # re-planned one-pass pipeline (translate normalize, arrays_overlap)
+    "h37_pipeline_composition",
 ]
-# Round-9 note: counter_delta's elapsed-time math moved to integer
-# microseconds (exact) — its graded face e11_counter_deltas is
-# NEVER-graded and so already claims a front slot in the new-row
-# section (no canary needed); e10 shares only the module, not the
-# changed function.
+# Round-10 notes on changed-machinery rows deliberately NOT canaried
+# (each locally re-driven green against its oracle this round, driver
+# regrade rides staleness rotation):
+# - d1e_engine_q1_cents: mechanical migration onto prepared_plan (same
+#   constructed plan, cache keying unchanged);
+# - i21_streaming_materialized_view: maintained_view_merge gained only
+#   the NULL-key refusal (chaos + unit tests cover it; graded r9 on
+#   otherwise-current code).
 
 
 def load_all() -> dict[str, Query]:
