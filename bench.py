@@ -42,6 +42,58 @@ HEADLINE = [
 
 GATED = {"d1_tpch_q1", "c3_multiway_join", "e1_row_number_topk"}
 
+# Rows timed under the POOLED prepared-statement protocol (round-10
+# revision). Repeated collect() of ONE cached Dataset lets the
+# DAGScheduler skip its completed shuffle map stage entirely — the
+# registered map outputs (here: the pre-aggregated partials) are
+# reused, so the "re-execution" reads NO data (measured at sf0.1:
+# 0.036 s reuse vs 0.122 s honest fresh-stage for d1e). That is an
+# incremental result cache, not a prepared read, and timing it
+# overstated d1e from round 8 through round 9 (BASELINE.md round-10
+# section records the correction). The honest prepared protocol:
+# build a POOL of identical Datasets, pre-pay plan + codegen on each
+# (queryExecution().toRdd(), untimed — what a prepared statement
+# amortizes), then time each Dataset's FIRST collect — fresh shuffle
+# ids, every stage executes, every byte re-read. e1e/c3e are exempt:
+# their reads are plan-gated Exchange-free (tests/test_plans.py), so
+# there is no map stage to reuse and plain repeated collect honestly
+# re-reads the view.
+PREPARED_POOLED = {"d1p_prepared_tpch_q1", "d1e_engine_q1_cents"}
+
+
+def _prepared_builder(name: str, spark, sf_dir: str):
+    """A fresh-Dataset builder for a pooled-protocol row (bypasses the
+    session plan cache so each pool member owns fresh stages)."""
+    from java_iceberg_table_spark.queries import load_all
+    from java_iceberg_table_spark.queries.prepared import _PLAN_CACHE
+
+    fn = load_all()[name].fn
+
+    def build():
+        _PLAN_CACHE.pop(
+            (spark.sparkContext.applicationId, sf_dir,
+             {"d1p_prepared_tpch_q1": "d1p", "d1e_engine_q1_cents": "d1e"}[name]),
+            None,
+        )
+        return fn(spark, sf_dir)
+
+    return build
+
+
+def time_prepared_pool(name: str, spark, sf_dir: str, n: int = 5) -> float:
+    build = _prepared_builder(name, spark, sf_dir)
+    for _ in range(3):
+        build().collect()  # JIT/C2 warm (throwaway instances)
+    pool = [build() for _ in range(n)]
+    for d in pool:
+        d._jdf.queryExecution().toRdd()  # plan + codegen, untimed
+    runs = []
+    for d in pool:
+        t0 = time.perf_counter()
+        d.collect()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
 
 def _materialize(df, small_result: bool) -> None:
     """Force FULL computation of the query. The gated trio returns
@@ -117,6 +169,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             spark.conf.set("spark.sql.shuffle.partitions", "1")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
+            if name in PREPARED_POOLED:
+                times[name] = time_prepared_pool(name, spark, sf_dir)
+                continue
             if tuned:
                 _materialize(q.fn(spark, sf_dir), True)  # re-warm, tuned conf
             for _ in range(n_runs):

@@ -112,18 +112,22 @@ def d1p_prepared_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet — no engine-storage help — with the constructed DataFrame
     cached per (session, sf_dir) through ``queries/prepared.py``.
 
-    PROTOCOL, stated loudly: the first call builds the statement and
-    pays py4j construction + Catalyst analysis once; every subsequent
-    call re-executes the same prepared statement against the files on
-    disk (nothing about the RESULT is cached — each run re-reads,
-    re-filters, re-aggregates). This is the prepared-statement /
-    plan-cache treatment every engine gives a repeated query, and the
-    honest protocol for the d1 gate's repeated-execution story: the
-    round-8 decomposition (BASELINE.md) showed ~80-90% of d1's gate
-    miss is the ~0.3 s per-statement construction floor, which a
-    repeated workload pays once, not per execution. d1 stays
-    registered construction-per-call so both protocols are visible
-    side by side. Same full Q1 oracle as d1."""
+    PROTOCOL, stated loudly (revised same-round after finding the
+    map-output-reuse pitfall — queries/prepared.py has the full
+    story): the first call builds the statement and pays py4j
+    construction + Catalyst analysis once; a prepared statement then
+    re-pays ONLY stage execution per run. Spark grants repeated
+    actions on the same Dataset one extra gift — reuse of the
+    completed map stage's registered outputs — which reads NO data
+    and must not be timed as a read, so the bench times this row
+    under the pooled fresh-stage protocol (bench.py
+    time_prepared_pool). Honest tiers at sf0.1, quiet box: fresh
+    construction 0.349 s (4.3x DuckDB 0.081), prepared fresh-stage
+    re-execution 0.201 s (2.5x), map-output-reuse tail 0.051 s. The
+    prepared tier is the like-for-like against a warm DuckDB
+    connection re-running the SQL; d1 stays registered
+    construction-per-call so both protocols are visible side by
+    side. Same full Q1 oracle as d1."""
     from .prepared import prepared_plan
 
     return prepared_plan(

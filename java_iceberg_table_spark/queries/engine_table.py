@@ -2470,16 +2470,20 @@ def d1e_engine_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     values) dictionary-encode where doubles stored PLAIN. Same Q1
     oracle as d1; identical output columns.
 
-    PREPARED-PLAN semantics, stated loudly: the constructed DataFrame
-    is cached per (session, sf) and re-executed on each call — every
-    call re-reads the data (no persist), but pays Catalyst
-    analysis/codegen once, the way any engine treats a repeated query
-    (prepared statements / plan caches). Measured at sf0.1 under the
-    bench protocol: execution 0.043 s vs DuckDB 0.084 s (0.5x);
-    fresh-construction-every-call is 0.36-0.39 s, of which ~0.30 s is
-    the per-statement py4j + Catalyst floor — the decomposition is
-    documented in BASELINE.md. d1 stays construction-per-call so both
-    protocols remain visible."""
+    PREPARED-PLAN semantics, stated loudly (protocol REVISED round 10
+    — queries/prepared.py has the full story): the constructed
+    DataFrame is cached per (session, sf); Catalyst analysis/codegen
+    is paid once, the way any engine treats a repeated query. The
+    0.043 s "execution" published rounds 8-9 was measured by
+    re-collecting ONE Dataset, which lets the DAGScheduler reuse the
+    completed map stage's registered outputs — no data is read; that
+    tier is an incremental result cache, not a prepared read. Honest
+    tiers at sf0.1 (quiet box, pooled fresh-stage protocol — bench.py
+    time_prepared_pool): fresh construction 0.36 s, prepared
+    fresh-stage re-execution 0.122 s vs DuckDB 0.081 s (1.5x — the
+    cents-storage decode win stands, at its true size), map-output
+    reuse 0.036 s. d1 stays construction-per-call so all protocols
+    remain visible."""
     def build() -> DataFrame:
         tbl = open_table(_q1_cents_root(spark, sf_dir))
         disc_price_4 = F.col("price_c") * (F.lit(100) - F.col("disc_c"))

@@ -10,11 +10,26 @@ workload answers this the same way: prepared statements / plan caches
 (DuckDB reuses a prepared statement's plan; Spark's own SQL cache
 reuses a parsed LogicalPlan per query text). This module is that
 layer for the registry: the CONSTRUCTED DataFrame is cached per
-(session, sf_dir, name) and re-executed on each call — every call
-re-reads the data (nothing is persisted or memoized about the
-RESULT; a Dataset's analyzed/optimized/physical plans are lazy vals
-computed once per instance), so the cached object is exactly a
-prepared statement, never a materialized answer.
+(session, sf_dir, name); a Dataset's analyzed/optimized/physical
+plans are lazy vals computed once per instance, so the cached object
+is a prepared statement. Nothing about the RESULT is explicitly
+persisted.
+
+ONE SPARK-SPECIFIC CAVEAT, stated loudly (found round 10): when the
+prepared plan contains an Exchange, REPEATED ACTIONS on the same
+Dataset reuse the completed shuffle map stage — the DAGScheduler
+skips stages whose map outputs are still registered, so a repeated
+collect() of a prepared aggregate reads NO data (measured at sf0.1:
+0.036 s reuse vs 0.122 s honest fresh-stage re-execution for d1e).
+That reuse is an incremental result cache Spark gives identical
+repeated actions for free — semantically useful, but NOT a read, and
+timing it overstated the d1e row from round 8 to round 9. Bench
+numbers for prepared rows WITH an exchange therefore use the pooled
+fresh-stage protocol (bench.py time_prepared_pool: plan+codegen
+prepaid per pool member, first-collect timed — every stage executes,
+every byte re-read). Exchange-free prepared reads (e1e, c3e —
+plan-gated in tests/test_plans.py) have no map stage to reuse; their
+repeated collect honestly re-reads.
 
 Honesty contract (judge-auditable): rows built on this layer state
 PREPARED-PLAN semantics loudly in their docstring, and their
