@@ -232,7 +232,7 @@ def test_maintained_refresh_random_crash_schedules(spark, cat):
         src.append(more)
         cat._commit_pins({"events": src.metadata.current_snapshot_id})
         head = src.metadata.current_snapshot_id
-        scenario = rng.choice(["clean", "del_only", "rb_past"])
+        scenario = rng.choice(["clean", "del_only", "del_stale", "rb_past"])
         if scenario == "del_only":
             # the fold's stamped delete lands; the cursor append does not
             vt = cat.table("top_events")
@@ -242,6 +242,26 @@ def test_maintained_refresh_random_crash_schedules(spark, cat):
                 ["k"],
                 extra_summary={"mv-refresh-del": int(head)},
             )
+        elif scenario == "del_stale":
+            # the fold's stamped delete lands, the refresher dies, and
+            # the SOURCE MOVES ON before the next refresh: the stamp
+            # names a head that is no longer current — the round-10
+            # repair rule (any live delete above the cursor append)
+            # must still roll it back
+            vt = cat.table("top_events")
+            vt.delete_eq_mor(
+                spark,
+                more.select("k").distinct(),
+                ["k"],
+                extra_summary={"mv-refresh-del": int(head)},
+            )
+            src.append(
+                spark.createDataFrame(
+                    [(b * 100 + 50, (b + 3) % 6, 2000 + b)],
+                    "k long, v long, ts long",
+                )
+            )
+            cat._commit_pins({"events": src.metadata.current_snapshot_id})
         elif scenario == "rb_past":
             # a completed refresh rolled away externally: cursor AND
             # content regress together; the next refresh re-folds the
