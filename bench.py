@@ -63,18 +63,15 @@ PREPARED_POOLED = {"d1p_prepared_tpch_q1", "d1e_engine_q1_cents"}
 
 def _prepared_builder(name: str, spark, sf_dir: str):
     """A fresh-Dataset builder for a pooled-protocol row (bypasses the
-    session plan cache so each pool member owns fresh stages)."""
+    session plan cache so each pool member owns fresh stages). Cache
+    names equal registry row names, so invalidation needs no map."""
     from java_iceberg_table_spark.queries import load_all
-    from java_iceberg_table_spark.queries.prepared import _PLAN_CACHE
+    from java_iceberg_table_spark.queries.prepared import invalidate
 
     fn = load_all()[name].fn
 
     def build():
-        _PLAN_CACHE.pop(
-            (spark.sparkContext.applicationId, sf_dir,
-             {"d1p_prepared_tpch_q1": "d1p", "d1e_engine_q1_cents": "d1e"}[name]),
-            None,
-        )
+        invalidate(spark, sf_dir, name)
         return fn(spark, sf_dir)
 
     return build

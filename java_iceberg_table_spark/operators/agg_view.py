@@ -54,13 +54,23 @@ def additive_refresh(
     view_schema = {f.name: f.dataType for f in mv_tbl.schema().fields}
     delta_agg = delta_agg.persist()
     try:
+        from functools import reduce
+
+        from .topk_view import null_key_error
+
         touched = delta_agg.select(*keys).distinct().persist()
-        n_touched = touched.count()
+        any_null = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        trow = touched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(any_null.cast("int")).alias("nulls"),
+        ).collect()[0]
+        n_touched = trow["n"]
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
-        from .topk_view import refuse_null_keys
-
-        refuse_null_keys(touched, keys, "additive_refresh")
+        if trow["nulls"]:
+            raise null_key_error(keys, "additive_refresh")
         # runtime-filtered view read on the FIRST key + broadcast semi
         # join on the full key tuple: the fold reads only files whose
         # stats admit a touched key (effective once maintenance has

@@ -281,10 +281,30 @@ def lttb_downsample(
         if n <= n_out:
             sel = list(range(n))
         else:
+            # every term of the area comparison is TRANSLATION-
+            # INVARIANT ((na*xp - SX), (vc - vp), (xp - xc),
+            # (SV - na*vp) all cancel a constant shift), so the sums
+            # run over series-relative coordinates: absolute
+            # epoch-microseconds (~1.75e15) would silently wrap
+            # numpy's int64 accumulator once a bucket exceeds ~5,270
+            # points, corrupting the maximization with no error while
+            # the oracle's HUGEINT sums stay exact (round-10 review
+            # finding, numeric repro at 14k points). The integers —
+            # and therefore the IEEE doubles both engines compare —
+            # are identical to the absolute-coordinate oracle's.
+            xr = x - x[0]  # sorted by x, so x[0] is the series min
+            vr = v - int(v.min())
             mid = n - 2
             b = (np.arange(mid, dtype=np.int64) * nb) // mid  # bucket of rn-2
             starts = np.searchsorted(b, np.arange(nb), side="left") + 1
             ends = np.searchsorted(b, np.arange(nb), side="right") + 1
+            mb = int((ends - starts).max())
+            if (mb + 1) * max(int(xr[-1]), int(vr.max()), 1) >= 2**62:
+                raise ValueError(
+                    "lttb_downsample: bucket sums would overflow int64 "
+                    "(series span x bucket size too large) — raise n_out "
+                    "or pre-aggregate the series (e.g. M4) first"
+                )
             sel = [0]
             prev = 0
             for k in range(nb):
@@ -292,17 +312,17 @@ def lttb_downsample(
                 if k < nb - 1:
                     s2, e2 = int(starts[k + 1]), int(ends[k + 1])
                     na = e2 - s2
-                    sx = int(x[s2:e2].sum())
-                    sv = int(v[s2:e2].sum())
+                    sx = int(xr[s2:e2].sum())
+                    sv = int(vr[s2:e2].sum())
                 else:  # last middle bucket pairs with the final point
-                    na, sx, sv = 1, int(x[n - 1]), int(v[n - 1])
-                xp, vp = int(x[prev]), int(v[prev])
-                t1 = float(na * xp - sx) * (v[s:e] - vp).astype(np.float64)
-                t2 = (xp - x[s:e]).astype(np.float64) * float(sv - na * vp)
+                    na, sx, sv = 1, int(xr[n - 1]), int(vr[n - 1])
+                xp, vp = int(xr[prev]), int(vr[prev])
+                t1 = float(na * xp - sx) * (vr[s:e] - vp).astype(np.float64)
+                t2 = (xp - xr[s:e]).astype(np.float64) * float(sv - na * vp)
                 area2 = np.abs(t1 - t2)
                 # max area, ties to smallest (x, vq): lexsort is
                 # last-key-primary, so order keys (vq, x, -area)
-                j = s + int(np.lexsort((v[s:e], x[s:e], -area2))[0])
+                j = s + int(np.lexsort((vr[s:e], xr[s:e], -area2))[0])
                 sel.append(j)
                 prev = j
             sel.append(n - 1)
@@ -315,7 +335,7 @@ def lttb_downsample(
             }
         )
 
-    series_type = dict(zip(base.columns, [f.dataType.simpleString() for f in base.schema.fields]))["series"]
+    series_type = base.schema["series"].dataType.simpleString()
     return base.groupBy("series").applyInPandas(
         one_series, schema=f"series {series_type}, ts_us long, value double"
     )

@@ -37,6 +37,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def null_key_error(keys: list[str], op: str) -> ValueError:
+    return ValueError(
+        f"{op}: NULL values in key column(s) {keys} are out of "
+        "contract — equality deletes and semi joins never match "
+        "NULL, so the fold would duplicate the NULL group's view "
+        "rows; filter NULL keys (or map them to a sentinel) "
+        "before folding"
+    )
+
+
 def refuse_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
     """NULL partition keys break the fold invariant everywhere a fold
     replaces touched keys: the broadcast left-semi join and the MOR
@@ -49,13 +59,7 @@ def refuse_null_keys(touched: DataFrame, keys: list[str], op: str) -> None:
     callers with NULL-keyed data filter or bucket NULLs explicitly."""
     cond = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
     if not touched.filter(cond).isEmpty():
-        raise ValueError(
-            f"{op}: NULL values in key column(s) {keys} are out of "
-            "contract — equality deletes and semi joins never match "
-            "NULL, so the fold would duplicate the NULL group's view "
-            "rows; filter NULL keys (or map them to a sentinel) "
-            "before folding"
-        )
+        raise null_key_error(keys, op)
 
 
 def topk_frame(
@@ -94,10 +98,17 @@ def topk_refresh(
     delta_df = delta_df.persist()
     try:
         touched = delta_df.select(part_key).distinct().persist()
-        n_touched = touched.count()
+        # count and NULL-check in ONE action (a separate isEmpty probe
+        # would cost an extra job per fold — round-10 review)
+        trow = touched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(part_key).isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        n_touched = trow["n"]
         if n_touched == 0:
             return {"touched_keys": 0, "view_rows_written": 0}
-        refuse_null_keys(touched, [part_key], "topk_refresh")
+        if trow["nulls"]:
+            raise null_key_error([part_key], "topk_refresh")
         # runtime-filtered view read: the fold must NOT scan the whole
         # view at 100 TB — file stats prune to the files that can hold
         # a touched key (effective once maintenance has key-sorted the
@@ -147,8 +158,13 @@ def rebuild_keys(
     the delete-path escape hatch. Work is O(source rows of those
     keys), still never O(table) when the source is key-partitioned."""
     keys = keys_df.select(part_key).distinct().persist()
-    n = keys.count()
-    refuse_null_keys(keys, [part_key], "rebuild_keys")
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(part_key).isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    n = krow["n"]
+    if krow["nulls"]:
+        raise null_key_error([part_key], "rebuild_keys")
     src = source_df.join(keys, part_key, "left_semi")
     new_top = topk_frame(src, part_key, order_cols, k)
     rows = new_top.persist().count()

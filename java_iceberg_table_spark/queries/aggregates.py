@@ -131,7 +131,8 @@ def d1p_prepared_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .prepared import prepared_plan
 
     return prepared_plan(
-        spark, sf_dir, "d1p", lambda: d1_tpch_q1(spark, sf_dir)
+        spark, sf_dir, "d1p_prepared_tpch_q1",
+        lambda: d1_tpch_q1(spark, sf_dir),
     )
 
 

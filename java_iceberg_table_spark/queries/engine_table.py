@@ -2506,7 +2506,7 @@ def d1e_engine_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus")
         )
 
-    return prepared_plan(spark, sf_dir, "d1e", build)
+    return prepared_plan(spark, sf_dir, "d1e_engine_q1_cents", build)
 
 
 def _topk_view_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2596,7 +2596,7 @@ def e1e_engine_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(500)
         )
 
-    return prepared_plan(spark, sf_dir, "e1e", build)
+    return prepared_plan(spark, sf_dir, "e1e_engine_topk_view", build)
 
 
 def _agg_view_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2693,7 +2693,7 @@ def c3e_engine_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("r_name", "n_name")
         )
 
-    return prepared_plan(spark, sf_dir, "c3e", build)
+    return prepared_plan(spark, sf_dir, "c3e_engine_agg_view", build)
 
 
 @register(

@@ -63,3 +63,10 @@ def prepared_plan(
         df = build()
         _PLAN_CACHE[key] = df
     return df
+
+
+def invalidate(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Drop one prepared plan (cache names == registry row names), so
+    a caller can force a FRESH Dataset — fresh shuffle ids, no
+    map-output reuse. The bench's pooled protocol builds through this."""
+    _PLAN_CACHE.pop((spark.sparkContext.applicationId, sf_dir, name), None)

@@ -573,13 +573,16 @@ def h37_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dr >= 0.3)
         & has_stop
     )
-    # delete set = ASCII printable minus [a-z0-9 ] (uppercase is
-    # already lowered away; deleting it anyway is harmless)
+    # delete set = EVERY ASCII char outside [a-z0-9 ] — including the
+    # C0 controls and DEL, which the oracle's regex [^a-z0-9 ] also
+    # strips (round-10 review: the first cut covered printables +
+    # \t\n\r only, so a stray control byte would normalize differently
+    # from the oracle). Uppercase is already lowered away; deleting it
+    # anyway is harmless.
+    kept_chars = set("abcdefghijklmnopqrstuvwxyz0123456789 ")
     norm_delete = "".join(
-        chr(c)
-        for c in range(0x21, 0x7F)
-        if not (chr(c).islower() or chr(c).isdigit())
-    ) + "\t\n\r"
+        chr(c) for c in range(0x80) if chr(c) not in kept_chars
+    )
     ntext = F.when(keep, F.translate(F.lower(F.col("text")), norm_delete, ""))
     per_text = (
         docs.select("source", ntext.alias("ntext"))

@@ -1486,6 +1486,14 @@ class EngineTableDataSource(DataSource):
                 'engine_table requires .option("root", <table root>) or '
                 '.option("catalog", <catalog root>) + .option("name", ...)'
             )
+        for o in ("catalog_version", "name"):
+            if o in self.options:
+                # silently ignoring these would hand back a HEAD scan a
+                # user believes is catalog-pinned/time-traveled
+                raise ValueError(
+                    f'option({o!r}) is a catalog-read option — it needs '
+                    '.option("catalog", <catalog root>), not option("root")'
+                )
         return root
 
     def _pinned_options(self) -> dict:

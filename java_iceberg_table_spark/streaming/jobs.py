@@ -746,8 +746,10 @@ def topk_view_sink(
             if partial_del is not None:
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
+            # NULL check on the PERSISTED batch (not the unpersisted
+            # distinct, which would rescan the source — round-10 review)
+            refuse_null_keys(batch_df, [part_key], "topk_view_sink")
             touched = batch_df.select(part_key).distinct()
-            refuse_null_keys(touched, [part_key], "topk_view_sink")
             # runtime-filtered view read (operators/topk_view.py has
             # the rationale): file stats prune the view to the files
             # that can hold a touched key; the broadcast semi join

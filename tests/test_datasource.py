@@ -1806,3 +1806,18 @@ def test_catalog_read_pinned_and_time_travel(ds, base_dir):
             .load()
             .collect()
         )
+
+
+def test_orphan_catalog_options_refused(ds, base_dir):
+    """catalog_version / name without option("catalog") must refuse
+    loudly — silently ignoring them would hand back a head scan the
+    user believes is catalog-pinned."""
+    root = base_dir + "/t"
+    df = ds.createDataFrame([(1, "a")], "k long, v string")
+    create_table(root, df.schema)
+    for orphan in ({"catalog_version": "3"}, {"name": "t"}):
+        r = ds.read.format("engine_table").option("root", root)
+        for k, v in orphan.items():
+            r = r.option(k, v)
+        with pytest.raises(Exception, match="catalog-read option"):
+            r.load().collect()

@@ -1105,3 +1105,78 @@ def test_lttb_downsample_hand_series(spark):
     df2 = df.unionByName(df.withColumn("s", F.lit("b")))
     both = lttb_downsample(df2, "s", "ts", "v", n_out=5).collect()
     assert len(both) == 10
+
+
+def test_lttb_large_epoch_series_exact(spark):
+    """Round-10 review regression: bucket sums over absolute epoch
+    microseconds (~1.75e15) silently wrapped numpy's int64 accumulator
+    once a bucket exceeded ~5,270 points, corrupting the selection
+    with no error. The operator now sums series-relative coordinates
+    (translation-invariant area terms); this replays a 12k-point
+    series at a realistic epoch against a pure-Python exact-integer
+    reference."""
+    import numpy as np
+
+    from java_iceberg_table_spark.operators.timeseries import lttb_downsample
+
+    rng = np.random.RandomState(7)
+    n, n_out = 12_000, 4  # nb=2 -> ~6k-point buckets (old code wrapped)
+    base_us = 1_750_000_000_000_000
+    raw = rng.randint(0, 30 * 86400 * 10**6, size=3 * n).astype(np.int64)
+    xs = np.sort(base_us + np.unique(raw)[:n])
+    assert len(xs) == n
+    vs = np.round(rng.uniform(0, 500, size=n), 2)
+    df = spark.createDataFrame(
+        [("s", int(x), float(v)) for x, v in zip(xs, vs)],
+        "s string, us long, v double",
+    ).select("s", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    got = sorted(
+        (r["ts_us"], round(r["value"], 6))
+        for r in lttb_downsample(df, "s", "ts", "v", n_out=n_out).collect()
+    )
+
+    # exact-integer reference (Python ints never wrap)
+    vq = [int(round(v * 1e6)) for v in vs]
+    x = [int(t) for t in xs]
+    nb, mid = n_out - 2, n - 2
+    buckets = [[] for _ in range(nb)]
+    for i in range(1, n - 1):
+        buckets[((i - 1) * nb) // mid].append(i)
+    sel, prev = [0], 0
+    for k in range(nb):
+        if k < nb - 1:
+            nxt = buckets[k + 1]
+            na, sx, sv = len(nxt), sum(x[j] for j in nxt), sum(vq[j] for j in nxt)
+        else:
+            na, sx, sv = 1, x[-1], vq[-1]
+        xp, vp = x[prev], vq[prev]
+        best = None
+        for j in buckets[k]:
+            a = abs(
+                float(na * xp - sx) * float(vq[j] - vp)
+                - float(xp - x[j]) * float(sv - na * vp)
+            )
+            key = (-a, x[j], vq[j])
+            if best is None or key < best[0]:
+                best = (key, j)
+        sel.append(best[1])
+        prev = best[1]
+    sel.append(n - 1)
+    want = sorted((x[j], round(vq[j] / 1e6, 6)) for j in sel)
+    assert got == want
+
+
+def test_lttb_overflow_guard_raises(spark):
+    """A series whose span x bucket size would overflow int64 even in
+    relative coordinates refuses loudly instead of wrapping."""
+    from java_iceberg_table_spark.operators.timeseries import lttb_downsample
+
+    span = 2**57  # ~4500 years in us; 60-point buckets push past 2^62
+    pts = [("s", int(i * span / 200), float(i % 7)) for i in range(200)]
+    df = spark.createDataFrame(
+        pts, "s string, us long, v double"
+    ).select("s", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overflow int64"):
+        lttb_downsample(df, "s", "ts", "v", n_out=5).collect()
