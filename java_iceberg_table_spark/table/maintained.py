@@ -95,7 +95,15 @@ def create_maintained_agg(
     value: str,
 ) -> Table:
     """Create a maintained per-key (cnt, sv) additive view over
-    catalog table ``source`` (count/sum of ``value``)."""
+    catalog table ``source`` (count/sum of ``value``). The view's
+    measure columns are NAMED ``cnt``/``sv``, so a key column with
+    either name is refused loudly (the rename would create a
+    duplicate column and every later fold would be ambiguous)."""
+    if key in ("cnt", "sv"):
+        raise ValueError(
+            f"maintained agg view reserves columns ('cnt', 'sv'); key "
+            f"{key!r} collides — alias the source column first"
+        )
     src = cat.table(source)
     init = (
         src.scan(spark)
@@ -300,3 +308,48 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         }
     finally:
         cdc.unpersist()
+
+
+def list_maintained(cat) -> dict[str, dict]:
+    """Every maintained view in the catalog: name -> its mv.* properties."""
+    out = {}
+    for name in cat.list_tables():
+        props = cat.table(name).metadata.properties
+        if props.get("mv.kind") in ("topk", "agg"):
+            out[name] = props
+    return out
+
+
+def refresh_all_maintained(cat, spark: SparkSession) -> dict[str, dict]:
+    """Refresh every maintained view in the catalog in DEPENDENCY
+    order (a view may source another view — mv-over-mv composes
+    because a fold's MOR delete + append surfaces through the source's
+    change feed as delete/insert rows, which both fold kinds already
+    consume): sources refresh before dependents, so one pass brings
+    the whole DAG current with each base table's head. A cycle in
+    mv.source refuses loudly. Returns per-view refresh stats in the
+    order executed. Per-view pins publish as each refresh lands (the
+    single-refresher contract is per VIEW; this helper is the
+    maintenance-job shape that owns all of them)."""
+    views = list_maintained(cat)
+    order: list[str] = []
+    state: dict[str, int] = {}  # 0=visiting, 1=done
+
+    def visit(name: str, chain: tuple) -> None:
+        if state.get(name) == 1:
+            return
+        if state.get(name) == 0:
+            raise ValueError(
+                f"maintained-view cycle through {name!r}: "
+                f"{' -> '.join(chain + (name,))}"
+            )
+        state[name] = 0
+        src = views[name]["mv.source"]
+        if src in views:
+            visit(src, chain + (name,))
+        state[name] = 1
+        order.append(name)
+
+    for name in sorted(views):
+        visit(name, ())
+    return {name: refresh_maintained(cat, spark, name) for name in order}

@@ -400,3 +400,71 @@ def test_fold_refuses_null_keys(spark, cat):
         additive_refresh(spark, at, null_agg, ["k"])
     # the view is untouched by a refused fold
     assert _topk_equals(spark, cat) and _agg_equals(spark, cat)
+
+
+def test_refresh_all_maintained_dag_order(spark, cat):
+    """refresh_all_maintained brings a whole MV DAG current in one
+    pass: an agg view over events, an agg view OVER THAT VIEW (the
+    fold's MOR delete + append surfaces through the change feed as
+    delete/insert rows, which the signed fold consumes), and a top-k
+    view — sources refresh before dependents, every view equals its
+    recompute afterwards, and a second pass is a no-op."""
+    from java_iceberg_table_spark.table.maintained import (
+        refresh_all_maintained,
+    )
+
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    # a view OVER a view: folds arrive as the sums MV's own CDC
+    create_maintained_agg(cat, spark, "sums2", "sums", "k", "sv")
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    # the view's measure names are reserved as keys
+    with pytest.raises(ValueError, match="reserves"):
+        create_maintained_agg(cat, spark, "bad", "sums", "cnt", "sv")
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame(
+            [(1, 200, 500), (9, 5, 501), (2, 7, 502)],
+            "k long, v long, ts long",
+        )
+    )
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(3,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    res = refresh_all_maintained(cat, spark)
+    names = list(res)
+    assert names.index("sums") < names.index("sums2")  # dependency order
+    assert res["sums"]["refreshed"] and res["top_events"]["refreshed"]
+    assert _agg_equals(spark, cat) and _topk_equals(spark, cat)
+    # sums2 equals the recompute over the REFRESHED sums
+    mv2 = cat.table("sums2").scan(spark).select(
+        "k", "cnt", F.round("sv", 6).alias("sv")
+    )
+    rec2 = (
+        cat.table("sums").scan(spark)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("sv").cast("double")), 6).alias("sv"),
+        )
+    )
+    assert mv2.exceptAll(rec2.select(mv2.columns)).isEmpty()
+    assert rec2.select(mv2.columns).exceptAll(mv2).isEmpty()
+    # second pass: everything caught up
+    res2 = refresh_all_maintained(cat, spark)
+    assert all(r["refreshed"] is False for r in res2.values())
+
+
+def test_refresh_all_maintained_cycle_refused(spark, cat):
+    from java_iceberg_table_spark.table.maintained import (
+        refresh_all_maintained,
+    )
+
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    create_maintained_agg(cat, spark, "sums2", "sums", "k", "sv")
+    # force a cycle: sums now claims to source sums2
+    cat.table("sums").set_properties({"mv.source": "sums2"})
+    with pytest.raises(ValueError, match="cycle"):
+        refresh_all_maintained(cat, spark)
