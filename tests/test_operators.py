@@ -1180,3 +1180,71 @@ def test_lttb_overflow_guard_raises(spark):
 
     with _pytest.raises(Exception, match="overflow int64"):
         lttb_downsample(df, "s", "ts", "v", n_out=5).collect()
+
+
+def test_lttb_matches_reference_over_random_series(spark):
+    """Property check: 30 seeded random series (varying length, n_out,
+    duplicate-timestamp collisions) in ONE DataFrame all downsample to
+    exactly the pure-Python exact-integer reference selection."""
+    import numpy as np
+
+    from java_iceberg_table_spark.operators.timeseries import lttb_downsample
+
+    def reference(xs, vqs, n_out):
+        n = len(xs)
+        pts = sorted(zip(xs, vqs))
+        x = [p[0] for p in pts]
+        vq = [p[1] for p in pts]
+        if n <= n_out:
+            return sorted((a, b) for a, b in pts)
+        nb, mid = n_out - 2, n - 2
+        buckets = [[] for _ in range(nb)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * nb) // mid].append(i)
+        sel, prev = [0], 0
+        for k in range(nb):
+            if k < nb - 1:
+                nxt = buckets[k + 1]
+                na = len(nxt)
+                sx = sum(x[j] for j in nxt)
+                sv = sum(vq[j] for j in nxt)
+            else:
+                na, sx, sv = 1, x[-1], vq[-1]
+            xp, vp = x[prev], vq[prev]
+            best = None
+            for j in buckets[k]:
+                a = abs(
+                    float(na * xp - sx) * float(vq[j] - vp)
+                    - float(xp - x[j]) * float(sv - na * vp)
+                )
+                key = (-a, x[j], vq[j])
+                if best is None or key < best[0]:
+                    best = (key, j)
+            sel.append(best[1])
+            prev = best[1]
+        sel.append(n - 1)
+        return sorted((x[j], vq[j]) for j in sel)
+
+    rng = np.random.RandomState(42)
+    n_out = 8
+    rows, want = [], {}
+    for s in range(30):
+        n = int(rng.randint(3, 200))
+        base = int(rng.randint(0, 10**15))
+        # coarse grid forces duplicate timestamps in some series
+        xs = [base + int(rng.randint(0, max(n // 2, 2)) * 1_000_000)
+              for _ in range(n)]
+        vqs = [int(rng.randint(-5, 6)) * 500_000 for _ in range(n)]
+        name = f"s{s}"
+        rows += [(name, x, vq / 1e6) for x, vq in zip(xs, vqs)]
+        want[name] = reference(xs, vqs, n_out)
+    df = spark.createDataFrame(
+        rows, "s string, us long, v double"
+    ).select("s", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    got = {}
+    for r in lttb_downsample(df, "s", "ts", "v", n_out=n_out).collect():
+        got.setdefault(r["series"], []).append(
+            (r["ts_us"], int(round(r["value"] * 1e6)))
+        )
+    for name in want:
+        assert sorted(got[name]) == want[name], name
