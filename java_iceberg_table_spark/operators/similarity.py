@@ -564,8 +564,51 @@ def _pq_fit(
             [agg.get((s, c), books[s][c]) for c in range(n_codes)]
             for s in range(m)
         ]
+    codes_df = pq_encode(v, books)
+    # training is done with the cache; consumers of codes_df recompute
+    # the normalization projection (one cheap scan) rather than pinning
+    # the whole corpus in storage memory for the index's lifetime
+    v.unpersist()
+    return codes_df, books
+
+
+def pq_encode(v: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Assign PQ codes to an ALREADY-PREPPED (id, vec) frame against
+    FROZEN codebooks — the encode half of PQ, shared by training
+    (_pq_fit's final assignment) and incremental index maintenance
+    (new vectors encode against the deployed model, no retrain). One
+    (id, sub)-keyed shuffle over exploded subvectors joined to the
+    broadcast codebook; returns (id, vec, code) with code ordered by
+    subspace."""
+    spark = v.sparkSession
+    m = len(books)
+    sub_d = len(books[0][0])
+    subs = v.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"s -> slice(vec, s * {sub_d} + 1, {sub_d}))"
+            )
+        ).alias("sub", "svec"),
+    )
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [
+                (s, c, books[s][c])
+                for s in range(m)
+                for c in range(len(books[s]))
+            ],
+            "sub int, code int, cvec array<double>",
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     assigned = (
-        subs.join(cb_df(), "sub")
+        subs.join(cb, "sub")
         .withColumn("d2", d2)
         .groupBy("id", "sub")
         .agg(F.min(F.struct("d2", "code"))["code"].alias("code"))
@@ -577,12 +620,7 @@ def _pq_fit(
             ).alias("code")
         )
     )
-    codes_df = v.join(assigned, "id").select("id", "vec", "code")
-    # training is done with the cache; consumers of codes_df recompute
-    # the normalization projection (one cheap scan) rather than pinning
-    # the whole corpus in storage memory for the index's lifetime
-    v.unpersist()
-    return codes_df, books
+    return v.join(assigned, "id").select("id", "vec", "code")
 
 
 def pq_topk(
@@ -968,6 +1006,63 @@ def ivfpq_write_table(
     # per-file stats pruning is exact (and no default-width shuffle)
     tbl.append(index_df.repartition(len(cents), "cluster"))
     return tbl, cents, books
+
+
+def ivfpq_encode(
+    delta: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against a FROZEN IVF-PQ model (flat codes —
+    the ivfpq_build(residual=False) geometry ivfpq_write_table
+    persists): normalize, assign each vector's nearest coarse cell
+    (broadcast centroids, shuffle-free), PQ-encode with the frozen
+    codebooks (one model-broadcast join). Returns the index-table row
+    shape (id, vec, cluster, code). No retraining anywhere: the model
+    stays byte-identical, which is what makes continuous ingestion
+    into a deployed 100 TB index an append, not a rebuild."""
+    v = _as_double(delta, id_col, vec_col)
+    v = v.select(
+        "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
+    )
+    assigned = _assign_literal(v, cents, top=1).select("id", "cluster")
+    return (
+        pq_encode(v, books)
+        .join(assigned, "id")
+        .select("id", "vec", "cluster", "code")
+    )
+
+
+def ivfpq_table_append(
+    tbl,
+    delta: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold a batch of NEW vectors into a persisted IVF-PQ index table
+    (ivfpq_write_table layout) without retraining: encode against the
+    frozen model, append partition-aligned — one shuffle partition per
+    coarse cell so every new file is single-cell and per-file
+    min=max=cluster stats stay exact for probe-time pruning. Work is
+    sized by the DELTA (encode one batch + one fast-append commit),
+    never the index; removing or re-inserting ids is the table
+    layer's ordinary MOR equality delete before the append. Returns
+    {rows_appended, cells_touched, snapshot_id}."""
+    index_df = ivfpq_encode(delta, cents, books, id_col, vec_col)
+    stats = index_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("cells"),
+    ).collect()[0]
+    tbl.append(index_df.repartition(len(cents), "cluster"))
+    return {
+        "rows_appended": int(stats["n"]),
+        "cells_touched": int(stats["cells"]),
+        "snapshot_id": tbl.metadata.current_snapshot_id,
+    }
 
 
 def ivfpq_table_topk(

@@ -191,6 +191,7 @@ _REVERIFY_HEAD = [
 # then).
 _DEFER_PAST_WINDOW = [
     "a4r_engine_refresh_all_dag",
+    "h56_ann_index_maintenance",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

@@ -2488,3 +2488,110 @@ def h53r_ann_ivfpq_residual_clustered(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+
+
+@register(
+    "h56_ann_index_maintenance",
+    oracle="""
+SELECT CAST(3000 AS BIGINT) AS n_base, CAST(1000 AS BIGINT) AS n_delta,
+       CAST(4000 AS BIGINT) AS rows_after, TRUE AS append_matches_encode,
+       CAST(20 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+       TRUE AS recall_ok, TRUE AS pruned
+""",
+    group="H",
+)
+def h56_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a DEPLOYED ANN index (round 10):
+    new embeddings fold into the persisted IVF-PQ engine table
+    (h54's layout) with the model FROZEN — each batch assigns to its
+    nearest frozen coarse cell and PQ-encodes with the frozen
+    codebooks (``ivfpq_table_append``, operators/similarity.py), then
+    lands as ONE partition-aligned fast-append (single-cell files, so
+    per-file min=max=cluster stats keep probe pruning exact). This is
+    the 100 TB ingestion story: continuous arrival costs one
+    delta-sized encode + one metadata commit, never an index rebuild;
+    deletes/re-inserts ride the table layer's MOR machinery, and
+    retrain-vs-drift is a periodic OFFLINE decision made from the same
+    frozen model. Corpus is ``clustered_corpus`` (deterministic
+    mixture-of-Gaussians, the geometry real embedding models produce
+    and the one where IVF cells mean something — the h53r precedent;
+    the driver's near-isotropic embeddings fixture caps IVF recall by
+    construction, measured 0.79-0.84 at practical nprobe). Model
+    trains on the 75% base split only. Graded checks: appended rows
+    byte-equal a from-scratch encode under the same model (fold =
+    pure encode, no drift), exact row accounting, probe still plans a
+    strict subset of files after the append, and mean recall@5 vs
+    brute force over the FULL grown corpus holds >= 0.8 for a
+    20-query batch mixing base and newly-appended vectors."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        annotate_recall,
+        clustered_corpus,
+        ivfpq_encode,
+        ivfpq_table_append,
+        ivfpq_table_topk,
+        ivfpq_write_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="ann_maint_") + "/t"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        emb = clustered_corpus(spark).persist()
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        tbl, cents, books = ivfpq_write_table(
+            root, base,
+            n_centroids=16, m=16, n_codes=16, kmeans_iters=2, pq_iters=1,
+        )
+        n_base = tbl.scan(spark).count()
+        stats = ivfpq_table_append(tbl, delta, cents, books)
+        after = tbl.scan(spark).persist()
+        rows_after = after.count()
+        enc = ivfpq_encode(delta, cents, books).select(
+            "id", "cluster", "code"
+        )
+        appended = after.join(
+            delta.select(F.col("vec_id").alias("id")), "id"
+        ).select("id", "cluster", "code")
+        matches = (
+            appended.exceptAll(enc).isEmpty()
+            and enc.exceptAll(appended).isEmpty()
+        )
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, q, k=5)
+        approx, _ = ivfpq_table_topk(
+            spark, tbl, cents, books, q, k=5, nprobe=6, rerank=20
+        )
+        recall_ok = bool(
+            annotate_recall(approx, exact, k=5, min_recall=0.8)
+            .agg(F.coalesce(F.bool_and("recall_ok"), F.lit(False)))
+            .collect()[0][0]
+        )
+        one = delta.orderBy("vec_id").limit(1)
+        probed, info = ivfpq_table_topk(
+            spark, tbl, cents, books, one, k=5, nprobe=2, rerank=20
+        )
+        probed.collect()
+        after.unpersist()
+        emb.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    n_base, stats["rows_appended"], rows_after, matches,
+                    q.count(), 5, recall_ok,
+                    0 < info["files_scanned"] < info["files_total"],
+                )
+            ],
+            "n_base bigint, n_delta bigint, rows_after bigint, "
+            "append_matches_encode boolean, n_queries bigint, k bigint, "
+            "recall_ok boolean, pruned boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -1248,3 +1248,60 @@ def test_lttb_matches_reference_over_random_series(spark):
         )
     for name in want:
         assert sorted(got[name]) == want[name], name
+
+
+def test_ivfpq_table_append_incremental(spark, sf_dir, tmp_path):
+    """Incremental IVF-PQ index maintenance (round 10): new vectors
+    fold into the persisted index table with the model FROZEN —
+    encode-only append sized by the delta, appended (cluster, code)
+    rows byte-equal a from-scratch encode under the same model, files
+    stay single-cell so probe pruning survives the append, and probes
+    over the grown index find the new vectors."""
+    from java_iceberg_table_spark.operators.similarity import (
+        annotate_recall,
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_table_append,
+        ivfpq_table_topk,
+        ivfpq_write_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    tbl, cents, books = ivfpq_write_table(
+        str(tmp_path / "idx"), base,
+        n_centroids=8, m=16, n_codes=16, kmeans_iters=2, pq_iters=1,
+    )
+    rows_before = tbl.scan(spark).count()
+    stats = ivfpq_table_append(tbl, delta, cents, books)
+    assert stats["rows_appended"] == delta.count()
+    assert 0 < stats["cells_touched"] <= 8
+    after = tbl.scan(spark)
+    assert after.count() == rows_before + stats["rows_appended"]
+    # appended rows equal a from-scratch encode with the same frozen
+    # model — maintenance is pure encode, no drift
+    enc = ivfpq_encode(delta, cents, books).select("id", "cluster", "code")
+    appended = after.join(
+        delta.select(F.col("vec_id").alias("id")), "id"
+    ).select("id", "cluster", "code")
+    assert appended.exceptAll(enc).isEmpty()
+    assert enc.exceptAll(appended).isEmpty()
+    # probe pruning survives: single-query probe plans a strict subset
+    # of the index files
+    one = delta.orderBy("vec_id").limit(1)
+    got, info = ivfpq_table_topk(
+        spark, tbl, cents, books, one, k=5, nprobe=2, rerank=20
+    )
+    got.collect()
+    assert 0 < info["files_scanned"] < info["files_total"]
+    # the grown index answers for NEW vectors: recall vs brute force
+    # over the FULL corpus (model trained on 75% of it)
+    q = delta.filter(F.col("vec_id") < 40)
+    exact = brute_force_topk(emb, q, k=5)
+    approx, _ = ivfpq_table_topk(
+        spark, tbl, cents, books, q, k=5, nprobe=6, rerank=20
+    )
+    ann = annotate_recall(approx, exact, k=5)
+    ok = ann.agg(F.avg(F.col("recall_ok").cast("double"))).collect()[0][0]
+    assert ok is not None and ok >= 0.8
