@@ -192,6 +192,7 @@ _REVERIFY_HEAD = [
 _DEFER_PAST_WINDOW = [
     "a4r_engine_refresh_all_dag",
     "h56_ann_index_maintenance",
+    "i29_streaming_agg_view",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

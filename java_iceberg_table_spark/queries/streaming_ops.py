@@ -1861,3 +1861,116 @@ def i28_streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i29_streaming_agg_view",
+    oracle="""
+WITH final AS (
+  -- equality-delete SEQUENCE semantics: the MOR delete commits before
+  -- the %3==2 append, so %10==1 events arriving there survive
+  SELECT * FROM events
+  WHERE NOT (event_id % 10 = 1 AND event_id % 3 <> 2)
+)
+SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(*)::BIGINT AS total_cnt,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       TRUE AS equals_recompute
+FROM final
+""",
+    group="I",
+)
+def i29_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained ADDITIVE view (round 10): the CDC
+    stream — inserts AND MOR deletes — drives ``streaming/jobs.py
+    agg_view_sink``, folding each batch into an engine table holding
+    one (cnt, sv) row per user (c3e's batch operator, streaming face).
+    The additive fold's edge over the top-k sink: deletes fold with
+    sign −1 straight from the change feed, NO source access — count
+    and sum are self-inverse, so a mixed batch is one signed groupBy +
+    one delta-sized fold, and users whose count reaches zero leave the
+    view. Same idempotence protocol as the other sinks (commit-atomic
+    batch stamps, live-lineage watermark, crash-window rollback;
+    chaos-tested with deletes in tests/test_datasource.py).
+    equals_recompute grades the view against a from-scratch aggregate
+    of the surviving source rows."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import agg_view_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream_agg_")
+    src_root, view_root, ckpt = base + "/src", base + "/view", base + "/ckpt"
+    src = _ct(src_root, ev.schema)
+    _ct(
+        view_root,
+        spark.createDataFrame([], "user_id long, cnt long, sv double").schema,
+    )
+    fold = agg_view_sink(view_root, ["user_id"], "event_id", stream_id="i29")
+
+    def drain():
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src.append(ev.filter(F.col("event_id") % 3 == 0))
+        drain()  # view holds the base aggregate
+        src.append(ev.filter(F.col("event_id") % 3 == 1))
+        src.delete_eq_mor(
+            spark,
+            ev.filter(F.col("event_id") % 10 == 1)
+            .select("event_id").distinct(),
+            ["event_id"],
+        )
+        drain()  # insert + DELETE feed folds with signs
+        src.append(ev.filter(F.col("event_id") % 3 == 2))
+        drain()
+        vt = _open(view_root)
+        mv = vt.scan(spark).persist()
+        rec = (
+            src.scan(spark)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("event_id").cast("double")).alias("sv"),
+            )
+            .select(mv.columns)
+            .persist()
+        )
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("total_cnt"),
+            F.sum("sv").cast("long").alias("sum_event_id"),
+        ).collect()[0]
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_users"], row["total_cnt"],
+                    row["sum_event_id"], equal,
+                )
+            ],
+            "n_users bigint, total_cnt bigint, sum_event_id bigint, "
+            "equals_recompute boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

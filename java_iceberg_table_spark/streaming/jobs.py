@@ -790,6 +790,101 @@ def topk_view_sink(
     return fold
 
 
+def agg_view_sink(
+    view_root: str,
+    keys: list[str],
+    value_col: str,
+    stream_id: str = "agg",
+):
+    """Streaming maintenance of an ADDITIVE per-key ``(cnt, sv)`` view
+    (the batch operator ``operators/agg_view.py`` under the mv fold's
+    idempotence protocol). Unlike the top-k sink, DELETES fold without
+    ever touching the source: count and sum are self-inverse, so the
+    change feed's delete rows simply enter the per-batch aggregate
+    with sign −1 — one signed groupBy turns any insert/delete mix into
+    a net per-key delta, ``additive_refresh`` folds it with work sized
+    by the delta's key set, and keys whose count reaches zero leave
+    the view (``drop_when_zero``). Per-batch cost is O(batch) + O(one
+    view row per touched key) at any corpus size.
+
+    Idempotence, exactly the other sinks' discipline: the fold's
+    delete commit stamps ``mv-batch-del`` and its append
+    ``mv-batch-id`` commit-atomically; watermark and crash markers
+    read the LIVE lineage only (_live_lineage); a replay at/below the
+    watermark skips; a replay finding its own delete stamp without the
+    append rolls back to the delete's parent and reruns against intact
+    state. ``stream_id`` namespaces the watermark."""
+    from pyspark.sql import functions as F
+
+    from ..operators.agg_view import additive_refresh
+    from ..table import load_table as _open
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vt = _open(view_root)
+        applied = -1
+        partial_del = None
+        live = _live_lineage(vt.metadata)
+        for s in vt.metadata.snapshots:
+            if s.summary.get("mv-stream-id", "default") != stream_id:
+                continue
+            if s.snapshot_id not in live:
+                continue  # rolled past: neither applied nor half-applied
+            bid = s.summary.get("mv-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("mv-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if "_change_type" in batch_df.columns:
+            known = batch_df.filter(
+                ~F.col("_change_type").isin("insert", "delete")
+            )
+            if not known.isEmpty():
+                raise ValueError(
+                    "agg_view_sink folds insert/delete change feeds; "
+                    "got an unknown _change_type"
+                )
+            sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        else:
+            sign = F.lit(1)
+        batch_df = batch_df.persist()
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
+        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                return  # idle trigger: skip without stamping
+            if partial_del is not None:
+                vt.rollback_to(partial_del.parent_id)
+                vt = _open(view_root)
+            delta = batch_df.groupBy(*keys).agg(
+                F.sum(sign).alias("cnt"),
+                F.sum(sign * F.col(value_col).cast("double")).alias("sv"),
+            )
+            additive_refresh(
+                spark, vt, delta, keys,
+                extra_summary={
+                    "mv-batch-id": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+                extra_summary_delete={
+                    "mv-batch-del": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+                drop_when_zero="cnt",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+
+    return fold
+
+
 SCD2_OPEN = 1 << 62  # sentinel valid_to of the OPEN (current) version
 
 

@@ -1728,6 +1728,114 @@ def test_topk_view_sink_crash_schedules(ds, base_dir):
         )
 
 
+def _agg_equals_recompute(spark, src_root, view_root) -> bool:
+    src, vt = open_table(src_root), open_table(view_root)
+    mv = vt.scan(spark)
+    rec = (
+        src.scan(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("double")).alias("sv"),
+        )
+        .select(mv.columns)
+    )
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def test_agg_view_sink_crash_schedules(ds, base_dir):
+    """Chaos replays for the streaming ADDITIVE fold (round 10,
+    mirrors the topk/mv/dedup/fanout chaos tests) with DELETES in the
+    change feed — the agg sink's distinctive path: delete rows enter
+    the per-batch aggregate with sign -1, so insert/delete mixes fold
+    without source access. Per batch a seeded scenario — clean, crash
+    between the delete and append commits, external rollback onto the
+    delete commit, external rollback past both — each followed by
+    replays. Invariant: view == per-user (cnt, sum) recompute over the
+    SURVIVING source rows after every batch; fully-deleted users leave
+    the view."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import agg_view_sink
+
+    spark = ds
+    src_root, view_root = base_dir + "/agsrc", base_dir + "/agview"
+    schema = "event_id long, user_id long, value double"
+    rows = [(i, i % 5, float((i * 37) % 100)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    create_table(src_root, df.schema)
+    create_table(
+        view_root,
+        spark.createDataFrame([], "user_id long, cnt long, sv double").schema,
+    )
+    fold = agg_view_sink(view_root, ["user_id"], "value", stream_id="chaos")
+    open_table(src_root).append(df)
+    fold(df.withColumn("_change_type", F.lit("insert")), 0)
+    assert _agg_equals_recompute(spark, src_root, view_root)
+    live = list(rows)
+    rng = random.Random(17)
+    for b in range(1, 9):
+        new = [
+            (b * 1000 + i, (b + i) % 7, float((b * 13 + i * 7) % 50))
+            for i in range(8)
+        ]
+        dels = [
+            live.pop(rng.randrange(len(live)))
+            for _ in range(min(3, len(live)))
+        ]
+        more = spark.createDataFrame(new, schema)
+        del_df = spark.createDataFrame(dels, schema)
+        live.extend(new)
+        src = open_table(src_root)
+        src.append(more)
+        src.delete_eq_mor(spark, del_df.select("event_id"), ["event_id"])
+        cdc = more.withColumn("_change_type", F.lit("insert")).unionByName(
+            del_df.withColumn("_change_type", F.lit("delete"))
+        )
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            open_table(view_root).delete_eq_mor(
+                spark,
+                cdc.select("user_id").dropDuplicates(),
+                ["user_id"],
+                extra_summary={"mv-batch-del": b, "mv-stream-id": "chaos"},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            fold(cdc, b)  # fully applied...
+            vt = open_table(view_root)
+            head = vt.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                vt.rollback_to(head.parent_id)
+            else:
+                by_id = {s.snapshot_id: s for s in vt.metadata.snapshots}
+                vt.rollback_to(by_id[head.parent_id].parent_id)
+        fold(cdc, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            fold(cdc, b)
+        assert _agg_equals_recompute(spark, src_root, view_root), (
+            b,
+            scenario,
+        )
+
+
+def test_agg_view_sink_refuses_unknown_change_type(ds, base_dir):
+    from java_iceberg_table_spark.streaming.jobs import agg_view_sink
+
+    spark = ds
+    view_root = base_dir + "/agview2"
+    create_table(
+        view_root,
+        spark.createDataFrame([], "user_id long, cnt long, sv double").schema,
+    )
+    fold = agg_view_sink(view_root, ["user_id"], "value")
+    df = spark.createDataFrame(
+        [(1, 1, 1.0)], "event_id long, user_id long, value double"
+    )
+    with pytest.raises(ValueError, match="unknown _change_type"):
+        fold(df.withColumn("_change_type", F.lit("update_post")), 0)
+
+
 def test_topk_view_sink_refuses_cdc_deletes(ds, base_dir):
     from java_iceberg_table_spark.streaming.jobs import topk_view_sink
 
