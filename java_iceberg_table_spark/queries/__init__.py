@@ -193,6 +193,7 @@ _DEFER_PAST_WINDOW = [
     "a4r_engine_refresh_all_dag",
     "h56_ann_index_maintenance",
     "i29_streaming_agg_view",
+    "a4s_engine_sql_matview",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

@@ -2930,3 +2930,138 @@ def a4r_engine_refresh_all_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4s_engine_sql_matview",
+    oracle="""
+WITH final AS (
+  -- equality-delete SEQUENCE semantics (a4p's oracle shape): the MOR
+  -- delete commits before the %3==2 append, so %10==1 keys arriving
+  -- there survive
+  SELECT * FROM orders
+  WHERE NOT (o_orderkey % 10 = 1 AND o_orderkey % 3 <> 2)
+),
+agg AS (
+  SELECT o_custkey, COUNT(*) AS cnt,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS scents
+  FROM final GROUP BY o_custkey
+)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+       CAST(SUM(scents) AS BIGINT) AS sum_cents,
+       TRUE AS equals_recompute,
+       CAST(4 AS BIGINT) AS refused
+FROM agg
+""",
+    group="A",
+)
+def a4s_engine_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED VIEW DDL through ``Catalog.sql`` (round 10): the
+    maintained-view family reachable from the SQL surface. The router
+    accepts exactly the incrementally-maintainable agg shape —
+    ``CREATE MATERIALIZED VIEW v AS SELECT k, COUNT(*) AS cnt,
+    SUM(col) AS sv FROM t GROUP BY k`` — and maps it 1:1 onto
+    ``create_maintained_agg``; ``REFRESH MATERIALIZED VIEW`` /
+    ``REFRESH ALL MATERIALIZED VIEWS`` run the CDC-cursor folds
+    (``refresh_maintained`` / ``refresh_all_maintained``); SELECTs
+    read the view through the same pinned-state pass-through. Anything
+    outside the shape refuses loudly (wrong measure aliases, key ≠
+    GROUP BY column, non-additive aggregates, REFRESH inside a
+    sql_script's single publish). The scenario drives create → append
+    + MOR source delete + append → one SQL refresh → equality against
+    a from-scratch aggregate of the surviving rows, all through SQL
+    statements; exact int64-cents measure so fold order can't smear
+    the hash."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    croot = tempfile.mkdtemp(prefix="engine_sqlmv_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        res = cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW cust_spend AS "
+            "SELECT o_custkey, COUNT(*) AS cnt, SUM(cents) AS sv "
+            "FROM orders_t GROUP BY o_custkey",
+        )
+        assert res["statement"] == "create_materialized_view"
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        r = cat.sql(spark, "REFRESH MATERIALIZED VIEW cust_spend")
+        assert r["refreshed"] is True
+        mv = cat.read(spark, "cust_spend").persist()
+        rec = (
+            cat.table("orders_t").scan(spark)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("cents").cast("double")).alias("sv"),
+            )
+            .select(mv.columns)
+            .persist()
+        )
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        refused = 0
+        for bad in (
+            "CREATE MATERIALIZED VIEW m AS SELECT o_custkey, COUNT(*) AS n,"
+            " SUM(cents) AS sv FROM orders_t GROUP BY o_custkey",
+            "CREATE MATERIALIZED VIEW m AS SELECT o_custkey, COUNT(*) AS "
+            "cnt, SUM(cents) AS sv FROM orders_t GROUP BY o_orderkey",
+            "CREATE MATERIALIZED VIEW m AS SELECT o_custkey, MAX(cents) "
+            "AS mx FROM orders_t GROUP BY o_custkey",
+            "DELETE FROM orders_t WHERE o_orderkey >= 0; "
+            "REFRESH MATERIALIZED VIEW cust_spend",
+        ):
+            try:
+                if ";" in bad:
+                    cat.sql_script(spark, bad)
+                else:
+                    cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_cnt"),
+            F.sum("sv").cast("long").alias("sum_cents"),
+        ).collect()[0]
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_keys"], row["total_cnt"], row["sum_cents"],
+                    equal, refused,
+                )
+            ],
+            "n_keys bigint, total_cnt bigint, sum_cents bigint, "
+            "equals_recompute boolean, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

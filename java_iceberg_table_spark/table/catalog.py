@@ -503,11 +503,11 @@ class Catalog:
             raise UnsupportedSQL("empty script")
         for st in stmts:
             head = st.split(None, 1)[0].upper() if st.split() else ""
-            if head in ("CREATE", "DROP"):
+            if head in ("CREATE", "DROP", "REFRESH"):
                 raise UnsupportedSQL(
-                    "view DDL commits a catalog version of its own and "
-                    "cannot join a script's single publish — run "
-                    f"{head} VIEW as a standalone statement"
+                    "view DDL / maintained-view refresh commits a catalog "
+                    "version of its own and cannot join a script's single "
+                    f"publish — run the {head} statement standalone"
                 )
             if head in ("SELECT", "WITH"):
                 raise UnsupportedSQL(

@@ -222,6 +222,24 @@ _CREATE_VIEW = re.compile(
     re.I | re.S,
 )
 _DROP_VIEW = re.compile(r"^DROP\s+VIEW\s+([A-Za-z_]\w*)$", re.I)
+# Maintained (materialized) views: the ONE agg shape the additive fold
+# maintains incrementally — measures must be aliased cnt/sv because
+# those are the view table's column names (create_maintained_agg's
+# contract). Top-k maintained views stay Python-API-only: their SQL
+# spelling is a ROW_NUMBER window subquery, which this tiny grammar
+# deliberately does not parse.
+_CREATE_MATVIEW = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+"
+    r"SELECT\s+([A-Za-z_]\w*)\s*,\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+cnt\s*,\s*"
+    r"SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+sv\s+"
+    r"FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+([A-Za-z_]\w*)$",
+    re.I,
+)
+_MATVIEW_HEAD = re.compile(r"^CREATE\s+MATERIALIZED\s+VIEW\b", re.I)
+_REFRESH_MV = re.compile(
+    r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)$", re.I
+)
+_REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
 _MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
     re.I | re.S,
@@ -289,6 +307,66 @@ def run_dml(
     catalog-level objects. Returns the underlying operation's stats
     dict, plus ``{"statement": <kind>}``."""
     sql = _strip(statement).rstrip(";").strip()
+
+    if _MATVIEW_HEAD.match(sql):
+        m = _CREATE_MATVIEW.match(sql)
+        if not m:
+            raise UnsupportedSQL(
+                "CREATE MATERIALIZED VIEW accepts exactly the "
+                "incrementally-maintainable agg shape: SELECT <key>, "
+                "COUNT(*) AS cnt, SUM(<col>) AS sv FROM <table> GROUP "
+                "BY <key> (measures are NAMED cnt/sv — the view "
+                "table's columns; top-k maintained views are "
+                "Python-API-only: table.maintained.create_maintained_topk)"
+            )
+        if catalog is None:
+            raise UnsupportedSQL(
+                "CREATE MATERIALIZED VIEW needs a catalog "
+                "(maintained views are catalog objects)"
+            )
+        name, key, value, source, group_key = m.groups()
+        if key.lower() != group_key.lower():
+            raise UnsupportedSQL(
+                f"maintained view key must equal the GROUP BY column "
+                f"(got SELECT {key} ... GROUP BY {group_key})"
+            )
+        from .maintained import create_maintained_agg
+
+        vt = create_maintained_agg(catalog, spark, name, source, key, value)
+        return {
+            "statement": "create_materialized_view",
+            "view": name,
+            "source": source,
+            "snapshot_id": vt.metadata.current_snapshot_id,
+        }
+
+    m = _REFRESH_MV.match(sql)
+    if m:
+        if catalog is None:
+            raise UnsupportedSQL(
+                "REFRESH MATERIALIZED VIEW needs a catalog"
+            )
+        from .maintained import refresh_maintained
+
+        res = refresh_maintained(catalog, spark, m.group(1))
+        return {
+            "statement": "refresh_materialized_view",
+            "view": m.group(1),
+            **res,
+        }
+
+    if _REFRESH_ALL_MV.match(sql):
+        if catalog is None:
+            raise UnsupportedSQL(
+                "REFRESH ALL MATERIALIZED VIEWS needs a catalog"
+            )
+        from .maintained import refresh_all_maintained
+
+        res = refresh_all_maintained(catalog, spark)
+        return {
+            "statement": "refresh_all_materialized_views",
+            "refreshed": {k: v.get("refreshed") for k, v in res.items()},
+        }
 
     m = _CREATE_VIEW.match(sql)
     if m:
@@ -479,7 +557,7 @@ def run_dml(
         return {"statement": "merge", **res}
 
     head = sql.split(None, 1)[0].upper() if sql else ""
-    if head in ("DELETE", "UPDATE", "MERGE", "CREATE", "DROP"):
+    if head in ("DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "REFRESH"):
         raise UnsupportedSQL(
             f"statement shape not recognized for {head}: {sql[:80]!r}"
         )

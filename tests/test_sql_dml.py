@@ -521,3 +521,75 @@ def test_sql_select_over_catalog_view(spark, cat):
 def test_sql_script_refuses_select(spark, cat):
     with pytest.raises(UnsupportedSQL, match="standalone"):
         cat.sql_script(spark, "DELETE FROM t WHERE k = 1; SELECT * FROM t")
+
+
+def test_create_materialized_view_sql(spark, cat):
+    """MATERIALIZED VIEW DDL (round 10): the ONE incrementally-
+    maintainable agg shape routes onto create_maintained_agg /
+    refresh_maintained / refresh_all_maintained; reads reach the view
+    through the same Catalog.sql SELECT pass-through."""
+    res = cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW sums AS "
+        "SELECT v, COUNT(*) AS cnt, SUM(qty) AS sv FROM t GROUP BY v",
+    )
+    assert res["statement"] == "create_materialized_view"
+    mv = cat.read(spark, "sums")
+    assert {r["v"]: (r["cnt"], r["sv"]) for r in mv.collect()} == {
+        "old": (5, 200.0),
+        "odd": (5, 250.0),
+    }
+    # source churn + SQL refresh
+    t = cat.table("t")
+    t.append(
+        spark.createDataFrame([(100, "new", 7), (101, "odd", 3)], SCHEMA)
+    )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    res = cat.sql(spark, "REFRESH MATERIALIZED VIEW sums")
+    assert res["statement"] == "refresh_materialized_view"
+    assert res["refreshed"] is True
+    got = {r["v"]: (r["cnt"], r["sv"]) for r in cat.read(spark, "sums").collect()}
+    assert got == {"old": (5, 200.0), "odd": (6, 253.0), "new": (1, 7.0)}
+    # SELECT pass-through reads the PINNED maintained view
+    assert (
+        cat.sql(
+            spark, "SELECT SUM(cnt) AS n FROM sums"
+        ).collect()[0]["n"]
+        == 12
+    )
+    # REFRESH ALL brings the DAG current (single view here: no-op)
+    res = cat.sql(spark, "REFRESH ALL MATERIALIZED VIEWS")
+    assert res["statement"] == "refresh_all_materialized_views"
+    assert res["refreshed"] == {"sums": False}
+
+
+def test_materialized_view_sql_refusals(spark, cat):
+    for bad, why in [
+        (
+            "CREATE MATERIALIZED VIEW m AS SELECT v, COUNT(*) AS n, "
+            "SUM(qty) AS sv FROM t GROUP BY v",
+            "cnt/sv",  # measures must carry the view's column names
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m AS SELECT v, COUNT(*) AS cnt, "
+            "SUM(qty) AS sv FROM t GROUP BY k",
+            "GROUP BY",  # key must equal the group-by column
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m AS SELECT v, MAX(qty) AS mx "
+            "FROM t GROUP BY v",
+            "agg shape",  # MAX is not additively maintainable
+        ),
+        ("REFRESH MATERIALIZED VIEW", "statement shape"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why.replace("(", "\\(")):
+            cat.sql(spark, bad)
+    # refresh of a missing view is loud (KeyError from the catalog)
+    with pytest.raises(KeyError):
+        cat.sql(spark, "REFRESH MATERIALIZED VIEW nope")
+    # maintained-view statements can't join a script's single publish
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark,
+            "DELETE FROM t WHERE k >= 9; REFRESH MATERIALIZED VIEW sums",
+        )
