@@ -19,6 +19,11 @@ an existing engine operation, and anything else raises
     [WHEN MATCHED AND <cond> THEN DELETE]
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | col = <expr>[, ...]]
     [WHEN NOT MATCHED THEN INSERT *]
+  CREATE MATERIALIZED VIEW v AS
+    SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
+  REFRESH MATERIALIZED VIEW v | REFRESH ALL MATERIALIZED VIEWS
+  OPTIMIZE t                                -- full maintenance pass
+  VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
 
 WHERE predicates are conjunctions of ``column <op> literal`` because
 that is precisely the filter algebra the engine's stats-pruned rewrite
@@ -240,6 +245,16 @@ _REFRESH_MV = re.compile(
     r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)$", re.I
 )
 _REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
+# Maintenance verbs (the Iceberg/Delta spellings users type): OPTIMIZE
+# runs the table's full policy-driven maintenance pass (fold pending
+# MOR deletes -> bin-pack small files -> orphan GC — Table.maintain);
+# VACUUM expires old snapshots (retain_last defaults to the engine's
+# 20) and physically deletes files reachable only from them. Both are
+# content-preserving, so they compose with a script's single publish.
+_OPTIMIZE = re.compile(r"^OPTIMIZE\s+([A-Za-z_]\w*)$", re.I)
+_VACUUM = re.compile(
+    r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
+)
 _MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(\S+)(?:\s+AS)?(?:\s+([A-Za-z_]\w*))?\s+USING\s+",
     re.I | re.S,
@@ -367,6 +382,23 @@ def run_dml(
             "statement": "refresh_all_materialized_views",
             "refreshed": {k: v.get("refreshed") for k, v in res.items()},
         }
+
+    m = _OPTIMIZE.match(sql)
+    if m:
+        res = resolve(m.group(1)).maintain(spark)
+        return {"statement": "optimize", "table": m.group(1), **res}
+
+    m = _VACUUM.match(sql)
+    if m:
+        import time as _time
+
+        name, retain = m.groups()
+        res = resolve(name).expire_snapshots(
+            older_than_ms=int(_time.time() * 1000),
+            retain_last=int(retain) if retain else 20,
+            spark=spark,
+        )
+        return {"statement": "vacuum", "table": name, **res}
 
     m = _CREATE_VIEW.match(sql)
     if m:
@@ -557,7 +589,10 @@ def run_dml(
         return {"statement": "merge", **res}
 
     head = sql.split(None, 1)[0].upper() if sql else ""
-    if head in ("DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "REFRESH"):
+    if head in (
+        "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "REFRESH",
+        "OPTIMIZE", "VACUUM",
+    ):
         raise UnsupportedSQL(
             f"statement shape not recognized for {head}: {sql[:80]!r}"
         )

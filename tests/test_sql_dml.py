@@ -593,3 +593,30 @@ def test_materialized_view_sql_refusals(spark, cat):
             spark,
             "DELETE FROM t WHERE k >= 9; REFRESH MATERIALIZED VIEW sums",
         )
+
+
+def test_optimize_and_vacuum_sql(spark, cat):
+    """OPTIMIZE / VACUUM verbs (round 10): the Iceberg/Delta
+    maintenance spellings route onto Table.maintain and
+    expire_snapshots — content identical before/after, small files
+    bin-packed, expired snapshots physically GC'd, pins published."""
+    t = cat.table("t")
+    for i in range(6):  # fragment: six 1-row appends
+        t.append(
+            spark.createDataFrame([(200 + i, "frag", i)], SCHEMA).coalesce(1)
+        )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    before = cat.read(spark, "t").orderBy("k").collect()
+    files_before = len(list(cat.table("t").current_files()))
+    res = cat.sql(spark, "OPTIMIZE t")
+    assert res["statement"] == "optimize"
+    assert len(list(cat.table("t").current_files())) < files_before
+    assert cat.read(spark, "t").orderBy("k").collect() == before
+    n_snaps = len(cat.table("t").metadata.snapshots)
+    assert n_snaps > 2
+    res = cat.sql(spark, "VACUUM t RETAIN 2 SNAPSHOTS")
+    assert res["statement"] == "vacuum"
+    assert len(cat.table("t").metadata.snapshots) <= 2
+    assert cat.read(spark, "t").orderBy("k").collect() == before
+    with pytest.raises(UnsupportedSQL, match="OPTIMIZE"):
+        cat.sql(spark, "OPTIMIZE t WHERE k > 0")
