@@ -1024,6 +1024,22 @@ def ivfpq_encode(
     stays byte-identical, which is what makes continuous ingestion
     into a deployed 100 TB index an append, not a rebuild."""
     v = _as_double(delta, id_col, vec_col)
+    # dimension check against the FROZEN model, loud: continuous
+    # ingestion is exactly where a wrong embedding column / model
+    # version arrives, and without this the slice/zip_with expressions
+    # below would silently emit garbage cells and codes (zip_with pads
+    # the shorter side with nulls; slice truncates)
+    model_dim = len(books) * len(books[0][0])
+    first = v.select(F.size("vec").alias("d")).head()
+    if first is not None:
+        got = int(first["d"])
+        if got != model_dim or got != len(cents[0]):
+            raise ValueError(
+                f"delta vectors are {got}-dim but the frozen model "
+                f"encodes {model_dim}-dim (centroids "
+                f"{len(cents[0])}-dim) — wrong embedding column or "
+                "model version; retrain or fix the input"
+            )
     v = v.select(
         "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
     )
@@ -1052,12 +1068,19 @@ def ivfpq_table_append(
     never the index; removing or re-inserting ids is the table
     layer's ordinary MOR equality delete before the append. Returns
     {rows_appended, cells_touched, snapshot_id}."""
-    index_df = ivfpq_encode(delta, cents, books, id_col, vec_col)
-    stats = index_df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("cluster").alias("cells"),
-    ).collect()[0]
-    tbl.append(index_df.repartition(len(cents), "cluster"))
+    # persist around the two actions: the encode pipeline (normalize →
+    # broadcast cell assignment → exploded-subvector code join) feeds
+    # both the stats aggregate and the append — without the cache every
+    # maintenance batch would pay the encode shuffles twice
+    index_df = ivfpq_encode(delta, cents, books, id_col, vec_col).persist()
+    try:
+        stats = index_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cluster").alias("cells"),
+        ).collect()[0]
+        tbl.append(index_df.repartition(len(cents), "cluster"))
+    finally:
+        index_df.unpersist()
     return {
         "rows_appended": int(stats["n"]),
         "cells_touched": int(stats["cells"]),

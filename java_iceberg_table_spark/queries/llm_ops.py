@@ -2564,6 +2564,7 @@ def h56_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             and enc.exceptAll(appended).isEmpty()
         )
         q = emb.filter(F.col("vec_id") < 20)
+        n_queries = q.count()  # while the corpus is persisted
         exact = brute_force_topk(emb, q, k=5)
         approx, _ = ivfpq_table_topk(
             spark, tbl, cents, books, q, k=5, nprobe=6, rerank=20
@@ -2584,7 +2585,7 @@ def h56_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (
                     n_base, stats["rows_appended"], rows_after, matches,
-                    q.count(), 5, recall_ok,
+                    n_queries, 5, recall_ok,
                     0 < info["files_scanned"] < info["files_total"],
                 )
             ],

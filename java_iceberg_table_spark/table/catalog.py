@@ -514,6 +514,15 @@ class Catalog:
                     "reads don't participate in a DML script's single "
                     "publish — run SELECT through Catalog.sql standalone"
                 )
+            if head == "VACUUM":
+                raise UnsupportedSQL(
+                    "VACUUM physically deletes snapshots that the "
+                    "catalog's published pins may still reference; a GC "
+                    "that outruns the script's end-of-script publish "
+                    "would break pinned readers — run VACUUM standalone "
+                    "through Catalog.sql, which protects the published "
+                    "pin from expiry"
+                )
         touched: dict[str, Table] = {}
 
         def resolve(name: str) -> Table:

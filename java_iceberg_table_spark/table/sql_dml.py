@@ -249,8 +249,15 @@ _REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
 # runs the table's full policy-driven maintenance pass (fold pending
 # MOR deletes -> bin-pack small files -> orphan GC — Table.maintain);
 # VACUUM expires old snapshots (retain_last defaults to the engine's
-# 20) and physically deletes files reachable only from them. Both are
-# content-preserving, so they compose with a script's single publish.
+# 20) and physically deletes files reachable only from them. Catalog
+# semantics: both verbs advance the published pin ONLY when the pin
+# was current before the op (content-preserving advance) — a lagging
+# pin (unpublished direct-writer commits) stays put, because
+# publishing the post-maintenance head would leak unpublished rows to
+# catalog readers. VACUUM additionally PROTECTS the published pin
+# from expiry (protect_ids), and is refused inside sql_script: a GC
+# that outruns the script's end-of-script publish would delete the
+# pre-script snapshot readers are still pinned to.
 _OPTIMIZE = re.compile(r"^OPTIMIZE\s+([A-Za-z_]\w*)$", re.I)
 _VACUUM = re.compile(
     r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
@@ -383,22 +390,55 @@ def run_dml(
             "refreshed": {k: v.get("refreshed") for k, v in res.items()},
         }
 
+    def _maintenance_target(name: str):
+        """(table, published pin) for a maintenance verb. With a
+        catalog the lookup bypasses ``resolve`` on purpose: resolve()
+        marks the table touched, and the caller's end-of-statement
+        publish would advance the pin to the post-maintenance HEAD —
+        wrong when the pin lags the head (see the verbs' comment
+        above); pin movement is decided here instead."""
+        if catalog is not None:
+            return catalog.table(name), catalog.state().pins.get(name)
+        return resolve(name), None
+
+    def _maintenance_republish(name: str, tbl, pinned, pre_head) -> bool:
+        if catalog is not None and pinned == pre_head:
+            catalog._commit_pins(
+                {name: Table(tbl.root).metadata.current_snapshot_id}
+            )
+            return True
+        return False
+
     m = _OPTIMIZE.match(sql)
     if m:
-        res = resolve(m.group(1)).maintain(spark)
-        return {"statement": "optimize", "table": m.group(1), **res}
+        name = m.group(1)
+        tbl, pinned = _maintenance_target(name)
+        pre_head = tbl.metadata.current_snapshot_id
+        res = tbl.maintain(spark)
+        published = _maintenance_republish(name, tbl, pinned, pre_head)
+        return {
+            "statement": "optimize", "table": name,
+            "pin_published": published, **res,
+        }
 
     m = _VACUUM.match(sql)
     if m:
         import time as _time
 
         name, retain = m.groups()
-        res = resolve(name).expire_snapshots(
+        tbl, pinned = _maintenance_target(name)
+        pre_head = tbl.metadata.current_snapshot_id
+        res = tbl.expire_snapshots(
             older_than_ms=int(_time.time() * 1000),
             retain_last=int(retain) if retain else 20,
             spark=spark,
+            protect_ids={pinned} if pinned is not None else None,
         )
-        return {"statement": "vacuum", "table": name, **res}
+        published = _maintenance_republish(name, tbl, pinned, pre_head)
+        return {
+            "statement": "vacuum", "table": name,
+            "pin_published": published, **res,
+        }
 
     m = _CREATE_VIEW.match(sql)
     if m:

@@ -2404,6 +2404,7 @@ class Table:
         retain_last: int = 20,
         spark: SparkSession | None = None,
         distributed_threshold_bytes: int | None = None,
+        protect_ids: set[int] | None = None,
     ) -> dict[str, int]:
         """Expire snapshots older than the cutoff (keeping at least
         ``retain_last`` most recent + the current), then physically
@@ -2429,6 +2430,12 @@ class Table:
                 keep_ids.add(current.current_snapshot_id)
             for r in current.refs.values():
                 keep_ids.add(r["snapshot_id"])  # branches/tags pin snapshots
+            # externally-referenced snapshots (e.g. a catalog's
+            # PUBLISHED pin, which may lag the head): never expired —
+            # GC'ing one would break every reader of that reference
+            for pid in protect_ids or ():
+                if pid is not None:
+                    keep_ids.add(pid)
             kept = [
                 s
                 for s in snaps

@@ -1305,3 +1305,24 @@ def test_ivfpq_table_append_incremental(spark, sf_dir, tmp_path):
     ann = annotate_recall(approx, exact, k=5)
     ok = ann.agg(F.avg(F.col("recall_ok").cast("double"))).collect()[0][0]
     assert ok is not None and ok >= 0.8
+
+
+def test_ivfpq_encode_refuses_dimension_mismatch(spark, sf_dir, tmp_path):
+    """Frozen-model encode must fail LOUDLY on a dimension mismatch
+    (wrong embedding column / model version) instead of silently
+    emitting garbage cells and codes."""
+    from java_iceberg_table_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_write_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _tbl, cents, books = ivfpq_write_table(
+        str(tmp_path / "idx"), emb.filter(F.col("vec_id") < 100),
+        n_centroids=4, m=16, n_codes=8, kmeans_iters=1, pq_iters=1,
+    )
+    wrong = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ivfpq_encode(wrong, cents, books)

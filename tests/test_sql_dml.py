@@ -620,3 +620,34 @@ def test_optimize_and_vacuum_sql(spark, cat):
     assert cat.read(spark, "t").orderBy("k").collect() == before
     with pytest.raises(UnsupportedSQL, match="OPTIMIZE"):
         cat.sql(spark, "OPTIMIZE t WHERE k > 0")
+
+
+def test_vacuum_protects_lagging_published_pin(spark, cat):
+    """Maintenance-verb catalog semantics (round-10 review findings):
+    a published pin that LAGS the head — unpublished direct-writer
+    commits — is (1) never expired by VACUUM (protect_ids) and (2)
+    never advanced by OPTIMIZE/VACUUM (content-preserving verbs must
+    not leak unpublished rows to catalog readers); VACUUM is refused
+    inside a script whose publish it could outrun."""
+    t = cat.table("t")
+    pinned_snap = t.metadata.current_snapshot_id
+    # direct writer advances the head WITHOUT publishing
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(300 + i, "unpub", i)], SCHEMA).coalesce(1)
+        )
+    assert cat.read(spark, "t").count() == 10  # readers see the pin
+    res = cat.sql(spark, "VACUUM t RETAIN 1 SNAPSHOTS")
+    assert res["pin_published"] is False
+    # the pinned snapshot survived expiry and still reads
+    assert pinned_snap in {
+        s.snapshot_id for s in cat.table("t").metadata.snapshots
+    }
+    assert cat.read(spark, "t").count() == 10
+    res = cat.sql(spark, "OPTIMIZE t")
+    assert res["pin_published"] is False
+    assert cat.read(spark, "t").count() == 10  # still the published pin
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark, "DELETE FROM t WHERE k >= 9; VACUUM t RETAIN 1 SNAPSHOTS"
+        )
