@@ -86,23 +86,47 @@ def create_maintained_topk(
     return vt
 
 
+def _agg_measures(props: dict) -> tuple[list[str], list[str]]:
+    """(source value columns, view measure column names) for an agg
+    view's stored definition. Single-value views (the original shape)
+    name their measure ``sv``; multi-measure views name each
+    ``sv_<col>`` (mv.measures stores the names explicitly, so old
+    single-value views without it keep reading unchanged)."""
+    values = props["mv.value"].split(",")
+    measures = props.get("mv.measures", "sv").split(",")
+    return values, measures
+
+
 def create_maintained_agg(
     cat,
     spark: SparkSession,
     name: str,
     source: str,
     key: str,
-    value: str,
+    value: str | list[str],
 ) -> Table:
-    """Create a maintained per-key (cnt, sv) additive view over
-    catalog table ``source`` (count/sum of ``value``). The view's
-    measure columns are NAMED ``cnt``/``sv``, so a key column with
-    either name is refused loudly (the rename would create a
-    duplicate column and every later fold would be ambiguous)."""
-    if key in ("cnt", "sv"):
+    """Create a maintained per-key additive view over catalog table
+    ``source``: count of rows plus the sum of each ``value`` column —
+    the self-inverse measures a signed CDC fold can maintain under
+    deletes. A single ``value`` string keeps the original (cnt, sv)
+    shape; a LIST of columns produces one ``sv_<col>`` measure per
+    entry (the common multi-SUM GROUP BY). Measure names are the
+    view's columns, so a key colliding with any of them is refused
+    loudly (the rename would create a duplicate column and every
+    later fold would be ambiguous)."""
+    values = [value] if isinstance(value, str) else list(value)
+    if not values:
+        raise ValueError("maintained agg view needs at least one value column")
+    measures = (
+        ["sv"] if isinstance(value, str) else [f"sv_{c}" for c in values]
+    )
+    if len(set(measures)) != len(measures):
+        raise ValueError(f"duplicate value columns: {values}")
+    if key in ("cnt", *measures):
         raise ValueError(
-            f"maintained agg view reserves columns ('cnt', 'sv'); key "
-            f"{key!r} collides — alias the source column first"
+            f"maintained agg view reserves columns ('cnt', "
+            f"{', '.join(repr(m) for m in measures)}); key {key!r} "
+            "collides — alias the source column first"
         )
     src = cat.table(source)
     init = (
@@ -110,7 +134,10 @@ def create_maintained_agg(
         .groupBy(F.col(key).alias("key"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col(value).cast("double")).alias("sv"),
+            *[
+                F.sum(F.col(v).cast("double")).alias(m)
+                for v, m in zip(values, measures)
+            ],
         )
         .withColumnRenamed("key", key)
     )
@@ -121,7 +148,8 @@ def create_maintained_agg(
             "mv.kind": "agg",
             "mv.source": source,
             "mv.key": key,
-            "mv.value": value,
+            "mv.value": ",".join(values),
+            "mv.measures": ",".join(measures),
             "write.sort.order": key,
         },
     )
@@ -137,12 +165,15 @@ def _recompute_frame(spark: SparkSession, src: Table, props: dict) -> DataFrame:
     key = props["mv.key"]
     src_df = src.scan(spark)
     if props["mv.kind"] == "agg":
-        value = props["mv.value"]
+        values, measures = _agg_measures(props)
         return (
             src_df.groupBy(F.col(key).alias("key"))
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col(value).cast("double")).alias("sv"),
+                *[
+                    F.sum(F.col(v).cast("double")).alias(m)
+                    for v, m in zip(values, measures)
+                ],
             )
             .withColumnRenamed("key", key)
         )
@@ -242,11 +273,14 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
     try:
         stats: dict
         if kind == "agg":
-            value = props["mv.value"]
+            values, measures = _agg_measures(props)
             sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
             delta = cdc.groupBy(F.col(key)).agg(
                 F.sum(sign).cast("long").alias("cnt"),
-                F.sum(sign * F.col(value).cast("double")).alias("sv"),
+                *[
+                    F.sum(sign * F.col(v).cast("double")).alias(m)
+                    for v, m in zip(values, measures)
+                ],
             )
             stats = additive_refresh(
                 spark, vt, delta, [key],

@@ -236,9 +236,12 @@ _DROP_VIEW = re.compile(r"^DROP\s+VIEW\s+([A-Za-z_]\w*)$", re.I)
 _CREATE_MATVIEW = re.compile(
     r"^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+"
     r"SELECT\s+([A-Za-z_]\w*)\s*,\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+cnt\s*,\s*"
-    r"SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+sv\s+"
+    r"(.+?)\s+"
     r"FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+([A-Za-z_]\w*)$",
     re.I,
+)
+_SUM_TERM = re.compile(
+    r"^SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$", re.I
 )
 _MATVIEW_HEAD = re.compile(r"^CREATE\s+MATERIALIZED\s+VIEW\b", re.I)
 _REFRESH_MV = re.compile(
@@ -346,12 +349,40 @@ def run_dml(
                 "CREATE MATERIALIZED VIEW needs a catalog "
                 "(maintained views are catalog objects)"
             )
-        name, key, value, source, group_key = m.groups()
+        name, key, sums, source, group_key = m.groups()
         if key.lower() != group_key.lower():
             raise UnsupportedSQL(
                 f"maintained view key must equal the GROUP BY column "
                 f"(got SELECT {key} ... GROUP BY {group_key})"
             )
+        terms = []
+        for part in _split_depth0(sums, ","):
+            t = _SUM_TERM.match(part.strip())
+            if not t:
+                raise UnsupportedSQL(
+                    f"maintained view measure {part.strip()!r} is not "
+                    "SUM(<col>) AS <alias> — only count/sum are "
+                    "additively maintainable under deletes"
+                )
+            terms.append((t.group(1), t.group(2)))
+        # alias contract = the view table's column names: one SUM keeps
+        # the original 'sv'; several name each 'sv_<col>'
+        if len(terms) == 1:
+            col, alias = terms[0]
+            if alias.lower() != "sv":
+                raise UnsupportedSQL(
+                    f"a single SUM measure must be aliased AS sv (the "
+                    f"view's column name); got AS {alias}"
+                )
+            value: str | list[str] = col
+        else:
+            for col, alias in terms:
+                if alias.lower() != f"sv_{col.lower()}":
+                    raise UnsupportedSQL(
+                        f"multi-measure SUM({col}) must be aliased AS "
+                        f"sv_{col} (the view's column name); got AS {alias}"
+                    )
+            value = [col for col, _ in terms]
         from .maintained import create_maintained_agg
 
         vt = create_maintained_agg(catalog, spark, name, source, key, value)

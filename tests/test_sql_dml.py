@@ -576,9 +576,14 @@ def test_materialized_view_sql_refusals(spark, cat):
             "GROUP BY",  # key must equal the group-by column
         ),
         (
-            "CREATE MATERIALIZED VIEW m AS SELECT v, MAX(qty) AS mx "
-            "FROM t GROUP BY v",
-            "agg shape",  # MAX is not additively maintainable
+            "CREATE MATERIALIZED VIEW m AS SELECT v, COUNT(*) AS cnt, "
+            "MAX(qty) AS mx FROM t GROUP BY v",
+            "additively maintainable",  # MAX is not
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m AS SELECT v, COUNT(*) AS cnt, "
+            "SUM(qty) AS sv, SUM(k) AS total FROM t GROUP BY v",
+            "sv_qty",  # multi-measure aliases are the view's columns
         ),
         ("REFRESH MATERIALIZED VIEW", "statement shape"),
     ]:
@@ -651,3 +656,47 @@ def test_vacuum_protects_lagging_published_pin(spark, cat):
         cat.sql_script(
             spark, "DELETE FROM t WHERE k >= 9; VACUUM t RETAIN 1 SNAPSHOTS"
         )
+
+
+def test_multi_measure_materialized_view(spark, cat):
+    """Multi-SUM maintained views (round 10): several sv_<col>
+    measures fold in the same signed delta — the common multi-measure
+    GROUP BY reachable from SQL, incrementally maintained under
+    inserts AND deletes."""
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW m AS SELECT v, COUNT(*) AS cnt, "
+        "SUM(qty) AS sv_qty, SUM(k) AS sv_k FROM t GROUP BY v",
+    )
+    got = {r["v"]: (r["cnt"], r["sv_qty"], r["sv_k"]) for r in
+           cat.read(spark, "m").collect()}
+    assert got == {"old": (5, 200.0, 20.0), "odd": (5, 250.0, 25.0)}
+    # churn: insert + MOR delete, one refresh folds both with signs
+    t = cat.table("t")
+    t.append(spark.createDataFrame([(50, "odd", 9)], SCHEMA))
+    t.delete_eq_mor(
+        spark, spark.createDataFrame([(0,), (2,)], "k long"), ["k"]
+    )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW m")
+    mv = cat.read(spark, "m")
+    rec = (
+        cat.table("t").scan(spark)
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("qty").cast("double")).alias("sv_qty"),
+            F.sum(F.col("k").cast("double")).alias("sv_k"),
+        )
+        .select(mv.columns)
+    )
+    assert mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+    # reserved-name collision refused (key colliding with a measure)
+    from java_iceberg_table_spark.table.maintained import (
+        create_maintained_agg,
+    )
+
+    with pytest.raises(ValueError, match="reserves"):
+        create_maintained_agg(cat, spark, "m2", "t", "cnt", ["qty"])
+    with pytest.raises(ValueError, match="duplicate"):
+        create_maintained_agg(cat, spark, "m2", "t", "v", ["qty", "qty"])
