@@ -194,6 +194,7 @@ _DEFER_PAST_WINDOW = [
     "h56_ann_index_maintenance",
     "i29_streaming_agg_view",
     "a4s_engine_sql_matview",
+    "a4t_engine_sql_insert_ctas",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

@@ -3065,3 +3065,100 @@ def a4s_engine_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4t_engine_sql_insert_ctas",
+    oracle="""
+WITH final AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 <> 2
+  UNION ALL
+  SELECT * FROM (VALUES (9000000001, 1), (9000000002, 2))
+    AS x(o_orderkey, o_custkey)
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       COUNT(DISTINCT o_custkey)::BIGINT AS n_cust,
+       CAST(4 AS BIGINT) AS refused
+FROM final
+""",
+    group="A",
+)
+def a4t_engine_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO + CREATE TABLE AS SELECT through ``Catalog.sql``
+    (round 10) — the append verbs a user migrating from any SQL
+    engine types first. CTAS creates the table from the query's
+    result schema and lands its rows as the first append (one catalog
+    create + pin publish); ``INSERT INTO ... SELECT`` appends a
+    query's rows (evaluated under the same pinned-state pass-through
+    as reads); ``INSERT INTO ... VALUES`` appends full-schema literal
+    tuples (NULL supported). Refused loudly: column-list inserts
+    (partial-schema NULL-filling is a schema decision, not a write
+    default), arity/schema mismatches, duplicate CTAS names, CTAS
+    inside a sql_script's single publish. The scenario builds the
+    table with CTAS from a fixture slice, grows it with one INSERT
+    SELECT and one INSERT VALUES, and grades exact totals against the
+    DuckDB relational replay plus four refusals."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    orders.createOrReplaceTempView("a4t_orders_src")
+    croot = tempfile.mkdtemp(prefix="engine_sqlins_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        res = cat.sql(
+            spark,
+            "CREATE TABLE orders_t AS SELECT o_orderkey, o_custkey "
+            "FROM a4t_orders_src WHERE o_orderkey % 3 = 0",
+        )
+        assert res["statement"] == "create_table_as"
+        cat.sql(
+            spark,
+            "INSERT INTO orders_t SELECT o_orderkey, o_custkey "
+            "FROM a4t_orders_src WHERE o_orderkey % 3 = 1",
+        )
+        cat.sql(
+            spark,
+            "INSERT INTO orders_t VALUES (9000000001, 1), (9000000002, 2)",
+        )
+        refused = 0
+        for bad in (
+            "INSERT INTO orders_t (o_orderkey) VALUES (1)",
+            "INSERT INTO orders_t VALUES (1)",
+            "INSERT INTO orders_t SELECT o_orderkey FROM a4t_orders_src",
+            "DELETE FROM orders_t WHERE o_orderkey < 0; "
+            "CREATE TABLE x AS SELECT 1 AS one",
+        ):
+            try:
+                if ";" in bad:
+                    cat.sql_script(spark, bad)
+                else:
+                    cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "orders_t")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_orderkey"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(row["n_rows"], row["sum_orderkey"], row["n_cust"], refused)],
+            "n_rows bigint, sum_orderkey bigint, n_cust bigint, "
+            "refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        spark.catalog.dropTempView("a4t_orders_src")
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

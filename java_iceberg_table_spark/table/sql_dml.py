@@ -21,7 +21,11 @@ an existing engine operation, and anything else raises
     [WHEN NOT MATCHED THEN INSERT *]
   CREATE MATERIALIZED VIEW v AS
     SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
+    (or several sums, each aliased sv_<col>)
   REFRESH MATERIALIZED VIEW v | REFRESH ALL MATERIALIZED VIEWS
+  INSERT INTO t VALUES (lit, ...)[, (...)]  -- full-schema literal rows
+  INSERT INTO t SELECT ... | WITH ...       -- append a query's rows
+  CREATE TABLE name AS SELECT ...           -- CTAS
   OPTIMIZE t                                -- full maintenance pass
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
 
@@ -43,6 +47,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .table import Table
 
@@ -261,6 +266,29 @@ _REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
 # from expiry (protect_ids), and is refused inside sql_script: a GC
 # that outruns the script's end-of-script publish would delete the
 # pre-script snapshot readers are still pinned to.
+# INSERT INTO (the append verb): full-schema VALUES tuples (literal
+# rows — the grammar's literal parser, so strings/numbers/NULL only)
+# or INSERT INTO ... SELECT (the query evaluates with Spark against
+# the session's registered views; Catalog.sql registers pinned views
+# first so catalog tables resolve). Column-list inserts are refused —
+# partial-schema inserts silently NULL the rest, which this engine
+# treats as a schema-evolution decision, not a write default.
+_INSERT_VALUES = re.compile(
+    r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s+(.+)$", re.I | re.S
+)
+_INSERT_SELECT = re.compile(
+    r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.+|WITH\b.+)$", re.I | re.S
+)
+_INSERT_COLLIST = re.compile(
+    r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\(", re.I
+)
+# CTAS: CREATE TABLE name AS SELECT — the query's result schema
+# becomes the table, rows land as the first append, one catalog
+# create + pin publish.
+_CTAS = re.compile(
+    r"^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
 _OPTIMIZE = re.compile(r"^OPTIMIZE\s+([A-Za-z_]\w*)$", re.I)
 _VACUUM = re.compile(
     r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
@@ -419,6 +447,101 @@ def run_dml(
         return {
             "statement": "refresh_all_materialized_views",
             "refreshed": {k: v.get("refreshed") for k, v in res.items()},
+        }
+
+    def _registered_select(query: str) -> DataFrame:
+        """Evaluate a SELECT/WITH for a write verb's source rows. With
+        a catalog, tables resolve to the PINNED state (same semantics
+        as Catalog.sql's read pass-through); without one, against the
+        session's existing views."""
+        if catalog is not None:
+            catalog.register_views(spark)
+        return spark.sql(query)
+
+    def _append_rows(name: str, rows_df: DataFrame) -> dict:
+        tbl = resolve(name)
+        target = tbl.schema()
+        if [f.name for f in rows_df.schema.fields] != [
+            f.name for f in target.fields
+        ]:
+            raise UnsupportedSQL(
+                f"INSERT source columns {rows_df.columns} must match the "
+                f"table schema {[f.name for f in target.fields]} exactly "
+                "(full-schema inserts only)"
+            )
+        aligned = rows_df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        ).persist()  # count + append: one evaluation of a SELECT source
+        try:
+            n = aligned.count()
+            tbl.append(aligned)
+        finally:
+            aligned.unpersist()
+        return {"statement": "insert", "table": name, "inserted_rows": n}
+
+    if _INSERT_COLLIST.match(sql):
+        raise UnsupportedSQL(
+            "column-list INSERT is refused: a partial-schema insert "
+            "silently NULLs the remaining columns — insert full rows, "
+            "or evolve the schema deliberately"
+        )
+
+    m = _INSERT_VALUES.match(sql)
+    if m:
+        name, body = m.groups()
+        tuples = []
+        for grp in _split_depth0(body, ","):
+            grp = grp.strip()
+            if not (grp.startswith("(") and grp.endswith(")")):
+                raise UnsupportedSQL(
+                    f"INSERT VALUES expects parenthesized tuples; got "
+                    f"{grp[:40]!r}"
+                )
+            tuples.append(
+                [
+                    None
+                    if tok.strip().upper() == "NULL"
+                    else _parse_literal(tok)
+                    for tok in _split_depth0(grp[1:-1], ",")
+                ]
+            )
+        target = (resolve if catalog is None else catalog.table)(name).schema()
+        if any(len(t) != len(target.fields) for t in tuples):
+            raise UnsupportedSQL(
+                f"INSERT VALUES arity mismatch: table {name!r} has "
+                f"{len(target.fields)} columns"
+            )
+        names = [f.name for f in target.fields]
+        rows_df = spark.createDataFrame(
+            [dict(zip(names, t)) for t in tuples], target
+        )
+        return _append_rows(name, rows_df)
+
+    m = _INSERT_SELECT.match(sql)
+    if m:
+        name, query = m.groups()
+        return _append_rows(name, _registered_select(query))
+
+    m = _CTAS.match(sql)
+    if m:
+        if catalog is None:
+            raise UnsupportedSQL(
+                "CREATE TABLE AS SELECT needs a catalog (tables are "
+                "catalog objects)"
+            )
+        name, query = m.groups()
+        rows_df = _registered_select(query).persist()
+        try:
+            tbl = catalog.create_table(name, rows_df.schema)
+            n = rows_df.count()
+            tbl.append(rows_df)
+        finally:
+            rows_df.unpersist()
+        catalog._commit_pins({name: tbl.metadata.current_snapshot_id})
+        return {
+            "statement": "create_table_as",
+            "table": name,
+            "inserted_rows": n,
         }
 
     def _maintenance_target(name: str):
@@ -662,7 +785,7 @@ def run_dml(
     head = sql.split(None, 1)[0].upper() if sql else ""
     if head in (
         "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "REFRESH",
-        "OPTIMIZE", "VACUUM",
+        "OPTIMIZE", "VACUUM", "INSERT",
     ):
         raise UnsupportedSQL(
             f"statement shape not recognized for {head}: {sql[:80]!r}"

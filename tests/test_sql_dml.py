@@ -700,3 +700,63 @@ def test_multi_measure_materialized_view(spark, cat):
         create_maintained_agg(cat, spark, "m2", "t", "cnt", ["qty"])
     with pytest.raises(ValueError, match="duplicate"):
         create_maintained_agg(cat, spark, "m2", "t", "v", ["qty", "qty"])
+
+
+def test_insert_values_and_select(spark, cat):
+    """INSERT INTO (round 10): full-schema VALUES tuples and
+    INSERT ... SELECT both land as ordinary appends with the pin
+    published; column-list inserts refuse loudly."""
+    res = cat.sql(
+        spark,
+        "INSERT INTO t VALUES (20, 'ins', 5), (21, NULL, 6)",
+    )
+    assert res["statement"] == "insert" and res["inserted_rows"] == 2
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert rows[20] == ("ins", 5) and rows[21] == (None, 6)
+    # INSERT ... SELECT evaluates against the PINNED catalog state
+    res = cat.sql(
+        spark,
+        "INSERT INTO t SELECT k + 500 AS k, v, qty FROM t WHERE k >= 20",
+    )
+    assert res["inserted_rows"] == 2
+    assert cat.read(spark, "t").count() == 14
+    for bad, why in [
+        ("INSERT INTO t (k, v) VALUES (1, 'x')", "column-list"),
+        ("INSERT INTO t VALUES (1, 'x')", "arity"),
+        ("INSERT INTO t SELECT k FROM t", "match the table schema"),
+        ("INSERT INTO t VALUES 1, 2, 3", "parenthesized"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+
+
+def test_create_table_as_select(spark, cat):
+    res = cat.sql(
+        spark,
+        "CREATE TABLE odd_totals AS "
+        "SELECT v, SUM(qty) AS total FROM t WHERE k % 2 = 1 GROUP BY v",
+    )
+    assert res["statement"] == "create_table_as"
+    got = cat.read(spark, "odd_totals").collect()
+    assert {(r["v"], r["total"]) for r in got} == {("odd", 250)}
+    # CTAS result is an ordinary engine table: DML routes onto it
+    cat.sql(spark, "INSERT INTO odd_totals VALUES ('extra', 1)")
+    assert cat.read(spark, "odd_totals").count() == 2
+    # duplicate name refused by the catalog
+    with pytest.raises(ValueError, match="exists"):
+        cat.sql(spark, "CREATE TABLE odd_totals AS SELECT 1 AS one")
+    # CTAS/INSERT inside scripts: CTAS refused (own catalog commit),
+    # INSERT composes with the single publish
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark,
+            "DELETE FROM t WHERE k = 0; CREATE TABLE x AS SELECT 1 AS one",
+        )
+    out = cat.sql_script(
+        spark,
+        "INSERT INTO odd_totals VALUES ('scripted', 2); "
+        "DELETE FROM odd_totals WHERE v = 'extra'",
+    )
+    assert [o["statement"] for o in out] == ["insert", "delete"]
+    vals = {r["v"] for r in cat.read(spark, "odd_totals").collect()}
+    assert vals == {"odd", "scripted"}
