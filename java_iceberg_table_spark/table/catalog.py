@@ -505,7 +505,7 @@ class Catalog:
             head = st.split(None, 1)[0].upper() if st.split() else ""
             if head in ("CREATE", "DROP", "REFRESH"):
                 raise UnsupportedSQL(
-                    "view DDL / maintained-view refresh commits a catalog "
+                    "DDL / maintained-view refresh commits a catalog "
                     "version of its own and cannot join a script's single "
                     f"publish — run the {head} statement standalone"
                 )

@@ -760,3 +760,54 @@ def test_create_table_as_select(spark, cat):
     assert [o["statement"] for o in out] == ["insert", "delete"]
     vals = {r["v"] for r in cat.read(spark, "odd_totals").collect()}
     assert vals == {"odd", "scripted"}
+
+
+def test_alter_table_and_drop_table_sql(spark, cat):
+    """ALTER TABLE verbs route onto the engine's schema-evolution ops
+    (metadata-only schema-log commits — snapshots and pins do not
+    move); DROP TABLE unregisters from the catalog (PURGE deletes the
+    directory too)."""
+    res = cat.sql(
+        spark, "ALTER TABLE t ADD COLUMN note string DEFAULT 'n/a'"
+    )
+    assert res["statement"] == "alter_add_column"
+    # head scans see the evolved schema; the PINNED read keeps its
+    # snapshot's vintage schema (time-travel semantics, a3d/a3u)
+    head = cat.table("t").scan(spark)
+    rows = {r["k"]: r["note"] for r in head.collect()}
+    assert set(rows.values()) == {"n/a"}  # v3 initial-default backfill
+    cat.sql(spark, "ALTER TABLE t RENAME COLUMN note TO remark")
+    assert "remark" in cat.table("t").scan(spark).columns
+    cat.sql(spark, "ALTER TABLE t ADD COLUMN score float")
+    cat.sql(spark, "ALTER TABLE t ALTER COLUMN score TYPE double")
+    assert dict(cat.table("t").scan(spark).dtypes)["score"] == "double"
+    cat.sql(spark, "ALTER TABLE t DROP COLUMN remark")
+    assert "remark" not in cat.table("t").scan(spark).columns
+    res = cat.sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('write.sort.order' = 'k')",
+    )
+    assert cat.table("t").metadata.properties["write.sort.order"] == "k"
+    # schema verbs never move the published pin past unpublished commits
+    pin_before = cat.state().pins["t"]
+    t = cat.table("t")
+    t.append(spark.createDataFrame([(400, "unpub", 9, 1.0)], t.schema()))
+    cat.sql(spark, "ALTER TABLE t ADD COLUMN extra bigint")
+    assert cat.state().pins["t"] == pin_before
+    # narrowing refused by the op itself, loudly through SQL
+    with pytest.raises(ValueError, match="widening"):
+        cat.sql(spark, "ALTER TABLE t ALTER COLUMN score TYPE float")
+    # DROP TABLE
+    cat.sql(spark, "CREATE TABLE doomed AS SELECT 1 AS one")
+    root = cat.table("doomed").root
+    res = cat.sql(spark, "DROP TABLE doomed")
+    assert res["purged"] is False and "doomed" not in cat.list_tables()
+    import os as _os
+
+    assert _os.path.exists(root)  # no purge: directory stays
+    cat.sql(spark, "CREATE TABLE doomed2 AS SELECT 1 AS one")
+    root2 = cat.table("doomed2").root
+    cat.sql(spark, "DROP TABLE doomed2 PURGE")
+    assert not _os.path.exists(root2)
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(spark, "DELETE FROM t WHERE k = 0; DROP TABLE t")
