@@ -32,6 +32,7 @@ an existing engine operation, and anything else raises
     | ALTER COLUMN c TYPE type | DROP COLUMN c
     | SET TBLPROPERTIES ('k' = 'v'[, ...])
   DROP TABLE t [PURGE]
+  TRUNCATE TABLE t                          -- metadata-only row wipe
 
 WHERE predicates are conjunctions of ``column <op> literal`` because
 that is precisely the filter algebra the engine's stats-pruned rewrite
@@ -324,6 +325,7 @@ _ALTER_PROPS = re.compile(
 _DROP_TABLE = re.compile(
     r"^DROP\s+TABLE\s+([A-Za-z_]\w*)(\s+PURGE)?$", re.I
 )
+_TRUNCATE = re.compile(r"^TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)$", re.I)
 _OPTIMIZE = re.compile(r"^OPTIMIZE\s+([A-Za-z_]\w*)$", re.I)
 _VACUUM = re.compile(
     r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
@@ -644,6 +646,14 @@ def run_dml(
             "properties": sorted(updates),
         }
 
+    m = _TRUNCATE.match(sql)
+    if m:
+        # static INSERT OVERWRITE with no entries: one metadata commit
+        # removes every row; prior snapshots stay time-travelable until
+        # VACUUM (Iceberg TRUNCATE semantics, not a directory wipe)
+        resolve(m.group(1)).overwrite_entries([])
+        return {"statement": "truncate", "table": m.group(1)}
+
     m = _DROP_TABLE.match(sql)
     if m:
         if catalog is None:
@@ -897,7 +907,7 @@ def run_dml(
     head = sql.split(None, 1)[0].upper() if sql else ""
     if head in (
         "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "REFRESH",
-        "OPTIMIZE", "VACUUM", "INSERT", "ALTER",
+        "OPTIMIZE", "VACUUM", "INSERT", "ALTER", "TRUNCATE",
     ):
         raise UnsupportedSQL(
             f"statement shape not recognized for {head}: {sql[:80]!r}"

@@ -106,7 +106,7 @@ def test_merge_with_subquery_and_clauses(spark, cat):
         ("DELETE FROM t", "no WHERE"),
         ("UPDATE t SET qty = 0", "no WHERE"),
         ("UPDATE t SET qty = 0 WHERE upper(v) = 'ODD'", "function lhs"),
-        ("TRUNCATE TABLE t", "not DML"),
+        ("ANALYZE TABLE t COMPUTE STATISTICS", "not DML"),
         (
             "MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN DELETE",
             "non-equi ON",
@@ -811,3 +811,18 @@ def test_alter_table_and_drop_table_sql(spark, cat):
     assert not _os.path.exists(root2)
     with pytest.raises(UnsupportedSQL, match="standalone"):
         cat.sql_script(spark, "DELETE FROM t WHERE k = 0; DROP TABLE t")
+
+
+def test_truncate_table_sql(spark, cat):
+    """TRUNCATE TABLE = static INSERT OVERWRITE with no entries: one
+    metadata commit, rows gone, history time-travelable."""
+    snap_before = cat.table("t").metadata.current_snapshot_id
+    res = cat.sql(spark, "TRUNCATE TABLE t")
+    assert res["statement"] == "truncate"
+    assert cat.read(spark, "t").count() == 0
+    assert cat.table("t").scan(spark).count() == 0
+    # the pre-truncate snapshot still reads (until VACUUM)
+    assert cat.table("t").scan(spark, snapshot_id=snap_before).count() == 10
+    # refills normally
+    cat.sql(spark, "INSERT INTO t VALUES (1, 'back', 1)")
+    assert cat.read(spark, "t").count() == 1
