@@ -195,6 +195,7 @@ _DEFER_PAST_WINDOW = [
     "i29_streaming_agg_view",
     "a4s_engine_sql_matview",
     "a4t_engine_sql_insert_ctas",
+    "i30_streaming_ann_ingest",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

@@ -1974,3 +1974,133 @@ def i29_streaming_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i30_streaming_ann_ingest",
+    oracle="""
+SELECT CAST(3000 AS BIGINT) AS n_base,
+       CAST(1000 AS BIGINT) AS n_streamed,
+       CAST(250 AS BIGINT) AS n_deleted,
+       CAST(3750 AS BIGINT) AS index_rows,
+       TRUE AS equals_encode,
+       CAST(22 AS BIGINT) AS n_queries,
+       TRUE AS recall_ok,
+       TRUE AS pruned
+""",
+    group="I",
+)
+def i30_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous embedding ingestion into a DEPLOYED ANN index
+    (round 10): the CDC stream drives ``streaming/jobs.py
+    ann_index_sink`` — h56's frozen-model fold under the mv
+    idempotence protocol. Inserts encode against the frozen model
+    (nearest frozen cell + frozen PQ codebooks) and land partition-
+    aligned; CDC DELETE rows drop their vectors via one MOR equality
+    delete on the id; both directions are delta-sized and the index is
+    never rebuilt (chaos-tested incl. same-batch insert+delete
+    cancellation, tests/test_datasource.py). Corpus is the
+    deterministic clustered mixture (h53r/h56 precedent; constants are
+    sf-independent). Graded: exact row accounting through two streamed
+    appends + one MOR delete, the final index byte-equal to a
+    frozen-model encode of exactly the surviving vectors, probe
+    pruning intact, and recall@5 vs brute force over the surviving
+    corpus for a 22-query batch mixing base and streamed vectors."""
+    from ..operators.similarity import (
+        annotate_recall,
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_table_topk,
+    )
+    from .llm_ops import _write_base_index
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import ann_index_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    base_dir = tempfile.mkdtemp(prefix="stream_ann_")
+    idx_root = base_dir + "/idx"
+    src_root, ckpt = base_dir + "/src", base_dir + "/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        emb, tbl, cents, books = _write_base_index(spark, idx_root)
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        n_base = tbl.scan(spark).count()
+        src = _ct(src_root, delta.schema)
+        fold = ann_index_sink(idx_root, cents, books, stream_id="i30")
+
+        def drain():
+            q = (
+                spark.readStream.format("engine_table")
+                .option("root", src_root)
+                .option("cdc", "true")
+                .load()
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        src.append(delta.filter(F.col("vec_id") % 8 == 0).coalesce(2))
+        drain()
+        src.append(delta.filter(F.col("vec_id") % 8 == 4).coalesce(2))
+        src.delete_eq_mor(
+            spark,
+            delta.filter(F.col("vec_id") % 16 == 0)
+            .select("vec_id").distinct(),
+            ["vec_id"],
+        )
+        drain()  # insert + DELETE feed folds in one pass
+        survivors = emb.filter(
+            (F.col("vec_id") % 4 != 0)
+            | ((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 16 != 0))
+        ).persist()
+        idx = _open(idx_root).scan(spark).persist()
+        index_rows = idx.count()
+        enc = ivfpq_encode(survivors, cents, books).select(
+            "id", "cluster", "code"
+        )
+        got = idx.select("id", "cluster", "code")
+        equals_encode = (
+            got.exceptAll(enc).isEmpty() and enc.exceptAll(got).isEmpty()
+        )
+        q = survivors.filter(F.col("vec_id") < 24)
+        n_queries = q.count()
+        exact = brute_force_topk(survivors, q, k=5)
+        it = _open(idx_root)
+        approx, _ = ivfpq_table_topk(
+            spark, it, cents, books, q, k=5, nprobe=6, rerank=20
+        )
+        recall_ok = bool(
+            annotate_recall(approx, exact, k=5, min_recall=0.8)
+            .agg(F.coalesce(F.bool_and("recall_ok"), F.lit(False)))
+            .collect()[0][0]
+        )
+        one = q.orderBy("vec_id").limit(1)
+        probed, info = ivfpq_table_topk(
+            spark, it, cents, books, one, k=5, nprobe=2, rerank=20
+        )
+        probed.collect()
+        idx.unpersist()
+        survivors.unpersist()  # emb stays persisted: session-cached model
+        return spark.createDataFrame(
+            [
+                (
+                    n_base, 1000, 250, index_rows, equals_encode,
+                    n_queries, recall_ok,
+                    0 < info["files_scanned"] < info["files_total"],
+                )
+            ],
+            "n_base bigint, n_streamed bigint, n_deleted bigint, "
+            "index_rows bigint, equals_encode boolean, n_queries bigint, "
+            "recall_ok boolean, pruned boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base_dir, ignore_errors=True)

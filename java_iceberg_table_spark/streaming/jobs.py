@@ -790,6 +790,113 @@ def topk_view_sink(
     return fold
 
 
+def ann_index_sink(
+    index_root: str,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stream_id: str = "ann",
+):
+    """Streaming maintenance of a deployed IVF-PQ index table
+    (``operators/similarity.ivfpq_table_append`` under the mv fold's
+    idempotence protocol): each micro-batch of the embedding stream
+    encodes against the FROZEN model (nearest frozen coarse cell + PQ
+    codes from the frozen codebooks) and lands as one partition-
+    aligned fast-append; CDC DELETE rows drop their vectors from the
+    index via one MOR equality delete on the id — both directions are
+    delta-sized, the index is never rebuilt, and probe pruning stays
+    exact because appended files are single-cell. Retraining against
+    drift stays a periodic offline decision.
+
+    Idempotence: the delete commit stamps ``mv-batch-del`` and the
+    append ``mv-batch-id`` commit-atomically; watermark and crash
+    markers read the LIVE lineage only; replay at/below the watermark
+    skips; a replay finding its own delete stamp without the append
+    rolls back to the delete's parent and reruns against intact
+    state."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ivfpq_encode
+    from ..table import load_table as _open
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        it = _open(index_root)
+        applied = -1
+        partial_del = None
+        live = _live_lineage(it.metadata)
+        for s in it.metadata.snapshots:
+            if s.summary.get("mv-stream-id", "default") != stream_id:
+                continue
+            if s.snapshot_id not in live:
+                continue
+            bid = s.summary.get("mv-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("mv-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if "_change_type" in batch_df.columns:
+            unknown = batch_df.filter(
+                ~F.col("_change_type").isin("insert", "delete")
+            )
+            if not unknown.isEmpty():
+                raise ValueError(
+                    "ann_index_sink folds insert/delete change feeds; "
+                    "got an unknown _change_type"
+                )
+        else:
+            batch_df = batch_df.withColumn("_change_type", F.lit("insert"))
+        batch_df = batch_df.persist()
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
+        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        new_rows = None
+        try:
+            if batch_df.isEmpty():
+                return  # idle trigger: skip without stamping
+            if partial_del is not None:
+                it.rollback_to(partial_del.parent_id)
+                it = _open(index_root)
+            dels = (
+                batch_df.filter(F.col("_change_type") == "delete")
+                .select(F.col(id_col).alias("id"))
+                .distinct()
+            )
+            stamp = {"mv-batch-id": int(batch_id), "mv-stream-id": stream_id}
+            del_stamp = {
+                "mv-batch-del": int(batch_id), "mv-stream-id": stream_id,
+            }
+            inserts = batch_df.filter(F.col("_change_type") == "insert")
+            new_rows = ivfpq_encode(
+                inserts, cents, books, id_col, vec_col
+            ).persist()
+            # within-batch net: a vector inserted and deleted in the
+            # same window must not survive in the index
+            new_rows_net = new_rows.join(dels, "id", "left_anti")
+            has_dels = not dels.isEmpty()
+            if has_dels:
+                it.delete_eq_mor(
+                    spark, dels, ["id"], extra_summary=del_stamp
+                )
+            it.append(
+                new_rows_net.repartition(len(cents), "cluster"),
+                extra_summary=stamp,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+            if new_rows is not None:
+                new_rows.unpersist()
+
+    return fold
+
+
 def agg_view_sink(
     view_root: str,
     keys: list[str],

@@ -1854,6 +1854,97 @@ def test_topk_view_sink_refuses_cdc_deletes(ds, base_dir):
     assert _topk_equals_recompute(spark, src_root, view_root)
 
 
+def test_ann_index_sink_crash_schedules(ds, base_dir):
+    """Chaos replays for the streaming ANN index fold (round 10): per
+    batch a seeded scenario — clean, crash between the delete and
+    append commits, external rollback onto the delete commit, external
+    rollback past both — each followed by replays, with DELETES in the
+    feed and same-batch insert+delete cancellation. Invariant after
+    every batch: the index equals a frozen-model encode of exactly the
+    surviving vectors."""
+    import random
+
+    from java_iceberg_table_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_write_table,
+    )
+    from java_iceberg_table_spark.streaming.jobs import ann_index_sink
+
+    spark = ds
+
+    def vec(i):
+        return [float((i * 7 + d * 3) % 11) / 11.0 + 0.1 for d in range(8)]
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame([(i, vec(i)) for i in range(40)], schema)
+    root = base_dir + "/annidx"
+    _tbl, cents, books = ivfpq_write_table(
+        root, base, n_centroids=4, m=4, n_codes=4,
+        kmeans_iters=1, pq_iters=1,
+    )
+    fold = ann_index_sink(root, cents, books, stream_id="chaos")
+    live = {i: vec(i) for i in range(40)}
+
+    def equals_encode():
+        idx = open_table(root).scan(spark).select("id", "cluster", "code")
+        surv = spark.createDataFrame(
+            [(i, v) for i, v in live.items()], schema
+        )
+        enc = ivfpq_encode(surv, cents, books).select(
+            "id", "cluster", "code"
+        )
+        return idx.exceptAll(enc).isEmpty() and enc.exceptAll(idx).isEmpty()
+
+    assert equals_encode()
+    rng = random.Random(23)
+    for b in range(1, 7):
+        new = {b * 100 + i: vec(b * 100 + i) for i in range(6)}
+        dels = [
+            k for k in rng.sample(sorted(live), min(2, len(live)))
+        ]
+        # one same-batch cancel: insert then delete within the window
+        cancel_id = b * 100 + 99
+        cdc = spark.createDataFrame(
+            [(k, v, "insert") for k, v in new.items()]
+            + [(cancel_id, vec(cancel_id), "insert")]
+            + [(k, live[k], "delete") for k in dels]
+            + [(cancel_id, vec(cancel_id), "delete")],
+            schema + ", _change_type string",
+        )
+        for k in dels:
+            live.pop(k)
+        live.update(new)
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            open_table(root).delete_eq_mor(
+                spark,
+                cdc.filter(F.col("_change_type") == "delete")
+                .select(F.col("vec_id").alias("id")).distinct(),
+                ["id"],
+                extra_summary={"mv-batch-del": b, "mv-stream-id": "chaos"},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            fold(cdc, b)  # fully applied...
+            it = open_table(root)
+            head = it.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                it.rollback_to(head.parent_id)
+            else:
+                by_id = {s.snapshot_id: s for s in it.metadata.snapshots}
+                parent = by_id[head.parent_id]
+                # all-insert batches have no delete commit to roll past
+                it.rollback_to(
+                    parent.parent_id
+                    if parent.summary.get("mv-batch-del") == b
+                    else head.parent_id
+                )
+        fold(cdc, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            fold(cdc, b)
+        assert equals_encode(), (b, scenario)
+
+
 def test_catalog_read_pinned_and_time_travel(ds, base_dir):
     """Connector catalog reads (round 10): option("catalog")+option
     ("name") pin the scan to the PUBLISHED catalog state — parity with
