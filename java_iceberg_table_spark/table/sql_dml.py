@@ -22,6 +22,9 @@ an existing engine operation, and anything else raises
   CREATE MATERIALIZED VIEW v AS
     SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
     (or several sums, each aliased sv_<col>)
+  CREATE MATERIALIZED VIEW v AS               -- top-k fold
+    SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+      ORDER BY c1[, c2...]) AS rn FROM t) WHERE rn <= N
   REFRESH MATERIALIZED VIEW v | REFRESH ALL MATERIALIZED VIEWS
   INSERT INTO t VALUES (lit, ...)[, (...)]  -- full-schema literal rows
   INSERT INTO t SELECT ... | WITH ...       -- append a query's rows
@@ -237,12 +240,13 @@ _CREATE_VIEW = re.compile(
     re.I | re.S,
 )
 _DROP_VIEW = re.compile(r"^DROP\s+VIEW\s+([A-Za-z_]\w*)$", re.I)
-# Maintained (materialized) views: the ONE agg shape the additive fold
-# maintains incrementally — measures must be aliased cnt/sv because
-# those are the view table's column names (create_maintained_agg's
-# contract). Top-k maintained views stay Python-API-only: their SQL
-# spelling is a ROW_NUMBER window subquery, which this tiny grammar
-# deliberately does not parse.
+# Maintained (materialized) views: the TWO shapes the folds maintain
+# incrementally. Agg — measures aliased cnt/sv (or sv_<col> each for
+# several sums) because those are the view table's column names
+# (create_maintained_agg's contract). Top-k — exactly the standard
+# ROW_NUMBER idiom, rank aliased rn (the view's rank column):
+#   SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+#     ORDER BY c1[, c2...]) AS rn FROM t) WHERE rn <= N
 _CREATE_MATVIEW = re.compile(
     r"^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+"
     r"SELECT\s+([A-Za-z_]\w*)\s*,\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+cnt\s*,\s*"
@@ -252,6 +256,14 @@ _CREATE_MATVIEW = re.compile(
 )
 _SUM_TERM = re.compile(
     r"^SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$", re.I
+)
+_CREATE_MATVIEW_TOPK = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+"
+    r"SELECT\s+\*\s+FROM\s+\(\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+([A-Za-z_]\w*)\s+ORDER\s+BY\s+"
+    r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+AS\s+rn\s+"
+    r"FROM\s+([A-Za-z_]\w*)\s*\)\s+WHERE\s+rn\s*<=\s*(\d+)$",
+    re.I,
 )
 _MATVIEW_HEAD = re.compile(r"^CREATE\s+MATERIALIZED\s+VIEW\b", re.I)
 _REFRESH_MV = re.compile(
@@ -399,20 +411,38 @@ def run_dml(
     sql = _strip(statement).rstrip(";").strip()
 
     if _MATVIEW_HEAD.match(sql):
-        m = _CREATE_MATVIEW.match(sql)
-        if not m:
-            raise UnsupportedSQL(
-                "CREATE MATERIALIZED VIEW accepts exactly the "
-                "incrementally-maintainable agg shape: SELECT <key>, "
-                "COUNT(*) AS cnt, SUM(<col>) AS sv FROM <table> GROUP "
-                "BY <key> (measures are NAMED cnt/sv — the view "
-                "table's columns; top-k maintained views are "
-                "Python-API-only: table.maintained.create_maintained_topk)"
-            )
         if catalog is None:
             raise UnsupportedSQL(
                 "CREATE MATERIALIZED VIEW needs a catalog "
                 "(maintained views are catalog objects)"
+            )
+        mt = _CREATE_MATVIEW_TOPK.match(sql)
+        if mt:
+            name, key, order_cols, source, k = mt.groups()
+            from .maintained import create_maintained_topk
+
+            vt = create_maintained_topk(
+                catalog, spark, name, source, key,
+                [c.strip() for c in order_cols.split(",")], int(k),
+            )
+            return {
+                "statement": "create_materialized_view",
+                "view": name,
+                "source": source,
+                "kind": "topk",
+                "snapshot_id": vt.metadata.current_snapshot_id,
+            }
+        m = _CREATE_MATVIEW.match(sql)
+        if not m:
+            raise UnsupportedSQL(
+                "CREATE MATERIALIZED VIEW accepts exactly the two "
+                "incrementally-maintainable shapes: the agg — SELECT "
+                "<key>, COUNT(*) AS cnt, SUM(<col>) AS sv FROM <table> "
+                "GROUP BY <key> (measures NAMED cnt/sv, or sv_<col> "
+                "each for several sums) — and the top-k ROW_NUMBER "
+                "idiom — SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+                "(PARTITION BY k ORDER BY c1[, c2]) AS rn FROM t) "
+                "WHERE rn <= N"
             )
         name, key, sums, source, group_key = m.groups()
         if key.lower() != group_key.lower():

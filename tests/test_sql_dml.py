@@ -826,3 +826,39 @@ def test_truncate_table_sql(spark, cat):
     # refills normally
     cat.sql(spark, "INSERT INTO t VALUES (1, 'back', 1)")
     assert cat.read(spark, "t").count() == 1
+
+
+def test_topk_materialized_view_sql(spark, cat):
+    """The top-k fold reachable from SQL (round 10): exactly the
+    standard ROW_NUMBER idiom maps onto create_maintained_topk; the
+    refresh is the same CDC-cursor fold the agg views use."""
+    res = cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW top2 AS SELECT * FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY qty, k) "
+        "AS rn FROM t) WHERE rn <= 2",
+    )
+    assert res["statement"] == "create_materialized_view"
+    assert res["kind"] == "topk"
+    got = {(r["v"], r["rn"]): r["k"] for r in cat.read(spark, "top2").collect()}
+    assert got == {
+        ("old", 1): 0, ("old", 2): 2, ("odd", 1): 1, ("odd", 2): 3,
+    }
+    # churn + SQL refresh: a smaller qty takes rank 1
+    t = cat.table("t")
+    t.append(spark.createDataFrame([(77, "odd", -5)], SCHEMA))
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW top2")
+    got = {(r["v"], r["rn"]): r["k"] for r in cat.read(spark, "top2").collect()}
+    assert got[("odd", 1)] == 77 and got[("odd", 2)] == 1
+    # only the exact idiom parses: DESC order and rn < N refuse
+    for bad in (
+        "CREATE MATERIALIZED VIEW x AS SELECT * FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY v ORDER BY qty DESC) AS rn "
+        "FROM t) WHERE rn <= 2",
+        "CREATE MATERIALIZED VIEW x AS SELECT * FROM (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY v ORDER BY qty) AS rn "
+        "FROM t) WHERE rn < 2",
+    ):
+        with pytest.raises(UnsupportedSQL, match="two"):
+            cat.sql(spark, bad)
