@@ -900,7 +900,7 @@ def ann_index_sink(
 def agg_view_sink(
     view_root: str,
     keys: list[str],
-    value_col: str,
+    value_col: str | list[str],
     stream_id: str = "agg",
 ):
     """Streaming maintenance of an ADDITIVE per-key ``(cnt, sv)`` view
@@ -912,7 +912,10 @@ def agg_view_sink(
     a net per-key delta, ``additive_refresh`` folds it with work sized
     by the delta's key set, and keys whose count reaches zero leave
     the view (``drop_when_zero``). Per-batch cost is O(batch) + O(one
-    view row per touched key) at any corpus size.
+    view row per touched key) at any corpus size. A single
+    ``value_col`` keeps the (cnt, sv) shape; a LIST folds one
+    ``sv_<col>`` measure per entry in the same signed delta (matching
+    ``create_maintained_agg``'s multi-measure views).
 
     Idempotence, exactly the other sinks' discipline: the fold's
     delete commit stamps ``mv-batch-del`` and its append
@@ -969,9 +972,20 @@ def agg_view_sink(
             if partial_del is not None:
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
+            values = (
+                [value_col] if isinstance(value_col, str) else list(value_col)
+            )
+            measures = (
+                ["sv"]
+                if isinstance(value_col, str)
+                else [f"sv_{c}" for c in values]
+            )
             delta = batch_df.groupBy(*keys).agg(
                 F.sum(sign).alias("cnt"),
-                F.sum(sign * F.col(value_col).cast("double")).alias("sv"),
+                *[
+                    F.sum(sign * F.col(v).cast("double")).alias(m)
+                    for v, m in zip(values, measures)
+                ],
             )
             additive_refresh(
                 spark, vt, delta, keys,

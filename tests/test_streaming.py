@@ -294,3 +294,38 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_agg_view_sink_multi_measure(spark, tmp_path):
+    """agg_view_sink with a value-column LIST folds one sv_<col>
+    measure per entry in the same signed delta — parity with
+    create_maintained_agg's multi-measure views."""
+    from java_iceberg_table_spark.streaming.jobs import agg_view_sink
+    from java_iceberg_table_spark.table import create_table
+    from java_iceberg_table_spark.table import load_table as _open
+    from pyspark.sql import functions as F
+
+    view_root = str(tmp_path / "mm_view")
+    create_table(
+        view_root,
+        spark.createDataFrame(
+            [], "u long, cnt long, sv_a double, sv_b double"
+        ).schema,
+    )
+    fold = agg_view_sink(view_root, ["u"], ["a", "b"], stream_id="mm")
+    schema = "id long, u long, a double, b double"
+    b0 = spark.createDataFrame(
+        [(1, 1, 10.0, 1.0), (2, 1, 20.0, 2.0), (3, 2, 5.0, 3.0)], schema
+    )
+    fold(b0.withColumn("_change_type", F.lit("insert")), 0)
+    # mixed batch: insert for u=2, delete one u=1 row
+    b1 = spark.createDataFrame(
+        [(4, 2, 7.0, 4.0, "insert"), (1, 1, 10.0, 1.0, "delete")],
+        schema + ", _change_type string",
+    )
+    fold(b1, 1)
+    got = {
+        r["u"]: (r["cnt"], r["sv_a"], r["sv_b"])
+        for r in _open(view_root).scan(spark).collect()
+    }
+    assert got == {1: (1, 20.0, 2.0), 2: (2, 12.0, 7.0)}
