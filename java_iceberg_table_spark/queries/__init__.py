@@ -186,9 +186,12 @@ _REVERIFY_HEAD = [
 # (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
 # END of the order — behind every stale-proven entry — so the window
 # the driver grades this round stays byte-identical to the committed
-# sim and no r4-era regrade loses its slot. Next round's rotation
-# picks them up first as never-graded entries (remove from this list
-# then).
+# sim and no r4-era regrade loses its slot. SELF-EXPIRING: the defer
+# applies only until the driver writes _DEFER_UNTIL_ARTIFACT (this
+# round's grade record) — from the next round on, these rows claim
+# never-graded slots first like any new registration, with no manual
+# list edit needed.
+_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r10.json"
 _DEFER_PAST_WINDOW = [
     "a4r_engine_refresh_all_dag",
     "h56_ann_index_maintenance",
@@ -260,9 +263,19 @@ def load_all() -> dict[str, Query]:
         for q in REGISTRY.values()
         if q.name not in regrade_set and q.name not in head_set
     ]
+    import os as _os
+
+    defer_active = not _os.path.exists(
+        _os.path.join(
+            _os.path.dirname(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+            ),
+            _DEFER_UNTIL_ARTIFACT,
+        )
+    )
     deferred = [
         REGISTRY[n]
-        for n in _DEFER_PAST_WINDOW
+        for n in (_DEFER_PAST_WINDOW if defer_active else [])
         if n in REGISTRY and n not in driver_proven
     ]
     defer_set = {q.name for q in deferred}
