@@ -2139,7 +2139,9 @@ def a4l_engine_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bad in (
             "DELETE FROM t WHERE o_orderkey NOT IN (1, 2)",
             "UPDATE t SET o_orderstatus = 'Y'",
-            "TRUNCATE TABLE t",
+            # was TRUNCATE TABLE t until round 10 implemented the verb
+            # (a refusal example must stay outside the grammar forever)
+            "ANALYZE TABLE t COMPUTE STATISTICS",
         ):
             try:
                 cat.sql(spark, bad)
