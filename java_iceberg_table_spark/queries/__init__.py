@@ -199,6 +199,7 @@ _DEFER_PAST_WINDOW = [
     "a4s_engine_sql_matview",
     "a4t_engine_sql_insert_ctas",
     "i30_streaming_ann_ingest",
+    "a4u_engine_realtime_agg_view",
 ]
 
 # Round-10 notes on changed-machinery rows deliberately NOT canaried

@@ -3164,3 +3164,124 @@ def a4t_engine_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         spark.catalog.dropTempView("a4t_orders_src")
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4u_engine_realtime_agg_view",
+    oracle="""
+WITH final AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 10 <> 1
+),
+agg AS (
+  SELECT o_custkey, COUNT(*) AS cnt, SUM(cents) AS scents
+  FROM final GROUP BY o_custkey
+)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+       CAST(SUM(scents) AS BIGINT) AS sum_cents,
+       TRUE AS stale_without_refresh,
+       TRUE AS realtime_exact,
+       TRUE AS caught_up_after_refresh
+FROM agg
+""",
+    group="A",
+)
+def a4u_engine_realtime_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME continuous aggregate (round 10; TimescaleDB's
+    real-time continuous aggregates): ``read_realtime``
+    (table/maintained.py) serves the maintained agg view's
+    materialized rows UNION a signed fold of the source's CDC tail
+    since the cursor — the exact current answer with NO refresh and
+    no recompute, at O(view) + O(changes-since-cursor) read cost.
+    The scenario creates the view over a prefix, churns the source
+    (append + MOR equality delete) WITHOUT refreshing, and grades:
+    (1) the materialized view alone is provably stale, (2) the
+    real-time read equals the from-scratch aggregate exactly (int64
+    cents — order-independent), (3) after one refresh the view
+    catches up and the real-time read is a plain scan that still
+    matches. Top-k views refuse (tail deletes need the rebuild path);
+    cursor expiry falls back to recompute (both unit-tested)."""
+    from ..table import Catalog
+    from ..table.maintained import (
+        create_maintained_agg,
+        read_realtime,
+        refresh_maintained,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    croot = tempfile.mkdtemp(prefix="engine_rtagg_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        create_maintained_agg(
+            cat, spark, "cust_spend", "orders_t", "o_custkey", "cents"
+        )
+        # source churn, NO refresh
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        rec = (
+            cat.table("orders_t").scan(spark)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("cents").cast("double")).alias("sv"),
+            )
+            .persist()
+        )
+        stale_view = cat.table("cust_spend").scan(spark)
+        stale = not stale_view.exceptAll(
+            rec.select(stale_view.columns)
+        ).isEmpty()
+        rt = read_realtime(cat, spark, "cust_spend").persist()
+        rt_exact = (
+            rt.exceptAll(rec.select(rt.columns)).isEmpty()
+            and rec.select(rt.columns).exceptAll(rt).isEmpty()
+        )
+        row = rt.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_cnt"),
+            F.sum("sv").cast("long").alias("sum_cents"),
+        ).collect()[0]
+        refresh_maintained(cat, spark, "cust_spend")
+        rt2 = read_realtime(cat, spark, "cust_spend")
+        caught_up = (
+            rt2.exceptAll(rec.select(rt2.columns)).isEmpty()
+            and rec.select(rt2.columns).exceptAll(rt2).isEmpty()
+        )
+        rt.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_keys"], row["total_cnt"], row["sum_cents"],
+                    stale, rt_exact, caught_up,
+                )
+            ],
+            "n_keys bigint, total_cnt bigint, sum_cents bigint, "
+            "stale_without_refresh boolean, realtime_exact boolean, "
+            "caught_up_after_refresh boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

@@ -344,6 +344,66 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         cdc.unpersist()
 
 
+def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
+    """REAL-TIME read of a maintained AGG view (TimescaleDB's
+    real-time continuous aggregates): the materialized rows UNION a
+    signed fold of the source's change feed SINCE THE CURSOR,
+    re-aggregated — the exact current answer without waiting for (or
+    paying) a refresh. Cost is O(view) + O(changes since cursor): the
+    view side is one row per key and the tail is the CDC of the
+    un-refreshed window only, so the read stays delta-sized however
+    large the source is; a caught-up view reads as a plain scan.
+
+    Agg views only: count/sum are mergeable across the
+    materialized/tail boundary. Top-k views are not — a tail DELETE
+    can promote rows the view no longer holds, which requires source
+    access (the rebuild path); refresh for those. Falls back to the
+    full recompute when the cursor expired from the source's history
+    (same condition that forces a refresh's full rebuild)."""
+    vt = cat.table(name)
+    props = vt.metadata.properties
+    if props.get("mv.kind") != "agg":
+        raise ValueError(
+            f"read_realtime serves additive agg views; {name!r} is "
+            f"{props.get('mv.kind')!r} — top-k tails need the rebuild "
+            "path, run refresh_maintained"
+        )
+    key = props["mv.key"]
+    values, measures = _agg_measures(props)
+    src = cat.table(props["mv.source"])
+    cursor = _live_cursor(vt)
+    head = src.metadata.current_snapshot_id
+    view_df = vt.scan(spark)
+    if cursor is not None and head == cursor:
+        return view_df  # caught up: the materialized rows ARE current
+    if cursor is None:
+        return _recompute_frame(spark, src, props)
+    try:
+        src.snapshot_by_id(cursor)
+    except KeyError:  # cursor expired: no change feed to fold
+        return _recompute_frame(spark, src, props)
+    cdc = src.changes_between(spark, cursor)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    tail = cdc.groupBy(F.col(key)).agg(
+        F.sum(sign).cast("long").alias("cnt"),
+        *[
+            F.sum(sign * F.col(v).cast("double")).alias(m)
+            for v, m in zip(values, measures)
+        ],
+    )
+    merged = (
+        view_df.unionByName(tail.select(view_df.columns))
+        .groupBy(key)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            *[F.sum(m).alias(m) for m in measures],
+        )
+        .filter(F.col("cnt") != 0)
+        .select(view_df.columns)
+    )
+    return merged
+
+
 def list_maintained(cat) -> dict[str, dict]:
     """Every maintained view in the catalog: name -> its mv.* properties."""
     out = {}

@@ -468,3 +468,84 @@ def test_refresh_all_maintained_cycle_refused(spark, cat):
     cat.table("sums").set_properties({"mv.source": "sums2"})
     with pytest.raises(ValueError, match="cycle"):
         refresh_all_maintained(cat, spark)
+
+
+def test_read_realtime_agg(spark, cat):
+    """Real-time continuous aggregate (round 10): the materialized
+    rows UNION a signed fold of the CDC tail since the cursor — exact
+    current answer without a refresh, delta-sized read."""
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+
+    def recompute():
+        return (
+            cat.table("events").scan(spark)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("v").cast("double")).alias("sv"),
+            )
+        )
+
+    def rt_equals_recompute():
+        rt = read_realtime(cat, spark, "sums")
+        rec = recompute().select(rt.columns)
+        return rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+
+    # caught up: realtime IS the view
+    assert rt_equals_recompute()
+    # source churn WITHOUT refresh: view is stale, realtime is exact
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame(
+            [(1, 500, 100), (9, 7, 101)], "k long, v long, ts long"
+        )
+    )
+    src.delete_eq_mor(spark, spark.createDataFrame([(0,)], "ts long"), ["ts"])
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    stale = cat.table("sums").scan(spark)
+    rec = recompute().select(stale.columns)
+    assert not stale.exceptAll(rec).isEmpty()  # materialized alone: stale
+    assert rt_equals_recompute()  # realtime: exact
+    # a key fully deleted in the tail leaves the realtime answer
+    all_k2 = cat.table("events").scan(spark).filter(F.col("k") == 2)
+    src = cat.table("events")
+    src.delete_eq_mor(spark, all_k2.select("ts"), ["ts"])
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    rt = read_realtime(cat, spark, "sums")
+    assert rt.filter(F.col("k") == 2).isEmpty()
+    assert rt_equals_recompute()
+    # after a refresh the view catches up and realtime is a plain scan
+    refresh_maintained(cat, spark, "sums")
+    assert rt_equals_recompute()
+    # top-k views refuse (tail deletes need the rebuild path)
+    create_maintained_topk(cat, spark, "top_events", "events", "k", ["ts", "v"], 3)
+    with pytest.raises(ValueError, match="rebuild"):
+        read_realtime(cat, spark, "top_events")
+
+
+def test_read_realtime_cursor_expired_falls_back(spark, cat):
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    src = cat.table("events")
+    for b in range(3):
+        src.append(
+            spark.createDataFrame([(b, b, 200 + b)], "k long, v long, ts long")
+        )
+    # expire everything but the newest snapshot: the cursor's snapshot
+    # is gone, so realtime must fall back to the full recompute
+    src.expire_snapshots(older_than_ms=1 << 60, retain_last=1)
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    rt = read_realtime(cat, spark, "sums")
+    rec = (
+        cat.table("events").scan(spark)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("double")).alias("sv"),
+        )
+        .select(rt.columns)
+    )
+    assert rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
