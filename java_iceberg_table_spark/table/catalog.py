@@ -456,7 +456,9 @@ class Catalog:
 
         head_tok = _strip(statement).lstrip("(").split(None, 1)
         head = head_tok[0].upper() if head_tok else ""
-        if head in ("SELECT", "WITH"):
+        # EXPLAIN rides the read pass-through: the plan is computed
+        # against the same pinned-state views the SELECT would run on
+        if head in ("SELECT", "WITH", "EXPLAIN"):
             self.register_views(spark)
             return spark.sql(statement)
 

@@ -862,3 +862,35 @@ def test_topk_materialized_view_sql(spark, cat):
     ):
         with pytest.raises(UnsupportedSQL, match="two"):
             cat.sql(spark, bad)
+
+
+def test_explain_passthrough(spark, cat):
+    rows = cat.sql(spark, "EXPLAIN SELECT COUNT(*) FROM t").collect()
+    assert rows and "Aggregate" in rows[0][0] or "Physical" in rows[0][0]
+
+
+def test_insert_values_literal_property(spark, cat):
+    """Property: any string literal round-trips through INSERT VALUES
+    byte-identically — quotes escaped as '', whitespace preserved."""
+    from hypothesis import given, settings, strategies as st
+
+    import java_iceberg_table_spark.table.sql_dml as sd
+
+    texts = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FF
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def roundtrip(s):
+        lit = "'" + s.replace("'", "''") + "'"
+        m = sd._INSERT_VALUES.match(f"INSERT INTO t VALUES (1, {lit}, 2)")
+        assert m is not None
+        grp = sd._split_depth0(m.group(2).strip()[1:-1], ",")
+        # the middle token parses back to the original text
+        assert sd._parse_literal(grp[1]) == s
+
+    roundtrip()
