@@ -461,6 +461,8 @@ class Catalog:
         if head in ("SELECT", "WITH", "EXPLAIN"):
             self.register_views(spark)
             return spark.sql(statement)
+        if head in ("SHOW", "DESCRIBE", "DESC"):
+            return self._introspect(spark, _strip(statement))
 
         touched: dict[str, Table] = {}
 
@@ -477,6 +479,53 @@ class Catalog:
         if pins:
             self._commit_pins(pins)
         return res
+
+    def _introspect(self, spark: SparkSession, sql: str):
+        """SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS |
+        DESCRIBE [TABLE] t — catalog introspection as DataFrames
+        (metadata-only, driver-side listings of catalog state)."""
+        import re as _re
+
+        from .sql_dml import UnsupportedSQL
+
+        if _re.match(r"^SHOW\s+TABLES$", sql, _re.I):
+            return spark.createDataFrame(
+                [(n,) for n in self.list_tables()] or [], "table_name string"
+            )
+        if _re.match(r"^SHOW\s+VIEWS$", sql, _re.I):
+            return spark.createDataFrame(
+                [(n,) for n in sorted(self.list_views())] or [],
+                "view_name string",
+            )
+        if _re.match(r"^SHOW\s+MATERIALIZED\s+VIEWS$", sql, _re.I):
+            from .maintained import list_maintained
+
+            views = list_maintained(self)
+            return spark.createDataFrame(
+                [
+                    (n, p["mv.kind"], p["mv.source"], p["mv.key"])
+                    for n, p in sorted(views.items())
+                ]
+                or [],
+                "view_name string, kind string, source string, key string",
+            )
+        m = _re.match(
+            r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", sql, _re.I
+        )
+        if m:
+            schema = self.table(m.group(1)).schema()
+            return spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields
+                ],
+                "col_name string, data_type string, nullable boolean",
+            )
+        raise UnsupportedSQL(
+            f"introspection statement not recognized: {sql[:60]!r} "
+            "(SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS | "
+            "DESCRIBE [TABLE] t)"
+        )
 
     def sql_script(self, spark: SparkSession, script: str) -> list[dict]:
         """Execute a semicolon-separated SCRIPT of DML statements

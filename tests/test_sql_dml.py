@@ -894,3 +894,24 @@ def test_insert_values_literal_property(spark, cat):
         assert sd._parse_literal(grp[1]) == s
 
     roundtrip()
+
+
+def test_show_and_describe(spark, cat):
+    assert [r["table_name"] for r in cat.sql(spark, "SHOW TABLES").collect()] == ["t"]
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW sums AS "
+        "SELECT v, COUNT(*) AS cnt, SUM(qty) AS sv FROM t GROUP BY v",
+    )
+    mvs = cat.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+    assert [(r["view_name"], r["kind"], r["source"]) for r in mvs] == [
+        ("sums", "agg", "t")
+    ]
+    cat.create_view("v1", "SELECT 1 AS one")
+    assert [r["view_name"] for r in cat.sql(spark, "SHOW VIEWS").collect()] == ["v1"]
+    d = {r["col_name"]: r["data_type"] for r in cat.sql(spark, "DESCRIBE t").collect()}
+    assert d == {"k": "bigint", "v": "string", "qty": "bigint"}
+    from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
+
+    with pytest.raises(UnsupportedSQL, match="introspection"):
+        cat.sql(spark, "SHOW PARTITIONS t")
