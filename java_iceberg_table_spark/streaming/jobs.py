@@ -857,40 +857,59 @@ def ann_index_sink(
         prev_width = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
         new_rows = None
+        net = None
         try:
             if batch_df.isEmpty():
                 return  # idle trigger: skip without stamping
             if partial_del is not None:
                 it.rollback_to(partial_del.parent_id)
                 it = _open(index_root)
-            dels = (
-                batch_df.filter(F.col("_change_type") == "delete")
-                .select(F.col(id_col).alias("id"))
-                .distinct()
+            # within-batch netting on (id, VECTOR), not id alone: a
+            # batch can carry delete(X, old) + insert(X, new) — the
+            # REPLACE pattern — which must keep the new vector, while
+            # insert(X, v) + delete(X, v) with the SAME vector nets to
+            # a no-op whichever order it happened in (delete-then-
+            # reinsert of a standing row keeps it; insert-then-delete
+            # of a new one never lands). Signed per-(id, vec) counts
+            # resolve all three (an id-only anti-join cancelled
+            # replaces and silently lost the id): net > 0 vectors
+            # append; ids with any net < 0 vector get their standing
+            # row masked FIRST (the replace's new vector appends
+            # after, in commit order). Ids are unique in the source by
+            # contract.
+            sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+            net = (
+                batch_df.groupBy(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+                .agg(F.sum(sign).alias("net"))
+                .persist()
             )
+            dels = net.filter(F.col("net") < 0).select("id").distinct()
             stamp = {"mv-batch-id": int(batch_id), "mv-stream-id": stream_id}
             del_stamp = {
                 "mv-batch-del": int(batch_id), "mv-stream-id": stream_id,
             }
-            inserts = batch_df.filter(F.col("_change_type") == "insert")
+            surviving = net.filter(F.col("net") > 0).select(
+                F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+            )
             new_rows = ivfpq_encode(
-                inserts, cents, books, id_col, vec_col
+                surviving, cents, books, id_col, vec_col
             ).persist()
-            # within-batch net: a vector inserted and deleted in the
-            # same window must not survive in the index
-            new_rows_net = new_rows.join(dels, "id", "left_anti")
             has_dels = not dels.isEmpty()
             if has_dels:
                 it.delete_eq_mor(
                     spark, dels, ["id"], extra_summary=del_stamp
                 )
             it.append(
-                new_rows_net.repartition(len(cents), "cluster"),
+                new_rows.repartition(len(cents), "cluster"),
                 extra_summary=stamp,
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_width)
             batch_df.unpersist()
+            if net is not None:
+                net.unpersist()
             if new_rows is not None:
                 new_rows.unpersist()
 

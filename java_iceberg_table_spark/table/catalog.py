@@ -488,6 +488,7 @@ class Catalog:
 
         from .sql_dml import UnsupportedSQL
 
+        sql = sql.rstrip(";").strip()  # same trailing-';' tolerance as DML
         if _re.match(r"^SHOW\s+TABLES$", sql, _re.I):
             return spark.createDataFrame(
                 [(n,) for n in self.list_tables()] or [], "table_name string"
@@ -540,13 +541,15 @@ class Catalog:
         advanced but unpinned — the same crash-window contract as
         ``CatalogTransaction``.)
 
-        Refused loudly: view DDL inside a script (CREATE/DROP VIEW
-        commit catalog versions of their own — run them standalone),
-        and empty scripts. IN-subqueries evaluate against the
-        session's registered views, which are pinned at registration
-        time — they do NOT see the script's own intermediate state.
-        Statement splitting is quote-aware ('...;...' stays one
-        literal)."""
+        Refused loudly: view/table DDL and VACUUM inside a script
+        (they commit catalog versions of their own, or their GC /
+        pin-publish interplay breaks the single-publish contract —
+        run them standalone), and empty scripts. Pinned views are
+        (re-)registered at SCRIPT START, so IN-subqueries and
+        INSERT ... SELECT sources evaluate against the script-start
+        catalog state — they do NOT see the script's own intermediate
+        state (tables accessed directly by the verbs do). Statement
+        splitting is quote-aware ('...;...' stays one literal)."""
         from .sql_dml import UnsupportedSQL, _split_depth0, run_dml
 
         stmts = [s for s in _split_depth0(script, ";") if s.strip()]
@@ -554,11 +557,16 @@ class Catalog:
             raise UnsupportedSQL("empty script")
         for st in stmts:
             head = st.split(None, 1)[0].upper() if st.split() else ""
-            if head in ("CREATE", "DROP", "REFRESH"):
+            if head in ("CREATE", "DROP", "REFRESH", "ALTER"):
+                # ALTER is metadata-only but would ride the script-end
+                # pin publish through resolve(), which can pin a direct
+                # writer's unpublished head — the leak the standalone
+                # path explicitly prevents; schema DDL runs standalone
                 raise UnsupportedSQL(
                     "DDL / maintained-view refresh commits a catalog "
-                    "version of its own and cannot join a script's single "
-                    f"publish — run the {head} statement standalone"
+                    "version of its own (or would ride the script's pin "
+                    "publish) and cannot join a script's single publish "
+                    f"— run the {head} statement standalone"
                 )
             if head in ("SELECT", "WITH"):
                 raise UnsupportedSQL(
@@ -581,6 +589,7 @@ class Catalog:
             touched[name] = t
             return t
 
+        self.register_views(spark)  # script-start pins for subqueries
         results = [run_dml(spark, st, resolve) for st in stmts]
         pins = {
             name: Table(t.root).metadata.current_snapshot_id

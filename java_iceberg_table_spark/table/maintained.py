@@ -373,6 +373,23 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
     src = cat.table(props["mv.source"])
     cursor = _live_cursor(vt)
     head = src.metadata.current_snapshot_id
+    # half-applied-fold guard (the refresh path's crash-window walk,
+    # read-only form): a live mv-refresh-del ABOVE the latest cursor
+    # append means a crashed refresh masked the touched keys' rows
+    # without rewriting them — merging that view with the old-cursor
+    # tail would report only the delta for those keys. A read must not
+    # repair (no writes on the read path); fall back to the exact
+    # recompute until refresh_maintained's rollback runs.
+    md = vt.metadata
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    cur_id = md.current_snapshot_id
+    while cur_id is not None and cur_id in by_id:
+        s = by_id[cur_id]
+        if s.summary.get("mv-source-cursor") is not None:
+            break  # completed-refresh boundary: view content intact
+        if s.summary.get("mv-refresh-del") is not None:
+            return _recompute_frame(spark, src, props)
+        cur_id = s.parent_id
     view_df = vt.scan(spark)
     if cursor is not None and head == cursor:
         return view_df  # caught up: the materialized rows ARE current

@@ -578,10 +578,32 @@ def run_dml(
                 f"INSERT VALUES arity mismatch: table {name!r} has "
                 f"{len(target.fields)} columns"
             )
+        # SQL implicit numeric widening: an int literal into a
+        # double/float column is standard SQL (1 means 1.0); PySpark's
+        # createDataFrame type check would reject it with an opaque
+        # TypeError, so coerce python-side and turn any residual
+        # mismatch into the grammar's loud refusal
+        def _coerce(v, f):
+            t = f.dataType.simpleString()
+            if v is None:
+                return None
+            if t in ("double", "float") and isinstance(v, int):
+                return float(v)
+            return v
+
         names = [f.name for f in target.fields]
-        rows_df = spark.createDataFrame(
-            [dict(zip(names, t)) for t in tuples], target
-        )
+        try:
+            rows_df = spark.createDataFrame(
+                [
+                    dict(zip(names, (_coerce(v, f) for v, f in zip(t, target.fields))))
+                    for t in tuples
+                ],
+                target,
+            )
+        except TypeError as e:
+            raise UnsupportedSQL(
+                f"INSERT VALUES literal does not fit the table schema: {e}"
+            ) from e
         return _append_rows(name, rows_df)
 
     m = _INSERT_SELECT.match(sql)

@@ -1902,18 +1902,31 @@ def test_ann_index_sink_crash_schedules(ds, base_dir):
         dels = [
             k for k in rng.sample(sorted(live), min(2, len(live)))
         ]
-        # one same-batch cancel: insert then delete within the window
+        # one same-batch cancel (insert then delete of the same vec)
+        # and one same-batch REPLACE (delete old vec + insert new vec
+        # of an EXISTING id — must keep the new vector)
         cancel_id = b * 100 + 99
+        rep_id = sorted(live)[0]
+        rep_old, rep_new = live[rep_id], vec(rep_id + 5000 * b)
+        # and a delete+reinsert of a standing row with the IDENTICAL
+        # vector — nets to a no-op, the row must survive
+        touch_id = sorted(live)[1]
         cdc = spark.createDataFrame(
             [(k, v, "insert") for k, v in new.items()]
             + [(cancel_id, vec(cancel_id), "insert")]
             + [(k, live[k], "delete") for k in dels]
-            + [(cancel_id, vec(cancel_id), "delete")],
+            + [(cancel_id, vec(cancel_id), "delete")]
+            + [(rep_id, rep_old, "delete"), (rep_id, rep_new, "insert")]
+            + [
+                (touch_id, live[touch_id], "delete"),
+                (touch_id, live[touch_id], "insert"),
+            ],
             schema + ", _change_type string",
         )
         for k in dels:
             live.pop(k)
         live.update(new)
+        live[rep_id] = rep_new
         scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
         if scenario == "del_only":
             open_table(root).delete_eq_mor(

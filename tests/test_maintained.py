@@ -549,3 +549,42 @@ def test_read_realtime_cursor_expired_falls_back(spark, cat):
         .select(rt.columns)
     )
     assert rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+
+
+def test_read_realtime_half_applied_fold_falls_back(spark, cat):
+    """A crashed refresh (delete committed, cursor append missing)
+    masks touched keys in the view; read_realtime must detect the live
+    mv-refresh-del above the cursor append and serve the recompute
+    instead of merging the masked view with the tail."""
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(1, 500, 100)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    # simulate the crash window: the fold's delete lands, the append
+    # does not (the chaos tests' del_only scenario)
+    vt = cat.table("sums")
+    vt.delete_eq_mor(
+        spark,
+        spark.createDataFrame([(1,)], "k long"),
+        ["k"],
+        extra_summary={"mv-refresh-del": 999},
+    )
+    rt = read_realtime(cat, spark, "sums")
+    rec = (
+        cat.table("events").scan(spark)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("double")).alias("sv"),
+        )
+        .select(rt.columns)
+    )
+    assert rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+    # the refresh repairs the crash; realtime returns to the view path
+    refresh_maintained(cat, spark, "sums")
+    rt2 = read_realtime(cat, spark, "sums")
+    assert rt2.exceptAll(rec).isEmpty() and rec.exceptAll(rt2).isEmpty()

@@ -866,7 +866,7 @@ def test_topk_materialized_view_sql(spark, cat):
 
 def test_explain_passthrough(spark, cat):
     rows = cat.sql(spark, "EXPLAIN SELECT COUNT(*) FROM t").collect()
-    assert rows and "Aggregate" in rows[0][0] or "Physical" in rows[0][0]
+    assert rows and ("Aggregate" in rows[0][0] or "Physical" in rows[0][0])
 
 
 def test_insert_values_literal_property(spark, cat):
@@ -915,3 +915,21 @@ def test_show_and_describe(spark, cat):
 
     with pytest.raises(UnsupportedSQL, match="introspection"):
         cat.sql(spark, "SHOW PARTITIONS t")
+
+
+def test_round10_review_fixes(spark, cat):
+    # ALTER refused inside scripts (would ride the script's pin publish)
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark, "DELETE FROM t WHERE k = 0; ALTER TABLE t ADD COLUMN c bigint"
+        )
+    # trailing semicolon accepted on introspection like on DML
+    assert [r["table_name"] for r in cat.sql(spark, "SHOW TABLES;").collect()] == ["t"]
+    # int literal widens into a double column (standard SQL), float
+    # into a long column refuses loudly instead of an opaque TypeError
+    cat.sql(spark, "ALTER TABLE t ADD COLUMN score double")
+    cat.sql(spark, "INSERT INTO t VALUES (300, 'w', 1, 2)")
+    row = [r for r in cat.table("t").scan(spark).collect() if r["k"] == 300]
+    assert row[0]["score"] == 2.0
+    with pytest.raises(UnsupportedSQL, match="does not fit"):
+        cat.sql(spark, "INSERT INTO t VALUES (301, 'w', 1.5, 2)")
