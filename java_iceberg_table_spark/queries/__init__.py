@@ -202,6 +202,25 @@ _DEFER_PAST_WINDOW = [
     "a4u_engine_realtime_agg_view",
 ]
 
+# ROUND-11 CANARY CANDIDATES (for the next session to place in
+# _REVERIFY_HEAD — do NOT reorder this round; the committed window sim
+# predicts the current order). Machinery changed in the round-10
+# continuation under these already-graded rows:
+# - a4l_engine_sql_dml: Catalog.sql grew matview/INSERT/CTAS/ALTER/
+#   DROP/TRUNCATE/OPTIMIZE/VACUUM branches + introspection + EXPLAIN
+#   head routing (one refusal example swapped after the TRUNCATE verb
+#   landed — a real regression caught by the suite this session);
+# - c3e_engine_agg_view / a4p_engine_maintained_view /
+#   i21_streaming_materialized_view: create_maintained_agg gained
+#   multi-measure (mv.measures property; single-value default path
+#   exercised by all three);
+# - h52/h53/h53r/h54 (any one as representative): _pq_fit's final
+#   assignment extracted into pq_encode (semantically identical,
+#   tests green, but the codepath moved);
+# - i28_streaming_topk_view: untouched, skip.
+# The 7 _DEFER_PAST_WINDOW rows grade themselves as never-graded
+# entries automatically once CORRECTNESS_r10.json exists.
+
 # Round-10 notes on changed-machinery rows deliberately NOT canaried
 # (each locally re-driven green against its oracle this round, driver
 # regrade rides staleness rotation):
