@@ -3200,8 +3200,9 @@ def a4u_engine_realtime_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     real-time read equals the from-scratch aggregate exactly (int64
     cents — order-independent), (3) after one refresh the view
     catches up and the real-time read is a plain scan that still
-    matches. Top-k views refuse (tail deletes need the rebuild path);
-    cursor expiry falls back to recompute (both unit-tested)."""
+    matches. Top-k views merge insert-only tails and fall back to
+    recompute on tail deletes; cursor expiry and half-applied crash
+    states also fall back (all unit-tested)."""
     from ..table import Catalog
     from ..table.maintained import (
         create_maintained_agg,

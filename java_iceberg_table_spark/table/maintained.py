@@ -354,22 +354,23 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
     un-refreshed window only, so the read stays delta-sized however
     large the source is; a caught-up view reads as a plain scan.
 
-    Agg views only: count/sum are mergeable across the
-    materialized/tail boundary. Top-k views are not — a tail DELETE
-    can promote rows the view no longer holds, which requires source
-    access (the rebuild path); refresh for those. Falls back to the
-    full recompute when the cursor expired from the source's history
-    (same condition that forces a refresh's full rebuild)."""
+    Agg views merge exactly in all cases (count/sum are mergeable
+    across the materialized/tail boundary, deletes enter with sign
+    −1). Top-k views merge for INSERT-ONLY tails (append-only
+    sources): top-k over (materialized ∪ tail inserts); a tail DELETE
+    can promote rows the view no longer holds — that needs source
+    access, so the read falls back to the exact recompute. Both kinds
+    also fall back to recompute when the cursor expired from the
+    source's history or a crashed refresh left a half-applied fold
+    (reads never repair)."""
     vt = cat.table(name)
     props = vt.metadata.properties
-    if props.get("mv.kind") != "agg":
+    kind = props.get("mv.kind")
+    if kind not in ("agg", "topk"):
         raise ValueError(
-            f"read_realtime serves additive agg views; {name!r} is "
-            f"{props.get('mv.kind')!r} — top-k tails need the rebuild "
-            "path, run refresh_maintained"
+            f"{name!r} is not a maintained view (mv.kind absent)"
         )
     key = props["mv.key"]
-    values, measures = _agg_measures(props)
     src = cat.table(props["mv.source"])
     cursor = _live_cursor(vt)
     head = src.metadata.current_snapshot_id
@@ -400,6 +401,23 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
     except KeyError:  # cursor expired: no change feed to fold
         return _recompute_frame(spark, src, props)
     cdc = src.changes_between(spark, cursor)
+    if kind == "topk":
+        # top-k real-time read for an INSERT-ONLY tail (append-only
+        # sources, the common case): top-k over (materialized rows ∪
+        # tail inserts) — candidates per key are ≤ k view rows plus
+        # the tail, so the read stays delta-sized. A tail DELETE can
+        # promote rows the view no longer holds (needs source access
+        # — the rebuild path), so fall back to the exact recompute.
+        if not cdc.filter(F.col("_change_type") == "delete").isEmpty():
+            return _recompute_frame(spark, src, props)
+        order_cols = props["mv.order"].split(",")
+        k = int(props["mv.k"])
+        cols = [c for c in view_df.columns if c != "rn"]
+        cand = view_df.select(cols).unionByName(
+            cdc.filter(F.col("_change_type") == "insert").select(cols)
+        )
+        return topk_frame(cand, key, order_cols, k).select(view_df.columns)
+    values, measures = _agg_measures(props)
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
     tail = cdc.groupBy(F.col(key)).agg(
         F.sum(sign).cast("long").alias("cnt"),

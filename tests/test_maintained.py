@@ -519,10 +519,29 @@ def test_read_realtime_agg(spark, cat):
     # after a refresh the view catches up and realtime is a plain scan
     refresh_maintained(cat, spark, "sums")
     assert rt_equals_recompute()
-    # top-k views refuse (tail deletes need the rebuild path)
+    # top-k realtime: insert-only tails merge (view ∪ tail inserts);
+    # a tail delete falls back to the exact recompute
     create_maintained_topk(cat, spark, "top_events", "events", "k", ["ts", "v"], 3)
-    with pytest.raises(ValueError, match="rebuild"):
-        read_realtime(cat, spark, "top_events")
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(3, 1, 300)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+
+    def topk_rt_equals():
+        rt = read_realtime(cat, spark, "top_events")
+        rec = topk_frame(
+            cat.table("events").scan(spark), "k", ["ts", "v"], 3
+        ).select(rt.columns)
+        return rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+
+    assert topk_rt_equals()  # insert-only tail, merged read
+    src = cat.table("events")
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(300,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert topk_rt_equals()  # delete in tail -> recompute fallback
 
 
 def test_read_realtime_cursor_expired_falls_back(spark, cat):
