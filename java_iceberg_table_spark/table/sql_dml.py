@@ -19,6 +19,7 @@ an existing engine operation, and anything else raises
     [WHEN MATCHED AND <cond> THEN DELETE]
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | col = <expr>[, ...]]
     [WHEN NOT MATCHED THEN INSERT *]
+    [WHEN NOT MATCHED BY SOURCE THEN DELETE]   -- full-sync mirror
   CREATE MATERIALIZED VIEW v AS
     SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
     (or several sums, each aliased sv_<col>)
@@ -390,7 +391,7 @@ def _match_merge(sql: str):
         return None
     return (hm.group(1), hm.group(2), src, *tm.groups())
 _WHEN = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
     r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*(?=WHEN\s|$)",
     re.I | re.S,
 )
@@ -871,6 +872,7 @@ def run_dml(
         update_condition = None
         delete_condition = None
         insert = False
+        delete_not_matched_by_source = False
 
         def norm_aliases(expr: str) -> str:
             # merge_into's clause language uses t. / s. aliases
@@ -884,9 +886,23 @@ def run_dml(
         consumed = 0
         for wm in _WHEN.finditer(whens):
             consumed += 1
-            is_not, cond, action = wm.groups()
+            is_not, by_source, cond, action = wm.groups()
             action_up = _strip(action).upper()
-            if is_not:
+            if by_source:
+                # full-sync clause (SQL:2023 / Delta): target keys
+                # absent from the source are deleted. Conditions and
+                # UPDATE actions stay outside the tiny grammar.
+                if not is_not or cond or action_up != "DELETE":
+                    raise UnsupportedSQL(
+                        "BY SOURCE supports exactly 'WHEN NOT MATCHED "
+                        "BY SOURCE THEN DELETE' (unconditional full-sync)"
+                    )
+                if delete_not_matched_by_source:
+                    raise UnsupportedSQL(
+                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
+                    )
+                delete_not_matched_by_source = True
+            elif is_not:
                 if cond or action_up != "INSERT *":
                     raise UnsupportedSQL(
                         "WHEN NOT MATCHED supports exactly "
@@ -953,6 +969,7 @@ def run_dml(
             update_condition=update_condition,
             delete_condition=delete_condition,
             insert=insert,
+            delete_not_matched_by_source=delete_not_matched_by_source,
         )
         return {"statement": "merge", **res}
 

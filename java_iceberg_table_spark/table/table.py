@@ -1510,12 +1510,21 @@ class Table:
         update_condition: str | None = None,
         delete_condition: str | None = None,
         insert: bool = True,
+        delete_not_matched_by_source: bool = False,
     ) -> dict[str, int]:
         """MERGE INTO (Iceberg/Delta semantics), merge-on-read flavor:
 
           WHEN MATCHED AND <delete_condition> THEN DELETE
           WHEN MATCHED [AND <update_condition>] THEN UPDATE SET ...
           WHEN NOT MATCHED THEN INSERT *            (``insert=True``)
+          WHEN NOT MATCHED BY SOURCE THEN DELETE
+              (``delete_not_matched_by_source=True`` — full-sync: target
+              rows whose keys are absent from the source are deleted via
+              the same equality-delete entry, no data rewrite. This
+              clause inherently reads the WHOLE target's keys — the one
+              MERGE clause whose cost is O(target), exactly as in
+              Delta/SQL:2023 — so at 100 TB reserve it for true
+              mirror-sync jobs.)
 
         Clause order is DELETE before UPDATE (first match wins, Delta's
         contract). ``update='all'`` replaces the whole row with the
@@ -1533,7 +1542,12 @@ class Table:
         file is rewritten — at 100 TB a merge touching 0.1%% of keys
         writes 0.1%% of the data and zero rewrites, where
         copy-on-write ``upsert`` rewrites every candidate file."""
-        if update is None and delete_condition is None and not insert:
+        if (
+            update is None
+            and delete_condition is None
+            and not insert
+            and not delete_not_matched_by_source
+        ):
             raise ValueError("merge_into with no clauses would do nothing")
         cols = [f.name for f in self.schema().fields]
         missing = [c for c in on if c not in cols]
@@ -1623,7 +1637,19 @@ class Table:
                             )
                         )
             changed_keys = None
-            n_deleted = n_updated = 0
+            n_deleted = n_updated = n_src_deleted = 0
+            if delete_not_matched_by_source and entries:
+                # full-sync clause: every live target key absent from
+                # the source masks via the same eq-delete entry (no
+                # replacement rows travel with these keys)
+                drop_keys = (
+                    self._read_with_deletes(spark, entries, snap)
+                    .select(*on)
+                    .join(src.select(*on).distinct(), on, "left_anti")
+                )
+                n_src_deleted = drop_keys.count()
+                if n_src_deleted:
+                    changed_keys = drop_keys
             for piece, counter in ((deletes, "del"), (updates, "upd")):
                 if piece is None:
                     continue
@@ -1669,7 +1695,12 @@ class Table:
                 else []
             )
             if del_entry is None and not data_entries:
-                return {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0}
+                return {
+                    "updated_rows": 0,
+                    "deleted_rows": 0,
+                    "inserted_rows": 0,
+                    "source_deleted_rows": 0,
+                }
             committed = self._commit_row_delta(
                 snap.snapshot_id if snap is not None else None,
                 del_entry,
@@ -1678,6 +1709,7 @@ class Table:
                     "merged-update-rows": n_updated,
                     "merged-delete-rows": n_deleted,
                     "merged-insert-rows": n_inserted,
+                    "merged-source-delete-rows": n_src_deleted,
                     **(
                         {"added-equality-deletes": del_entry["rows"],
                          "added-delete-files": n_del_files}
@@ -1691,6 +1723,7 @@ class Table:
                     "updated_rows": n_updated,
                     "deleted_rows": n_deleted,
                     "inserted_rows": n_inserted,
+                    "source_deleted_rows": n_src_deleted,
                 }
         raise fmt.CommitConflict("merge_into lost the commit race 3 times")
 

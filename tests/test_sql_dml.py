@@ -933,3 +933,48 @@ def test_round10_review_fixes(spark, cat):
     assert row[0]["score"] == 2.0
     with pytest.raises(UnsupportedSQL, match="does not fit"):
         cat.sql(spark, "INSERT INTO t VALUES (301, 'w', 1.5, 2)")
+
+
+def test_merge_not_matched_by_source_full_sync(spark, cat):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (SQL:2023 / Delta): the
+    full-sync MERGE — target mirrors the source in one statement via
+    the same equality-delete entry, no data rewrite."""
+    spark.createDataFrame(
+        [(0, "sync", 1), (1, "sync", 2), (500, "new", 3)], SCHEMA
+    ).createOrReplaceTempView("mirror_src")
+    res = cat.sql(
+        spark,
+        """MERGE INTO t USING mirror_src AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    assert res["statement"] == "merge"
+    assert res["updated_rows"] == 2 and res["inserted_rows"] == 1
+    assert res["source_deleted_rows"] == 8  # the other 8 of 10 rows
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert rows == {0: ("sync", 1), 1: ("sync", 2), 500: ("new", 3)}
+    # the clause refuses conditions, UPDATE actions, and duplicates
+    for bad in (
+        "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.qty = 0 THEN DELETE",
+        "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = 0",
+        "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            cat.sql(spark, bad)
+    # pure mirror-delete (no other clauses) also routes
+    spark.createDataFrame(
+        [(0, "sync", 1)], SCHEMA
+    ).createOrReplaceTempView("mirror_src2")
+    res = cat.sql(
+        spark,
+        "MERGE INTO t USING mirror_src2 AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert res["source_deleted_rows"] == 2
+    assert {r["k"] for r in cat.read(spark, "t").collect()} == {0}
