@@ -514,7 +514,19 @@ class Catalog:
             r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", sql, _re.I
         )
         if m:
-            schema = self.table(m.group(1)).schema()
+            # resolve against the PINNED snapshot's schema — the same
+            # state a catalog SELECT on this connection reads — not the
+            # table head: after an unpublished direct-writer schema
+            # change, DESCRIBE must not report columns the SELECT
+            # pass-through cannot see (round-11 review finding). A
+            # pin of None (registered-empty table) falls back to the
+            # head schema, matching what Catalog.read returns there.
+            name = m.group(1)
+            tbl = self.table(name)  # loud KeyError for unknown names
+            pin = self.state().pins.get(name)
+            schema = (
+                tbl.schema() if pin is None else tbl.schema_of_snapshot(pin)
+            )
             return spark.createDataFrame(
                 [
                     (f.name, f.dataType.simpleString(), f.nullable)
@@ -541,7 +553,7 @@ class Catalog:
         advanced but unpinned — the same crash-window contract as
         ``CatalogTransaction``.)
 
-        Refused loudly: view/table DDL and VACUUM inside a script
+        Refused loudly: view/table DDL, OPTIMIZE and VACUUM inside a script
         (they commit catalog versions of their own, or their GC /
         pin-publish interplay breaks the single-publish contract —
         run them standalone), and empty scripts. Pinned views are
@@ -581,6 +593,22 @@ class Catalog:
                     "would break pinned readers — run VACUUM standalone "
                     "through Catalog.sql, which protects the published "
                     "pin from expiry"
+                )
+            if head == "OPTIMIZE":
+                # scripts run run_dml without catalog=, so OPTIMIZE's
+                # table would join `touched` via resolve() and the
+                # script-end publish would advance the pin to the
+                # post-maintenance HEAD unconditionally — publishing a
+                # direct writer's unpublished commits whenever the pin
+                # lagged the head. The standalone path's
+                # _maintenance_republish guard (pinned == pre_head)
+                # exists to prevent exactly that; maintenance cannot
+                # join a script's single publish.
+                raise UnsupportedSQL(
+                    "OPTIMIZE decides its own pin movement (the pin "
+                    "only republishes when it already sat at the head) "
+                    "and cannot join a script's single publish — run "
+                    "OPTIMIZE standalone through Catalog.sql"
                 )
         touched: dict[str, Table] = {}
 

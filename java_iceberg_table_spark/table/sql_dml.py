@@ -253,7 +253,7 @@ _CREATE_MATVIEW = re.compile(
     r"SELECT\s+([A-Za-z_]\w*)\s*,\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+cnt\s*,\s*"
     r"(.+?)\s+"
     r"FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+([A-Za-z_]\w*)$",
-    re.I,
+    re.I | re.S,
 )
 _SUM_TERM = re.compile(
     r"^SUM\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$", re.I
@@ -264,7 +264,7 @@ _CREATE_MATVIEW_TOPK = re.compile(
     r"OVER\s*\(\s*PARTITION\s+BY\s+([A-Za-z_]\w*)\s+ORDER\s+BY\s+"
     r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+AS\s+rn\s+"
     r"FROM\s+([A-Za-z_]\w*)\s*\)\s+WHERE\s+rn\s*<=\s*(\d+)$",
-    re.I,
+    re.I | re.S,
 )
 _MATVIEW_HEAD = re.compile(r"^CREATE\s+MATERIALIZED\s+VIEW\b", re.I)
 _REFRESH_MV = re.compile(

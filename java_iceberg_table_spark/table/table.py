@@ -1563,12 +1563,24 @@ class Table:
                 f"merge keys {defaulted} carry an initial default; merge on "
                 "columns without one (or rewrite the table first)"
             )
-        if update is not None or delete_condition is not None:
+        if (
+            update is not None
+            or delete_condition is not None
+            or delete_not_matched_by_source
+        ):
             # Delta/Iceberg MERGE contract: multiple source rows
             # matching one target row is an error, not a silent
             # row multiplication (each duplicate would append its own
             # replacement while the single eq-delete key masks only
-            # the one superseded version)
+            # the one superseded version). BY SOURCE full-sync merges
+            # get the same refusal even though their anti-join
+            # distinct() would mask it: a mirror source is by contract
+            # one authoritative row per key, so duplicates mean the
+            # caller's extract is broken and silent dup-inserts would
+            # corrupt the mirror. The ONE exempt shape is insert-only
+            # MERGE (update=None, no delete clauses): unmatched
+            # duplicate source rows each insert, matching Delta, which
+            # only enforces cardinality on rows that MATCH a target.
             dup = (
                 source.groupBy(*on)
                 .count()

@@ -656,6 +656,14 @@ def test_vacuum_protects_lagging_published_pin(spark, cat):
         cat.sql_script(
             spark, "DELETE FROM t WHERE k >= 9; VACUUM t RETAIN 1 SNAPSHOTS"
         )
+    # OPTIMIZE refused in scripts for the same reason (round-11 review
+    # finding): scripts run run_dml without catalog=, so the table
+    # would join the script-end publish and the pin would advance to
+    # the post-maintenance head unconditionally — leaking the three
+    # unpublished direct-writer rows above to catalog readers
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(spark, "DELETE FROM t WHERE k >= 9; OPTIMIZE t")
+    assert cat.read(spark, "t").count() == 10  # pin never moved
 
 
 def test_multi_measure_materialized_view(spark, cat):
@@ -700,6 +708,32 @@ def test_multi_measure_materialized_view(spark, cat):
         create_maintained_agg(cat, spark, "m2", "t", "cnt", ["qty"])
     with pytest.raises(ValueError, match="duplicate"):
         create_maintained_agg(cat, spark, "m2", "t", "v", ["qty", "qty"])
+
+
+def test_matview_ddl_tolerates_newlines(spark, cat):
+    """Round-11 review finding: _CREATE_MATVIEW[_TOPK] lacked re.S, so
+    an in-grammar statement whose measure list or inner SELECT spans
+    lines was refused — inconsistent with every other multi-line-
+    tolerant DDL regex."""
+    cat.sql(
+        spark,
+        """CREATE MATERIALIZED VIEW ml AS
+           SELECT v, COUNT(*) AS cnt,
+                  SUM(qty) AS sv
+           FROM t
+           GROUP BY v""",
+    )
+    got = {r["v"]: (r["cnt"], r["sv"]) for r in cat.read(spark, "ml").collect()}
+    assert set(got) == {"old", "odd"}
+    cat.sql(
+        spark,
+        """CREATE MATERIALIZED VIEW mt AS
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY k)
+               AS rn FROM t
+           ) WHERE rn <= 2""",
+    )
+    assert cat.read(spark, "mt").count() == 4
 
 
 def test_insert_values_and_select(spark, cat):
@@ -915,6 +949,13 @@ def test_show_and_describe(spark, cat):
 
     with pytest.raises(UnsupportedSQL, match="introspection"):
         cat.sql(spark, "SHOW PARTITIONS t")
+    # DESCRIBE reads the PINNED snapshot's schema, like SELECT
+    # pass-through (round-11 review finding): an unpublished direct-
+    # writer ADD COLUMN must not surface columns a catalog SELECT on
+    # the same connection cannot see
+    cat.table("t").add_column("unpub_col", "long")
+    d = {r["col_name"] for r in cat.sql(spark, "DESCRIBE t").collect()}
+    assert "unpub_col" not in d
 
 
 def test_round10_review_fixes(spark, cat):
@@ -978,3 +1019,40 @@ def test_merge_not_matched_by_source_full_sync(spark, cat):
     )
     assert res["source_deleted_rows"] == 2
     assert {r["k"] for r in cat.read(spark, "t").collect()} == {0}
+    # duplicate-keyed source refused for full-sync merges too (round-11
+    # review finding): a mirror source is one authoritative row per
+    # key; previously only update/delete clauses tripped the check and
+    # INSERT* + BY SOURCE silently inserted both duplicates
+    spark.createDataFrame(
+        [(0, "dupA", 1), (0, "dupB", 2)], SCHEMA
+    ).createOrReplaceTempView("mirror_dup")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING mirror_dup AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+
+
+def test_merge_insert_only_duplicate_source_is_delta_exempt(spark, cat):
+    """Insert-only MERGE keeps Delta's cardinality contract: the check
+    applies to rows that could MATCH a target (update/delete clauses)
+    or to full-sync mirrors, but an insert-only merge with duplicate
+    UNMATCHED source keys inserts each row, exactly like Delta."""
+    t = cat.table("t")
+    spark.createDataFrame(
+        [(700, "dupA", 1), (700, "dupB", 2)], SCHEMA
+    ).createOrReplaceTempView("ins_dup")
+    res = t.merge_into(
+        spark,
+        spark.table("ins_dup"),
+        on=["k"],
+        update=None,
+        insert=True,
+    )
+    assert res["inserted_rows"] == 2
+    got = sorted(
+        r["v"] for r in t.scan(spark).filter(F.col("k") == 700).collect()
+    )
+    assert got == ["dupA", "dupB"]
