@@ -2894,7 +2894,7 @@ def a4r_engine_refresh_all_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv2 = cat.read(spark, "top3_spend").select("o_custkey", "cnt", "sv")
         rec2 = mv.groupBy("o_custkey").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("cents").cast("double")).alias("sv"),
+            F.sum("cents").alias("sv"),  # long fold: view measure is long
         )
         equal = (
             mv.exceptAll(rec).isEmpty()
@@ -3023,7 +3023,7 @@ def a4s_engine_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("cents").cast("double")).alias("sv"),
+                F.sum("cents").alias("sv"),  # long fold: view measure is long
             )
             .select(mv.columns)
             .persist()
@@ -3246,7 +3246,7 @@ def a4u_engine_realtime_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("cents").cast("double")).alias("sv"),
+                F.sum("cents").alias("sv"),  # long fold: view measure is long
             )
             .persist()
         )

@@ -634,10 +634,13 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
                 # this attempt folds against intact state
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
+            # fold in the VIEW's sv dtype (long measures stay exact
+            # past 2^53; double views keep folding as double)
+            sv_t = {f.name: f.dataType for f in vt.schema().fields}["sv"]
             sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
             delta = batch_df.groupBy(key_col).agg(
                 F.sum(sign).alias("d_cnt"),
-                F.sum(sign * F.col(value_col)).alias("d_sv"),
+                F.sum(sign * F.col(value_col).cast(sv_t)).cast(sv_t).alias("d_sv"),
             ).persist()
             refuse_null_keys(delta, [key_col], "maintained_view_merge")
             # runtime-filtered view read (same rationale as
@@ -648,7 +651,9 @@ def maintained_view_merge(view_root: str, key_col: str = "user_id",
             merged = cur.join(delta, key_col, "right").select(
                 key_col,
                 (F.coalesce("cnt", F.lit(0)) + F.col("d_cnt")).alias("cnt"),
-                (F.coalesce("sv", F.lit(0.0)) + F.col("d_sv")).alias("sv"),
+                (F.coalesce("sv", F.lit(0).cast(sv_t)) + F.col("d_sv"))
+                .cast(sv_t)
+                .alias("sv"),
             ).persist()
             touched = merged.select(key_col)
             survivors = merged.filter(F.col("cnt") > 0)
@@ -999,11 +1004,17 @@ def agg_view_sink(
                 if isinstance(value_col, str)
                 else [f"sv_{c}" for c in values]
             )
+            # fold type follows the VIEW table's measure dtype (long
+            # for integral measures — exact past 2^53; double views
+            # keep folding as double): table/maintained.py _sum_cast
+            from ..table.maintained import _view_measure_casts
+
+            casts = _view_measure_casts(vt.schema(), measures)
             delta = batch_df.groupBy(*keys).agg(
                 F.sum(sign).alias("cnt"),
                 *[
-                    F.sum(sign * F.col(v).cast("double")).alias(m)
-                    for v, m in zip(values, measures)
+                    F.sum(sign * F.col(v).cast(c)).cast(c).alias(m)
+                    for v, m, c in zip(values, measures, casts)
                 ],
             )
             additive_refresh(

@@ -34,6 +34,36 @@ from ..operators.topk_view import rebuild_keys, topk_frame, topk_refresh
 from .table import Table
 
 
+def _sum_cast(dtype) -> str:
+    """Fold type for a SUM measure: integral columns fold as LONG
+    (exact for any aggregate ≤ int64 — a 100-TB integral-cents source
+    summed as double silently loses exactness past 2^53), everything
+    else as double. Decided ONCE at view creation from the SOURCE
+    column's dtype and stored as the view's measure column type;
+    every later fold (refresh delta, realtime tail, full rebuild,
+    streaming sink) reads the type back from the VIEW's schema, so
+    pre-existing double views keep folding as double."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    return (
+        "long"
+        if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType))
+        else "double"
+    )
+
+
+def _view_measure_casts(view_schema, measures: list[str]) -> list[str]:
+    """The stored fold type of each measure column in an existing
+    view's schema (see _sum_cast)."""
+    by_name = {f.name: f.dataType for f in view_schema.fields}
+    return [_sum_cast(by_name[m]) for m in measures]
+
+
 def _live_cursor(vt: Table) -> int | None:
     """Last source-snapshot cursor stamped on the view's LIVE lineage
     (rolled-past refreshes are neither applied nor half-applied)."""
@@ -129,14 +159,16 @@ def create_maintained_agg(
             "collides — alias the source column first"
         )
     src = cat.table(source)
+    src_df = src.scan(spark)
+    src_types = {f.name: f.dataType for f in src_df.schema.fields}
+    casts = [_sum_cast(src_types[v]) for v in values]
     init = (
-        src.scan(spark)
-        .groupBy(F.col(key).alias("key"))
+        src_df.groupBy(F.col(key).alias("key"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             *[
-                F.sum(F.col(v).cast("double")).alias(m)
-                for v, m in zip(values, measures)
+                F.sum(F.col(v).cast(c)).cast(c).alias(m)
+                for v, m, c in zip(values, measures, casts)
             ],
         )
         .withColumnRenamed("key", key)
@@ -159,20 +191,25 @@ def create_maintained_agg(
     return vt
 
 
-def _recompute_frame(spark: SparkSession, src: Table, props: dict) -> DataFrame:
+def _recompute_frame(
+    spark: SparkSession, src: Table, props: dict, view_schema
+) -> DataFrame:
     """The view's full content recomputed from the source's CURRENT
-    snapshot, per its stored definition."""
+    snapshot, per its stored definition. ``view_schema`` pins each
+    measure's stored fold type (see _sum_cast) so a rebuild writes
+    exactly the view table's column types."""
     key = props["mv.key"]
     src_df = src.scan(spark)
     if props["mv.kind"] == "agg":
         values, measures = _agg_measures(props)
+        casts = _view_measure_casts(view_schema, measures)
         return (
             src_df.groupBy(F.col(key).alias("key"))
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 *[
-                    F.sum(F.col(v).cast("double")).alias(m)
-                    for v, m in zip(values, measures)
+                    F.sum(F.col(v).cast(c)).cast(c).alias(m)
+                    for v, m, c in zip(values, measures, casts)
                 ],
             )
             .withColumnRenamed("key", key)
@@ -190,7 +227,7 @@ def _full_rebuild(cat, spark: SparkSession, name: str, vt: Table,
     the source's history, or the view's refresh lineage was rolled
     away). Cost is O(source), the price Iceberg's own MV spec pays in
     the same situation (REFRESH after the change log is gone)."""
-    frame = _recompute_frame(spark, src, props)
+    frame = _recompute_frame(spark, src, props, vt.schema())
     entries = vt._write_data_files(frame)
     vt.overwrite_entries(
         entries, extra_summary={"mv-source-cursor": int(head)}
@@ -274,12 +311,13 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         stats: dict
         if kind == "agg":
             values, measures = _agg_measures(props)
+            casts = _view_measure_casts(vt.schema(), measures)
             sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
             delta = cdc.groupBy(F.col(key)).agg(
                 F.sum(sign).cast("long").alias("cnt"),
                 *[
-                    F.sum(sign * F.col(v).cast("double")).alias(m)
-                    for v, m in zip(values, measures)
+                    F.sum(sign * F.col(v).cast(c)).cast(c).alias(m)
+                    for v, m, c in zip(values, measures, casts)
                 ],
             )
             stats = additive_refresh(
@@ -389,17 +427,17 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         if s.summary.get("mv-source-cursor") is not None:
             break  # completed-refresh boundary: view content intact
         if s.summary.get("mv-refresh-del") is not None:
-            return _recompute_frame(spark, src, props)
+            return _recompute_frame(spark, src, props, vt.schema())
         cur_id = s.parent_id
     view_df = vt.scan(spark)
     if cursor is not None and head == cursor:
         return view_df  # caught up: the materialized rows ARE current
     if cursor is None:
-        return _recompute_frame(spark, src, props)
+        return _recompute_frame(spark, src, props, vt.schema())
     try:
         src.snapshot_by_id(cursor)
     except KeyError:  # cursor expired: no change feed to fold
-        return _recompute_frame(spark, src, props)
+        return _recompute_frame(spark, src, props, vt.schema())
     cdc = src.changes_between(spark, cursor)
     if kind == "topk":
         # top-k real-time read for an INSERT-ONLY tail (append-only
@@ -409,7 +447,7 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         # promote rows the view no longer holds (needs source access
         # — the rebuild path), so fall back to the exact recompute.
         if not cdc.filter(F.col("_change_type") == "delete").isEmpty():
-            return _recompute_frame(spark, src, props)
+            return _recompute_frame(spark, src, props, vt.schema())
         order_cols = props["mv.order"].split(",")
         k = int(props["mv.k"])
         cols = [c for c in view_df.columns if c != "rn"]
@@ -418,12 +456,13 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         )
         return topk_frame(cand, key, order_cols, k).select(view_df.columns)
     values, measures = _agg_measures(props)
+    casts = _view_measure_casts(vt.schema(), measures)
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
     tail = cdc.groupBy(F.col(key)).agg(
         F.sum(sign).cast("long").alias("cnt"),
         *[
-            F.sum(sign * F.col(v).cast("double")).alias(m)
-            for v, m in zip(values, measures)
+            F.sum(sign * F.col(v).cast(c)).cast(c).alias(m)
+            for v, m, c in zip(values, measures, casts)
         ],
     )
     merged = (
@@ -431,7 +470,10 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         .groupBy(key)
         .agg(
             F.sum("cnt").cast("long").alias("cnt"),
-            *[F.sum(m).alias(m) for m in measures],
+            *[
+                F.sum(m).cast(c).alias(m)
+                for m, c in zip(measures, casts)
+            ],
         )
         .filter(F.col("cnt") != 0)
         .select(view_df.columns)

@@ -40,12 +40,10 @@ def _topk_equals(spark, cat, k=3) -> bool:
 
 def _agg_equals(spark, cat) -> bool:
     src = cat.table("events").scan(spark)
-    mv = cat.table("sums").scan(spark).select(
-        "k", "cnt", F.round("sv", 6).alias("sv")
-    )
+    mv = cat.table("sums").scan(spark).select("k", "cnt", "sv")
     rec = src.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum(F.col("v").cast("double")), 6).alias("sv"),
+        F.sum("v").alias("sv"),
     )
     return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
 
@@ -439,15 +437,13 @@ def test_refresh_all_maintained_dag_order(spark, cat):
     assert res["sums"]["refreshed"] and res["top_events"]["refreshed"]
     assert _agg_equals(spark, cat) and _topk_equals(spark, cat)
     # sums2 equals the recompute over the REFRESHED sums
-    mv2 = cat.table("sums2").scan(spark).select(
-        "k", "cnt", F.round("sv", 6).alias("sv")
-    )
+    mv2 = cat.table("sums2").scan(spark).select("k", "cnt", "sv")
     rec2 = (
         cat.table("sums").scan(spark)
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum(F.col("sv").cast("double")), 6).alias("sv"),
+            F.sum("sv").alias("sv"),
         )
     )
     assert mv2.exceptAll(rec2.select(mv2.columns)).isEmpty()
@@ -484,7 +480,7 @@ def test_read_realtime_agg(spark, cat):
             .groupBy("k")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("v").cast("double")).alias("sv"),
+                F.sum("v").alias("sv"),
             )
         )
 
@@ -563,7 +559,7 @@ def test_read_realtime_cursor_expired_falls_back(spark, cat):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("v").cast("double")).alias("sv"),
+            F.sum("v").alias("sv"),
         )
         .select(rt.columns)
     )
@@ -598,7 +594,7 @@ def test_read_realtime_half_applied_fold_falls_back(spark, cat):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("v").cast("double")).alias("sv"),
+            F.sum("v").alias("sv"),
         )
         .select(rt.columns)
     )
@@ -607,3 +603,41 @@ def test_read_realtime_half_applied_fold_falls_back(spark, cat):
     refresh_maintained(cat, spark, "sums")
     rt2 = read_realtime(cat, spark, "sums")
     assert rt2.exceptAll(rec).isEmpty() and rec.exceptAll(rt2).isEmpty()
+
+
+def test_integral_measures_fold_exact_past_2_53(spark, cat):
+    """Round-11 fix: integral source columns fold as LONG, so a
+    maintained sum stays exact past 2^53 (a double fold silently
+    rounds 2^53+1 to 2^53); float sources keep the double fold."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    big = 1 << 53  # doubles cannot represent big+1
+    src = cat.create_table(
+        "ledger", spark.createDataFrame([], "k long, v long").schema
+    )
+    src.append(spark.createDataFrame([(1, big), (1, 1)], "k long, v long"))
+    cat._commit_pins({"ledger": src.metadata.current_snapshot_id})
+    vt = create_maintained_agg(cat, spark, "big_sums", "ledger", "k", "v")
+    assert isinstance(vt.schema()["sv"].dataType, LongType)
+    assert cat.read(spark, "big_sums").collect()[0]["sv"] == big + 1
+    # incremental refresh folds the delta exactly too
+    src = cat.table("ledger")
+    src.append(spark.createDataFrame([(1, 1), (1, 1)], "k long, v long"))
+    cat._commit_pins({"ledger": src.metadata.current_snapshot_id})
+    # realtime merge of view + tail is exact before any refresh
+    rt = read_realtime(cat, spark, "big_sums").collect()[0]
+    assert rt["sv"] == big + 3 and rt["cnt"] == 4
+    refresh_maintained(cat, spark, "big_sums")
+    row = cat.read(spark, "big_sums").collect()[0]
+    assert row["sv"] == big + 3 and row["cnt"] == 4
+    # a float source still folds as double (back-compat rule)
+    fsrc = cat.create_table(
+        "fledger", spark.createDataFrame([], "k long, v double").schema
+    )
+    fsrc.append(spark.createDataFrame([(1, 0.5)], "k long, v double"))
+    cat._commit_pins({"fledger": fsrc.metadata.current_snapshot_id})
+    fvt = create_maintained_agg(cat, spark, "fsums", "fledger", "k", "v")
+    assert isinstance(fvt.schema()["sv"].dataType, DoubleType)
+    assert cat.read(spark, "fsums").collect()[0]["sv"] == 0.5

@@ -693,8 +693,8 @@ def test_multi_measure_materialized_view(spark, cat):
         .groupBy("v")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("qty").cast("double")).alias("sv_qty"),
-            F.sum(F.col("k").cast("double")).alias("sv_k"),
+            F.sum("qty").alias("sv_qty"),  # long fold: qty/k are long
+            F.sum("k").alias("sv_k"),
         )
         .select(mv.columns)
     )
