@@ -3075,7 +3075,8 @@ def a4s_engine_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH final AS (
   SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 <> 2
   UNION ALL
-  SELECT * FROM (VALUES (9000000001, 1), (9000000002, 2))
+  SELECT * FROM (VALUES (9000000001, 1), (9000000002, 2),
+                        (9000000003, NULL))
     AS x(o_orderkey, o_custkey)
 )
 SELECT COUNT(*)::BIGINT AS n_rows,
@@ -3094,13 +3095,15 @@ def a4t_engine_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     create + pin publish); ``INSERT INTO ... SELECT`` appends a
     query's rows (evaluated under the same pinned-state pass-through
     as reads); ``INSERT INTO ... VALUES`` appends full-schema literal
-    tuples (NULL supported). Refused loudly: column-list inserts
-    (partial-schema NULL-filling is a schema decision, not a write
-    default), arity/schema mismatches, duplicate CTAS names, CTAS
-    inside a sql_script's single publish. The scenario builds the
-    table with CTAS from a fixture slice, grows it with one INSERT
-    SELECT and one INSERT VALUES, and grades exact totals against the
-    DuckDB relational replay plus four refusals."""
+    tuples (NULL supported); column-list INSERT (round 11) fills the
+    absent columns deliberately — initial default if the column has
+    one, NULL when nullable, loud refusal otherwise. Refused loudly:
+    duplicate/unknown columns in the list, arity/schema mismatches,
+    duplicate CTAS names, CTAS inside a sql_script's single publish.
+    The scenario builds the table with CTAS from a fixture slice,
+    grows it with one INSERT SELECT, one INSERT VALUES and one
+    NULL-filling column-list INSERT, and grades exact totals against
+    the DuckDB relational replay plus four refusals."""
     from ..table import Catalog
     from ..table.sql_dml import UnsupportedSQL
 
@@ -3131,9 +3134,14 @@ def a4t_engine_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             "INSERT INTO orders_t VALUES (9000000001, 1), (9000000002, 2)",
         )
+        # column-list INSERT: o_custkey absent and nullable -> NULL
+        res = cat.sql(
+            spark, "INSERT INTO orders_t (o_orderkey) VALUES (9000000003)"
+        )
+        assert res["inserted_rows"] == 1
         refused = 0
         for bad in (
-            "INSERT INTO orders_t (o_orderkey) VALUES (1)",
+            "INSERT INTO orders_t (o_orderkey, o_orderkey) VALUES (1, 1)",
             "INSERT INTO orders_t VALUES (1)",
             "INSERT INTO orders_t SELECT o_orderkey FROM a4t_orders_src",
             "DELETE FROM orders_t WHERE o_orderkey < 0; "

@@ -64,6 +64,27 @@ def _view_measure_casts(view_schema, measures: list[str]) -> list[str]:
     return [_sum_cast(by_name[m]) for m in measures]
 
 
+def _insert_only_window(src: Table, after_id: int, to_id: int) -> bool:
+    """Metadata-only: True iff every snapshot in ``(after, to]`` is a
+    pure fast-append, so the CDC window provably contains no delete
+    rows WITHOUT planning or executing the feed (zero Spark actions —
+    the top-k realtime read's merge-vs-recompute decision used to cost
+    an extra isEmpty() action per read). Walks the same snapshot chain
+    ``changes_between`` diffs. Conservative: a delete/merge/overwrite
+    commit that happened to remove no rows still reports False and the
+    caller recomputes — correct, just not minimal."""
+    seen = False
+    for s in src.metadata.snapshots:
+        if s.snapshot_id == after_id:
+            seen = True
+            continue
+        if seen and s.operation != "append":
+            return False
+        if s.snapshot_id == to_id:
+            break
+    return True
+
+
 def _live_cursor(vt: Table) -> int | None:
     """Last source-snapshot cursor stamped on the view's LIVE lineage
     (rolled-past refreshes are neither applied nor half-applied)."""
@@ -438,7 +459,6 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         src.snapshot_by_id(cursor)
     except KeyError:  # cursor expired: no change feed to fold
         return _recompute_frame(spark, src, props, vt.schema())
-    cdc = src.changes_between(spark, cursor)
     if kind == "topk":
         # top-k real-time read for an INSERT-ONLY tail (append-only
         # sources, the common case): top-k over (materialized rows ∪
@@ -446,8 +466,12 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         # the tail, so the read stays delta-sized. A tail DELETE can
         # promote rows the view no longer holds (needs source access
         # — the rebuild path), so fall back to the exact recompute.
-        if not cdc.filter(F.col("_change_type") == "delete").isEmpty():
+        # The merge/recompute decision is METADATA-only (snapshot ops
+        # in the window), so the realtime read plans exactly one Spark
+        # job — no per-read isEmpty() probe of the feed (round-11).
+        if not _insert_only_window(src, cursor, head):
             return _recompute_frame(spark, src, props, vt.schema())
+        cdc = src.changes_between(spark, cursor)
         order_cols = props["mv.order"].split(",")
         k = int(props["mv.k"])
         cols = [c for c in view_df.columns if c != "rn"]
@@ -455,6 +479,7 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
             cdc.filter(F.col("_change_type") == "insert").select(cols)
         )
         return topk_frame(cand, key, order_cols, k).select(view_df.columns)
+    cdc = src.changes_between(spark, cursor)
     values, measures = _agg_measures(props)
     casts = _view_measure_casts(vt.schema(), measures)
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)

@@ -29,6 +29,9 @@ an existing engine operation, and anything else raises
   REFRESH MATERIALIZED VIEW v | REFRESH ALL MATERIALIZED VIEWS
   INSERT INTO t VALUES (lit, ...)[, (...)]  -- full-schema literal rows
   INSERT INTO t SELECT ... | WITH ...       -- append a query's rows
+  INSERT INTO t (c1[, c2...]) VALUES ... | SELECT ...
+    -- column-list insert: absent columns fill their initial default
+    -- (a4d machinery) or NULL when nullable; refused otherwise
   CREATE TABLE name AS SELECT ...           -- CTAS
   OPTIMIZE t                                -- full maintenance pass
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
@@ -288,9 +291,14 @@ _REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
 # rows — the grammar's literal parser, so strings/numbers/NULL only)
 # or INSERT INTO ... SELECT (the query evaluates with Spark against
 # the session's registered views; Catalog.sql registers pinned views
-# first so catalog tables resolve). Column-list inserts are refused —
-# partial-schema inserts silently NULL the rest, which this engine
-# treats as a schema-evolution decision, not a write default.
+# first so catalog tables resolve). Column-list inserts
+# (``INSERT INTO t (a, b) VALUES/SELECT``, round 11) fill the ABSENT
+# columns deliberately, not silently: a column carrying an initial
+# default (the a4d ALTER ... ADD COLUMN ... DEFAULT machinery) fills
+# its default VALUE — materialized in the written rows, since new
+# entries sit past the default's sequence and the read-side fill
+# provably never applies to them — a nullable column fills NULL, and
+# an absent NON-nullable column without a default refuses loudly.
 _INSERT_VALUES = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s+(.+)$", re.I | re.S
 )
@@ -298,6 +306,12 @@ _INSERT_SELECT = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.+|WITH\b.+)$", re.I | re.S
 )
 _INSERT_COLLIST = re.compile(
+    r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*"
+    r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
+_INSERT_COLLIST_HEAD = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\(", re.I
 )
 # CTAS: CREATE TABLE name AS SELECT — the query's result schema
@@ -547,16 +561,7 @@ def run_dml(
             aligned.unpersist()
         return {"statement": "insert", "table": name, "inserted_rows": n}
 
-    if _INSERT_COLLIST.match(sql):
-        raise UnsupportedSQL(
-            "column-list INSERT is refused: a partial-schema insert "
-            "silently NULLs the remaining columns — insert full rows, "
-            "or evolve the schema deliberately"
-        )
-
-    m = _INSERT_VALUES.match(sql)
-    if m:
-        name, body = m.groups()
+    def _parse_values_tuples(body: str) -> list[list]:
         tuples = []
         for grp in _split_depth0(body, ","):
             grp = grp.strip()
@@ -573,17 +578,16 @@ def run_dml(
                     for tok in _split_depth0(grp[1:-1], ",")
                 ]
             )
-        target = (resolve if catalog is None else catalog.table)(name).schema()
-        if any(len(t) != len(target.fields) for t in tuples):
-            raise UnsupportedSQL(
-                f"INSERT VALUES arity mismatch: table {name!r} has "
-                f"{len(target.fields)} columns"
-            )
+        return tuples
+
+    def _literal_rows_df(tuples: list[list], fields: list) -> DataFrame:
         # SQL implicit numeric widening: an int literal into a
         # double/float column is standard SQL (1 means 1.0); PySpark's
         # createDataFrame type check would reject it with an opaque
         # TypeError, so coerce python-side and turn any residual
         # mismatch into the grammar's loud refusal
+        from pyspark.sql.types import StructType
+
         def _coerce(v, f):
             t = f.dataType.simpleString()
             if v is None:
@@ -592,25 +596,116 @@ def run_dml(
                 return float(v)
             return v
 
-        names = [f.name for f in target.fields]
+        names = [f.name for f in fields]
         try:
-            rows_df = spark.createDataFrame(
+            return spark.createDataFrame(
                 [
-                    dict(zip(names, (_coerce(v, f) for v, f in zip(t, target.fields))))
+                    dict(zip(names, (_coerce(v, f) for v, f in zip(t, fields))))
                     for t in tuples
                 ],
-                target,
+                StructType(fields),
             )
         except TypeError as e:
             raise UnsupportedSQL(
                 f"INSERT VALUES literal does not fit the table schema: {e}"
             ) from e
-        return _append_rows(name, rows_df)
+
+    m = _INSERT_COLLIST.match(sql)
+    if m:
+        # column-list INSERT (round 11): absent columns fill their
+        # initial default if they carry one (materialized in the
+        # written rows — new entries sit past the default's sequence,
+        # so the read-side fill never applies to them), NULL if
+        # nullable, and refuse loudly otherwise. Listed columns map
+        # POSITIONALLY onto the VALUES tuples / SELECT output.
+        from .table import _defaults_of
+
+        name, collist, tail_sql = m.groups()
+        cols = [c.strip() for c in _split_depth0(collist, ",")]
+        if len({c.lower() for c in cols}) != len(cols):
+            raise UnsupportedSQL(
+                f"duplicate columns in INSERT column list: {cols}"
+            )
+        target = (resolve if catalog is None else catalog.table)(name).schema()
+        by_name = {f.name: f for f in target.fields}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise UnsupportedSQL(
+                f"INSERT column list names unknown columns {unknown}; "
+                f"table {name!r} has {[f.name for f in target.fields]}"
+            )
+        defaults = _defaults_of(target)
+        fills: dict[str, object] = {}
+        listed = set(cols)
+        for f in target.fields:
+            if f.name in listed:
+                continue
+            if f.name in defaults:
+                fills[f.name] = defaults[f.name][0]
+            elif f.nullable:
+                fills[f.name] = None
+            else:
+                raise UnsupportedSQL(
+                    f"column-list INSERT omits non-nullable column "
+                    f"{f.name!r} with no default — list it explicitly "
+                    "or ALTER the table to add a default"
+                )
+        if tail_sql.split(None, 1)[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(
+                tail_sql.split(None, 1)[1] if " " in tail_sql else ""
+            )
+            if any(len(t) != len(cols) for t in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT VALUES arity mismatch: column list has "
+                    f"{len(cols)} columns"
+                )
+            rows_df = _literal_rows_df(tuples, [by_name[c] for c in cols])
+        else:
+            rows_df = _registered_select(tail_sql)
+            if len(rows_df.columns) != len(cols):
+                raise UnsupportedSQL(
+                    f"INSERT SELECT arity mismatch: column list has "
+                    f"{len(cols)} columns, query returns "
+                    f"{len(rows_df.columns)}"
+                )
+            rows_df = rows_df.toDF(*cols)
+        full = rows_df.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in listed
+                    else F.lit(fills[f.name])
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in target.fields
+            ]
+        )
+        return _append_rows(name, full)
+
+    m = _INSERT_VALUES.match(sql)
+    if m:
+        name, body = m.groups()
+        tuples = _parse_values_tuples(body)
+        target = (resolve if catalog is None else catalog.table)(name).schema()
+        if any(len(t) != len(target.fields) for t in tuples):
+            raise UnsupportedSQL(
+                f"INSERT VALUES arity mismatch: table {name!r} has "
+                f"{len(target.fields)} columns"
+            )
+        return _append_rows(name, _literal_rows_df(tuples, list(target.fields)))
 
     m = _INSERT_SELECT.match(sql)
     if m:
         name, query = m.groups()
         return _append_rows(name, _registered_select(query))
+
+    if _INSERT_COLLIST_HEAD.match(sql):
+        raise UnsupportedSQL(
+            "column-list INSERT not recognized: expected "
+            "INSERT INTO t (col[, col...]) VALUES (...)[, ...] "
+            "or INSERT INTO t (col[, col...]) SELECT ..."
+        )
 
     m = _CTAS.match(sql)
     if m:

@@ -641,3 +641,46 @@ def test_integral_measures_fold_exact_past_2_53(spark, cat):
     fvt = create_maintained_agg(cat, spark, "fsums", "fledger", "k", "v")
     assert isinstance(fvt.schema()["sv"].dataType, DoubleType)
     assert cat.read(spark, "fsums").collect()[0]["sv"] == 0.5
+
+
+def test_topk_realtime_read_plans_without_spark_jobs(spark, cat):
+    """Round-11: the top-k realtime read decides merge-vs-recompute
+    from snapshot METADATA (ops in the cursor window), so constructing
+    the read runs ZERO Spark jobs — the old cdc.isEmpty() probe cost
+    one extra action per read. Pinned via a job group."""
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    # insert-only tail: appends after the cursor, no refresh
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame(
+            [(9, 1, 5000), (9, 2, 5001)], "k long, v long, ts long"
+        )
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    sc = spark.sparkContext
+    sc.setJobGroup("rt_topk_read", "action-count pin")
+    try:
+        rt = read_realtime(cat, spark, "top_events")
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("rt_topk_read")
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"realtime read construction ran jobs: {jobs}"
+    # and the merged read is exact
+    rec = topk_frame(
+        cat.table("events").scan(spark), "k", ["ts", "v"], 3
+    ).select(rt.columns)
+    assert rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+    # a delete in the tail flips the metadata decision to recompute
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(5000,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    rt2 = read_realtime(cat, spark, "top_events")
+    rec2 = topk_frame(
+        cat.table("events").scan(spark), "k", ["ts", "v"], 3
+    ).select(rt2.columns)
+    assert rt2.exceptAll(rec2).isEmpty() and rec2.exceptAll(rt2).isEmpty()

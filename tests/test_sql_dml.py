@@ -739,7 +739,7 @@ def test_matview_ddl_tolerates_newlines(spark, cat):
 def test_insert_values_and_select(spark, cat):
     """INSERT INTO (round 10): full-schema VALUES tuples and
     INSERT ... SELECT both land as ordinary appends with the pin
-    published; column-list inserts refuse loudly."""
+    published."""
     res = cat.sql(
         spark,
         "INSERT INTO t VALUES (20, 'ins', 5), (21, NULL, 6)",
@@ -755,13 +755,67 @@ def test_insert_values_and_select(spark, cat):
     assert res["inserted_rows"] == 2
     assert cat.read(spark, "t").count() == 14
     for bad, why in [
-        ("INSERT INTO t (k, v) VALUES (1, 'x')", "column-list"),
         ("INSERT INTO t VALUES (1, 'x')", "arity"),
         ("INSERT INTO t SELECT k FROM t", "match the table schema"),
         ("INSERT INTO t VALUES 1, 2, 3", "parenthesized"),
     ]:
         with pytest.raises(UnsupportedSQL, match=why):
             cat.sql(spark, bad)
+
+
+def test_insert_column_list(spark, cat):
+    """Column-list INSERT (round 11): absent columns fill their
+    initial default (a4d machinery) or NULL when nullable; unknown /
+    duplicate / omitted-non-nullable columns refuse loudly. Previously
+    every column-list insert was refused outright."""
+    res = cat.sql(spark, "INSERT INTO t (k, v) VALUES (40, 'part')")
+    assert res["inserted_rows"] == 1
+    row = [r for r in cat.read(spark, "t").collect() if r["k"] == 40][0]
+    assert (row["v"], row["qty"]) == ("part", None)  # NULL-filled
+    # an absent column with an initial default fills the DEFAULT value
+    # for the new rows (materialized at write — new entries sit past
+    # the default's sequence, so read-side fill never applies to them)
+    cat.sql(spark, "ALTER TABLE t ADD COLUMN region string DEFAULT 'emea'")
+    res = cat.sql(spark, "INSERT INTO t (k, v, qty) VALUES (41, 'dflt', 2)")
+    assert res["inserted_rows"] == 1
+    rows = {r["k"]: r["region"] for r in cat.read(spark, "t").collect()}
+    assert rows[41] == "emea"  # write-path fill
+    assert rows[40] == "emea"  # pre-add row: read-side initial default
+    # column-list INSERT ... SELECT maps positionally onto the list
+    res = cat.sql(
+        spark,
+        "INSERT INTO t (v, k) SELECT v, k + 900 FROM t WHERE k = 40",
+    )
+    assert res["inserted_rows"] == 1
+    row = [r for r in cat.read(spark, "t").collect() if r["k"] == 940][0]
+    assert (row["v"], row["qty"], row["region"]) == ("part", None, "emea")
+    for bad, why in [
+        ("INSERT INTO t (k, nope) VALUES (1, 2)", "unknown columns"),
+        ("INSERT INTO t (k, k) VALUES (1, 2)", "duplicate columns"),
+        ("INSERT INTO t (k, v) VALUES (1, 'x', 9)", "arity"),
+        ("INSERT INTO t (k) SELECT k, v FROM t", "arity"),
+        ("INSERT INTO t (k + 1) VALUES (1)", "not recognized"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+    # omitting a NON-nullable column without a default refuses loudly
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    strict = StructType(
+        [
+            StructField("a", LongType(), False),
+            StructField("b", StringType(), True),
+        ]
+    )
+    cat.create_table("strict_t", strict)
+    cat._commit_pins({"strict_t": None})
+    with pytest.raises(UnsupportedSQL, match="non-nullable"):
+        cat.sql(spark, "INSERT INTO strict_t (b) VALUES ('x')")
 
 
 def test_create_table_as_select(spark, cat):
