@@ -3294,3 +3294,134 @@ def a4u_engine_realtime_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4v_engine_realtime_sql",
+    oracle="""
+WITH final AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 10 <> 1
+),
+agg AS (
+  SELECT o_custkey, COUNT(*) AS cnt, SUM(cents) AS scents
+  FROM final GROUP BY o_custkey
+)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+       CAST(SUM(scents) AS BIGINT) AS sum_cents,
+       TRUE AS stale_without_hint,
+       TRUE AS hint_exact,
+       CAST(1 AS BIGINT) AS strict_refused
+FROM agg
+""",
+    group="A",
+)
+def a4v_engine_realtime_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT /*+ REALTIME */`` through ``Catalog.sql`` (round 11):
+    the TimescaleDB real-time continuous-aggregate UX on the SQL
+    surface. Maintained views NAMED in the statement re-register as
+    their ``read_realtime`` frame — materialized rows merged with the
+    source's CDC tail since the cursor — so the SQL answer is exactly
+    current with NO refresh at O(view)+O(tail) read cost, while the
+    un-hinted SELECT keeps the pinned (stale) materialized rows. The
+    hint is STRICT: a read that would silently fall back to an
+    O(source) recompute (here a top-k view whose tail took a delete)
+    refuses loudly instead of paying the cost cliff a SQL caller
+    cannot see — run REFRESH first or drop the hint. The scenario
+    creates an agg matview over a prefix via SQL DDL, churns the
+    source (append + MOR delete) WITHOUT refreshing, and grades the
+    hinted aggregate against DuckDB's from-scratch replay, the
+    un-hinted read's staleness, and the strict top-k refusal."""
+    from ..table import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    croot = tempfile.mkdtemp(prefix="engine_rtsql_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW cust_spend AS "
+            "SELECT o_custkey, COUNT(*) AS cnt, SUM(cents) AS sv "
+            "FROM orders_t GROUP BY o_custkey",
+        )
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW top_spend AS SELECT * FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderkey) AS rn FROM orders_t) WHERE rn <= 2",
+        )
+        # source churn, NO refresh
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        rec = (
+            cat.table("orders_t").scan(spark)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("sv"),  # long fold: measure is long
+            )
+            .persist()
+        )
+        stale_df = cat.sql(
+            spark, "SELECT o_custkey, cnt, sv FROM cust_spend"
+        )
+        stale = not stale_df.exceptAll(rec.select(stale_df.columns)).isEmpty()
+        rt = cat.sql(
+            spark,
+            "SELECT /*+ REALTIME */ o_custkey, cnt, sv FROM cust_spend",
+        ).persist()
+        hint_exact = (
+            rt.exceptAll(rec.select(rt.columns)).isEmpty()
+            and rec.select(rt.columns).exceptAll(rt).isEmpty()
+        )
+        row = rt.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_cnt"),
+            F.sum("sv").cast("long").alias("sum_cents"),
+        ).collect()[0]
+        strict_refused = 0
+        try:
+            cat.sql(
+                spark,
+                "SELECT /*+ REALTIME */ COUNT(*) AS n FROM top_spend",
+            ).collect()
+        except ValueError:
+            strict_refused = 1  # top-k tail took a delete: loud refusal
+        rt.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_keys"], row["total_cnt"], row["sum_cents"],
+                    stale, hint_exact, strict_refused,
+                )
+            ],
+            "n_keys bigint, total_cnt bigint, sum_cents bigint, "
+            "stale_without_hint boolean, hint_exact boolean, "
+            "strict_refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

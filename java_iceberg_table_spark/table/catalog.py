@@ -451,7 +451,11 @@ class Catalog:
         advance table heads concurrently. Returns the result
         DataFrame (lazily planned — pins are resolved NOW, execution
         happens at the caller's action). Pass ``state=`` via
-        ``register_views`` directly for time-traveled reads."""
+        ``register_views`` directly for time-traveled reads.
+        ``SELECT /*+ REALTIME */ ...`` reads maintained views named in
+        the statement through ``read_realtime`` (strict: refuses
+        instead of silently recomputing — see the hint comment
+        below)."""
         from .sql_dml import _strip, run_dml
 
         head_tok = _strip(statement).lstrip("(").split(None, 1)
@@ -459,7 +463,34 @@ class Catalog:
         # EXPLAIN rides the read pass-through: the plan is computed
         # against the same pinned-state views the SELECT would run on
         if head in ("SELECT", "WITH", "EXPLAIN"):
+            import re as _re
+
             self.register_views(spark)
+            # /*+ REALTIME */ (round 11; TimescaleDB's real-time
+            # continuous-aggregate UX): maintained views NAMED in the
+            # statement re-register as their read_realtime frame —
+            # materialized rows merged with the source's CDC tail
+            # since the cursor, the exact current answer at
+            # O(view)+O(tail). STRICT contract through SQL: a read
+            # that would fall back to an O(source) recompute (top-k
+            # tail deletes, expired cursor, half-applied fold) refuses
+            # loudly instead of silently paying the cost cliff — run
+            # REFRESH first or read without the hint. Name matching is
+            # textual (\b<view>\b), so a view named only inside a
+            # string literal still registers its realtime frame:
+            # harmless overmatch, the frame is lazy.
+            m = _re.search(r"/\*\+\s*REALTIME\s*\*/", statement, _re.I)
+            if m:
+                from .maintained import list_maintained, read_realtime
+
+                statement = statement.replace(m.group(0), " ", 1)
+                for vname in list_maintained(self):
+                    if _re.search(
+                        rf"\b{_re.escape(vname)}\b", statement, _re.I
+                    ):
+                        read_realtime(
+                            self, spark, vname, strict=True
+                        ).createOrReplaceTempView(vname)
             return spark.sql(statement)
         if head in ("SHOW", "DESCRIBE", "DESC"):
             return self._introspect(spark, _strip(statement))

@@ -403,7 +403,9 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         cdc.unpersist()
 
 
-def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
+def read_realtime(
+    cat, spark: SparkSession, name: str, strict: bool = False
+) -> DataFrame:
     """REAL-TIME read of a maintained AGG view (TimescaleDB's
     real-time continuous aggregates): the materialized rows UNION a
     signed fold of the source's change feed SINCE THE CURSOR,
@@ -421,7 +423,23 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
     access, so the read falls back to the exact recompute. Both kinds
     also fall back to recompute when the cursor expired from the
     source's history or a crashed refresh left a half-applied fold
-    (reads never repair)."""
+    (reads never repair).
+
+    ``strict=True`` (the SQL ``/*+ REALTIME */`` hint's contract)
+    REFUSES every recompute fallback instead of silently paying
+    O(source): a "realtime" read that quietly becomes a full recompute
+    is a cost cliff a SQL caller cannot see. The Python API keeps the
+    exact-fallback default — callers who read this docstring can
+    choose."""
+
+    def _fallback(reason: str) -> DataFrame:
+        if strict:
+            raise ValueError(
+                f"realtime read of {name!r} cannot be served at "
+                f"O(view)+O(tail): {reason} — run REFRESH MATERIALIZED "
+                f"VIEW {name} first, or read without /*+ REALTIME */"
+            )
+        return _recompute_frame(spark, src, props, vt.schema())
     vt = cat.table(name)
     props = vt.metadata.properties
     kind = props.get("mv.kind")
@@ -448,17 +466,17 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         if s.summary.get("mv-source-cursor") is not None:
             break  # completed-refresh boundary: view content intact
         if s.summary.get("mv-refresh-del") is not None:
-            return _recompute_frame(spark, src, props, vt.schema())
+            return _fallback("a crashed refresh left a half-applied fold")
         cur_id = s.parent_id
     view_df = vt.scan(spark)
     if cursor is not None and head == cursor:
         return view_df  # caught up: the materialized rows ARE current
     if cursor is None:
-        return _recompute_frame(spark, src, props, vt.schema())
+        return _fallback("the view's refresh lineage was rolled away")
     try:
         src.snapshot_by_id(cursor)
     except KeyError:  # cursor expired: no change feed to fold
-        return _recompute_frame(spark, src, props, vt.schema())
+        return _fallback("the cursor snapshot expired from the source")
     if kind == "topk":
         # top-k real-time read for an INSERT-ONLY tail (append-only
         # sources, the common case): top-k over (materialized rows ∪
@@ -470,7 +488,10 @@ def read_realtime(cat, spark: SparkSession, name: str) -> DataFrame:
         # in the window), so the realtime read plans exactly one Spark
         # job — no per-read isEmpty() probe of the feed (round-11).
         if not _insert_only_window(src, cursor, head):
-            return _recompute_frame(spark, src, props, vt.schema())
+            return _fallback(
+                "the top-k tail contains deletes (rebuild needs source "
+                "access)"
+            )
         cdc = src.changes_between(spark, cursor)
         order_cols = props["mv.order"].split(",")
         k = int(props["mv.k"])

@@ -1110,3 +1110,65 @@ def test_merge_insert_only_duplicate_source_is_delta_exempt(spark, cat):
         r["v"] for r in t.scan(spark).filter(F.col("k") == 700).collect()
     )
     assert got == ["dupA", "dupB"]
+
+
+def test_realtime_hint_sql(spark, cat):
+    """SELECT /*+ REALTIME */ (round 11): maintained views named in
+    the statement read through read_realtime — exact current answer
+    with no refresh; the STRICT contract refuses any read that would
+    silently fall back to an O(source) recompute."""
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW sums AS "
+        "SELECT v, COUNT(*) AS cnt, SUM(qty) AS sv FROM t GROUP BY v",
+    )
+    # churn WITHOUT refresh: the stale view misses these rows
+    t = cat.table("t")
+    t.append(
+        spark.createDataFrame([(60, "rt", 5), (61, "rt", 7)], SCHEMA)
+    )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    stale = cat.sql(
+        spark, "SELECT SUM(cnt) AS n FROM sums"
+    ).collect()[0]["n"]
+    rt = cat.sql(
+        spark, "SELECT /*+ REALTIME */ SUM(cnt) AS n FROM sums"
+    ).collect()[0]["n"]
+    assert stale == 10 and rt == 12
+    got = {
+        r["v"]: (r["cnt"], r["sv"])
+        for r in cat.sql(
+            spark, "SELECT /*+ REALTIME */ * FROM sums WHERE v = 'rt'"
+        ).collect()
+    }
+    assert got == {"rt": (2, 12)}
+    # non-maintained tables in the same statement keep pinned reads
+    joined = cat.sql(
+        spark,
+        "SELECT /*+ REALTIME */ s.v, s.cnt, COUNT(*) AS n_rows "
+        "FROM sums s JOIN t ON t.v = s.v GROUP BY s.v, s.cnt",
+    )
+    # t's pinned read excludes the unpublished? no — pins were
+    # published above; just assert it executes and sees the rt group
+    assert {r["v"] for r in joined.collect()} >= {"rt"}
+    # STRICT refusal: a top-k view whose tail has deletes would need
+    # an O(source) rebuild — the hint refuses instead of recomputing
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW topq AS SELECT * FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY k) AS rn "
+        "FROM t) WHERE rn <= 2",
+    )
+    t = cat.table("t")
+    t.delete_eq_mor(spark, spark.createDataFrame([(0,)], "k long"), ["k"])
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    with pytest.raises(ValueError, match="REALTIME"):
+        cat.sql(spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq")
+    # without the hint the pinned (stale) view still reads fine
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM topq").collect()
+    # after REFRESH the hint read serves the merged/caught-up answer
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW topq")
+    n = cat.sql(
+        spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq"
+    ).collect()[0]["n"]
+    assert n == cat.read(spark, "topq").count()
