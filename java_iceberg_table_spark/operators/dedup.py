@@ -339,6 +339,20 @@ def minhash_near_duplicates(
     rep_pairs, membership = minhash_rep_graph(
         df, id_col, text_col, threshold, num_hashes, bands, seed
     )
+    # Materialize both rep-graph frames BEFORE the expansion: the
+    # expansion consumes membership four times (two inter joins + the
+    # intra self-join) and rep_pairs once inside a union whose
+    # branches each re-plan their inputs — unpersisted, the verify
+    # subtree and the membership join re-evaluate per consumer.
+    # Measured at sf1 (50k docs, 19.3M output pairs): 10.5–12 s
+    # unpersisted vs 2.8–3.4 s with these two persists (round-11 A/B,
+    # BASELINE.md). Both frames are collapsed-graph-sized (reps²-
+    # filtered pairs + one row per doc), not output-sized; Spark's
+    # ContextCleaner reclaims them when the result's refs drop.
+    rep_pairs = rep_pairs.persist()
+    rep_pairs.count()
+    membership = membership.persist()
+    membership.count()
     # expand representative pairs to member pairs
     mem = F.broadcast(membership)
     inter = (
