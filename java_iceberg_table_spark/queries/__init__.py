@@ -151,36 +151,25 @@ _FIXTURE_REGRESSION_REGRADE = frozenset({
 _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
-# grading window so the driver re-proves them on the new code first
-# (round 9, all four ADVICE items executed: bloom_index._rel_key now
-# anchors the LAST data/ segment like its Spark mirror — a3j probes
-# value blooms, a4k token blooms; sql_dml gained the quote-aware
-# _strip and the MERGE clause-order refusals — a4l runs all four verbs
-# through the router; the h-group split/sample hashes pre-reduce ids
-# so id*2654435761 never leaves int64 — h55/h30/h41/h44 all carry the
-# changed expression in-row, value-identical at fixture scale but
-# re-proved by the driver anyway).
+# grading window so the driver re-proves them on the new code first.
+# Round 11 keeps the canary set to 3 so the ~39 remaining window slots
+# behind the 8 never-graded rows drain the r4/r5 stale-grade backlog
+# (VERDICT r10 items 1-2):
 _REVERIFY_HEAD = [
-    # round-10 canaries (changed machinery; kept to 8 so ~40 window
-    # slots drain the r3/r4 stale-grade backlog — VERDICT r9 item 1):
-    # a3m first — the connector changed (catalog-pinned reads) AND its
-    # run prepays the Python-datasource worker startup that the
-    # never-graded a4q (first new-row slot) would otherwise pay cold
-    "a3m_engine_datasource_connector",
-    # maintained-view family: crash-repair rule generalized (any live
-    # mv-refresh-del above the cursor append), caught-up pin
-    # republish, NULL-key fold refusal, prepared_plan migration
-    "e1e_engine_topk_view",
-    "c3e_engine_agg_view",
-    "a4p_engine_maintained_view",
-    # topk_view_sink gained the NULL-key refusal
-    "i28_streaming_topk_view",
-    # SQL router: SELECT/WITH now pass through Catalog.sql
+    # SQL router verb explosion continued this round: column-list
+    # INSERT with NULL/default fill, the /*+ REALTIME */ hint branch
+    # in the SELECT pass-through, OPTIMIZE refused in scripts,
+    # matview regexes re.S, DESCRIBE resolving the pinned schema —
+    # a4l runs the whole router surface in one scenario
     "a4l_engine_sql_dml",
-    # gapfill operator gained first/last bucket aggregates
-    "e10_time_bucket_gapfill",
-    # re-planned one-pass pipeline (translate normalize, arrays_overlap)
-    "h37_pipeline_composition",
+    # maintained_view_merge folds in the VIEW's sv dtype now
+    # (integer-exact long measures); i21 drives that fold end-to-end
+    # through the CDC stream
+    "i21_streaming_materialized_view",
+    # _pq_fit's final assignment extracted into pq_encode in the
+    # round-10 continuation (registry note below); h53 is the
+    # representative ADC-scan consumer
+    "h53_ann_ivfpq_topk",
 ]
 # Rows REGISTERED after this round's grading window was final-simmed
 # (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
@@ -191,44 +180,23 @@ _REVERIFY_HEAD = [
 # round's grade record) — from the next round on, these rows claim
 # never-graded slots first like any new registration, with no manual
 # list edit needed.
-_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r10.json"
-_DEFER_PAST_WINDOW = [
-    "a4r_engine_refresh_all_dag",
-    "h56_ann_index_maintenance",
-    "i29_streaming_agg_view",
-    "a4s_engine_sql_matview",
-    "a4t_engine_sql_insert_ctas",
-    "i30_streaming_ann_ingest",
-    "a4u_engine_realtime_agg_view",
-]
+_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r11.json"
+_DEFER_PAST_WINDOW: list[str] = []
 
-# ROUND-11 CANARY CANDIDATES (for the next session to place in
-# _REVERIFY_HEAD — do NOT reorder this round; the committed window sim
-# predicts the current order). Machinery changed in the round-10
-# continuation under these already-graded rows:
-# - a4l_engine_sql_dml: Catalog.sql grew matview/INSERT/CTAS/ALTER/
-#   DROP/TRUNCATE/OPTIMIZE/VACUUM branches + introspection + EXPLAIN
-#   head routing (one refusal example swapped after the TRUNCATE verb
-#   landed — a real regression caught by the suite this session);
-# - c3e_engine_agg_view / a4p_engine_maintained_view /
-#   i21_streaming_materialized_view: create_maintained_agg gained
-#   multi-measure (mv.measures property; single-value default path
-#   exercised by all three);
-# - h52/h53/h53r/h54 (any one as representative): _pq_fit's final
-#   assignment extracted into pq_encode (semantically identical,
-#   tests green, but the codepath moved);
-# - i28_streaming_topk_view: untouched, skip.
-# The 7 _DEFER_PAST_WINDOW rows grade themselves as never-graded
-# entries automatically once CORRECTNESS_r10.json exists.
-
-# Round-10 notes on changed-machinery rows deliberately NOT canaried
+# Round-11 notes on changed-machinery rows deliberately NOT canaried
 # (each locally re-driven green against its oracle this round, driver
-# regrade rides staleness rotation):
-# - d1e_engine_q1_cents: mechanical migration onto prepared_plan (same
-#   constructed plan, cache keying unchanged);
-# - i21_streaming_materialized_view: maintained_view_merge gained only
-#   the NULL-key refusal (chaos + unit tests cover it; graded r9 on
-#   otherwise-current code).
+# regrade rides staleness rotation or the never-graded head):
+# - a4r/a4s/a4u/i29 (maintained-agg fold types now integer-exact for
+#   integral sources; in-row recomputes updated to long folds) and
+#   a4t (column-list INSERT exercised, probe swapped): all EIGHT
+#   round-10/11 continuation rows incl. a4v are never driver-graded,
+#   so they claim the window's never-graded slots automatically —
+#   canarying them would double-book slots;
+# - c3e_engine_agg_view: uses additive_refresh directly, which was
+#   unchanged (it always cast merged sums to the view schema);
+# - e1e/i28 top-k views: topk_view operator untouched this round
+#   (read_realtime's topk branch changed, but neither row reads
+#   through it).
 
 
 def load_all() -> dict[str, Query]:
