@@ -181,7 +181,14 @@ _REVERIFY_HEAD = [
 # never-graded slots first like any new registration, with no manual
 # list edit needed.
 _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r11.json"
-_DEFER_PAST_WINDOW: list[str] = []
+# Rows REGISTERED after this round's grading window was final-simmed
+# (CORRECTNESS_LOCAL_r11.json): they sort at the very END of the
+# order so the committed window prediction stays byte-identical and
+# no r4/r5 regrade loses its slot; self-expiring — once the driver
+# writes CORRECTNESS_r11.json these claim never-graded slots first.
+_DEFER_PAST_WINDOW = [
+    "a4w_engine_sql_time_travel",
+]
 
 # Round-11 notes on changed-machinery rows deliberately NOT canaried
 # (each locally re-driven green against its oracle this round, driver

@@ -3425,3 +3425,138 @@ def a4v_engine_realtime_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4w_engine_sql_time_travel",
+    oracle="""
+WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+     b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <= 1)
+SELECT (SELECT COUNT(*) FROM a) AS cnt_va,
+       CAST((SELECT SUM(o_orderkey) FROM a) AS BIGINT) AS sum_va,
+       (SELECT COUNT(*) FROM b) AS cnt_vb,
+       (SELECT COUNT(*) FROM b) AS cnt_current,
+       TRUE AS cross_table_consistent,
+       CAST(2 AS BIGINT) AS refused
+""",
+    group="A",
+)
+def a4w_engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel at CATALOG granularity (round 11):
+    ``SELECT /*+ CATALOG_VERSION(n) */ ...`` through ``Catalog.sql``
+    registers every referenced view pinned to the catalog state AS OF
+    publish n, so a multi-table read is cross-table CONSISTENT at that
+    past publish — the SQL face of ``state_at``/
+    ``register_views(state=...)`` and of the connector's
+    ``catalog_version`` option (a4q). Per-table VERSION AS OF is
+    deliberately absent (mixing per-table vintages forfeits the
+    cross-table guarantee; single-table history reads go through
+    ``Table.scan(snapshot_id=)``). The scenario publishes version A
+    (orders prefix + its per-catalog aggregate table in ONE catalog
+    version), publishes version B the same way, appends WITHOUT
+    publishing, and grades: counts/sums at A, at B, current == B
+    (unpublished head invisible at every version), the time-traveled
+    JOIN of the two tables consistent at A (the aggregate equals a
+    recompute of its sibling AT THE SAME STATE), and two loud
+    refusals (contradictory hint combo, expired/unknown version)."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    croot = tempfile.mkdtemp(prefix="engine_sqltt_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        tot_schema = spark.createDataFrame(
+            [], "n_rows long, sum_orderkey long"
+        ).schema
+        tot = cat.create_table("totals", tot_schema)
+
+        def publish(flt):
+            s = cat.table("orders_t")
+            s.append(orders.filter(flt).coalesce(2))
+            t = cat.table("totals")
+            agg = (
+                s.scan(spark)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").alias("sum_orderkey"),
+                )
+            )
+            t.overwrite_entries(t._write_data_files(agg.coalesce(1)))
+            # ONE catalog version pins BOTH tables: the unit the
+            # time-traveled read must see atomically
+            cat._commit_pins(
+                {
+                    "orders_t": s.metadata.current_snapshot_id,
+                    "totals": t.metadata.current_snapshot_id,
+                }
+            )
+            return cat.state().version
+
+        va = publish(F.col("o_orderkey") % 3 == 0)
+        vb = publish(F.col("o_orderkey") % 3 == 1)
+        # head moves past the publish: invisible at every version
+        cat.table("orders_t").append(
+            orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(2)
+        )
+        rows_at = {}
+        for tag, v in (("va", va), ("vb", vb)):
+            rows_at[tag] = cat.sql(
+                spark,
+                f"SELECT /*+ CATALOG_VERSION({v}) */ COUNT(*) AS n, "
+                "SUM(o_orderkey) AS s FROM orders_t",
+            ).collect()[0]
+        cur = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM orders_t"
+        ).collect()[0]["n"]
+        # cross-table consistency at A: totals (written in A's publish)
+        # equals the recompute over orders_t AT THE SAME STATE
+        joined = cat.sql(
+            spark,
+            f"SELECT /*+ CATALOG_VERSION({va}) */ "
+            "t.n_rows AS stored_n, t.sum_orderkey AS stored_s, "
+            "o.n AS live_n, o.s AS live_s "
+            "FROM totals t CROSS JOIN (SELECT COUNT(*) AS n, "
+            "SUM(o_orderkey) AS s FROM orders_t) o",
+        ).collect()[0]
+        consistent = (
+            joined["stored_n"] == joined["live_n"]
+            and joined["stored_s"] == joined["live_s"]
+        )
+        refused = 0
+        try:
+            cat.sql(
+                spark,
+                f"SELECT /*+ CATALOG_VERSION({va}) */ /*+ REALTIME */ "
+                "COUNT(*) FROM orders_t",
+            )
+        except UnsupportedSQL:
+            refused += 1
+        try:
+            cat.sql(
+                spark,
+                "SELECT /*+ CATALOG_VERSION(999999) */ COUNT(*) "
+                "FROM orders_t",
+            )
+        except FileNotFoundError:
+            refused += 1
+        return spark.createDataFrame(
+            [
+                (
+                    rows_at["va"]["n"], rows_at["va"]["s"],
+                    rows_at["vb"]["n"], cur, consistent, refused,
+                )
+            ],
+            "cnt_va bigint, sum_va bigint, cnt_vb bigint, "
+            "cnt_current bigint, cross_table_consistent boolean, "
+            "refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

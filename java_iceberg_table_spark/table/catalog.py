@@ -465,6 +465,36 @@ class Catalog:
         if head in ("SELECT", "WITH", "EXPLAIN"):
             import re as _re
 
+            # /*+ CATALOG_VERSION(n) */ (round 11): register every
+            # view pinned to the catalog state AS OF publish n — SQL
+            # time travel at CATALOG granularity, so a multi-table
+            # read is cross-table consistent at that past publish
+            # (the SQL face of state_at/register_views(state=...) and
+            # of the connector's catalog_version option, a4q).
+            # Per-table VERSION AS OF is deliberately absent: mixing
+            # per-table vintages forfeits the cross-table guarantee
+            # this catalog exists to give; read one table's history
+            # through Table.scan(snapshot_id=...).
+            tt = _re.search(
+                r"/\*\+\s*CATALOG_VERSION\s*\(\s*(\d+)\s*\)\s*\*/",
+                statement,
+                _re.I,
+            )
+            rt_hint = _re.search(
+                r"/\*\+\s*REALTIME\s*\*/", statement, _re.I
+            )
+            if tt and rt_hint:
+                from .sql_dml import UnsupportedSQL
+
+                raise UnsupportedSQL(
+                    "CATALOG_VERSION and REALTIME hints contradict: one "
+                    "pins the past, the other reads ahead of the pins — "
+                    "pick one"
+                )
+            if tt:
+                statement = statement.replace(tt.group(0), " ", 1)
+                self.register_views(spark, state=self.state_at(int(tt.group(1))))
+                return spark.sql(statement)
             self.register_views(spark)
             # /*+ REALTIME */ (round 11; TimescaleDB's real-time
             # continuous-aggregate UX): maintained views NAMED in the
@@ -479,11 +509,10 @@ class Catalog:
             # textual (\b<view>\b), so a view named only inside a
             # string literal still registers its realtime frame:
             # harmless overmatch, the frame is lazy.
-            m = _re.search(r"/\*\+\s*REALTIME\s*\*/", statement, _re.I)
-            if m:
+            if rt_hint:
                 from .maintained import list_maintained, read_realtime
 
-                statement = statement.replace(m.group(0), " ", 1)
+                statement = statement.replace(rt_hint.group(0), " ", 1)
                 for vname in list_maintained(self):
                     if _re.search(
                         rf"\b{_re.escape(vname)}\b", statement, _re.I

@@ -1172,3 +1172,41 @@ def test_realtime_hint_sql(spark, cat):
         spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq"
     ).collect()[0]["n"]
     assert n == cat.read(spark, "topq").count()
+
+
+def test_catalog_version_hint_sql(spark, cat):
+    """SELECT /*+ CATALOG_VERSION(n) */ (round 11): every referenced
+    view registers pinned to the catalog state AS OF publish n —
+    cross-table-consistent SQL time travel; contradictory hint combos
+    refuse loudly."""
+    v1 = cat.state().version
+    t = cat.table("t")
+    t.append(spark.createDataFrame([(80, "tt", 1)], SCHEMA))
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    v2 = cat.state().version
+    assert v2 > v1
+    n_old = cat.sql(
+        spark, f"SELECT /*+ CATALOG_VERSION({v1}) */ COUNT(*) AS n FROM t"
+    ).collect()[0]["n"]
+    n_new = cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+    assert (n_old, n_new) == (10, 11)
+    # the time-traveled world is the PUBLISH, not the head: an
+    # unpublished append stays invisible at every version
+    t.append(spark.createDataFrame([(81, "unpub", 1)], SCHEMA))
+    assert (
+        cat.sql(
+            spark,
+            f"SELECT /*+ CATALOG_VERSION({v2}) */ COUNT(*) AS n FROM t",
+        ).collect()[0]["n"]
+        == 11
+    )
+    with pytest.raises(UnsupportedSQL, match="contradict"):
+        cat.sql(
+            spark,
+            f"SELECT /*+ CATALOG_VERSION({v1}) */ /*+ REALTIME */ "
+            "COUNT(*) AS n FROM t",
+        )
+    with pytest.raises(FileNotFoundError):
+        cat.sql(
+            spark, "SELECT /*+ CATALOG_VERSION(999999) */ COUNT(*) FROM t"
+        )
