@@ -3312,6 +3312,7 @@ SELECT COUNT(*)::BIGINT AS n_keys,
        CAST(SUM(scents) AS BIGINT) AS sum_cents,
        TRUE AS stale_without_hint,
        TRUE AS hint_exact,
+       TRUE AS topk_delete_exact,
        CAST(1 AS BIGINT) AS strict_refused
 FROM agg
 """,
@@ -3325,14 +3326,19 @@ def a4v_engine_realtime_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's CDC tail since the cursor — so the SQL answer is exactly
     current with NO refresh at O(view)+O(tail) read cost, while the
     un-hinted SELECT keeps the pinned (stale) materialized rows. The
-    hint is STRICT: a read that would silently fall back to an
-    O(source) recompute (here a top-k view whose tail took a delete)
-    refuses loudly instead of paying the cost cliff a SQL caller
-    cannot see — run REFRESH first or drop the hint. The scenario
-    creates an agg matview over a prefix via SQL DDL, churns the
-    source (append + MOR delete) WITHOUT refreshing, and grades the
-    hinted aggregate against DuckDB's from-scratch replay, the
-    un-hinted read's staleness, and the strict top-k refusal."""
+    hint is STRICT about true cost cliffs: a read that would need a
+    full O(source) recompute (expired cursor, half-applied crashed
+    fold) refuses loudly — run REFRESH first or drop the hint. A
+    top-k tail WITH deletes is NOT a cliff (round 11): the bounded
+    merge recomputes only the delete-touched keys from source (scan
+    runtime-filter-pruned to their files) and merges untouched keys
+    as insert-only, so the hint serves it exactly. The scenario
+    creates an agg matview and a top-k matview over a prefix via SQL
+    DDL, churns the source (append + MOR delete) WITHOUT refreshing,
+    and grades the hinted aggregate against DuckDB's from-scratch
+    replay, the un-hinted read's staleness, the hinted top-k's
+    exactness under tail deletes, and the strict refusal on a
+    half-applied fold."""
     from ..table import Catalog
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -3401,6 +3407,32 @@ def a4v_engine_realtime_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("total_cnt"),
             F.sum("sv").cast("long").alias("sum_cents"),
         ).collect()[0]
+        # top-k under tail deletes: the hinted read takes the BOUNDED
+        # merge (touched keys from source) and must equal the
+        # from-scratch top-k of the surviving rows
+        from ..operators.topk_view import topk_frame
+
+        rt_top = cat.sql(
+            spark, "SELECT /*+ REALTIME */ * FROM top_spend"
+        ).persist()
+        rec_top = topk_frame(
+            cat.table("orders_t").scan(spark),
+            "o_custkey", ["o_orderkey"], 2,
+        ).select(rt_top.columns)
+        topk_delete_exact = (
+            rt_top.exceptAll(rec_top).isEmpty()
+            and rec_top.exceptAll(rt_top).isEmpty()
+        )
+        rt_top.unpersist()
+        # strict refusal survives for true O(source) fallbacks: a
+        # half-applied crashed fold on the top-k view
+        vt = cat.table("top_spend")
+        vt.delete_eq_mor(
+            spark,
+            spark.createDataFrame([(1,)], "o_custkey long"),
+            ["o_custkey"],
+            extra_summary={"mv-refresh-del": 999},
+        )
         strict_refused = 0
         try:
             cat.sql(
@@ -3408,19 +3440,19 @@ def a4v_engine_realtime_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SELECT /*+ REALTIME */ COUNT(*) AS n FROM top_spend",
             ).collect()
         except ValueError:
-            strict_refused = 1  # top-k tail took a delete: loud refusal
+            strict_refused = 1
         rt.unpersist()
         rec.unpersist()
         return spark.createDataFrame(
             [
                 (
                     row["n_keys"], row["total_cnt"], row["sum_cents"],
-                    stale, hint_exact, strict_refused,
+                    stale, hint_exact, topk_delete_exact, strict_refused,
                 )
             ],
             "n_keys bigint, total_cnt bigint, sum_cents bigint, "
             "stale_without_hint boolean, hint_exact boolean, "
-            "strict_refused bigint",
+            "topk_delete_exact boolean, strict_refused bigint",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)

@@ -417,16 +417,17 @@ def read_realtime(
 
     Agg views merge exactly in all cases (count/sum are mergeable
     across the materialized/tail boundary, deletes enter with sign
-    −1). Top-k views merge for INSERT-ONLY tails (append-only
-    sources): top-k over (materialized ∪ tail inserts); a tail DELETE
-    can promote rows the view no longer holds — that needs source
-    access, so the read falls back to the exact recompute. Both kinds
-    also fall back to recompute when the cursor expired from the
-    source's history or a crashed refresh left a half-applied fold
-    (reads never repair).
+    −1). Top-k views merge insert-only tails as (materialized ∪ tail
+    inserts); a tail WITH deletes takes the BOUNDED merge (round 11):
+    delete-touched keys recompute from source with the scan runtime-
+    filter-pruned to their files, untouched keys merge as insert-only
+    — O(tail) + O(touched keys' files), never O(source). Both kinds
+    fall back to the full recompute only when the cursor expired from
+    the source's history, the refresh lineage was rolled away, or a
+    crashed refresh left a half-applied fold (reads never repair).
 
     ``strict=True`` (the SQL ``/*+ REALTIME */`` hint's contract)
-    REFUSES every recompute fallback instead of silently paying
+    REFUSES those full-recompute fallbacks instead of silently paying
     O(source): a "realtime" read that quietly becomes a full recompute
     is a cost cliff a SQL caller cannot see. The Python API keeps the
     exact-fallback default — callers who read this docstring can
@@ -478,28 +479,62 @@ def read_realtime(
     except KeyError:  # cursor expired: no change feed to fold
         return _fallback("the cursor snapshot expired from the source")
     if kind == "topk":
-        # top-k real-time read for an INSERT-ONLY tail (append-only
-        # sources, the common case): top-k over (materialized rows ∪
-        # tail inserts) — candidates per key are ≤ k view rows plus
-        # the tail, so the read stays delta-sized. A tail DELETE can
-        # promote rows the view no longer holds (needs source access
-        # — the rebuild path), so fall back to the exact recompute.
-        # The merge/recompute decision is METADATA-only (snapshot ops
-        # in the window), so the realtime read plans exactly one Spark
-        # job — no per-read isEmpty() probe of the feed (round-11).
-        if not _insert_only_window(src, cursor, head):
-            return _fallback(
-                "the top-k tail contains deletes (rebuild needs source "
-                "access)"
-            )
-        cdc = src.changes_between(spark, cursor)
         order_cols = props["mv.order"].split(",")
         k = int(props["mv.k"])
         cols = [c for c in view_df.columns if c != "rn"]
-        cand = view_df.select(cols).unionByName(
-            cdc.filter(F.col("_change_type") == "insert").select(cols)
+        if _insert_only_window(src, cursor, head):
+            # INSERT-ONLY tail (append-only sources, the common case):
+            # top-k over (materialized rows ∪ tail inserts) —
+            # candidates per key are ≤ k view rows plus the tail. The
+            # decision is METADATA-only (snapshot ops in the window),
+            # so this path plans exactly one Spark job — no per-read
+            # isEmpty() probe of the feed (round-11).
+            cdc = src.changes_between(spark, cursor)
+            cand = view_df.select(cols).unionByName(
+                cdc.filter(F.col("_change_type") == "insert").select(cols)
+            )
+            return topk_frame(cand, key, order_cols, k).select(view_df.columns)
+        # Tail WITH deletes (round 11): a delete can promote a row the
+        # view no longer holds, so the touched KEYS need source access
+        # — but only those keys. BOUNDED merge, the read-only mirror of
+        # the refresh path's rebuild_keys + left_anti fold:
+        #   touched   = keys of the tail's delete rows (delta-sized)
+        #   touched → exact top-k from SOURCE, runtime-filter-pruned
+        #             to the files whose stats admit a touched key
+        #   untouched → (view rows ∪ tail inserts), as insert-only
+        # Cost is O(tail) + O(touched keys' source files), never
+        # O(source) — this serves under strict (the SQL hint) too; the
+        # remaining strict refusals are the true O(source) recomputes
+        # (expired cursor, rolled-away lineage, half-applied fold).
+        cdc = src.changes_between(spark, cursor).persist()
+        del_keys = (
+            cdc.filter(F.col("_change_type") == "delete")
+            .select(key)
+            .distinct()
+            .persist()
         )
-        return topk_frame(cand, key, order_cols, k).select(view_df.columns)
+        touched_src, _info = src.scan_runtime_filtered(spark, del_keys, key)
+        if "mv.columns" in props:
+            touched_src = touched_src.select(cols)
+        touched_top = topk_frame(
+            touched_src.join(F.broadcast(del_keys), key, "left_semi"),
+            key, order_cols, k,
+        )
+        inserts = (
+            cdc.filter(F.col("_change_type") == "insert")
+            .select(cols)
+            .join(F.broadcast(del_keys), key, "left_anti")
+        )
+        cand = (
+            view_df.select(cols)
+            .join(F.broadcast(del_keys), key, "left_anti")
+            .unionByName(inserts)
+        )
+        untouched_top = topk_frame(cand, key, order_cols, k)
+        return (
+            untouched_top.select(view_df.columns)
+            .unionByName(touched_top.select(view_df.columns))
+        )
     cdc = src.changes_between(spark, cursor)
     values, measures = _agg_measures(props)
     casts = _view_measure_casts(vt.schema(), measures)

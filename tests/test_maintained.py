@@ -516,7 +516,7 @@ def test_read_realtime_agg(spark, cat):
     refresh_maintained(cat, spark, "sums")
     assert rt_equals_recompute()
     # top-k realtime: insert-only tails merge (view ∪ tail inserts);
-    # a tail delete falls back to the exact recompute
+    # a tail delete takes the BOUNDED merge (touched keys from source)
     create_maintained_topk(cat, spark, "top_events", "events", "k", ["ts", "v"], 3)
     src = cat.table("events")
     src.append(
@@ -537,7 +537,28 @@ def test_read_realtime_agg(spark, cat):
         spark, spark.createDataFrame([(300,)], "ts long"), ["ts"]
     )
     cat._commit_pins({"events": src.metadata.current_snapshot_id})
-    assert topk_rt_equals()  # delete in tail -> recompute fallback
+    assert topk_rt_equals()  # delete in tail -> bounded touched-key merge
+    # the bounded merge must also handle a PROMOTION: delete a row the
+    # view holds while a displaced row only exists in the source
+    src = cat.table("events")
+    held = (
+        cat.table("top_events").scan(spark)
+        .orderBy("k", "rn").limit(1).collect()[0]
+    )
+    src.delete_eq_mor(
+        spark,
+        spark.createDataFrame([(held["ts"],)], "ts long"),
+        ["ts"],
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert topk_rt_equals()  # promoted row came back from source
+    # mixed tail: inserts for untouched keys + the deletes above
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(4, 0, 400), (4, 1, 401)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert topk_rt_equals()
 
 
 def test_read_realtime_cursor_expired_falls_back(spark, cat):

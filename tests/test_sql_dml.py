@@ -1151,8 +1151,9 @@ def test_realtime_hint_sql(spark, cat):
     # t's pinned read excludes the unpublished? no — pins were
     # published above; just assert it executes and sees the rt group
     assert {r["v"] for r in joined.collect()} >= {"rt"}
-    # STRICT refusal: a top-k view whose tail has deletes would need
-    # an O(source) rebuild — the hint refuses instead of recomputing
+    # a top-k view whose tail has deletes serves through the BOUNDED
+    # merge (delete-touched keys recomputed from source, pruned to
+    # their files) — exact, still delta-sized, so strict allows it
     cat.sql(
         spark,
         "CREATE MATERIALIZED VIEW topq AS SELECT * FROM ("
@@ -1162,8 +1163,14 @@ def test_realtime_hint_sql(spark, cat):
     t = cat.table("t")
     t.delete_eq_mor(spark, spark.createDataFrame([(0,)], "k long"), ["k"])
     cat._commit_pins({"t": t.metadata.current_snapshot_id})
-    with pytest.raises(ValueError, match="REALTIME"):
-        cat.sql(spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq")
+    from java_iceberg_table_spark.operators.topk_view import topk_frame
+
+    rt_topq = cat.sql(spark, "SELECT /*+ REALTIME */ * FROM topq")
+    rec_topq = topk_frame(
+        cat.table("t").scan(spark), "v", ["k"], 2
+    ).select(rt_topq.columns)
+    assert rt_topq.exceptAll(rec_topq).isEmpty()
+    assert rec_topq.exceptAll(rt_topq).isEmpty()
     # without the hint the pinned (stale) view still reads fine
     assert cat.sql(spark, "SELECT COUNT(*) AS n FROM topq").collect()
     # after REFRESH the hint read serves the merged/caught-up answer
@@ -1172,6 +1179,20 @@ def test_realtime_hint_sql(spark, cat):
         spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq"
     ).collect()[0]["n"]
     assert n == cat.read(spark, "topq").count()
+    # STRICT refusal survives for the true O(source) fallbacks: a
+    # half-applied crashed fold (live mv-refresh-del above the cursor
+    # append) cannot be served at O(view)+O(tail)
+    vt = cat.table("topq")
+    vt.delete_eq_mor(
+        spark,
+        spark.createDataFrame([("rt",)], "v string"),
+        ["v"],
+        extra_summary={"mv-refresh-del": 999},
+    )
+    with pytest.raises(ValueError, match="REALTIME"):
+        cat.sql(spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq")
+    # the un-hinted read and the Python API still serve (recompute)
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM topq").collect()
 
 
 def test_catalog_version_hint_sql(spark, cat):
