@@ -188,6 +188,7 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r11.json"
 # writes CORRECTNESS_r11.json these claim never-graded slots first.
 _DEFER_PAST_WINDOW = [
     "a4w_engine_sql_time_travel",
+    "a4x_engine_sql_insert_overwrite",
 ]
 
 # Round-11 notes on changed-machinery rows deliberately NOT canaried

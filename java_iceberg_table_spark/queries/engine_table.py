@@ -3592,3 +3592,102 @@ def a4w_engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4x_engine_sql_insert_overwrite",
+    oracle="""
+WITH final AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_custkey % 2 = 0
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       TRUE AS atomic_overwrite,
+       TRUE AS pre_image_travels,
+       CAST(2 AS BIGINT) AS refused
+FROM final
+""",
+    group="A",
+)
+def a4x_engine_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE [TABLE] t SELECT/VALUES`` through
+    ``Catalog.sql`` (round 11): STATIC overwrite — the table's whole
+    content is replaced by the query's rows in ONE atomic 'overwrite'
+    snapshot (readers see old or new, never a mix), the pre-image
+    stays time-travelable, and the pin publishes through the same
+    resolve path as every data verb, so it composes with a
+    sql_script's single publish like TRUNCATE does. DYNAMIC partition
+    overwrite deliberately stays on the connector
+    (option('overwriteMode','dynamic'), a4e) — a SQL verb whose
+    replace-table-vs-replace-partitions meaning flips on a session
+    conf is the ambiguity this grammar refuses. The scenario CTAS-es
+    an orders slice, overwrites it with a filtered SELECT of itself
+    (evaluated against the PINNED pre-statement state, so the
+    self-referential overwrite is well-defined), and grades totals
+    against DuckDB's replay plus snapshot-op/time-travel proofs and
+    two refusals."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    orders.createOrReplaceTempView("a4x_orders_src")
+    croot = tempfile.mkdtemp(prefix="engine_sqlovw_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        cat.sql(
+            spark,
+            "CREATE TABLE orders_t AS SELECT o_orderkey, o_custkey "
+            "FROM a4x_orders_src WHERE o_orderkey % 3 = 0",
+        )
+        pre_snap = cat.table("orders_t").metadata.current_snapshot_id
+        pre_cnt = cat.read(spark, "orders_t").count()
+        res = cat.sql(
+            spark,
+            "INSERT OVERWRITE orders_t SELECT o_orderkey, o_custkey "
+            "FROM orders_t WHERE o_custkey % 2 = 0",
+        )
+        assert res["statement"] == "insert_overwrite"
+        tbl = cat.table("orders_t")
+        atomic = tbl.metadata.current_snapshot().operation == "overwrite"
+        travels = (
+            tbl.scan(spark, snapshot_id=pre_snap).count() == pre_cnt
+        )
+        refused = 0
+        for bad in (
+            "INSERT OVERWRITE orders_t SELECT o_orderkey FROM orders_t",
+            "INSERT OVERWRITE orders_t VALUES (1)",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "orders_t")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_orderkey"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"], row["sum_orderkey"],
+                    atomic, travels, refused,
+                )
+            ],
+            "n_rows bigint, sum_orderkey bigint, atomic_overwrite "
+            "boolean, pre_image_travels boolean, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        spark.catalog.dropTempView("a4x_orders_src")
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

@@ -32,6 +32,9 @@ an existing engine operation, and anything else raises
   INSERT INTO t (c1[, c2...]) VALUES ... | SELECT ...
     -- column-list insert: absent columns fill their initial default
     -- (a4d machinery) or NULL when nullable; refused otherwise
+  INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
+    -- STATIC overwrite: whole content replaced in one atomic
+    -- 'overwrite' snapshot (dynamic mode is the connector's option)
   CREATE TABLE name AS SELECT ...           -- CTAS
   OPTIMIZE t                                -- full maintenance pass
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
@@ -313,6 +316,19 @@ _INSERT_COLLIST = re.compile(
 )
 _INSERT_COLLIST_HEAD = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\(", re.I
+)
+# INSERT OVERWRITE (round 11): STATIC mode — the whole table's content
+# is atomically replaced by the query's/tuples' rows in one
+# 'overwrite' snapshot (Spark's default partitionOverwriteMode;
+# TRUNCATE is this verb with zero rows). DYNAMIC partition overwrite
+# stays on the connector (option('overwriteMode','dynamic'), a4e) —
+# a session-conf-dependent SQL verb that silently switches between
+# replacing the table and replacing partitions is exactly the kind of
+# ambiguity this grammar refuses.
+_INSERT_OVERWRITE = re.compile(
+    r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
 )
 # CTAS: CREATE TABLE name AS SELECT — the query's result schema
 # becomes the table, rows land as the first append, one catalog
@@ -694,6 +710,45 @@ def run_dml(
                 f"{len(target.fields)} columns"
             )
         return _append_rows(name, _literal_rows_df(tuples, list(target.fields)))
+
+    m = _INSERT_OVERWRITE.match(sql)
+    if m:
+        name, tail_sql = m.groups()
+        target = (resolve if catalog is None else catalog.table)(name).schema()
+        if tail_sql.split(None, 1)[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(tail_sql.split(None, 1)[1])
+            if any(len(t) != len(target.fields) for t in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE VALUES arity mismatch: table "
+                    f"{name!r} has {len(target.fields)} columns"
+                )
+            rows_df = _literal_rows_df(tuples, list(target.fields))
+        else:
+            rows_df = _registered_select(tail_sql)
+        if [f.name for f in rows_df.schema.fields] != [
+            f.name for f in target.fields
+        ]:
+            raise UnsupportedSQL(
+                f"INSERT OVERWRITE source columns {rows_df.columns} must "
+                f"match the table schema "
+                f"{[f.name for f in target.fields]} exactly"
+            )
+        tbl = resolve(name)
+        aligned = rows_df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        ).persist()
+        try:
+            n = aligned.count()
+            # one atomic 'overwrite' snapshot: old content stays
+            # time-travelable, readers see old or new, never a mix
+            tbl.overwrite_entries(tbl._write_data_files(aligned))
+        finally:
+            aligned.unpersist()
+        return {
+            "statement": "insert_overwrite",
+            "table": name,
+            "inserted_rows": n,
+        }
 
     m = _INSERT_SELECT.match(sql)
     if m:

@@ -1231,3 +1231,45 @@ def test_catalog_version_hint_sql(spark, cat):
         cat.sql(
             spark, "SELECT /*+ CATALOG_VERSION(999999) */ COUNT(*) FROM t"
         )
+
+
+def test_insert_overwrite_sql(spark, cat):
+    """INSERT OVERWRITE (round 11): STATIC mode — the whole table's
+    content is atomically replaced in one 'overwrite' snapshot; the
+    pre-image stays time-travelable; pins publish through the same
+    resolve path as every data verb. Dynamic partition overwrite
+    stays on the connector (a4e)."""
+    t = cat.table("t")
+    pre_snap = t.metadata.current_snapshot_id
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE t SELECT k, upper(v) AS v, qty * 2 AS qty "
+        "FROM t WHERE k < 3",
+    )
+    assert res["statement"] == "insert_overwrite"
+    assert res["inserted_rows"] == 3
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert rows == {0: ("OLD", 0), 1: ("ODD", 20), 2: ("OLD", 40)}
+    t = cat.table("t")
+    assert t.metadata.current_snapshot().operation == "overwrite"
+    assert t.scan(spark, snapshot_id=pre_snap).count() == 10  # time travel
+    # VALUES form + TABLE keyword
+    res = cat.sql(
+        spark, "INSERT OVERWRITE TABLE t VALUES (7, 'only', 1)"
+    )
+    assert res["inserted_rows"] == 1
+    assert cat.read(spark, "t").count() == 1
+    # schema mismatch refuses loudly
+    with pytest.raises(UnsupportedSQL, match="match the table schema"):
+        cat.sql(spark, "INSERT OVERWRITE t SELECT k FROM t")
+    with pytest.raises(UnsupportedSQL, match="arity"):
+        cat.sql(spark, "INSERT OVERWRITE t VALUES (1, 'x')")
+    # composes with a script's single publish (a data verb, like
+    # TRUNCATE): readers see pre-script or whole-script, never a mix
+    out = cat.sql_script(
+        spark,
+        "INSERT OVERWRITE t VALUES (8, 'scripted', 2); "
+        "INSERT INTO t VALUES (9, 'scripted', 3)",
+    )
+    assert [o["statement"] for o in out] == ["insert_overwrite", "insert"]
+    assert cat.read(spark, "t").count() == 2
