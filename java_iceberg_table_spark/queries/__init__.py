@@ -189,6 +189,7 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r11.json"
 _DEFER_PAST_WINDOW = [
     "a4w_engine_sql_time_travel",
     "a4x_engine_sql_insert_overwrite",
+    "a4y_engine_sql_create_ddl",
 ]
 
 # Round-11 notes on changed-machinery rows deliberately NOT canaried

@@ -3691,3 +3691,100 @@ def a4x_engine_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         spark.catalog.dropTempView("a4x_orders_src")
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4y_engine_sql_create_ddl",
+    oracle="""
+WITH final AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(3 AS BIGINT) AS n_cols,
+       TRUE AS pruned_scan,
+       CAST(3 AS BIGINT) AS refused
+FROM final
+""",
+    group="A",
+)
+def a4y_engine_sql_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain ``CREATE TABLE name (col type, ...)`` DDL through
+    ``Catalog.sql`` (round 11) — the first statement a SQL user
+    types. The column list parses with Spark's own DDL parser (full
+    type surface); ``PARTITIONED BY`` accepts ONE Iceberg-DDL
+    transform — bucket(N, c), truncate(W, c), years/../hours(c), or a
+    bare integer column (identity) — mapping 1:1 onto the engine's
+    transform set (R3/a3w/a4a); ``TBLPROPERTIES`` reuses the ALTER
+    pairs grammar. The scenario creates a bucket(8)-partitioned table
+    via DDL, loads it with INSERT SELECT, proves the partition layout
+    actually prunes (a bucket-point scan plans fewer files than the
+    table holds), and grades totals against DuckDB plus three loud
+    refusals (duplicate name, bad type, multi-column spec)."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    orders.createOrReplaceTempView("a4y_orders_src")
+    croot = tempfile.mkdtemp(prefix="engine_sqlddl_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        res = cat.sql(
+            spark,
+            "CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL, "
+            "o_custkey BIGINT, note STRING) "
+            "PARTITIONED BY (bucket(8, o_orderkey)) "
+            "TBLPROPERTIES ('write.sort.order' = 'o_orderkey')",
+        )
+        assert res["statement"] == "create_table"
+        n_cols = len(res["columns"])
+        # column-list INSERT SELECT: note fills NULL
+        cat.sql(
+            spark,
+            "INSERT INTO orders_t (o_orderkey, o_custkey) "
+            "SELECT o_orderkey, o_custkey FROM a4y_orders_src "
+            "WHERE o_orderkey % 3 = 0",
+        )
+        tbl = cat.table("orders_t")
+        files_total = len(list(tbl.current_files()))
+        # bucket layout prunes: a point lookup plans only the files of
+        # one bucket (the write path partitioned by the DDL transform)
+        some_key = (
+            cat.read(spark, "orders_t").select("o_orderkey").first()[0]
+        )
+        planned = len(tbl.plan_files([("o_orderkey", "=", some_key)]))
+        pruned = planned < files_total
+        refused = 0
+        for bad in (
+            "CREATE TABLE orders_t (x BIGINT)",
+            "CREATE TABLE b1 (x NOTATYPE)",
+            "CREATE TABLE b2 (x BIGINT, y BIGINT) PARTITIONED BY (x, y)",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "orders_t")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_orderkey"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(row["n_rows"], row["sum_orderkey"], n_cols, pruned, refused)],
+            "n_rows bigint, sum_orderkey bigint, n_cols bigint, "
+            "pruned_scan boolean, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        spark.catalog.dropTempView("a4y_orders_src")
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

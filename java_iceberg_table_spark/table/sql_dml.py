@@ -36,6 +36,9 @@ an existing engine operation, and anything else raises
     -- STATIC overwrite: whole content replaced in one atomic
     -- 'overwrite' snapshot (dynamic mode is the connector's option)
   CREATE TABLE name AS SELECT ...           -- CTAS
+  CREATE TABLE name (col type [NOT NULL], ...)
+    [PARTITIONED BY (bucket(N,c) | truncate(W,c) | years(c) | ... | c)]
+    [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
   OPTIMIZE t                                -- full maintenance pass
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
   ALTER TABLE t ADD COLUMN c type [DEFAULT lit] | RENAME COLUMN a TO b
@@ -336,6 +339,13 @@ _INSERT_OVERWRITE = re.compile(
 _CTAS = re.compile(
     r"^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(SELECT\b.+|WITH\b.+)$",
     re.I | re.S,
+)
+# Plain CREATE TABLE DDL (round 11): disjoint from CTAS — this form
+# requires "(" right after the name. The balanced column group is
+# extracted by paren depth (Spark DDL types nest: DECIMAL(10,2),
+# ARRAY<STRUCT<...>>), then parsed by Spark's own DDL parser.
+_CREATE_TABLE_HEAD = re.compile(
+    r"^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*\(", re.I
 )
 # ALTER TABLE: the engine's schema-evolution ops (metadata-only
 # commits to the schema log — no snapshots move, so no pin motion;
@@ -761,6 +771,128 @@ def run_dml(
             "INSERT INTO t (col[, col...]) VALUES (...)[, ...] "
             "or INSERT INTO t (col[, col...]) SELECT ..."
         )
+
+    m = _CREATE_TABLE_HEAD.match(sql)
+    if m:
+        # CREATE TABLE name (col type [NOT NULL], ...) — plain DDL
+        # (round 11), the first statement a SQL user types. The column
+        # list parses with Spark's own DDL parser (full type surface:
+        # DECIMAL(p,s), ARRAY<...>, nested parens welcome), so the
+        # balanced-paren group is extracted by depth, not regex.
+        # PARTITIONED BY takes ONE Iceberg-DDL transform —
+        # bucket(N, col), truncate(W, col), years/months/days/hours
+        # (col), or a bare column for identity — matching the engine's
+        # transform set (R3/a3w/a4a); multi-column specs refuse
+        # loudly. TBLPROPERTIES reuses the ALTER pairs grammar.
+        if catalog is None:
+            raise UnsupportedSQL(
+                "CREATE TABLE needs a catalog (tables are catalog objects)"
+            )
+        name = m.group(1)
+        start = m.end() - 1
+        depth = 0
+        end = -1
+        for i in range(start, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise UnsupportedSQL("CREATE TABLE: unbalanced parentheses")
+        cols_src = sql[start + 1 : end]
+        rest = sql[end + 1 :].strip()
+        from pyspark.sql.types import StructType as _ST
+
+        try:
+            schema = _ST.fromDDL(cols_src)
+        except Exception as e:
+            raise UnsupportedSQL(
+                f"CREATE TABLE column list does not parse as Spark DDL: "
+                f"{str(e)[:200]}"
+            ) from e
+        part = None
+        spec = None
+        pm = re.match(r"^PARTITIONED\s+BY\s*\(", rest, re.I)
+        if pm:
+            depth, end = 0, -1
+            for i in range(pm.end() - 1, len(rest)):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise UnsupportedSQL("PARTITIONED BY: unbalanced parentheses")
+            spec = rest[pm.end() : end].strip()
+            rest = rest[end + 1 :].strip()
+            from . import transforms as _tf
+
+            tm = re.match(
+                r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+                spec, re.I,
+            )
+            tm2 = re.match(
+                r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
+                spec, re.I,
+            )
+            if tm:
+                fn = {"bucket": _tf.bucket, "truncate": _tf.truncate}[
+                    tm.group(1).lower()
+                ]
+                part = fn(tm.group(3), int(tm.group(2)))
+            elif tm2:
+                fn = {
+                    "year": _tf.year, "month": _tf.month,
+                    "day": _tf.day, "hour": _tf.hour,
+                }[tm2.group(1).lower().rstrip("s")]
+                part = fn(tm2.group(2))
+            elif re.match(r"^[A-Za-z_]\w*$", spec):
+                part = _tf.identity(spec)
+            else:
+                raise UnsupportedSQL(
+                    f"PARTITIONED BY accepts ONE transform — bucket(N, c), "
+                    f"truncate(W, c), years/months/days/hours(c), or a "
+                    f"bare column (identity); got {spec[:60]!r}"
+                )
+        props: dict[str, str] = {}
+        tp = re.match(r"^TBLPROPERTIES\s*\((.+)\)$", rest, re.I | re.S)
+        if tp:
+            for pair in _split_depth0(tp.group(1), ","):
+                kv = _split_depth0(pair, "=")
+                if len(kv) != 2:
+                    raise UnsupportedSQL(
+                        f"TBLPROPERTIES expects 'key' = 'value' pairs; "
+                        f"got {pair.strip()!r}"
+                    )
+                k, v = (_parse_literal(x.strip()) for x in kv)
+                if not isinstance(k, str) or not isinstance(v, str):
+                    raise UnsupportedSQL(
+                        "TBLPROPERTIES keys and values are quoted strings"
+                    )
+                props[k] = v
+        elif rest:
+            raise UnsupportedSQL(
+                f"CREATE TABLE trailing clause not recognized: {rest[:60]!r}"
+            )
+        try:
+            catalog.create_table(
+                name, schema,
+                partition=part,
+                **({"properties": props} if props else {}),
+            )
+        except ValueError as e:
+            raise UnsupportedSQL(str(e)) from e
+        return {
+            "statement": "create_table",
+            "table": name,
+            "columns": [f.name for f in schema.fields],
+            "partition": spec,
+        }
 
     m = _CTAS.match(sql)
     if m:

@@ -1273,3 +1273,64 @@ def test_insert_overwrite_sql(spark, cat):
     )
     assert [o["statement"] for o in out] == ["insert_overwrite", "insert"]
     assert cat.read(spark, "t").count() == 2
+
+
+def test_create_table_ddl(spark, cat):
+    """Plain CREATE TABLE DDL (round 11): Spark-DDL column list,
+    optional single-transform PARTITIONED BY (Iceberg spelling),
+    optional TBLPROPERTIES; everything else refuses loudly."""
+    res = cat.sql(
+        spark,
+        "CREATE TABLE ddl_t (id BIGINT NOT NULL, v STRING, "
+        "price DECIMAL(10,2), tags ARRAY<STRING>)",
+    )
+    assert res["statement"] == "create_table"
+    assert res["columns"] == ["id", "v", "price", "tags"]
+    d = {r["col_name"]: (r["data_type"], r["nullable"])
+         for r in cat.sql(spark, "DESCRIBE ddl_t").collect()}
+    assert d["id"] == ("bigint", False)
+    assert d["price"][0] == "decimal(10,2)"
+    # the created table takes ordinary DML
+    cat.sql(spark, "INSERT INTO ddl_t (id, v) VALUES (1, 'x')")
+    assert cat.read(spark, "ddl_t").count() == 1
+    # partitioned create: Iceberg transform spelling
+    res = cat.sql(
+        spark,
+        "CREATE TABLE ddl_p (id BIGINT, ts TIMESTAMP) "
+        "PARTITIONED BY (bucket(8, id)) "
+        "TBLPROPERTIES ('write.sort.order' = 'id')",
+    )
+    assert res["partition"] == "bucket(8, id)"
+    t = cat.table("ddl_p")
+    assert t.metadata.properties["write.sort.order"] == "id"
+    assert t.transform is not None
+    res = cat.sql(
+        spark, "CREATE TABLE ddl_d (id BIGINT, d DATE) PARTITIONED BY (days(d))"
+    )
+    assert res["statement"] == "create_table"
+    res = cat.sql(
+        spark, "CREATE TABLE ddl_i (id BIGINT, g STRING) PARTITIONED BY (id)"
+    )
+    assert res["statement"] == "create_table"
+    # identity is integer-only in this engine: loud refusal via the
+    # transform validator, surfaced as UnsupportedSQL
+    with pytest.raises(UnsupportedSQL, match="integer column"):
+        cat.sql(
+            spark,
+            "CREATE TABLE ddl_bad (id BIGINT, g STRING) PARTITIONED BY (g)",
+        )
+    for bad, why in [
+        ("CREATE TABLE ddl_t (id BIGINT)", "exists"),
+        ("CREATE TABLE bad1 (id NOTATYPE)", "does not parse"),
+        (
+            "CREATE TABLE bad2 (id BIGINT, g STRING) PARTITIONED BY (id, g)",
+            "ONE transform",
+        ),
+        (
+            "CREATE TABLE bad3 (id BIGINT) PARTITIONED BY (md5(id))",
+            "ONE transform",
+        ),
+        ("CREATE TABLE bad4 (id BIGINT) CLUSTERED BY (id)", "not recognized"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
