@@ -570,6 +570,52 @@ class Catalog:
                 or [],
                 "view_name string, kind string, source string, key string",
             )
+        m = _re.match(r"^SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", sql, _re.I)
+        if m:
+            # Round-trippable DDL (round 11): the emitted statement is
+            # IN the grammar — CREATE TABLE (cols) [PARTITIONED BY]
+            # [TBLPROPERTIES] — so copy-paste recreates the table.
+            # Schema resolves against the PINNED snapshot like
+            # DESCRIBE/SELECT; partition spec and properties are
+            # metadata-log state (head), like ALTER reads them.
+            from .table import DEFAULT_PROPERTIES
+            from .transforms import (
+                BucketTransform,
+                IdentityTransform,
+                TemporalTransform,
+                TruncateTransform,
+            )
+
+            name = m.group(1)
+            tbl = self.table(name)
+            pin = self.state().pins.get(name)
+            schema = (
+                tbl.schema() if pin is None else tbl.schema_of_snapshot(pin)
+            )
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in schema.fields
+            )
+            ddl = f"CREATE TABLE {name} (\n  {cols}\n)"
+            t = tbl.transform
+            if isinstance(t, TruncateTransform):
+                ddl += f"\nPARTITIONED BY (truncate({t.width}, {t.source_column}))"
+            elif isinstance(t, BucketTransform):
+                ddl += f"\nPARTITIONED BY (bucket({t.n}, {t.source_column}))"
+            elif isinstance(t, TemporalTransform):
+                ddl += f"\nPARTITIONED BY ({t.granularity}s({t.source_column}))"
+            elif isinstance(t, IdentityTransform):
+                ddl += f"\nPARTITIONED BY ({t.source_column})"
+            props = {
+                k: v
+                for k, v in sorted(tbl.metadata.properties.items())
+                if DEFAULT_PROPERTIES.get(k) != v and not k.startswith("mv.")
+            }
+            if props:
+                pairs = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+                ddl += f"\nTBLPROPERTIES ({pairs})"
+            return spark.createDataFrame([(ddl,)], "create_statement string")
         m = _re.match(
             r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", sql, _re.I
         )
@@ -597,7 +643,7 @@ class Catalog:
         raise UnsupportedSQL(
             f"introspection statement not recognized: {sql[:60]!r} "
             "(SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS | "
-            "DESCRIBE [TABLE] t)"
+            "SHOW CREATE TABLE t | DESCRIBE [TABLE] t)"
         )
 
     def sql_script(self, spark: SparkSession, script: str) -> list[dict]:

@@ -1334,3 +1334,37 @@ def test_create_table_ddl(spark, cat):
     ]:
         with pytest.raises(UnsupportedSQL, match=why):
             cat.sql(spark, bad)
+
+
+def test_show_create_table_roundtrip(spark, cat):
+    """SHOW CREATE TABLE (round 11) emits DDL that is IN the grammar:
+    feeding the statement back through Catalog.sql recreates an
+    equivalent table (schema, partition transform, non-default
+    properties)."""
+    cat.sql(
+        spark,
+        "CREATE TABLE rt_src (id BIGINT NOT NULL, v STRING, d DATE) "
+        "PARTITIONED BY (bucket(4, id)) "
+        "TBLPROPERTIES ('write.sort.order' = 'id')",
+    )
+    ddl = cat.sql(spark, "SHOW CREATE TABLE rt_src").collect()[0][
+        "create_statement"
+    ]
+    assert "bucket(4, id)" in ddl and "'write.sort.order' = 'id'" in ddl
+    res = cat.sql(spark, ddl.replace("rt_src", "rt_copy"))
+    assert res["statement"] == "create_table"
+    d1 = {(r["col_name"], r["data_type"], r["nullable"])
+          for r in cat.sql(spark, "DESCRIBE rt_src").collect()}
+    d2 = {(r["col_name"], r["data_type"], r["nullable"])
+          for r in cat.sql(spark, "DESCRIBE rt_copy").collect()}
+    assert d1 == d2
+    t1, t2 = cat.table("rt_src"), cat.table("rt_copy")
+    assert t1.transform == t2.transform
+    assert (
+        t2.metadata.properties["write.sort.order"] == "id"
+    )
+    # temporal + identity transforms render their grammar spelling
+    cat.sql(spark, "CREATE TABLE rt_d (id BIGINT, d DATE) PARTITIONED BY (days(d))")
+    assert "days(d)" in cat.sql(spark, "SHOW CREATE TABLE rt_d").collect()[0][0]
+    # plain table: no PARTITIONED BY clause at all
+    assert "PARTITIONED" not in cat.sql(spark, "SHOW CREATE TABLE t").collect()[0][0]
