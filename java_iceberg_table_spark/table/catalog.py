@@ -592,8 +592,13 @@ class Catalog:
             schema = (
                 tbl.schema() if pin is None else tbl.schema_of_snapshot(pin)
             )
+            # simpleString() verbatim — NOT .upper(): uppercasing a
+            # nested type's simpleString renames its FIELDS
+            # (struct<a:bigint> -> STRUCT<A:BIGINT>), silently breaking
+            # the round-trip. Lowercase type names are valid Spark DDL.
+            # (Found by the hypothesis round-trip property, round 11.)
             cols = ",\n  ".join(
-                f"{f.name} {f.dataType.simpleString().upper()}"
+                f"{f.name} {f.dataType.simpleString()}"
                 + ("" if f.nullable else " NOT NULL")
                 for f in schema.fields
             )

@@ -1368,3 +1368,54 @@ def test_show_create_table_roundtrip(spark, cat):
     assert "days(d)" in cat.sql(spark, "SHOW CREATE TABLE rt_d").collect()[0][0]
     # plain table: no PARTITIONED BY clause at all
     assert "PARTITIONED" not in cat.sql(spark, "SHOW CREATE TABLE t").collect()[0][0]
+
+
+def test_create_table_ddl_roundtrip_property(spark, cat):
+    """Property: any schema from the supported type pool round-trips
+    CREATE TABLE -> DESCRIBE -> SHOW CREATE TABLE -> re-CREATE with an
+    identical DESCRIBE. Exercises the DDL parser boundary (quoting,
+    nested types, nullability, transforms)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    types = st.sampled_from(
+        [
+            "BIGINT", "INT", "SMALLINT", "DOUBLE", "FLOAT", "BOOLEAN",
+            "STRING", "DATE", "TIMESTAMP", "BINARY", "DECIMAL(12,3)",
+            "ARRAY<BIGINT>", "MAP<STRING, DOUBLE>",
+            "STRUCT<a: BIGINT, b: STRING>",
+        ]
+    )
+    names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+    cols = st.lists(
+        st.tuples(names, types, st.booleans()),
+        min_size=1, max_size=6,
+        unique_by=lambda c: c[0],
+    )
+    counter = [0]
+
+    @settings(max_examples=20, deadline=None)
+    @given(cols)
+    def roundtrip(cs):
+        counter[0] += 1
+        name = f"prop_t{counter[0]}"
+        col_src = ", ".join(
+            f"{n} {t}" + ("" if nullable else " NOT NULL")
+            for n, t, nullable in cs
+        )
+        cat.sql(spark, f"CREATE TABLE {name} ({col_src})")
+        d1 = {
+            (r["col_name"], r["data_type"], r["nullable"])
+            for r in cat.sql(spark, f"DESCRIBE {name}").collect()
+        }
+        assert len(d1) == len(cs)
+        ddl = cat.sql(spark, f"SHOW CREATE TABLE {name}").collect()[0][0]
+        copy = f"{name}_c"
+        cat.sql(spark, ddl.replace(f"CREATE TABLE {name} ", f"CREATE TABLE {copy} ", 1))
+        d2 = {
+            (r["col_name"], r["data_type"], r["nullable"])
+            for r in cat.sql(spark, f"DESCRIBE {copy}").collect()
+        }
+        assert d1 == d2
+
+    roundtrip()
