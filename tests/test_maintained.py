@@ -705,3 +705,77 @@ def test_topk_realtime_read_plans_without_spark_jobs(spark, cat):
         cat.table("events").scan(spark), "k", ["ts", "v"], 3
     ).select(rt2.columns)
     assert rt2.exceptAll(rec2).isEmpty() and rec2.exceptAll(rt2).isEmpty()
+
+
+def test_read_realtime_random_churn_schedules(spark, cat):
+    """Read-side chaos (round 11): under a seeded random schedule of
+    appends, MOR equality deletes, and occasional refreshes, BOTH
+    realtime read kinds — the agg signed-tail merge and the top-k
+    bounded touched-key merge — equal a from-scratch recompute after
+    EVERY step, without a single repair write. Exercises the
+    metadata-only insert-only decision, the bounded delete path, and
+    tail windows that mix both directions."""
+    import random
+
+    from java_iceberg_table_spark.table.maintained import read_realtime
+
+    create_maintained_topk(
+        cat, spark, "top_events", "events", "k", ["ts", "v"], 3
+    )
+    create_maintained_agg(cat, spark, "sums", "events", "k", "v")
+    rng = random.Random(23)
+
+    def recompute_agg(rt_cols):
+        return (
+            cat.table("events").scan(spark)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sv"))
+            .select(rt_cols)
+        )
+
+    def both_exact() -> None:
+        rt_t = read_realtime(cat, spark, "top_events")
+        rec_t = topk_frame(
+            cat.table("events").scan(spark), "k", ["ts", "v"], 3
+        ).select(rt_t.columns)
+        assert rt_t.exceptAll(rec_t).isEmpty()
+        assert rec_t.exceptAll(rt_t).isEmpty()
+        rt_a = read_realtime(cat, spark, "sums")
+        rec_a = recompute_agg(rt_a.columns)
+        assert rt_a.exceptAll(rec_a).isEmpty()
+        assert rec_a.exceptAll(rt_a).isEmpty()
+
+    next_ts = 10_000
+    for step in range(8):
+        src = cat.table("events")
+        action = rng.choice(["append", "delete", "mixed", "refresh"])
+        if action in ("append", "mixed"):
+            rows = [
+                (rng.randrange(7), rng.randrange(50), next_ts + i)
+                for i in range(rng.randrange(1, 6))
+            ]
+            next_ts += 10
+            src.append(
+                spark.createDataFrame(rows, "k long, v long, ts long")
+            )
+        if action in ("delete", "mixed"):
+            live_ts = [
+                r["ts"]
+                for r in src.scan(spark).select("ts").limit(50).collect()
+            ]
+            if live_ts:
+                victims = rng.sample(live_ts, min(2, len(live_ts)))
+                src.delete_eq_mor(
+                    spark,
+                    spark.createDataFrame([(t,) for t in victims], "ts long"),
+                    ["ts"],
+                )
+        cat._commit_pins({"events": src.metadata.current_snapshot_id})
+        if action == "refresh":
+            refresh_maintained(cat, spark, "top_events")
+            refresh_maintained(cat, spark, "sums")
+        both_exact()
+    # a final refresh catches both views up; reads become plain scans
+    refresh_maintained(cat, spark, "top_events")
+    refresh_maintained(cat, spark, "sums")
+    both_exact()
