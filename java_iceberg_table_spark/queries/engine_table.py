@@ -3788,3 +3788,124 @@ def a4y_engine_sql_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         spark.catalog.dropTempView("a4y_orders_src")
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a4z_engine_extrema_view",
+    oracle="""
+WITH final AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 10 <> 1
+),
+agg AS (
+  SELECT o_custkey, MIN(cents) AS mn, MAX(cents) AS mx
+  FROM final GROUP BY o_custkey
+)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(mn) AS BIGINT) AS sum_mn,
+       CAST(SUM(mx) AS BIGINT) AS sum_mx,
+       TRUE AS realtime_exact,
+       TRUE AS equals_recompute,
+       TRUE AS final_refresh_noop
+FROM agg
+""",
+    group="A",
+)
+def a4z_engine_extrema_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained MIN/MAX (extrema) view (round 11,
+    table/maintained.py): the third incrementally-maintainable fold
+    kind next to additive agg and top-k. Extrema are NOT self-inverse
+    — a delete can remove the current min/max — so the fold follows
+    the top-k discipline: inserts merge incrementally
+    (least/greatest against the view row, work sized by the delta's
+    key set), delete-touched keys recompute from SOURCE with the scan
+    runtime-filter-pruned to their files — O(tail) + O(touched-key
+    files), never O(source). Reachable from SQL as ``CREATE
+    MATERIALIZED VIEW v AS SELECT k, MIN(c) AS mn, MAX(c) AS mx FROM
+    t GROUP BY k``; ``read_realtime`` serves both window shapes (the
+    bounded merge under tail deletes). The scenario creates over a
+    prefix via SQL DDL, churns the source (append + MOR deletes that
+    HIT current extremes) without refreshing, grades the realtime
+    read against a from-scratch extrema recompute, refreshes, and
+    grades the materialized rows plus a final no-op refresh."""
+    from ..table import Catalog
+    from ..table.maintained import read_realtime, refresh_maintained
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    croot = tempfile.mkdtemp(prefix="engine_ext_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW cust_ext AS SELECT o_custkey, "
+            "MIN(cents) AS mn, MAX(cents) AS mx FROM orders_t "
+            "GROUP BY o_custkey",
+        )
+        # churn WITHOUT refresh: appends + a delete wave that removes
+        # rows across the value range (incl. current extremes)
+        src = cat.table("orders_t")
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        src = cat.table("orders_t")
+        src.delete_eq_mor(
+            spark,
+            orders.filter(F.col("o_orderkey") % 10 == 1)
+            .select("o_orderkey").distinct(),
+            ["o_orderkey"],
+        )
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        rec = (
+            cat.table("orders_t").scan(spark)
+            .groupBy("o_custkey")
+            .agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+            .persist()
+        )
+        rt = read_realtime(cat, spark, "cust_ext").persist()
+        realtime_exact = (
+            rt.exceptAll(rec.select(rt.columns)).isEmpty()
+            and rec.select(rt.columns).exceptAll(rt).isEmpty()
+        )
+        r = cat.sql(spark, "REFRESH MATERIALIZED VIEW cust_ext")
+        assert r["refreshed"] is True
+        mv = cat.read(spark, "cust_ext").persist()
+        equals_recompute = (
+            mv.exceptAll(rec.select(mv.columns)).isEmpty()
+            and rec.select(mv.columns).exceptAll(mv).isEmpty()
+        )
+        noop = (
+            refresh_maintained(cat, spark, "cust_ext")["refreshed"] is False
+        )
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("mn").alias("sum_mn"),
+            F.sum("mx").alias("sum_mx"),
+        ).collect()[0]
+        rt.unpersist()
+        rec.unpersist()
+        mv.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_keys"], row["sum_mn"], row["sum_mx"],
+                    realtime_exact, equals_recompute, noop,
+                )
+            ],
+            "n_keys bigint, sum_mn bigint, sum_mx bigint, "
+            "realtime_exact boolean, equals_recompute boolean, "
+            "final_refresh_noop boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

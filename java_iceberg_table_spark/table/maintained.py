@@ -212,6 +212,140 @@ def create_maintained_agg(
     return vt
 
 
+def create_maintained_extrema(
+    cat,
+    spark: SparkSession,
+    name: str,
+    source: str,
+    key: str,
+    value: str,
+) -> Table:
+    """Create a maintained per-key MIN/MAX view over catalog table
+    ``source``: columns ``(key, mn, mx)`` (round 11). Extrema are NOT
+    self-inverse — a delete may remove the current min/max — so the
+    fold follows the TOP-K discipline, not the additive one: inserts
+    fold incrementally (least/greatest against the view row), the
+    delete-touched keys recompute from source (runtime-filter-pruned
+    to their files). Refresh cost is O(tail) + O(touched-key files),
+    never O(source)."""
+    if key in ("mn", "mx"):
+        raise ValueError(
+            "maintained extrema view reserves columns ('mn', 'mx'); "
+            f"key {key!r} collides — alias the source column first"
+        )
+    src = cat.table(source)
+    init = _extrema_frame(src.scan(spark), key, value)
+    vt = cat.create_table(
+        name,
+        init.schema,
+        properties={
+            "mv.kind": "extrema",
+            "mv.source": source,
+            "mv.key": key,
+            "mv.value": value,
+            "write.sort.order": key,
+        },
+    )
+    cursor = src.metadata.current_snapshot_id
+    vt.append(init, extra_summary={"mv-source-cursor": int(cursor)})
+    cat._commit_pins({name: vt.metadata.current_snapshot_id})
+    return vt
+
+
+def _extrema_frame(src_df: DataFrame, key: str, value: str) -> DataFrame:
+    """Full per-key extrema of ``src_df`` — the view's initial build
+    and the per-touched-key recompute inside a fold."""
+    return src_df.groupBy(key).agg(
+        F.min(value).alias("mn"), F.max(value).alias("mx")
+    )
+
+
+def _extrema_fold(
+    spark: SparkSession,
+    vt: Table,
+    ins_agg: DataFrame,
+    key: str,
+    extra_summary: dict | None = None,
+    extra_summary_delete: dict | None = None,
+) -> dict:
+    """Fold an INSERT-ONLY per-key (mn, mx) delta into the extrema
+    view: least/greatest merge over (old view rows ∪ delta rows),
+    work sized by the delta's key set — the additive_refresh shape
+    with a different merge function (min/max are mergeable under
+    inserts; deletes never reach this fold — the caller rebuilds
+    their keys from source first)."""
+    from ..operators.topk_view import null_key_error
+
+    ins_agg = ins_agg.persist()
+    try:
+        touched = ins_agg.select(key).distinct().persist()
+        trow = touched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(key).isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        if trow["n"] == 0:
+            return {"touched_keys": 0, "view_rows_written": 0}
+        if trow["nulls"]:
+            raise null_key_error([key], "_extrema_fold")
+        scanned, info = vt.scan_runtime_filtered(spark, touched, key)
+        old = scanned.join(F.broadcast(touched), key, "left_semi")
+        merged = (
+            old.unionByName(ins_agg.select(old.columns))
+            .groupBy(key)
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .select(old.columns)
+        )
+        rows = merged.persist().count()
+        vt.delete_eq_mor(
+            spark, touched, [key], extra_summary=extra_summary_delete
+        )
+        vt.append(merged, extra_summary=extra_summary)
+        merged.unpersist()
+        touched.unpersist()
+        return {
+            "touched_keys": trow["n"],
+            "view_rows_written": rows,
+            "view_files_total": info["files_total"],
+            "view_files_scanned": info["files_scanned"],
+        }
+    finally:
+        ins_agg.unpersist()
+
+
+def _extrema_rebuild_keys(
+    spark: SparkSession,
+    vt: Table,
+    src_df: DataFrame,
+    keys_df: DataFrame,
+    key: str,
+    value: str,
+) -> dict:
+    """Recompute the extrema view for an explicit key set from SOURCE
+    — the delete-path escape hatch, idempotent on replay (like
+    topk_view.rebuild_keys: unstamped, recomputes from head state).
+    Keys whose every source row was deleted leave the view."""
+    from ..operators.topk_view import null_key_error
+
+    keys = keys_df.select(key).distinct().persist()
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(key).isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    if krow["n"] == 0:
+        return {"touched_keys": 0, "view_rows_written": 0}
+    if krow["nulls"]:
+        raise null_key_error([key], "_extrema_rebuild_keys")
+    new_rows = _extrema_frame(
+        src_df.join(F.broadcast(keys), key, "left_semi"), key, value
+    )
+    rows = new_rows.persist().count()
+    vt.delete_eq_mor(spark, keys, [key])
+    vt.append(new_rows.select([f.name for f in vt.schema().fields]))
+    new_rows.unpersist()
+    keys.unpersist()
+    return {"touched_keys": krow["n"], "view_rows_written": rows}
+
+
 def _recompute_frame(
     spark: SparkSession, src: Table, props: dict, view_schema
 ) -> DataFrame:
@@ -235,6 +369,8 @@ def _recompute_frame(
             )
             .withColumnRenamed("key", key)
         )
+    if props["mv.kind"] == "extrema":
+        return _extrema_frame(src_df, key, props["mv.value"])
     if "mv.columns" in props:
         src_df = src_df.select(props["mv.columns"].split(","))
     return topk_frame(src_df, key, props["mv.order"].split(","), int(props["mv.k"]))
@@ -274,7 +410,7 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
     vt = cat.table(name)
     props = vt.metadata.properties
     kind = props.get("mv.kind")
-    if kind not in ("topk", "agg"):
+    if kind not in ("topk", "agg", "extrema"):
         raise ValueError(f"{name!r} is not a maintained view (mv.kind absent)")
     source = props["mv.source"]
     key = props["mv.key"]
@@ -346,6 +482,36 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
                 extra_summary=stamp, extra_summary_delete=del_stamp,
                 drop_when_zero="cnt",
             )
+        elif kind == "extrema":
+            value = props["mv.value"]
+            deletes = cdc.filter(F.col("_change_type") == "delete")
+            inserts = cdc.filter(F.col("_change_type") == "insert")
+            ins_agg = _extrema_frame(inserts, key, value)
+            del_keys = deletes.select(key).distinct().persist()
+            n_del = del_keys.count()
+            if n_del:
+                # delete-touched keys rebuild from SOURCE (a delete
+                # can remove the current min/max); insert-only keys
+                # fold incrementally, stamping the cursor
+                stats = _extrema_rebuild_keys(
+                    spark, vt, src.scan(spark), del_keys, key, value
+                )
+                ins_agg = ins_agg.join(del_keys, key, "left_anti")
+                s2 = _extrema_fold(
+                    spark, vt, ins_agg, key,
+                    extra_summary=stamp, extra_summary_delete=del_stamp,
+                )
+                stats = {
+                    "touched_keys": stats["touched_keys"] + s2["touched_keys"],
+                    "view_rows_written": stats["view_rows_written"]
+                    + s2["view_rows_written"],
+                }
+            else:
+                stats = _extrema_fold(
+                    spark, vt, ins_agg, key,
+                    extra_summary=stamp, extra_summary_delete=del_stamp,
+                )
+            del_keys.unpersist()
         else:
             order_cols = props["mv.order"].split(",")
             k = int(props["mv.k"])
@@ -444,7 +610,7 @@ def read_realtime(
     vt = cat.table(name)
     props = vt.metadata.properties
     kind = props.get("mv.kind")
-    if kind not in ("agg", "topk"):
+    if kind not in ("agg", "topk", "extrema"):
         raise ValueError(
             f"{name!r} is not a maintained view (mv.kind absent)"
         )
@@ -535,6 +701,49 @@ def read_realtime(
             untouched_top.select(view_df.columns)
             .unionByName(touched_top.select(view_df.columns))
         )
+    if kind == "extrema":
+        value = props["mv.value"]
+        cols = list(view_df.columns)
+        if _insert_only_window(src, cursor, head):
+            # least/greatest merge of (view rows ∪ tail-insert agg) —
+            # min/max are mergeable under inserts
+            cdc = src.changes_between(spark, cursor)
+            tail = _extrema_frame(
+                cdc.filter(F.col("_change_type") == "insert"), key, value
+            )
+            return (
+                view_df.unionByName(tail.select(cols))
+                .groupBy(key)
+                .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+                .select(cols)
+            )
+        # tail WITH deletes: bounded merge, exactly the top-k shape —
+        # delete-touched keys recompute from source (runtime-filter-
+        # pruned), untouched keys merge as insert-only
+        cdc = src.changes_between(spark, cursor).persist()
+        del_keys = (
+            cdc.filter(F.col("_change_type") == "delete")
+            .select(key)
+            .distinct()
+            .persist()
+        )
+        touched_src, _info = src.scan_runtime_filtered(spark, del_keys, key)
+        touched = _extrema_frame(
+            touched_src.join(F.broadcast(del_keys), key, "left_semi"),
+            key, value,
+        )
+        tail = _extrema_frame(
+            cdc.filter(F.col("_change_type") == "insert")
+            .join(F.broadcast(del_keys), key, "left_anti"),
+            key, value,
+        )
+        untouched = (
+            view_df.join(F.broadcast(del_keys), key, "left_anti")
+            .unionByName(tail.select(cols))
+            .groupBy(key)
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        )
+        return untouched.select(cols).unionByName(touched.select(cols))
     cdc = src.changes_between(spark, cursor)
     values, measures = _agg_measures(props)
     casts = _view_measure_casts(vt.schema(), measures)
@@ -567,7 +776,7 @@ def list_maintained(cat) -> dict[str, dict]:
     out = {}
     for name in cat.list_tables():
         props = cat.table(name).metadata.properties
-        if props.get("mv.kind") in ("topk", "agg"):
+        if props.get("mv.kind") in ("topk", "agg", "extrema"):
             out[name] = props
     return out
 

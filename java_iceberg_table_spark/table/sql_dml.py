@@ -23,6 +23,8 @@ an existing engine operation, and anything else raises
   CREATE MATERIALIZED VIEW v AS
     SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
     (or several sums, each aliased sv_<col>)
+  CREATE MATERIALIZED VIEW v AS               -- extrema fold (round 11)
+    SELECT k, MIN(col) AS mn, MAX(col) AS mx FROM t GROUP BY k
   CREATE MATERIALIZED VIEW v AS               -- top-k fold
     SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
       ORDER BY c1[, c2...]) AS rn FROM t) WHERE rn <= N
@@ -275,6 +277,14 @@ _CREATE_MATVIEW_TOPK = re.compile(
     r"FROM\s+([A-Za-z_]\w*)\s*\)\s+WHERE\s+rn\s*<=\s*(\d+)$",
     re.I | re.S,
 )
+_CREATE_MATVIEW_EXTREMA = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+"
+    r"SELECT\s+([A-Za-z_]\w*)\s*,\s*"
+    r"MIN\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+mn\s*,\s*"
+    r"MAX\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+mx\s+"
+    r"FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+([A-Za-z_]\w*)$",
+    re.I | re.S,
+)
 _MATVIEW_HEAD = re.compile(r"^CREATE\s+MATERIALIZED\s+VIEW\b", re.I)
 _REFRESH_MV = re.compile(
     r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)$", re.I
@@ -473,17 +483,45 @@ def run_dml(
                 "kind": "topk",
                 "snapshot_id": vt.metadata.current_snapshot_id,
             }
+        me = _CREATE_MATVIEW_EXTREMA.match(sql)
+        if me:
+            name, key, mn_col, mx_col, source, group_key = me.groups()
+            if key.lower() != group_key.lower():
+                raise UnsupportedSQL(
+                    f"maintained view key must equal the GROUP BY column "
+                    f"(got SELECT {key} ... GROUP BY {group_key})"
+                )
+            if mn_col.lower() != mx_col.lower():
+                raise UnsupportedSQL(
+                    "maintained extrema view takes MIN and MAX of the "
+                    f"SAME column (got MIN({mn_col}), MAX({mx_col})) — "
+                    "create one view per column"
+                )
+            from .maintained import create_maintained_extrema
+
+            vt = create_maintained_extrema(
+                catalog, spark, name, source, key, mn_col
+            )
+            return {
+                "statement": "create_materialized_view",
+                "view": name,
+                "source": source,
+                "kind": "extrema",
+                "snapshot_id": vt.metadata.current_snapshot_id,
+            }
         m = _CREATE_MATVIEW.match(sql)
         if not m:
             raise UnsupportedSQL(
-                "CREATE MATERIALIZED VIEW accepts exactly the two "
+                "CREATE MATERIALIZED VIEW accepts exactly the three "
                 "incrementally-maintainable shapes: the agg — SELECT "
                 "<key>, COUNT(*) AS cnt, SUM(<col>) AS sv FROM <table> "
                 "GROUP BY <key> (measures NAMED cnt/sv, or sv_<col> "
-                "each for several sums) — and the top-k ROW_NUMBER "
-                "idiom — SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
-                "(PARTITION BY k ORDER BY c1[, c2]) AS rn FROM t) "
-                "WHERE rn <= N"
+                "each for several sums) — the extrema — SELECT <key>, "
+                "MIN(<col>) AS mn, MAX(<col>) AS mx FROM <table> GROUP "
+                "BY <key> (deletes rebuild only the touched keys from "
+                "source) — and the top-k ROW_NUMBER idiom — SELECT * "
+                "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k "
+                "ORDER BY c1[, c2]) AS rn FROM t) WHERE rn <= N"
             )
         name, key, sums, source, group_key = m.groups()
         if key.lower() != group_key.lower():

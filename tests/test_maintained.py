@@ -779,3 +779,128 @@ def test_read_realtime_random_churn_schedules(spark, cat):
     refresh_maintained(cat, spark, "top_events")
     refresh_maintained(cat, spark, "sums")
     both_exact()
+
+
+def test_maintained_extrema_lifecycle(spark, cat):
+    """MIN/MAX maintained view (round 11): inserts fold incrementally
+    (least/greatest), deletes rebuild only the touched keys from
+    source; keys whose every row is deleted leave the view; realtime
+    reads merge exactly in both window shapes."""
+    from java_iceberg_table_spark.table.maintained import (
+        create_maintained_extrema,
+        read_realtime,
+    )
+
+    create_maintained_extrema(cat, spark, "ext", "events", "k", "v")
+
+    def equals_recompute() -> bool:
+        mv = cat.table("ext").scan(spark).select("k", "mn", "mx")
+        rec = (
+            cat.table("events").scan(spark)
+            .groupBy("k")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        )
+        return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+    def rt_equals() -> bool:
+        rt = read_realtime(cat, spark, "ext")
+        rec = (
+            cat.table("events").scan(spark)
+            .groupBy("k")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .select(rt.columns)
+        )
+        return rt.exceptAll(rec).isEmpty() and rec.exceptAll(rt).isEmpty()
+
+    assert equals_recompute()
+    # no-op refresh
+    assert refresh_maintained(cat, spark, "ext")["refreshed"] is False
+    # insert-only fold: new max for key 1, new key 9
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame(
+            [(1, 500, 100), (9, -7, 101)], "k long, v long, ts long"
+        )
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert rt_equals()  # realtime merge before any refresh
+    res = refresh_maintained(cat, spark, "ext")
+    assert res["refreshed"] and res["touched_keys"] == 2
+    assert equals_recompute()
+    row = {r["k"]: (r["mn"], r["mx"]) for r in
+           cat.table("ext").scan(spark).collect()}
+    assert row[1][1] == 500 and row[9] == (-7, -7)
+    # delete the current MAX of key 1: touched-key rebuild demotes it
+    src = cat.table("events")
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(100,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert rt_equals()  # bounded realtime merge under the tail delete
+    assert refresh_maintained(cat, spark, "ext")["refreshed"]
+    assert equals_recompute()
+    row = {r["k"]: r["mx"] for r in cat.table("ext").scan(spark).collect()}
+    assert row[1] != 500
+    # a key fully deleted leaves the view
+    src = cat.table("events")
+    src.delete_eq_mor(
+        spark, spark.createDataFrame([(101,)], "ts long"), ["ts"]
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    assert rt_equals()
+    assert refresh_maintained(cat, spark, "ext")["refreshed"]
+    assert equals_recompute()
+    assert cat.table("ext").scan(spark).filter(F.col("k") == 9).count() == 0
+    # caught up: realtime is a plain scan; second refresh no-ops
+    assert rt_equals()
+    assert refresh_maintained(cat, spark, "ext")["refreshed"] is False
+
+
+def test_extrema_sql_ddl(spark, cat):
+    """CREATE MATERIALIZED VIEW extrema shape through Catalog.sql;
+    wrong shapes refuse loudly."""
+    from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
+
+    res = cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW ext AS "
+        "SELECT k, MIN(v) AS mn, MAX(v) AS mx FROM events GROUP BY k",
+    )
+    assert res["statement"] == "create_materialized_view"
+    assert res["kind"] == "extrema"
+    src = cat.table("events")
+    src.append(
+        spark.createDataFrame([(0, 999, 200)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW ext")
+    got = {r["k"]: r["mx"] for r in cat.read(spark, "ext").collect()}
+    assert got[0] == 999
+    # realtime hint serves the extrema view too
+    src.append(
+        spark.createDataFrame([(0, 2000, 201)], "k long, v long, ts long")
+    )
+    cat._commit_pins({"events": src.metadata.current_snapshot_id})
+    rt = cat.sql(
+        spark, "SELECT /*+ REALTIME */ mx FROM ext WHERE k = 0"
+    ).collect()[0]["mx"]
+    assert rt == 2000
+    mvs = {r["view_name"]: r["kind"] for r in
+           cat.sql(spark, "SHOW MATERIALIZED VIEWS").collect()}
+    assert mvs["ext"] == "extrema"
+    for bad in (
+        # different columns in MIN and MAX
+        "CREATE MATERIALIZED VIEW e2 AS "
+        "SELECT k, MIN(v) AS mn, MAX(ts) AS mx FROM events GROUP BY k",
+        # wrong aliases
+        "CREATE MATERIALIZED VIEW e2 AS "
+        "SELECT k, MIN(v) AS lo, MAX(v) AS hi FROM events GROUP BY k",
+        # MAX-only stays out of grammar
+        "CREATE MATERIALIZED VIEW e2 AS "
+        "SELECT k, MAX(v) AS mx FROM events GROUP BY k",
+        # key != GROUP BY
+        "CREATE MATERIALIZED VIEW e2 AS "
+        "SELECT k, MIN(v) AS mn, MAX(v) AS mx FROM events GROUP BY ts",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            cat.sql(spark, bad)
