@@ -191,6 +191,7 @@ _DEFER_PAST_WINDOW = [
     "a4x_engine_sql_insert_overwrite",
     "a4y_engine_sql_create_ddl",
     "a4z_engine_extrema_view",
+    "i31_streaming_extrema_view",
 ]
 
 # Round-11 notes on changed-machinery rows deliberately NOT canaried

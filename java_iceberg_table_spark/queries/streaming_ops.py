@@ -2104,3 +2104,122 @@ def i30_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@register(
+    "i31_streaming_extrema_view",
+    oracle="""
+WITH final AS (SELECT user_id, event_id FROM events),
+agg AS (
+  SELECT user_id, MIN(event_id) AS mn, MAX(event_id) AS mx
+  FROM final GROUP BY user_id
+)
+SELECT COUNT(*)::BIGINT AS n_users,
+       CAST(SUM(mn) AS BIGINT) AS sum_mn,
+       CAST(SUM(mx) AS BIGINT) AS sum_mx,
+       TRUE AS equals_recompute,
+       CAST(1 AS BIGINT) AS delete_refused
+FROM agg
+""",
+    group="I",
+)
+def i31_streaming_extrema_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained MIN/MAX view (round 11): source appends
+    drive ``streaming/jobs.py extrema_view_sink`` — each micro-batch
+    folds a least/greatest merge against the touched keys' view rows,
+    work sized by the batch, under the same idempotence protocol as
+    the other sinks (commit-atomic batch stamps, live-lineage
+    watermark, crash-window rollback). INSERT-ONLY contract like the
+    top-k sink: extrema are not self-inverse, so a CDC batch carrying
+    deletes REFUSES loudly (the query fails rather than silently
+    serving a wrong min/max) — delete-bearing feeds route through the
+    catalog refresh path, which rebuilds only the touched keys from
+    source (a4z). equals_recompute grades the view against a
+    from-scratch extrema aggregate after two append waves; a
+    delete-bearing probe batch proves the loud refusal."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import extrema_view_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = tempfile.mkdtemp(prefix="stream_ext_")
+    src_root, view_root = base + "/src", base + "/view"
+    src = _ct(src_root, ev.schema)
+    _ct(
+        view_root,
+        spark.createDataFrame([], "user_id long, mn long, mx long").schema,
+    )
+    fold = extrema_view_sink(view_root, "user_id", "event_id", stream_id="i31")
+
+    def drain(ckpt: str):
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for i in range(2):
+            src.append(ev.filter(F.col("event_id") % 2 == i))
+            drain(base + "/ckpt")
+        vt = _open(view_root)
+        mv = vt.scan(spark).persist()
+        rec = (
+            src.scan(spark)
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+            .select(mv.columns)
+            .persist()
+        )
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mn").alias("sum_mn"),
+            F.sum("mx").alias("sum_mx"),
+        ).collect()[0]
+        # a delete-bearing batch must REFUSE (insert-only contract:
+        # extrema are not self-inverse). Probed by invoking the fold
+        # directly with a CDC frame carrying a delete row — the same
+        # call foreachBatch would make, without paying two more
+        # availableNow triggers; in a live stream the ValueError
+        # fails the query loudly.
+        fold2 = extrema_view_sink(
+            view_root, "user_id", "event_id", stream_id="i31b"
+        )
+        probe = ev.limit(2).withColumn(
+            "_change_type",
+            F.when(F.col("event_id") % 2 == 0, F.lit("delete")).otherwise(
+                F.lit("insert")
+            ),
+        )
+        refused = 0
+        try:
+            fold2(probe, 0)
+        except ValueError:
+            refused = 1
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_users"], row["sum_mn"], row["sum_mx"],
+                    equal, refused,
+                )
+            ],
+            "n_users bigint, sum_mn bigint, sum_mx bigint, "
+            "equals_recompute boolean, delete_refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

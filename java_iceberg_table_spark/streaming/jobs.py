@@ -1036,6 +1036,113 @@ def agg_view_sink(
     return fold
 
 
+def extrema_view_sink(
+    view_root: str,
+    key_col: str,
+    value_col: str,
+    stream_id: str = "extrema",
+):
+    """Streaming maintenance of a per-key MIN/MAX view ``(key, mn,
+    mx)`` (round 11 — the streaming face of
+    ``table/maintained.py create_maintained_extrema``): each
+    micro-batch of source APPENDS folds with a least/greatest merge
+    against the touched keys' view rows, work sized by the batch.
+
+    INSERT-ONLY contract, exactly ``topk_view_sink``'s: extrema are
+    not self-inverse, so a CDC batch carrying deletes is refused
+    loudly — a delete can remove the current min/max, which needs a
+    touched-key rebuild against SOURCE data (the catalog refresh path
+    ``refresh_maintained`` does exactly that; route delete-bearing
+    feeds there). Idempotence is the mv fold's discipline: delete
+    commit stamps ``mv-batch-del``, append stamps ``mv-batch-id``,
+    watermark/crash markers read the LIVE lineage only, replays
+    at/below the watermark skip, a half-applied delete rolls back."""
+    from pyspark.sql import functions as F
+
+    from ..operators.topk_view import refuse_null_keys
+    from ..table import load_table as _open
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vt = _open(view_root)
+        applied = -1
+        partial_del = None
+        live = _live_lineage(vt.metadata)
+        for s in vt.metadata.snapshots:
+            if s.summary.get("mv-stream-id", "default") != stream_id:
+                continue
+            if s.snapshot_id not in live:
+                continue
+            bid = s.summary.get("mv-batch-id")
+            if bid is not None:
+                applied = max(applied, int(bid))
+            if s.summary.get("mv-batch-del") == int(batch_id):
+                partial_del = s
+        if batch_id <= applied:
+            return  # replayed epoch: already fully folded
+        if "_change_type" in batch_df.columns:
+            if not batch_df.filter(
+                F.col("_change_type") != "insert"
+            ).isEmpty():
+                raise ValueError(
+                    "extrema_view_sink folds INSERT-ONLY feeds: a "
+                    "delete can remove the current min/max, which "
+                    "needs a touched-key rebuild against source — "
+                    "run refresh_maintained for delete-bearing feeds"
+                )
+        batch_df = batch_df.persist()
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            batch_df.rdd.getNumPartitions(),
+        )
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            if batch_df.isEmpty():
+                return  # idle trigger: skip without stamping
+            if partial_del is not None:
+                vt.rollback_to(partial_del.parent_id)
+                vt = _open(view_root)
+            delta = batch_df.groupBy(key_col).agg(
+                F.min(value_col).alias("mn"),
+                F.max(value_col).alias("mx"),
+            ).persist()
+            refuse_null_keys(delta, [key_col], "extrema_view_sink")
+            cur, _info = vt.scan_runtime_filtered(spark, delta, key_col)
+            old = cur.join(
+                F.broadcast(delta.select(key_col)), key_col, "left_semi"
+            )
+            merged = (
+                old.unionByName(delta.select(old.columns))
+                .groupBy(key_col)
+                .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+                .select(old.columns)
+                .persist()
+            )
+            touched = merged.select(key_col)
+            vt.delete_eq_mor(
+                spark, touched, [key_col],
+                extra_summary={
+                    "mv-batch-del": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+            )
+            vt.append(
+                merged,
+                extra_summary={
+                    "mv-batch-id": int(batch_id),
+                    "mv-stream-id": stream_id,
+                },
+            )
+            merged.unpersist()
+            delta.unpersist()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+            batch_df.unpersist()
+
+    return fold
+
+
 SCD2_OPEN = 1 << 62  # sentinel valid_to of the OPEN (current) version
 
 
