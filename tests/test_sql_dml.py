@@ -948,7 +948,7 @@ def test_topk_materialized_view_sql(spark, cat):
         "ROW_NUMBER() OVER (PARTITION BY v ORDER BY qty) AS rn "
         "FROM t) WHERE rn < 2",
     ):
-        with pytest.raises(UnsupportedSQL, match="two"):
+        with pytest.raises(UnsupportedSQL, match="maintainable shapes"):
             cat.sql(spark, bad)
 
 
