@@ -194,6 +194,21 @@ _DEFER_PAST_WINDOW = [
     "i31_streaming_extrema_view",
 ]
 
+# ROUND-12 NOTES (for the next session):
+# - The 5 _DEFER_PAST_WINDOW rows (a4w/a4x/a4y/a4z/i31) self-expire
+#   into the r12 window head once CORRECTNESS_r11.json lands; they are
+#   locally green (CORRECTNESS_LOCAL_DEFERRED_r11.json).
+# - Canary candidates: every r11-window row is graded on END-of-round
+#   code (the driver grades after the round), so no post-grading drift
+#   exists from round 11 itself. Pick canaries from whatever machinery
+#   ROUND 12 changes; if maintained.py moves again, a4u or i29 covers
+#   the agg realtime/fold path and a4z the extrema path.
+# - Stale drain: after r11 the oldest cohort should be r5 (~30 rows);
+#   continue stalest-first until no cohort is older than r7.
+# - h6b_minhash_lsh_near_dup changed THIS round (rep-graph persists,
+#   4x faster at sf1) but its OUTPUT is value-identical (re-proven vs
+#   oracle at sf0.01); its regrade rides the staleness rotation.
+
 # Round-11 notes on changed-machinery rows deliberately NOT canaried
 # (each locally re-driven green against its oracle this round, driver
 # regrade rides staleness rotation or the never-graded head):
