@@ -29,6 +29,7 @@ an existing engine operation, and anything else raises
     SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
       ORDER BY c1[, c2...]) AS rn FROM t) WHERE rn <= N
   REFRESH MATERIALIZED VIEW v | REFRESH ALL MATERIALIZED VIEWS
+  DROP MATERIALIZED VIEW v [PURGE]
   INSERT INTO t VALUES (lit, ...)[, (...)]  -- full-schema literal rows
   INSERT INTO t SELECT ... | WITH ...       -- append a query's rows
   INSERT INTO t (c1[, c2...]) VALUES ... | SELECT ...
@@ -290,6 +291,9 @@ _REFRESH_MV = re.compile(
     r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)$", re.I
 )
 _REFRESH_ALL_MV = re.compile(r"^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS$", re.I)
+_DROP_MV = re.compile(
+    r"^DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)(\s+PURGE)?$", re.I
+)
 # Maintenance verbs (the Iceberg/Delta spellings users type): OPTIMIZE
 # runs the table's full policy-driven maintenance pass (fold pending
 # MOR deletes -> bin-pack small files -> orphan GC — Table.maintain);
@@ -580,6 +584,31 @@ def run_dml(
             "statement": "refresh_materialized_view",
             "view": m.group(1),
             **res,
+        }
+
+    m = _DROP_MV.match(sql)
+    if m:
+        # maintained views ARE engine tables, but DROP TABLE on one
+        # would be surprising in the other direction — this verb
+        # checks the object really is a maintained view (mv.kind) and
+        # refuses for plain tables, the mirror of DROP TABLE refusing
+        # is not needed there (tables are the general case). Another
+        # view may still SOURCE the dropped one: refresh_all will then
+        # fail loudly on the missing source — same contract as
+        # dropping a table out from under a dependent catalog view.
+        if catalog is None:
+            raise UnsupportedSQL("DROP MATERIALIZED VIEW needs a catalog")
+        name, purge = m.groups()
+        props = catalog.table(name).metadata.properties
+        if props.get("mv.kind") not in ("topk", "agg", "extrema"):
+            raise UnsupportedSQL(
+                f"{name!r} is not a maintained view — use DROP TABLE"
+            )
+        catalog.drop_table(name, purge=bool(purge))
+        return {
+            "statement": "drop_materialized_view",
+            "view": name,
+            "purged": bool(purge),
         }
 
     if _REFRESH_ALL_MV.match(sql):

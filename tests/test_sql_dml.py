@@ -1419,3 +1419,27 @@ def test_create_table_ddl_roundtrip_property(spark, cat):
         assert d1 == d2
 
     roundtrip()
+
+
+def test_drop_materialized_view(spark, cat):
+    """DROP MATERIALIZED VIEW (round 11): drops only objects that ARE
+    maintained views (plain tables refuse with a pointer to DROP
+    TABLE); PURGE composes; refresh of the dropped name is loud."""
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW sums AS "
+        "SELECT v, COUNT(*) AS cnt, SUM(qty) AS sv FROM t GROUP BY v",
+    )
+    assert "sums" in [
+        r["view_name"]
+        for r in cat.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+    ]
+    res = cat.sql(spark, "DROP MATERIALIZED VIEW sums")
+    assert res["statement"] == "drop_materialized_view"
+    assert cat.sql(spark, "SHOW MATERIALIZED VIEWS").count() == 0
+    with pytest.raises(KeyError):
+        cat.sql(spark, "REFRESH MATERIALIZED VIEW sums")
+    # a plain table is not a materialized view
+    with pytest.raises(UnsupportedSQL, match="DROP TABLE"):
+        cat.sql(spark, "DROP MATERIALIZED VIEW t")
+    assert cat.read(spark, "t").count() == 10  # untouched
