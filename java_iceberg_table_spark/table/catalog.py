@@ -130,6 +130,41 @@ def _cat_try_commit(root: str, state: CatalogState) -> None:
     os.rename(htmp, hint)
 
 
+def _from_join_identifiers(statement: str) -> set[str]:
+    """Lower-cased relation names a SELECT statement READS: the
+    identifiers following FROM / JOIN (plus comma-join continuations),
+    with string literals stripped first so a name mentioned inside
+    '...' never counts. Deliberately a read-SET approximation, not a
+    parser — used to decide which maintained views the /*+ REALTIME */
+    hint must (eagerly, strictly) register: overmatching here turns a
+    harmless mention of a stale view into a spurious refusal, so only
+    plausibly-read names qualify. A subquery after FROM contributes
+    nothing at its paren (its inner FROM matches on its own)."""
+    import re as _re
+
+    s = _re.sub(r"'(?:[^']|'')*'", "''", statement)
+    out: set[str] = set()
+    # each comma-separated element is "relation [AS] [alias]" — the
+    # FIRST token is the relation. The alias slot must NOT swallow a
+    # clause keyword: "FROM t JOIN u" with an unguarded alias eats
+    # JOIN as t's alias and never sees u — a missed read, the one
+    # failure mode this helper must not have.
+    kw = (
+        r"JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|INNER|FULL|CROSS|"
+        r"UNION|INTERSECT|EXCEPT|LIMIT|HAVING|FOR|VERSION|USING|"
+        r"NATURAL|SEMI|ANTI|LATERAL|WINDOW|QUALIFY|AS"
+    )
+    elem = (
+        rf"[A-Za-z_]\w*(?:\s+(?:AS\s+)?(?!(?:{kw})\b)[A-Za-z_]\w*)?"
+    )
+    for m in _re.finditer(
+        rf"\b(?:FROM|JOIN)\s+({elem}(?:\s*,\s*{elem})*)", s, _re.I
+    ):
+        for part in m.group(1).split(","):
+            out.add(part.split()[0].lower())
+    return out
+
+
 def _later_of(tbl: Table, a: int | None, b: int | None) -> int | None:
     """The commit-order-later of two snapshot ids of one table. Used
     so a catalog retry only ever moves a pin FORWARD — setting a pin
@@ -471,10 +506,11 @@ class Catalog:
             # read is cross-table consistent at that past publish
             # (the SQL face of state_at/register_views(state=...) and
             # of the connector's catalog_version option, a4q).
-            # Per-table VERSION AS OF is deliberately absent: mixing
+            # Per-table [FOR] VERSION AS OF exists (round 12) but ONLY
+            # for statements that read ONE catalog relation: mixing
             # per-table vintages forfeits the cross-table guarantee
-            # this catalog exists to give; read one table's history
-            # through Table.scan(snapshot_id=...).
+            # this catalog exists to give, so multi-table statements
+            # refuse with a pointer at CATALOG_VERSION.
             tt = _re.search(
                 r"/\*\+\s*CATALOG_VERSION\s*\(\s*(\d+)\s*\)\s*\*/",
                 statement,
@@ -491,32 +527,109 @@ class Catalog:
                     "pins the past, the other reads ahead of the pins — "
                     "pick one"
                 )
+            # FROM t [FOR] VERSION AS OF <snapshot-id> (round 12):
+            # per-TABLE time travel (Iceberg's VERSION AS OF — the id
+            # is a SNAPSHOT id, the SQL face of Table.scan(snapshot_id)
+            # that a3z/a3n use API-side). Single-table statements only:
+            # the clause pins ONE relation's history, so any statement
+            # whose read set holds another catalog relation refuses —
+            # the cross-table-consistent form is CATALOG_VERSION.
+            vats = list(
+                _re.finditer(
+                    r"\b(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+                    statement,
+                    _re.I,
+                )
+            )
+            if vats:
+                from .sql_dml import UnsupportedSQL
+
+                if tt is not None or rt_hint is not None:
+                    raise UnsupportedSQL(
+                        "VERSION AS OF cannot combine with the "
+                        "CATALOG_VERSION or REALTIME hints: each pins a "
+                        "different notion of 'when' — pick one"
+                    )
+                if len(vats) > 1:
+                    raise UnsupportedSQL(
+                        "one VERSION AS OF clause per statement: the "
+                        "single-table contract leaves nothing for a "
+                        "second clause to pin"
+                    )
+                fm = _re.search(
+                    r"\bFROM\s+([A-Za-z_]\w*)\s+"
+                    r"(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+                    statement,
+                    _re.I,
+                )
+                if fm is None:
+                    raise UnsupportedSQL(
+                        "VERSION AS OF attaches to a FROM <table> "
+                        "reference: SELECT ... FROM t [FOR] VERSION "
+                        "AS OF <snapshot-id> ..."
+                    )
+                tname, snap = fm.group(1), int(fm.group(2))
+                stripped = (
+                    statement[: fm.end(1)] + " " + statement[fm.end() :]
+                )
+                st = self.state()
+                views_l = {v.lower() for v in st.views}
+                if tname.lower() in views_l:
+                    raise UnsupportedSQL(
+                        f"VERSION AS OF targets a TABLE's snapshot "
+                        f"history; {tname!r} is a view — views "
+                        "time-travel via /*+ CATALOG_VERSION(n) */"
+                    )
+                cat_names = {
+                    n.lower() for n in self.list_tables()
+                } | views_l
+                reads = {
+                    r
+                    for r in _from_join_identifiers(stripped)
+                    if r in cat_names
+                }
+                if reads != {tname.lower()}:
+                    raise UnsupportedSQL(
+                        "VERSION AS OF serves single-table statements "
+                        f"only (this one reads {sorted(reads)}): mixing "
+                        "per-table vintages forfeits cross-table "
+                        "consistency — use /*+ CATALOG_VERSION(n) */ "
+                        "for a consistent multi-table time travel"
+                    )
+                self.register_views(spark)
+                # loud KeyError for an unknown/expired snapshot id
+                self.table(tname).scan(
+                    spark, snapshot_id=snap
+                ).createOrReplaceTempView(tname)
+                return spark.sql(stripped)
             if tt:
                 statement = statement.replace(tt.group(0), " ", 1)
                 self.register_views(spark, state=self.state_at(int(tt.group(1))))
                 return spark.sql(statement)
             self.register_views(spark)
             # /*+ REALTIME */ (round 11; TimescaleDB's real-time
-            # continuous-aggregate UX): maintained views NAMED in the
-            # statement re-register as their read_realtime frame —
+            # continuous-aggregate UX): maintained views the statement
+            # actually READS re-register as their read_realtime frame —
             # materialized rows merged with the source's CDC tail
             # since the cursor, the exact current answer at
             # O(view)+O(tail). STRICT contract through SQL: a read
-            # that would fall back to an O(source) recompute (top-k
-            # tail deletes, expired cursor, half-applied fold) refuses
+            # that would fall back to an O(source) recompute (expired
+            # cursor, rolled lineage, half-applied fold) refuses
             # loudly instead of silently paying the cost cliff — run
-            # REFRESH first or read without the hint. Name matching is
-            # textual (\b<view>\b), so a view named only inside a
-            # string literal still registers its realtime frame:
-            # harmless overmatch, the frame is lazy.
+            # REFRESH first or read without the hint. Read-set
+            # matching is by FROM/JOIN identifier (string literals
+            # stripped first), NOT \b<name>\b over the whole text:
+            # strict refusals raise EAGERLY here, so a broken view
+            # merely MENTIONED (in a literal, as a column name, or
+            # never read) must not fail a query that would be served
+            # fine (round-12 ADVICE fix).
             if rt_hint:
                 from .maintained import list_maintained, read_realtime
 
                 statement = statement.replace(rt_hint.group(0), " ", 1)
+                reads = _from_join_identifiers(statement)
                 for vname in list_maintained(self):
-                    if _re.search(
-                        rf"\b{_re.escape(vname)}\b", statement, _re.I
-                    ):
+                    if vname.lower() in reads:
                         read_realtime(
                             self, spark, vname, strict=True
                         ).createOrReplaceTempView(vname)
@@ -597,9 +710,28 @@ class Catalog:
             # (struct<a:bigint> -> STRUCT<A:BIGINT>), silently breaking
             # the round-trip. Lowercase type names are valid Spark DDL.
             # (Found by the hypothesis round-trip property, round 11.)
+            # Initial-default columns emit a DEFAULT clause the CREATE
+            # TABLE grammar accepts (round 12) — a recreated table
+            # keeps write-side default fill for column-list INSERTs
+            # (read-side vintage fill is moot on a fresh empty table).
+            # Known round-trip scope limit: simpleString cannot carry
+            # NESTED-struct field nullability; top-level NOT NULL and
+            # defaults round-trip exactly.
+            def _render_default(v) -> str:
+                if isinstance(v, bool):
+                    return "TRUE" if v else "FALSE"
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                return repr(v)
+
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 + ("" if f.nullable else " NOT NULL")
+                + (
+                    f" DEFAULT {_render_default(f.metadata['initial_default'])}"
+                    if "initial_default" in (f.metadata or {})
+                    else ""
+                )
                 for f in schema.fields
             )
             ddl = f"CREATE TABLE {name} (\n  {cols}\n)"

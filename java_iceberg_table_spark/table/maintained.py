@@ -277,6 +277,7 @@ def _extrema_fold(
     from ..operators.topk_view import null_key_error
 
     ins_agg = ins_agg.persist()
+    touched = merged = None
     try:
         touched = ins_agg.select(key).distinct().persist()
         trow = touched.agg(
@@ -294,14 +295,12 @@ def _extrema_fold(
             .groupBy(key)
             .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
             .select(old.columns)
-        )
-        rows = merged.persist().count()
+        ).persist()
+        rows = merged.count()
         vt.delete_eq_mor(
             spark, touched, [key], extra_summary=extra_summary_delete
         )
         vt.append(merged, extra_summary=extra_summary)
-        merged.unpersist()
-        touched.unpersist()
         return {
             "touched_keys": trow["n"],
             "view_rows_written": rows,
@@ -309,6 +308,13 @@ def _extrema_fold(
             "view_files_scanned": info["files_scanned"],
         }
     finally:
+        # unpersist on EVERY exit (early empty-delta return, null-key
+        # raise, crash between delete and append) — round-12 ADVICE
+        # fix: the early return used to leak `touched` forever
+        if merged is not None:
+            merged.unpersist()
+        if touched is not None:
+            touched.unpersist()
         ins_agg.unpersist()
 
 
@@ -569,6 +575,29 @@ def refresh_maintained(cat, spark: SparkSession, name: str) -> dict:
         cdc.unpersist()
 
 
+# Frames persisted by read_realtime's bounded-merge paths (the cdc /
+# delete-key sets the returned LAZY frame re-reads): they cannot be
+# unpersisted before the caller's action runs, so they live here until
+# the NEXT read_realtime call (or an explicit release) drains them —
+# bounding cached blocks to one read's pins instead of accumulating
+# until ContextCleaner GC (round-12 ADVICE fix). Unpersisting a frame
+# a caller still holds is safe: it recomputes, it does not break.
+_REALTIME_PINS: list[DataFrame] = []
+
+
+def release_realtime_pins() -> int:
+    """Unpersist every frame pinned by earlier ``read_realtime`` calls
+    (non-blocking); returns how many were released."""
+    n = len(_REALTIME_PINS)
+    for df in _REALTIME_PINS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped/replaced SparkContext already dropped it
+    _REALTIME_PINS.clear()
+    return n
+
+
 def read_realtime(
     cat, spark: SparkSession, name: str, strict: bool = False
 ) -> DataFrame:
@@ -607,6 +636,7 @@ def read_realtime(
                 f"VIEW {name} first, or read without /*+ REALTIME */"
             )
         return _recompute_frame(spark, src, props, vt.schema())
+    release_realtime_pins()  # previous reads' cdc/del-key caches
     vt = cat.table(name)
     props = vt.metadata.properties
     kind = props.get("mv.kind")
@@ -679,6 +709,7 @@ def read_realtime(
             .distinct()
             .persist()
         )
+        _REALTIME_PINS.extend((cdc, del_keys))
         touched_src, _info = src.scan_runtime_filtered(spark, del_keys, key)
         if "mv.columns" in props:
             touched_src = touched_src.select(cols)
@@ -727,6 +758,7 @@ def read_realtime(
             .distinct()
             .persist()
         )
+        _REALTIME_PINS.extend((cdc, del_keys))
         touched_src, _info = src.scan_runtime_filtered(spark, del_keys, key)
         touched = _extrema_frame(
             touched_src.join(F.broadcast(del_keys), key, "left_semi"),

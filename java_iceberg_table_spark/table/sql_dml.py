@@ -195,6 +195,29 @@ def _parse_literal(tok: str):
     )
 
 
+def _validate_default_literal(field, v: object) -> None:
+    """Refuse a CREATE TABLE DEFAULT whose literal can't inhabit the
+    column's type — a later cast would silently turn it into NULL."""
+    from pyspark.sql.types import BooleanType, NumericType, StringType
+
+    dt = field.dataType
+    ok = (
+        (isinstance(dt, StringType) and isinstance(v, str))
+        or (isinstance(dt, BooleanType) and isinstance(v, bool))
+        or (
+            isinstance(dt, NumericType)
+            and isinstance(v, (int, float))
+            and not isinstance(v, bool)
+        )
+    )
+    if not ok:
+        raise UnsupportedSQL(
+            f"DEFAULT literal {v!r} does not fit column "
+            f"{field.name!r} of type {dt.simpleString()} (defaults are "
+            "scalar literals matching the column's type family)"
+        )
+
+
 def _parse_predicates(where: str) -> list[tuple[str, str, object]]:
     """Conjunction of ``column <op> literal`` -> (col, op, value) list."""
     if re.search(r"\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|\bLIKE\b", where, re.I):
@@ -720,13 +743,18 @@ def run_dml(
                 f"duplicate columns in INSERT column list: {cols}"
             )
         target = (resolve if catalog is None else catalog.table)(name).schema()
-        by_name = {f.name: f for f in target.fields}
-        unknown = [c for c in cols if c not in by_name]
+        # case-INSENSITIVE name lookup (like the duplicate check above
+        # and the matview key compares): INSERT INTO t (ID) hits
+        # column "id"; the schema's canonical spelling is what the
+        # fill/select below uses
+        by_name = {f.name.lower(): f for f in target.fields}
+        unknown = [c for c in cols if c.lower() not in by_name]
         if unknown:
             raise UnsupportedSQL(
                 f"INSERT column list names unknown columns {unknown}; "
                 f"table {name!r} has {[f.name for f in target.fields]}"
             )
+        cols = [by_name[c.lower()].name for c in cols]
         defaults = _defaults_of(target)
         fills: dict[str, object] = {}
         listed = set(cols)
@@ -743,16 +771,21 @@ def run_dml(
                     f"{f.name!r} with no default — list it explicitly "
                     "or ALTER the table to add a default"
                 )
-        if tail_sql.split(None, 1)[0].upper() == "VALUES":
+        tail_parts = tail_sql.split(None, 1)
+        if tail_parts[0].upper() == "VALUES":
+            # split(None) tolerates ANY whitespace after VALUES — the
+            # regex does too, so "VALUES\n(1)" must not read as empty
             tuples = _parse_values_tuples(
-                tail_sql.split(None, 1)[1] if " " in tail_sql else ""
+                tail_parts[1] if len(tail_parts) > 1 else ""
             )
             if any(len(t) != len(cols) for t in tuples):
                 raise UnsupportedSQL(
                     f"INSERT VALUES arity mismatch: column list has "
                     f"{len(cols)} columns"
                 )
-            rows_df = _literal_rows_df(tuples, [by_name[c] for c in cols])
+            rows_df = _literal_rows_df(
+                tuples, [by_name[c.lower()] for c in cols]
+            )
         else:
             rows_df = _registered_select(tail_sql)
             if len(rows_df.columns) != len(cols):
@@ -871,15 +904,49 @@ def run_dml(
             raise UnsupportedSQL("CREATE TABLE: unbalanced parentheses")
         cols_src = sql[start + 1 : end]
         rest = sql[end + 1 :].strip()
+        from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
+        # DEFAULT <literal> per column (round 12): extracted BEFORE
+        # Spark's DDL parser sees the list (fromDDL has no DEFAULT
+        # clause), stamped as initial_default metadata with seq -1 —
+        # write-side fill for column-list INSERTs applies, read-side
+        # vintage fill (entry seq <= default seq) provably never does
+        # on a freshly created table. This is what makes SHOW CREATE
+        # TABLE's emitted DEFAULT clause round-trippable.
+        col_defaults: dict[str, object] = {}
+        cleaned: list[str] = []
+        for chunk in _split_depth0(cols_src, ","):
+            dm = re.search(
+                r"\s+DEFAULT\s+('(?:[^']|'')*'|[^\s]+)"
+                r"(\s+NOT\s+NULL)?\s*$",
+                chunk,
+                re.I,
+            )
+            if dm:
+                v = _parse_literal(dm.group(1))
+                cname = chunk.split()[0]
+                col_defaults[cname.lower()] = v
+                chunk = chunk[: dm.start()] + (dm.group(2) or "")
+            cleaned.append(chunk)
         try:
-            schema = _ST.fromDDL(cols_src)
+            schema = _ST.fromDDL(",".join(cleaned))
         except Exception as e:
             raise UnsupportedSQL(
                 f"CREATE TABLE column list does not parse as Spark DDL: "
                 f"{str(e)[:200]}"
             ) from e
+        if col_defaults:
+            fields = []
+            for f in schema.fields:
+                if f.name.lower() in col_defaults:
+                    v = col_defaults[f.name.lower()]
+                    _validate_default_literal(f, v)
+                    md = dict(f.metadata or {})
+                    md.update({"initial_default": v, "default_seq": -1})
+                    f = _SF(f.name, f.dataType, f.nullable, md)
+                fields.append(f)
+            schema = _ST(fields)
         part = None
         spec = None
         pm = re.match(r"^PARTITIONED\s+BY\s*\(", rest, re.I)

@@ -559,6 +559,16 @@ def test_read_realtime_agg(spark, cat):
     )
     cat._commit_pins({"events": src.metadata.current_snapshot_id})
     assert topk_rt_equals()
+    # cache hygiene (round-12 ADVICE fix): each bounded-merge read
+    # pins its cdc/del-key frames, the NEXT read drains the previous
+    # read's pins, and an explicit release empties the registry — so
+    # repeated realtime reads never accumulate cached blocks
+    from java_iceberg_table_spark.table import maintained as mt
+
+    assert 0 < len(mt._REALTIME_PINS) <= 2
+    released = mt.release_realtime_pins()
+    assert released >= 1 and not mt._REALTIME_PINS
+    assert topk_rt_equals()  # reads still serve after the release
 
 
 def test_read_realtime_cursor_expired_falls_back(spark, cat):

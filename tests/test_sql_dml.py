@@ -789,8 +789,20 @@ def test_insert_column_list(spark, cat):
     assert res["inserted_rows"] == 1
     row = [r for r in cat.read(spark, "t").collect() if r["k"] == 940][0]
     assert (row["v"], row["qty"], row["region"]) == ("part", None, "emea")
+    # whitespace after VALUES is ANY whitespace (round-12 ADVICE fix):
+    # a newline with no literal space anywhere must not read as an
+    # empty body and refuse a valid statement
+    res = cat.sql(spark, "INSERT INTO t (k,v) VALUES\n(50,'nl'),(51,'nl2')")
+    assert res["inserted_rows"] == 2
+    # column names match case-INSENSITIVELY, like the duplicate check
+    # and the rest of the grammar (round-12 ADVICE fix)
+    res = cat.sql(spark, "INSERT INTO t (K, V) VALUES (52, 'caps')")
+    assert res["inserted_rows"] == 1
+    row = [r for r in cat.read(spark, "t").collect() if r["k"] == 52][0]
+    assert (row["v"], row["qty"]) == ("caps", None)
     for bad, why in [
         ("INSERT INTO t (k, nope) VALUES (1, 2)", "unknown columns"),
+        ("INSERT INTO t (k, K) VALUES (1, 2)", "duplicate columns"),
         ("INSERT INTO t (k, k) VALUES (1, 2)", "duplicate columns"),
         ("INSERT INTO t (k, v) VALUES (1, 'x', 9)", "arity"),
         ("INSERT INTO t (k) SELECT k, v FROM t", "arity"),
@@ -1191,8 +1203,88 @@ def test_realtime_hint_sql(spark, cat):
     )
     with pytest.raises(ValueError, match="REALTIME"):
         cat.sql(spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq")
+    # ... but a statement that merely MENTIONS the broken view — in a
+    # string literal or as an output alias — without READING it must
+    # still serve (round-12 ADVICE fix: refusal scope = FROM/JOIN read
+    # set, not \b-textual match over the whole statement)
+    assert cat.sql(
+        spark,
+        "SELECT /*+ REALTIME */ 'topq' AS topq, SUM(cnt) AS n FROM sums",
+    ).collect()[0]["n"] is not None
+    # comma-join (with aliases) still counts as a READ of the view
+    with pytest.raises(ValueError, match="REALTIME"):
+        cat.sql(
+            spark,
+            "SELECT /*+ REALTIME */ COUNT(*) AS n FROM t x, topq y",
+        )
     # the un-hinted read and the Python API still serve (recompute)
     assert cat.sql(spark, "SELECT COUNT(*) AS n FROM topq").collect()
+
+
+def test_version_as_of_sql(spark, cat):
+    """FROM t [FOR] VERSION AS OF <snapshot-id> (round 12): per-table
+    SQL time travel onto Table.scan(snapshot_id=), single-table
+    statements only — every multi-relation / hint-combining / view /
+    dangling form refuses loudly, multi-table history reads go through
+    /*+ CATALOG_VERSION(n) */."""
+    snap1 = cat.table("t").metadata.current_snapshot_id
+    n1 = cat.read(spark, "t").count()
+    cat.sql(spark, "INSERT INTO t VALUES (90, 'tt', 1)")
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        == n1 + 1
+    )
+    for form in (
+        f"SELECT COUNT(*) AS n FROM t FOR VERSION AS OF {snap1}",
+        f"SELECT COUNT(*) AS n FROM t VERSION AS OF {snap1}",  # bare
+    ):
+        assert cat.sql(spark, form).collect()[0]["n"] == n1
+    # clauses around the travel compose; aliases welcome
+    got = {
+        r["v"]: r["n"]
+        for r in cat.sql(
+            spark,
+            f"SELECT x.v, COUNT(*) AS n FROM t FOR VERSION AS OF "
+            f"{snap1} AS x WHERE x.k < 4 GROUP BY x.v",
+        ).collect()
+    }
+    assert got == {"old": 2, "odd": 2}
+    # the travel does not leak: a plain read afterwards sees the head
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        == n1 + 1
+    )
+    cat.create_table("u", SCHEMA)
+    cat.sql(spark, "CREATE VIEW tv AS SELECT k FROM t")
+    for bad, why in [
+        (
+            f"SELECT COUNT(*) FROM t FOR VERSION AS OF {snap1} "
+            "JOIN u ON t.k = u.k",
+            "single-table",
+        ),
+        (
+            f"SELECT /*+ CATALOG_VERSION(1) */ COUNT(*) FROM t "
+            f"FOR VERSION AS OF {snap1}",
+            "cannot combine",
+        ),
+        (
+            f"SELECT /*+ REALTIME */ COUNT(*) FROM t "
+            f"FOR VERSION AS OF {snap1}",
+            "cannot combine",
+        ),
+        (
+            f"SELECT COUNT(*) FROM t FOR VERSION AS OF {snap1} "
+            f"WHERE k IN (SELECT k FROM t VERSION AS OF {snap1})",
+            "one VERSION AS OF",
+        ),
+        (f"SELECT COUNT(*) FROM tv FOR VERSION AS OF {snap1}", "view"),
+        (f"SELECT COUNT(*), {snap1} AS v FROM t WHERE VERSION AS OF 3 > 1",
+         "FROM <table>"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        cat.sql(spark, "SELECT COUNT(*) FROM t FOR VERSION AS OF 424242")
 
 
 def test_catalog_version_hint_sql(spark, cat):
@@ -1319,6 +1411,32 @@ def test_create_table_ddl(spark, cat):
             spark,
             "CREATE TABLE ddl_bad (id BIGINT, g STRING) PARTITIONED BY (g)",
         )
+    # DEFAULT <literal> per column (round 12): write-side fill for
+    # column-list INSERTs, both clause orders, type-checked literal
+    res = cat.sql(
+        spark,
+        "CREATE TABLE ddl_def (id BIGINT NOT NULL, "
+        "region STRING DEFAULT 'emea', "
+        "qty BIGINT NOT NULL DEFAULT 0, "
+        "active BOOLEAN DEFAULT TRUE NOT NULL, note STRING)",
+    )
+    assert res["statement"] == "create_table"
+    cat.sql(spark, "INSERT INTO ddl_def (id) VALUES (7)")
+    row = cat.read(spark, "ddl_def").collect()[0]
+    assert (row["region"], row["qty"], row["active"], row["note"]) == (
+        "emea", 0, True, None,
+    )
+    # the emitted DDL carries the DEFAULT clauses and a recreate keeps
+    # the fill behavior (round-trippable, the ADVICE r11 gap)
+    ddl = cat.sql(spark, "SHOW CREATE TABLE ddl_def").collect()[0][0]
+    assert "DEFAULT 'emea'" in ddl and "DEFAULT 0" in ddl
+    assert "DEFAULT TRUE" in ddl
+    cat.sql(spark, ddl.replace("ddl_def", "ddl_def2"))
+    cat.sql(spark, "INSERT INTO ddl_def2 (id) VALUES (8)")
+    row = cat.read(spark, "ddl_def2").collect()[0]
+    assert (row["region"], row["qty"], row["active"]) == ("emea", 0, True)
+    with pytest.raises(UnsupportedSQL, match="does not fit"):
+        cat.sql(spark, "CREATE TABLE bad_def (id BIGINT DEFAULT 'x')")
     for bad, why in [
         ("CREATE TABLE ddl_t (id BIGINT)", "exists"),
         ("CREATE TABLE bad1 (id NOTATYPE)", "does not parse"),
