@@ -3480,10 +3480,11 @@ def a4w_engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish n, so a multi-table read is cross-table CONSISTENT at that
     past publish — the SQL face of ``state_at``/
     ``register_views(state=...)`` and of the connector's
-    ``catalog_version`` option (a4q). Per-table VERSION AS OF is
-    deliberately absent (mixing per-table vintages forfeits the
-    cross-table guarantee; single-table history reads go through
-    ``Table.scan(snapshot_id=)``). The scenario publishes version A
+    ``catalog_version`` option (a4q). Per-table ``FOR VERSION AS OF``
+    exists for SINGLE-table statements only (round 12, a5a); any
+    multi-table statement refuses it — mixing per-table vintages
+    forfeits the cross-table guarantee, and THIS hint is the
+    consistent form. The scenario publishes version A
     (orders prefix + its per-catalog aggregate table in ONE catalog
     version), publishes version B the same way, appends WITHOUT
     publishing, and grades: counts/sums at A, at B, current == B
@@ -3617,11 +3618,12 @@ def a4x_engine_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     snapshot (readers see old or new, never a mix), the pre-image
     stays time-travelable, and the pin publishes through the same
     resolve path as every data verb, so it composes with a
-    sql_script's single publish like TRUNCATE does. DYNAMIC partition
-    overwrite deliberately stays on the connector
-    (option('overwriteMode','dynamic'), a4e) — a SQL verb whose
-    replace-table-vs-replace-partitions meaning flips on a session
-    conf is the ambiguity this grammar refuses. The scenario CTAS-es
+    sql_script's single publish like TRUNCATE does. Partition-scoped
+    overwrite takes an EXPLICIT clause (round 12, a5b: INSERT
+    OVERWRITE t PARTITION (k = v | k)) — what stays refused is the
+    conf-dependent spelling where the same bare statement flips
+    between replace-table and replace-partitions on a session conf.
+    The scenario CTAS-es
     an orders slice, overwrites it with a filtered SELECT of itself
     (evaluated against the PINNED pre-statement state, so the
     self-referential overwrite is well-defined), and grades totals
@@ -3905,6 +3907,220 @@ def a4z_engine_extrema_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys bigint, sum_mn bigint, sum_mx bigint, "
             "realtime_exact boolean, equals_recompute boolean, "
             "final_refresh_noop boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a5a_engine_sql_version_as_of",
+    oracle="""
+WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+     b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1)
+SELECT (SELECT COUNT(*) FROM a) AS cnt_v1,
+       CAST((SELECT SUM(o_orderkey) FROM a) AS BIGINT) AS sum_v1,
+       (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b) AS cnt_current,
+       (SELECT COUNT(*) FROM a WHERE o_orderkey % 2 = 0) AS cnt_v1_filtered,
+       CAST(4 AS BIGINT) AS refused
+""",
+    group="A",
+)
+def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table SQL time travel (round 12): ``SELECT ... FROM t [FOR]
+    VERSION AS OF <snapshot-id>`` through ``Catalog.sql`` routes onto
+    ``Table.scan(snapshot_id=)`` — the SQL face of the a3z/a3n API
+    reads (Iceberg's VERSION AS OF takes a snapshot id). SINGLE-table
+    statements only, by contract: the clause pins ONE relation's
+    history, so any statement whose read set holds another catalog
+    relation refuses with a pointer at /*+ CATALOG_VERSION(n) */ —
+    the cross-table-consistent form (a4w). The scenario appends slice
+    A (snapshot s1), then slice B, and grades: count/sum AT s1, the
+    current count, a filtered travel read (bare ``VERSION AS OF``
+    spelling, WHERE composed around the clause), and four loud
+    refusals (multi-table join, CATALOG_VERSION combo, view target,
+    unknown snapshot id)."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    croot = tempfile.mkdtemp(prefix="engine_vat_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        src = cat.create_table("orders_t", orders.schema)
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
+        s1 = src.metadata.current_snapshot_id
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
+        cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
+        at_v1 = cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n, SUM(o_orderkey) AS s "
+            f"FROM orders_t FOR VERSION AS OF {s1}",
+        ).collect()[0]
+        cur = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM orders_t"
+        ).collect()[0]["n"]
+        # bare spelling, WHERE composed around the travel clause
+        filtered = cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM orders_t VERSION AS OF {s1} "
+            "WHERE o_orderkey % 2 = 0",
+        ).collect()[0]["n"]
+        cat.create_table("other_t", orders.schema)
+        cat.sql(spark, "CREATE VIEW ov AS SELECT o_orderkey FROM orders_t")
+        refused = 0
+        for bad in (
+            f"SELECT COUNT(*) FROM orders_t FOR VERSION AS OF {s1} "
+            "JOIN other_t ON orders_t.o_orderkey = other_t.o_orderkey",
+            f"SELECT /*+ CATALOG_VERSION(1) */ COUNT(*) FROM orders_t "
+            f"FOR VERSION AS OF {s1}",
+            f"SELECT COUNT(*) FROM ov FOR VERSION AS OF {s1}",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        try:
+            cat.sql(
+                spark,
+                "SELECT COUNT(*) FROM orders_t FOR VERSION AS OF 424242",
+            )
+        except KeyError:
+            refused += 1
+        return spark.createDataFrame(
+            [(at_v1["n"], at_v1["s"], cur, filtered, refused)],
+            "cnt_v1 bigint, sum_v1 bigint, cnt_current bigint, "
+            "cnt_v1_filtered bigint, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a5b_engine_sql_partition_overwrite",
+    oracle="""
+WITH b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 2)
+SELECT (SELECT COUNT(*) FROM b2) + 4 AS n_rows,
+       CAST((SELECT SUM(o_orderkey) FROM b2)
+            + 900000001 + 900000002 + 900000003 + 900000004
+            AS BIGINT) AS sum_okey,
+       (SELECT COUNT(*) FROM b2) AS kept_b2,
+       CAST(0 AS BIGINT) AS b3_rows,
+       TRUE AS atomic_overwrite,
+       TRUE AS pre_image_travels,
+       CAST(3 AS BIGINT) AS refused
+""",
+    group="A",
+)
+def a5b_engine_sql_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``INSERT OVERWRITE t PARTITION (k = v | k)`` through
+    ``Catalog.sql`` (round 12): partition-scoped overwrite with the
+    intent named IN the statement — ``(k = v)`` is the STATIC form
+    (replace exactly that identity partition; the value fills the
+    column so the source omits it; an EMPTY source clears the
+    partition, Hive semantics), ``(k)`` is the DYNAMIC form (replace
+    exactly the partitions the written rows touch — a4e's
+    ``overwrite_entries(partitions=...)`` machinery). Untouched
+    partitions carry by reference — at 100 TB the daily-partition
+    reload costs one day, not the table — in ONE atomic 'overwrite'
+    snapshot with the pre-image time-travelable. What stays refused is
+    the conf-dependent bare spelling whose meaning flips on
+    spark.sql.sources.partitionOverwriteMode. The scenario loads an
+    identity(bucket = o_orderkey % 4) table, statically replaces
+    bucket 1, clears bucket 3 with an empty static overwrite,
+    dynamically replaces bucket 0, and grades final totals against
+    DuckDB's replay plus snapshot-op/time-travel proofs and three loud
+    refusals (unpartitioned target, wrong column, static source
+    including the partition column)."""
+    from ..table import Catalog, identity
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    croot = tempfile.mkdtemp(prefix="engine_povw_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        base = orders.withColumn("bucket", F.col("o_orderkey") % 4)
+        pt = cat.create_table(
+            "pt", base.schema, partition=identity("bucket")
+        )
+        pt.append(base.coalesce(4))
+        pre_snap = pt.metadata.current_snapshot_id
+        pre_cnt = orders.count()
+        cat._commit_pins({"pt": pre_snap})
+        res = cat.sql(
+            spark,
+            "INSERT OVERWRITE pt PARTITION (bucket = 1) "
+            "VALUES (900000001), (900000002)",
+        )
+        assert res["mode"] == "static_partition"
+        assert res["replaced_partitions"] == [1]
+        res = cat.sql(
+            spark,
+            "INSERT OVERWRITE pt PARTITION (bucket = 3) "
+            "SELECT o_orderkey FROM pt WHERE o_orderkey < 0",
+        )
+        assert res["inserted_rows"] == 0  # empty static CLEARS b3
+        res = cat.sql(
+            spark,
+            "INSERT OVERWRITE pt PARTITION (bucket) "
+            "VALUES (900000003, 0), (900000004, 0)",
+        )
+        assert res["mode"] == "dynamic_partition"
+        assert res["replaced_partitions"] == [0]
+        tbl = cat.table("pt")
+        snap = tbl.metadata.current_snapshot()
+        atomic = (
+            snap.operation == "overwrite"
+            and snap.summary.get("overwrite-mode") == "dynamic"
+        )
+        travels = (
+            tbl.scan(spark, snapshot_id=pre_snap).count() == pre_cnt
+        )
+        refused = 0
+        cat.create_table("flat_t", orders.schema)
+        for bad in (
+            "INSERT OVERWRITE flat_t PARTITION (o_orderkey = 1) VALUES (1)",
+            "INSERT OVERWRITE pt PARTITION (o_orderkey = 1) VALUES (2)",
+            "INSERT OVERWRITE pt PARTITION (bucket = 1) "
+            "SELECT o_orderkey, bucket FROM pt",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "pt")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_okey"),
+                F.sum((F.col("bucket") == 2).cast("long")).alias("kept_b2"),
+                F.sum((F.col("bucket") == 3).cast("long")).alias("b3_rows"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"], row["sum_okey"], row["kept_b2"],
+                    row["b3_rows"], atomic, travels, refused,
+                )
+            ],
+            "n_rows bigint, sum_okey bigint, kept_b2 bigint, "
+            "b3_rows bigint, atomic_overwrite boolean, "
+            "pre_image_travels boolean, refused bigint",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)

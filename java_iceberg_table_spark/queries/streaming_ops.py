@@ -2223,3 +2223,131 @@ def i31_streaming_extrema_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i32_streaming_extrema_deletes",
+    oracle="""
+WITH mu AS (SELECT MIN(user_id) AS u FROM events),
+surv AS (
+  SELECT e.user_id, e.event_id FROM events e, mu
+  WHERE e.event_id % 5 <> 0 AND e.user_id <> mu.u
+),
+agg AS (
+  SELECT user_id, MIN(event_id) AS mn, MAX(event_id) AS mx
+  FROM surv GROUP BY user_id
+)
+SELECT COUNT(*)::BIGINT AS n_users,
+       CAST(SUM(mn) AS BIGINT) AS sum_mn,
+       CAST(SUM(mx) AS BIGINT) AS sum_mx,
+       TRUE AS equals_recompute,
+       TRUE AS min_user_gone,
+       CAST(1 AS BIGINT) AS refused_without_source
+FROM agg
+""",
+    group="I",
+)
+def i32_streaming_extrema_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable streaming MIN/MAX view (round 12 — i31's
+    INSERT-ONLY contract lifted): ``extrema_view_sink(source_root=)``
+    folds a delete-bearing CDC batch with the BOUNDED a4z refresh
+    shape — delete-touched keys rebuild their (mn, mx) from the source
+    table with the scan runtime-filter-pruned to their files, while
+    untouched keys' inserts take the ordinary least/greatest merge;
+    a key whose rows are all deleted leaves the view. O(batch) +
+    O(touched keys' files), never O(source) — the mid-stream MOR
+    delete costs what it touched, at any corpus size. The scenario
+    appends the events fixture, drains, MOR-deletes every
+    ``event_id % 5 == 0`` row PLUS every row of the smallest user
+    (total key removal), drains the delete batch through the sink,
+    and grades: view == extrema recompute over the SURVIVING rows,
+    the fully-deleted user is gone, and a sink WITHOUT source_root
+    still refuses delete-bearing feeds loudly."""
+    from ..fixtures import load_table
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import extrema_view_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    base = tempfile.mkdtemp(prefix="stream_extd_")
+    src_root, view_root = base + "/src", base + "/view"
+    src = _ct(src_root, ev.schema)
+    _ct(
+        view_root,
+        spark.createDataFrame([], "user_id long, mn long, mx long").schema,
+    )
+    fold = extrema_view_sink(
+        view_root, "user_id", "event_id",
+        stream_id="i32", source_root=src_root,
+    )
+
+    def drain(ckpt: str):
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src.append(ev)
+        drain(base + "/ckpt")
+        mu = ev.agg(F.min("user_id")).collect()[0][0]
+        doomed = ev.filter(
+            (F.col("event_id") % 5 == 0) | (F.col("user_id") == mu)
+        ).select("event_id")
+        src = _open(src_root)
+        src.delete_eq_mor(spark, doomed, ["event_id"])
+        drain(base + "/ckpt")
+        vt = _open(view_root)
+        mv = vt.scan(spark).persist()
+        rec = (
+            src.scan(spark)
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+            .select(mv.columns)
+            .persist()
+        )
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        gone = mv.filter(F.col("user_id") == mu).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mn").alias("sum_mn"),
+            F.sum("mx").alias("sum_mx"),
+        ).collect()[0]
+        # without source_root the INSERT-ONLY refusal stands
+        fold2 = extrema_view_sink(
+            view_root, "user_id", "event_id", stream_id="i32b"
+        )
+        refused = 0
+        try:
+            fold2(
+                ev.limit(2).withColumn("_change_type", F.lit("delete")), 0
+            )
+        except ValueError:
+            refused = 1
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_users"], row["sum_mn"], row["sum_mx"],
+                    equal, gone, refused,
+                )
+            ],
+            "n_users bigint, sum_mn bigint, sum_mx bigint, "
+            "equals_recompute boolean, min_user_gone boolean, "
+            "refused_without_source bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

@@ -1041,6 +1041,7 @@ def extrema_view_sink(
     key_col: str,
     value_col: str,
     stream_id: str = "extrema",
+    source_root: str | None = None,
 ):
     """Streaming maintenance of a per-key MIN/MAX view ``(key, mn,
     mx)`` (round 11 — the streaming face of
@@ -1048,15 +1049,27 @@ def extrema_view_sink(
     micro-batch of source APPENDS folds with a least/greatest merge
     against the touched keys' view rows, work sized by the batch.
 
-    INSERT-ONLY contract, exactly ``topk_view_sink``'s: extrema are
-    not self-inverse, so a CDC batch carrying deletes is refused
-    loudly — a delete can remove the current min/max, which needs a
-    touched-key rebuild against SOURCE data (the catalog refresh path
-    ``refresh_maintained`` does exactly that; route delete-bearing
-    feeds there). Idempotence is the mv fold's discipline: delete
-    commit stamps ``mv-batch-del``, append stamps ``mv-batch-id``,
-    watermark/crash markers read the LIVE lineage only, replays
-    at/below the watermark skip, a half-applied delete rolls back."""
+    Deletes (round 12): extrema are not self-inverse — a delete can
+    remove the current min/max, which needs a touched-key rebuild
+    against SOURCE data. With ``source_root`` set, a delete-bearing
+    CDC batch takes exactly the a4z refresh shape, still bounded:
+    delete-touched KEYS rebuild their (mn, mx) from the source table
+    (scan runtime-filter-pruned to the files whose stats admit a
+    touched key; a key with no surviving rows leaves the view),
+    untouched keys' inserts fold as the usual least/greatest merge —
+    O(batch) + O(touched keys' files), never O(source). The rebuild
+    reads the source HEAD, which may run AHEAD of the stream's cursor;
+    that is safe for this fold: min/max merges are idempotent under
+    re-applied inserts, and any not-yet-seen delete triggers its own
+    rebuild when its batch arrives — the view converges to the source
+    extrema once the stream drains. Without ``source_root`` the
+    INSERT-ONLY contract stays and a delete-bearing batch refuses
+    LOUDLY (a sink with no source reference cannot rebuild; route the
+    feed through refresh_maintained). Idempotence is the mv fold's
+    discipline: delete commit stamps ``mv-batch-del``, append stamps
+    ``mv-batch-id``, watermark/crash markers read the LIVE lineage
+    only, replays at/below the watermark skip, a half-applied delete
+    rolls back."""
     from pyspark.sql import functions as F
 
     from ..operators.topk_view import refuse_null_keys
@@ -1080,16 +1093,6 @@ def extrema_view_sink(
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
-        if "_change_type" in batch_df.columns:
-            if not batch_df.filter(
-                F.col("_change_type") != "insert"
-            ).isEmpty():
-                raise ValueError(
-                    "extrema_view_sink folds INSERT-ONLY feeds: a "
-                    "delete can remove the current min/max, which "
-                    "needs a touched-key rebuild against source — "
-                    "run refresh_maintained for delete-bearing feeds"
-                )
         batch_df = batch_df.persist()
         width = max(
             spark.sparkContext.defaultParallelism,
@@ -1097,16 +1100,54 @@ def extrema_view_sink(
         )
         prev_width = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        del_keys = None
+        delta = merged = None
         try:
             if batch_df.isEmpty():
                 return  # idle trigger: skip without stamping
+            data = batch_df
+            if "_change_type" in batch_df.columns:
+                kinds = {
+                    r["_change_type"]
+                    for r in batch_df.select("_change_type")
+                    .distinct()
+                    .collect()
+                }
+                if kinds - {"insert", "delete"}:
+                    raise ValueError(
+                        f"extrema_view_sink: unknown _change_type "
+                        f"values {sorted(kinds - {'insert', 'delete'})}"
+                    )
+                if "delete" in kinds:
+                    if source_root is None:
+                        raise ValueError(
+                            "extrema_view_sink folds INSERT-ONLY feeds "
+                            "unless source_root is set: a delete can "
+                            "remove the current min/max, which needs a "
+                            "touched-key rebuild against source — pass "
+                            "source_root=<source table> or run "
+                            "refresh_maintained for delete-bearing feeds"
+                        )
+                    del_keys = (
+                        batch_df.filter(F.col("_change_type") == "delete")
+                        .select(key_col)
+                        .distinct()
+                        .persist()
+                    )
+                    refuse_null_keys(del_keys, [key_col], "extrema_view_sink")
+                data = batch_df.filter(F.col("_change_type") == "insert")
             if partial_del is not None:
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
-            delta = batch_df.groupBy(key_col).agg(
+            delta = data.groupBy(key_col).agg(
                 F.min(value_col).alias("mn"),
                 F.max(value_col).alias("mx"),
-            ).persist()
+            )
+            if del_keys is not None:
+                # delete-touched keys rebuild from source below —
+                # their batch inserts are already IN the source head
+                delta = delta.join(F.broadcast(del_keys), key_col, "left_anti")
+            delta = delta.persist()
             refuse_null_keys(delta, [key_col], "extrema_view_sink")
             cur, _info = vt.scan_runtime_filtered(spark, delta, key_col)
             old = cur.join(
@@ -1117,9 +1158,28 @@ def extrema_view_sink(
                 .groupBy(key_col)
                 .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
                 .select(old.columns)
-                .persist()
             )
+            if del_keys is not None:
+                src_t = _open(source_root)
+                s_scan, _sinfo = src_t.scan_runtime_filtered(
+                    spark, del_keys, key_col
+                )
+                rebuilt = (
+                    s_scan.join(F.broadcast(del_keys), key_col, "left_semi")
+                    .groupBy(key_col)
+                    .agg(
+                        F.min(value_col).alias("mn"),
+                        F.max(value_col).alias("mx"),
+                    )
+                    .select(old.columns)
+                )
+                merged = merged.unionByName(rebuilt)
+            merged = merged.persist()
             touched = merged.select(key_col)
+            if del_keys is not None:
+                # a fully-deleted key has no rebuilt row but must
+                # still leave the view
+                touched = touched.unionByName(del_keys).distinct()
             vt.delete_eq_mor(
                 spark, touched, [key_col],
                 extra_summary={
@@ -1134,9 +1194,10 @@ def extrema_view_sink(
                     "mv-stream-id": stream_id,
                 },
             )
-            merged.unpersist()
-            delta.unpersist()
         finally:
+            for df in (merged, delta, del_keys):
+                if df is not None:
+                    df.unpersist()
             spark.conf.set("spark.sql.shuffle.partitions", prev_width)
             batch_df.unpersist()
 

@@ -37,9 +37,13 @@ an existing engine operation, and anything else raises
     -- (a4d machinery) or NULL when nullable; refused otherwise
   INSERT OVERWRITE [TABLE] t VALUES ... | SELECT ...
     -- STATIC overwrite: whole content replaced in one atomic
-    -- 'overwrite' snapshot (dynamic mode is the connector's option)
+    -- 'overwrite' snapshot
+  INSERT OVERWRITE [TABLE] t PARTITION (k = v | k) VALUES|SELECT ...
+    -- partition-scoped (round 12): (k = v) replaces exactly that
+    -- identity partition (source omits k; empty source clears it);
+    -- (k) is dynamic — replaces the partitions the rows touch
   CREATE TABLE name AS SELECT ...           -- CTAS
-  CREATE TABLE name (col type [NOT NULL], ...)
+  CREATE TABLE name (col type [NOT NULL] [DEFAULT lit], ...)
     [PARTITIONED BY (bucket(N,c) | truncate(W,c) | years(c) | ... | c)]
     [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
   OPTIMIZE t                                -- full maintenance pass
@@ -357,16 +361,27 @@ _INSERT_COLLIST = re.compile(
 _INSERT_COLLIST_HEAD = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*\(", re.I
 )
-# INSERT OVERWRITE (round 11): STATIC mode — the whole table's content
-# is atomically replaced by the query's/tuples' rows in one
-# 'overwrite' snapshot (Spark's default partitionOverwriteMode;
-# TRUNCATE is this verb with zero rows). DYNAMIC partition overwrite
-# stays on the connector (option('overwriteMode','dynamic'), a4e) —
-# a session-conf-dependent SQL verb that silently switches between
-# replacing the table and replacing partitions is exactly the kind of
-# ambiguity this grammar refuses.
+# INSERT OVERWRITE (round 11): the bare verb is STATIC whole-table
+# mode — content atomically replaced by the query's/tuples' rows in
+# one 'overwrite' snapshot (Spark's default partitionOverwriteMode;
+# TRUNCATE is this verb with zero rows). Partition-scoped overwrite
+# (round 12) requires an EXPLICIT clause: INSERT OVERWRITE t
+# PARTITION (k = v) replaces exactly that identity partition (empty
+# source clears it), PARTITION (k) replaces exactly the partitions
+# the written rows touch (Spark's dynamic mode, a4e's connector
+# machinery). The session-conf-dependent spelling — where the same
+# bare statement flips between replacing the table and replacing
+# partitions on spark.sql.sources.partitionOverwriteMode — is the
+# ambiguity this grammar still refuses; the PARTITION clause names
+# the intent in the statement itself.
 _INSERT_OVERWRITE = re.compile(
     r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
+_INSERT_OVERWRITE_PART = re.compile(
+    r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"PARTITION\s*\(\s*([A-Za-z_]\w*)\s*(?:=\s*([^()]+?)\s*)?\)\s+"
     r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
     re.I | re.S,
 )
@@ -820,6 +835,113 @@ def run_dml(
                 f"{len(target.fields)} columns"
             )
         return _append_rows(name, _literal_rows_df(tuples, list(target.fields)))
+
+    m = _INSERT_OVERWRITE_PART.match(sql)
+    if m:
+        # partition-scoped overwrite (round 12): the clause names the
+        # intent IN the statement — PARTITION (k = v) is Hive/Spark
+        # static form (replace exactly that partition; empty source
+        # clears it; the value fills the column, so the source omits
+        # it), PARTITION (k) is dynamic form (replace exactly the
+        # partitions the written rows touch — a4e's connector
+        # machinery, one atomic 'overwrite' snapshot, untouched
+        # partitions carried by reference at zero data cost).
+        name, pcol, plit, tail_sql = m.groups()
+        tbl = resolve(name)
+        target = tbl.schema()
+        t = tbl.transform
+        if t is None:
+            raise UnsupportedSQL(
+                f"table {name!r} is unpartitioned: PARTITION-scoped "
+                "overwrite needs a partitioned table (bare INSERT "
+                "OVERWRITE replaces the whole table)"
+            )
+        if pcol.lower() != t.source_column.lower():
+            raise UnsupportedSQL(
+                f"PARTITION names {pcol!r} but table {name!r} "
+                f"partitions on {t.source_column!r}"
+            )
+        from .transforms import IdentityTransform
+
+        static = plit is not None
+        pfield = next(
+            f for f in target.fields
+            if f.name.lower() == t.source_column.lower()
+        )
+        if static:
+            if not isinstance(t, IdentityTransform):
+                raise UnsupportedSQL(
+                    "PARTITION (col = value) is the STATIC form and "
+                    "maps onto an identity layout only; transformed "
+                    "layouts (bucket/truncate/temporal) take the "
+                    "DYNAMIC form PARTITION (col) — written rows "
+                    "choose their partitions"
+                )
+            pv = _parse_literal(plit.strip())
+            _validate_default_literal(pfield, pv)
+            fields = [
+                f for f in target.fields
+                if f.name.lower() != pcol.lower()
+            ]
+        else:
+            fields = list(target.fields)
+        tail_parts = tail_sql.split(None, 1)
+        if tail_parts[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(
+                tail_parts[1] if len(tail_parts) > 1 else ""
+            )
+            if any(len(tp) != len(fields) for tp in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION arity mismatch: "
+                    f"source rows take {len(fields)} columns "
+                    f"({[f.name for f in fields]})"
+                )
+            rows_df = _literal_rows_df(tuples, fields)
+        else:
+            rows_df = _registered_select(tail_sql)
+            if [c.lower() for c in rows_df.columns] != [
+                f.name.lower() for f in fields
+            ]:
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION source columns "
+                    f"{rows_df.columns} must match "
+                    f"{[f.name for f in fields]} exactly"
+                    + (
+                        " (the static value fills the partition "
+                        "column — the source omits it)"
+                        if static
+                        else ""
+                    )
+                )
+        if static:
+            rows_df = rows_df.withColumn(pfield.name, F.lit(pv))
+        aligned = rows_df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        ).persist()
+        try:
+            n = aligned.count()
+            entries = tbl._write_data_files(aligned) if n else []
+            if static:
+                parts: set = {t.apply_py(pv)}
+            else:
+                parts = {e["partition"] for e in entries}
+            # dynamic with an empty source replaces nothing (matches
+            # the connector); static ALWAYS commits — an empty source
+            # CLEARS the named partition, Hive semantics
+            if entries or static:
+                tbl.overwrite_entries(entries, partitions=parts)
+        finally:
+            aligned.unpersist()
+        return {
+            "statement": "insert_overwrite",
+            "table": name,
+            "mode": "static_partition" if static else "dynamic_partition",
+            "inserted_rows": n,
+            "replaced_partitions": sorted(parts) if (entries or static) else [],
+        }
 
     m = _INSERT_OVERWRITE.match(sql)
     if m:

@@ -1836,6 +1836,154 @@ def test_agg_view_sink_refuses_unknown_change_type(ds, base_dir):
         fold(df.withColumn("_change_type", F.lit("update_post")), 0)
 
 
+def _extrema_equals_recompute(spark, src_root, view_root) -> bool:
+    src, vt = open_table(src_root), open_table(view_root)
+    mv = vt.scan(spark)
+    rec = (
+        src.scan(spark)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .select(mv.columns)
+    )
+    return mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+
+
+def test_extrema_view_sink_crash_schedules(ds, base_dir):
+    """Chaos replays for the streaming MIN/MAX fold with DELETES in
+    the change feed (round 12 — the lifted i31 contract): with
+    source_root set, delete-touched keys rebuild their extrema from
+    the source table (runtime-filter-pruned, the a4z refresh shape)
+    while untouched keys merge insert-only; fully-deleted keys leave
+    the view. Per batch a seeded scenario — clean, crash between the
+    delete and append commits, external rollback onto the delete
+    commit, external rollback past both — each followed by replays.
+    Invariant: view == per-user (min, max) recompute over the
+    SURVIVING source rows after every batch, including batches whose
+    delete removes the current min or max."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import extrema_view_sink
+
+    spark = ds
+    src_root, view_root = base_dir + "/exsrc", base_dir + "/exview"
+    schema = "event_id long, user_id long, value long"
+    rows = [(i, i % 5, (i * 37) % 100) for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    create_table(src_root, df.schema)
+    create_table(
+        view_root,
+        spark.createDataFrame([], "user_id long, mn long, mx long").schema,
+    )
+    fold = extrema_view_sink(
+        view_root, "user_id", "value",
+        stream_id="chaos", source_root=src_root,
+    )
+    open_table(src_root).append(df)
+    fold(df.withColumn("_change_type", F.lit("insert")), 0)
+    assert _extrema_equals_recompute(spark, src_root, view_root)
+    live = list(rows)
+    rng = random.Random(23)
+    for b in range(1, 9):
+        new = [
+            (b * 1000 + i, (b + i) % 7, (b * 13 + i * 7) % 50)
+            for i in range(8)
+        ]
+        # bias deletions toward each user's current extremes so the
+        # bounded rebuild path (not the trivial merge) is what's
+        # actually under test
+        by_user: dict = {}
+        for r in live:
+            by_user.setdefault(r[1], []).append(r)
+        dels = []
+        for u in list(by_user)[:3]:
+            band = sorted(by_user[u], key=lambda r: r[2])
+            pick = band[0] if rng.random() < 0.5 else band[-1]
+            dels.append(pick)
+            live.remove(pick)
+        more = spark.createDataFrame(new, schema)
+        del_df = spark.createDataFrame(dels, schema)
+        live.extend(new)
+        src = open_table(src_root)
+        src.append(more)
+        src.delete_eq_mor(spark, del_df.select("event_id"), ["event_id"])
+        cdc = more.withColumn("_change_type", F.lit("insert")).unionByName(
+            del_df.withColumn("_change_type", F.lit("delete"))
+        )
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            open_table(view_root).delete_eq_mor(
+                spark,
+                cdc.select("user_id").dropDuplicates(),
+                ["user_id"],
+                extra_summary={"mv-batch-del": b, "mv-stream-id": "chaos"},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            fold(cdc, b)  # fully applied...
+            vt = open_table(view_root)
+            head = vt.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                vt.rollback_to(head.parent_id)
+            else:
+                by_id = {s.snapshot_id: s for s in vt.metadata.snapshots}
+                vt.rollback_to(by_id[head.parent_id].parent_id)
+        fold(cdc, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            fold(cdc, b)
+        assert _extrema_equals_recompute(spark, src_root, view_root), (
+            b,
+            scenario,
+        )
+    # a batch that deletes EVERY remaining row of one user drops the
+    # user from the view entirely
+    victim = live[0][1]
+    gone = [r for r in live if r[1] == victim]
+    live = [r for r in live if r[1] != victim]
+    del_df = spark.createDataFrame(gone, schema)
+    src = open_table(src_root)
+    src.delete_eq_mor(spark, del_df.select("event_id"), ["event_id"])
+    fold(del_df.withColumn("_change_type", F.lit("delete")), 9)
+    mv = open_table(view_root).scan(spark)
+    assert mv.filter(F.col("user_id") == victim).isEmpty()
+    assert _extrema_equals_recompute(spark, src_root, view_root)
+
+
+def test_extrema_view_sink_refuses_without_source(ds, base_dir):
+    """Without source_root the INSERT-ONLY contract stays: a
+    delete-bearing batch refuses loudly (no source to rebuild from),
+    and unknown _change_type values refuse rather than silently
+    dropping rows."""
+    from java_iceberg_table_spark.streaming.jobs import extrema_view_sink
+
+    spark = ds
+    view_root = base_dir + "/exview2"
+    create_table(
+        view_root,
+        spark.createDataFrame([], "user_id long, mn long, mx long").schema,
+    )
+    fold = extrema_view_sink(view_root, "user_id", "value")
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20)], "event_id long, user_id long, value long"
+    )
+    with pytest.raises(ValueError, match="INSERT-ONLY"):
+        fold(
+            df.withColumn(
+                "_change_type",
+                F.when(F.col("event_id") == 1, "delete").otherwise("insert"),
+            ),
+            0,
+        )
+    with pytest.raises(ValueError, match="unknown _change_type"):
+        fold(df.withColumn("_change_type", F.lit("update_post")), 0)
+    # pure-insert CDC still folds
+    fold(df.withColumn("_change_type", F.lit("insert")), 0)
+    mv = {
+        r["user_id"]: (r["mn"], r["mx"])
+        for r in open_table(view_root).scan(spark).collect()
+    }
+    assert mv == {1: (10, 20)}
+
+
 def test_topk_view_sink_refuses_cdc_deletes(ds, base_dir):
     from java_iceberg_table_spark.streaming.jobs import topk_view_sink
 

@@ -1325,12 +1325,141 @@ def test_catalog_version_hint_sql(spark, cat):
         )
 
 
+def test_insert_overwrite_partition_sql(spark, cat):
+    """INSERT OVERWRITE t PARTITION (k = v | k) (round 12): explicit
+    partition-scoped overwrite — static replaces exactly the named
+    identity partition (source omits the column; empty source clears
+    it), dynamic replaces exactly the partitions the written rows
+    touch; untouched partitions carry by reference. Every ambiguous /
+    mismatched form refuses loudly."""
+    from java_iceberg_table_spark.table import identity
+
+    pt = cat.create_table(
+        "pt",
+        StructType(
+            [
+                StructField("bucket", LongType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        partition=identity("bucket"),
+    )
+    pt.append(
+        spark.createDataFrame(
+            [(i % 3, f"r{i}") for i in range(9)], "bucket long, v string"
+        )
+    )
+    cat._commit_pins({"pt": pt.metadata.current_snapshot_id})
+    # STATIC: replace partition 1 only; the value fills the column
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE pt PARTITION (bucket = 1) VALUES ('new1'), ('new2')",
+    )
+    assert res["mode"] == "static_partition"
+    assert res["replaced_partitions"] == [1]
+    rows = {
+        (r["bucket"], r["v"]) for r in cat.read(spark, "pt").collect()
+    }
+    assert {v for b, v in rows if b == 1} == {"new1", "new2"}
+    assert len([1 for b, _ in rows if b == 0]) == 3  # untouched
+    assert len([1 for b, _ in rows if b == 2]) == 3
+    t2 = cat.table("pt")
+    assert t2.metadata.current_snapshot().operation == "overwrite"
+    assert t2.metadata.current_snapshot().summary["overwrite-mode"] == "dynamic"
+    # STATIC with an empty source CLEARS the partition (Hive form)
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE pt PARTITION (bucket = 2) "
+        "SELECT v FROM pt WHERE bucket = 99",
+    )
+    assert res["inserted_rows"] == 0 and res["replaced_partitions"] == [2]
+    assert cat.read(spark, "pt").filter("bucket = 2").count() == 0
+    # DYNAMIC: rows choose their partitions; bucket 0 untouched
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE pt PARTITION (bucket) "
+        "VALUES (1, 'dyn1'), (2, 'dyn2'), (2, 'dyn3')",
+    )
+    assert res["mode"] == "dynamic_partition"
+    assert res["replaced_partitions"] == [1, 2]
+    got = {r["bucket"]: set() for r in cat.read(spark, "pt").collect()}
+    for r in cat.read(spark, "pt").collect():
+        got[r["bucket"]].add(r["v"])
+    assert got[1] == {"dyn1"} and got[2] == {"dyn2", "dyn3"}
+    assert len(got[0]) == 3
+    # dynamic with empty source replaces nothing
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE pt PARTITION (bucket) "
+        "SELECT bucket, v FROM pt WHERE bucket = 99",
+    )
+    assert res["replaced_partitions"] == []
+    assert cat.read(spark, "pt").count() == 6  # 3 + 1 + 2, unchanged
+    for bad, why in [
+        # unpartitioned table
+        ("INSERT OVERWRITE t PARTITION (k = 1) VALUES ('x', 1)",
+         "unpartitioned"),
+        # wrong column
+        ("INSERT OVERWRITE pt PARTITION (v = 'x') VALUES (1)",
+         "partitions on"),
+        # static source must omit the partition column
+        ("INSERT OVERWRITE pt PARTITION (bucket = 1) "
+         "SELECT bucket, v FROM pt", "omits it"),
+        # arity
+        ("INSERT OVERWRITE pt PARTITION (bucket = 1) VALUES (1, 'x')",
+         "arity"),
+        # literal must fit the column type
+        ("INSERT OVERWRITE pt PARTITION (bucket = 'x') VALUES ('v')",
+         "does not fit"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+    # static form on a transformed layout refuses; dynamic serves it
+    from java_iceberg_table_spark.table import bucket as bucket_tf
+
+    bt = cat.create_table(
+        "bt",
+        StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        partition=bucket_tf("id", 4),
+    )
+    bt.append(
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(8)], "id long, v string"
+        )
+    )
+    cat._commit_pins({"bt": bt.metadata.current_snapshot_id})
+    with pytest.raises(UnsupportedSQL, match="identity layout"):
+        cat.sql(
+            spark,
+            "INSERT OVERWRITE bt PARTITION (id = 3) VALUES ('x')",
+        )
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE bt PARTITION (id) VALUES (3, 'dyn')",
+    )
+    assert res["mode"] == "dynamic_partition"
+    got = {r["id"]: r["v"] for r in cat.read(spark, "bt").collect()}
+    assert got[3] == "dyn"
+    # rows hashing into UNTOUCHED buckets survive
+    untouched_bucket = bucket_tf("id", 4).apply_py(3)
+    survivors = [
+        i for i in range(8)
+        if i != 3 and bucket_tf("id", 4).apply_py(i) != untouched_bucket
+    ]
+    assert all(got.get(i) == f"b{i}" for i in survivors)
+
+
 def test_insert_overwrite_sql(spark, cat):
     """INSERT OVERWRITE (round 11): STATIC mode — the whole table's
     content is atomically replaced in one 'overwrite' snapshot; the
     pre-image stays time-travelable; pins publish through the same
-    resolve path as every data verb. Dynamic partition overwrite
-    stays on the connector (a4e)."""
+    resolve path as every data verb. Partition-scoped overwrite is
+    the explicit PARTITION clause form (round 12)."""
     t = cat.table("t")
     pre_snap = t.metadata.current_snapshot_id
     res = cat.sql(
