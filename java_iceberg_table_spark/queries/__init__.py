@@ -152,24 +152,23 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first.
-# Round 11 keeps the canary set to 3 so the ~39 remaining window slots
-# behind the 8 never-graded rows drain the r4/r5 stale-grade backlog
-# (VERDICT r10 items 1-2):
+# Round 12 keeps the canary set to 3: behind them sit 8 never-graded
+# rows (the 5 expired r11 deferrals + a5a/a5b/i32), leaving ~39 slots
+# that drain the whole r5 stale cohort (30 rows, VERDICT r11 item 3)
+# plus the front of the r7 bucket:
 _REVERIFY_HEAD = [
-    # SQL router verb explosion continued this round: column-list
-    # INSERT with NULL/default fill, the /*+ REALTIME */ hint branch
-    # in the SELECT pass-through, OPTIMIZE refused in scripts,
-    # matview regexes re.S, DESCRIBE resolving the pinned schema —
-    # a4l runs the whole router surface in one scenario
+    # SQL router moved again this round: column-list INSERT
+    # whitespace/case fixes, CREATE TABLE DEFAULT clause, the
+    # PARTITION-scoped INSERT OVERWRITE verb, per-table VERSION AS OF
+    # — a4l runs the whole router surface in one scenario
     "a4l_engine_sql_dml",
-    # maintained_view_merge folds in the VIEW's sv dtype now
-    # (integer-exact long measures); i21 drives that fold end-to-end
-    # through the CDC stream
-    "i21_streaming_materialized_view",
-    # _pq_fit's final assignment extracted into pq_encode in the
-    # round-10 continuation (registry note below); h53 is the
-    # representative ADC-scan consumer
-    "h53_ann_ivfpq_topk",
+    # /*+ REALTIME */ registration/refusal scope rewritten to the
+    # FROM/JOIN read set (ADVICE r11); a4v is the REALTIME-hint row
+    "a4v_engine_realtime_sql",
+    # read_realtime now drains a pin registry on entry and registers
+    # its bounded-merge persists there (ADVICE r11); a4u drives the
+    # realtime agg read end-to-end
+    "a4u_engine_realtime_agg_view",
 ]
 # Rows REGISTERED after this round's grading window was final-simmed
 # (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
@@ -180,49 +179,41 @@ _REVERIFY_HEAD = [
 # round's grade record) — from the next round on, these rows claim
 # never-graded slots first like any new registration, with no manual
 # list edit needed.
-_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r11.json"
-# Rows REGISTERED after this round's grading window was final-simmed
-# (CORRECTNESS_LOCAL_r11.json): they sort at the very END of the
-# order so the committed window prediction stays byte-identical and
-# no r4/r5 regrade loses its slot; self-expiring — once the driver
-# writes CORRECTNESS_r11.json these claim never-graded slots first.
-_DEFER_PAST_WINDOW = [
-    "a4w_engine_sql_time_travel",
-    "a4x_engine_sql_insert_overwrite",
-    "a4y_engine_sql_create_ddl",
-    "a4z_engine_extrema_view",
-    "i31_streaming_extrema_view",
-]
+_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r12.json"
+# Rows REGISTERED after this round's grading window was final-simmed:
+# they sort at the very END of the order so the committed window
+# prediction stays byte-identical; self-expiring — once the driver
+# writes the artifact above these claim never-graded slots first.
+# Round 12 registered its new rows (a5a/a5b/i32) BEFORE the final sim,
+# so the list is empty unless late work adds more.
+_DEFER_PAST_WINDOW: list[str] = []
 
-# ROUND-12 NOTES (for the next session):
-# - The 5 _DEFER_PAST_WINDOW rows (a4w/a4x/a4y/a4z/i31) self-expire
-#   into the r12 window head once CORRECTNESS_r11.json lands; they are
-#   locally green (CORRECTNESS_LOCAL_DEFERRED_r11.json).
-# - Canary candidates: every r11-window row is graded on END-of-round
-#   code (the driver grades after the round), so no post-grading drift
-#   exists from round 11 itself. Pick canaries from whatever machinery
-#   ROUND 12 changes; if maintained.py moves again, a4u or i29 covers
-#   the agg realtime/fold path and a4z the extrema path.
-# - Stale drain: after r11 the oldest cohort should be r5 (~30 rows);
-#   continue stalest-first until no cohort is older than r7.
-# - h6b_minhash_lsh_near_dup changed THIS round (rep-graph persists,
-#   4x faster at sf1) but its OUTPUT is value-identical (re-proven vs
-#   oracle at sf0.01); its regrade rides the staleness rotation.
+# ROUND-13 NOTES (for the next session):
+# - Round 12's window: 3 canaries (a4l router verbs, a4v REALTIME
+#   read-set scope, a4u realtime-pin drain) + 8 never-graded (the 5
+#   expired r11 deferrals a4w/a4x/a4y/a4z/i31 + round 12's own
+#   a5a/a5b/i32, all registered before the final sim) + the whole r5
+#   stale cohort (~30 rows incl. the table-layer six a3n/a3o/a3q/
+#   a3s/a3t/a3u) + the front of the r7 bucket.
+# - Canary candidates for r13: whatever r13 changes. If sql_dml moves
+#   again, a4l remains the router canary; a5b covers the PARTITION
+#   overwrite path, a5a the VERSION AS OF path, i32 the delete-capable
+#   extrema sink.
+# - Stale drain target: after r12 no cohort should be older than r7;
+#   continue stalest-first until the floor is r8+.
+# - Refusal-probe audit (standing): before registering any row whose
+#   refusal probes touch INSERT OVERWRITE / PARTITION / DEFAULT /
+#   VERSION AS OF, re-grep the graded refusal lists — round 12 added
+#   all four syntaxes to the grammar.
 
-# Round-11 notes on changed-machinery rows deliberately NOT canaried
-# (each locally re-driven green against its oracle this round, driver
-# regrade rides staleness rotation or the never-graded head):
-# - a4r/a4s/a4u/i29 (maintained-agg fold types now integer-exact for
-#   integral sources; in-row recomputes updated to long folds) and
-#   a4t (column-list INSERT exercised, probe swapped): all EIGHT
-#   round-10/11 continuation rows incl. a4v are never driver-graded,
-#   so they claim the window's never-graded slots automatically —
+# Round-12 notes on changed-machinery rows deliberately NOT canaried:
+# - a4w/a4x/a4y/a4z/i31 + a5a/a5b/i32 are never driver-graded, so
+#   they claim the window's never-graded slots automatically —
 #   canarying them would double-book slots;
-# - c3e_engine_agg_view: uses additive_refresh directly, which was
-#   unchanged (it always cast merged sums to the view schema);
-# - e1e/i28 top-k views: topk_view operator untouched this round
-#   (read_realtime's topk branch changed, but neither row reads
-#   through it).
+# - extrema machinery (_extrema_fold unpersist hygiene, the
+#   delete-capable sink) is covered by a4z/i31/i32 in those slots;
+# - SHOW CREATE TABLE DEFAULT emission and the CREATE TABLE DEFAULT
+#   clause ride a4y (never-graded slot) + a4l (canary).
 
 
 def load_all() -> dict[str, Query]:
