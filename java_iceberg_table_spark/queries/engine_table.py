@@ -3922,7 +3922,8 @@ SELECT (SELECT COUNT(*) FROM a) AS cnt_v1,
        CAST((SELECT SUM(o_orderkey) FROM a) AS BIGINT) AS sum_v1,
        (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b) AS cnt_current,
        (SELECT COUNT(*) FROM a WHERE o_orderkey % 2 = 0) AS cnt_v1_filtered,
-       CAST(4 AS BIGINT) AS refused
+       (SELECT COUNT(*) FROM a) AS cnt_ts,
+       CAST(5 AS BIGINT) AS refused
 """,
     group="A",
 )
@@ -3938,8 +3939,12 @@ def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     A (snapshot s1), then slice B, and grades: count/sum AT s1, the
     current count, a filtered travel read (bare ``VERSION AS OF``
     spelling, WHERE composed around the clause), and four loud
-    refusals (multi-table join, CATALOG_VERSION combo, view target,
-    unknown snapshot id)."""
+    refusals. ``[FOR] TIMESTAMP AS OF <epoch-ms | 'ISO instant'>`` is
+    the same contract onto ``scan(as_of_ms=)`` (a3z's API read): the
+    scenario travels to snapshot s1's commit instant and grades the
+    same count. The five refusals: multi-table join, CATALOG_VERSION
+    combo, view target, unparseable timestamp literal, unknown
+    snapshot id."""
     from ..table import Catalog
     from ..table.sql_dml import UnsupportedSQL
 
@@ -3955,6 +3960,13 @@ def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = cat.create_table("orders_t", orders.schema)
         src.append(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))
         s1 = src.metadata.current_snapshot_id
+        # the timestamp travel below cuts AT s1's commit instant: make
+        # sure the next commit lands on a LATER millisecond, or no
+        # cutoff could separate the two snapshots
+        import time as _time
+
+        while int(_time.time() * 1000) <= src.snapshot_by_id(s1).timestamp_ms:
+            _time.sleep(0.002)
         src.append(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2))
         cat._commit_pins({"orders_t": src.metadata.current_snapshot_id})
         at_v1 = cat.sql(
@@ -3971,6 +3983,11 @@ def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT COUNT(*) AS n FROM orders_t VERSION AS OF {s1} "
             "WHERE o_orderkey % 2 = 0",
         ).collect()[0]["n"]
+        ts1 = src.snapshot_by_id(s1).timestamp_ms
+        cnt_ts = cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM orders_t FOR TIMESTAMP AS OF {ts1}",
+        ).collect()[0]["n"]
         cat.create_table("other_t", orders.schema)
         cat.sql(spark, "CREATE VIEW ov AS SELECT o_orderkey FROM orders_t")
         refused = 0
@@ -3980,6 +3997,7 @@ def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT /*+ CATALOG_VERSION(1) */ COUNT(*) FROM orders_t "
             f"FOR VERSION AS OF {s1}",
             f"SELECT COUNT(*) FROM ov FOR VERSION AS OF {s1}",
+            "SELECT COUNT(*) FROM orders_t TIMESTAMP AS OF 'nonsense'",
         ):
             try:
                 cat.sql(spark, bad)
@@ -3993,9 +4011,9 @@ def a5a_engine_sql_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         except KeyError:
             refused += 1
         return spark.createDataFrame(
-            [(at_v1["n"], at_v1["s"], cur, filtered, refused)],
+            [(at_v1["n"], at_v1["s"], cur, filtered, cnt_ts, refused)],
             "cnt_v1 bigint, sum_v1 bigint, cnt_current bigint, "
-            "cnt_v1_filtered bigint, refused bigint",
+            "cnt_v1_filtered bigint, cnt_ts bigint, refused bigint",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)

@@ -165,6 +165,29 @@ def _from_join_identifiers(statement: str) -> set[str]:
     return out
 
 
+def _as_of_millis(lit: str) -> int:
+    """TIMESTAMP AS OF literal -> epoch milliseconds. A bare integer
+    IS epoch-ms; a quoted string parses as an ISO-8601 instant
+    (naive = UTC, matching the engine's snapshot timestamps)."""
+    from .sql_dml import UnsupportedSQL
+
+    if lit.isdigit():
+        return int(lit)
+    from datetime import datetime, timezone
+
+    s = lit[1:-1].replace("''", "'").strip()
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError as e:
+        raise UnsupportedSQL(
+            f"TIMESTAMP AS OF literal {s!r} is neither epoch-millis "
+            "nor an ISO-8601 instant"
+        ) from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _later_of(tbl: Table, a: int | None, b: int | None) -> int | None:
     """The commit-order-later of two snapshot ids of one table. Used
     so a catalog retry only ever moves a pin FORWARD — setting a pin
@@ -527,16 +550,19 @@ class Catalog:
                     "pins the past, the other reads ahead of the pins — "
                     "pick one"
                 )
-            # FROM t [FOR] VERSION AS OF <snapshot-id> (round 12):
-            # per-TABLE time travel (Iceberg's VERSION AS OF — the id
-            # is a SNAPSHOT id, the SQL face of Table.scan(snapshot_id)
-            # that a3z/a3n use API-side). Single-table statements only:
-            # the clause pins ONE relation's history, so any statement
-            # whose read set holds another catalog relation refuses —
-            # the cross-table-consistent form is CATALOG_VERSION.
+            # FROM t [FOR] VERSION|TIMESTAMP AS OF <lit> (round 12):
+            # per-TABLE time travel (Iceberg's spellings — VERSION
+            # takes a SNAPSHOT id onto Table.scan(snapshot_id=),
+            # TIMESTAMP takes epoch-millis or an ISO instant onto
+            # scan(as_of_ms=); the SQL face of the a3z/a3n API reads).
+            # Single-table statements only: the clause pins ONE
+            # relation's history, so any statement whose read set
+            # holds another catalog relation refuses — the
+            # cross-table-consistent form is CATALOG_VERSION.
+            _lit = r"'(?:[^']|'')*'|\d+"
             vats = list(
                 _re.finditer(
-                    r"\b(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+                    rf"\b(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+({_lit})",
                     statement,
                     _re.I,
                 )
@@ -546,29 +572,32 @@ class Catalog:
 
                 if tt is not None or rt_hint is not None:
                     raise UnsupportedSQL(
-                        "VERSION AS OF cannot combine with the "
-                        "CATALOG_VERSION or REALTIME hints: each pins a "
-                        "different notion of 'when' — pick one"
+                        "VERSION/TIMESTAMP AS OF cannot combine with "
+                        "the CATALOG_VERSION or REALTIME hints: each "
+                        "pins a different notion of 'when' — pick one"
                     )
                 if len(vats) > 1:
                     raise UnsupportedSQL(
-                        "one VERSION AS OF clause per statement: the "
-                        "single-table contract leaves nothing for a "
-                        "second clause to pin"
+                        "one VERSION/TIMESTAMP AS OF clause per "
+                        "statement: the single-table contract leaves "
+                        "nothing for a second clause to pin"
                     )
                 fm = _re.search(
-                    r"\bFROM\s+([A-Za-z_]\w*)\s+"
-                    r"(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)",
+                    rf"\bFROM\s+([A-Za-z_]\w*)\s+"
+                    rf"(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+({_lit})",
                     statement,
                     _re.I,
                 )
                 if fm is None:
                     raise UnsupportedSQL(
-                        "VERSION AS OF attaches to a FROM <table> "
-                        "reference: SELECT ... FROM t [FOR] VERSION "
-                        "AS OF <snapshot-id> ..."
+                        "VERSION/TIMESTAMP AS OF attaches to a FROM "
+                        "<table> reference: SELECT ... FROM t [FOR] "
+                        "VERSION AS OF <snapshot-id> | TIMESTAMP AS OF "
+                        "<epoch-ms | 'ISO instant'> ..."
                     )
-                tname, snap = fm.group(1), int(fm.group(2))
+                tname, kind, lit = (
+                    fm.group(1), fm.group(2).upper(), fm.group(3)
+                )
                 stripped = (
                     statement[: fm.end(1)] + " " + statement[fm.end() :]
                 )
@@ -576,7 +605,7 @@ class Catalog:
                 views_l = {v.lower() for v in st.views}
                 if tname.lower() in views_l:
                     raise UnsupportedSQL(
-                        f"VERSION AS OF targets a TABLE's snapshot "
+                        f"{kind} AS OF targets a TABLE's snapshot "
                         f"history; {tname!r} is a view — views "
                         "time-travel via /*+ CATALOG_VERSION(n) */"
                     )
@@ -590,16 +619,25 @@ class Catalog:
                 }
                 if reads != {tname.lower()}:
                     raise UnsupportedSQL(
-                        "VERSION AS OF serves single-table statements "
+                        f"{kind} AS OF serves single-table statements "
                         f"only (this one reads {sorted(reads)}): mixing "
                         "per-table vintages forfeits cross-table "
                         "consistency — use /*+ CATALOG_VERSION(n) */ "
                         "for a consistent multi-table time travel"
                     )
+                if kind == "VERSION":
+                    if not lit.isdigit():
+                        raise UnsupportedSQL(
+                            "VERSION AS OF takes a numeric snapshot id"
+                        )
+                    kw = {"snapshot_id": int(lit)}
+                else:
+                    kw = {"as_of_ms": _as_of_millis(lit)}
                 self.register_views(spark)
-                # loud KeyError for an unknown/expired snapshot id
+                # loud KeyError for an unknown/expired snapshot id or
+                # an instant before the table's first commit
                 self.table(tname).scan(
-                    spark, snapshot_id=snap
+                    spark, **kw
                 ).createOrReplaceTempView(tname)
                 return spark.sql(stripped)
             if tt:
@@ -655,6 +693,7 @@ class Catalog:
 
     def _introspect(self, spark: SparkSession, sql: str):
         """SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS |
+        SHOW PARTITIONS t | SHOW SNAPSHOTS t | SHOW CREATE TABLE t |
         DESCRIBE [TABLE] t — catalog introspection as DataFrames
         (metadata-only, driver-side listings of catalog state)."""
         import re as _re
@@ -682,6 +721,73 @@ class Catalog:
                 ]
                 or [],
                 "view_name string, kind string, source string, key string",
+            )
+        m = _re.match(r"^SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)$", sql, _re.I)
+        if m:
+            # SHOW PARTITIONS (round 12): partition value -> (files,
+            # rows, bytes) straight from the manifest entries of the
+            # PINNED snapshot — the same state a catalog SELECT reads;
+            # metadata-only, no data file opened. MOR note: rows/bytes
+            # are the entries' physical counts (pending equality
+            # deletes are not subtracted — they are delete FILES, not
+            # rewritten data), same as Iceberg's partitions table.
+            name = m.group(1)
+            tbl = self.table(name)
+            if tbl.transform is None:
+                raise UnsupportedSQL(
+                    f"table {name!r} is unpartitioned — SHOW PARTITIONS "
+                    "lists a partition transform's layout"
+                )
+            pin = self.state().pins.get(name)
+            snap = (
+                tbl.metadata.current_snapshot()
+                if pin is None
+                else tbl.snapshot_by_id(pin)
+            )
+            agg: dict = {}
+            for e in tbl.files_of(snap) if snap is not None else []:
+                p = e.get("partition")
+                f, r, b = agg.get(p, (0, 0, 0))
+                agg[p] = (
+                    f + 1,
+                    r + int(e.get("rows", 0) or 0),
+                    b + int(e.get("bytes", 0) or 0),
+                )
+            rows = [
+                (str(p), f, r, b)
+                for p, (f, r, b) in sorted(
+                    agg.items(), key=lambda kv: str(kv[0])
+                )
+            ]
+            return spark.createDataFrame(
+                rows or [],
+                "partition string, files bigint, rows bigint, bytes bigint",
+            )
+        m = _re.match(r"^SHOW\s+SNAPSHOTS\s+([A-Za-z_]\w*)$", sql, _re.I)
+        if m:
+            # SHOW SNAPSHOTS (round 12): the commit log as a DataFrame
+            # (metadata-only, head state like ALTER reads) — the SQL
+            # face of Table.history()/the connector's snapshots table
+            # (a3x). is_current marks the head; rolled-past and
+            # branch-staged snapshots still list until expiry, exactly
+            # what the metadata log holds.
+            name = m.group(1)
+            tbl = self.table(name)
+            cur = tbl.metadata.current_snapshot_id
+            return spark.createDataFrame(
+                [
+                    (
+                        s.snapshot_id,
+                        s.parent_id,
+                        s.timestamp_ms,
+                        s.operation,
+                        s.snapshot_id == cur,
+                    )
+                    for s in tbl.metadata.snapshots
+                ]
+                or [],
+                "snapshot_id long, parent_id long, timestamp_ms long, "
+                "operation string, is_current boolean",
             )
         m = _re.match(r"^SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", sql, _re.I)
         if m:
@@ -780,6 +886,7 @@ class Catalog:
         raise UnsupportedSQL(
             f"introspection statement not recognized: {sql[:60]!r} "
             "(SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS | "
+            "SHOW PARTITIONS t | SHOW SNAPSHOTS t | "
             "SHOW CREATE TABLE t | DESCRIBE [TABLE] t)"
         )
 

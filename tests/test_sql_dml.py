@@ -1014,7 +1014,34 @@ def test_show_and_describe(spark, cat):
     from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
 
     with pytest.raises(UnsupportedSQL, match="introspection"):
+        cat.sql(spark, "SHOW GRANTS ON t")
+    # SHOW PARTITIONS (round 12): metadata-only layout listing of the
+    # pinned snapshot; unpartitioned tables refuse with a reason, not
+    # an unrecognized-statement error
+    with pytest.raises(UnsupportedSQL, match="unpartitioned"):
         cat.sql(spark, "SHOW PARTITIONS t")
+    from java_iceberg_table_spark.table import identity
+
+    pt = cat.create_table(
+        "pshow",
+        spark.createDataFrame([], "b long, v string").schema,
+        partition=identity("b"),
+    )
+    pt.append(
+        spark.createDataFrame(
+            [(i % 3, f"r{i}") for i in range(9)], "b long, v string"
+        )
+    )
+    cat._commit_pins({"pshow": pt.metadata.current_snapshot_id})
+    parts = {
+        r["partition"]: r["rows"]
+        for r in cat.sql(spark, "SHOW PARTITIONS pshow").collect()
+    }
+    assert parts == {"0": 3, "1": 3, "2": 3}
+    # SHOW SNAPSHOTS: the commit log, head marked
+    snaps = cat.sql(spark, "SHOW SNAPSHOTS pshow").collect()
+    assert len(snaps) == 1 and snaps[0]["operation"] == "append"
+    assert snaps[0]["is_current"] is True
     # DESCRIBE reads the PINNED snapshot's schema, like SELECT
     # pass-through (round-11 review finding): an unpublished direct-
     # writer ADD COLUMN must not surface columns a catalog SELECT on
@@ -1254,6 +1281,21 @@ def test_version_as_of_sql(spark, cat):
         cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
         == n1 + 1
     )
+    # TIMESTAMP AS OF: epoch-millis and quoted ISO instants route
+    # onto scan(as_of_ms=) under the same single-table contract
+    ts1 = cat.table("t").snapshot_by_id(snap1).timestamp_ms
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts1 / 1000, tz=timezone.utc).isoformat()
+    for form in (
+        f"SELECT COUNT(*) AS n FROM t FOR TIMESTAMP AS OF {ts1}",
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{iso}'",
+    ):
+        assert cat.sql(spark, form).collect()[0]["n"] == n1
+    with pytest.raises(UnsupportedSQL, match="ISO-8601"):
+        cat.sql(spark, "SELECT COUNT(*) FROM t TIMESTAMP AS OF 'nonsense'")
+    with pytest.raises(KeyError, match="no snapshot"):
+        cat.sql(spark, "SELECT COUNT(*) FROM t TIMESTAMP AS OF 1")
     cat.create_table("u", SCHEMA)
     cat.sql(spark, "CREATE VIEW tv AS SELECT k FROM t")
     for bad, why in [
@@ -1275,7 +1317,7 @@ def test_version_as_of_sql(spark, cat):
         (
             f"SELECT COUNT(*) FROM t FOR VERSION AS OF {snap1} "
             f"WHERE k IN (SELECT k FROM t VERSION AS OF {snap1})",
-            "one VERSION AS OF",
+            "one VERSION/TIMESTAMP AS OF",
         ),
         (f"SELECT COUNT(*) FROM tv FOR VERSION AS OF {snap1}", "view"),
         (f"SELECT COUNT(*), {snap1} AS v FROM t WHERE VERSION AS OF 3 > 1",
