@@ -626,11 +626,13 @@ class Catalog:
                         "for a consistent multi-table time travel"
                     )
                 if kind == "VERSION":
-                    if not lit.isdigit():
-                        raise UnsupportedSQL(
-                            "VERSION AS OF takes a numeric snapshot id"
-                        )
-                    kw = {"snapshot_id": int(lit)}
+                    # Iceberg parity: VERSION AS OF takes a snapshot id
+                    # or a quoted branch/tag name (scan(ref=) reads the
+                    # ref's pinned head; unknown refs KeyError loudly)
+                    if lit.isdigit():
+                        kw = {"snapshot_id": int(lit)}
+                    else:
+                        kw = {"ref": lit[1:-1].replace("''", "'")}
                 else:
                     kw = {"as_of_ms": _as_of_millis(lit)}
                 self.register_views(spark)

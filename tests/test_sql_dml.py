@@ -1296,6 +1296,15 @@ def test_version_as_of_sql(spark, cat):
         cat.sql(spark, "SELECT COUNT(*) FROM t TIMESTAMP AS OF 'nonsense'")
     with pytest.raises(KeyError, match="no snapshot"):
         cat.sql(spark, "SELECT COUNT(*) FROM t TIMESTAMP AS OF 1")
+    # VERSION AS OF also takes a quoted branch/tag name (Iceberg
+    # parity): the ref's pinned head answers, unknown refs are loud
+    cat.table("t").create_tag("prefix", snapshot_id=snap1)
+    got = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 'prefix'"
+    ).collect()[0]["n"]
+    assert got == n1
+    with pytest.raises(KeyError, match="no such ref"):
+        cat.sql(spark, "SELECT COUNT(*) FROM t VERSION AS OF 'ghost'")
     cat.create_table("u", SCHEMA)
     cat.sql(spark, "CREATE VIEW tv AS SELECT k FROM t")
     for bad, why in [
@@ -1408,6 +1417,23 @@ def test_insert_overwrite_partition_sql(spark, cat):
     t2 = cat.table("pt")
     assert t2.metadata.current_snapshot().operation == "overwrite"
     assert t2.metadata.current_snapshot().summary["overwrite-mode"] == "dynamic"
+    # untouched partitions carried BY REFERENCE: the bucket-0/2 files
+    # after the bucket-1 overwrite are the SAME physical files (zero
+    # rewrite cost — the property that makes a daily-partition reload
+    # cost one day, not the table)
+    pre_files = {
+        e["path"]
+        for e in t2.files_of(t2.snapshot_by_id(
+            t2.metadata.current_snapshot().parent_id
+        ))
+        if e.get("partition") in (0, 2)
+    }
+    post_files = {
+        e["path"]
+        for e in t2.files_of(t2.metadata.current_snapshot())
+        if e.get("partition") in (0, 2)
+    }
+    assert pre_files and pre_files == post_files
     # STATIC with an empty source CLEARS the partition (Hive form)
     res = cat.sql(
         spark,
