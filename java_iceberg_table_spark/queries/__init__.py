@@ -184,9 +184,12 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r12.json"
 # they sort at the very END of the order so the committed window
 # prediction stays byte-identical; self-expiring — once the driver
 # writes the artifact above these claim never-graded slots first.
-# Round 12 registered its new rows (a5a/a5b/i32) BEFORE the final sim,
-# so the list is empty unless late work adds more.
-_DEFER_PAST_WINDOW: list[str] = []
+# Round 12 registered its main new rows (a5a/a5b/i32) BEFORE the
+# final sim; a5d (OPTIMIZE ... WHERE) landed after it and defers —
+# locally green (CORRECTNESS_LOCAL_DEFERRED_r12.json).
+_DEFER_PAST_WINDOW: list[str] = [
+    "a5d_engine_sql_optimize_partition",
+]
 
 # ROUND-13 NOTES (for the next session):
 # - Round 12's window: 3 canaries (a4l router verbs, a4v REALTIME

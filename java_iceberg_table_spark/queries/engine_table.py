@@ -4143,3 +4143,118 @@ def a5b_engine_sql_partition_overwrite(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a5d_engine_sql_optimize_partition",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderkey % 4 AS bucket FROM orders
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       TRUE AS p1_compacted,
+       TRUE AS others_untouched,
+       TRUE AS content_identical,
+       CAST(3 AS BIGINT) AS refused
+FROM base
+""",
+    group="A",
+)
+def a5d_engine_sql_optimize_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``OPTIMIZE t WHERE <partition-col> = <lit>`` through
+    ``Catalog.sql`` (round 12 — Iceberg/Delta selective compaction):
+    bin-packing scoped to ONE identity partition. At 100 TB this is
+    the verb a table operator actually runs — compact the partition
+    today's writers fragmented, not the table: the rewrite reads and
+    writes O(named partition's small files), every other partition's
+    files carry untouched (proven by PHYSICAL PATH identity), and the
+    commit is one content-preserving 'replace' snapshot so standing
+    CDC/views ride through. Snapshot expiry and orphan GC stay
+    whole-table verbs (plain OPTIMIZE / VACUUM) — a partition-scoped
+    statement must not smuggle in table-global effects. The scenario
+    fragments partition 1 with five 1-file appends, runs the scoped
+    OPTIMIZE, and grades totals vs DuckDB plus compaction/zero-copy/
+    content proofs and three loud refusals (range predicate, wrong
+    column, non-identity layout)."""
+    from ..table import Catalog, bucket as _bucket_tf, identity
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    croot = tempfile.mkdtemp(prefix="engine_optw_") + "/cat"
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(croot)
+        base = orders.withColumn("bucket", F.col("o_orderkey") % 4)
+        pt = cat.create_table(
+            "pt", base.schema, partition=identity("bucket")
+        )
+        # everything except partition 1 in one append; partition 1
+        # fragmented across five 1-file appends — the small-files
+        # shape a high-frequency writer leaves behind
+        pt.append(base.filter(F.col("bucket") != 1).coalesce(4))
+        p1 = base.filter(F.col("bucket") == 1)
+        for i in range(5):
+            pt.append(p1.filter(F.col("o_orderkey") % 5 == i).coalesce(1))
+        cat._commit_pins({"pt": pt.metadata.current_snapshot_id})
+
+        def files_by_part():
+            out: dict = {}
+            for e in cat.table("pt").current_files():
+                out.setdefault(e.get("partition"), set()).add(e["path"])
+            return out
+
+        pre = files_by_part()
+        res = cat.sql(spark, "OPTIMIZE pt WHERE bucket = 1")
+        assert res["statement"] == "optimize"
+        post = files_by_part()
+        p1_compacted = (
+            res["compact"]["rewritten"] == len(pre[1]) == 5
+            and len(post[1]) < len(pre[1])
+        )
+        others_untouched = all(
+            post[p] == pre[p] for p in pre if p != 1
+        )
+        cur = cat.read(spark, "pt")
+        content_identical = (
+            cur.exceptAll(base).isEmpty() and base.exceptAll(cur).isEmpty()
+        )
+        refused = 0
+        bt = cat.create_table(
+            "bt", orders.schema, partition=_bucket_tf("o_orderkey", 4)
+        )
+        bt.append(orders.limit(8).coalesce(1))
+        cat._commit_pins({"bt": bt.metadata.current_snapshot_id})
+        for bad in (
+            "OPTIMIZE pt WHERE bucket > 0",
+            "OPTIMIZE pt WHERE o_orderkey = 1",
+            "OPTIMIZE bt WHERE o_orderkey = 1",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_okey"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"], row["sum_okey"], p1_compacted,
+                    others_untouched, content_identical, refused,
+                )
+            ],
+            "n_rows bigint, sum_okey bigint, p1_compacted boolean, "
+            "others_untouched boolean, content_identical boolean, "
+            "refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(os.path.dirname(croot), ignore_errors=True)

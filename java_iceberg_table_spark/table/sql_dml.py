@@ -46,7 +46,8 @@ an existing engine operation, and anything else raises
   CREATE TABLE name (col type [NOT NULL] [DEFAULT lit], ...)
     [PARTITIONED BY (bucket(N,c) | truncate(W,c) | years(c) | ... | c)]
     [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
-  OPTIMIZE t                                -- full maintenance pass
+  OPTIMIZE t [WHERE pcol = lit]             -- full maintenance pass;
+    -- WHERE scopes compaction to ONE identity partition (round 12)
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
   ALTER TABLE t ADD COLUMN c type [DEFAULT lit] | RENAME COLUMN a TO b
     | ALTER COLUMN c TYPE type | DROP COLUMN c
@@ -431,7 +432,9 @@ _DROP_TABLE = re.compile(
     r"^DROP\s+TABLE\s+([A-Za-z_]\w*)(\s+PURGE)?$", re.I
 )
 _TRUNCATE = re.compile(r"^TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)$", re.I)
-_OPTIMIZE = re.compile(r"^OPTIMIZE\s+([A-Za-z_]\w*)$", re.I)
+_OPTIMIZE = re.compile(
+    r"^OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+))?$", re.I | re.S
+)
 _VACUUM = re.compile(
     r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
 )
@@ -1278,10 +1281,59 @@ def run_dml(
 
     m = _OPTIMIZE.match(sql)
     if m:
-        name = m.group(1)
+        name, where = m.groups()
         tbl, pinned = _maintenance_target(name)
         pre_head = tbl.metadata.current_snapshot_id
-        res = tbl.maintain(spark)
+        if where is not None:
+            # OPTIMIZE t WHERE <partition-col> = <lit> (round 12 —
+            # Iceberg/Delta selective compaction): scope the rewrite
+            # to ONE identity partition. Compaction ONLY — snapshot
+            # expiry and orphan GC are table-global concerns a
+            # partition-scoped verb must not smuggle in; run plain
+            # OPTIMIZE / VACUUM for those. The predicate grammar is
+            # one equality on the partition source column: that is
+            # what maps onto a partition value — anything else would
+            # silently rewrite more than the statement names.
+            t = tbl.transform
+            if t is None:
+                raise UnsupportedSQL(
+                    f"table {name!r} is unpartitioned: OPTIMIZE ... "
+                    "WHERE scopes compaction to a partition — run "
+                    "plain OPTIMIZE"
+                )
+            preds = _parse_predicates(where.strip())
+            if len(preds) != 1 or preds[0][1] != "=":
+                raise UnsupportedSQL(
+                    "OPTIMIZE ... WHERE takes exactly one "
+                    "<partition-col> = <literal> predicate (it must "
+                    "name one partition)"
+                )
+            col, _, val = preds[0]
+            if col.lower() != t.source_column.lower():
+                raise UnsupportedSQL(
+                    f"OPTIMIZE ... WHERE names {col!r} but table "
+                    f"{name!r} partitions on {t.source_column!r}"
+                )
+            from .transforms import IdentityTransform
+
+            if not isinstance(t, IdentityTransform):
+                raise UnsupportedSQL(
+                    "OPTIMIZE ... WHERE maps onto an identity layout; "
+                    "transformed layouts (bucket/truncate/temporal) "
+                    "compact whole-table via plain OPTIMIZE"
+                )
+            if not isinstance(val, int) or isinstance(val, bool):
+                raise UnsupportedSQL(
+                    "OPTIMIZE ... WHERE: identity partitions take an "
+                    "integer literal"
+                )
+            res = {
+                "compact": tbl.compact_data_files(
+                    spark, partitions={t.apply_py(val)}
+                )
+            }
+        else:
+            res = tbl.maintain(spark)
         published = _maintenance_republish(name, tbl, pinned, pre_head)
         return {
             "statement": "optimize", "table": name,

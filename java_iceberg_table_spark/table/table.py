@@ -2801,6 +2801,7 @@ class Table:
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        partitions: set | None = None,
     ) -> dict[str, int]:
         """Bin-packing compaction: rewrite small data files into
         ~target-size files, one atomic 'replace' snapshot. Row content
@@ -2810,13 +2811,27 @@ class Table:
         Writer.java:74-108).
 
         Partition-aware: files are rewritten within their partition
-        bucket so pruning metadata stays exact."""
+        bucket so pruning metadata stays exact. ``partitions`` scopes
+        the pass to CURRENT-spec files whose partition value is in the
+        set (Iceberg/Delta ``OPTIMIZE ... WHERE``): at 100 TB you
+        compact the partition your writers just churned, not the
+        table; older-spec files are conservatively left alone
+        (partition values are not comparable across specs — a full
+        pass migrates them)."""
         md = self.metadata
         snap = md.current_snapshot()
         if snap is None:
             return {"rewritten": 0, "new_files": 0}
         entries = self.files_of(snap)
         small = [e for e in entries if e["bytes"] < target_file_bytes // 2]
+        if partitions is not None:
+            cur_sid = self.current_spec_id(md)
+            small = [
+                e
+                for e in small
+                if int(e.get("spec_id", 0) or 0) == cur_sid
+                and e.get("partition") in partitions
+            ]
         if len(small) < 2:
             return {"rewritten": 0, "new_files": 0}
         keep = [e for e in entries if e not in small]

@@ -623,8 +623,73 @@ def test_optimize_and_vacuum_sql(spark, cat):
     assert res["statement"] == "vacuum"
     assert len(cat.table("t").metadata.snapshots) <= 2
     assert cat.read(spark, "t").orderBy("k").collect() == before
-    with pytest.raises(UnsupportedSQL, match="OPTIMIZE"):
+    # WHERE on an unpartitioned table refuses with a reason
+    with pytest.raises(UnsupportedSQL, match="unpartitioned"):
         cat.sql(spark, "OPTIMIZE t WHERE k > 0")
+
+
+def test_optimize_where_partition_sql(spark, cat):
+    """OPTIMIZE t WHERE <partition-col> = <lit> (round 12 — the
+    Iceberg/Delta selective-compaction spelling): compaction scoped to
+    ONE identity partition — the named partition's small files
+    bin-pack, every other partition's files are untouched (same
+    physical paths), content identical; expiry/GC stay whole-table
+    verbs. Imprecise predicates refuse loudly."""
+    from java_iceberg_table_spark.table import bucket as bucket_tf
+    from java_iceberg_table_spark.table import identity
+
+    pt = cat.create_table(
+        "popt",
+        StructType(
+            [
+                StructField("b", LongType(), False),
+                StructField("v", StringType(), True),
+            ]
+        ),
+        partition=identity("b"),
+    )
+    for i in range(12):  # six 1-row files per partition
+        pt.append(
+            spark.createDataFrame(
+                [(i % 2, f"r{i}")], "b long, v string"
+            ).coalesce(1)
+        )
+    cat._commit_pins({"popt": pt.metadata.current_snapshot_id})
+    before = cat.read(spark, "popt").orderBy("b", "v").collect()
+
+    def files_by_part():
+        out: dict = {}
+        for e in cat.table("popt").current_files():
+            out.setdefault(e.get("partition"), set()).add(e["path"])
+        return out
+
+    pre = files_by_part()
+    assert len(pre[0]) == 6 and len(pre[1]) == 6
+    res = cat.sql(spark, "OPTIMIZE popt WHERE b = 1")
+    assert res["statement"] == "optimize"
+    assert res["compact"]["rewritten"] == 6
+    post = files_by_part()
+    assert len(post[1]) < 6  # named partition compacted
+    assert post[0] == pre[0]  # other partition: SAME physical files
+    assert cat.read(spark, "popt").orderBy("b", "v").collect() == before
+    for bad, why in [
+        ("OPTIMIZE popt WHERE b > 0", "one"),
+        ("OPTIMIZE popt WHERE v = 'x'", "partitions on"),
+        ("OPTIMIZE popt WHERE b = 0 AND v = 'x'", "one"),
+        ("OPTIMIZE popt WHERE b = 'x'", "integer literal"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+    # transformed layouts refuse the scoped form
+    bt = cat.create_table(
+        "bopt",
+        StructType([StructField("id", LongType(), False)]),
+        partition=bucket_tf("id", 4),
+    )
+    bt.append(spark.createDataFrame([(i,) for i in range(4)], "id long"))
+    cat._commit_pins({"bopt": bt.metadata.current_snapshot_id})
+    with pytest.raises(UnsupportedSQL, match="identity layout"):
+        cat.sql(spark, "OPTIMIZE bopt WHERE id = 1")
 
 
 def test_vacuum_protects_lagging_published_pin(spark, cat):
