@@ -189,6 +189,7 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r12.json"
 # locally green (CORRECTNESS_LOCAL_DEFERRED_r12.json).
 _DEFER_PAST_WINDOW: list[str] = [
     "a5d_engine_sql_optimize_partition",
+    "i33_streaming_topk_deletes",
 ]
 
 # ROUND-13 NOTES (for the next session):
@@ -200,8 +201,12 @@ _DEFER_PAST_WINDOW: list[str] = [
 #   a3s/a3t/a3u) + the front of the r7 bucket.
 # - Canary candidates for r13: whatever r13 changes. If sql_dml moves
 #   again, a4l remains the router canary; a5b covers the PARTITION
-#   overwrite path, a5a the VERSION AS OF path, i32 the delete-capable
-#   extrema sink.
+#   overwrite path, a5a the VERSION AS OF path, i32/i33 the
+#   delete-capable extrema/top-k sinks. NOTE: topk_view_sink's fold
+#   was REWRITTEN late in round 12 (delete support) after the final
+#   sim — i33 (never-graded, claims an r13 slot) covers the new path
+#   and i28/i14 were re-driven locally green on it; if the r12 window
+#   grades i28 stale-green on pre-rewrite evidence, canary i28 in r13.
 # - Stale drain target: after r12 no cohort should be older than r7;
 #   continue stalest-first until the floor is r8+.
 # - Refusal-probe audit (standing): before registering any row whose

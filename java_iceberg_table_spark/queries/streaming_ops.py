@@ -2351,3 +2351,131 @@ def i32_streaming_extrema_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "i33_streaming_topk_deletes",
+    oracle="""
+WITH mu AS (SELECT MIN(user_id) AS u FROM events),
+surv AS (
+  SELECT e.user_id, e.event_id, e.ts FROM events e, mu
+  WHERE e.event_id % 5 <> 0 AND e.user_id <> mu.u
+),
+ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM surv
+)
+SELECT COUNT(*)::BIGINT AS view_rows,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       TRUE AS equals_recompute,
+       TRUE AS min_user_gone,
+       CAST(1 AS BIGINT) AS refused_without_source
+FROM ranked WHERE rn <= 3
+""",
+    group="I",
+)
+def i33_streaming_topk_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-capable streaming TOP-K view (round 12 — i28's
+    INSERT-ONLY contract lifted, completing the set: the agg sink
+    always folded deletes sign-wise, extrema lifted via i32, top-k is
+    the last fold kind): ``topk_view_sink(source_root=)`` folds a
+    delete-bearing CDC batch with the bounded rebuild shape
+    read_realtime's top-k delete path uses — delete-touched keys
+    recompute their EXACT top-k from the source table (scan
+    runtime-filter-pruned to their files; a deleted top row PROMOTES
+    a row the view never held, which is precisely what needs source
+    access), untouched keys' inserts merge as (old top-k ∪ batch);
+    fully-deleted keys leave the view. O(batch) + O(touched keys'
+    files), never O(source). The scenario appends the events fixture,
+    drains, MOR-deletes every ``event_id % 5 == 0`` row (guaranteed
+    to hit current top rows) plus ALL rows of the smallest user,
+    drains the delete batch, and grades: view == top-3 recompute over
+    the SURVIVING rows, the fully-deleted user is gone, and a sink
+    WITHOUT source_root still refuses delete-bearing feeds loudly."""
+    from ..fixtures import load_table
+    from ..operators.topk_view import topk_frame
+    from ..sources import register_engine_datasource
+    from ..streaming.jobs import topk_view_sink
+    from ..table import create_table as _ct
+    from ..table import load_table as _open
+
+    register_engine_datasource(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="stream_tkd_")
+    src_root, view_root = base + "/src", base + "/view"
+    src = _ct(src_root, ev.schema)
+    _ct(view_root, ev.withColumn("rn", F.lit(1).cast("int")).schema)
+    fold = topk_view_sink(
+        view_root, "user_id", ["ts", "event_id"], 3,
+        stream_id="i33", source_root=src_root,
+    )
+
+    def drain(ckpt: str):
+        q = (
+            spark.readStream.format("engine_table")
+            .option("root", src_root)
+            .option("cdc", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        src.append(ev)
+        drain(base + "/ckpt")
+        mu = ev.agg(F.min("user_id")).collect()[0][0]
+        doomed = ev.filter(
+            (F.col("event_id") % 5 == 0) | (F.col("user_id") == mu)
+        ).select("event_id")
+        src = _open(src_root)
+        src.delete_eq_mor(spark, doomed, ["event_id"])
+        drain(base + "/ckpt")
+        vt = _open(view_root)
+        mv = vt.scan(spark).persist()
+        rec = (
+            topk_frame(src.scan(spark), "user_id", ["ts", "event_id"], 3)
+            .select(mv.columns)
+            .persist()
+        )
+        equal = mv.exceptAll(rec).isEmpty() and rec.exceptAll(mv).isEmpty()
+        gone = mv.filter(F.col("user_id") == mu).isEmpty()
+        row = mv.agg(
+            F.count(F.lit(1)).alias("view_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("sum_event_id"),
+        ).collect()[0]
+        fold2 = topk_view_sink(
+            view_root, "user_id", ["ts", "event_id"], 3, stream_id="i33b"
+        )
+        refused = 0
+        try:
+            fold2(
+                ev.limit(2).withColumn("_change_type", F.lit("delete")), 0
+            )
+        except ValueError:
+            refused = 1
+        mv.unpersist()
+        rec.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    row["view_rows"], row["n_users"], row["sum_event_id"],
+                    equal, gone, refused,
+                )
+            ],
+            "view_rows bigint, n_users bigint, sum_event_id bigint, "
+            "equals_recompute boolean, min_user_gone boolean, "
+            "refused_without_source bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)

@@ -684,6 +684,7 @@ def topk_view_sink(
     order_cols: list[str],
     k: int,
     stream_id: str = "topk",
+    source_root: str | None = None,
 ):
     """Streaming maintenance of a TOP-K view (the batch operator
     ``operators/topk_view.py`` under ``maintained_view_merge``'s
@@ -702,10 +703,21 @@ def topk_view_sink(
     against intact state. ``stream_id`` namespaces the watermark (one
     logical stream/checkpoint = one stable id).
 
-    INSERT-ONLY contract (like any maintained top-k without a
-    k-buffer): a CDC batch carrying deletes is refused loudly —
-    deletes can promote rows the view no longer holds, which needs
-    ``topk_view.rebuild_keys`` against source data."""
+    Deletes (round 12): a delete can PROMOTE a row the view no longer
+    holds, which needs source access. With ``source_root`` set, a
+    delete-bearing CDC batch folds with the bounded rebuild shape
+    read_realtime's top-k delete path uses: delete-touched KEYS
+    recompute their exact top-k from the source table (scan
+    runtime-filter-pruned to the files whose stats admit a touched
+    key; a key with no surviving rows leaves the view), while
+    untouched keys' inserts take the usual (old top-k ∪ batch)
+    merge — O(batch) + O(touched keys' files), never O(source). The
+    rebuild reads the source HEAD, which may run ahead of the
+    stream's cursor; that converges: re-applied inserts are idempotent
+    under top-k, and a later delete triggers its own rebuild. Without
+    ``source_root`` the INSERT-ONLY contract stays and a
+    delete-bearing batch refuses loudly; unknown ``_change_type``
+    values always refuse."""
     from pyspark.sql import functions as F
 
     from ..operators.topk_view import refuse_null_keys, topk_frame
@@ -729,16 +741,8 @@ def topk_view_sink(
                 partial_del = s
         if batch_id <= applied:
             return  # replayed epoch: already fully folded
-        if "_change_type" in batch_df.columns:
-            if not batch_df.filter(F.col("_change_type") != "insert").isEmpty():
-                raise ValueError(
-                    "topk_view_sink is insert-only: a delete can promote "
-                    "rows the view no longer holds — route affected keys "
-                    "through topk_view.rebuild_keys against the source"
-                )
-            batch_df = batch_df.drop("_change_type")
         batch_df = batch_df.persist()
-        new_top = None
+        new_top = del_keys = None
         width = max(
             spark.sparkContext.defaultParallelism,
             batch_df.rdd.getNumPartitions(),
@@ -748,6 +752,39 @@ def topk_view_sink(
         try:
             if batch_df.isEmpty():
                 return  # idle trigger: skip without stamping
+            if "_change_type" in batch_df.columns:
+                kinds = {
+                    r["_change_type"]
+                    for r in batch_df.select("_change_type")
+                    .distinct()
+                    .collect()
+                }
+                if kinds - {"insert", "delete"}:
+                    raise ValueError(
+                        f"topk_view_sink: unknown _change_type values "
+                        f"{sorted(kinds - {'insert', 'delete'})}"
+                    )
+                if "delete" in kinds:
+                    if source_root is None:
+                        raise ValueError(
+                            "topk_view_sink is insert-only unless "
+                            "source_root is set: a delete can promote "
+                            "rows the view no longer holds, which needs "
+                            "a touched-key rebuild against source — "
+                            "pass source_root=<source table> or route "
+                            "affected keys through "
+                            "topk_view.rebuild_keys"
+                        )
+                    del_keys = (
+                        batch_df.filter(F.col("_change_type") == "delete")
+                        .select(part_key)
+                        .distinct()
+                        .persist()
+                    )
+                    refuse_null_keys(del_keys, [part_key], "topk_view_sink")
+                batch_df = batch_df.filter(
+                    F.col("_change_type") == "insert"
+                ).drop("_change_type")
             if partial_del is not None:
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
@@ -755,6 +792,12 @@ def topk_view_sink(
             # distinct, which would rescan the source — round-10 review)
             refuse_null_keys(batch_df, [part_key], "topk_view_sink")
             touched = batch_df.select(part_key).distinct()
+            if del_keys is not None:
+                # delete-touched keys rebuild from source below — their
+                # batch inserts are already IN the source head
+                touched = touched.join(
+                    F.broadcast(del_keys), part_key, "left_anti"
+                )
             # runtime-filtered view read (operators/topk_view.py has
             # the rationale): file stats prune the view to the files
             # that can hold a touched key; the broadcast semi join
@@ -767,13 +810,33 @@ def topk_view_sink(
                 .join(F.broadcast(touched), part_key, "left_semi")
                 .drop("rn")
             )
-            cand = old.unionByName(batch_df.select(old.columns))
+            ins = batch_df.select(old.columns)
+            if del_keys is not None:
+                ins = ins.join(F.broadcast(del_keys), part_key, "left_anti")
+            cand = old.unionByName(ins)
             new_top = topk_frame(cand, part_key, order_cols, k).select(
                 *old.columns, "rn"
-            ).persist()
+            )
+            if del_keys is not None:
+                src_t = _open(source_root)
+                s_scan, _sinfo = src_t.scan_runtime_filtered(
+                    spark, del_keys, part_key
+                )
+                rebuilt = topk_frame(
+                    s_scan.join(F.broadcast(del_keys), part_key, "left_semi")
+                    .select(old.columns),
+                    part_key, order_cols, k,
+                ).select(*old.columns, "rn")
+                new_top = new_top.unionByName(rebuilt)
+            new_top = new_top.persist()
             new_top.count()
+            del_touched = touched
+            if del_keys is not None:
+                # a fully-deleted key has no rebuilt row but must
+                # still leave the view
+                del_touched = touched.unionByName(del_keys).distinct()
             vt.delete_eq_mor(
-                spark, touched, [part_key],
+                spark, del_touched, [part_key],
                 extra_summary={
                     "mv-batch-del": int(batch_id),
                     "mv-stream-id": stream_id,
@@ -789,8 +852,9 @@ def topk_view_sink(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_width)
             batch_df.unpersist()
-            if new_top is not None:
-                new_top.unpersist()
+            for df in (new_top, del_keys):
+                if df is not None:
+                    df.unpersist()
 
     return fold
 

@@ -1836,6 +1836,107 @@ def test_agg_view_sink_refuses_unknown_change_type(ds, base_dir):
         fold(df.withColumn("_change_type", F.lit("update_post")), 0)
 
 
+def test_topk_view_sink_delete_crash_schedules(ds, base_dir):
+    """Chaos replays for the streaming top-k fold with DELETES in the
+    change feed (round 12 — the lifted insert-only contract): with
+    source_root set, delete-touched keys rebuild their exact top-k
+    from the source table (runtime-filter-pruned — promotions of rows
+    the view never held must come back), untouched keys' inserts merge
+    as usual; fully-deleted keys leave the view. Deletes are biased
+    toward each user's CURRENT TOP ROWS so the promotion path (not the
+    trivial below-k delete) is what's under test. Per batch a seeded
+    scenario — clean, crash between the delete and append commits,
+    external rollback onto the delete commit, external rollback past
+    both — each followed by replays. Invariant: view == top-k
+    recompute over the SURVIVING source rows after every batch."""
+    import random
+
+    from java_iceberg_table_spark.streaming.jobs import topk_view_sink
+
+    spark = ds
+    src_root, view_root = base_dir + "/tkdsrc", base_dir + "/tkdview"
+    schema = "event_id long, user_id long, value double"
+    rows = [(i, i % 5, float((i * 37) % 100)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    create_table(src_root, df.schema)
+    create_table(
+        view_root,
+        spark.createDataFrame(
+            [], "event_id long, user_id long, value double, rn int"
+        ).schema,
+    )
+    fold = topk_view_sink(
+        view_root, "user_id", ["value", "event_id"], 3,
+        stream_id="chaos", source_root=src_root,
+    )
+    open_table(src_root).append(df)
+    fold(df.withColumn("_change_type", F.lit("insert")), 0)
+    assert _topk_equals_recompute(spark, src_root, view_root)
+    live = list(rows)
+    rng = random.Random(31)
+    for b in range(1, 9):
+        new = [
+            (b * 1000 + i, (b + i) % 7, float((b * 13 + i * 7) % 50))
+            for i in range(8)
+        ]
+        by_user: dict = {}
+        for r in live:
+            by_user.setdefault(r[1], []).append(r)
+        dels = []
+        for u in list(by_user)[:3]:
+            # the user's current BEST row by (value, event_id): its
+            # delete must promote a row the view does not hold
+            band = sorted(by_user[u], key=lambda r: (r[2], r[0]))
+            pick = band[0] if rng.random() < 0.7 else band[-1]
+            dels.append(pick)
+            live.remove(pick)
+        more = spark.createDataFrame(new, schema)
+        del_df = spark.createDataFrame(dels, schema)
+        live.extend(new)
+        src = open_table(src_root)
+        src.append(more)
+        src.delete_eq_mor(spark, del_df.select("event_id"), ["event_id"])
+        cdc = more.withColumn("_change_type", F.lit("insert")).unionByName(
+            del_df.withColumn("_change_type", F.lit("delete"))
+        )
+        scenario = rng.choice(["clean", "del_only", "rb_to_del", "rb_past"])
+        if scenario == "del_only":
+            open_table(view_root).delete_eq_mor(
+                spark,
+                cdc.select("user_id").dropDuplicates(),
+                ["user_id"],
+                extra_summary={"mv-batch-del": b, "mv-stream-id": "chaos"},
+            )
+        elif scenario in ("rb_to_del", "rb_past"):
+            fold(cdc, b)  # fully applied...
+            vt = open_table(view_root)
+            head = vt.metadata.current_snapshot()
+            assert head.summary.get("mv-batch-id") == b
+            if scenario == "rb_to_del":
+                vt.rollback_to(head.parent_id)
+            else:
+                by_id = {s.snapshot_id: s for s in vt.metadata.snapshots}
+                vt.rollback_to(by_id[head.parent_id].parent_id)
+        fold(cdc, b)  # the replay that must repair everything
+        if rng.random() < 0.5:
+            fold(cdc, b)
+        assert _topk_equals_recompute(spark, src_root, view_root), (
+            b,
+            scenario,
+        )
+    # deleting EVERY remaining row of one user drops the user entirely
+    victim = live[0][1]
+    gone = [r for r in live if r[1] == victim]
+    live = [r for r in live if r[1] != victim]
+    del_df = spark.createDataFrame(gone, schema)
+    src = open_table(src_root)
+    src.delete_eq_mor(spark, del_df.select("event_id"), ["event_id"])
+    fold(del_df.withColumn("_change_type", F.lit("delete")), 9)
+    mv = open_table(view_root).scan(spark)
+    assert mv.filter(F.col("user_id") == victim).isEmpty()
+    assert _topk_equals_recompute(spark, src_root, view_root)
+
+
 def _extrema_equals_recompute(spark, src_root, view_root) -> bool:
     src, vt = open_table(src_root), open_table(view_root)
     mv = vt.scan(spark)
