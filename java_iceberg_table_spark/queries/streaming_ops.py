@@ -1793,7 +1793,8 @@ def i28_streaming_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch) + O(k x touched users); the view stays queryable between
     batches and reads are scan-only (no window). equals_recompute
     grades the maintained view against a from-scratch top-k of the
-    source."""
+    source. This row folds an INSERT-ONLY feed; delete-bearing feeds
+    take ``source_root=`` (round 12, graded as i33)."""
     from ..fixtures import load_table
     from ..operators.topk_view import topk_frame
     from ..sources import register_engine_datasource
