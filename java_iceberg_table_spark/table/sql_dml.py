@@ -48,6 +48,8 @@ an existing engine operation, and anything else raises
     [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
   OPTIMIZE t [WHERE pcol = lit]             -- full maintenance pass;
     -- WHERE scopes compaction to ONE identity partition (round 12)
+  OPTIMIZE t ZORDER BY (c1[, c2, c3])       -- Morton layout rewrite
+    -- (a3i machinery): per-file stats prune on EVERY named column
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
   ALTER TABLE t ADD COLUMN c type [DEFAULT lit] | RENAME COLUMN a TO b
     | ALTER COLUMN c TYPE type | DROP COLUMN c
@@ -434,6 +436,11 @@ _DROP_TABLE = re.compile(
 _TRUNCATE = re.compile(r"^TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)$", re.I)
 _OPTIMIZE = re.compile(
     r"^OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+))?$", re.I | re.S
+)
+_OPTIMIZE_ZORDER = re.compile(
+    r"^OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*"
+    r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)$",
+    re.I,
 )
 _VACUUM = re.compile(
     r"^VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$", re.I
@@ -1278,6 +1285,59 @@ def run_dml(
             )
             return True
         return False
+
+    m = _OPTIMIZE_ZORDER.match(sql)
+    if m:
+        # OPTIMIZE t ZORDER BY (c1[, c2, c3]) (round 12 — Delta's
+        # spelling onto the engine's a3i machinery): Morton-code
+        # layout rewrite so per-file min/max stats prune scans on
+        # EVERY named column, one content-preserving 'replace'
+        # snapshot. Whole-table by contract (a layout rewrite scoped
+        # to one partition composes poorly with range-partitioned
+        # z-values; run the scoped WHERE form for plain bin-packing).
+        name, collist = m.groups()
+        tbl, pinned = _maintenance_target(name)
+        pre_head = tbl.metadata.current_snapshot_id
+        cols = [c.strip() for c in collist.split(",")]
+        from pyspark.sql.types import NumericType
+
+        by_lower = {f.name.lower(): f for f in tbl.schema().fields}
+        bad = [c for c in cols if c.lower() not in by_lower]
+        if bad:
+            raise UnsupportedSQL(
+                f"ZORDER BY names unknown columns {bad}; table "
+                f"{name!r} has {[f.name for f in tbl.schema().fields]}"
+            )
+        if len({c.lower() for c in cols}) != len(cols):
+            raise UnsupportedSQL(
+                f"duplicate columns in ZORDER BY: {cols}"
+            )
+        fields = [by_lower[c.lower()] for c in cols]
+        untyped = [
+            f.name
+            for f in fields
+            if not isinstance(f.dataType, NumericType)
+        ]
+        if untyped:
+            raise UnsupportedSQL(
+                f"ZORDER BY takes numeric columns (the Morton code "
+                f"interleaves scaled integer bits); {untyped} are not"
+            )
+        if len(fields) > 3:
+            raise UnsupportedSQL(
+                "ZORDER BY supports at most 3 columns (16 bits per "
+                "dimension must fit a 64-bit z-value)"
+            )
+        res = {
+            "zorder": tbl.rewrite_clustered(
+                spark, cluster_by=[f.name for f in fields]
+            )
+        }
+        published = _maintenance_republish(name, tbl, pinned, pre_head)
+        return {
+            "statement": "optimize", "table": name,
+            "pin_published": published, **res,
+        }
 
     m = _OPTIMIZE.match(sql)
     if m:

@@ -692,6 +692,57 @@ def test_optimize_where_partition_sql(spark, cat):
         cat.sql(spark, "OPTIMIZE bopt WHERE id = 1")
 
 
+def test_optimize_zorder_sql(spark, cat):
+    """OPTIMIZE t ZORDER BY (c1, c2) (round 12 — Delta's spelling on
+    the a3i machinery): Morton-code layout rewrite through the SQL
+    router — content identical, one 'replace' snapshot, fewer files
+    matched on BOTH named columns than arrival order would; unknown /
+    duplicate / non-numeric / too-many columns refuse loudly."""
+    zt = cat.create_table(
+        "zt",
+        StructType(
+            [
+                StructField("x", LongType(), False),
+                StructField("y", LongType(), False),
+                StructField("a", LongType(), True),
+                StructField("b", LongType(), True),
+                StructField("v", StringType(), True),
+            ]
+        ),
+    )
+    rows = [
+        (i % 64, (i * 37) % 64, i, i, f"r{i}") for i in range(4096)
+    ]
+    df = spark.createDataFrame(
+        rows, "x long, y long, a long, b long, v string"
+    )
+    # arrival-order fragments: 8 appends, stats tight on NOTHING
+    for i in range(8):
+        zt.append(df.filter(F.col("x") % 8 == i).coalesce(2))
+    cat._commit_pins({"zt": zt.metadata.current_snapshot_id})
+    before = cat.read(spark, "zt").orderBy("x", "y", "v").collect()
+    res = cat.sql(spark, "OPTIMIZE zt ZORDER BY (x, y)")
+    assert res["statement"] == "optimize"
+    assert res["zorder"]["rewritten"] > 0
+    t2 = cat.table("zt")
+    assert t2.metadata.current_snapshot().operation == "replace"
+    assert cat.read(spark, "zt").orderBy("x", "y", "v").collect() == before
+    # both dimensions prune: a point predicate on either column plans
+    # fewer files than the table holds
+    n_files = len(list(t2.current_files()))
+    for col in ("x", "y"):
+        planned = len(t2.plan_files([(col, "=", 3)]))
+        assert planned < n_files, (col, planned, n_files)
+    for bad, why in [
+        ("OPTIMIZE zt ZORDER BY (nope)", "unknown columns"),
+        ("OPTIMIZE zt ZORDER BY (x, X)", "duplicate"),
+        ("OPTIMIZE zt ZORDER BY (v)", "numeric columns"),
+        ("OPTIMIZE zt ZORDER BY (x, y, a, b)", "at most 3"),
+    ]:
+        with pytest.raises(UnsupportedSQL, match=why):
+            cat.sql(spark, bad)
+
+
 def test_vacuum_protects_lagging_published_pin(spark, cat):
     """Maintenance-verb catalog semantics (round-10 review findings):
     a published pin that LAGS the head — unpublished direct-writer
