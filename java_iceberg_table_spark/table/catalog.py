@@ -695,9 +695,10 @@ class Catalog:
 
     def _introspect(self, spark: SparkSession, sql: str):
         """SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS |
-        SHOW PARTITIONS t | SHOW SNAPSHOTS t | SHOW CREATE TABLE t |
-        DESCRIBE [TABLE] t — catalog introspection as DataFrames
-        (metadata-only, driver-side listings of catalog state)."""
+        SHOW PARTITIONS t | SHOW SNAPSHOTS t | SHOW TBLPROPERTIES t |
+        SHOW CREATE TABLE t | DESCRIBE [TABLE|EXTENDED] t — catalog
+        introspection as DataFrames (metadata-only, driver-side
+        listings of catalog state)."""
         import re as _re
 
         from .sql_dml import UnsupportedSQL
@@ -862,6 +863,75 @@ class Catalog:
                 ddl += f"\nTBLPROPERTIES ({pairs})"
             return spark.createDataFrame([(ddl,)], "create_statement string")
         m = _re.match(
+            r"^SHOW\s+TBLPROPERTIES\s+([A-Za-z_]\w*)$", sql, _re.I
+        )
+        if m:
+            # SHOW TBLPROPERTIES (round 12): the table's non-default
+            # properties (head metadata-log state, like ALTER reads);
+            # mv.* internals included — they ARE user-visible contract
+            # for maintained views (kind/source/key).
+            from .table import DEFAULT_PROPERTIES
+
+            tbl = self.table(m.group(1))
+            rows = [
+                (k, v)
+                for k, v in sorted(tbl.metadata.properties.items())
+                if DEFAULT_PROPERTIES.get(k) != v
+            ]
+            return spark.createDataFrame(
+                rows or [], "key string, value string"
+            )
+        m = _re.match(
+            r"^DESC(?:RIBE)?\s+EXTENDED\s+([A-Za-z_]\w*)$", sql, _re.I
+        )
+        if m:
+            # DESCRIBE EXTENDED (round 12): the schema rows DESCRIBE
+            # emits, followed by #-prefixed detail rows (Spark's own
+            # layout) — partition transform, snapshot count + current
+            # id, live file/row/byte totals from the manifests of the
+            # PINNED snapshot (metadata-only, no data file opened).
+            name = m.group(1)
+            tbl = self.table(name)
+            pin = self.state().pins.get(name)
+            schema = (
+                tbl.schema() if pin is None else tbl.schema_of_snapshot(pin)
+            )
+            rows = [
+                (f.name, f.dataType.simpleString(), str(f.nullable).lower())
+                for f in schema.fields
+            ]
+            snap = (
+                tbl.metadata.current_snapshot()
+                if pin is None
+                else tbl.snapshot_by_id(pin)
+            )
+            entries = tbl.files_of(snap) if snap is not None else []
+            t = tbl.transform
+            rows += [
+                ("# Detailed Table Information", "", ""),
+                ("partition", str(t) if t is not None else "none", ""),
+                ("snapshots", str(len(tbl.metadata.snapshots)), ""),
+                (
+                    "current_snapshot_id",
+                    str(snap.snapshot_id if snap is not None else None),
+                    "",
+                ),
+                ("files", str(len(entries)), ""),
+                (
+                    "rows",
+                    str(sum(int(e.get("rows", 0) or 0) for e in entries)),
+                    "",
+                ),
+                (
+                    "bytes",
+                    str(sum(int(e.get("bytes", 0) or 0) for e in entries)),
+                    "",
+                ),
+            ]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
+        m = _re.match(
             r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_]\w*)$", sql, _re.I
         )
         if m:
@@ -888,8 +958,8 @@ class Catalog:
         raise UnsupportedSQL(
             f"introspection statement not recognized: {sql[:60]!r} "
             "(SHOW TABLES | SHOW VIEWS | SHOW MATERIALIZED VIEWS | "
-            "SHOW PARTITIONS t | SHOW SNAPSHOTS t | "
-            "SHOW CREATE TABLE t | DESCRIBE [TABLE] t)"
+            "SHOW PARTITIONS t | SHOW SNAPSHOTS t | SHOW TBLPROPERTIES "
+            "t | SHOW CREATE TABLE t | DESCRIBE [TABLE|EXTENDED] t)"
         )
 
     def sql_script(self, spark: SparkSession, script: str) -> list[dict]:

@@ -1158,6 +1158,31 @@ def test_show_and_describe(spark, cat):
     snaps = cat.sql(spark, "SHOW SNAPSHOTS pshow").collect()
     assert len(snaps) == 1 and snaps[0]["operation"] == "append"
     assert snaps[0]["is_current"] is True
+    # SHOW TBLPROPERTIES: non-default properties (mv.* included —
+    # they are user-visible contract for maintained views)
+    cat.sql(
+        spark,
+        "ALTER TABLE pshow SET TBLPROPERTIES ('write.sort.order' = 'b')",
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in cat.sql(spark, "SHOW TBLPROPERTIES pshow").collect()
+    }
+    assert props.get("write.sort.order") == "b"
+    mv_props = {
+        r["key"]
+        for r in cat.sql(spark, "SHOW TBLPROPERTIES sums").collect()
+    }
+    assert {"mv.kind", "mv.source", "mv.key"} <= mv_props
+    # DESCRIBE EXTENDED: schema rows + #-detail block with partition /
+    # snapshot / live file/row/byte totals from the pinned manifests
+    ext = cat.sql(spark, "DESCRIBE EXTENDED pshow").collect()
+    names = [r["col_name"] for r in ext]
+    assert names[:2] == ["b", "v"]
+    detail = {r["col_name"]: r["data_type"] for r in ext[2:]}
+    assert "IdentityTransform" in detail["partition"]
+    assert detail["rows"] == "9" and int(detail["files"]) >= 1
+    assert int(detail["snapshots"]) >= 1
     # DESCRIBE reads the PINNED snapshot's schema, like SELECT
     # pass-through (round-11 review finding): an unpublished direct-
     # writer ADD COLUMN must not surface columns a catalog SELECT on
