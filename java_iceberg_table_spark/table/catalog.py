@@ -540,7 +540,10 @@ class Catalog:
                 _re.I,
             )
             rt_hint = _re.search(
-                r"/\*\+\s*REALTIME\s*\*/", statement, _re.I
+                r"/\*\+\s*REALTIME"
+                r"(?:\s*\(\s*(ALLOW_RECOMPUTE)\s*\))?\s*\*/",
+                statement,
+                _re.I,
             )
             if tt and rt_hint:
                 from .sql_dml import UnsupportedSQL
@@ -663,15 +666,26 @@ class Catalog:
             # merely MENTIONED (in a literal, as a column name, or
             # never read) must not fail a query that would be served
             # fine (round-12 ADVICE fix).
+            # /*+ REALTIME(ALLOW_RECOMPUTE) */ (round 12): the bare
+            # hint's strict contract exists because a "realtime" read
+            # silently becoming an O(source) recompute is a cost cliff
+            # a SQL caller cannot see — but the API form always had an
+            # exact-fallback mode, and a SQL user whose GC outran
+            # refresh deserves the same choice. The argument names the
+            # cliff IN the statement, so accepting it is explicit:
+            # with it, expired-cursor / rolled-lineage / half-applied
+            # states serve the exact full recompute instead of
+            # refusing.
             if rt_hint:
                 from .maintained import list_maintained, read_realtime
 
+                strict = rt_hint.group(1) is None
                 statement = statement.replace(rt_hint.group(0), " ", 1)
                 reads = _from_join_identifiers(statement)
                 for vname in list_maintained(self):
                     if vname.lower() in reads:
                         read_realtime(
-                            self, spark, vname, strict=True
+                            self, spark, vname, strict=strict
                         ).createOrReplaceTempView(vname)
             return spark.sql(statement)
         if head in ("SHOW", "DESCRIBE", "DESC"):

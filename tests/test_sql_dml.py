@@ -1371,6 +1371,16 @@ def test_realtime_hint_sql(spark, cat):
     )
     with pytest.raises(ValueError, match="REALTIME"):
         cat.sql(spark, "SELECT /*+ REALTIME */ COUNT(*) AS n FROM topq")
+    # ... the ALLOW_RECOMPUTE argument names the cost cliff in the
+    # statement, so the same read serves the EXACT full recompute
+    # (round 12 — the SQL face of the API's non-strict default)
+    n_fb = cat.sql(
+        spark,
+        "SELECT /*+ REALTIME(ALLOW_RECOMPUTE) */ COUNT(*) AS n FROM topq",
+    ).collect()[0]["n"]
+    assert n_fb == topk_frame(
+        cat.table("t").scan(spark), "v", ["k"], 2
+    ).count()
     # ... but a statement that merely MENTIONS the broken view — in a
     # string literal or as an output alias — without READING it must
     # still serve (round-12 ADVICE fix: refusal scope = FROM/JOIN read
