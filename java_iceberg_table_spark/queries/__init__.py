@@ -152,23 +152,30 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first.
-# Round 12 keeps the canary set to 3: behind them sit 8 never-graded
-# rows (the 5 expired r11 deferrals + a5a/a5b/i32), leaving ~39 slots
-# that drain the whole r5 stale cohort (30 rows, VERDICT r11 item 3)
-# plus the front of the r7 bucket:
+# Round 13 canaries — behind them sit the never-graded rows (the 2
+# expired r12 deferrals a5d/i33 + round 13's own registrations),
+# leaving ~38 slots that drain the whole r7 stale cohort (33 rows,
+# VERDICT r12 item 3):
 _REVERIFY_HEAD = [
-    # SQL router moved again this round: column-list INSERT
-    # whitespace/case fixes, CREATE TABLE DEFAULT clause, the
-    # PARTITION-scoped INSERT OVERWRITE verb, per-table VERSION AS OF
+    # SQL router grows verbs again this round (branch/tag DDL, RTAS)
     # — a4l runs the whole router surface in one scenario
     "a4l_engine_sql_dml",
-    # /*+ REALTIME */ registration/refusal scope rewritten to the
-    # FROM/JOIN read set (ADVICE r11); a4v is the REALTIME-hint row
+    # per-table VERSION/TIMESTAMP AS OF detection rewritten (ADVICE
+    # r12: literal masking + duplicate-reference refusal) — a5a is
+    # the VERSION AS OF row
+    "a5a_engine_sql_version_as_of",
+    # static PARTITION (k = v) literal validation replaced with the
+    # dedicated identity-layout check (ADVICE r12) — a5b drives
+    # partition-scoped INSERT OVERWRITE
+    "a5b_engine_sql_partition_overwrite",
+    # topk_view_sink's CDC insert path changed (ADVICE r12 persist
+    # leak fix) and the fold was rewritten late in r12 after the
+    # final sim — i28's r10 green predates both
+    "i28_streaming_topk_view",
+    # REALTIME hint shares the rewritten detection block in
+    # catalog.sql (masking landed just above it) — a4v re-proves the
+    # hint path on the new code
     "a4v_engine_realtime_sql",
-    # read_realtime now drains a pin registry on entry and registers
-    # its bounded-merge persists there (ADVICE r11); a4u drives the
-    # realtime agg read end-to-end
-    "a4u_engine_realtime_agg_view",
 ]
 # Rows REGISTERED after this round's grading window was final-simmed
 # (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
@@ -179,49 +186,26 @@ _REVERIFY_HEAD = [
 # round's grade record) — from the next round on, these rows claim
 # never-graded slots first like any new registration, with no manual
 # list edit needed.
-_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r12.json"
+_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r13.json"
 # Rows REGISTERED after this round's grading window was final-simmed:
 # they sort at the very END of the order so the committed window
 # prediction stays byte-identical; self-expiring — once the driver
 # writes the artifact above these claim never-graded slots first.
-# Round 12 registered its main new rows (a5a/a5b/i32) BEFORE the
-# final sim; a5d (OPTIMIZE ... WHERE) landed after it and defers —
-# locally green (CORRECTNESS_LOCAL_DEFERRED_r12.json).
-_DEFER_PAST_WINDOW: list[str] = [
-    "a5d_engine_sql_optimize_partition",
-    "i33_streaming_topk_deletes",
-]
+# Round 13: the r12 deferrals (a5d/i33) expired with CORRECTNESS_r12
+# and now claim never-graded slots; rows registered before the r13
+# final sim ride the window normally, anything after it defers here.
+_DEFER_PAST_WINDOW: list[str] = []
 
-# ROUND-13 NOTES (for the next session):
-# - Round 12's window: 3 canaries (a4l router verbs, a4v REALTIME
-#   read-set scope, a4u realtime-pin drain) + 8 never-graded (the 5
-#   expired r11 deferrals a4w/a4x/a4y/a4z/i31 + round 12's own
-#   a5a/a5b/i32, all registered before the final sim) + the whole r5
-#   stale cohort (~30 rows incl. the table-layer six a3n/a3o/a3q/
-#   a3s/a3t/a3u) + the front of the r7 bucket.
-# - Canary candidates for r13: whatever r13 changes. If sql_dml moves
-#   again, a4l remains the router canary; a5b covers the PARTITION
-#   overwrite path, a5a the VERSION AS OF path, i32/i33 the
-#   delete-capable extrema/top-k sinks. NOTE: topk_view_sink's fold
-#   was REWRITTEN late in round 12 (delete support) after the final
-#   sim — i33 (never-graded, claims an r13 slot) covers the new path
-#   and i28/i14 were re-driven locally green on it; if the r12 window
-#   grades i28 stale-green on pre-rewrite evidence, canary i28 in r13.
-# - Stale drain target: after r12 no cohort should be older than r7;
-#   continue stalest-first until the floor is r8+.
-# - Refusal-probe audit (standing): before registering any row whose
-#   refusal probes touch INSERT OVERWRITE / PARTITION / DEFAULT /
-#   VERSION AS OF, re-grep the graded refusal lists — round 12 added
-#   all four syntaxes to the grammar.
-
-# Round-12 notes on changed-machinery rows deliberately NOT canaried:
-# - a4w/a4x/a4y/a4z/i31 + a5a/a5b/i32 are never driver-graded, so
-#   they claim the window's never-graded slots automatically —
-#   canarying them would double-book slots;
-# - extrema machinery (_extrema_fold unpersist hygiene, the
-#   delete-capable sink) is covered by a4z/i31/i32 in those slots;
-# - SHOW CREATE TABLE DEFAULT emission and the CREATE TABLE DEFAULT
-#   clause ride a4y (never-graded slot) + a4l (canary).
+# ROUND-13 WINDOW PLAN:
+# - 5 canaries (a4l router, a5a VERSION AS OF detection rewrite, a5b
+#   partition-literal check, i28 topk-sink machinery, a4v REALTIME)
+#   + never-graded (expired r12 deferrals a5d/i33 + round 13's new
+#   registrations) + the whole r7 stale cohort (33 rows).
+# - Stale drain target: after r13 no cohort older than r8.
+# - Refusal-probe audit (standing): round 13 adds branch/tag DDL and
+#   CREATE OR REPLACE TABLE — re-grep graded refusal probes for
+#   BRANCH / TAG / REPLACE before registering (a4l TRUNCATE incident
+#   discipline).
 
 
 def load_all() -> dict[str, Query]:

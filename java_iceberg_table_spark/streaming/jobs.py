@@ -782,16 +782,21 @@ def topk_view_sink(
                         .persist()
                     )
                     refuse_null_keys(del_keys, [part_key], "topk_view_sink")
-                batch_df = batch_df.filter(
+                # filter into a NEW name: rebinding batch_df would make
+                # the finally-unpersist target the derived plan and leak
+                # the cached micro-batch (one per epoch, session-lived)
+                data = batch_df.filter(
                     F.col("_change_type") == "insert"
                 ).drop("_change_type")
+            else:
+                data = batch_df
             if partial_del is not None:
                 vt.rollback_to(partial_del.parent_id)
                 vt = _open(view_root)
             # NULL check on the PERSISTED batch (not the unpersisted
             # distinct, which would rescan the source — round-10 review)
-            refuse_null_keys(batch_df, [part_key], "topk_view_sink")
-            touched = batch_df.select(part_key).distinct()
+            refuse_null_keys(data, [part_key], "topk_view_sink")
+            touched = data.select(part_key).distinct()
             if del_keys is not None:
                 # delete-touched keys rebuild from source below — their
                 # batch inserts are already IN the source head
@@ -810,7 +815,7 @@ def topk_view_sink(
                 .join(F.broadcast(touched), part_key, "left_semi")
                 .drop("rn")
             )
-            ins = batch_df.select(old.columns)
+            ins = data.select(old.columns)
             if del_keys is not None:
                 ins = ins.join(F.broadcast(del_keys), part_key, "left_anti")
             cand = old.unionByName(ins)

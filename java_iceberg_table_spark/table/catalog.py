@@ -140,10 +140,34 @@ def _from_join_identifiers(statement: str) -> set[str]:
     harmless mention of a stale view into a spurious refusal, so only
     plausibly-read names qualify. A subquery after FROM contributes
     nothing at its paren (its inner FROM matches on its own)."""
+    return set(_relation_read_counts(statement))
+
+
+def _mask_literals(statement: str) -> str:
+    """Blank the INSIDE of every single-quoted literal with spaces,
+    keeping the quotes and the overall length — so detection regexes
+    never match text inside a literal, while every match SPAN stays
+    valid as an index into the ORIGINAL statement (the caller extracts
+    the real literal text from the original via the span)."""
+    import re as _re
+
+    return _re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+        statement,
+    )
+
+
+def _relation_read_counts(statement: str) -> dict[str, int]:
+    """Lower-cased relation name -> number of FROM/JOIN references
+    (string literals stripped first). The multiset form of
+    ``_from_join_identifiers``: VERSION AS OF uses the COUNT to refuse
+    statements that reference the pinned table more than once (a
+    self-join/self-union would silently pin every reference)."""
     import re as _re
 
     s = _re.sub(r"'(?:[^']|'')*'", "''", statement)
-    out: set[str] = set()
+    out: dict[str, int] = {}
     # each comma-separated element is "relation [AS] [alias]" — the
     # FIRST token is the relation. The alias slot must NOT swallow a
     # clause keyword: "FROM t JOIN u" with an unguarded alias eats
@@ -161,7 +185,8 @@ def _from_join_identifiers(statement: str) -> set[str]:
         rf"\b(?:FROM|JOIN)\s+({elem}(?:\s*,\s*{elem})*)", s, _re.I
     ):
         for part in m.group(1).split(","):
-            out.add(part.split()[0].lower())
+            name = part.split()[0].lower()
+            out[name] = out.get(name, 0) + 1
     return out
 
 
@@ -563,10 +588,15 @@ class Catalog:
             # holds another catalog relation refuses — the
             # cross-table-consistent form is CATALOG_VERSION.
             _lit = r"'(?:[^']|'')*'|\d+"
+            # detect on the literal-MASKED text (length-preserving, so
+            # spans index the original): a query whose WHERE compares a
+            # column to the string 'VERSION AS OF 5' is a plain read,
+            # not a time-travel statement (round-12 ADVICE fix)
+            masked = _mask_literals(statement)
             vats = list(
                 _re.finditer(
                     rf"\b(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+({_lit})",
-                    statement,
+                    masked,
                     _re.I,
                 )
             )
@@ -588,7 +618,7 @@ class Catalog:
                 fm = _re.search(
                     rf"\bFROM\s+([A-Za-z_]\w*)\s+"
                     rf"(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+({_lit})",
-                    statement,
+                    masked,
                     _re.I,
                 )
                 if fm is None:
@@ -598,9 +628,11 @@ class Catalog:
                         "VERSION AS OF <snapshot-id> | TIMESTAMP AS OF "
                         "<epoch-ms | 'ISO instant'> ..."
                     )
-                tname, kind, lit = (
-                    fm.group(1), fm.group(2).upper(), fm.group(3)
-                )
+                # groups 1-2 are identifier/keyword text (mask-stable);
+                # the literal comes from the ORIGINAL via the span —
+                # the mask blanked its content
+                tname, kind = fm.group(1), fm.group(2).upper()
+                lit = statement[fm.start(3): fm.end(3)]
                 stripped = (
                     statement[: fm.end(1)] + " " + statement[fm.end() :]
                 )
@@ -615,11 +647,8 @@ class Catalog:
                 cat_names = {
                     n.lower() for n in self.list_tables()
                 } | views_l
-                reads = {
-                    r
-                    for r in _from_join_identifiers(stripped)
-                    if r in cat_names
-                }
+                counts = _relation_read_counts(stripped)
+                reads = {r for r in counts if r in cat_names}
                 if reads != {tname.lower()}:
                     raise UnsupportedSQL(
                         f"{kind} AS OF serves single-table statements "
@@ -627,6 +656,20 @@ class Catalog:
                         "per-table vintages forfeits cross-table "
                         "consistency — use /*+ CATALOG_VERSION(n) */ "
                         "for a consistent multi-table time travel"
+                    )
+                if counts.get(tname.lower(), 0) > 1:
+                    # a self-join/self-union would pin EVERY reference
+                    # of the table to the past snapshot, not just the
+                    # one the clause is attached to — refuse rather
+                    # than silently widen the pin (round-12 ADVICE)
+                    raise UnsupportedSQL(
+                        f"{kind} AS OF pins every reference of "
+                        f"{tname!r}, but this statement references it "
+                        f"{counts[tname.lower()]} times — a self-join/"
+                        "union mixing vintages of one table is "
+                        "ambiguous; read the pinned snapshot into a "
+                        "temp view via the API, or use "
+                        "/*+ CATALOG_VERSION(n) */"
                     )
                 if kind == "VERSION":
                     # Iceberg parity: VERSION AS OF takes a snapshot id

@@ -225,6 +225,32 @@ def _validate_default_literal(field, v: object) -> None:
         )
 
 
+def _validate_partition_literal(field, v: object) -> None:
+    """Refuse a static PARTITION (k = v) value the identity layout
+    cannot key. Dedicated check (round-12 ADVICE): the DEFAULT-literal
+    check both rejected valid combinations with misleading wording and
+    accepted ones (string value on a string column) that crash later in
+    ``apply_py`` — identity layouts in this engine are integer-identity
+    (``IdentityTransform.apply_py`` is ``int(value)``,
+    ``apply_arrow`` casts to int64), so the static value must be an
+    integer or an integer-rendering string."""
+    ok = isinstance(v, int) and not isinstance(v, bool)
+    if isinstance(v, str):
+        try:
+            int(v)
+            ok = True
+        except ValueError:
+            ok = False
+    if not ok:
+        raise UnsupportedSQL(
+            f"PARTITION ({field.name} = {v!r}): static partition "
+            "values key an identity layout, which is integer-identity "
+            "in this engine — pass an integer literal (transformed or "
+            "non-integer layouts take the dynamic form PARTITION "
+            f"({field.name}))"
+        )
+
+
 def _parse_predicates(where: str) -> list[tuple[str, str, object]]:
     """Conjunction of ``column <op> literal`` -> (col, op, value) list."""
     if re.search(r"\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|\bLIKE\b", where, re.I):
@@ -888,7 +914,7 @@ def run_dml(
                     "choose their partitions"
                 )
             pv = _parse_literal(plit.strip())
-            _validate_default_literal(pfield, pv)
+            _validate_partition_literal(pfield, pv)
             fields = [
                 f for f in target.fields
                 if f.name.lower() != pcol.lower()

@@ -1937,6 +1937,33 @@ def test_topk_view_sink_delete_crash_schedules(ds, base_dir):
     assert _topk_equals_recompute(spark, src_root, view_root)
 
 
+def test_topk_view_sink_cdc_insert_unpersists_batch(ds, base_dir):
+    """Round-12 ADVICE (medium): the CDC insert path rebound
+    ``batch_df`` to the insert-filtered child, so the finally-block
+    unpersist targeted the derived plan and the PERSISTED micro-batch
+    leaked in the CacheManager — one cached batch per epoch for the
+    session's life. The fold must leave no cached plan behind."""
+    from java_iceberg_table_spark.streaming.jobs import topk_view_sink
+
+    spark = ds
+    view_root = base_dir + "/tkleak"
+    schema = "event_id long, user_id long, value double"
+    create_table(
+        view_root,
+        spark.createDataFrame([], schema + ", rn int").schema,
+    )
+    fold = topk_view_sink(
+        view_root, "user_id", ["value", "event_id"], 2, stream_id="leak"
+    )
+    spark.catalog.clearCache()
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(b * 10 + i, i % 2, float(i)) for i in range(6)], schema
+        ).withColumn("_change_type", F.lit("insert"))
+        fold(batch, b)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def _extrema_equals_recompute(spark, src_root, view_root) -> bool:
     src, vt = open_table(src_root), open_table(view_root)
     mv = vt.scan(spark)

@@ -1489,6 +1489,42 @@ def test_version_as_of_sql(spark, cat):
         cat.sql(spark, "SELECT COUNT(*) FROM t FOR VERSION AS OF 424242")
 
 
+def test_version_as_of_literal_and_selfjoin_hygiene(spark, cat):
+    """Round-12 ADVICE fixes: (1) the travel-clause detector masks
+    string literals first, so a query merely COMPARING a column to the
+    text 'VERSION AS OF 5' is a plain read, not a refused time-travel
+    statement; (2) a statement referencing the pinned table twice
+    (self-join/self-union) refuses instead of silently pinning BOTH
+    references to the past snapshot."""
+    snap1 = cat.table("t").metadata.current_snapshot_id
+    n1 = cat.read(spark, "t").count()
+    cat.sql(spark, "INSERT INTO t VALUES (91, 'VERSION AS OF 5', 2)")
+    # (1) literal mention only: plain read, no refusal, sees the head
+    got = cat.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE v = 'VERSION AS OF 5'",
+    ).collect()[0]["n"]
+    assert got == 1
+    # a REAL clause composes with such a literal: one clause counted,
+    # and the quoted-branch literal extraction still reads the
+    # ORIGINAL text (the mask is detection-only)
+    got = cat.sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t FOR VERSION AS OF {snap1} "
+        "WHERE v <> 'VERSION AS OF 99'",
+    ).collect()[0]["n"]
+    assert got == n1
+    # (2) self-join / self-union of the pinned table refuses loudly
+    for bad in (
+        f"SELECT COUNT(*) AS n FROM t FOR VERSION AS OF {snap1} "
+        "JOIN t x ON t.k = x.k",
+        f"SELECT k FROM t FOR VERSION AS OF {snap1} "
+        "UNION ALL SELECT k FROM t",
+    ):
+        with pytest.raises(UnsupportedSQL, match="references it 2 times"):
+            cat.sql(spark, bad)
+
+
 def test_catalog_version_hint_sql(spark, cat):
     """SELECT /*+ CATALOG_VERSION(n) */ (round 11): every referenced
     view registers pinned to the catalog state AS OF publish n —
@@ -1627,12 +1663,24 @@ def test_insert_overwrite_partition_sql(spark, cat):
         # arity
         ("INSERT OVERWRITE pt PARTITION (bucket = 1) VALUES (1, 'x')",
          "arity"),
-        # literal must fit the column type
+        # literal must key the integer-identity layout (round-12
+        # ADVICE: dedicated check, partition-specific wording — the
+        # old DEFAULT-literal reuse misworded this and rejected
+        # digit-string values a date/long identity could serve)
         ("INSERT OVERWRITE pt PARTITION (bucket = 'x') VALUES ('v')",
-         "does not fit"),
+         "integer literal"),
     ]:
         with pytest.raises(UnsupportedSQL, match=why):
             cat.sql(spark, bad)
+    # a digit-rendering string keys the integer-identity layout fine
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE pt PARTITION (bucket = '1') VALUES ('qs1')",
+    )
+    assert res["replaced_partitions"] == [1]
+    assert {
+        r["v"] for r in cat.read(spark, "pt").filter("bucket = 1").collect()
+    } == {"qs1"}
     # static form on a transformed layout refuses; dynamic serves it
     from java_iceberg_table_spark.table import bucket as bucket_tf
 
