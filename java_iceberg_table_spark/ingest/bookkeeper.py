@@ -93,7 +93,16 @@ class Bookkeeper:
     def apply_retention(self, retention_us: int, now_us: int | None = None) -> int:
         """R13: metadata-only delete of partitions older than the
         aligned cutoff; returns dropped-file count."""
+        from ..table.transforms import CompositeTransform
+
         t = self.table.transform
+        if isinstance(t, CompositeTransform):
+            raise ValueError(
+                "the ingestion bookkeeper's retention pass follows the "
+                "reference's 1-D spec (Constants.java:33-35) — for a "
+                "composite-partitioned table call Table.delete_where "
+                "with an explicitly aligned cutoff on the temporal field"
+            )
         now_us = now_us if now_us is not None else int(time.time() * 1_000_000)
         cutoff = t.apply_py(now_us - retention_us)  # FileBasedBookkeeper.java:184-186
         snap = self.table.delete_where(t.source_column, "<", cutoff)

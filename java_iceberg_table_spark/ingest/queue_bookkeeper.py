@@ -111,6 +111,14 @@ class QueueBookkeeper:
         st = file_stats(full)
         partition = None
         t: TruncateTransform | None = self.table.transform
+        from ..table.transforms import CompositeTransform
+
+        if isinstance(t, CompositeTransform):
+            raise ValueError(
+                "queue-driven ingestion mirrors the reference's 1-D "
+                "spec; composite-partitioned tables ingest via "
+                "Table.append or the connector"
+            )
         if t is not None:
             for part in rel_path.split(os.sep):
                 if part.startswith("__pb="):

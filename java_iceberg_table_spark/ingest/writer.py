@@ -126,6 +126,15 @@ class Writer:
         returns manifest entries."""
         md = self.table.metadata
         t = self.table.transform
+        from ..table.transforms import CompositeTransform
+
+        if isinstance(t, CompositeTransform):
+            raise ValueError(
+                "the synthetic-record writer mirrors the reference's "
+                "single-field timeperiod spec (Writer.java:126-137); "
+                "composite-partitioned tables ingest via Table.append "
+                "or the connector"
+            )
         spec_id = self.table.current_spec_id(md)
         entries = []
         for _ in range(n_files):

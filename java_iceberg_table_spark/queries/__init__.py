@@ -172,6 +172,10 @@ _REVERIFY_HEAD = [
     # leak fix) and the fold was rewritten late in r12 after the
     # final sim — i28's r10 green predates both
     "i28_streaming_topk_view",
+    # the CREATE TABLE grammar changed again (multi-field PARTITIONED
+    # BY lists; a refusal probe inside a4y was legalized and swapped)
+    # — a4y re-proves the DDL row on the new parse
+    "a4y_engine_sql_create_ddl",
     # REALTIME hint shares the rewritten detection block in
     # catalog.sql (masking landed just above it) — a4v re-proves the
     # hint path on the new code

@@ -3767,7 +3767,11 @@ def a4y_engine_sql_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bad in (
             "CREATE TABLE orders_t (x BIGINT)",
             "CREATE TABLE b1 (x NOTATYPE)",
-            "CREATE TABLE b2 (x BIGINT, y BIGINT) PARTITIONED BY (x, y)",
+            # an EMPTY field list is permanently outside the grammar
+            # (the old multi-column probe became legal when round 13
+            # added composite specs — refusal probes must stay illegal
+            # forever, the a4l TRUNCATE-incident discipline)
+            "CREATE TABLE b2 (x BIGINT, y BIGINT) PARTITIONED BY ()",
         ):
             try:
                 cat.sql(spark, bad)
@@ -4258,3 +4262,200 @@ def a5d_engine_sql_optimize_partition(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(os.path.dirname(croot), ignore_errors=True)
+
+
+@register(
+    "a5e_engine_multifield_partition_spec",
+    oracle="""
+SELECT COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val,
+       CAST(7 AS BIGINT) AS days_hit,
+       CAST(1 AS BIGINT) AS buckets_hit,
+       true AS intersect_pruned,
+       true AS ddl_roundtrip
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+  AND user_id = 7
+""",
+    group="A",
+)
+def a5e_engine_multifield_partition_spec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-field partition spec (round 13 — Iceberg PartitionSpec
+    with several fields; the reference's spec is 1-D,
+    Constants.java:33-35, generalized): ``PARTITIONED BY (days(ts),
+    bucket(8, user_id))`` — THE layout a 100-TB event table uses, one
+    temporal field for retention/incremental reads plus one hash field
+    for key-colocated point lookups. Entries carry a value TUPLE
+    (``partition_fields``); every pruning path resolves per-field and
+    the surviving file set is the INTERSECTION of the fields' prunes.
+
+    Graded here: a [start, end) week × one-user query must prune to
+    exactly 7 day-buckets × 1 hash-bucket (days_hit / buckets_hit read
+    from the surviving entries' tuples — plan shape, not just the row
+    set); intersect_pruned asserts both fields strictly narrowed the
+    plan vs either alone; ddl_roundtrip asserts the SQL face — the
+    multi-field PARTITIONED BY list parses, and SHOW CREATE TABLE
+    emits a statement that recreates the identical spec. Result
+    values check against the DuckDB oracle over the raw parquet."""
+    from ..table import Catalog
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="engine_mfs_")
+    try:
+        cat = Catalog.create(base + "/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT, value DOUBLE) "
+            "PARTITIONED BY (days(ts), bucket(8, user_id))",
+        )
+        tbl = cat.table("ev")
+        # one file per (day, hash-bucket): the deterministic layout
+        # the plan-shape assertions grade against
+        tbl.append(events.coalesce(1))
+        flt_day = [
+            ("ts", ">=", "2024-01-10T00:00:00"),
+            ("ts", "<", "2024-01-17T00:00:00"),
+        ]
+        flt_uid = [("user_id", "=", 7)]
+        total = len(tbl.plan_files())
+        day_only = tbl.plan_files(flt_day)
+        uid_only = tbl.plan_files(flt_uid)
+        both = tbl.plan_files(flt_day + flt_uid)
+        days_hit = len({e["partition_fields"][0] for e in both})
+        buckets_hit = len({e["partition_fields"][1] for e in both})
+        intersect_pruned = (
+            0 < len(both) < min(len(day_only), len(uid_only))
+            and max(len(day_only), len(uid_only)) < total
+        )
+        sc = cat.sql(spark, "SHOW CREATE TABLE ev").collect()[0][
+            "create_statement"
+        ]
+        cat.sql(spark, sc.replace("CREATE TABLE ev", "CREATE TABLE ev2"))
+        ddl_roundtrip = (
+            cat.table("ev2").metadata.partition_spec
+            == tbl.metadata.partition_spec
+        )
+        row = (
+            tbl.scan(spark, flt_day + flt_uid)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,4)")), 4
+                ).cast("double").alias("sum_val"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["cnt"], row["sum_val"], days_hit, buckets_hit,
+                    intersect_pruned, ddl_roundtrip,
+                )
+            ],
+            "cnt bigint, sum_val double, days_hit bigint, "
+            "buckets_hit bigint, intersect_pruned boolean, "
+            "ddl_roundtrip boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "a5f_engine_sql_branch_tag",
+    oracle="""
+SELECT COUNT(*) + 5 AS n_head,
+       true AS branch_preview,
+       COUNT(*) AS tag_rows,
+       CAST(2 AS BIGINT) AS refs_at_peak,
+       CAST(0 AS BIGINT) AS refs_after,
+       CAST(4 AS BIGINT) AS refused
+FROM orders
+""",
+    group="A",
+)
+def a5f_engine_sql_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/tag lifecycle through SQL (round 13 — Iceberg branching
+    DDL; the SQL face of the refs/WAP machinery a4g/a3z exercise via
+    the API): ``ALTER TABLE t CREATE BRANCH b [AS OF VERSION n]`` /
+    ``CREATE TAG`` / ``PUBLISH BRANCH`` / ``DROP BRANCH|TAG`` +
+    ``SHOW REFS``. The full write-audit-publish loop runs here with
+    the SQL verbs at every control point: create a branch, stage an
+    append onto it (the table head never sees unaudited rows — graded
+    by branch_preview: the branch read serves staged+base while the
+    plain read still serves base), publish = fast-forward the head,
+    pin a pre-publish TAG and read it back (immutable reproducibility
+    pin — 'the snapshot this model trained on'), then drop both refs.
+    Category errors refuse loudly: dropping a tag as a branch,
+    re-creating an existing ref, publishing a nonexistent branch, and
+    tagging an unknown snapshot id. At 100 TB refs are O(1) metadata
+    — every verb here is a pointer commit, no data touched."""
+    from ..table import Catalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="engine_refs_")
+    try:
+        cat = Catalog.create(base + "/cat")
+        tbl = cat.create_table("t", orders.schema)
+        tbl.append(orders)
+        cat._commit_pins({"t": tbl.metadata.current_snapshot_id})
+        snap0 = tbl.metadata.current_snapshot_id
+        n0 = tbl.scan(spark).count()
+        cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
+        staged = spark.createDataFrame(
+            [(9_000_000_000 + i, 1.0) for i in range(5)], orders.schema
+        )
+        tbl.append(staged, branch="wap")
+        branch_n = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'wap'"
+        ).collect()[0]["n"]
+        head_n = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t"
+        ).collect()[0]["n"]
+        branch_preview = branch_n == n0 + 5 and head_n == n0
+        cat.sql(spark, f"ALTER TABLE t CREATE TAG pre AS OF VERSION {snap0}")
+        refs_at_peak = cat.sql(spark, "SHOW REFS t").count()
+        res = cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH wap")
+        assert res["pin_published"], "publish must advance the tracked pin"
+        n_head = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t"
+        ).collect()[0]["n"]
+        tag_rows = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'pre'"
+        ).collect()[0]["n"]
+        refused = 0
+        from ..table.sql_dml import UnsupportedSQL
+
+        for bad, exc in (
+            ("ALTER TABLE t DROP BRANCH pre", UnsupportedSQL),
+            ("ALTER TABLE t CREATE BRANCH wap", ValueError),
+            ("ALTER TABLE t PUBLISH BRANCH ghost", KeyError),
+            ("ALTER TABLE t CREATE TAG nope AS OF VERSION 424242",
+             KeyError),
+        ):
+            try:
+                cat.sql(spark, bad)
+            except exc:
+                refused += 1
+        cat.sql(spark, "ALTER TABLE t DROP BRANCH wap")
+        cat.sql(spark, "ALTER TABLE t DROP TAG pre")
+        refs_after = cat.sql(spark, "SHOW REFS t").count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_head, branch_preview, tag_rows,
+                    refs_at_peak, refs_after, refused,
+                )
+            ],
+            "n_head bigint, branch_preview boolean, tag_rows bigint, "
+            "refs_at_peak bigint, refs_after bigint, refused bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

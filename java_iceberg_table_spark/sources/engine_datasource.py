@@ -379,31 +379,50 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
 
     def sink_for(bucket):
         if bucket not in writers:
-            suffix = "" if bucket is None else f"-p{bucket}"
+            if bucket is None:
+                suffix = ""
+            elif isinstance(bucket, tuple):
+                suffix = "-p" + "_".join(str(v) for v in bucket)
+            else:
+                suffix = f"-p{bucket}"
             paths[bucket] = os.path.join(out_dir, f"f-{task_id}{suffix}.parquet")
             writers[bucket] = pq.ParquetWriter(
                 paths[bucket], target, write_statistics=stats_cols
             )
         return writers[bucket]
 
+    from ..table.transforms import CompositeTransform
+
+    tf_fields = (
+        t.fields if isinstance(t, CompositeTransform) else (t,)
+    ) if t is not None else ()
     try:
         for batch in batch_iter:
             at = pa.Table.from_batches([batch]).cast(target)
             if t is None:
                 sink_for(None).write_table(at)
                 continue
-            col = at.column(t.source_column)
             # per-transform Arrow bucketing (transforms.apply_arrow):
             # truncate = exact integer floor-mod, identity = the value,
             # bucket[N] = CRC32-of-string — the same buckets apply_py /
             # apply_col produce, so planning-time pruning agrees with
-            # what the executors wrote
-            bucket_arr = t.apply_arrow(col)
-            if isinstance(bucket_arr, pa.ChunkedArray):
-                bucket_arr = bucket_arr.combine_chunks()
-            at = at.append_column("__b", bucket_arr)
-            for bucket in pc.unique(bucket_arr).to_pylist():
-                part = at.filter(pc.equal(at.column("__b"), bucket)).drop(["__b"])
+            # what the executors wrote. Composite specs bucket on the
+            # TUPLE of per-field values (one sink per distinct tuple).
+            bcols = []
+            for i, ft in enumerate(tf_fields):
+                arr = ft.apply_arrow(at.column(ft.source_column))
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                at = at.append_column(f"__b{i}", arr)
+                bcols.append(f"__b{i}")
+            keys = at.select(bcols).to_pylist()
+            for key in {tuple(d[c] for c in bcols) for d in keys}:
+                mask = None
+                for c, v in zip(bcols, key):
+                    m = pc.equal(at.column(c), v)
+                    mask = m if mask is None else pc.and_(mask, m)
+                part = at.filter(mask).drop(bcols)
+                bucket = key if len(key) > 1 else key[0]
                 sink_for(bucket).write_table(part)
     finally:
         for w in writers.values():
@@ -419,7 +438,13 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
                 "path": os.path.relpath(p, root),
                 "rows": st["rows"],
                 "bytes": st["bytes"],
-                "partition": None if bucket is None else int(bucket),
+                **(
+                    {"partition_fields": [int(v) for v in bucket]}
+                    if isinstance(bucket, tuple)
+                    else {
+                        "partition": None if bucket is None else int(bucket)
+                    }
+                ),
                 "columns": st["columns"],
             }
         )
@@ -1411,7 +1436,9 @@ class EngineBatchWriter(_WriterBase, DataSourceArrowWriter):
         if self.overwrite_mode == "dynamic" and self.spec is not None:
             if not entries:
                 return
-            parts = {e["partition"] for e in entries}
+            from ..table.table import _entry_partition_key
+
+            parts = {_entry_partition_key(e) for e in entries}
             tbl.overwrite_entries(entries, partitions=parts)
             return
         tbl.overwrite_entries(entries)

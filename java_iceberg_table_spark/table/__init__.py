@@ -12,7 +12,16 @@ PySpark with no Iceberg jar.
 
 from .catalog import Catalog
 from .table import Table, create_table, load_table
-from .transforms import bucket, day, hour, identity, month, truncate, year
+from .transforms import (
+    bucket,
+    composite,
+    day,
+    hour,
+    identity,
+    month,
+    truncate,
+    year,
+)
 
 __all__ = [
     "Table",
@@ -22,6 +31,7 @@ __all__ = [
     "truncate",
     "identity",
     "bucket",
+    "composite",
     "year",
     "month",
     "day",

@@ -804,9 +804,13 @@ class Catalog:
                 if pin is None
                 else tbl.snapshot_by_id(pin)
             )
+            from .table import _entry_partition_key
+
             agg: dict = {}
             for e in tbl.files_of(snap) if snap is not None else []:
-                p = e.get("partition")
+                p = _entry_partition_key(e)
+                if isinstance(p, tuple):  # composite: field0/field1/...
+                    p = "/".join(str(v) for v in p)
                 f, r, b = agg.get(p, (0, 0, 0))
                 agg[p] = (
                     f + 1,
@@ -849,6 +853,24 @@ class Catalog:
                 "snapshot_id long, parent_id long, timestamp_ms long, "
                 "operation string, is_current boolean",
             )
+        m = _re.match(r"^SHOW\s+REFS\s+([A-Za-z_]\w*)$", sql, _re.I)
+        if m:
+            # SHOW REFS (round 13): the table's branches/tags — the
+            # introspection face of the branch/tag DDL (metadata-only,
+            # head state). snapshot_id is the ref's pinned head;
+            # is_head marks refs currently AT the table head.
+            name = m.group(1)
+            tbl = self.table(name)
+            cur = tbl.metadata.current_snapshot_id
+            return spark.createDataFrame(
+                [
+                    (k, v["type"], v["snapshot_id"], v["snapshot_id"] == cur)
+                    for k, v in sorted(tbl.metadata.refs.items())
+                ]
+                or [],
+                "name string, type string, snapshot_id long, "
+                "is_head boolean",
+            )
         m = _re.match(r"^SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", sql, _re.I)
         if m:
             # Round-trippable DDL (round 11): the emitted statement is
@@ -860,7 +882,7 @@ class Catalog:
             from .table import DEFAULT_PROPERTIES
             from .transforms import (
                 BucketTransform,
-                IdentityTransform,
+                CompositeTransform,
                 TemporalTransform,
                 TruncateTransform,
             )
@@ -902,14 +924,21 @@ class Catalog:
             )
             ddl = f"CREATE TABLE {name} (\n  {cols}\n)"
             t = tbl.transform
-            if isinstance(t, TruncateTransform):
-                ddl += f"\nPARTITIONED BY (truncate({t.width}, {t.source_column}))"
-            elif isinstance(t, BucketTransform):
-                ddl += f"\nPARTITIONED BY (bucket({t.n}, {t.source_column}))"
-            elif isinstance(t, TemporalTransform):
-                ddl += f"\nPARTITIONED BY ({t.granularity}s({t.source_column}))"
-            elif isinstance(t, IdentityTransform):
-                ddl += f"\nPARTITIONED BY ({t.source_column})"
+
+            def _render_field(f) -> str:
+                if isinstance(f, TruncateTransform):
+                    return f"truncate({f.width}, {f.source_column})"
+                if isinstance(f, BucketTransform):
+                    return f"bucket({f.n}, {f.source_column})"
+                if isinstance(f, TemporalTransform):
+                    return f"{f.granularity}s({f.source_column})"
+                return f.source_column  # identity
+
+            if isinstance(t, CompositeTransform):
+                inner = ", ".join(_render_field(f) for f in t.fields)
+                ddl += f"\nPARTITIONED BY ({inner})"
+            elif t is not None:
+                ddl += f"\nPARTITIONED BY ({_render_field(t)})"
             props = {
                 k: v
                 for k, v in sorted(tbl.metadata.properties.items())

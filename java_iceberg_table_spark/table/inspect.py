@@ -55,6 +55,12 @@ MANIFEST_SCHEMA = T.StructType(
                         T.StructField("rows", T.LongType()),
                         T.StructField("bytes", T.LongType()),
                         T.StructField("partition", T.LongType()),
+                        # composite specs: one integral bucket per
+                        # field, in field order (single-field entries
+                        # leave it null)
+                        T.StructField(
+                            "partition_fields", T.ArrayType(T.LongType())
+                        ),
                         T.StructField("columns", T.MapType(T.StringType(), _BOUNDS)),
                         T.StructField("seq", T.LongType()),
                         T.StructField("spec_id", T.LongType()),

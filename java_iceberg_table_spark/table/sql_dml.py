@@ -44,7 +44,7 @@ an existing engine operation, and anything else raises
     -- (k) is dynamic — replaces the partitions the rows touch
   CREATE TABLE name AS SELECT ...           -- CTAS
   CREATE TABLE name (col type [NOT NULL] [DEFAULT lit], ...)
-    [PARTITIONED BY (bucket(N,c) | truncate(W,c) | years(c) | ... | c)]
+    [PARTITIONED BY (field [, field ...])]  -- bucket(N,c) | truncate(W,c) | years(c) | ... | c
     [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
   OPTIMIZE t [WHERE pcol = lit]             -- full maintenance pass;
     -- WHERE scopes compaction to ONE identity partition (round 12)
@@ -455,6 +455,21 @@ _ALTER_DROP = re.compile(
 _ALTER_PROPS = re.compile(
     r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*\((.+)\)$",
     re.I | re.S,
+)
+_ALTER_CREATE_REF = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+CREATE\s+(BRANCH|TAG)\s+"
+    r"([A-Za-z_]\w*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+    re.I,
+)
+_ALTER_DROP_REF = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+(BRANCH|TAG)\s+"
+    r"([A-Za-z_]\w*)$",
+    re.I,
+)
+_ALTER_PUBLISH_REF = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+PUBLISH\s+BRANCH\s+"
+    r"([A-Za-z_]\w*)$",
+    re.I,
 )
 _DROP_TABLE = re.compile(
     r"^DROP\s+TABLE\s+([A-Za-z_]\w*)(\s+PURGE)?$", re.I
@@ -892,6 +907,15 @@ def run_dml(
                 "overwrite needs a partitioned table (bare INSERT "
                 "OVERWRITE replaces the whole table)"
             )
+        from .transforms import CompositeTransform as _Composite
+
+        if isinstance(t, _Composite):
+            raise UnsupportedSQL(
+                f"table {name!r} has a composite partition spec "
+                f"({', '.join(t.source_columns)}): the PARTITION clause "
+                "names one field — use bare INSERT OVERWRITE (atomic "
+                "whole-table replace) or the API's dynamic overwrite"
+            )
         if pcol.lower() != t.source_column.lower():
             raise UnsupportedSQL(
                 f"PARTITION names {pcol!r} but table {name!r} "
@@ -1037,11 +1061,12 @@ def run_dml(
         # list parses with Spark's own DDL parser (full type surface:
         # DECIMAL(p,s), ARRAY<...>, nested parens welcome), so the
         # balanced-paren group is extracted by depth, not regex.
-        # PARTITIONED BY takes ONE Iceberg-DDL transform —
-        # bucket(N, col), truncate(W, col), years/months/days/hours
-        # (col), or a bare column for identity — matching the engine's
-        # transform set (R3/a3w/a4a); multi-column specs refuse
-        # loudly. TBLPROPERTIES reuses the ALTER pairs grammar.
+        # PARTITIONED BY takes a comma list of Iceberg-DDL
+        # transforms — bucket(N, col), truncate(W, col), years/months/
+        # days/hours(col), or a bare column for identity — matching
+        # the engine's transform set (R3/a3w/a4a); two or more fields
+        # compose into a composite spec (round 13). TBLPROPERTIES
+        # reuses the ALTER pairs grammar.
         if catalog is None:
             raise UnsupportedSQL(
                 "CREATE TABLE needs a catalog (tables are catalog objects)"
@@ -1124,33 +1149,46 @@ def run_dml(
             rest = rest[end + 1 :].strip()
             from . import transforms as _tf
 
-            tm = re.match(
-                r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
-                spec, re.I,
-            )
-            tm2 = re.match(
-                r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
-                spec, re.I,
-            )
-            if tm:
-                fn = {"bucket": _tf.bucket, "truncate": _tf.truncate}[
-                    tm.group(1).lower()
-                ]
-                part = fn(tm.group(3), int(tm.group(2)))
-            elif tm2:
-                fn = {
-                    "year": _tf.year, "month": _tf.month,
-                    "day": _tf.day, "hour": _tf.hour,
-                }[tm2.group(1).lower().rstrip("s")]
-                part = fn(tm2.group(2))
-            elif re.match(r"^[A-Za-z_]\w*$", spec):
-                part = _tf.identity(spec)
-            else:
-                raise UnsupportedSQL(
-                    f"PARTITIONED BY accepts ONE transform — bucket(N, c), "
-                    f"truncate(W, c), years/months/days/hours(c), or a "
-                    f"bare column (identity); got {spec[:60]!r}"
+            def _parse_partition_field(one: str):
+                tm = re.match(
+                    r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+                    one, re.I,
                 )
+                tm2 = re.match(
+                    r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
+                    one, re.I,
+                )
+                if tm:
+                    fn = {"bucket": _tf.bucket, "truncate": _tf.truncate}[
+                        tm.group(1).lower()
+                    ]
+                    return fn(tm.group(3), int(tm.group(2)))
+                if tm2:
+                    fn = {
+                        "year": _tf.year, "month": _tf.month,
+                        "day": _tf.day, "hour": _tf.hour,
+                    }[tm2.group(1).lower().rstrip("s")]
+                    return fn(tm2.group(2))
+                if re.match(r"^[A-Za-z_]\w*$", one):
+                    return _tf.identity(one)
+                raise UnsupportedSQL(
+                    f"PARTITIONED BY fields are bucket(N, c), "
+                    f"truncate(W, c), years/months/days/hours(c), or a "
+                    f"bare column (identity); got {one[:60]!r}"
+                )
+
+            # multi-field specs (round 13, Iceberg parity): a comma
+            # list composes per-field transforms — e.g.
+            # PARTITIONED BY (days(ts), bucket(16, id)), the layout
+            # real event tables use at scale
+            flds = [
+                _parse_partition_field(s.strip())
+                for s in _split_depth0(spec, ",")
+                if s.strip()
+            ]
+            if not flds:
+                raise UnsupportedSQL("PARTITIONED BY: empty field list")
+            part = flds[0] if len(flds) == 1 else _tf.composite(*flds)
         props: dict[str, str] = {}
         tp = re.match(r"^TBLPROPERTIES\s*\((.+)\)$", rest, re.I | re.S)
         if tp:
@@ -1273,6 +1311,48 @@ def run_dml(
             "properties": sorted(updates),
         }
 
+    m = _ALTER_CREATE_REF.match(sql)
+    if m:
+        # ALTER TABLE t CREATE BRANCH|TAG r [AS OF VERSION n] (round
+        # 13 — Iceberg's branching DDL, the SQL face of the WAP refs
+        # the API had since a4g/a3z): a branch is a movable ref staged
+        # writes advance without touching the head; a tag is an
+        # immutable pin. Both are GC roots. Default AS OF = the
+        # table's current head snapshot; the read face is
+        # VERSION AS OF '<ref>' (a5a). Metadata-only — no pin moves.
+        name, kind, ref, ver = m.groups()
+        tbl = _schema_target(name)
+        sid = int(ver) if ver is not None else None
+        if kind.upper() == "BRANCH":
+            tbl.create_branch(ref, snapshot_id=sid)  # KeyError if unknown
+        else:
+            tbl.create_tag(ref, snapshot_id=sid)
+        return {
+            "statement": "create_ref", "table": name,
+            "ref": ref, "type": kind.lower(),
+            "snapshot_id": tbl.metadata.refs[ref]["snapshot_id"],
+        }
+
+    m = _ALTER_DROP_REF.match(sql)
+    if m:
+        name, kind, ref = m.groups()
+        tbl = _schema_target(name)
+        have = tbl.metadata.refs.get(ref)
+        if have is None:
+            raise KeyError(f"no such ref {ref!r} on table {name!r}")
+        if have["type"] != kind.lower():
+            # dropping a TAG with DROP BRANCH (or vice versa) is a
+            # category error, not a fuzzy match — Iceberg refuses too
+            raise UnsupportedSQL(
+                f"{ref!r} is a {have['type']}, not a {kind.lower()}: "
+                f"use DROP {have['type'].upper()}"
+            )
+        tbl.drop_ref(ref)
+        return {
+            "statement": "drop_ref", "table": name,
+            "ref": ref, "type": kind.lower(),
+        }
+
     m = _TRUNCATE.match(sql)
     if m:
         # static INSERT OVERWRITE with no entries: one metadata commit
@@ -1311,6 +1391,27 @@ def run_dml(
             )
             return True
         return False
+
+    m = _ALTER_PUBLISH_REF.match(sql)
+    if m:
+        # ALTER TABLE t PUBLISH BRANCH b (round 13): the publish half
+        # of write-audit-publish — fast-forward the table head to the
+        # audited branch head (refuses non-fast-forward; that needs
+        # cherry_pick, a deliberate decision). Iceberg spells this as
+        # the fast_forward procedure; the engine keeps it an ALTER
+        # verb. Pin discipline matches OPTIMIZE/VACUUM: the catalog
+        # pin advances only if it tracked the pre-publish head, so a
+        # deliberately lagging published pin never jumps.
+        name, ref = m.groups()
+        tbl, pinned = _maintenance_target(name)
+        pre_head = tbl.metadata.current_snapshot_id
+        tbl.publish_branch(ref)
+        published = _maintenance_republish(name, tbl, pinned, pre_head)
+        return {
+            "statement": "publish_branch", "table": name, "ref": ref,
+            "pin_published": published,
+            "head": Table(tbl.root).metadata.current_snapshot_id,
+        }
 
     m = _OPTIMIZE_ZORDER.match(sql)
     if m:
@@ -1395,6 +1496,15 @@ def run_dml(
                     "name one partition)"
                 )
             col, _, val = preds[0]
+            from .transforms import CompositeTransform as _Composite
+
+            if isinstance(t, _Composite):
+                raise UnsupportedSQL(
+                    f"table {name!r} has a composite partition spec "
+                    f"({', '.join(t.source_columns)}): OPTIMIZE ... "
+                    "WHERE scopes by ONE identity field — run plain "
+                    "OPTIMIZE or the API's compact_data_files"
+                )
             if col.lower() != t.source_column.lower():
                 raise UnsupportedSQL(
                     f"OPTIMIZE ... WHERE names {col!r} but table "

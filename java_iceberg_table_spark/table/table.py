@@ -32,7 +32,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from . import format as fmt
 from .format import Snapshot, TableMetadata
 from .stats import file_stats
-from .transforms import Transform, transform_from_json
+from .transforms import CompositeTransform, Transform, transform_from_json
 
 DEFAULT_PROPERTIES = {
     # reference table properties (Writer.java:114-124), renamed only
@@ -319,6 +319,43 @@ def _micros_timestamps(spark: SparkSession):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def _entry_partition_key(e: dict):
+    """The entry's partition identity as a HASHABLE value: the scalar
+    ``partition`` for single-field specs, a tuple of
+    ``partition_fields`` for composite specs, None when unpartitioned.
+    Every grouping/matching site (compaction, z-order, dynamic
+    overwrite) keys on this so one physical partition never merges
+    with another across spec arities."""
+    p = e.get("partition")
+    if p is not None:
+        return p
+    pf = e.get("partition_fields")
+    return tuple(pf) if pf is not None else None
+
+
+def _partition_subdir(spec_id, part, fallback: str) -> str:
+    """Rewrite output subdirectory for one partition group (z-order /
+    compaction): tuples render field-by-field so composite groups
+    never collide on disk."""
+    if part is None:
+        return fallback
+    if isinstance(part, tuple):
+        inner = "_".join(str(v) for v in part)
+        return f"s{spec_id}__pbt={inner}"
+    return f"s{spec_id}__pb={part}"
+
+
+def _stamp_partition(part) -> dict:
+    """Inverse of _entry_partition_key: the manifest-entry fragment
+    recording a partition identity (tuples land in
+    ``partition_fields``, scalars in ``partition``)."""
+    if part is None:
+        return {"partition": None}
+    if isinstance(part, tuple):
+        return {"partition_fields": [int(v) for v in part]}
+    return {"partition": part}
 
 
 def prune_entries_by_keys(entries: list[dict], col: str, keys: list) -> list[dict]:
@@ -652,9 +689,18 @@ class Table:
         # task / per (task, bucket)); manifest entries come back from
         # the executors with Arrow-computed stats — no post-write file
         # re-read, same metadata shape as the parquet footer loop.
+        from .transforms import CompositeTransform
+
         if md.properties.get("write.format.default", "parquet") == "avro":
             from ..sources.avro_io import write_avro_manifest_df
 
+            if isinstance(t, CompositeTransform):
+                raise ValueError(
+                    "write.format.default=avro supports single-field "
+                    "partition specs only (the OCF sink buckets on one "
+                    "column); use parquet for composite-partitioned "
+                    "tables"
+                )
             if t is not None:
                 bucketed = df.withColumn(
                     "__pb",
@@ -696,18 +742,36 @@ class Table:
                 if f["rows"] > 0
             ]
         if t is not None:
-            bucketed = df.withColumn(
-                "__pb", t.apply_col(t.source_column, _dtype_of(df, t.source_column))
-            )
+            # composite specs bucket on one __pb{i} column PER FIELD
+            # (directory level per field, Hive/Iceberg layout); the
+            # single-field spelling keeps its historical __pb name so
+            # existing tables' data dirs stay readable
+            if isinstance(t, CompositeTransform):
+                pb_pairs = [
+                    (f"__pb{i}", ft) for i, ft in enumerate(t.fields)
+                ]
+            else:
+                pb_pairs = [("__pb", t)]
+            pb_cols = [c for c, _ in pb_pairs]
+            bucketed = df
+            for c, ft in pb_pairs:
+                bucketed = bucketed.withColumn(
+                    c,
+                    ft.apply_col(
+                        ft.source_column, _dtype_of(df, ft.source_column)
+                    ),
+                )
             if n_tasks is not None:
-                bucketed = bucketed.repartition(n_tasks, "__pb")
+                bucketed = bucketed.repartition(n_tasks, *pb_cols)
             if sort_order:
-                bucketed = bucketed.sortWithinPartitions("__pb", *sort_order)
+                bucketed = bucketed.sortWithinPartitions(
+                    *pb_cols, *sort_order
+                )
             w = bucketed.write
             if max_records is not None:
                 w = w.option("maxRecordsPerFile", max_records)
             with _micros_timestamps(df.sparkSession):
-                w.partitionBy("__pb").parquet(out_dir)
+                w.partitionBy(*pb_cols).parquet(out_dir)
         else:
             if sort_order:
                 # range-partition + sort: every output file covers a
@@ -731,10 +795,14 @@ class Table:
             rel = os.path.relpath(path, self.root)
             st = file_stats(path)
             partition = None
+            pfields: dict[int, int] = {}
             if t is not None:
                 for part in rel.split(os.sep):
                     if part.startswith("__pb="):
                         partition = int(part.split("=", 1)[1])
+                    elif part.startswith("__pb") and "=" in part:
+                        k, v = part.split("=", 1)
+                        pfields[int(k[4:])] = int(v)
             if st["rows"] == 0:
                 os.remove(path)
                 continue
@@ -743,7 +811,15 @@ class Table:
                     "path": rel,
                     "rows": st["rows"],
                     "bytes": st["bytes"],
-                    "partition": partition,
+                    **(
+                        {
+                            "partition_fields": [
+                                pfields[i] for i in range(len(pfields))
+                            ]
+                        }
+                        if pfields
+                        else {"partition": partition}
+                    ),
                     "columns": st["columns"],
                     # spec 0 stays implicit so pre-evolution manifests
                     # and these stay byte-compatible
@@ -823,36 +899,50 @@ class Table:
             st = file_stats(src)
             partition = None
             if t is not None:
-                cst = st["columns"].get(t.source_column)
-                if not cst or cst.get("min") is None or cst.get("nulls", 0) > 0:
-                    raise ValueError(
-                        f"{src}: cannot derive a partition value — no "
-                        f"usable footer stats on {t.source_column!r}"
-                    )
-                try:
-                    lo, hi = t.apply_py(cst["min"]), t.apply_py(cst["max"])
-                except (TypeError, ValueError) as exc:
-                    raise ValueError(
-                        f"{src}: partition source stats not transformable: {exc}"
-                    ) from exc
-                ok = (
-                    lo == hi
-                    if getattr(t, "monotonic", False)
-                    else cst["min"] == cst["max"]
+                # composite specs derive one bucket PER FIELD from the
+                # same footer stats — the file must lie in exactly one
+                # bucket on EVERY field
+                fields = (
+                    t.fields if isinstance(t, CompositeTransform) else (t,)
                 )
-                if not ok:
-                    raise ValueError(
-                        f"{src}: file spans partition buckets {lo}..{hi} — "
-                        "import requires one bucket per file (rewrite instead)"
+                vals = []
+                for ft in fields:
+                    cst = st["columns"].get(ft.source_column)
+                    if not cst or cst.get("min") is None or cst.get("nulls", 0) > 0:
+                        raise ValueError(
+                            f"{src}: cannot derive a partition value — no "
+                            f"usable footer stats on {ft.source_column!r}"
+                        )
+                    try:
+                        lo, hi = ft.apply_py(cst["min"]), ft.apply_py(cst["max"])
+                    except (TypeError, ValueError) as exc:
+                        raise ValueError(
+                            f"{src}: partition source stats not transformable: {exc}"
+                        ) from exc
+                    ok = (
+                        lo == hi
+                        if getattr(ft, "monotonic", False)
+                        else cst["min"] == cst["max"]
                     )
-                partition = lo
+                    if not ok:
+                        raise ValueError(
+                            f"{src}: file spans partition buckets {lo}..{hi} "
+                            f"on {ft.source_column!r} — import requires one "
+                            "bucket per file (rewrite instead)"
+                        )
+                    vals.append(lo)
+                partition = (
+                    tuple(vals)
+                    if isinstance(t, CompositeTransform)
+                    else vals[0]
+                )
             staged.append(
                 (
                     src,
                     {
                         "rows": st["rows"],
                         "bytes": st["bytes"],
-                        "partition": partition,
+                        **_stamp_partition(partition),
                         "columns": st["columns"],
                         **({"spec_id": spec_id} if spec_id else {}),
                     },
@@ -1201,32 +1291,48 @@ class Table:
         file drops under the width it was written with); specs that
         partition on a different column (or not at all) make the
         whole-file guarantee impossible and raise."""
+        def _retention_field(tr):
+            """(field transform, field index) of ``tr``'s field on
+            ``column`` — index None for a single-field spec, (None,
+            None) when the spec doesn't partition on the column.
+            Composite specs align retention on WHICHEVER field covers
+            the cutoff column; the other fields only subdivide files
+            further, so whole-file droppability is unaffected."""
+            if isinstance(tr, CompositeTransform):
+                i, ft = tr.field_for(column)
+                return ft, i
+            if tr is not None and tr.source_column == column:
+                return tr, None
+            return None, None
+
         t = self.transform
-        if t is None or column != t.source_column:
+        if _retention_field(t)[0] is None:
             raise ValueError(
-                f"metadata-only delete requires the partition source column "
-                f"({t.source_column if t else 'none'}), got {column!r}"
+                f"metadata-only delete requires a partition field on the "
+                f"cutoff column, got {column!r} (spec: "
+                f"{t.to_json() if t else None})"
             )
         if op != "<":
             raise ValueError("v1 supports only '<' retention deletes")
         specs = self._spec_map(self.metadata)
         for sid, tr in specs.items():
-            if tr is None or tr.source_column != column:
+            ft, _ = _retention_field(tr)
+            if ft is None:
                 raise ValueError(
                     f"metadata-only delete requires every partition spec to "
                     f"partition on {column!r}; spec {sid} is "
                     f"{tr.to_json() if tr else None}"
                 )
-            if tr.bucket_range(0) is None:
+            if ft.bucket_range(0) is None:
                 raise ValueError(
                     f"metadata-only retention delete needs a range-aligned "
                     f"transform (truncate/identity); spec {sid} "
-                    f"({tr.to_json()['transform']}) carries no value-domain "
+                    f"({ft.to_json()['transform']}) carries no value-domain "
                     f"range — use delete_rows / delete_where_mor"
                 )
-            if value % tr.width != 0:
+            if value % ft.width != 0:
                 raise ValueError(
-                    f"cutoff {value} not aligned to partition width {tr.width} "
+                    f"cutoff {value} not aligned to partition width {ft.width} "
                     f"of spec {sid}; align with truncate() first (the "
                     f"bookkeeper floors its cutoff)"
                 )
@@ -1244,9 +1350,14 @@ class Table:
                 entries = fmt.read_manifest(self.root, m)
 
                 def _keeps(e: dict) -> bool:
-                    t_e = self._entry_transform(e, specs)
-                    return e.get("partition") is None or not (
-                        t_e.bucket_range(e["partition"])[1] <= value
+                    ft, idx = _retention_field(self._entry_transform(e, specs))
+                    if idx is None:
+                        pv = e.get("partition")
+                    else:
+                        pf = e.get("partition_fields")
+                        pv = pf[idx] if pf and idx < len(pf) else None
+                    return pv is None or not (
+                        ft.bucket_range(pv)[1] <= value
                     )
 
                 kept = [e for e in entries if _keeps(e)]
@@ -2363,7 +2474,7 @@ class Table:
                     e
                     for e in cur
                     if int(e.get("spec_id", 0) or 0) != cur_sid
-                    or e.get("partition") not in pset
+                    or _entry_partition_key(e) not in pset
                 ]
             if self._commit_overwrite(
                 snap.snapshot_id if snap is not None else None,
@@ -2720,7 +2831,7 @@ class Table:
         # interpret its bucket under the wrong width.
         by_partition: dict[tuple, list[dict]] = {}
         for e in entries:
-            key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
+            key = (int(e.get("spec_id", 0) or 0), _entry_partition_key(e))
             by_partition.setdefault(key, []).append(e)
         new_entries: list[dict] = []
         # row.lineage=preserve: carry (__row_id, __upd_seq) through the
@@ -2732,7 +2843,7 @@ class Table:
                 if preserve
                 else self._read_with_deletes(spark, es, snap)
             )
-            sub = f"s{spec_id}__pb={part}" if part is not None else "clustered"
+            sub = _partition_subdir(spec_id, part, "clustered")
             out_dir = os.path.join(self.root, "data", f"z-{batch}", sub)
             with _micros_timestamps(spark):
                 zorder_frame(df, cluster_by, n_files).write.parquet(out_dir)
@@ -2747,7 +2858,7 @@ class Table:
                         **({"row_ids_inline": True} if preserve else {}),
                         "rows": st["rows"],
                         "bytes": st["bytes"],
-                        "partition": part,
+                        **_stamp_partition(part),
                         "columns": st["columns"],
                         **({"spec_id": spec_id} if spec_id else {}),
                     }
@@ -2830,7 +2941,7 @@ class Table:
                 e
                 for e in small
                 if int(e.get("spec_id", 0) or 0) == cur_sid
-                and e.get("partition") in partitions
+                and _entry_partition_key(e) in partitions
             ]
         if len(small) < 2:
             return {"rewritten": 0, "new_files": 0}
@@ -2844,7 +2955,7 @@ class Table:
         # bucket value is only meaningful under the spec that wrote it.
         by_partition: dict[tuple, list[dict]] = {}
         for e in small:
-            key = (int(e.get("spec_id", 0) or 0), e.get("partition"))
+            key = (int(e.get("spec_id", 0) or 0), _entry_partition_key(e))
             by_partition.setdefault(key, []).append(e)
         # row.lineage=preserve: the rewrite materializes each row's
         # (__row_id, __upd_seq) as physical columns in the compacted
@@ -2864,7 +2975,7 @@ class Table:
             )
             total = sum(e["bytes"] for e in es)
             n_out = max(1, total // target_file_bytes)
-            sub = f"s{spec_id}__pb={part}" if part is not None else "compacted"
+            sub = _partition_subdir(spec_id, part, "compacted")
             out_dir = os.path.join(self.root, "data", f"c-{batch}", sub)
             if sort_by:
                 # range-partition + sort: every output file covers a
@@ -2890,7 +3001,7 @@ class Table:
                         "path": rel,
                         "rows": st["rows"],
                         "bytes": st["bytes"],
-                        "partition": part,
+                        **_stamp_partition(part),
                         "columns": st["columns"],
                         **({"row_ids_inline": True} if preserve else {}),
                         **({"spec_id": spec_id} if spec_id else {}),
@@ -2994,6 +3105,18 @@ class Table:
         the column has zero nulls (a null row fails any comparison).
         Conservative by construction — False just means 'must scan'."""
         col, op, val = flt
+        if isinstance(t, CompositeTransform):
+            # certainty holds if ANY field's view proves it: the true
+            # value region is a subset of each field's bucket range
+            pf = entry.get("partition_fields") or []
+            return any(
+                Table._entry_certainly_matches(
+                    {**entry, "partition": pf[i] if i < len(pf) else None},
+                    ft,
+                    flt,
+                )
+                for i, ft in enumerate(t.fields)
+            )
         cands = _stat_value_renderings(val)
         if len(cands) > 1:  # certain only when EVERY rendering is
             return all(
@@ -3144,6 +3267,12 @@ class Table:
                     "rows": r["rows"],
                     "bytes": r["bytes"],
                     "partition": r["partition"],
+                    **(
+                        {"partition_fields": list(r["partition_fields"])}
+                        if "partition_fields" in r.__fields__
+                        and r["partition_fields"] is not None
+                        else {}
+                    ),
                     "columns": cols,
                     **({"seq": r["seq"]} if r["seq"] is not None else {}),
                     **(
@@ -3217,9 +3346,34 @@ class Table:
         phi = F.lit(None).cast(typ)
         sid = F.coalesce(F.col("spec_id"), F.lit(0))
         bucket_keep = F.lit(True)
-        for spec_id, t in specs.items():
-            if t is not None and col == t.source_column:
-                hit = (sid == F.lit(spec_id)) & F.col("partition").isNotNull()
+        for spec_id, t_spec in specs.items():
+            if t_spec is None:
+                continue
+            # composite specs resolve per-field: each field whose
+            # source column is the predicate column contributes its
+            # own bucket constraint, read from partition_fields[i]
+            if isinstance(t_spec, CompositeTransform):
+                matches = [
+                    (
+                        ft,
+                        F.element_at(F.col("partition_fields"), i + 1),
+                        F.col("partition_fields").isNotNull(),
+                    )
+                    for i, ft in enumerate(t_spec.fields)
+                    if ft.source_column == col
+                ]
+            elif col == t_spec.source_column:
+                matches = [
+                    (
+                        t_spec,
+                        F.col("partition"),
+                        F.col("partition").isNotNull(),
+                    )
+                ]
+            else:
+                matches = []
+            for t, part_expr, part_present in matches:
+                hit = (sid == F.lit(spec_id)) & part_present
                 if t.bucket_range(0) is None:
                     # no value-domain range info. An equality predicate
                     # still maps to exactly one bucket — computed
@@ -3239,7 +3393,7 @@ class Table:
                     if vb is not None:
                         if op in ("=", "=="):
                             bucket_keep = bucket_keep & ~(
-                                hit & (F.col("partition") != F.lit(vb))
+                                hit & (part_expr != F.lit(vb))
                             )
                         elif getattr(t, "monotonic", False):
                             if op in ("<", "<="):
@@ -3252,16 +3406,16 @@ class Table:
                                     else vb
                                 )
                                 bucket_keep = bucket_keep & ~(
-                                    hit & (F.col("partition") > F.lit(lim))
+                                    hit & (part_expr > F.lit(lim))
                                 )
                             elif op in (">", ">="):
                                 bucket_keep = bucket_keep & ~(
-                                    hit & (F.col("partition") < F.lit(vb))
+                                    hit & (part_expr < F.lit(vb))
                                 )
                     continue
-                plo = F.when(hit, F.col("partition").cast(typ)).otherwise(plo)
+                plo = F.when(hit, part_expr.cast(typ)).otherwise(plo)
                 phi = F.when(
-                    hit, (F.col("partition") + F.lit(t.width - 1)).cast(typ)
+                    hit, (part_expr + F.lit(t.width - 1)).cast(typ)
                 ).otherwise(phi)
         # greatest/least skip NULLs: bounds merge exactly like the
         # Python loop (partition range ∩ footer stats, either optional)
@@ -3314,6 +3468,20 @@ class Table:
         entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         col, op, val = flt
+        if isinstance(t, CompositeTransform):
+            # per-field resolution: the file's true value region is
+            # the INTERSECTION of its per-field buckets, so it may
+            # match only if EVERY field's view (that field's bucket ∩
+            # footer stats) admits the predicate
+            pf = entry.get("partition_fields") or []
+            return all(
+                Table._entry_may_match(
+                    {**entry, "partition": pf[i] if i < len(pf) else None},
+                    ft,
+                    flt,
+                )
+                for i, ft in enumerate(t.fields)
+            )
         # a DATE predicate compares under BOTH stat renderings (date
         # vs timestamp column); keep the file if either admits it
         cands = _stat_value_renderings(val)
@@ -3473,7 +3641,12 @@ class Table:
 
         def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
             t = transform_from_json(current.partition_spec)
-            if t is not None and old == t.source_column:
+            srcs = (
+                t.source_columns
+                if isinstance(t, CompositeTransform)
+                else ((t.source_column,) if t is not None else ())
+            )
+            if old in srcs:
                 raise ValueError(
                     f"cannot rename partition source column {old!r}"
                 )
@@ -3574,7 +3747,12 @@ class Table:
 
         def build(current: fmt.TableMetadata) -> fmt.TableMetadata:
             t = self.transform
-            if t is not None and name == t.source_column:
+            srcs = (
+                t.source_columns
+                if isinstance(t, CompositeTransform)
+                else ((t.source_column,) if t is not None else ())
+            )
+            if name in srcs:
                 raise ValueError(f"cannot drop partition source column {name!r}")
             fields = [f for f in current.schema_json["fields"] if f["name"] != name]
             if len(fields) == len(current.schema_json["fields"]):

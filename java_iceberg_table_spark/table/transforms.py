@@ -367,14 +367,71 @@ class TemporalTransform:
         return TemporalTransform(d["source_column"], d["transform"])
 
 
+@dataclass(frozen=True)
+class CompositeTransform:
+    """Multi-field partition spec (Iceberg: a PartitionSpec with
+    several fields, e.g. ``days(ts), bucket(16, id)`` — the layout
+    real 100-TB event tables use; the reference's own spec is 1-D,
+    ``Constants.java:33-35``, generalized here).
+
+    Entries written under a composite spec carry a VALUE TUPLE in
+    ``partition_fields`` (a JSON list, one integral bucket per field,
+    in field order) instead of the scalar ``partition`` key; every
+    pruning path resolves per-field — a predicate on any field's
+    source column prunes on that field's bucket, and the surviving
+    set is the INTERSECTION of each field's prunes, because a file's
+    true value region is the intersection of its per-field buckets.
+
+    Deliberately does NOT expose the single-field surface
+    (``source_column`` / ``apply_py`` / ``apply_col`` /
+    ``bucket_range`` / ``may_contain``): call sites that assume one
+    field must isinstance-check first, so a missed audit site fails
+    loudly (AttributeError) instead of silently pruning wrong."""
+
+    fields: tuple  # tuple[Transform, ...], len >= 2
+
+    monotonic = False
+
+    @property
+    def source_columns(self) -> tuple:
+        return tuple(f.source_column for f in self.fields)
+
+    def field_for(self, column: str):
+        """(index, transform) of the FIRST field partitioning on
+        ``column``, or (None, None). Case-insensitive like the SQL
+        faces."""
+        for i, f in enumerate(self.fields):
+            if f.source_column.lower() == column.lower():
+                return i, f
+        return None, None
+
+    def to_json(self) -> dict:
+        return {
+            "transform": "composite",
+            "fields": [f.to_json() for f in self.fields],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "CompositeTransform":
+        assert d["transform"] == "composite"
+        return CompositeTransform(
+            tuple(transform_from_json(f) for f in d["fields"])
+        )
+
+
 Transform = (
-    TruncateTransform | IdentityTransform | BucketTransform | TemporalTransform
+    TruncateTransform
+    | IdentityTransform
+    | BucketTransform
+    | TemporalTransform
+    | CompositeTransform
 )
 
 _KINDS = {
     "truncate": TruncateTransform,
     "identity": IdentityTransform,
     "bucket": BucketTransform,
+    "composite": CompositeTransform,
     **{k: TemporalTransform for k in ("year", "month", "day", "hour")},
 }
 
@@ -399,6 +456,25 @@ def validate_transform(t: Transform | None, schema) -> None:
     rendering stable between Spark and Python (ints and strings only;
     a float column renders "42.0" engine-dependently)."""
     if t is None:
+        return
+    if isinstance(t, CompositeTransform):
+        if len(t.fields) < 2:
+            raise ValueError(
+                "composite partition spec needs at least two fields "
+                "(a one-field list IS the single transform)"
+            )
+        if any(isinstance(f, CompositeTransform) for f in t.fields):
+            raise ValueError("composite partition specs do not nest")
+        seen = set()
+        for f in t.fields:
+            key = tuple(sorted(f.to_json().items()))
+            if key in seen:
+                raise ValueError(
+                    f"duplicate partition field {f.to_json()} — each "
+                    "(transform, column) pair may appear once"
+                )
+            seen.add(key)
+            validate_transform(f, schema)
         return
     field = next((f for f in schema.fields if f.name == t.source_column), None)
     if field is None:
@@ -457,3 +533,10 @@ def day(source_column: str) -> TemporalTransform:
 
 def hour(source_column: str) -> TemporalTransform:
     return TemporalTransform(source_column, "hour")
+
+
+def composite(*fields) -> CompositeTransform:
+    """Multi-field partition spec: ``composite(day("ts"),
+    bucket("id", 16))``. Validated against the schema at create /
+    spec-evolution time like every transform."""
+    return CompositeTransform(tuple(fields))

@@ -1833,20 +1833,34 @@ def test_create_table_ddl(spark, cat):
     assert (row["region"], row["qty"], row["active"]) == ("emea", 0, True)
     with pytest.raises(UnsupportedSQL, match="does not fit"):
         cat.sql(spark, "CREATE TABLE bad_def (id BIGINT DEFAULT 'x')")
+    # round 13: a multi-column PARTITIONED BY list is now LEGAL (it
+    # builds a composite spec) — the old "ONE transform" refusal probe
+    # became a real statement, so it moved to the positive side (the
+    # a4l-TRUNCATE-incident discipline: refusal probes must stay
+    # outside the grammar forever)
+    cat.sql(
+        spark,
+        "CREATE TABLE ddl_multi (id BIGINT, g STRING) "
+        "PARTITIONED BY (id, bucket(4, g))",
+    )
+    from java_iceberg_table_spark.table.transforms import CompositeTransform
+
+    assert isinstance(cat.table("ddl_multi").transform, CompositeTransform)
     for bad, why in [
         ("CREATE TABLE ddl_t (id BIGINT)", "exists"),
         ("CREATE TABLE bad1 (id NOTATYPE)", "does not parse"),
         (
-            "CREATE TABLE bad2 (id BIGINT, g STRING) PARTITIONED BY (id, g)",
-            "ONE transform",
+            "CREATE TABLE bad3 (id BIGINT) PARTITIONED BY (md5(id))",
+            "fields are",
         ),
         (
-            "CREATE TABLE bad3 (id BIGINT) PARTITIONED BY (md5(id))",
-            "ONE transform",
+            "CREATE TABLE bad2 (id BIGINT, g STRING) "
+            "PARTITIONED BY (id, id)",
+            "duplicate",
         ),
         ("CREATE TABLE bad4 (id BIGINT) CLUSTERED BY (id)", "not recognized"),
     ]:
-        with pytest.raises(UnsupportedSQL, match=why):
+        with pytest.raises((UnsupportedSQL, ValueError), match=why):
             cat.sql(spark, bad)
 
 
@@ -1957,3 +1971,81 @@ def test_drop_materialized_view(spark, cat):
     with pytest.raises(UnsupportedSQL, match="DROP TABLE"):
         cat.sql(spark, "DROP MATERIALIZED VIEW t")
     assert cat.read(spark, "t").count() == 10  # untouched
+
+
+def test_branch_tag_ddl_sql(spark, cat):
+    """ALTER TABLE CREATE/DROP BRANCH|TAG + PUBLISH BRANCH + SHOW REFS
+    (round 13): the SQL face of the refs/WAP machinery. Branch stages
+    writes off-head; publish fast-forwards; tags pin immutably; every
+    category error refuses loudly."""
+    t = cat.table("t")
+    snap0 = t.metadata.current_snapshot_id
+    n0 = cat.read(spark, "t").count()
+    res = cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
+    assert res["statement"] == "create_ref" and res["type"] == "branch"
+    assert res["snapshot_id"] == snap0
+    t.append(
+        spark.createDataFrame([(500, "staged", 1)], SCHEMA), branch="wap"
+    )
+    # staged rows visible on the branch, invisible at the head
+    assert (
+        cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'wap'"
+        ).collect()[0]["n"]
+        == n0 + 1
+    )
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == n0
+    cat.sql(spark, f"ALTER TABLE t CREATE TAG pre AS OF VERSION {snap0}")
+    refs = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in cat.sql(spark, "SHOW REFS t").collect()
+    }
+    assert refs["wap"][0] == "branch" and refs["pre"] == ("tag", snap0)
+    res = cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH wap")
+    assert res["pin_published"] is True
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
+        == n0 + 1
+    )
+    # the tag still reproduces the pre-publish state
+    assert (
+        cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'pre'"
+        ).collect()[0]["n"]
+        == n0
+    )
+    # category errors
+    with pytest.raises(UnsupportedSQL, match="is a tag"):
+        cat.sql(spark, "ALTER TABLE t DROP BRANCH pre")
+    with pytest.raises(UnsupportedSQL, match="is a branch"):
+        cat.sql(spark, "ALTER TABLE t DROP TAG wap")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
+    with pytest.raises(KeyError, match="no such branch"):
+        cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH ghost")
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        cat.sql(spark, "ALTER TABLE t CREATE TAG x AS OF VERSION 4242")
+    with pytest.raises(KeyError, match="no such ref"):
+        cat.sql(spark, "ALTER TABLE t DROP TAG ghost")
+    # publishing a tag is a category error too (publish takes branches)
+    with pytest.raises(KeyError, match="no such branch"):
+        cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH pre")
+    cat.sql(spark, "ALTER TABLE t DROP BRANCH wap")
+    cat.sql(spark, "ALTER TABLE t DROP TAG pre")
+    assert cat.sql(spark, "SHOW REFS t").count() == 0
+
+
+def test_publish_branch_respects_lagging_pin(spark, cat):
+    """PUBLISH BRANCH pin discipline: a published pin deliberately
+    LAGGING the head must not jump on publish (same contract as
+    OPTIMIZE/VACUUM republish)."""
+    t = cat.table("t")
+    pinned = cat.state().pins["t"]
+    # advance the head past the pin with a direct write
+    t.append(spark.createDataFrame([(600, "direct", 1)], SCHEMA))
+    assert cat.state().pins["t"] == pinned  # pin lags
+    cat.sql(spark, "ALTER TABLE t CREATE BRANCH b")
+    t.append(spark.createDataFrame([(601, "staged", 1)], SCHEMA), branch="b")
+    res = cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH b")
+    assert res["pin_published"] is False
+    assert cat.state().pins["t"] == pinned  # still lagging, untouched
