@@ -4459,3 +4459,113 @@ def a5f_engine_sql_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "a5g_engine_sql_replace_table",
+    oracle="""
+SELECT COUNT(*) AS n_summary,
+       CAST(SUM(cnt) AS BIGINT) AS total_orders,
+       (SELECT COUNT(*) FROM orders) AS pre_image_rows,
+       true AS single_publish,
+       CAST(0 AS BIGINT) AS truncated_rows,
+       CAST(3 AS BIGINT) AS refused
+FROM (
+  SELECT o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderpriority
+)
+""",
+    group="A",
+)
+def a5g_engine_sql_replace_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE [AS SELECT] (round 13 — Iceberg RTAS):
+    the atomic replace-definition form CTAS (a4t) lacked. One
+    user-visible catalog publish swaps schema AND content — a raw
+    orders copy becomes a 5-row priority summary with an unrelated
+    schema — while /*+ CATALOG_VERSION(n) */ still serves the full
+    pre-image (single_publish grades exactly that: the catalog
+    version log gained ONE reader-visible version for the whole
+    replace, and the pre-version reads the old rows). The column-list
+    form swaps definition and truncates; view / maintained-view /
+    in-script targets refuse. At 100 TB a replace writes only the new
+    content — the old snapshot is carried by the metadata logs for
+    time travel, zero data copied."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    base = tempfile.mkdtemp(prefix="engine_rtas_")
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        cat = Catalog.create(base + "/cat")
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "orders_src"
+        )
+        cat.sql(
+            spark,
+            "CREATE TABLE ot AS SELECT o_orderkey, o_orderpriority "
+            "FROM orders_src",
+        )
+        pre_rows = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM ot"
+        ).collect()[0]["n"]
+        v_pre = cat.state().version
+        res = cat.sql(
+            spark,
+            "CREATE OR REPLACE TABLE ot AS "
+            "SELECT o_orderpriority AS prio, COUNT(*) AS cnt "
+            "FROM ot GROUP BY o_orderpriority",
+        )
+        assert res["replaced"] is True
+        # single reader-visible publish: exactly one catalog version
+        # beyond v_pre, and that pre-version still serves the raw copy
+        single_publish = cat.state().version == v_pre + 1
+        pre_image_rows = cat.sql(
+            spark,
+            f"SELECT /*+ CATALOG_VERSION({v_pre}) */ COUNT(*) AS n FROM ot",
+        ).collect()[0]["n"]
+        single_publish = single_publish and pre_image_rows == pre_rows
+        summary = cat.sql(spark, "SELECT prio, cnt FROM ot").collect()
+        n_summary = len(summary)
+        total_orders = sum(r["cnt"] for r in summary)
+        cat.sql(
+            spark,
+            "CREATE OR REPLACE TABLE ot (k BIGINT, g STRING) "
+            "PARTITIONED BY (bucket(4, k))",
+        )
+        truncated_rows = cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM ot"
+        ).collect()[0]["n"]
+        refused = 0
+        cat.sql(spark, "CREATE VIEW rv AS SELECT k FROM ot")
+        for bad in (
+            "CREATE OR REPLACE TABLE rv AS SELECT 1 AS a",
+            "CREATE OR REPLACE TABLE rv (x BIGINT)",
+            # CREATE-head statements never join a script's single
+            # publish
+            None,
+        ):
+            try:
+                if bad is None:
+                    cat.sql_script(
+                        spark,
+                        "DELETE FROM ot WHERE k = -1; "
+                        "CREATE OR REPLACE TABLE ot AS SELECT 1 AS a",
+                    )
+                else:
+                    cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        return spark.createDataFrame(
+            [
+                (
+                    n_summary, total_orders, pre_image_rows,
+                    single_publish, truncated_rows, refused,
+                )
+            ],
+            "n_summary bigint, total_orders bigint, pre_image_rows bigint, "
+            "single_publish boolean, truncated_rows bigint, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(base, ignore_errors=True)

@@ -421,12 +421,21 @@ _CTAS = re.compile(
     r"^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(SELECT\b.+|WITH\b.+)$",
     re.I | re.S,
 )
+# CREATE OR REPLACE TABLE [AS SELECT] (round 13 — Iceberg RTAS): one
+# user-visible catalog publish swaps definition AND content; the
+# pre-image stays reachable via /*+ CATALOG_VERSION(n) */ because the
+# old pin + old schema vintage survive in the table's own logs.
+_RTAS = re.compile(
+    r"^CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+"
+    r"(SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
 # Plain CREATE TABLE DDL (round 11): disjoint from CTAS — this form
 # requires "(" right after the name. The balanced column group is
 # extracted by paren depth (Spark DDL types nest: DECIMAL(10,2),
 # ARRAY<STRUCT<...>>), then parsed by Spark's own DDL parser.
 _CREATE_TABLE_HEAD = re.compile(
-    r"^CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*\(", re.I
+    r"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_]\w*)\s*\(", re.I
 )
 # ALTER TABLE: the engine's schema-evolution ops (metadata-only
 # commits to the schema log — no snapshots move, so no pin motion;
@@ -1071,7 +1080,8 @@ def run_dml(
             raise UnsupportedSQL(
                 "CREATE TABLE needs a catalog (tables are catalog objects)"
             )
-        name = m.group(1)
+        or_replace = m.group(1) is not None
+        name = m.group(2)
         start = m.end() - 1
         depth = 0
         end = -1
@@ -1209,6 +1219,44 @@ def run_dml(
             raise UnsupportedSQL(
                 f"CREATE TABLE trailing clause not recognized: {rest[:60]!r}"
             )
+        st = catalog.state()
+        if or_replace and name.lower() in {v.lower() for v in st.views}:
+            raise UnsupportedSQL(
+                f"{name!r} is a view: CREATE OR REPLACE TABLE replaces "
+                "tables — use CREATE OR REPLACE VIEW"
+            )
+        if or_replace and name in st.pins:
+            # column-list RTAS: swap definition, spec and properties,
+            # truncate content — one user-visible pin publish (the
+            # AS-SELECT branch below documents the atomicity model)
+            tbl = catalog.table(name)
+            if tbl.metadata.properties.get("mv.kind"):
+                raise UnsupportedSQL(
+                    f"{name!r} is a maintained view's backing table: "
+                    "DROP MATERIALIZED VIEW and recreate"
+                )
+            from .transforms import validate_transform as _vt
+
+            _vt(part, schema)
+            tbl.set_schema(schema)
+            if tbl.metadata.partition_spec != (
+                part.to_json() if part is not None else None
+            ):
+                tbl.update_partition_spec(part)
+            if props:
+                tbl.set_properties(props)
+            tbl.overwrite_entries(
+                [], extra_summary={"replace-table": "true"}
+            )
+            catalog._commit_pins(
+                {name: tbl.metadata.current_snapshot_id}
+            )
+            return {
+                "statement": "replace_table",
+                "table": name,
+                "columns": [f.name for f in schema.fields],
+                "partition": spec,
+            }
         try:
             catalog.create_table(
                 name, schema,
@@ -1222,6 +1270,62 @@ def run_dml(
             "table": name,
             "columns": [f.name for f in schema.fields],
             "partition": spec,
+        }
+
+    m = _RTAS.match(sql)
+    if m:
+        if catalog is None:
+            raise UnsupportedSQL(
+                "CREATE OR REPLACE TABLE needs a catalog (tables are "
+                "catalog objects)"
+            )
+        name, query = m.groups()
+        st = catalog.state()
+        if name.lower() in {v.lower() for v in st.views}:
+            raise UnsupportedSQL(
+                f"{name!r} is a view: CREATE OR REPLACE TABLE replaces "
+                "tables — use CREATE OR REPLACE VIEW"
+            )
+        exists = name in st.pins
+        if exists and catalog.table(name).metadata.properties.get("mv.kind"):
+            raise UnsupportedSQL(
+                f"{name!r} is a maintained view's backing table: "
+                "replacing it out from under the fold corrupts the "
+                "view contract — DROP MATERIALIZED VIEW and recreate"
+            )
+        rows_df = _registered_select(query).persist()
+        try:
+            n = rows_df.count()
+            if exists:
+                # table-internal staging commits (schema swap, data
+                # write, content overwrite) are invisible through the
+                # catalog until the SINGLE pin publish below — readers
+                # see the old table or the new one, never a mix, and
+                # CATALOG_VERSION(pre) still serves the pre-image
+                tbl = catalog.table(name)
+                tbl.set_schema(rows_df.schema)
+                if tbl.metadata.partition_spec is not None:
+                    # RTAS states the whole new definition: no
+                    # PARTITIONED BY clause = unpartitioned (and the
+                    # old spec's source columns may not even exist in
+                    # the new schema); old files keep pruning under
+                    # their own spec via spec_id
+                    tbl.update_partition_spec(None)
+                entries = tbl._write_data_files(rows_df) if n else []
+                tbl.overwrite_entries(
+                    entries, extra_summary={"replace-table": "true"}
+                )
+            else:
+                tbl = catalog.create_table(name, rows_df.schema)
+                tbl.append(rows_df)
+        finally:
+            rows_df.unpersist()
+        catalog._commit_pins({name: tbl.metadata.current_snapshot_id})
+        return {
+            "statement": "replace_table_as",
+            "table": name,
+            "inserted_rows": n,
+            "replaced": exists,
         }
 
     m = _CTAS.match(sql)

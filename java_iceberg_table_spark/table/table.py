@@ -3564,6 +3564,37 @@ class Table:
 
     # ---------- schema evolution (Iceberg UpdateSchema semantics) ----------
 
+    def set_schema(self, new_schema) -> None:
+        """Full schema swap (the table half of CREATE OR REPLACE
+        TABLE): unlike the incremental evolution verbs (add / rename /
+        widen / drop), the new definition need not relate to the old
+        one at all. Safe because (a) the schema log keeps every prior
+        vintage, so time travel reads each snapshot under ITS OWN
+        schema, and (b) the caller replaces the CONTENT in the same
+        user-visible publish (RTAS), so no live file is ever projected
+        onto an incompatible schema. Metadata-only, one commit; no-op
+        when the schema is unchanged."""
+
+        def build(current: fmt.TableMetadata) -> fmt.TableMetadata | None:
+            new_json = (
+                new_schema.jsonValue()
+                if hasattr(new_schema, "jsonValue")
+                else new_schema
+            )
+            if new_json == current.schema_json:
+                return None
+            new_id = max(s["schema_id"] for s in current.schemas) + 1
+            return replace(
+                current,
+                version=current.version + 1,
+                schema_json=new_json,
+                schemas=current.schemas
+                + [{"schema_id": new_id, "schema": new_json}],
+                current_schema_id=new_id,
+            )
+
+        fmt.commit(self.root, build)
+
     def add_column(
         self, name: str, dtype: str | dict, default: object = None
     ) -> None:

@@ -2049,3 +2049,73 @@ def test_publish_branch_respects_lagging_pin(spark, cat):
     res = cat.sql(spark, "ALTER TABLE t PUBLISH BRANCH b")
     assert res["pin_published"] is False
     assert cat.state().pins["t"] == pinned  # still lagging, untouched
+
+
+def test_create_or_replace_table_sql(spark, cat):
+    """CREATE OR REPLACE TABLE [AS SELECT] (round 13 — Iceberg RTAS):
+    one user-visible catalog publish swaps definition AND content; the
+    pre-image stays reachable via /*+ CATALOG_VERSION(n) */; on a
+    missing target the verb degrades to plain create."""
+    # create path (missing target)
+    res = cat.sql(
+        spark, "CREATE OR REPLACE TABLE rt AS SELECT 1 AS a, 'x' AS b"
+    )
+    assert res["statement"] == "replace_table_as" and not res["replaced"]
+    v_pre = cat.state().version
+    # replace with an UNRELATED schema — full swap, not evolution
+    res = cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE rt AS SELECT k AS kk, qty * 2 AS dq "
+        "FROM t WHERE k < 3",
+    )
+    assert res["replaced"] and res["inserted_rows"] == 3
+    rows = {r["kk"]: r["dq"] for r in cat.sql(spark, "SELECT * FROM rt").collect()}
+    assert rows == {0: 0, 1: 20, 2: 40}
+    # pre-image: catalog time travel reads the OLD schema + content
+    old = cat.sql(
+        spark, f"SELECT /*+ CATALOG_VERSION({v_pre}) */ * FROM rt"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in old] == [(1, "x")]
+    # a plain read afterwards still sees the replacement (no leak)
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 3
+    # column-list replace: new definition incl. partition spec, content
+    # truncated; the replaced table is immediately writable
+    res = cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE rt (k BIGINT, g STRING) "
+        "PARTITIONED BY (k, bucket(2, g))",
+    )
+    assert res["statement"] == "replace_table"
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 0
+    cat.sql(spark, "INSERT INTO rt VALUES (5, 'a')")
+    from java_iceberg_table_spark.table.transforms import CompositeTransform
+
+    assert isinstance(cat.table("rt").transform, CompositeTransform)
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 1
+    # refusals: view targets (both forms)
+    cat.sql(spark, "CREATE VIEW rv AS SELECT k FROM t")
+    for bad in (
+        "CREATE OR REPLACE TABLE rv AS SELECT 1 AS a",
+        "CREATE OR REPLACE TABLE rv (x BIGINT)",
+    ):
+        with pytest.raises(UnsupportedSQL, match="is a view"):
+            cat.sql(spark, bad)
+    # refused inside scripts (CREATE head rule)
+    with pytest.raises(UnsupportedSQL, match="standalone"):
+        cat.sql_script(
+            spark,
+            "DELETE FROM t WHERE k = 0; "
+            "CREATE OR REPLACE TABLE rt AS SELECT 1 AS a",
+        )
+
+
+def test_replace_table_refuses_maintained_view_backing(spark, cat, tmp_path):
+    """RTAS must not replace a maintained view's backing table out
+    from under its fold."""
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mv_t AS SELECT v, COUNT(*) AS cnt, "
+        "SUM(qty) AS sv FROM t GROUP BY v",
+    )
+    with pytest.raises(UnsupportedSQL, match="maintained view"):
+        cat.sql(spark, "CREATE OR REPLACE TABLE mv_t AS SELECT 1 AS a")
