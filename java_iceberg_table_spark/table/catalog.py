@@ -190,6 +190,94 @@ def _relation_read_counts(statement: str) -> dict[str, int]:
     return out
 
 
+def _introspect_totals(spark, tbl, snap) -> tuple[int, int, int]:
+    """(files, rows, bytes) of one snapshot for DESCRIBE EXTENDED.
+    Past the distributed-plan threshold the totals come from a
+    distributed JSON manifest scan (the same machinery plan_files and
+    the a3f files table use) — at 100 TB with millions of files a
+    driver loop over every entry is the wrong side of the
+    metadata-scale contract; below it the driver loop is cheaper than
+    a Spark job."""
+    from pyspark.sql import functions as F
+
+    from .table import DIST_PLAN_MIN_MANIFEST_BYTES
+
+    if snap is None:
+        return 0, 0, 0
+    if tbl._manifest_bytes(snap.manifests) >= DIST_PLAN_MIN_MANIFEST_BYTES:
+        r = (
+            tbl._manifest_entries_df(spark, snap.manifests)
+            .agg(
+                F.count(F.lit(1)).alias("f"),
+                F.sum("rows").alias("r"),
+                F.sum("bytes").alias("b"),
+            )
+            .collect()[0]
+        )
+        return int(r["f"]), int(r["r"] or 0), int(r["b"] or 0)
+    entries = tbl.files_of(snap)
+    return (
+        len(entries),
+        sum(int(e.get("rows", 0) or 0) for e in entries),
+        sum(int(e.get("bytes", 0) or 0) for e in entries),
+    )
+
+
+def _show_partitions_rows(spark, tbl, snap) -> list[tuple]:
+    """SHOW PARTITIONS rows (partition-string, files, rows, bytes),
+    sorted by the rendered key. Distributed groupBy over the manifest
+    scan past the plan threshold (the aggregated result is
+    partition-count-scale, safe to collect); driver loop below it.
+    Renderings match exactly: scalars via str(), composite tuples
+    field0/field1/..., spec-evolution NULLs as 'None'."""
+    from pyspark.sql import functions as F
+
+    from .table import (
+        DIST_PLAN_MIN_MANIFEST_BYTES,
+        _entry_partition_key,
+    )
+
+    if snap is None:
+        return []
+    if tbl._manifest_bytes(snap.manifests) >= DIST_PLAN_MIN_MANIFEST_BYTES:
+        key = F.coalesce(
+            F.col("partition").cast("string"),
+            F.array_join(F.col("partition_fields").cast("array<string>"), "/"),
+            F.lit("None"),
+        )
+        out = (
+            tbl._manifest_entries_df(spark, snap.manifests)
+            .groupBy(key.alias("p"))
+            .agg(
+                F.count(F.lit(1)).alias("f"),
+                F.sum("rows").alias("r"),
+                F.sum("bytes").alias("b"),
+            )
+            .collect()
+        )
+        return sorted(
+            (
+                (row["p"], int(row["f"]), int(row["r"] or 0), int(row["b"] or 0))
+                for row in out
+            ),
+            key=lambda x: x[0],
+        )
+    agg: dict = {}
+    for e in tbl.files_of(snap):
+        p = _entry_partition_key(e)
+        if isinstance(p, tuple):
+            p = "/".join(str(v) for v in p)
+        else:
+            p = str(p)
+        f, r, b = agg.get(p, (0, 0, 0))
+        agg[p] = (
+            f + 1,
+            r + int(e.get("rows", 0) or 0),
+            b + int(e.get("bytes", 0) or 0),
+        )
+    return [(p, f, r, b) for p, (f, r, b) in sorted(agg.items())]
+
+
 def _as_of_millis(lit: str) -> int:
     """TIMESTAMP AS OF literal -> epoch milliseconds. A bare integer
     IS epoch-ms; a quoted string parses as an ISO-8601 instant
@@ -804,25 +892,7 @@ class Catalog:
                 if pin is None
                 else tbl.snapshot_by_id(pin)
             )
-            from .table import _entry_partition_key
-
-            agg: dict = {}
-            for e in tbl.files_of(snap) if snap is not None else []:
-                p = _entry_partition_key(e)
-                if isinstance(p, tuple):  # composite: field0/field1/...
-                    p = "/".join(str(v) for v in p)
-                f, r, b = agg.get(p, (0, 0, 0))
-                agg[p] = (
-                    f + 1,
-                    r + int(e.get("rows", 0) or 0),
-                    b + int(e.get("bytes", 0) or 0),
-                )
-            rows = [
-                (str(p), f, r, b)
-                for p, (f, r, b) in sorted(
-                    agg.items(), key=lambda kv: str(kv[0])
-                )
-            ]
+            rows = _show_partitions_rows(spark, tbl, snap)
             return spark.createDataFrame(
                 rows or [],
                 "partition string, files bigint, rows bigint, bytes bigint",
@@ -991,7 +1061,7 @@ class Catalog:
                 if pin is None
                 else tbl.snapshot_by_id(pin)
             )
-            entries = tbl.files_of(snap) if snap is not None else []
+            n_files, n_rows, n_bytes = _introspect_totals(spark, tbl, snap)
             t = tbl.transform
             rows += [
                 ("# Detailed Table Information", "", ""),
@@ -1002,17 +1072,9 @@ class Catalog:
                     str(snap.snapshot_id if snap is not None else None),
                     "",
                 ),
-                ("files", str(len(entries)), ""),
-                (
-                    "rows",
-                    str(sum(int(e.get("rows", 0) or 0) for e in entries)),
-                    "",
-                ),
-                (
-                    "bytes",
-                    str(sum(int(e.get("bytes", 0) or 0) for e in entries)),
-                    "",
-                ),
+                ("files", str(n_files), ""),
+                ("rows", str(n_rows), ""),
+                ("bytes", str(n_bytes), ""),
             ]
             return spark.createDataFrame(
                 rows, "col_name string, data_type string, comment string"

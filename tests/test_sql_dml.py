@@ -2119,3 +2119,50 @@ def test_replace_table_refuses_maintained_view_backing(spark, cat, tmp_path):
     )
     with pytest.raises(UnsupportedSQL, match="maintained view"):
         cat.sql(spark, "CREATE OR REPLACE TABLE mv_t AS SELECT 1 AS a")
+
+
+def test_show_partitions_describe_distributed_parity(
+    spark, cat, monkeypatch
+):
+    """SHOW PARTITIONS / DESCRIBE EXTENDED totals route through the
+    distributed manifest scan past DIST_PLAN_MIN_MANIFEST_BYTES
+    (round 13 — at millions of files a driver loop over entries
+    breaks the metadata-scale contract). Forcing the threshold to 0
+    must produce byte-identical rows to the driver loop, on both a
+    single-field and a composite-partitioned table."""
+    from java_iceberg_table_spark.table import table as table_mod
+
+    cat.sql(
+        spark,
+        "CREATE TABLE pd (k BIGINT, g STRING) "
+        "PARTITIONED BY (k, bucket(2, g))",
+    )
+    t = cat.table("pd")
+    t.append(
+        spark.createDataFrame(
+            [(i % 3, f"g{i % 4}") for i in range(40)], "k long, g string"
+        )
+    )
+    cat._commit_pins({"pd": t.metadata.current_snapshot_id})
+    for name in ("t", "pd"):
+        driver_sp = [tuple(r) for r in cat.sql(
+            spark, f"SHOW PARTITIONS {name}"
+        ).collect()] if name == "pd" else None
+        driver_de = [tuple(r) for r in cat.sql(
+            spark, f"DESCRIBE EXTENDED {name}"
+        ).collect()]
+        monkeypatch.setattr(
+            table_mod, "DIST_PLAN_MIN_MANIFEST_BYTES", 0
+        )
+        if driver_sp is not None:
+            dist_sp = [tuple(r) for r in cat.sql(
+                spark, f"SHOW PARTITIONS {name}"
+            ).collect()]
+            assert dist_sp == driver_sp
+        dist_de = [tuple(r) for r in cat.sql(
+            spark, f"DESCRIBE EXTENDED {name}"
+        ).collect()]
+        assert dist_de == driver_de
+        monkeypatch.setattr(
+            table_mod, "DIST_PLAN_MIN_MANIFEST_BYTES", 4 << 20
+        )
