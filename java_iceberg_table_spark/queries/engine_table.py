@@ -4374,7 +4374,7 @@ SELECT COUNT(*) + 5 AS n_head,
        COUNT(*) AS tag_rows,
        CAST(2 AS BIGINT) AS refs_at_peak,
        CAST(0 AS BIGINT) AS refs_after,
-       CAST(4 AS BIGINT) AS refused
+       CAST(5 AS BIGINT) AS refused
 FROM orders
 """,
     group="A",
@@ -4409,10 +4409,13 @@ def a5f_engine_sql_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap0 = tbl.metadata.current_snapshot_id
         n0 = tbl.scan(spark).count()
         cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
-        staged = spark.createDataFrame(
-            [(9_000_000_000 + i, 1.0) for i in range(5)], orders.schema
+        # staging is ALSO a SQL verb: Iceberg's branch-write spelling
+        # advances only the ref, never the head or the catalog pin
+        cat.sql(
+            spark,
+            "INSERT INTO t.branch_wap VALUES "
+            + ", ".join(f"({9_000_000_000 + i}, 1.0)" for i in range(5)),
         )
-        tbl.append(staged, branch="wap")
         branch_n = cat.sql(
             spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'wap'"
         ).collect()[0]["n"]
@@ -4439,6 +4442,9 @@ def a5f_engine_sql_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ALTER TABLE t PUBLISH BRANCH ghost", KeyError),
             ("ALTER TABLE t CREATE TAG nope AS OF VERSION 424242",
              KeyError),
+            # writes never create refs implicitly
+            ("INSERT INTO t.branch_ghost VALUES (1, 1.0)",
+             UnsupportedSQL),
         ):
             try:
                 cat.sql(spark, bad)

@@ -378,6 +378,18 @@ _DROP_MV = re.compile(
 _INSERT_VALUES = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+VALUES\s+(.+)$", re.I | re.S
 )
+# INSERT INTO t.branch_<ref> (round 13 — Iceberg's branch-write
+# spelling): the staged half of write-audit-publish through SQL. The
+# append advances ONLY the named branch ref; the table head and the
+# catalog pin do not move (readers never see unaudited rows), so this
+# deliberately bypasses the end-of-statement pin publish. The branch
+# must already exist (ALTER TABLE t CREATE BRANCH) — a typo creating
+# a branch silently would hide the staged rows forever.
+_INSERT_BRANCH = re.compile(
+    r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\.branch_([A-Za-z_]\w*)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
 _INSERT_SELECT = re.compile(
     r"^INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.+|WITH\b.+)$", re.I | re.S
 )
@@ -883,6 +895,58 @@ def run_dml(
             ]
         )
         return _append_rows(name, full)
+
+    m = _INSERT_BRANCH.match(sql)
+    if m:
+        name, ref, tail_sql = m.groups()
+        # direct table lookup, NOT resolve(): a branch write must not
+        # ride the end-of-statement pin publish (the head is
+        # untouched; republishing it could leak a direct writer's
+        # unpublished head — the _schema_target rationale)
+        tbl = catalog.table(name) if catalog is not None else resolve(name)
+        have = tbl.metadata.refs.get(ref)
+        if have is None or have["type"] != "branch":
+            raise UnsupportedSQL(
+                f"no branch {ref!r} on table {name!r}: create it first "
+                f"(ALTER TABLE {name} CREATE BRANCH {ref}) — writes "
+                "never create refs implicitly"
+            )
+        target = tbl.schema()
+        tail_parts = tail_sql.split(None, 1)
+        if tail_parts[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(
+                tail_parts[1] if len(tail_parts) > 1 else ""
+            )
+            if any(len(tp) != len(target.fields) for tp in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT arity mismatch: table {name!r} has "
+                    f"{len(target.fields)} columns"
+                )
+            rows_df = _literal_rows_df(tuples, list(target.fields))
+        else:
+            rows_df = _registered_select(tail_sql)
+            if [c.lower() for c in rows_df.columns] != [
+                f.name.lower() for f in target.fields
+            ]:
+                raise UnsupportedSQL(
+                    f"INSERT ... SELECT columns {rows_df.columns} must "
+                    f"match {[f.name for f in target.fields]} exactly"
+                )
+        aligned = rows_df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+        n = aligned.count()
+        tbl.append(aligned, branch=ref)
+        return {
+            "statement": "insert_branch",
+            "table": name,
+            "branch": ref,
+            "inserted_rows": n,
+            "branch_head": tbl.metadata.refs[ref]["snapshot_id"],
+        }
 
     m = _INSERT_VALUES.match(sql)
     if m:

@@ -1984,6 +1984,21 @@ def test_branch_tag_ddl_sql(spark, cat):
     res = cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
     assert res["statement"] == "create_ref" and res["type"] == "branch"
     assert res["snapshot_id"] == snap0
+    # staging through SQL (Iceberg's branch-write spelling); the verb
+    # bypasses the pin publish — only the ref moves
+    res = cat.sql(spark, "INSERT INTO t.branch_wap VALUES (500, 'staged', 1)")
+    assert res["statement"] == "insert_branch" and res["inserted_rows"] == 1
+    # INSERT-SELECT form works too and stacks on the branch
+    res = cat.sql(
+        spark,
+        "INSERT INTO t.branch_wap SELECT k + 1000 AS k, v, qty FROM t "
+        "WHERE k = 0",
+    )
+    assert res["inserted_rows"] == 1
+    cat.sql(spark, "ALTER TABLE t DROP BRANCH wap")
+    cat.sql(spark, "ALTER TABLE t CREATE BRANCH wap")
+    with pytest.raises(UnsupportedSQL, match="never create refs"):
+        cat.sql(spark, "INSERT INTO t.branch_ghost VALUES (1, 'x', 1)")
     t.append(
         spark.createDataFrame([(500, "staged", 1)], SCHEMA), branch="wap"
     )
