@@ -422,7 +422,18 @@ _INSERT_OVERWRITE = re.compile(
 )
 _INSERT_OVERWRITE_PART = re.compile(
     r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
-    r"PARTITION\s*\(\s*([A-Za-z_]\w*)\s*(?:=\s*([^()]+?)\s*)?\)\s+"
+    r"PARTITION\s*\(\s*([A-Za-z_]\w*)\s*(?:=\s*([^(),]+?)\s*)?\)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
+# composite dynamic form (round 13): PARTITION (c1, c2[, ...]) names
+# EVERY field's source column of a composite spec — replace exactly
+# the (tuple) partitions the written rows touch. Static values are
+# single-field-only (a composite static target would need a full
+# tuple literal; the API covers that).
+_INSERT_OVERWRITE_PART_MULTI = re.compile(
+    r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"PARTITION\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)\s+"
     r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
     re.I | re.S,
 )
@@ -960,6 +971,88 @@ def run_dml(
             )
         return _append_rows(name, _literal_rows_df(tuples, list(target.fields)))
 
+    m = _INSERT_OVERWRITE_PART_MULTI.match(sql)
+    if m:
+        # composite dynamic overwrite (round 13): PARTITION (c1, c2)
+        # names every field's source column of a composite spec —
+        # written rows choose their partition TUPLES, exactly those
+        # tuples are replaced, untouched tuples carry by reference in
+        # one atomic 'overwrite' snapshot (the a4e/a5b contract lifted
+        # to multi-field layouts).
+        name, collist, tail_sql = m.groups()
+        tbl = resolve(name)
+        target = tbl.schema()
+        t = tbl.transform
+        from .transforms import CompositeTransform as _Composite
+
+        cols = [c.strip() for c in collist.split(",")]
+        if not isinstance(t, _Composite):
+            raise UnsupportedSQL(
+                f"PARTITION names {len(cols)} columns but table "
+                f"{name!r} "
+                + (
+                    "is unpartitioned"
+                    if t is None
+                    else f"partitions on ONE field ({t.source_column!r})"
+                )
+            )
+        if [c.lower() for c in cols] != [
+            c.lower() for c in t.source_columns
+        ]:
+            raise UnsupportedSQL(
+                f"PARTITION must name the composite spec's source "
+                f"columns in spec order "
+                f"({', '.join(t.source_columns)}); got ({collist})"
+            )
+        fields = list(target.fields)
+        tail_parts = tail_sql.split(None, 1)
+        if tail_parts[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(
+                tail_parts[1] if len(tail_parts) > 1 else ""
+            )
+            if any(len(tp) != len(fields) for tp in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION arity mismatch: "
+                    f"source rows take {len(fields)} columns "
+                    f"({[f.name for f in fields]})"
+                )
+            rows_df = _literal_rows_df(tuples, fields)
+        else:
+            rows_df = _registered_select(tail_sql)
+            if [c.lower() for c in rows_df.columns] != [
+                f.name.lower() for f in fields
+            ]:
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION source columns "
+                    f"{rows_df.columns} must match "
+                    f"{[f.name for f in fields]} exactly"
+                )
+        aligned = rows_df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        ).persist()
+        try:
+            n = aligned.count()
+            entries = tbl._write_data_files(aligned) if n else []
+            from .table import _entry_partition_key
+
+            parts = {_entry_partition_key(e) for e in entries}
+            if entries:
+                tbl.overwrite_entries(entries, partitions=parts)
+        finally:
+            aligned.unpersist()
+        return {
+            "statement": "insert_overwrite",
+            "table": name,
+            "mode": "dynamic_partition",
+            "inserted_rows": n,
+            "replaced_partitions": sorted(
+                [list(p) for p in parts] if entries else []
+            ),
+        }
+
     m = _INSERT_OVERWRITE_PART.match(sql)
     if m:
         # partition-scoped overwrite (round 12): the clause names the
@@ -984,10 +1077,10 @@ def run_dml(
 
         if isinstance(t, _Composite):
             raise UnsupportedSQL(
-                f"table {name!r} has a composite partition spec "
-                f"({', '.join(t.source_columns)}): the PARTITION clause "
-                "names one field — use bare INSERT OVERWRITE (atomic "
-                "whole-table replace) or the API's dynamic overwrite"
+                f"table {name!r} has a composite partition spec: name "
+                f"EVERY field's source column for a dynamic overwrite "
+                f"— PARTITION ({', '.join(t.source_columns)}) — or use "
+                "bare INSERT OVERWRITE (atomic whole-table replace)"
             )
         if pcol.lower() != t.source_column.lower():
             raise UnsupportedSQL(

@@ -449,3 +449,65 @@ def test_connector_write_composite(spark, base_dir):
     assert t.scan(spark, [("uid", "=", "u1")]).count() == sum(
         1 for r in _rows(40, days=2, users=3) if r[2] == "u1"
     )
+
+
+def test_composite_dynamic_overwrite_sql(spark, base_dir):
+    """INSERT OVERWRITE t PARTITION (c1, c2) on a composite spec
+    (round 13): written rows choose their partition TUPLES; exactly
+    those tuples are replaced, untouched tuples carry by reference;
+    single-column and mis-ordered clauses refuse with pointers."""
+    from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
+
+    cat = Catalog.create(base_dir + "/cat")
+    cat.sql(
+        spark,
+        "CREATE TABLE ov (tp BIGINT, uid STRING, v DOUBLE) "
+        "PARTITIONED BY (truncate(1000, tp), bucket(2, uid))",
+    )
+    t = cat.table("ov")
+    t.append(
+        spark.createDataFrame(
+            [(i * 500, f"u{i % 4}", float(i)) for i in range(12)],
+            t.schema(),
+        )
+    )
+    cat._commit_pins({"ov": t.metadata.current_snapshot_id})
+    n0 = cat.read(spark, "ov").count()
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE ov PARTITION (tp, uid) VALUES (100, 'u0', 9.9)",
+    )
+    assert res["mode"] == "dynamic_partition"
+    assert res["replaced_partitions"] == [[0, zlib.crc32(b"u0") % 2]]
+    got = {(r["tp"], r["uid"], r["v"]) for r in cat.read(spark, "ov").collect()}
+    assert (100, "u0", 9.9) in got
+    # only the (bucket-0, hash(u0)) tuple was replaced
+    replaced = sum(
+        1
+        for i in range(12)
+        if (i * 500) // 1000 == 0
+        and zlib.crc32(f"u{i % 4}".encode()) % 2 == zlib.crc32(b"u0") % 2
+    )
+    assert len(got) == n0 - replaced + 1
+    # dynamic with an empty source replaces nothing
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE ov PARTITION (tp, uid) "
+        "SELECT tp, uid, v FROM ov WHERE tp < 0",
+    )
+    assert res["replaced_partitions"] == []
+    # refusals: single-column clause on composite (pointer to the
+    # full list), wrong order, multi-col on a single-field table
+    with pytest.raises(UnsupportedSQL, match="EVERY field"):
+        cat.sql(spark, "INSERT OVERWRITE ov PARTITION (tp) VALUES (1, 'x', 0.0)")
+    with pytest.raises(UnsupportedSQL, match="spec order"):
+        cat.sql(
+            spark,
+            "INSERT OVERWRITE ov PARTITION (uid, tp) VALUES (1, 'x', 0.0)",
+        )
+    cat.sql(
+        spark,
+        "CREATE TABLE sf (k BIGINT, v DOUBLE) PARTITIONED BY (k)",
+    )
+    with pytest.raises(UnsupportedSQL, match="ONE field"):
+        cat.sql(spark, "INSERT OVERWRITE sf PARTITION (k, v) VALUES (1, 0.0)")
