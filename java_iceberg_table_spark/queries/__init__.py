@@ -200,16 +200,29 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r13.json"
 # final sim ride the window normally, anything after it defers here.
 _DEFER_PAST_WINDOW: list[str] = []
 
-# ROUND-13 WINDOW PLAN:
-# - 5 canaries (a4l router, a5a VERSION AS OF detection rewrite, a5b
-#   partition-literal check, i28 topk-sink machinery, a4v REALTIME)
-#   + never-graded (expired r12 deferrals a5d/i33 + round 13's new
-#   registrations) + the whole r7 stale cohort (33 rows).
-# - Stale drain target: after r13 no cohort older than r8.
-# - Refusal-probe audit (standing): round 13 adds branch/tag DDL and
-#   CREATE OR REPLACE TABLE — re-grep graded refusal probes for
-#   BRANCH / TAG / REPLACE before registering (a4l TRUNCATE incident
-#   discipline).
+# ROUND-13 WINDOW (final): 6 canaries (a4l router — grew branch DDL,
+# RTAS, branch INSERT, composite PARTITION overwrite; a5a VERSION AS
+# OF literal-mask rewrite; a5b partition-literal check; i28 topk-sink
+# persist-leak fix + r12 fold rewrite; a4y DDL grammar grew the
+# multi-field list — its old multi-col refusal probe was LEGALIZED
+# and swapped for PARTITIONED BY (); a4v REALTIME detection block
+# neighbor) + 5 never-graded (expired r12 deferrals a5d/i33 + round
+# 13's a5e/a5f/a5g) + the WHOLE r7 stale cohort (33 rows) + 6 r8
+# rows = exactly 50. After r13 grades, the stale floor is r8.
+#
+# ROUND-14 NOTES (for the next session):
+# - Canary candidates: whatever r14 changes; if sql_dml moves again
+#   a4l stays the router canary; a5f covers branch DDL + branch
+#   INSERT, a5g RTAS, a5e composite specs — all never-graded in r13,
+#   so they hold r13 grades by the time r14 plans.
+# - Stale drain: after r13 the oldest cohort is r8 (~39 rows minus
+#   the 6 graded in r13's window tail); stalest-first continues.
+# - Refusal-probe audit (standing): round 13 legalized multi-column
+#   PARTITIONED BY lists (a4y probe swapped — the a4l TRUNCATE
+#   incident discipline). Before adding verbs near INSERT INTO
+#   t.branch_* / PUBLISH / REPLACE, re-grep graded refusal probes.
+# - The permanently-illegal refusal-probe convention: ANALYZE TABLE
+#   t COMPUTE STATISTICS, or a shape error (empty PARTITIONED BY ()).
 
 
 def load_all() -> dict[str, Query]:
