@@ -196,9 +196,13 @@ _DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r13.json"
 # prediction stays byte-identical; self-expiring — once the driver
 # writes the artifact above these claim never-graded slots first.
 # Round 13: the r12 deferrals (a5d/i33) expired with CORRECTNESS_r12
-# and now claim never-graded slots; rows registered before the r13
-# final sim ride the window normally, anything after it defers here.
-_DEFER_PAST_WINDOW: list[str] = []
+# and now claim never-graded slots; a5e/a5f/a5g registered before the
+# final sim (CORRECTNESS_LOCAL_r13.json, 50/50 green) ride the window.
+# a5h (ALTER ... PARTITION FIELD) landed AFTER it and defers — locally
+# green in CORRECTNESS_LOCAL_DEFERRED_r13.json.
+_DEFER_PAST_WINDOW: list[str] = [
+    "a5h_engine_sql_partition_evolution",
+]
 
 # ROUND-13 WINDOW (final): 6 canaries (a4l router — grew branch DDL,
 # RTAS, branch INSERT, composite PARTITION overwrite; a5a VERSION AS

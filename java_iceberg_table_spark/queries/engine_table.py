@@ -4575,3 +4575,131 @@ def a5g_engine_sql_replace_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "a5h_engine_sql_partition_evolution",
+    oracle="""
+SELECT COUNT(*) AS cnt_u7,
+       CAST(SUM(event_id) AS BIGINT) AS sum_u7,
+       CAST(1 AS BIGINT) AS spec_after_add,
+       CAST(2 AS BIGINT) AS spec_after_replace,
+       CAST(0 AS BIGINT) AS fields_after_drops,
+       true AS cross_arity_pruned,
+       CAST(4 AS BIGINT) AS refused
+FROM events
+WHERE user_id = 7
+""",
+    group="A",
+)
+def a5h_engine_sql_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-spec evolution through SQL (round 13 — Iceberg's
+    ``ALTER TABLE ADD|DROP|REPLACE PARTITION FIELD`` DDL, the SQL face
+    of ``update_partition_spec``/a3o): metadata-only — no data
+    rewrite, ever. ADD onto the 1-field ``days(ts)`` table composes a
+    composite ``(days(ts), bucket(8, user_id))`` spec; rows appended
+    before and after the evolution prune under THEIR OWN spec (entries
+    carry spec_id), so a user_id point query still answers exactly —
+    old-vintage files are admitted conservatively (their spec has no
+    user_id field), new-vintage files prune to one hash bucket
+    (cross_arity_pruned grades that plan shape). REPLACE widens the
+    bucket fanout in place, DROP collapses back to one field and then
+    to unpartitioned; duplicate adds, missing drops/replaces, unknown
+    transforms and off-schema columns refuse loudly. At 100 TB this
+    is THE verb a table operator runs when yesterday's layout stops
+    matching today's query mix — evolution costs one metadata commit,
+    not a table rewrite."""
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    base = tempfile.mkdtemp(prefix="engine_pevo_")
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        cat = Catalog.create(base + "/cat")
+        cat.sql(
+            spark,
+            "CREATE TABLE pe (event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT) PARTITIONED BY (days(ts))",
+        )
+        tbl = cat.table("pe")
+        tbl.append(half_a.coalesce(1))
+        res = cat.sql(
+            spark, "ALTER TABLE pe ADD PARTITION FIELD bucket(8, user_id)"
+        )
+        spec_after_add = res["spec_id"]
+        tbl = cat.table("pe")
+        tbl.append(half_b.coalesce(1))
+        cat._commit_pins({"pe": tbl.metadata.current_snapshot_id})
+        # cross-arity point query: exact answer, and the plan prunes
+        # the NEW vintage to one hash bucket while admitting the old
+        # vintage conservatively (its spec carries no user_id field)
+        planned = tbl.plan_files([("user_id", "=", 7)])
+        new_total = [
+            e for e in tbl.current_files()
+            if int(e.get("spec_id", 0) or 0) == spec_after_add
+        ]
+        new_hit = [
+            e for e in planned
+            if int(e.get("spec_id", 0) or 0) == spec_after_add
+        ]
+        buckets_hit = {e["partition_fields"][1] for e in new_hit}
+        cross_arity_pruned = (
+            0 < len(new_hit) < len(new_total) and len(buckets_hit) == 1
+        )
+        row = (
+            tbl.scan(spark, [("user_id", "=", 7)])
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("event_id").alias("s"),
+            )
+            .collect()[0]
+        )
+        res = cat.sql(
+            spark,
+            "ALTER TABLE pe REPLACE PARTITION FIELD bucket(8, user_id) "
+            "WITH bucket(16, user_id)",
+        )
+        spec_after_replace = res["spec_id"]
+        cat.sql(
+            spark, "ALTER TABLE pe DROP PARTITION FIELD bucket(16, user_id)"
+        )
+        res = cat.sql(spark, "ALTER TABLE pe DROP PARTITION FIELD days(ts)")
+        fields_after_drops = res["n_fields"]
+        refused = 0
+        for bad, exc in (
+            ("ALTER TABLE pe DROP PARTITION FIELD days(ts)",
+             UnsupportedSQL),
+            ("ALTER TABLE pe REPLACE PARTITION FIELD days(ts) WITH "
+             "event_id", UnsupportedSQL),
+            ("ALTER TABLE pe ADD PARTITION FIELD md5(event_id)",
+             UnsupportedSQL),
+            ("ALTER TABLE pe ADD PARTITION FIELD bucket(4, ghost)",
+             ValueError),
+        ):
+            try:
+                cat.sql(spark, bad)
+            except exc:
+                refused += 1
+        return spark.createDataFrame(
+            [
+                (
+                    row["cnt"], row["s"], spec_after_add,
+                    spec_after_replace, fields_after_drops,
+                    cross_arity_pruned, refused,
+                )
+            ],
+            "cnt_u7 bigint, sum_u7 bigint, spec_after_add bigint, "
+            "spec_after_replace bigint, fields_after_drops bigint, "
+            "cross_arity_pruned boolean, refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(base, ignore_errors=True)

@@ -225,6 +225,41 @@ def _validate_default_literal(field, v: object) -> None:
         )
 
 
+def _parse_partition_field(one: str):
+    """One PARTITIONED BY / PARTITION FIELD element -> transform:
+    bucket(N, c), truncate(W, c), years/months/days/hours(c), or a
+    bare column (identity). Shared by CREATE TABLE's list parse and
+    the ALTER ... PARTITION FIELD verbs."""
+    from . import transforms as _tf
+
+    tm = re.match(
+        r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+        one, re.I,
+    )
+    tm2 = re.match(
+        r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
+        one, re.I,
+    )
+    if tm:
+        fn = {"bucket": _tf.bucket, "truncate": _tf.truncate}[
+            tm.group(1).lower()
+        ]
+        return fn(tm.group(3), int(tm.group(2)))
+    if tm2:
+        fn = {
+            "year": _tf.year, "month": _tf.month,
+            "day": _tf.day, "hour": _tf.hour,
+        }[tm2.group(1).lower().rstrip("s")]
+        return fn(tm2.group(2))
+    if re.match(r"^[A-Za-z_]\w*$", one):
+        return _tf.identity(one)
+    raise UnsupportedSQL(
+        f"partition fields are bucket(N, c), truncate(W, c), "
+        f"years/months/days/hours(c), or a bare column (identity); "
+        f"got {one[:60]!r}"
+    )
+
+
 def _validate_partition_literal(field, v: object) -> None:
     """Refuse a static PARTITION (k = v) value the identity layout
     cannot key. Dedicated check (round-12 ADVICE): the DEFAULT-literal
@@ -487,6 +522,19 @@ _ALTER_DROP = re.compile(
 _ALTER_PROPS = re.compile(
     r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*\((.+)\)$",
     re.I | re.S,
+)
+_ALTER_ADD_PART_FIELD = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+PARTITION\s+FIELD\s+(.+)$",
+    re.I,
+)
+_ALTER_DROP_PART_FIELD = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+PARTITION\s+FIELD\s+(.+)$",
+    re.I,
+)
+_ALTER_REPLACE_PART_FIELD = re.compile(
+    r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+REPLACE\s+PARTITION\s+FIELD\s+"
+    r"(.+?)\s+WITH\s+(.+)$",
+    re.I,
 )
 _ALTER_CREATE_REF = re.compile(
     r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+CREATE\s+(BRANCH|TAG)\s+"
@@ -1316,34 +1364,6 @@ def run_dml(
             rest = rest[end + 1 :].strip()
             from . import transforms as _tf
 
-            def _parse_partition_field(one: str):
-                tm = re.match(
-                    r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
-                    one, re.I,
-                )
-                tm2 = re.match(
-                    r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
-                    one, re.I,
-                )
-                if tm:
-                    fn = {"bucket": _tf.bucket, "truncate": _tf.truncate}[
-                        tm.group(1).lower()
-                    ]
-                    return fn(tm.group(3), int(tm.group(2)))
-                if tm2:
-                    fn = {
-                        "year": _tf.year, "month": _tf.month,
-                        "day": _tf.day, "hour": _tf.hour,
-                    }[tm2.group(1).lower().rstrip("s")]
-                    return fn(tm2.group(2))
-                if re.match(r"^[A-Za-z_]\w*$", one):
-                    return _tf.identity(one)
-                raise UnsupportedSQL(
-                    f"PARTITIONED BY fields are bucket(N, c), "
-                    f"truncate(W, c), years/months/days/hours(c), or a "
-                    f"bare column (identity); got {one[:60]!r}"
-                )
-
             # multi-field specs (round 13, Iceberg parity): a comma
             # list composes per-field transforms — e.g.
             # PARTITIONED BY (days(ts), bucket(16, id)), the layout
@@ -1570,6 +1590,90 @@ def run_dml(
         return {
             "statement": "alter_set_properties", "table": name,
             "properties": sorted(updates),
+        }
+
+    def _partition_fields_of(t) -> list:
+        from .transforms import CompositeTransform as _C
+
+        if t is None:
+            return []
+        return list(t.fields) if isinstance(t, _C) else [t]
+
+    def _spec_from_fields(fields: list):
+        from . import transforms as _tf
+
+        if not fields:
+            return None
+        return fields[0] if len(fields) == 1 else _tf.composite(*fields)
+
+    m = _ALTER_ADD_PART_FIELD.match(sql)
+    if m:
+        # ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD (round 13 —
+        # Iceberg's partition-evolution DDL, the SQL face of
+        # update_partition_spec): metadata-only, no data rewrite;
+        # existing files keep pruning under the spec they were written
+        # with (entries carry spec_id), future writes use the new one.
+        # ADD onto a 1-field spec composes a composite; DROP down to
+        # one field collapses back to the single transform.
+        name, fexpr = m.groups()
+        tbl = _schema_target(name)
+        new_f = _parse_partition_field(fexpr.strip())
+        fields = _partition_fields_of(tbl.transform)
+        if any(f.to_json() == new_f.to_json() for f in fields):
+            raise UnsupportedSQL(
+                f"partition field {fexpr.strip()!r} already on "
+                f"table {name!r}"
+            )
+        sid = tbl.update_partition_spec(
+            _spec_from_fields(fields + [new_f])
+        )
+        return {
+            "statement": "add_partition_field", "table": name,
+            "field": fexpr.strip(), "spec_id": sid,
+            "n_fields": len(fields) + 1,
+        }
+
+    m = _ALTER_DROP_PART_FIELD.match(sql)
+    if m:
+        name, fexpr = m.groups()
+        tbl = _schema_target(name)
+        drop_f = _parse_partition_field(fexpr.strip())
+        fields = _partition_fields_of(tbl.transform)
+        kept = [f for f in fields if f.to_json() != drop_f.to_json()]
+        if len(kept) == len(fields):
+            raise UnsupportedSQL(
+                f"no partition field {fexpr.strip()!r} on table "
+                f"{name!r} (spec: "
+                f"{[f.to_json() for f in fields] or 'unpartitioned'})"
+            )
+        sid = tbl.update_partition_spec(_spec_from_fields(kept))
+        return {
+            "statement": "drop_partition_field", "table": name,
+            "field": fexpr.strip(), "spec_id": sid,
+            "n_fields": len(kept),
+        }
+
+    m = _ALTER_REPLACE_PART_FIELD.match(sql)
+    if m:
+        name, old_expr, new_expr = m.groups()
+        tbl = _schema_target(name)
+        old_f = _parse_partition_field(old_expr.strip())
+        new_f = _parse_partition_field(new_expr.strip())
+        fields = _partition_fields_of(tbl.transform)
+        if not any(f.to_json() == old_f.to_json() for f in fields):
+            raise UnsupportedSQL(
+                f"no partition field {old_expr.strip()!r} on table "
+                f"{name!r} to replace"
+            )
+        swapped = [
+            new_f if f.to_json() == old_f.to_json() else f
+            for f in fields
+        ]
+        sid = tbl.update_partition_spec(_spec_from_fields(swapped))
+        return {
+            "statement": "replace_partition_field", "table": name,
+            "from": old_expr.strip(), "to": new_expr.strip(),
+            "spec_id": sid,
         }
 
     m = _ALTER_CREATE_REF.match(sql)

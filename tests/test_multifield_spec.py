@@ -511,3 +511,87 @@ def test_composite_dynamic_overwrite_sql(spark, base_dir):
     )
     with pytest.raises(UnsupportedSQL, match="ONE field"):
         cat.sql(spark, "INSERT OVERWRITE sf PARTITION (k, v) VALUES (1, 0.0)")
+
+
+def test_alter_partition_field_ddl(spark, base_dir):
+    """ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD (round 13 —
+    Iceberg's partition-evolution DDL): metadata-only spec changes
+    that compose/collapse composite specs; old files keep pruning
+    under their own spec; SHOW CREATE TABLE tracks the current one."""
+    from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
+
+    cat = Catalog.create(base_dir + "/cat")
+    cat.sql(
+        spark,
+        "CREATE TABLE pe (id BIGINT, ts TIMESTAMP, uid STRING) "
+        "PARTITIONED BY (days(ts))",
+    )
+    t = cat.table("pe")
+    rows1 = [
+        (i, dt.datetime(2024, 1, 1 + i % 3, 4), f"u{i % 4}")
+        for i in range(30)
+    ]
+    t.append(spark.createDataFrame(rows1, t.schema()))
+    cat._commit_pins({"pe": t.metadata.current_snapshot_id})
+    res = cat.sql(spark, "ALTER TABLE pe ADD PARTITION FIELD bucket(4, uid)")
+    assert res["n_fields"] == 2 and res["spec_id"] == 1
+    assert isinstance(cat.table("pe").transform, CompositeTransform)
+    assert "bucket(4, uid)" in cat.sql(
+        spark, "SHOW CREATE TABLE pe"
+    ).collect()[0]["create_statement"]
+    # new writes bucket under the evolved spec; old files still prune
+    t = cat.table("pe")
+    rows2 = [
+        (100 + i, dt.datetime(2024, 2, 1 + i % 2, 4), f"u{i % 4}")
+        for i in range(20)
+    ]
+    t.append(spark.createDataFrame(rows2, t.schema()))
+    cat._commit_pins({"pe": t.metadata.current_snapshot_id})
+    new_entries = [
+        e for e in t.current_files() if e.get("spec_id", 0) == 1
+    ]
+    assert new_entries and all(
+        len(e["partition_fields"]) == 2 for e in new_entries
+    )
+    got = t.scan(spark, [("uid", "=", "u1")]).count()
+    want = sum(1 for r in rows1 + rows2 if r[2] == "u1")
+    assert got == want
+    # cross-arity pruning: uid equality prunes NEW files only (old
+    # spec has no uid field), day range prunes both vintages
+    pruned = t.plan_files([("uid", "=", "u1")])
+    assert any(e.get("spec_id", 0) == 1 for e in pruned)
+    # REPLACE: widen the bucket fanout
+    res = cat.sql(
+        spark,
+        "ALTER TABLE pe REPLACE PARTITION FIELD bucket(4, uid) "
+        "WITH bucket(8, uid)",
+    )
+    assert res["spec_id"] == 2
+    tf = cat.table("pe").transform
+    assert tf.fields[1].n == 8
+    # DROP back down to the single temporal field
+    res = cat.sql(spark, "ALTER TABLE pe DROP PARTITION FIELD bucket(8, uid)")
+    assert res["n_fields"] == 1
+    assert not isinstance(cat.table("pe").transform, CompositeTransform)
+    # and drop the last field -> unpartitioned
+    res = cat.sql(spark, "ALTER TABLE pe DROP PARTITION FIELD days(ts)")
+    assert res["n_fields"] == 0 and cat.table("pe").transform is None
+    # refusals: duplicate add, missing drop/replace, bad field expr,
+    # schema-less column
+    cat.sql(spark, "ALTER TABLE pe ADD PARTITION FIELD id")
+    for bad, why, exc in (
+        ("ALTER TABLE pe ADD PARTITION FIELD id", "already",
+         UnsupportedSQL),
+        ("ALTER TABLE pe DROP PARTITION FIELD days(ts)", "no partition",
+         UnsupportedSQL),
+        ("ALTER TABLE pe REPLACE PARTITION FIELD days(ts) WITH id",
+         "to replace", UnsupportedSQL),
+        ("ALTER TABLE pe ADD PARTITION FIELD md5(id)", "fields are",
+         UnsupportedSQL),
+        ("ALTER TABLE pe ADD PARTITION FIELD bucket(4, ghost)",
+         "not in schema", ValueError),
+    ):
+        with pytest.raises(exc, match=why):
+            cat.sql(spark, bad)
+    # all spec changes scan-consistently: full content intact
+    assert cat.table("pe").scan(spark).count() == 50
