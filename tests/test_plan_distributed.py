@@ -245,3 +245,108 @@ def test_distributed_plan_carries_lineage_and_token_bloom(spark):
                 assert list(tb_d["words"]) == list(tb_p["words"])
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def _mk_composite_entries(n: int, start: int = 0) -> list[dict]:
+    """Synthetic COMPOSITE-spec entries: partition_fields =
+    (truncate(tp, 1000) bucket, uid hash bucket of 8), stats aligned
+    with both fields."""
+    import zlib
+
+    out = []
+    for i in range(start, start + n):
+        tpb = (i % 50) * WIDTH
+        uid = f"u{i % 23}"
+        ub = zlib.crc32(uid.encode()) % 8
+        out.append(
+            {
+                "path": f"data/c{i:06d}.parquet",
+                "rows": 10,
+                "bytes": 1000,
+                "partition_fields": [tpb, ub],
+                "columns": {
+                    "tp": {"min": tpb, "max": tpb + WIDTH - 1, "nulls": 0},
+                    "uid": {"min": uid, "max": uid, "nulls": 0},
+                    "v": {"min": i * 10, "max": i * 10 + 9, "nulls": 0},
+                },
+            }
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def big_composite_table():
+    """12_000 composite-spec entries (metadata only): the 100-TB gate
+    for per-field tuple pruning through the DISTRIBUTED planner."""
+    from pyspark.sql.types import StringType
+
+    from java_iceberg_table_spark.table import bucket, composite
+
+    schema = StructType(
+        [
+            StructField("tp", LongType(), False),
+            StructField("uid", StringType(), True),
+            StructField("v", LongType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dist_plan_comp_") + "/t"
+    tbl = create_table(
+        root, schema,
+        partition=composite(truncate("tp", WIDTH), bucket("uid", 8)),
+    )
+    for batch in range(4):
+        tbl.append_entries(_mk_composite_entries(3000, start=batch * 3000))
+    yield tbl
+    import shutil
+
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+COMPOSITE_FILTER_CASES = [
+    (),
+    [("tp", "<", 5 * WIDTH)],             # temporal-field pruning
+    [("uid", "=", "u7")],                 # hash-field equality pruning
+    [("tp", "<", 5 * WIDTH), ("uid", "=", "u7")],  # intersection
+    [("v", "=", 60_005)],                 # stats-only
+    [("tp", "<", 0)],                     # prunes everything
+]
+
+
+@pytest.mark.parametrize("filters", COMPOSITE_FILTER_CASES)
+def test_distributed_composite_plan_parity(
+    big_composite_table, spark, filters
+):
+    py = big_composite_table.plan_files(filters)
+    dist = big_composite_table.plan_files(
+        filters, spark=spark, distributed_threshold_bytes=0
+    )
+    assert sorted(e["path"] for e in py) == sorted(e["path"] for e in dist)
+    if dist:
+        e = sorted(dist, key=lambda x: x["path"])[0]
+        p = next(x for x in py if x["path"] == e["path"])
+        assert e["partition_fields"] == p["partition_fields"]
+        assert all(isinstance(v, int) for v in e["partition_fields"])
+
+
+def test_distributed_composite_pruned_fractions(big_composite_table, spark):
+    """The INTERSECTION property at scale: each field alone prunes its
+    share, together they prune the product — distributed path."""
+    total = 12_000
+    day = big_composite_table.plan_files(
+        [("tp", "<", 5 * WIDTH)], spark=spark, distributed_threshold_bytes=0
+    )
+    assert len(day) == total // 10  # 5 of 50 stripes
+    uid = big_composite_table.plan_files(
+        [("uid", "=", "u7")], spark=spark, distributed_threshold_bytes=0
+    )
+    # one of 23 uids; stats equality (min==max==uid) prunes exactly
+    assert 0 < len(uid) <= total // 8 + total // 23
+    both = big_composite_table.plan_files(
+        [("tp", "<", 5 * WIDTH), ("uid", "=", "u7")],
+        spark=spark,
+        distributed_threshold_bytes=0,
+    )
+    assert 0 < len(both) < min(len(day), len(uid))
+    assert {e["path"] for e in both} == (
+        {e["path"] for e in day} & {e["path"] for e in uid}
+    )
