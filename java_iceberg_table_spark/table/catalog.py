@@ -190,6 +190,32 @@ def _relation_read_counts(statement: str) -> dict[str, int]:
     return out
 
 
+def _render_partition_ddl(t) -> str:
+    """Partition spec -> the DDL field list SHOW CREATE TABLE emits
+    (and the CREATE grammar accepts): 'days(ts), bucket(4, uid)'.
+    Shared by SHOW CREATE TABLE and DESCRIBE EXTENDED so the two
+    introspection faces agree."""
+    from .transforms import (
+        BucketTransform,
+        CompositeTransform,
+        TemporalTransform,
+        TruncateTransform,
+    )
+
+    def one(f) -> str:
+        if isinstance(f, TruncateTransform):
+            return f"truncate({f.width}, {f.source_column})"
+        if isinstance(f, BucketTransform):
+            return f"bucket({f.n}, {f.source_column})"
+        if isinstance(f, TemporalTransform):
+            return f"{f.granularity}s({f.source_column})"
+        return f.source_column  # identity
+
+    if isinstance(t, CompositeTransform):
+        return ", ".join(one(f) for f in t.fields)
+    return one(t)
+
+
 def _introspect_totals(spark, tbl, snap) -> tuple[int, int, int]:
     """(files, rows, bytes) of one snapshot for DESCRIBE EXTENDED.
     Past the distributed-plan threshold the totals come from a
@@ -950,12 +976,6 @@ class Catalog:
             # DESCRIBE/SELECT; partition spec and properties are
             # metadata-log state (head), like ALTER reads them.
             from .table import DEFAULT_PROPERTIES
-            from .transforms import (
-                BucketTransform,
-                CompositeTransform,
-                TemporalTransform,
-                TruncateTransform,
-            )
 
             name = m.group(1)
             tbl = self.table(name)
@@ -994,21 +1014,8 @@ class Catalog:
             )
             ddl = f"CREATE TABLE {name} (\n  {cols}\n)"
             t = tbl.transform
-
-            def _render_field(f) -> str:
-                if isinstance(f, TruncateTransform):
-                    return f"truncate({f.width}, {f.source_column})"
-                if isinstance(f, BucketTransform):
-                    return f"bucket({f.n}, {f.source_column})"
-                if isinstance(f, TemporalTransform):
-                    return f"{f.granularity}s({f.source_column})"
-                return f.source_column  # identity
-
-            if isinstance(t, CompositeTransform):
-                inner = ", ".join(_render_field(f) for f in t.fields)
-                ddl += f"\nPARTITIONED BY ({inner})"
-            elif t is not None:
-                ddl += f"\nPARTITIONED BY ({_render_field(t)})"
+            if t is not None:
+                ddl += f"\nPARTITIONED BY ({_render_partition_ddl(t)})"
             props = {
                 k: v
                 for k, v in sorted(tbl.metadata.properties.items())
@@ -1065,7 +1072,11 @@ class Catalog:
             t = tbl.transform
             rows += [
                 ("# Detailed Table Information", "", ""),
-                ("partition", str(t) if t is not None else "none", ""),
+                (
+                    "partition",
+                    _render_partition_ddl(t) if t is not None else "none",
+                    "",
+                ),
                 ("snapshots", str(len(tbl.metadata.snapshots)), ""),
                 (
                     "current_snapshot_id",

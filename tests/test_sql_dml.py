@@ -1180,7 +1180,9 @@ def test_show_and_describe(spark, cat):
     names = [r["col_name"] for r in ext]
     assert names[:2] == ["b", "v"]
     detail = {r["col_name"]: r["data_type"] for r in ext[2:]}
-    assert "IdentityTransform" in detail["partition"]
+    # partition renders in DDL form, same as SHOW CREATE TABLE emits
+    # (round 13 — was the dataclass repr)
+    assert detail["partition"] == "b"
     assert detail["rows"] == "9" and int(detail["files"]) >= 1
     assert int(detail["snapshots"]) >= 1
     # DESCRIBE reads the PINNED snapshot's schema, like SELECT
