@@ -104,6 +104,7 @@ FILES_SCHEMA = T.StructType(
     [
         T.StructField("file_path", T.StringType()),
         T.StructField("partition", T.LongType()),
+        T.StructField("partition_fields", T.ArrayType(T.LongType())),
         T.StructField("record_count", T.LongType()),
         T.StructField("file_size_bytes", T.LongType()),
         T.StructField("lower_bounds", T.MapType(T.StringType(), T.StringType())),
@@ -147,6 +148,9 @@ def files_df(
         .select(
             F.col("e.path").alias("file_path"),
             F.col("e.partition").alias("partition"),
+            # composite specs: the per-field bucket tuple (null for
+            # single-field/unpartitioned entries)
+            F.col("e.partition_fields").alias("partition_fields"),
             F.col("e.rows").alias("record_count"),
             F.col("e.bytes").alias("file_size_bytes"),
             F.transform_values("e.columns", lambda _, v: v["min"]).alias("lower_bounds"),
@@ -168,7 +172,7 @@ def partitions_df(
     manifests (a metadata-only aggregate; no data file is opened)."""
     return (
         files_df(table, spark, snapshot_id=snapshot_id, ref=ref)
-        .groupBy("partition")
+        .groupBy("partition", "partition_fields")
         .agg(
             F.count(F.lit(1)).alias("file_count"),
             F.sum("record_count").alias("record_count"),

@@ -595,3 +595,20 @@ def test_alter_partition_field_ddl(spark, base_dir):
             cat.sql(spark, bad)
     # all spec changes scan-consistently: full content intact
     assert cat.table("pe").scan(spark).count() == 50
+
+
+def test_inspect_tables_surface_partition_fields(spark, ct):
+    """files/partitions inspection tables carry the composite tuple
+    (partition_fields) so skew checks group per PHYSICAL partition;
+    single-field tables keep their legacy scalar column untouched."""
+    fdf = ct.inspect(spark, "files")
+    rows = fdf.collect()
+    assert all(r["partition"] is None for r in rows)
+    assert all(len(r["partition_fields"]) == 2 for r in rows)
+    pdf = ct.inspect(spark, "partitions").collect()
+    groups = {tuple(r["partition_fields"]) for r in pdf}
+    assert groups == {
+        _entry_partition_key(e) for e in ct.current_files()
+    }
+    total = sum(r["record_count"] for r in pdf)
+    assert total == len(_rows())
