@@ -415,8 +415,14 @@ def _write_task_files(batch_iter, root: str, schema: StructType, spec: dict | No
                     arr = arr.combine_chunks()
                 at = at.append_column(f"__b{i}", arr)
                 bcols.append(f"__b{i}")
-            keys = at.select(bcols).to_pylist()
-            for key in {tuple(d[c] for c in bcols) for d in keys}:
+            # distinct tuples computed ARROW-SIDE (group_by on the
+            # bucket columns): no per-row Python dict materialization
+            # on the executor write path — only the (small) distinct
+            # set crosses into Python
+            distinct = (
+                at.select(bcols).group_by(bcols).aggregate([]).to_pylist()
+            )
+            for key in (tuple(d[c] for c in bcols) for d in distinct):
                 mask = None
                 for c, v in zip(bcols, key):
                     m = pc.equal(at.column(c), v)

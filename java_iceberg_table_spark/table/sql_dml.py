@@ -997,13 +997,16 @@ def run_dml(
                 for f in target.fields
             ]
         )
-        n = aligned.count()
-        tbl.append(aligned, branch=ref)
+        # ONE evaluation of a SELECT source: no pre-count job — the
+        # append's manifest stats already carry the row total
+        # ('added-rows'), so a non-deterministic source can never make
+        # inserted_rows disagree with what landed on the branch
+        snap = tbl.append(aligned, branch=ref)
         return {
             "statement": "insert_branch",
             "table": name,
             "branch": ref,
-            "inserted_rows": n,
+            "inserted_rows": int(snap.summary.get("added-rows", 0)),
             "branch_head": tbl.metadata.refs[ref]["snapshot_id"],
         }
 
@@ -1402,7 +1405,16 @@ def run_dml(
                 f"{name!r} is a view: CREATE OR REPLACE TABLE replaces "
                 "tables — use CREATE OR REPLACE VIEW"
             )
-        if or_replace and name in st.pins:
+        # the replace-vs-create decision resolves the target CASE-
+        # INSENSITIVELY, like the view-collision check above: a case
+        # variant of an existing table must REPLACE it (under its
+        # canonical spelling), not fall through to create_table and
+        # fail with a confusing 'exists' error
+        canon = next(
+            (p for p in st.pins if p.lower() == name.lower()), None
+        )
+        if or_replace and canon is not None:
+            name = canon
             # column-list RTAS: swap definition, spec and properties,
             # truncate content — one user-visible pin publish (the
             # AS-SELECT branch below documents the atomicity model)
@@ -1463,7 +1475,15 @@ def run_dml(
                 f"{name!r} is a view: CREATE OR REPLACE TABLE replaces "
                 "tables — use CREATE OR REPLACE VIEW"
             )
-        exists = name in st.pins
+        # case-insensitive target resolution, same rationale as the
+        # column-list branch: a case variant replaces the existing
+        # table under its canonical spelling
+        canon = next(
+            (p for p in st.pins if p.lower() == name.lower()), None
+        )
+        exists = canon is not None
+        if exists:
+            name = canon
         if exists and catalog.table(name).metadata.properties.get("mv.kind"):
             raise UnsupportedSQL(
                 f"{name!r} is a maintained view's backing table: "
@@ -1664,6 +1684,18 @@ def run_dml(
             raise UnsupportedSQL(
                 f"no partition field {old_expr.strip()!r} on table "
                 f"{name!r} to replace"
+            )
+        # duplicate pre-check mirrors ADD's: without it the collision
+        # surfaces as a generic ValueError from validate_transform at
+        # commit time instead of the router's targeted refusal
+        if any(
+            f.to_json() == new_f.to_json()
+            and f.to_json() != old_f.to_json()
+            for f in fields
+        ):
+            raise UnsupportedSQL(
+                f"partition field {new_expr.strip()!r} already on "
+                f"table {name!r}"
             )
         swapped = [
             new_f if f.to_json() == old_f.to_json() else f

@@ -2183,3 +2183,73 @@ def test_show_partitions_describe_distributed_parity(
         monkeypatch.setattr(
             table_mod, "DIST_PLAN_MIN_MANIFEST_BYTES", 4 << 20
         )
+
+
+def test_branch_insert_select_single_evaluation(spark, cat):
+    """INSERT INTO t.branch_<ref> SELECT evaluates the source exactly
+    ONCE (round-13 ADVICE: the old count+append pair ran the SELECT
+    twice, so a non-deterministic source could commit rows disagreeing
+    with the reported inserted_rows). inserted_rows now derives from
+    the append's own manifest stats — zero extra jobs."""
+    calls = spark.sparkContext.accumulator(0)
+
+    def bump(k):
+        calls.add(1)
+        return k
+
+    spark.udf.register("bump_k", bump, "long")
+    cat.sql(spark, "ALTER TABLE t CREATE BRANCH audit")
+    res = cat.sql(
+        spark,
+        "INSERT INTO t.branch_audit "
+        "SELECT bump_k(k) AS k, v, qty FROM t WHERE k < 4",
+    )
+    assert res["inserted_rows"] == 4
+    # one evaluation: the UDF ran once per source row, not 2x
+    assert calls.value == 4
+    # and the branch really holds what was reported
+    assert (
+        cat.sql(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 'audit'"
+        ).collect()[0]["n"]
+        == cat.read(spark, "t").count() + 4
+    )
+
+
+def test_replace_partition_field_duplicate_pre_check(spark, cat):
+    """REPLACE PARTITION FIELD X WITH Y refuses loudly when Y already
+    sits in the spec (round-13 ADVICE: previously a generic ValueError
+    surfaced from validate_transform at commit time)."""
+    cat.sql(
+        spark,
+        "CREATE TABLE rp (a BIGINT, b BIGINT) "
+        "PARTITIONED BY (a, bucket(4, b))",
+    )
+    with pytest.raises(UnsupportedSQL, match="already on"):
+        cat.sql(
+            spark,
+            "ALTER TABLE rp REPLACE PARTITION FIELD bucket(4, b) WITH a",
+        )
+    # legitimate replace still routes
+    res = cat.sql(
+        spark,
+        "ALTER TABLE rp REPLACE PARTITION FIELD bucket(4, b) "
+        "WITH bucket(8, b)",
+    )
+    assert res["statement"] == "replace_partition_field"
+
+
+def test_replace_table_case_insensitive_target(spark, cat):
+    """CREATE OR REPLACE TABLE resolves its target case-insensitively
+    (round-13 ADVICE: a case variant of an existing table fell through
+    to create_table and died with an 'exists' error instead of
+    replacing). Both the AS-SELECT and the column-list branch."""
+    cat.sql(spark, "CREATE TABLE CasedT AS SELECT 1 AS a")
+    res = cat.sql(spark, "CREATE OR REPLACE TABLE casedt AS SELECT 2 AS b")
+    assert res["replaced"] is True and res["table"] == "CasedT"
+    assert (
+        cat.sql(spark, "SELECT b FROM CasedT").collect()[0]["b"] == 2
+    )
+    res = cat.sql(spark, "CREATE OR REPLACE TABLE CASEDT (c BIGINT)")
+    assert res["statement"] == "replace_table" and res["table"] == "CasedT"
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM CasedT").collect()[0]["n"] == 0
