@@ -4703,3 +4703,131 @@ def a5h_engine_sql_partition_evolution(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "a5i_engine_sql_general_predicate_dml",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         o_orderkey % 4 AS pb
+  FROM orders
+),
+kept AS (
+  SELECT * FROM base
+  WHERE NOT (pb = 1 OR (pb = 2 AND o_orderkey < 1000))
+),
+upd AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN pb = 3
+                   AND (o_orderpriority LIKE '1%'
+                        OR o_custkey IN (3, 7, 11))
+              THEN 'Z' ELSE o_orderstatus END AS st
+  FROM kept
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(SUM(CASE WHEN st = 'Z' THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+       true AS delete_pruned,
+       true AS update_pruned,
+       CAST(5 AS BIGINT) AS refused
+FROM upd
+""",
+    group="A",
+)
+def a5i_engine_sql_general_predicate_dml(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """General-predicate SQL DELETE/UPDATE (round 14 — the engine
+    analogue of Iceberg's ``deleteFromRowFilter`` arbitrary expression
+    trees; ``FileBasedBookkeeper.java:188`` is one instance of that
+    API): the WHERE grammar covers OR-of-conjunction trees plus
+    ``IN (literals)`` and prefix ``LIKE 'pfx%'``. The 100-TB contract
+    graded here is the PLAN, not just the rows: candidate files are
+    pruned with the UNION of each OR-branch's stats-admissible set and
+    rewritten against the full residual predicate — so the
+    bucket-1-OR-cheap-bucket-2 delete below rewrites only those
+    buckets' files (delete_pruned), and the LIKE/IN update rewrites
+    strictly fewer files than the table holds (update_pruned). What
+    stays refused, loudly: NOT (negation unbounds the prune), BETWEEN
+    (spell the conjunction), non-prefix LIKE, IN (<subquery>) inside a
+    tree, and un-parseable function predicates. Totals grade against
+    DuckDB's replay of the same two statements."""
+    from ..table import Catalog, identity
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    base_dir = tempfile.mkdtemp(prefix="engine_gpred_")
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        cat = Catalog.create(base_dir + "/cat")
+        df = orders.withColumn("pb", F.col("o_orderkey") % 4)
+        ot = cat.create_table("ot", df.schema, partition=identity("pb"))
+        ot.append(df.coalesce(4))
+        cat._commit_pins({"ot": ot.metadata.current_snapshot_id})
+        total_files = len(ot.plan_files())
+        res = cat.sql(
+            spark,
+            "DELETE FROM ot WHERE pb = 1 OR (pb = 2 AND o_orderkey < 1000)",
+        )
+        assert res["statement"] == "delete"
+        # union-of-branches pruning: only buckets 1 and 2 are
+        # candidates — a selective OR must not rewrite the table
+        delete_pruned = 0 < res["rewritten_files"] < total_files
+        ot = cat.table("ot")
+        files_after_delete = len(ot.plan_files())
+        res = cat.sql(
+            spark,
+            "UPDATE ot SET o_orderstatus = 'Z' "
+            "WHERE pb = 3 AND (o_orderpriority LIKE '1%' "
+            "OR o_custkey IN (3, 7, 11))",
+        )
+        assert res["statement"] == "update"
+        # AND distributes over the OR into both branches, so every
+        # branch carries pb = 3 — candidates are exactly bucket 3's
+        # files, a strict subset of the table
+        update_pruned = 0 < res["rewritten_files"] < files_after_delete
+        refused = 0
+        for bad in (
+            "DELETE FROM ot WHERE NOT pb = 1",
+            "DELETE FROM ot WHERE o_orderkey BETWEEN 1 AND 5",
+            "DELETE FROM ot WHERE o_orderstatus LIKE '%F'",
+            "DELETE FROM ot WHERE pb = 1 OR o_custkey IN "
+            "(SELECT o_custkey FROM ot)",
+            "UPDATE ot SET pb = 0 WHERE substr(o_orderstatus, 1, 1) = 'F'",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "ot")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_okey"),
+                F.sum(
+                    (F.col("o_orderstatus") == "Z").cast("long")
+                ).alias("n_z"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"], row["sum_okey"], row["n_z"],
+                    delete_pruned, update_pruned, refused,
+                )
+            ],
+            "n_rows bigint, sum_okey bigint, n_z bigint, "
+            "delete_pruned boolean, update_pruned boolean, "
+            "refused bigint",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -9,9 +9,10 @@ with a deliberately TINY grammar — everything it accepts maps 1:1 onto
 an existing engine operation, and anything else raises
 ``UnsupportedSQL`` with the reason, instead of half-parsing:
 
-  DELETE FROM t WHERE col <op> literal [AND ...]
+  DELETE FROM t WHERE <tree>     -- tree = OR/AND (parens group) over
+    col <op> literal | col IN (lit, ...) | col LIKE 'pfx%'   (round 14)
   DELETE FROM t WHERE col IN (<subquery> | literal[, ...])   -- MOR eq-delete
-  UPDATE t SET col = <sql expr> [, ...] WHERE col <op> literal [AND ...]
+  UPDATE t SET col = <sql expr> [, ...] WHERE <tree>
   CREATE [OR REPLACE] VIEW v AS <select>    -- catalog view (versioned)
   DROP VIEW v
   MERGE INTO t [AS a] USING (<view name> | (<subquery>)) [AS b]
@@ -57,13 +58,19 @@ an existing engine operation, and anything else raises
   DROP TABLE t [PURGE]
   TRUNCATE TABLE t                          -- metadata-only row wipe
 
-WHERE predicates are conjunctions of ``column <op> literal`` because
-that is precisely the filter algebra the engine's stats-pruned rewrite
-planning consumes ((col, op, value) triples — a predicate the planner
-can't prune on would silently rewrite the whole table, so the router
-refuses it loudly). UPDATE's SET right-hand sides and MERGE's clause
-conditions pass through as raw SQL — the underlying ops evaluate them
-with Spark, so the full expression language works there.
+DELETE/UPDATE WHERE clauses take general OR-of-conjunction trees over
+``column <op> literal``, ``column IN (literals)``, and prefix
+``column LIKE 'pfx%'`` (round 14): each leaf is stats-prunable, so the
+planner prunes candidate files with the UNION of each OR-branch's
+admissible set and rewrites with the full residual predicate — a
+selective OR never rewrites the whole table. What stays refused, with
+the reason: NOT (negation unbounds the prune), BETWEEN (spell as the
+conjunction), non-prefix LIKE (no min/max mapping), IN (subquery)
+inside a tree (the standalone form routes as a MOR equality delete).
+OPTIMIZE ... WHERE keeps the tighter conjunction grammar — it must
+name partitions, not rows. UPDATE's SET right-hand sides and MERGE's
+clause conditions pass through as raw SQL — the underlying ops
+evaluate them with Spark, so the full expression language works there.
 
 No reference-engine counterpart: the reference defers all reads AND
 row-level writes to Spark (Writer.java:143-145); this is the Spark-
@@ -145,14 +152,15 @@ def _split_depth0(s: str, sep: str = ",") -> list[str]:
     return [x.strip() for x in out if x.strip()]
 
 
-def _split_and_depth0(s: str) -> list[str]:
-    """Split on top-level AND (case-insensitive, word-bounded).
+def _split_kw_depth0(s: str, kw: str) -> list[str]:
+    """Split on a top-level keyword (case-insensitive, word-bounded).
 
     Case-folds per SLICE, never the whole string: Python ``upper()``
     can CHANGE LENGTH ('ŉ' -> 'ʼN', 'ß' -> 'SS'), so indexing a
     pre-uppercased copy with offsets from the original silently
     misaligns the scan on non-ASCII text (caught by the hypothesis
     round-trip property in tests/test_sql_dml.py)."""
+    n = len(kw)
     parts, depth, in_q, i, start = [], 0, False, 0, 0
     while i < len(s):
         ch = s[i]
@@ -169,20 +177,24 @@ def _split_and_depth0(s: str) -> list[str]:
             depth -= 1
         elif (
             depth == 0
-            and s[i : i + 3].upper() == "AND"
+            and s[i : i + n].upper() == kw
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
             and (
-                i + 3 >= len(s)
-                or not (s[i + 3].isalnum() or s[i + 3] == "_")
+                i + n >= len(s)
+                or not (s[i + n].isalnum() or s[i + n] == "_")
             )
         ):
             parts.append(s[start:i])
-            start = i + 3
-            i += 3
+            start = i + n
+            i += n
             continue
         i += 1
     parts.append(s[start:])
     return [p.strip() for p in parts if p.strip()]
+
+
+def _split_and_depth0(s: str) -> list[str]:
+    return _split_kw_depth0(s, "AND")
 
 
 def _parse_literal(tok: str):
@@ -312,6 +324,144 @@ def _parse_predicates(where: str) -> list[tuple[str, str, object]]:
     if not preds:
         raise UnsupportedSQL("WHERE clause required (no full-table DML)")
     return preds
+
+
+# DNF expansion bound: distributing AND over OR can square the branch
+# count per conjunct; past this the statement is hand-written obfuscation,
+# not a predicate a planner should chase.
+_MAX_DNF_BRANCHES = 64
+
+
+def _parse_leaf(part: str) -> tuple[str, str, object]:
+    """One atomic predicate -> (col, op, value) leaf. Beyond the
+    scalar ``col <op> literal`` algebra, two stats-prunable set
+    shapes (round 14): ``col IN (lit, ...)`` and prefix
+    ``col LIKE 'pfx%'``. Everything else refuses loudly with the
+    reason — a predicate the planner can't prune on would silently
+    rewrite the whole table."""
+    part = part.strip()
+    if re.match(r"^NOT\b", part, re.I) or re.search(
+        r"\bNOT\s+(IN|LIKE)\b", part, re.I
+    ):
+        raise UnsupportedSQL(
+            "NOT predicates are not routable: negation inverts the "
+            "stats-admissible set, so file pruning can't bound the "
+            "rewrite (rewrite the predicate positively)"
+        )
+    if re.search(r"\bBETWEEN\b", part, re.I):
+        raise UnsupportedSQL(
+            "BETWEEN is not routable — spell it as "
+            "col >= lo AND col <= hi (the conjunction form prunes)"
+        )
+    m = re.match(r"^([A-Za-z_]\w*)\s+IN\s*\((.+)\)$", part, re.I | re.S)
+    if m:
+        col, inner = m.group(1), m.group(2).strip()
+        if re.match(r"^SELECT\b|^WITH\b", inner, re.I):
+            raise UnsupportedSQL(
+                "IN (<subquery>) inside a predicate tree is not "
+                "routable — the standalone form DELETE FROM t WHERE "
+                "col IN (SELECT ...) routes as a MOR equality delete"
+            )
+        vals = [_parse_literal(t) for t in _split_depth0(inner)]
+        if not vals:
+            raise UnsupportedSQL("empty IN list")
+        return (col, "in", tuple(vals))
+    m = re.match(r"^([A-Za-z_]\w*)\s+LIKE\s+(.+)$", part, re.I | re.S)
+    if m:
+        col, lit = m.group(1), _parse_literal(m.group(2).strip())
+        if (
+            not isinstance(lit, str)
+            or not lit.endswith("%")
+            or re.search(r"[%_]", lit[:-1])
+            or len(lit) < 2
+        ):
+            raise UnsupportedSQL(
+                f"LIKE pattern {lit!r} is not routable: only prefix "
+                "patterns ('abc%') map onto min/max file pruning — "
+                "suffix/infix wildcards and _ would rewrite the whole "
+                "table"
+            )
+        return (col, "like_prefix", lit[:-1])
+    for op in _OPS:
+        idx = part.find(op)
+        if idx > 0:
+            col, lit = part[:idx].strip(), part[idx + len(op) :].strip()
+            if not _IDENT.match(col):
+                raise UnsupportedSQL(
+                    f"left side {col!r} must be a bare column name"
+                )
+            return (col, "=" if op == "==" else op, _parse_literal(lit))
+    raise UnsupportedSQL(f"cannot parse predicate {part!r}")
+
+
+def _paren_covers_whole(s: str) -> bool:
+    """True when s is '( ... )' with the opening paren matching the
+    FINAL character (quote-aware) — i.e. the parens group the whole
+    expression, not two adjacent groups like '(a) AND (b)'."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth, in_q = 0, False
+    for i, ch in enumerate(s):
+        if in_q:
+            if ch == "'":
+                in_q = False
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
+def _parse_where_dnf(where: str) -> list[list[tuple[str, str, object]]]:
+    """General WHERE tree (round 14) -> disjunctive normal form:
+    a list of OR-branches, each an AND-conjunction of leaves. This is
+    the input shape of the engine's union-of-branches file pruning
+    (table.DnfFilter): candidates = UNION over branches of each
+    branch's stats-admissible files; the rewrite re-tests rows with
+    the full residual predicate. Parens group; AND binds tighter than
+    OR (standard SQL precedence)."""
+    def rec(s: str) -> list[list[tuple[str, str, object]]]:
+        s = s.strip()
+        if not s:
+            raise UnsupportedSQL("empty predicate group")
+        while _paren_covers_whole(s):
+            s = s[1:-1].strip()
+            if not s:
+                raise UnsupportedSQL("empty predicate group")
+        or_parts = _split_kw_depth0(s, "OR")
+        if len(or_parts) > 1:
+            out: list[list[tuple[str, str, object]]] = []
+            for p in or_parts:
+                out.extend(rec(p))
+                if len(out) > _MAX_DNF_BRANCHES:
+                    raise UnsupportedSQL(
+                        f"predicate expands past {_MAX_DNF_BRANCHES} "
+                        "OR-branches — simplify the WHERE clause"
+                    )
+            return out
+        and_parts = _split_and_depth0(s)
+        if len(and_parts) > 1:
+            branches: list[list[tuple[str, str, object]]] = [[]]
+            for p in and_parts:
+                sub = rec(p)
+                branches = [b + c for b in branches for c in sub]
+                if len(branches) > _MAX_DNF_BRANCHES:
+                    raise UnsupportedSQL(
+                        f"predicate expands past {_MAX_DNF_BRANCHES} "
+                        "OR-branches — simplify the WHERE clause"
+                    )
+            return branches
+        return [[_parse_leaf(s)]]
+
+    branches = rec(where)
+    if not branches or any(not b for b in branches):
+        raise UnsupportedSQL("WHERE clause required (no full-table DML)")
+    return branches
 
 
 def _parse_assignments(s: str) -> dict[str, str]:
@@ -1982,9 +2132,13 @@ def run_dml(
         # Routes onto the MOR EQUALITY delete — key tuples registered in
         # one metadata commit, zero data files read or rewritten now
         # (Iceberg v2 equality deletes), applied at read time.
+        # The greedy regex also matches compound predicates that merely
+        # END with ')' (e.g. '... IN (1) AND g IN (3)'); those parse as
+        # neither subquery nor literal list and fall through to the
+        # general predicate tree below instead of refusing here.
         name, col, inner = m.groups()
         inner = inner.strip()
-        tbl = resolve(name)
+        keys = None
         if re.match(r"^SELECT\b", inner, re.I):
             keys = spark.sql(inner)
             if len(keys.columns) != 1:
@@ -1994,32 +2148,44 @@ def run_dml(
                 )
             keys = keys.toDF(col)
         else:
-            vals = [_parse_literal(t) for t in _split_depth0(inner)]
-            if not vals:
-                raise UnsupportedSQL("empty IN list")
-            keys = spark.createDataFrame([(v,) for v in vals]).toDF(col)
-        n_keys = keys.distinct().count()
-        snap = tbl.delete_eq_mor(spark, keys, [col])
-        return {
-            "statement": "delete",
-            "mode": "eq_mor",
-            "deleted_keys": n_keys,
-            "committed": snap is not None,
-        }
+            try:
+                vals = [_parse_literal(t) for t in _split_depth0(inner)]
+            except UnsupportedSQL:
+                vals = None  # not a literal list -> general tree
+            if vals is not None:
+                if not vals:
+                    raise UnsupportedSQL("empty IN list")
+                keys = spark.createDataFrame(
+                    [(v,) for v in vals]
+                ).toDF(col)
+        if keys is not None:
+            tbl = resolve(name)
+            n_keys = keys.distinct().count()
+            snap = tbl.delete_eq_mor(spark, keys, [col])
+            return {
+                "statement": "delete",
+                "mode": "eq_mor",
+                "deleted_keys": n_keys,
+                "committed": snap is not None,
+            }
 
     m = _DELETE.match(sql)
     if m:
+        from .table import DnfFilter
+
         tbl: Table = resolve(m.group(1))
-        preds = _parse_predicates(m.group(2))
-        res = tbl.delete_rows(spark, preds)
+        branches = _parse_where_dnf(m.group(2))
+        res = tbl.delete_rows(spark, DnfFilter(branches))
         return {"statement": "delete", **res}
 
     m = _UPDATE.match(sql)
     if m:
+        from .table import DnfFilter
+
         tbl = resolve(m.group(1))
         sets = _parse_assignments(m.group(2))
-        preds = _parse_predicates(m.group(3))
-        res = tbl.update_where(spark, preds, sets)
+        branches = _parse_where_dnf(m.group(3))
+        res = tbl.update_where(spark, DnfFilter(branches), sets)
         return {"statement": "update", **res}
 
     m = _match_merge(sql)

@@ -48,6 +48,47 @@ class RetentionGapError(KeyError):
     already garbage-collected (checkpoint older than retention)."""
 
 
+class DnfFilter:
+    """A general row predicate in disjunctive normal form: OR over
+    ``branches``, each branch an AND-conjunction of leaves
+    ``(col, op, value)`` with op one of < <= > >= = (scalar value),
+    ``in`` (tuple of scalars), or ``like_prefix`` (literal string
+    prefix). The DML verbs prune candidate files with the UNION of
+    each branch's stats-admissible set and rewrite with the full
+    residual predicate — the general-predicate form of Iceberg's
+    ``deleteFromRowFilter`` expression trees (one instance:
+    FileBasedBookkeeper.java:188)."""
+
+    def __init__(self, branches):
+        self.branches = [list(b) for b in branches]
+        if not self.branches or any(not b for b in self.branches):
+            raise ValueError("DnfFilter requires non-empty branches")
+
+    def __repr__(self) -> str:  # loud in error messages
+        return f"DnfFilter({self.branches!r})"
+
+
+def _dnf_branches(filters) -> list[list[tuple]]:
+    """Normalize a DML predicate argument: a plain iterable of
+    (col, op, value) triples is one AND-conjunction (the historical
+    API); a DnfFilter carries explicit OR branches."""
+    if isinstance(filters, DnfFilter):
+        return filters.branches
+    return [list(filters)]
+
+
+def _prefix_upper(pfx: str) -> str | None:
+    """Smallest string greater than every string with prefix ``pfx``
+    (bump the last bumpable code point); None when no such bound
+    exists. Python str comparison is by code point, which matches
+    parquet's UTF-8 byte ordering on the stats bounds."""
+    for i in range(len(pfx) - 1, -1, -1):
+        c = ord(pfx[i])
+        if c < 0x10FFFF:
+            return pfx[:i] + chr(c + 1)
+    return None
+
+
 # Above this much manifest JSON, scan planning / GC reachability moves
 # from the driver-side Python loop to a distributed Spark scan of the
 # manifests (inspect.py's machinery). ~4 MB is ~10^4 entries — below
@@ -1400,29 +1441,53 @@ class Table:
         "=": "__eq__", "==": "__eq__",
     }
 
+    def _leaf_predicate(self, leaf) -> "F.Column":
+        col, op, val = leaf
+        if op == "in":
+            return F.col(col).isin(list(val))
+        if op == "like_prefix":
+            # the prefix is a LITERAL (the router validated the LIKE
+            # pattern), so startswith is exact — no wildcard escaping
+            return F.col(col).startswith(val)
+        return getattr(F.col(col), self._OPS[op])(F.lit(val))
+
     def _and_predicate(self, filters) -> "F.Column":
         cond = None
-        for col, op, val in filters:
-            e = getattr(F.col(col), self._OPS[op])(F.lit(val))
+        for leaf in filters:
+            e = self._leaf_predicate(leaf)
             cond = e if cond is None else (cond & e)
         return cond
 
+    def _dnf_predicate(self, branches) -> "F.Column":
+        """OR over branches of AND over leaves — the FULL residual
+        predicate; every row of every candidate file is re-tested
+        against it, so union-of-branches pruning can stay coarse."""
+        out = None
+        for br in branches:
+            cond = self._and_predicate(br)
+            out = cond if out is None else (out | cond)
+        return out
+
     def delete_rows(
-        self, spark: SparkSession, filters: Iterable[tuple[str, str, object]]
+        self, spark: SparkSession, filters
     ) -> dict[str, int]:
         """Copy-on-write row-level delete (Iceberg overwrite semantics;
         the generalization of delete_where beyond partition-aligned
-        predicates). Predicate = AND of (col, op, literal).
+        predicates). ``filters`` is an AND-conjunction of (col, op,
+        literal) triples, or a :class:`DnfFilter` for general
+        OR-of-conjunction trees (IN lists and prefix LIKE included).
 
         Scale design: file stats prune the rewrite set BEFORE any data
-        IO — only files whose min/max may contain matching rows are
-        rewritten (grouped per partition bucket); everything else is
-        carried by reference. Rows where the predicate is NULL are KEPT
-        (SQL DELETE semantics). One atomic 'overwrite' snapshot; on a
-        concurrent commit the rewrite re-plans against the new state
-        (written orphans are reclaimed by snapshot-expiry GC)."""
-        filters = list(filters)
-        if not filters:
+        IO — a file is a candidate iff ANY branch's conjunction admits
+        it (union of per-branch stats-admissible sets), and candidates
+        are re-filtered row-wise with the FULL residual predicate, so
+        a selective OR never rewrites the whole table. Everything else
+        is carried by reference. Rows where the predicate is NULL are
+        KEPT (SQL DELETE semantics). One atomic 'overwrite' snapshot;
+        on a concurrent commit the rewrite re-plans against the new
+        state (written orphans are reclaimed by snapshot-expiry GC)."""
+        branches = _dnf_branches(filters)
+        if not any(branches):
             raise ValueError("delete_rows requires at least one predicate")
         for attempt in range(3):
             md = self.metadata
@@ -1433,16 +1498,21 @@ class Table:
             entries = self.files_of(snap)
             cands = [
                 e for e in entries
-                if all(
-                    self._entry_may_match(e, self._entry_transform(e, specs), f)
-                    for f in filters
+                if any(
+                    all(
+                        self._entry_may_match(
+                            e, self._entry_transform(e, specs), f
+                        )
+                        for f in br
+                    )
+                    for br in branches
                 )
             ]
             if not cands:
                 return {"rewritten_files": 0, "deleted_rows": 0}
             cand_paths = {e["path"] for e in cands}
             keep = [e for e in entries if e["path"] not in cand_paths]
-            match = F.coalesce(self._and_predicate(filters), F.lit(False))
+            match = F.coalesce(self._dnf_predicate(branches), F.lit(False))
             # ONE job rewrites every candidate file: survivors are
             # re-clustered by partition bucket and written via
             # partitionBy — a delete touching 200 buckets runs one
@@ -1468,7 +1538,7 @@ class Table:
     def update_where(
         self,
         spark: SparkSession,
-        filters: Iterable[tuple[str, str, object]],
+        filters,
         set_exprs: dict[str, object],
     ) -> dict[str, int]:
         """SQL ``UPDATE … SET … WHERE`` with copy-on-write (Iceberg
@@ -1485,9 +1555,10 @@ class Table:
         source re-buckets rows automatically — the write path derives
         buckets from row content), untouched files are carried by
         reference, one atomic 'overwrite' snapshot with optimistic
-        re-plan on conflict."""
-        filters = list(filters)
-        if not filters:
+        re-plan on conflict. ``filters`` takes the same shapes as
+        ``delete_rows`` (conjunction, or DnfFilter for OR trees)."""
+        branches = _dnf_branches(filters)
+        if not any(branches):
             raise ValueError("update_where requires at least one predicate")
         schema = self.schema()
         by_name = {f.name: f for f in schema.fields}
@@ -1503,16 +1574,21 @@ class Table:
             entries = self.files_of(snap)
             cands = [
                 e for e in entries
-                if all(
-                    self._entry_may_match(e, self._entry_transform(e, specs), f)
-                    for f in filters
+                if any(
+                    all(
+                        self._entry_may_match(
+                            e, self._entry_transform(e, specs), f
+                        )
+                        for f in br
+                    )
+                    for br in branches
                 )
             ]
             if not cands:
                 return {"rewritten_files": 0, "updated_rows": 0}
             cand_paths = {e["path"] for e in cands}
             keep = [e for e in entries if e["path"] not in cand_paths]
-            match = F.coalesce(self._and_predicate(filters), F.lit(False))
+            match = F.coalesce(self._dnf_predicate(branches), F.lit(False))
             df = self._read_with_deletes(spark, cands, snap)
             updated_rows = df.filter(match).count()
             # ONE select so every SET expression evaluates against the
@@ -3468,6 +3544,22 @@ class Table:
         entry: dict, t: Transform | None, flt: tuple[str, str, object]
     ) -> bool:
         col, op, val = flt
+        # set/prefix leaves decompose onto the scalar machinery so
+        # every pruning refinement (partition ranges, temporal
+        # projection, Bloom probes) applies to them for free:
+        #   col IN (v1..vn)  -> may match iff ANY col = vi may match
+        #   col LIKE 'pfx%'  -> pfx <= col < next(pfx)
+        if op == "in":
+            return any(
+                Table._entry_may_match(entry, t, (col, "=", v)) for v in val
+            )
+        if op == "like_prefix":
+            if not Table._entry_may_match(entry, t, (col, ">=", val)):
+                return False
+            nxt = _prefix_upper(val)
+            return nxt is None or Table._entry_may_match(
+                entry, t, (col, "<", nxt)
+            )
         if isinstance(t, CompositeTransform):
             # per-field resolution: the file's true value region is
             # the INTERSECTION of its per-field buckets, so it may

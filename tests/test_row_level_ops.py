@@ -347,3 +347,80 @@ def test_merge_into_guards(spark, tmp_path):
             spark.createDataFrame([(5, 1.0, 5)], "g long, x double, k long"),
             ["g"],
         )
+
+
+def test_delete_rows_dnf_union_pruning(spark, tmp_path):
+    """DnfFilter (round 14): candidates = UNION of each OR-branch's
+    stats-admissible files; residual = the full tree."""
+    from java_iceberg_table_spark.table.table import DnfFilter
+
+    tbl, rows = _mk_partitioned(spark, tmp_path)
+    before = {e["path"]: e for e in tbl.current_files()}
+    stats = tbl.delete_rows(
+        spark,
+        DnfFilter([
+            [("bucket", ">=", 200)],
+            [("bucket", "<", 100), ("id", "<", 10)],
+        ]),
+    )
+    expect = sum(
+        1 for (i, b, _) in rows if b >= 200 or (b < 100 and i < 10)
+    )
+    assert stats["deleted_rows"] == expect
+    after = {e["path"]: e for e in tbl.current_files()}
+    # bucket-100 partition sits in NEITHER branch: carried by reference
+    untouched = {p for p, e in before.items() if e["partition"] == 100}
+    assert untouched <= set(after)
+    got = {r["id"] for r in tbl.scan(spark).collect()}
+    want = {i for (i, b, _) in rows if not (b >= 200 or (b < 100 and i < 10))}
+    assert got == want
+
+
+def test_update_where_dnf(spark, tmp_path):
+    from java_iceberg_table_spark.table.table import DnfFilter
+
+    tbl, rows = _mk_partitioned(spark, tmp_path)
+    stats = tbl.update_where(
+        spark,
+        DnfFilter([[("id", "in", (1, 2, 3))], [("v", "like_prefix", "v29")]]),
+        {"v": "concat(v, '!')"},
+    )
+    expect = sum(
+        1 for (i, _, v) in rows if i in (1, 2, 3) or v.startswith("v29")
+    )
+    assert stats["updated_rows"] == expect
+    got = {r["id"]: r["v"] for r in tbl.scan(spark).collect()}
+    for i, _, v in rows:
+        want = v + "!" if (i in (1, 2, 3) or v.startswith("v29")) else v
+        assert got[i] == want
+
+
+def test_entry_may_match_in_and_like_prefix():
+    """Pure-metadata pruning semantics of the two set leaves."""
+    from java_iceberg_table_spark.table.table import Table, _prefix_upper
+
+    e = {
+        "path": "data/f.parquet",
+        "partition": None,
+        "columns": {
+            "x": {"min": 100, "max": 200},
+            "s": {"min": "apple", "max": "cherry"},
+        },
+    }
+    mm = Table._entry_may_match
+    assert mm(e, None, ("x", "in", (150, 999)))
+    assert not mm(e, None, ("x", "in", (5, 999)))
+    assert mm(e, None, ("s", "like_prefix", "ba"))     # banana-range
+    assert mm(e, None, ("s", "like_prefix", "apple"))  # equals min
+    assert not mm(e, None, ("s", "like_prefix", "zeb"))
+    # 'aa%' spans ['aa','ab'), entirely below min='apple' -> pruned
+    assert not mm(e, None, ("s", "like_prefix", "aa"))
+    assert not mm(e, None, ("s", "like_prefix", "d"))
+    # no stats -> cannot prune
+    e2 = {"path": "p", "partition": None, "columns": {}}
+    assert mm(e2, None, ("x", "in", (1,)))
+    assert mm(e2, None, ("s", "like_prefix", "zz"))
+    # prefix bump carries through trailing max code points
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None

@@ -100,9 +100,18 @@ def test_merge_with_subquery_and_clauses(spark, cat):
 @pytest.mark.parametrize(
     "bad, why",
     [
-        ("DELETE FROM t WHERE k IN (1, 2) AND v = 'x'", "IN combined with AND"),
+        # round 14 legalized IN/OR/prefix-LIKE trees; these shapes are
+        # PERMANENTLY outside the grammar (refusal probes must stay
+        # illegal forever — the a4l TRUNCATE-incident discipline)
         ("DELETE FROM t WHERE k NOT IN (1, 2)", "NOT IN"),
-        ("DELETE FROM t WHERE k = 1 OR k = 2", "OR"),
+        ("DELETE FROM t WHERE NOT k = 1", "NOT"),
+        ("DELETE FROM t WHERE k BETWEEN 1 AND 2", "BETWEEN"),
+        ("DELETE FROM t WHERE v LIKE '%x'", "suffix LIKE"),
+        ("DELETE FROM t WHERE v LIKE 'a_b%'", "underscore wildcard"),
+        (
+            "DELETE FROM t WHERE k = 1 OR k IN (SELECT k FROM t)",
+            "IN subquery inside a tree",
+        ),
         ("DELETE FROM t", "no WHERE"),
         ("UPDATE t SET qty = 0", "no WHERE"),
         ("UPDATE t SET qty = 0 WHERE upper(v) = 'ODD'", "function lhs"),
@@ -2253,3 +2262,129 @@ def test_replace_table_case_insensitive_target(spark, cat):
     res = cat.sql(spark, "CREATE OR REPLACE TABLE CASEDT (c BIGINT)")
     assert res["statement"] == "replace_table" and res["table"] == "CasedT"
     assert cat.sql(spark, "SELECT COUNT(*) AS n FROM CasedT").collect()[0]["n"] == 0
+
+
+def test_delete_general_predicates(spark, cat):
+    """Round 14: OR-of-conjunction trees, IN lists, and prefix LIKE
+    route through DELETE — union-of-branches file pruning + full
+    residual rewrite (the general-predicate form of Iceberg's
+    deleteFromRowFilter expression trees)."""
+    res = cat.sql(spark, "DELETE FROM t WHERE k = 1 OR k = 3")
+    assert res["statement"] == "delete" and res["deleted_rows"] == 2
+    assert {r["k"] for r in cat.read(spark, "t").collect()} == {
+        0, 2, 4, 5, 6, 7, 8, 9
+    }
+    # IN leaf composed with AND (not the standalone MOR form)
+    res = cat.sql(spark, "DELETE FROM t WHERE k IN (4, 5, 99) AND v = 'odd'")
+    assert res["deleted_rows"] == 1  # k=5 only (odd)
+    # parens group; AND binds tighter than OR
+    res = cat.sql(
+        spark,
+        "DELETE FROM t WHERE (k = 0 AND v = 'old') OR (k = 9 AND v = 'odd')",
+    )
+    assert res["deleted_rows"] == 2
+    assert {r["k"] for r in cat.read(spark, "t").collect()} == {2, 4, 6, 7, 8}
+
+
+def test_delete_prefix_like(spark, cat):
+    t = cat.table("t")
+    t.append(
+        spark.createDataFrame(
+            [(100, "prefix_hit", 1), (101, "other", 1), (102, "pre", 1)],
+            SCHEMA,
+        )
+    )
+    cat._commit_pins({"t": t.metadata.current_snapshot_id})
+    res = cat.sql(spark, "DELETE FROM t WHERE v LIKE 'pre%'")
+    assert res["deleted_rows"] == 2  # prefix_hit + pre... wait 'pre' matches 'pre%'
+    vals = {r["v"] for r in cat.read(spark, "t").collect()}
+    assert "prefix_hit" not in vals and "pre" not in vals
+    assert "other" in vals
+
+
+def test_update_general_predicates(spark, cat):
+    res = cat.sql(
+        spark,
+        "UPDATE t SET qty = -1 WHERE k IN (0, 2) OR (k > 7 AND v = 'odd')",
+    )
+    assert res["statement"] == "update" and res["updated_rows"] == 3
+    rows = {r["k"]: r["qty"] for r in cat.read(spark, "t").collect()}
+    assert rows[0] == -1 and rows[2] == -1 and rows[9] == -1
+    assert rows[1] == 10 and rows[8] == 80  # untouched
+
+
+def test_general_predicate_prunes_union_of_branches(spark, tmp_path):
+    """A selective OR rewrites only the union of each branch's
+    stats-admissible files — never the whole table (the 100-TB
+    contract of the general grammar)."""
+    from java_iceberg_table_spark.table import Catalog, identity
+
+    c = Catalog.create(str(tmp_path / "cat2"))
+    schema = StructType(
+        [
+            StructField("b", LongType(), False),
+            StructField("val", LongType(), True),
+        ]
+    )
+    t = c.create_table("pt", schema, partition=identity("b"))
+    df = spark.createDataFrame(
+        [(i % 8, i) for i in range(400)], schema
+    )
+    t.append(df.coalesce(2))
+    c._commit_pins({"pt": t.metadata.current_snapshot_id})
+    total = len(t.plan_files())
+    assert total >= 8  # one file per identity bucket at least
+    res = c.sql(spark, "DELETE FROM pt WHERE b = 1 OR (b = 2 AND val < 50)")
+    # only buckets 1 and 2's files are candidates
+    assert 0 < res["rewritten_files"] < total
+    assert res["rewritten_files"] <= total // 4 + 1
+    # residual exactness: bucket 2 keeps rows >= 50
+    left = {(r["b"], r["val"]) for r in c.read(spark, "pt").collect()}
+    assert not any(b == 1 for b, _ in left)
+    assert all(v >= 50 for b, v in left if b == 2)
+    assert sum(1 for b, _ in left if b == 0) == 50  # untouched bucket
+
+
+def test_dnf_parser_shapes(spark):
+    from java_iceberg_table_spark.table.sql_dml import (
+        UnsupportedSQL as U,
+        _parse_where_dnf,
+    )
+
+    assert _parse_where_dnf("a = 1 AND b < 2") == [
+        [("a", "=", 1), ("b", "<", 2)]
+    ]
+    assert _parse_where_dnf("a = 1 OR b = 2") == [
+        [("a", "=", 1)], [("b", "=", 2)]
+    ]
+    # distribution: (a OR b) AND c -> two branches each with c
+    assert _parse_where_dnf("(a = 1 OR a = 2) AND c = 3") == [
+        [("a", "=", 1), ("c", "=", 3)],
+        [("a", "=", 2), ("c", "=", 3)],
+    ]
+    assert _parse_where_dnf("x IN (1, 2) AND y LIKE 'ab%'") == [
+        [("x", "in", (1, 2)), ("y", "like_prefix", "ab")]
+    ]
+    # quoted AND/OR stay literal payload
+    assert _parse_where_dnf("v = 'a AND b OR c'") == [
+        [("v", "=", "a AND b OR c")]
+    ]
+    # nested parens
+    assert _parse_where_dnf("((a = 1))") == [[("a", "=", 1)]]
+    for bad in (
+        "NOT a = 1",
+        "a NOT IN (1)",
+        "a BETWEEN 1 AND 2",
+        "v LIKE '%suf'",
+        "v LIKE 'mid%dle'",
+        "v LIKE '%'",
+        "a IN ()",
+        "a IN (SELECT x FROM y)",
+        "(a = 1",  # unbalanced: leaf parse fails loudly
+    ):
+        with pytest.raises(U):
+            _parse_where_dnf(bad)
+    # branch-explosion guard
+    big = " AND ".join(f"(a = {i} OR b = {i})" for i in range(8))
+    with pytest.raises(U, match="OR-branches"):
+        _parse_where_dnf(big)
