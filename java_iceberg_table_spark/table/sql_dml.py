@@ -43,12 +43,18 @@ an existing engine operation, and anything else raises
     -- partition-scoped (round 12): (k = v) replaces exactly that
     -- identity partition (source omits k; empty source clears it);
     -- (k) is dynamic — replaces the partitions the rows touch
+  INSERT OVERWRITE [TABLE] t PARTITION (k1 = v1, k2 = v2) ...
+    -- composite STATIC form (round 14): the full tuple of an
+    -- all-identity composite spec — exactly that tuple replaced,
+    -- values fill the columns, empty source clears the tuple
   CREATE TABLE name AS SELECT ...           -- CTAS
   CREATE TABLE name (col type [NOT NULL] [DEFAULT lit], ...)
     [PARTITIONED BY (field [, field ...])]  -- bucket(N,c) | truncate(W,c) | years(c) | ... | c
     [TBLPROPERTIES ('k' = 'v'[, ...])]      -- plain DDL (round 11)
   OPTIMIZE t [WHERE pcol = lit]             -- full maintenance pass;
-    -- WHERE scopes compaction to ONE identity partition (round 12)
+    -- WHERE scopes compaction to ONE identity partition (round 12);
+    -- on a composite spec pcol may be any IDENTITY field — every
+    -- tuple matching that field's value compacts (round 14)
   OPTIMIZE t ZORDER BY (c1[, c2, c3])       -- Morton layout rewrite
     -- (a3i machinery): per-file stats prune on EVERY named column
   VACUUM t [RETAIN n SNAPSHOTS]             -- snapshot expiry + GC
@@ -619,6 +625,20 @@ _INSERT_OVERWRITE_PART = re.compile(
 _INSERT_OVERWRITE_PART_MULTI = re.compile(
     r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
     r"PARTITION\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)\s+"
+    r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
+    re.I | re.S,
+)
+# composite STATIC form (round 14): PARTITION (k1 = v1, k2 = v2[, ...])
+# names EVERY field of a composite spec with a value — Hive's static
+# overwrite lifted to tuples: exactly that partition TUPLE is
+# replaced, the values fill the (identity) partition columns so the
+# source omits them, and an empty source CLEARS the tuple. Mixed
+# static/dynamic lists stay outside the grammar (the conf-dependent
+# Hive spelling this router refuses by design).
+_INSERT_OVERWRITE_PART_STATIC_MULTI = re.compile(
+    r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+"
+    r"PARTITION\s*\(\s*([A-Za-z_]\w*\s*=\s*[^(),]+?"
+    r"(?:\s*,\s*[A-Za-z_]\w*\s*=\s*[^(),]+?)+)\s*\)\s+"
     r"(VALUES\s+.+|SELECT\b.+|WITH\b.+)$",
     re.I | re.S,
 )
@@ -1252,6 +1272,118 @@ def run_dml(
             "replaced_partitions": sorted(
                 [list(p) for p in parts] if entries else []
             ),
+        }
+
+    m = _INSERT_OVERWRITE_PART_STATIC_MULTI.match(sql)
+    if m:
+        # composite STATIC overwrite (round 14): the full-tuple form
+        # of a5b's single-field static verb. Every field of the
+        # composite spec must be named with a value, in spec order;
+        # every field must be an IDENTITY layout (the value fills the
+        # column — a transformed field's bucket value cannot
+        # reconstruct its source column, so transformed composites
+        # take the dynamic form). Exactly ONE tuple is replaced —
+        # the daily reload of a (day, bucket) table costs one tuple's
+        # files, not the table — and an empty source clears it.
+        name, kvlist, tail_sql = m.groups()
+        tbl = resolve(name)
+        target = tbl.schema()
+        t = tbl.transform
+        from .transforms import CompositeTransform as _Composite
+        from .transforms import IdentityTransform
+
+        pairs = []
+        for item in _split_depth0(kvlist, ","):
+            km = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", item.strip())
+            if not km:
+                raise UnsupportedSQL(
+                    f"PARTITION static item {item.strip()!r} must be "
+                    "col = literal"
+                )
+            pairs.append((km.group(1), _parse_literal(km.group(2).strip())))
+        if not isinstance(t, _Composite):
+            raise UnsupportedSQL(
+                f"PARTITION names {len(pairs)} columns but table "
+                f"{name!r} "
+                + (
+                    "is unpartitioned"
+                    if t is None
+                    else f"partitions on ONE field ({t.source_column!r})"
+                )
+            )
+        if [k.lower() for k, _ in pairs] != [
+            c.lower() for c in t.source_columns
+        ]:
+            raise UnsupportedSQL(
+                f"PARTITION must name the composite spec's source "
+                f"columns in spec order "
+                f"({', '.join(t.source_columns)}); got ({kvlist})"
+            )
+        for ft in t.fields:
+            if not isinstance(ft, IdentityTransform):
+                raise UnsupportedSQL(
+                    "static composite overwrite maps onto all-identity "
+                    f"layouts; field {ft.to_json()['transform']}"
+                    f"({ft.source_column}) is transformed — use the "
+                    "DYNAMIC form PARTITION "
+                    f"({', '.join(t.source_columns)})"
+                )
+        by_name = {f.name.lower(): f for f in target.fields}
+        for k, v in pairs:
+            _validate_partition_literal(by_name[k.lower()], v)
+        named = {k.lower() for k, _ in pairs}
+        fields = [
+            f for f in target.fields if f.name.lower() not in named
+        ]
+        tail_parts = tail_sql.split(None, 1)
+        if tail_parts[0].upper() == "VALUES":
+            tuples = _parse_values_tuples(
+                tail_parts[1] if len(tail_parts) > 1 else ""
+            )
+            if any(len(tp) != len(fields) for tp in tuples):
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION arity mismatch: "
+                    f"source rows take {len(fields)} columns "
+                    f"({[f.name for f in fields]}) — the static "
+                    "values fill the partition columns"
+                )
+            rows_df = _literal_rows_df(tuples, fields)
+        else:
+            rows_df = _registered_select(tail_sql)
+            if [c.lower() for c in rows_df.columns] != [
+                f.name.lower() for f in fields
+            ]:
+                raise UnsupportedSQL(
+                    f"INSERT OVERWRITE PARTITION source columns "
+                    f"{rows_df.columns} must match "
+                    f"{[f.name for f in fields]} exactly (the static "
+                    "values fill the partition columns — the source "
+                    "omits them)"
+                )
+        for k, v in pairs:
+            rows_df = rows_df.withColumn(by_name[k.lower()].name, F.lit(v))
+        aligned = rows_df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        ).persist()
+        try:
+            n = aligned.count()
+            entries = tbl._write_data_files(aligned) if n else []
+            ptuple = tuple(
+                ft.apply_py(v) for ft, (_, v) in zip(t.fields, pairs)
+            )
+            # static ALWAYS commits — an empty source CLEARS the tuple
+            tbl.overwrite_entries(entries, partitions={ptuple})
+        finally:
+            aligned.unpersist()
+        return {
+            "statement": "insert_overwrite",
+            "table": name,
+            "mode": "static_partition",
+            "inserted_rows": n,
+            "replaced_partitions": [list(ptuple)],
         }
 
     m = _INSERT_OVERWRITE_PART.match(sql)
@@ -2044,37 +2176,84 @@ def run_dml(
                 )
             col, _, val = preds[0]
             from .transforms import CompositeTransform as _Composite
-
-            if isinstance(t, _Composite):
-                raise UnsupportedSQL(
-                    f"table {name!r} has a composite partition spec "
-                    f"({', '.join(t.source_columns)}): OPTIMIZE ... "
-                    "WHERE scopes by ONE identity field — run plain "
-                    "OPTIMIZE or the API's compact_data_files"
-                )
-            if col.lower() != t.source_column.lower():
-                raise UnsupportedSQL(
-                    f"OPTIMIZE ... WHERE names {col!r} but table "
-                    f"{name!r} partitions on {t.source_column!r}"
-                )
             from .transforms import IdentityTransform
 
-            if not isinstance(t, IdentityTransform):
-                raise UnsupportedSQL(
-                    "OPTIMIZE ... WHERE maps onto an identity layout; "
-                    "transformed layouts (bucket/truncate/temporal) "
-                    "compact whole-table via plain OPTIMIZE"
-                )
-            if not isinstance(val, int) or isinstance(val, bool):
-                raise UnsupportedSQL(
-                    "OPTIMIZE ... WHERE: identity partitions take an "
-                    "integer literal"
-                )
-            res = {
-                "compact": tbl.compact_data_files(
-                    spark, partitions={t.apply_py(val)}
-                )
-            }
+            if isinstance(t, _Composite):
+                # round 14: scope compaction by ONE identity field of
+                # a composite spec — compact EVERY tuple matching that
+                # field's value (the daily ask on a (days(ts),
+                # bucket(n, id)) layout: compact today's day across
+                # all its hash buckets). Transformed fields keep
+                # refusing: their bucket value is not the statement's
+                # literal, so "which partitions did I just compact"
+                # would have no honest answer.
+                hit = [
+                    (i, ft)
+                    for i, ft in enumerate(t.fields)
+                    if ft.source_column.lower() == col.lower()
+                ]
+                if not hit:
+                    raise UnsupportedSQL(
+                        f"OPTIMIZE ... WHERE names {col!r} but the "
+                        f"composite spec of {name!r} partitions on "
+                        f"({', '.join(t.source_columns)})"
+                    )
+                fi, ft = hit[0]
+                if not isinstance(ft, IdentityTransform):
+                    raise UnsupportedSQL(
+                        "OPTIMIZE ... WHERE on a composite spec scopes "
+                        f"by an IDENTITY field; {col!r} is "
+                        f"{ft.to_json()['transform']}({ft.source_column})"
+                        " — run plain OPTIMIZE or compact_data_files"
+                    )
+                if not isinstance(val, int) or isinstance(val, bool):
+                    raise UnsupportedSQL(
+                        "OPTIMIZE ... WHERE: identity partitions take "
+                        "an integer literal"
+                    )
+                pv = ft.apply_py(val)
+                cur_sid = tbl.current_spec_id()
+                from .table import _entry_partition_key
+
+                tuples = {
+                    _entry_partition_key(e)
+                    for e in tbl.current_files()
+                    if int(e.get("spec_id", 0) or 0) == cur_sid
+                    and (e.get("partition_fields") or [])[fi : fi + 1]
+                    == [pv]
+                }
+                res = {
+                    "compact": tbl.compact_data_files(
+                        spark, partitions=tuples
+                    )
+                    if tuples
+                    else {"rewritten": 0, "new_files": 0},
+                    "matched_tuples": sorted(
+                        [list(p) for p in tuples]
+                    ),
+                }
+            else:
+                if col.lower() != t.source_column.lower():
+                    raise UnsupportedSQL(
+                        f"OPTIMIZE ... WHERE names {col!r} but table "
+                        f"{name!r} partitions on {t.source_column!r}"
+                    )
+                if not isinstance(t, IdentityTransform):
+                    raise UnsupportedSQL(
+                        "OPTIMIZE ... WHERE maps onto an identity layout; "
+                        "transformed layouts (bucket/truncate/temporal) "
+                        "compact whole-table via plain OPTIMIZE"
+                    )
+                if not isinstance(val, int) or isinstance(val, bool):
+                    raise UnsupportedSQL(
+                        "OPTIMIZE ... WHERE: identity partitions take an "
+                        "integer literal"
+                    )
+                res = {
+                    "compact": tbl.compact_data_files(
+                        spark, partitions={t.apply_py(val)}
+                    )
+                }
         else:
             res = tbl.maintain(spark)
         published = _maintenance_republish(name, tbl, pinned, pre_head)

@@ -612,3 +612,139 @@ def test_inspect_tables_surface_partition_fields(spark, ct):
     }
     total = sum(r["record_count"] for r in pdf)
     assert total == len(_rows())
+
+
+def test_composite_static_overwrite_sql(spark, base_dir):
+    """Round 14: INSERT OVERWRITE t PARTITION (k1 = v1, k2 = v2) on an
+    all-identity composite — exactly that tuple replaced, values fill
+    the columns, empty source clears the tuple."""
+    from java_iceberg_table_spark.table.sql_dml import UnsupportedSQL
+
+    cat = Catalog.create(base_dir + "/cat_sov")
+    cat.sql(
+        spark,
+        "CREATE TABLE ov (d BIGINT, b BIGINT, val DOUBLE) "
+        "PARTITIONED BY (d, b)",
+    )
+    t = cat.table("ov")
+    rows = [(i % 3, i % 2, float(i)) for i in range(60)]
+    t.append(spark.createDataFrame(rows, t.schema()))
+    cat._commit_pins({"ov": t.metadata.current_snapshot_id})
+    before = {e["path"] for e in cat.table("ov").current_files()}
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE ov PARTITION (d = 1, b = 0) VALUES (111.0), "
+        "(222.0)",
+    )
+    assert res["mode"] == "static_partition"
+    assert res["replaced_partitions"] == [[1, 0]]
+    assert res["inserted_rows"] == 2
+    t = cat.table("ov")
+    # untouched tuples carried by PHYSICAL path identity
+    after = {e["path"]: e for e in t.current_files()}
+    untouched = {
+        p
+        for p in before
+        if p in after and _entry_partition_key(after[p]) != (1, 0)
+    }
+    assert untouched  # other tuples' files survived as-is
+    got = {
+        (r["d"], r["b"], r["val"])
+        for r in cat.read(spark, "ov").collect()
+        if (r["d"], r["b"]) == (1, 0)
+    }
+    assert got == {(1, 0, 111.0), (1, 0, 222.0)}
+    # other tuples' rows intact
+    expect_others = {
+        (d, b, v) for d, b, v in rows if (d, b) != (1, 0)
+    }
+    others = {
+        (r["d"], r["b"], r["val"])
+        for r in cat.read(spark, "ov").collect()
+        if (r["d"], r["b"]) != (1, 0)
+    }
+    assert others == expect_others
+    # empty static source CLEARS the tuple
+    res = cat.sql(
+        spark,
+        "INSERT OVERWRITE ov PARTITION (d = 2, b = 1) "
+        "SELECT val FROM ov WHERE val < 0",
+    )
+    assert res["inserted_rows"] == 0
+    assert (
+        cat.read(spark, "ov")
+        .filter((F.col("d") == 2) & (F.col("b") == 1))
+        .count()
+        == 0
+    )
+    # refusals: wrong order, partial tuple (falls to single-field
+    # grammar's composite refusal), transformed composite, source
+    # including a partition column
+    with pytest.raises(UnsupportedSQL, match="spec order"):
+        cat.sql(
+            spark,
+            "INSERT OVERWRITE ov PARTITION (b = 0, d = 1) VALUES (1.0)",
+        )
+    with pytest.raises(UnsupportedSQL, match="composite"):
+        cat.sql(
+            spark, "INSERT OVERWRITE ov PARTITION (d = 1) VALUES (1.0)"
+        )
+    cat.sql(
+        spark,
+        "CREATE TABLE tv (id BIGINT, ts TIMESTAMP, v DOUBLE) "
+        "PARTITIONED BY (days(ts), bucket(4, id))",
+    )
+    with pytest.raises(UnsupportedSQL, match="all-identity"):
+        cat.sql(
+            spark,
+            "INSERT OVERWRITE tv PARTITION (ts = 1, id = 2) VALUES (1.0)",
+        )
+    with pytest.raises(UnsupportedSQL, match="source omits"):
+        cat.sql(
+            spark,
+            "INSERT OVERWRITE ov PARTITION (d = 1, b = 0) "
+            "SELECT d, b, val FROM ov",
+        )
+
+
+def test_composite_scoped_optimize_sql(spark, base_dir):
+    """Round 14: OPTIMIZE t WHERE <identity-field> = lit on a
+    composite spec compacts EVERY tuple matching that field's value;
+    other tuples' files carry by physical path identity."""
+    cat = Catalog.create(base_dir + "/cat_sopt")
+    cat.sql(
+        spark,
+        "CREATE TABLE co (d BIGINT, b BIGINT, val DOUBLE) "
+        "PARTITIONED BY (d, bucket(2, b))",
+    )
+    t = cat.table("co")
+    # fragment day 1 with five 1-file-per-tuple appends
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(1, i % 3, float(i)), (2, i % 3, float(i))],
+                t.schema(),
+            ).coalesce(1)
+        )
+    cat._commit_pins({"co": t.metadata.current_snapshot_id})
+    before = {e["path"]: e for e in t.current_files()}
+    d1_before = [
+        p for p, e in before.items()
+        if (e.get("partition_fields") or [None])[0] == 1
+    ]
+    other_before = set(before) - set(d1_before)
+    assert len(d1_before) >= 4
+    res = cat.sql(spark, "OPTIMIZE co WHERE d = 1")
+    assert res["compact"]["rewritten"] >= 4
+    assert all(mt[0] == 1 for mt in res["matched_tuples"])
+    t = cat.table("co")
+    after = {e["path"]: e for e in t.current_files()}
+    # day-2 files untouched (physical identity)
+    assert other_before <= set(after)
+    d1_after = [
+        p for p, e in after.items()
+        if (e.get("partition_fields") or [None])[0] == 1
+    ]
+    assert len(d1_after) < len(d1_before)
+    # content identical
+    assert cat.read(spark, "co").count() == 10
