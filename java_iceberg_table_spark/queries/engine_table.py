@@ -4989,3 +4989,137 @@ def a5j_engine_sql_composite_partition_ops(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@register(
+    "a5k_engine_sql_ref_retention",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       CAST(3 AS BIGINT) AS refs_at_peak,
+       CAST(1 AS BIGINT) AS dropped_first,
+       CAST(1 AS BIGINT) AS dropped_second,
+       CAST(1 AS BIGINT) AS refs_after,
+       true AS staged_gcd,
+       true AS policy_visible,
+       CAST(2 AS BIGINT) AS refused
+FROM orders
+""",
+    group="A",
+)
+def a5k_engine_sql_ref_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Branch/tag retention (round 14 — VERDICT r13 item 4; Iceberg's
+    per-ref ``max-ref-age-ms`` / ``RETAIN n DAYS`` DDL, the Reaper's
+    expiry policy — Reaper.java:17-27 — generalized to refs): refs are
+    GC roots, so a forgotten staging branch pins history FOREVER —
+    now that a5f makes branches one SQL statement, stale-ref
+    accumulation is the realistic failure mode this policy closes.
+
+    Scenario, all through SQL: ``CREATE BRANCH wip RETAIN 0 DAYS``
+    (explicit per-ref age), ``keep`` (no policy) and tag ``pin``;
+    stage rows on wip (``INSERT INTO t.branch_wip``); VACUUM drops the
+    aged branch FIRST and then normal reachability GC collects its
+    staged-only snapshot — the unpublished parquet file is PHYSICALLY
+    deleted (staged_gcd), while keep/pin and the published head ride
+    through untouched. A second lap sets the table default
+    ``history.expire.max-ref-age-ms = 0``: the policy catches ``keep``
+    but EXEMPTS the tag (tags only age under an explicit RETAIN or the
+    ...applies-to-tags property). SHOW REFS surfaces age_ms and the
+    resolved max_ref_age_ms per ref (policy_visible). Refusals: a
+    RETAIN unit outside the grammar and a negative retention."""
+    import os as _os
+    import time as _time
+
+    from ..table import Catalog
+    from ..table.sql_dml import UnsupportedSQL
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base_dir = tempfile.mkdtemp(prefix="engine_refret_")
+    try:
+        cat = Catalog.create(base_dir + "/cat")
+        t = cat.create_table("t", orders.schema)
+        t.append(orders.coalesce(2))
+        cat._commit_pins({"t": t.metadata.current_snapshot_id})
+        cat.sql(spark, "ALTER TABLE t CREATE BRANCH wip RETAIN 0 DAYS")
+        cat.sql(spark, "ALTER TABLE t CREATE BRANCH keep")
+        cat.sql(spark, "ALTER TABLE t CREATE TAG pin")
+        res = cat.sql(
+            spark, "INSERT INTO t.branch_wip VALUES (900000001), (900000002)"
+        )
+        assert res["inserted_rows"] == 2
+        t = cat.table("t")
+        staged_snap = t.metadata.refs["wip"]["snapshot_id"]
+        staged_paths = [
+            _os.path.join(t.root, e["path"])
+            for e in t.added_files(t.snapshot_by_id(staged_snap))
+        ]
+        assert staged_paths and all(
+            _os.path.exists(p) for p in staged_paths
+        )
+        refs = {
+            r["name"]: r
+            for r in cat.sql(spark, "SHOW REFS t").collect()
+        }
+        refs_at_peak = len(refs)
+        policy_visible = (
+            refs["wip"]["max_ref_age_ms"] == 0
+            and refs["keep"]["max_ref_age_ms"] is None
+            and refs["pin"]["max_ref_age_ms"] is None
+            and all(r["age_ms"] >= 0 for r in refs.values())
+        )
+        _time.sleep(0.01)
+        res = cat.sql(spark, "VACUUM t RETAIN 0 SNAPSHOTS")
+        dropped_first = res["expired_refs"]
+        staged_gcd = (
+            not any(_os.path.exists(p) for p in staged_paths)
+            and res["deleted_files"] >= 1
+        )
+        # second lap: the table DEFAULT catches bare branches, tags
+        # are exempt
+        cat.sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('history.expire.max-ref-age-ms' = '0')",
+        )
+        _time.sleep(0.01)
+        res = cat.sql(spark, "VACUUM t RETAIN 0 SNAPSHOTS")
+        dropped_second = res["expired_refs"]
+        survivors = [
+            r["name"] for r in cat.sql(spark, "SHOW REFS t").collect()
+        ]
+        refs_after = len(survivors)
+        assert survivors == ["pin"]
+        refused = 0
+        for bad in (
+            "ALTER TABLE t CREATE BRANCH b2 RETAIN 5 WEEKS",
+            "ALTER TABLE t CREATE BRANCH b2 RETAIN -1 DAYS",
+        ):
+            try:
+                cat.sql(spark, bad)
+            except UnsupportedSQL:
+                refused += 1
+        row = (
+            cat.read(spark, "t")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_okey"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"], row["sum_okey"], refs_at_peak,
+                    dropped_first, dropped_second, refs_after,
+                    staged_gcd, policy_visible, refused,
+                )
+            ],
+            "n_rows bigint, sum_okey bigint, refs_at_peak bigint, "
+            "dropped_first bigint, dropped_second bigint, "
+            "refs_after bigint, staged_gcd boolean, "
+            "policy_visible boolean, refused bigint",
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -954,18 +954,55 @@ class Catalog:
             # SHOW REFS (round 13): the table's branches/tags — the
             # introspection face of the branch/tag DDL (metadata-only,
             # head state). snapshot_id is the ref's pinned head;
-            # is_head marks refs currently AT the table head.
+            # is_head marks refs currently AT the table head. Round 14
+            # adds the retention face: age_ms (how long the ref has
+            # existed) and max_ref_age_ms (the policy that VACUUM /
+            # expire_snapshots applies — per-ref RETAIN first, else
+            # the table default for branches; NULL = never expires).
             name = m.group(1)
             tbl = self.table(name)
-            cur = tbl.metadata.current_snapshot_id
+            md = tbl.metadata
+            cur = md.current_snapshot_id
+            from . import format as _fmt
+
+            now = _fmt.now_ms()
+            by_id = {s.snapshot_id: s for s in md.snapshots}
+            default_age = md.properties.get("history.expire.max-ref-age-ms")
+            tags_in = (
+                md.properties.get(
+                    "history.expire.ref-age-applies-to-tags", "false"
+                ).lower()
+                == "true"
+            )
+
+            def _limit(v: dict):
+                if "max_ref_age_ms" in v:
+                    return int(v["max_ref_age_ms"])
+                if default_age is not None and (
+                    v["type"] == "branch" or tags_in
+                ):
+                    return int(default_age)
+                return None
+
+            def _created(v: dict) -> int:
+                c = v.get("created_ms")
+                if c is not None:
+                    return int(c)
+                s = by_id.get(v["snapshot_id"])
+                return s.timestamp_ms if s is not None else 0
+
             return spark.createDataFrame(
                 [
-                    (k, v["type"], v["snapshot_id"], v["snapshot_id"] == cur)
+                    (
+                        k, v["type"], v["snapshot_id"],
+                        v["snapshot_id"] == cur,
+                        now - _created(v), _limit(v),
+                    )
                     for k, v in sorted(tbl.metadata.refs.items())
                 ]
                 or [],
                 "name string, type string, snapshot_id long, "
-                "is_head boolean",
+                "is_head boolean, age_ms long, max_ref_age_ms long",
             )
         m = _re.match(r"^SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)$", sql, _re.I)
         if m:

@@ -708,7 +708,8 @@ _ALTER_REPLACE_PART_FIELD = re.compile(
 )
 _ALTER_CREATE_REF = re.compile(
     r"^ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+CREATE\s+(BRANCH|TAG)\s+"
-    r"([A-Za-z_]\w*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+    r"([A-Za-z_]\w*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+    r"(?:\s+RETAIN\s+(\d+)\s+DAYS)?$",
     re.I,
 )
 _ALTER_DROP_REF = re.compile(
@@ -1999,18 +2000,28 @@ def run_dml(
         # immutable pin. Both are GC roots. Default AS OF = the
         # table's current head snapshot; the read face is
         # VERSION AS OF '<ref>' (a5a). Metadata-only — no pin moves.
-        name, kind, ref, ver = m.groups()
+        name, kind, ref, ver, retain_days = m.groups()
         tbl = _schema_target(name)
         sid = int(ver) if ver is not None else None
+        # RETAIN n DAYS (round 14 — Iceberg's branch/tag retention
+        # DDL): per-ref max age honored by VACUUM / expire_snapshots;
+        # without it, branches inherit the table default
+        # history.expire.max-ref-age-ms and tags never age out
+        age_ms = (
+            int(retain_days) * 86_400_000 if retain_days is not None else None
+        )
         if kind.upper() == "BRANCH":
-            tbl.create_branch(ref, snapshot_id=sid)  # KeyError if unknown
+            tbl.create_branch(ref, snapshot_id=sid, max_ref_age_ms=age_ms)
         else:
-            tbl.create_tag(ref, snapshot_id=sid)
-        return {
+            tbl.create_tag(ref, snapshot_id=sid, max_ref_age_ms=age_ms)
+        out = {
             "statement": "create_ref", "table": name,
             "ref": ref, "type": kind.lower(),
             "snapshot_id": tbl.metadata.refs[ref]["snapshot_id"],
         }
+        if age_ms is not None:
+            out["max_ref_age_ms"] = age_ms
+        return out
 
     m = _ALTER_DROP_REF.match(sql)
     if m:

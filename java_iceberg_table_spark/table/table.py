@@ -1171,7 +1171,13 @@ class Table:
             result.append(snap)
             if branch is not None:
                 new_refs = dict(current.refs)
-                new_refs[branch] = {"snapshot_id": snap.snapshot_id, "type": "branch"}
+                # advance ONLY the head pointer: created_ms /
+                # max_ref_age_ms (round-14 retention) ride along — a
+                # staged write must not reset the branch's age clock
+                new_refs[branch] = {
+                    **current.refs[branch],
+                    "snapshot_id": snap.snapshot_id,
+                }
                 head = current.current_snapshot_id  # table head unmoved
             else:
                 new_refs = current.refs
@@ -1212,7 +1218,13 @@ class Table:
 
     # ---------- refs: branches / tags / write-audit-publish ----------
 
-    def _set_ref(self, name: str, ref_type: str, snapshot_id: int | None) -> None:
+    def _set_ref(
+        self,
+        name: str,
+        ref_type: str,
+        snapshot_id: int | None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         def build(current: TableMetadata) -> TableMetadata:
             sid = snapshot_id if snapshot_id is not None else current.current_snapshot_id
             if sid is None:
@@ -1221,26 +1233,50 @@ class Table:
                 raise KeyError(f"unknown snapshot {sid}")
             if name in current.refs:
                 raise ValueError(f"ref {name!r} already exists")
+            ref = {
+                "snapshot_id": sid,
+                "type": ref_type,
+                "created_ms": fmt.now_ms(),
+            }
+            if max_ref_age_ms is not None:
+                ref["max_ref_age_ms"] = int(max_ref_age_ms)
             return replace(
                 current,
                 version=current.version + 1,
-                refs={**current.refs, name: {"snapshot_id": sid, "type": ref_type}},
+                refs={**current.refs, name: ref},
             )
 
         fmt.commit(self.root, build)
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         """Branch = movable named ref. Staged writes (append(df,
         branch=...)) advance it without touching the table head —
         readers of the table never see unaudited data. GC roots: a
-        branch pins its snapshot against expiry."""
-        self._set_ref(name, "branch", snapshot_id)
+        branch pins its snapshot against expiry — UNTIL its retention
+        lapses (round 14): ``max_ref_age_ms`` (or the table default
+        ``history.expire.max-ref-age-ms``) lets expire_snapshots drop
+        a forgotten staging branch so it stops pinning history
+        forever (Iceberg's per-ref max-ref-age-ms, the Reaper's
+        spirit — Reaper.java:17-27 — extended to refs)."""
+        self._set_ref(name, "branch", snapshot_id, max_ref_age_ms)
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         """Tag = immutable named pin (e.g. 'the snapshot this model was
-        trained on'). scan(ref=name) reproduces it forever; expiry
-        cannot collect it."""
-        self._set_ref(name, "tag", snapshot_id)
+        trained on'). scan(ref=name) reproduces it as long as the tag
+        lives; the table-default ref age does NOT apply to tags unless
+        ``history.expire.ref-age-applies-to-tags`` is 'true' — only an
+        EXPLICIT per-tag ``max_ref_age_ms`` ages one out."""
+        self._set_ref(name, "tag", snapshot_id, max_ref_age_ms)
 
     def drop_ref(self, name: str) -> None:
         def build(current: TableMetadata) -> TableMetadata:
@@ -2651,17 +2687,66 @@ class Table:
         expired) could still keep them referenced — committed metadata
         pointing at deleted files. A crash between commit and sweep
         merely leaks unreferenced files, which clean() (the orphan
-        reachability sweep) collects; it can never corrupt the table."""
-        stats = {"expired_snapshots": 0, "deleted_files": 0, "deleted_manifests": 0}
-        outcome: dict[str, list[Snapshot]] = {"expired": []}
+        reachability sweep) collects; it can never corrupt the table.
+
+        Ref retention (round 14): BEFORE reachability is computed,
+        refs past their age limit are dropped in the SAME commit —
+        per-ref ``max_ref_age_ms`` first, else the table property
+        ``history.expire.max-ref-age-ms`` (branches only; tags join
+        the default only under
+        ``history.expire.ref-age-applies-to-tags`` = 'true'). A
+        forgotten staging branch therefore stops pinning history, and
+        its unpublished snapshots age out through the normal expiry
+        below (Iceberg per-ref max-ref-age-ms; Reaper.java:17-27
+        generalized to refs)."""
+        stats = {
+            "expired_snapshots": 0, "deleted_files": 0,
+            "deleted_manifests": 0, "expired_refs": 0,
+        }
+        outcome: dict[str, list] = {"expired": [], "dropped_refs": []}
+        now_ms = fmt.now_ms()
 
         def build(current: TableMetadata) -> TableMetadata | None:
+            default_age = current.properties.get(
+                "history.expire.max-ref-age-ms"
+            )
+            tags_included = (
+                current.properties.get(
+                    "history.expire.ref-age-applies-to-tags", "false"
+                ).lower()
+                == "true"
+            )
+            by_id = {s.snapshot_id: s for s in current.snapshots}
+
+            def _age_limit(r: dict) -> int | None:
+                if "max_ref_age_ms" in r:
+                    return int(r["max_ref_age_ms"])
+                if default_age is not None and (
+                    r["type"] == "branch" or tags_included
+                ):
+                    return int(default_age)
+                return None
+
+            def _created(r: dict) -> int:
+                c = r.get("created_ms")
+                if c is not None:
+                    return int(c)
+                s = by_id.get(r["snapshot_id"])  # pre-round-14 refs
+                return s.timestamp_ms if s is not None else 0
+
+            live_refs, dropped = {}, []
+            for k, r in current.refs.items():
+                lim = _age_limit(r)
+                if lim is not None and now_ms - _created(r) > lim:
+                    dropped.append(k)
+                else:
+                    live_refs[k] = r
             snaps = sorted(current.snapshots, key=lambda s: s.timestamp_ms)
             keep_ids = {s.snapshot_id for s in snaps[-retain_last:]} if retain_last else set()
             if current.current_snapshot_id is not None:
                 keep_ids.add(current.current_snapshot_id)
-            for r in current.refs.values():
-                keep_ids.add(r["snapshot_id"])  # branches/tags pin snapshots
+            for r in live_refs.values():
+                keep_ids.add(r["snapshot_id"])  # live branches/tags pin
             # externally-referenced snapshots (e.g. a catalog's
             # PUBLISHED pin, which may lag the head): never expired —
             # GC'ing one would break every reader of that reference
@@ -2674,16 +2759,19 @@ class Table:
                 if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms
             ]
             outcome["expired"] = [s for s in snaps if s not in kept]
-            if not outcome["expired"]:
+            outcome["dropped_refs"] = dropped
+            if not outcome["expired"] and not dropped:
                 return None
             return replace(
                 current,
                 version=current.version + 1,
                 snapshots=kept,
+                refs=live_refs,
             )
 
         committed = fmt.commit(self.root, build)
         expired = outcome["expired"]
+        stats["expired_refs"] = len(outcome["dropped_refs"])
         if not expired:
             return stats
         stats["expired_snapshots"] = len(expired)

@@ -101,3 +101,70 @@ def test_rollback_to_restores_and_is_reversible(spark, sf_dir):
             tbl.rollback_to(s2.snapshot_id)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ref_retention_expiry(spark, tmp_path):
+    """Round 14: refs past their age limit stop being GC roots —
+    expire_snapshots drops them FIRST, then normal reachability GC
+    collects the history they pinned (Iceberg per-ref max-ref-age-ms;
+    Reaper.java:17-27 generalized to refs)."""
+    import os
+    import time
+
+    tbl = _mk(spark, tmp_path)
+    head = tbl.metadata.current_snapshot_id
+    tbl.create_branch("wip", max_ref_age_ms=0)
+    tbl.create_branch("keep")
+    tbl.create_tag("pin")
+    tbl.append(
+        spark.createDataFrame([(7, "staged")], "id long, v string"),
+        branch="wip",
+    )
+    staged_snap = tbl.metadata.refs["wip"]["snapshot_id"]
+    staged_paths = [
+        os.path.join(tbl.root, e["path"])
+        for e in tbl.added_files(tbl.snapshot_by_id(staged_snap))
+    ]
+    assert all(os.path.exists(p) for p in staged_paths)
+    time.sleep(0.01)
+    import java_iceberg_table_spark.table.format as fmt
+
+    res = tbl.expire_snapshots(
+        older_than_ms=fmt.now_ms(), retain_last=0, spark=spark
+    )
+    assert res["expired_refs"] == 1
+    refs = tbl.metadata.refs
+    assert "wip" not in refs and "keep" in refs and "pin" in refs
+    # the staged-only snapshot aged out with its ref; its file is gone
+    assert all(
+        s.snapshot_id != staged_snap for s in tbl.metadata.snapshots
+    )
+    assert res["deleted_files"] >= 1
+    assert not any(os.path.exists(p) for p in staged_paths)
+    assert tbl.metadata.current_snapshot_id == head  # head untouched
+
+
+def test_ref_retention_table_default_exempts_tags(spark, tmp_path):
+    import time
+
+    import java_iceberg_table_spark.table.format as fmt
+
+    tbl = _mk(spark, tmp_path)
+    tbl.create_branch("b1")
+    tbl.create_tag("t1")
+    tbl.set_properties({"history.expire.max-ref-age-ms": "0"})
+    time.sleep(0.01)
+    res = tbl.expire_snapshots(older_than_ms=0, retain_last=0, spark=spark)
+    assert res["expired_refs"] == 1  # the branch; the tag is exempt
+    assert set(tbl.metadata.refs) == {"t1"}
+    # opting tags in drops them too
+    tbl.set_properties({"history.expire.ref-age-applies-to-tags": "true"})
+    time.sleep(0.01)
+    res = tbl.expire_snapshots(older_than_ms=0, retain_last=0, spark=spark)
+    assert res["expired_refs"] == 1
+    assert tbl.metadata.refs == {}
+    # a fresh explicit retention wins over the table default
+    tbl.create_tag("t2", max_ref_age_ms=3_600_000)
+    time.sleep(0.01)
+    res = tbl.expire_snapshots(older_than_ms=0, retain_last=0, spark=spark)
+    assert res["expired_refs"] == 0 and "t2" in tbl.metadata.refs
