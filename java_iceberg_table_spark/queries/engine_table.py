@@ -1380,7 +1380,9 @@ SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 7) + 5 AS cnt,
             + 50000000015 AS BIGINT) AS sum_key,
        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3) AS n_updated,
        CAST(5 AS BIGINT) AS n_inserted,
-       true AS atomic_single_commit
+       true AS atomic_single_commit,
+       CAST(7 AS BIGINT) AS n_flagged,
+       true AS flag_stale_exact
 """,
     group="A",
 )
@@ -1397,7 +1399,11 @@ def a4b_engine_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-merge state with plain SQL. atomic_single_commit grades the
     commit shape: exactly one snapshot, operation 'merge' — at 100 TB
     a merge touching 0.1% of keys writes 0.1% of the data, where
-    copy-on-write rewrites every candidate file."""
+    copy-on-write rewrites every candidate file. Round 14 adds the
+    last SQL:2023 clause on a compact sync table: WHEN NOT MATCHED BY
+    SOURCE THEN UPDATE (``update_not_matched_by_source``) flags every
+    absent-key row with a t.*-only expression through the same MOR
+    row delta — n_flagged/flag_stale_exact grade it."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     root = tempfile.mkdtemp(prefix="engine_mi_") + "/t"
     try:
@@ -1433,10 +1439,36 @@ def a4b_engine_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_orderpriority") == "MERGED", 1)).alias("n_updated"),
             F.count(F.when(F.col("o_orderpriority") == "NEW", 1)).alias("n_inserted"),
         ).collect()[0]
+        # flag-stale-rows (round 14): keys 0-2 are "current" in the
+        # source; the other 7 rows update via BY SOURCE UPDATE
+        st = create_table(
+            os.path.dirname(root) + "/sync",
+            spark.createDataFrame([(0, "cur")], "k long, status string").schema,
+        )
+        st.append(
+            spark.createDataFrame(
+                [(i, "cur") for i in range(10)], "k long, status string"
+            )
+        )
+        res2 = st.merge_into(
+            spark,
+            spark.createDataFrame([(0,), (1,), (2,)], "k long"),
+            ["k"],
+            update=None,
+            insert=False,
+            update_not_matched_by_source={"status": "'stale'"},
+        )
+        n_flagged = res2["source_updated_rows"]
+        flagged = {
+            r["k"] for r in st.scan(spark).collect() if r["status"] == "stale"
+        }
+        flag_stale_exact = flagged == set(range(3, 10))
         return spark.createDataFrame(
-            [(row["cnt"], row["sum_key"], row["n_updated"], row["n_inserted"], atomic)],
+            [(row["cnt"], row["sum_key"], row["n_updated"], row["n_inserted"],
+              atomic, n_flagged, flag_stale_exact)],
             "cnt bigint, sum_key bigint, n_updated bigint, n_inserted bigint, "
-            "atomic_single_commit boolean",
+            "atomic_single_commit boolean, n_flagged bigint, "
+            "flag_stale_exact boolean",
         )
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)

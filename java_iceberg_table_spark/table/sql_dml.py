@@ -20,7 +20,9 @@ an existing engine operation, and anything else raises
     [WHEN MATCHED AND <cond> THEN DELETE]
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | col = <expr>[, ...]]
     [WHEN NOT MATCHED THEN INSERT *]
-    [WHEN NOT MATCHED BY SOURCE THEN DELETE]   -- full-sync mirror
+    [WHEN NOT MATCHED BY SOURCE THEN DELETE    -- full-sync mirror
+     | WHEN NOT MATCHED BY SOURCE THEN UPDATE SET col = <t.* expr>[, ...]]
+                                               -- flag-stale-rows (round 14)
   CREATE MATERIALIZED VIEW v AS
     SELECT k, COUNT(*) AS cnt, SUM(col) AS sv FROM t GROUP BY k
     (or several sums, each aliased sv_<col>)
@@ -2412,6 +2414,7 @@ def run_dml(
         delete_condition = None
         insert = False
         delete_not_matched_by_source = False
+        update_not_matched_by_source = None
 
         def norm_aliases(expr: str) -> str:
             # merge_into's clause language uses t. / s. aliases
@@ -2428,19 +2431,57 @@ def run_dml(
             is_not, by_source, cond, action = wm.groups()
             action_up = _strip(action).upper()
             if by_source:
-                # full-sync clause (SQL:2023 / Delta): target keys
-                # absent from the source are deleted. Conditions and
-                # UPDATE actions stay outside the tiny grammar.
-                if not is_not or cond or action_up != "DELETE":
+                # full-sync clauses (SQL:2023 / Delta): target keys
+                # absent from the source are deleted (the mirror) or
+                # updated with t.*-only expressions (flag-stale-rows,
+                # round 14). Conditions stay outside the tiny grammar;
+                # the two actions are mutually exclusive (same
+                # absent-key set).
+                if not is_not or cond:
                     raise UnsupportedSQL(
-                        "BY SOURCE supports exactly 'WHEN NOT MATCHED "
-                        "BY SOURCE THEN DELETE' (unconditional full-sync)"
+                        "BY SOURCE takes exactly 'WHEN NOT MATCHED BY "
+                        "SOURCE THEN DELETE | UPDATE SET ...' "
+                        "(unconditional)"
                     )
-                if delete_not_matched_by_source:
+                if (
+                    delete_not_matched_by_source
+                    or update_not_matched_by_source is not None
+                ):
                     raise UnsupportedSQL(
-                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
+                        "duplicate WHEN NOT MATCHED BY SOURCE clause "
+                        "(DELETE and UPDATE both act on the same "
+                        "absent-key set — use one)"
                     )
-                delete_not_matched_by_source = True
+                if action_up == "DELETE":
+                    delete_not_matched_by_source = True
+                elif action_up.startswith("UPDATE SET"):
+                    set_sql = _strip(action)[len("UPDATE SET") :].strip()
+                    if set_sql == "*":
+                        raise UnsupportedSQL(
+                            "BY SOURCE UPDATE SET * is meaningless — "
+                            "there is no source row to copy; list "
+                            "t.*-only assignments"
+                        )
+                    update_not_matched_by_source = {
+                        c: norm_aliases(e)
+                        for c, e in _parse_assignments(set_sql).items()
+                    }
+                    srcref = [
+                        c
+                        for c, e in update_not_matched_by_source.items()
+                        if re.search(r"\bs\.", e)
+                    ]
+                    if srcref:
+                        raise UnsupportedSQL(
+                            "BY SOURCE UPDATE expressions reference "
+                            f"the source in {srcref} — absent-key rows "
+                            "have no source row; use t.* only"
+                        )
+                else:
+                    raise UnsupportedSQL(
+                        "BY SOURCE takes exactly 'WHEN NOT MATCHED BY "
+                        "SOURCE THEN DELETE | UPDATE SET ...'"
+                    )
             elif is_not:
                 if cond or action_up != "INSERT *":
                     raise UnsupportedSQL(
@@ -2509,6 +2550,7 @@ def run_dml(
             delete_condition=delete_condition,
             insert=insert,
             delete_not_matched_by_source=delete_not_matched_by_source,
+            update_not_matched_by_source=update_not_matched_by_source,
         )
         return {"statement": "merge", **res}
 

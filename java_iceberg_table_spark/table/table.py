@@ -1734,6 +1734,7 @@ class Table:
         delete_condition: str | None = None,
         insert: bool = True,
         delete_not_matched_by_source: bool = False,
+        update_not_matched_by_source: dict[str, str] | None = None,
     ) -> dict[str, int]:
         """MERGE INTO (Iceberg/Delta semantics), merge-on-read flavor:
 
@@ -1748,6 +1749,18 @@ class Table:
               MERGE clause whose cost is O(target), exactly as in
               Delta/SQL:2023 — so at 100 TB reserve it for true
               mirror-sync jobs.)
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ...
+              (``update_not_matched_by_source={col: expr}`` — the
+              flag-stale-rows sync, SQL:2023's last MERGE clause:
+              target rows whose keys are ABSENT from the source update
+              with expressions over ``t.*`` alone (there is no source
+              row to reference). Same MOR shape as matched updates —
+              absent rows mask via the eq-delete entry and their
+              updated versions travel as new files — and the same
+              O(target) inherent cost as BY SOURCE DELETE, plus
+              O(absent rows) written: reserve for true sync jobs.
+              Mutually exclusive with the DELETE form — both act on
+              the same absent-key set.)
 
         Clause order is DELETE before UPDATE (first match wins, Delta's
         contract). ``update='all'`` replaces the whole row with the
@@ -1770,12 +1783,30 @@ class Table:
             and delete_condition is None
             and not insert
             and not delete_not_matched_by_source
+            and not update_not_matched_by_source
         ):
             raise ValueError("merge_into with no clauses would do nothing")
+        if delete_not_matched_by_source and update_not_matched_by_source:
+            raise ValueError(
+                "BY SOURCE DELETE and BY SOURCE UPDATE both act on the "
+                "same absent-key set; use one"
+            )
         cols = [f.name for f in self.schema().fields]
         missing = [c for c in on if c not in cols]
         if missing:
             raise ValueError(f"merge keys not in table schema: {missing}")
+        if update_not_matched_by_source:
+            bad = [c for c in update_not_matched_by_source if c not in cols]
+            if bad:
+                raise ValueError(
+                    f"BY SOURCE UPDATE targets not in schema: {bad}"
+                )
+            keyed = [c for c in update_not_matched_by_source if c in on]
+            if keyed:
+                raise ValueError(
+                    f"BY SOURCE UPDATE must not assign merge keys {keyed} "
+                    "(the masking eq-delete is keyed on the OLD value)"
+                )
         # a merge key carrying an initial default cannot be supported:
         # matching sees the FILLED value but the equality delete masks
         # only PHYSICAL values, so the superseded pre-add row (physical
@@ -1790,6 +1821,7 @@ class Table:
             update is not None
             or delete_condition is not None
             or delete_not_matched_by_source
+            or update_not_matched_by_source
         ):
             # Delta/Iceberg MERGE contract: multiple source rows
             # matching one target row is an error, not a silent
@@ -1872,7 +1904,8 @@ class Table:
                             )
                         )
             changed_keys = None
-            n_deleted = n_updated = n_src_deleted = 0
+            nmbs_updates = None
+            n_deleted = n_updated = n_src_deleted = n_src_updated = 0
             if delete_not_matched_by_source and entries:
                 # full-sync clause: every live target key absent from
                 # the source masks via the same eq-delete entry (no
@@ -1885,6 +1918,47 @@ class Table:
                 n_src_deleted = drop_keys.count()
                 if n_src_deleted:
                     changed_keys = drop_keys
+            if update_not_matched_by_source and entries:
+                # flag-stale-rows clause (round 14): absent-key target
+                # ROWS update with expressions over t.* alone — masked
+                # by the eq-delete on their (unchanged) keys, updated
+                # versions travel as new files in the same row delta
+                absent = (
+                    self._read_with_deletes(spark, entries, snap)
+                    .alias("t")
+                    .join(
+                        F.broadcast(src.select(*on).distinct()),
+                        on,
+                        "left_anti",
+                    )
+                    .persist()
+                )
+                try:
+                    n_src_updated = absent.count()
+                    if n_src_updated:
+                        nmbs_updates = aligned(
+                            absent.select(
+                                [
+                                    F.expr(
+                                        update_not_matched_by_source[c]
+                                    ).alias(c)
+                                    if c in update_not_matched_by_source
+                                    else F.col(f"t.{c}").alias(c)
+                                    for c in cols
+                                ]
+                            )
+                        ).localCheckpoint(eager=True)
+                        upd_keys = absent.select(*on)
+                        changed_keys = (
+                            upd_keys
+                            if changed_keys is None
+                            else changed_keys.unionByName(upd_keys)
+                        )
+                        changed_keys = changed_keys.localCheckpoint(
+                            eager=True
+                        )
+                finally:
+                    absent.unpersist()
             for piece, counter in ((deletes, "del"), (updates, "upd")):
                 if piece is None:
                     continue
@@ -1915,7 +1989,7 @@ class Table:
                 if n_inserted == 0:
                     inserts = None
             new_data = None
-            for piece in (updates, inserts):
+            for piece in (updates, nmbs_updates, inserts):
                 if piece is None:
                     continue
                 new_data = piece if new_data is None else new_data.unionByName(piece)
@@ -1935,6 +2009,7 @@ class Table:
                     "deleted_rows": 0,
                     "inserted_rows": 0,
                     "source_deleted_rows": 0,
+                    "source_updated_rows": 0,
                 }
             committed = self._commit_row_delta(
                 snap.snapshot_id if snap is not None else None,
@@ -1945,6 +2020,7 @@ class Table:
                     "merged-delete-rows": n_deleted,
                     "merged-insert-rows": n_inserted,
                     "merged-source-delete-rows": n_src_deleted,
+                    "merged-source-update-rows": n_src_updated,
                     **(
                         {"added-equality-deletes": del_entry["rows"],
                          "added-delete-files": n_del_files}
@@ -1959,6 +2035,7 @@ class Table:
                     "deleted_rows": n_deleted,
                     "inserted_rows": n_inserted,
                     "source_deleted_rows": n_src_deleted,
+                    "source_updated_rows": n_src_updated,
                 }
         raise fmt.CommitConflict("merge_into lost the commit race 3 times")
 

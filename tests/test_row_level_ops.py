@@ -204,7 +204,7 @@ def test_merge_into_clauses(spark, tmp_path):
         delete_condition="s.k >= 90",
         insert=True,
     )
-    assert res == {"updated_rows": 10, "deleted_rows": 5, "inserted_rows": 5, "source_deleted_rows": 0}
+    assert res == {"updated_rows": 10, "deleted_rows": 5, "inserted_rows": 5, "source_deleted_rows": 0, "source_updated_rows": 0}
     out = {r["k"]: (r["v"], r["x"]) for r in tbl.scan(spark).collect()}
     assert len(out) == 100
     assert out[10] == ("s10", 1010.0)  # updated
@@ -231,7 +231,7 @@ def test_merge_into_update_expressions_both_sides(spark, tmp_path):
     tbl.append(df)
     src = spark.createDataFrame([(1, "zzz", 2.5)], "k long, v string, x double")
     res = tbl.merge_into(spark, src, ["k"], update={"x": "t.x + s.x"}, insert=False)
-    assert res == {"updated_rows": 1, "deleted_rows": 0, "inserted_rows": 0, "source_deleted_rows": 0}
+    assert res == {"updated_rows": 1, "deleted_rows": 0, "inserted_rows": 0, "source_deleted_rows": 0, "source_updated_rows": 0}
     out = {r["k"]: (r["v"], r["x"]) for r in tbl.scan(spark).collect()}
     assert out[1] == ("a", 3.5)  # v kept from target
     assert out[2] == ("b", 2.0)
@@ -267,7 +267,7 @@ def test_merge_into_empty_and_conflicting(spark, tmp_path):
     tbl = create_table(root, df.schema)
     tbl.append(df)
     res = tbl.merge_into(spark, df.filter("k < 0"), ["k"])
-    assert res == {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0, "source_deleted_rows": 0}
+    assert res == {"updated_rows": 0, "deleted_rows": 0, "inserted_rows": 0, "source_deleted_rows": 0, "source_updated_rows": 0}
     assert len(tbl.snapshots()) == 1
     with pytest.raises(ValueError, match="no clauses"):
         tbl.merge_into(spark, df, ["k"], update=None, insert=False)
@@ -300,7 +300,7 @@ def test_merge_into_null_delete_condition_falls_to_update(spark, tmp_path):
         spark, src, ["k"], update={"x": "t.x + 100"},
         delete_condition="s.x > 10", insert=False,
     )
-    assert res == {"updated_rows": 1, "deleted_rows": 1, "inserted_rows": 0, "source_deleted_rows": 0}
+    assert res == {"updated_rows": 1, "deleted_rows": 1, "inserted_rows": 0, "source_deleted_rows": 0, "source_updated_rows": 0}
     out = {r["k"]: r["x"] for r in tbl.scan(spark).collect()}
     assert out == {1: 101.0}  # k=1 updated (NULL cond), k=2 deleted
 

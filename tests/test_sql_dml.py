@@ -1241,11 +1241,19 @@ def test_merge_not_matched_by_source_full_sync(spark, cat):
     assert res["source_deleted_rows"] == 8  # the other 8 of 10 rows
     rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
     assert rows == {0: ("sync", 1), 1: ("sync", 2), 500: ("new", 3)}
-    # the clause refuses conditions, UPDATE actions, and duplicates
+    # the clause refuses conditions and duplicates (round 14
+    # legalized the UPDATE action — the old probe was swapped for
+    # permanently-illegal shapes: conditions, UPDATE SET *, mixing
+    # DELETE with UPDATE, s.* references)
     for bad in (
         "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
         "WHEN NOT MATCHED BY SOURCE AND t.qty = 0 THEN DELETE",
         "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = s.qty",
+        "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = 0",
         "MERGE INTO t USING mirror_src AS s ON t.k = s.k "
         "WHEN NOT MATCHED BY SOURCE THEN DELETE "
@@ -2388,3 +2396,47 @@ def test_dnf_parser_shapes(spark):
     big = " AND ".join(f"(a = {i} OR b = {i})" for i in range(8))
     with pytest.raises(U, match="OR-branches"):
         _parse_where_dnf(big)
+
+
+def test_merge_not_matched_by_source_update(spark, cat):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE (round 14 — SQL:2023's
+    last MERGE clause): target rows whose keys are absent from the
+    source update with t.*-only expressions, via the same MOR row
+    delta as matched updates."""
+    spark.createDataFrame(
+        [(0, "fresh", 100), (500, "new", 3)], SCHEMA
+    ).createOrReplaceTempView("sync_src")
+    res = cat.sql(
+        spark,
+        """MERGE INTO t USING sync_src AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+             v = 'stale', qty = t.qty + 1000""",
+    )
+    assert res["statement"] == "merge"
+    assert res["updated_rows"] == 1 and res["inserted_rows"] == 1
+    assert res["source_updated_rows"] == 9  # the other 9 of 10 rows
+    rows = {r["k"]: (r["v"], r["qty"]) for r in cat.read(spark, "t").collect()}
+    assert rows[0] == ("fresh", 100)
+    assert rows[500] == ("new", 3)
+    for k in range(1, 10):
+        assert rows[k] == ("stale", k * 10 + 1000), k
+    # key assignment refused at the engine layer
+    with pytest.raises(ValueError, match="merge keys"):
+        cat.sql(
+            spark,
+            "MERGE INTO t USING sync_src AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 0",
+        )
+    # standalone BY SOURCE UPDATE routes too (no other clauses)
+    res = cat.sql(
+        spark,
+        "MERGE INTO t USING sync_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = 0",
+    )
+    assert res["source_updated_rows"] == 9
+    rows = {r["k"]: r["qty"] for r in cat.read(spark, "t").collect()}
+    assert all(rows[k] == 0 for k in range(1, 10))
+    assert rows[0] == 100 and rows[500] == 3
