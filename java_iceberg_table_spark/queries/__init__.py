@@ -152,34 +152,41 @@ _STALE_PROOF_FILES = {"CORRECTNESS_r01.json", "CORRECTNESS_r02.json"}
 
 # Entries whose underlying machinery changed THIS round: they head the
 # grading window so the driver re-proves them on the new code first.
-# Round 13 canaries — behind them sit the never-graded rows (the 2
-# expired r12 deferrals a5d/i33 + round 13's own registrations),
-# leaving ~38 slots that drain the whole r7 stale cohort (33 rows,
-# VERDICT r12 item 3):
+# Round 14 canaries — behind them sit the never-graded rows (a5h, the
+# expired r13 deferral, plus round 14's a5i/a5j; a5k defers), leaving
+# exactly 38 slots that drain the WHOLE remaining r8 stale cohort
+# (39 rows minus a3f, which re-greens as a canary — VERDICT r13
+# item 5: after r14 nothing is last-graded older than r9):
 _REVERIFY_HEAD = [
-    # SQL router grows verbs again this round (branch/tag DDL, RTAS)
-    # — a4l runs the whole router surface in one scenario
+    # the DML router grew the general-predicate WHERE grammar, the
+    # composite static overwrite, RETAIN DDL and the BY SOURCE UPDATE
+    # clause — a4l runs the whole router surface in one scenario
     "a4l_engine_sql_dml",
-    # per-table VERSION/TIMESTAMP AS OF detection rewritten (ADVICE
-    # r12: literal masking + duplicate-reference refusal) — a5a is
-    # the VERSION AS OF row
-    "a5a_engine_sql_version_as_of",
-    # static PARTITION (k = v) literal validation replaced with the
-    # dedicated identity-layout check (ADVICE r12) — a5b drives
-    # partition-scoped INSERT OVERWRITE
+    # update_where/delete_rows now consume DnfFilter trees — a4j is
+    # the UPDATE row on the rewritten candidate-pruning path
+    "a4j_engine_update_where",
+    # merge_into grew update_not_matched_by_source (and its result
+    # dict a new key) — a4b re-proves MERGE on the new clause plumbing
+    # (its scenario also grew the flag-stale lap this round)
+    "a4b_engine_merge_into",
+    # the INSERT OVERWRITE PARTITION matcher chain gained the
+    # static-multi sibling regex ahead of the single-field handler —
+    # a5b re-proves the single-field static/dynamic forms
     "a5b_engine_sql_partition_overwrite",
-    # topk_view_sink's CDC insert path changed (ADVICE r12 persist
-    # leak fix) and the fold was rewritten late in r12 after the
-    # final sim — i28's r10 green predates both
-    "i28_streaming_topk_view",
-    # the CREATE TABLE grammar changed again (multi-field PARTITIONED
-    # BY lists; a refusal probe inside a4y was legalized and swapped)
-    # — a4y re-proves the DDL row on the new parse
-    "a4y_engine_sql_create_ddl",
-    # REALTIME hint shares the rewritten detection block in
-    # catalog.sql (masking landed just above it) — a4v re-proves the
-    # hint path on the new code
-    "a4v_engine_realtime_sql",
+    # the OPTIMIZE ... WHERE handler was restructured for composite
+    # scoping — a5d re-proves the single-identity path
+    "a5d_engine_sql_optimize_partition",
+    # VERDICT r13 item 2: INSERT routing grew the branch target in
+    # r13 AFTER a4t's r11 green — re-prove the INSERT/CTAS row
+    "a4t_engine_sql_insert_ctas",
+    # branch INSERT lost its pre-count job (single-evaluation fix)
+    # and refs gained retention metadata — a5f is the branch/tag row
+    "a5f_engine_sql_branch_tag",
+    # VERDICT r13 item 2: inspection surfaces churned in r13 (commit
+    # cb40bf0) — a3x (connector metadata tables) and a3f (partitions
+    # inspect, also the r8 cohort member) re-prove them
+    "a3x_engine_metadata_tables",
+    "a3f_engine_partitions_inspect",
 ]
 # Rows REGISTERED after this round's grading window was final-simmed
 # (CORRECTNESS_LOCAL_r10.json, commit 704c04b): they sort at the very
@@ -190,41 +197,43 @@ _REVERIFY_HEAD = [
 # round's grade record) — from the next round on, these rows claim
 # never-graded slots first like any new registration, with no manual
 # list edit needed.
-_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r13.json"
+_DEFER_UNTIL_ARTIFACT = "CORRECTNESS_r14.json"
 # Rows REGISTERED after this round's grading window was final-simmed:
 # they sort at the very END of the order so the committed window
 # prediction stays byte-identical; self-expiring — once the driver
 # writes the artifact above these claim never-graded slots first.
-# Round 13: the r12 deferrals (a5d/i33) expired with CORRECTNESS_r12
-# and now claim never-graded slots; a5e/a5f/a5g registered before the
-# final sim (CORRECTNESS_LOCAL_r13.json, 50/50 green) ride the window.
-# a5h (ALTER ... PARTITION FIELD) landed AFTER it and defers — locally
-# green in CORRECTNESS_LOCAL_DEFERRED_r13.json.
+# Round 14: a5h (the expired r13 deferral) plus this round's
+# a5i (general-predicate DML) and a5j (composite partition verbs)
+# ride the window; a5k (ref retention) defers — the window budget is
+# exactly 50 with the full r8 drain, and a5k is the row whose local
+# oracle proof (CORRECTNESS_LOCAL_DEFERRED_r14.json) costs least to
+# hold for one round.
 _DEFER_PAST_WINDOW: list[str] = [
-    "a5h_engine_sql_partition_evolution",
+    "a5k_engine_sql_ref_retention",
 ]
 
-# ROUND-13 WINDOW (final): 6 canaries (a4l router — grew branch DDL,
-# RTAS, branch INSERT, composite PARTITION overwrite; a5a VERSION AS
-# OF literal-mask rewrite; a5b partition-literal check; i28 topk-sink
-# persist-leak fix + r12 fold rewrite; a4y DDL grammar grew the
-# multi-field list — its old multi-col refusal probe was LEGALIZED
-# and swapped for PARTITIONED BY (); a4v REALTIME detection block
-# neighbor) + 5 never-graded (expired r12 deferrals a5d/i33 + round
-# 13's a5e/a5f/a5g) + the WHOLE r7 stale cohort (33 rows) + 6 r8
-# rows = exactly 50. After r13 grades, the stale floor is r8.
+# ROUND-14 WINDOW (final): 9 canaries (a4l router — grew DNF WHERE,
+# static-multi overwrite, RETAIN, BY SOURCE UPDATE; a4j update_where
+# DNF path; a4b merge clause + scenario lap; a5b overwrite matcher
+# chain; a5d OPTIMIZE WHERE restructure; a4t INSERT branch-target
+# churn from r13; a5f branch INSERT single-eval + ref retention;
+# a3x/a3f inspection churn from r13 — a3f is also the r8 cohort
+# member) + 3 never-graded (a5h expired deferral + round 14's
+# a5i/a5j) + the remaining 38 r8 rows = exactly 50. After r14
+# grades, the stale floor is r9.
 #
-# ROUND-14 NOTES (for the next session):
-# - Canary candidates: whatever r14 changes; if sql_dml moves again
-#   a4l stays the router canary; a5f covers branch DDL + branch
-#   INSERT, a5g RTAS, a5e composite specs — all never-graded in r13,
-#   so they hold r13 grades by the time r14 plans.
-# - Stale drain: after r13 the oldest cohort is r8 (~39 rows minus
-#   the 6 graded in r13's window tail); stalest-first continues.
-# - Refusal-probe audit (standing): round 13 legalized multi-column
-#   PARTITIONED BY lists (a4y probe swapped — the a4l TRUNCATE
-#   incident discipline). Before adding verbs near INSERT INTO
-#   t.branch_* / PUBLISH / REPLACE, re-grep graded refusal probes.
+# ROUND-15 NOTES (for the next session):
+# - a5k claims a never-graded slot once CORRECTNESS_r14.json lands.
+# - Stale drain: after r14 the oldest cohort is r9 (44 rows) — one
+#   window covers it only with ~6 canary slots; if r15 ships big
+#   features, split the drain across r15/r16.
+# - Refusal-probe audit (standing): round 14 legalized OR/IN/prefix-
+#   LIKE DELETE/UPDATE trees and BY SOURCE UPDATE — probes in
+#   test_refusals and the BY SOURCE test were swapped for permanently
+#   illegal shapes (NOT/BETWEEN/suffix-LIKE/subquery-IN-in-tree/
+#   UPDATE SET */s.-refs/mixed BY SOURCE). Before extending the WHERE
+#   grammar further (NOT, BETWEEN) re-grep a5i's refusal probes —
+#   they assert exactly those shapes refuse.
 # - The permanently-illegal refusal-probe convention: ANALYZE TABLE
 #   t COMPUTE STATISTICS, or a shape error (empty PARTITIONED BY ()).
 
