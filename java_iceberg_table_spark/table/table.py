@@ -1530,20 +1530,24 @@ class Table:
             snap = md.current_snapshot()
             if snap is None:
                 return {"rewritten_files": 0, "deleted_rows": 0}
-            specs = self._spec_map(md)
             entries = self.files_of(snap)
-            cands = [
-                e for e in entries
-                if any(
-                    all(
-                        self._entry_may_match(
-                            e, self._entry_transform(e, specs), f
-                        )
-                        for f in br
+            # candidate selection = UNION over OR-branches of the scan
+            # planner's admissible set: below the manifest-volume
+            # threshold this is the same driver loop as before; past
+            # DIST_PLAN_MIN_MANIFEST_BYTES each branch's conjunction
+            # compiles to Spark expressions and runs as a distributed
+            # manifest scan — a selective delete over millions of
+            # entries never evaluates pruning predicates in a Python
+            # loop (the SHOW PARTITIONS scale rule applied to DML)
+            cand_path_set: set = set()
+            for br in branches:
+                cand_path_set.update(
+                    e["path"]
+                    for e in self.plan_files(
+                        br, snapshot_id=snap.snapshot_id, spark=spark
                     )
-                    for br in branches
                 )
-            ]
+            cands = [e for e in entries if e["path"] in cand_path_set]
             if not cands:
                 return {"rewritten_files": 0, "deleted_rows": 0}
             cand_paths = {e["path"] for e in cands}
@@ -1606,20 +1610,18 @@ class Table:
             snap = md.current_snapshot()
             if snap is None:
                 return {"rewritten_files": 0, "updated_rows": 0}
-            specs = self._spec_map(md)
             entries = self.files_of(snap)
-            cands = [
-                e for e in entries
-                if any(
-                    all(
-                        self._entry_may_match(
-                            e, self._entry_transform(e, specs), f
-                        )
-                        for f in br
+            # same union-of-branches planning as delete_rows — the
+            # distributed manifest scan kicks in past the threshold
+            cand_path_set: set = set()
+            for br in branches:
+                cand_path_set.update(
+                    e["path"]
+                    for e in self.plan_files(
+                        br, snapshot_id=snap.snapshot_id, spark=spark
                     )
-                    for br in branches
                 )
-            ]
+            cands = [e for e in entries if e["path"] in cand_path_set]
             if not cands:
                 return {"rewritten_files": 0, "updated_rows": 0}
             cand_paths = {e["path"] for e in cands}
@@ -3569,6 +3571,23 @@ class Table:
         (spec_id, evolution-aware) — a CASE chain over the spec log,
         which is metadata-scale (a handful of literals)."""
         col, op, val = flt
+        # set/prefix leaves decompose exactly like _entry_may_match
+        # (round 14): every refinement the scalar expression carries
+        # (partition CASE chains, temporal projection, Bloom probes)
+        # applies to them for free on the distributed path too
+        if op == "in":
+            out = F.lit(False)
+            for v in val:
+                out = out | Table._entry_may_match_expr(specs, (col, "=", v))
+            return out
+        if op == "like_prefix":
+            out = Table._entry_may_match_expr(specs, (col, ">=", val))
+            nxt = _prefix_upper(val)
+            if nxt is not None:
+                out = out & Table._entry_may_match_expr(
+                    specs, (col, "<", nxt)
+                )
+            return out
         # datetime predicates compare against ISO-string stat bounds —
         # F.lit(datetime).cast("string") would render with a space
         # separator and mis-order against the 'T'-separated stats. A

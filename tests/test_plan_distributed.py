@@ -350,3 +350,114 @@ def test_distributed_composite_pruned_fractions(big_composite_table, spark):
     assert {e["path"] for e in both} == (
         {e["path"] for e in day} & {e["path"] for e in uid}
     )
+
+
+# ---- round 14: set/prefix leaves (IN, prefix LIKE) parity ----
+
+SET_LEAF_CASES = [
+    [("v", "in", (5, 60_005, 119_999))],
+    [("tp", "in", (7 * WIDTH + 3, 20 * WIDTH))],
+    [("tp", "<", 10 * WIDTH), ("v", "in", (5, 115_000))],
+    [("v", "in", (-1, -2))],  # prunes everything
+]
+
+
+@pytest.mark.parametrize("filters", SET_LEAF_CASES)
+def test_distributed_plan_parity_in_leaf(big_table, spark, filters):
+    """The round-14 IN leaf decomposes to per-value equality on BOTH
+    planning paths — the distributed expression must prune exactly
+    like the driver loop."""
+    py = big_table.plan_files(filters)
+    dist = big_table.plan_files(
+        filters, spark=spark, distributed_threshold_bytes=0
+    )
+    assert sorted(e["path"] for e in py) == sorted(e["path"] for e in dist)
+
+
+@pytest.fixture(scope="module")
+def str_table():
+    """2_000 entries with STRING stats on s (30 distinct prefixes) —
+    the prefix-LIKE pruning fixture."""
+    root = tempfile.mkdtemp(prefix="dist_plan_s_") + "/t"
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("tp", LongType(), False),
+            StructField("s", StringType(), True),
+        ]
+    )
+    tbl = create_table(root, schema, partition=truncate("tp", WIDTH))
+    entries = []
+    for i in range(2000):
+        bucket = (i % 50) * WIDTH
+        pfx = f"p{i % 30:02d}"
+        entries.append(
+            {
+                "path": f"data/s{i:06d}.parquet",
+                "rows": 10,
+                "bytes": 1000,
+                "partition": bucket,
+                "columns": {
+                    "tp": {
+                        "min": bucket, "max": bucket + WIDTH - 1, "nulls": 0
+                    },
+                    "s": {"min": pfx + "_a", "max": pfx + "_z", "nulls": 0},
+                },
+            }
+        )
+    tbl.append_entries(entries)
+    yield tbl
+    import shutil
+
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+LIKE_CASES = [
+    [("s", "like_prefix", "p07")],       # 1/30 of entries
+    [("s", "like_prefix", "p07_m")],     # inside one prefix's range
+    [("s", "like_prefix", "zzz")],       # prunes everything
+    [("s", "like_prefix", "p")],         # keeps everything
+    [("tp", "<", 5 * WIDTH), ("s", "like_prefix", "p11")],
+    [("s", "in", ("p03_m", "zzz"))],     # string IN
+]
+
+
+@pytest.mark.parametrize("filters", LIKE_CASES)
+def test_distributed_plan_parity_like_prefix(str_table, spark, filters):
+    py = str_table.plan_files(filters)
+    dist = str_table.plan_files(
+        filters, spark=spark, distributed_threshold_bytes=0
+    )
+    assert sorted(e["path"] for e in py) == sorted(e["path"] for e in dist)
+    # the selective prefix really prunes (not everything survives)
+    if filters == [("s", "like_prefix", "p07")]:
+        assert 0 < len(py) <= 2000 // 30 + 1
+
+
+def test_dnf_union_planning_goes_distributed(big_table, spark, monkeypatch):
+    """delete_rows/update_where plan candidates per OR-branch through
+    plan_files — past the threshold each branch's conjunction runs as
+    the distributed manifest scan. Verified at the planning layer
+    (synthetic entries have no data files to rewrite): the union of
+    two branches' distributed plans equals the driver-loop union."""
+    branches = [
+        [("tp", "<", 2 * WIDTH)],
+        [("tp", ">=", 48 * WIDTH), ("v", "<", 115_000)],
+    ]
+    def union(threshold):
+        out = set()
+        for br in branches:
+            out.update(
+                e["path"]
+                for e in big_table.plan_files(
+                    br, spark=spark, distributed_threshold_bytes=threshold
+                )
+            )
+        return out
+
+    py = union(1 << 60)   # forces the driver loop
+    dist = union(0)       # forces the distributed scan
+    assert py == dist
+    total = len(big_table.plan_files())
+    assert 0 < len(py) < total  # the union is a strict subset
