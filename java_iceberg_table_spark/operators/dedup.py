@@ -95,18 +95,21 @@ def minhash_signatures(
 
     One explode + one groupBy with num_hashes min-aggregates — a single
     shuffle regardless of k; map-side partial mins keep shuffle volume
-    at k longs per document."""
+    at k longs per document.
+
+    The k min-aggregates are built as ONE parsed SQL expression
+    (array of mins) instead of k Column trees: each F.lit/operator is
+    a py4j round-trip, and 64 hashes cost ~0.2 s of pure driver-side
+    construction per call the parser does in microseconds
+    (OPTIMIZATION_r14.md §construction). Same integer arithmetic,
+    same values."""
     params = _perm_params(num_hashes, seed)
     tok = token_set(df, id_col, text_col)
-    h = F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME))
-    mins = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = tok.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    h = f"pmod(xxhash64(token), {MINHASH_PRIME}L)"
+    mins = ", ".join(
+        f"min(({h} * {a}L + {b}L) % {MINHASH_PRIME}L)" for a, b in params
     )
+    return tok.groupBy("id").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def lsh_band_index(sig_df: DataFrame, bands: int = 16) -> DataFrame:
@@ -197,9 +200,16 @@ def minhash_rep_graph(
         .persist()
     )
 
-    rep_docs = reps.select(F.col("rep").alias(id_col), F.array_join("toks", " ").alias(text_col))
-    sig = minhash_signatures(rep_docs, id_col, text_col, num_hashes, seed)
-    cand = lsh_candidate_pairs(sig, bands)
+    # The banded LSH candidate frame is only PLANNED when a path below
+    # consumes it (construction-gated round 14: 64 hash expressions
+    # are ~0.25 s of py4j/analysis work per call, pure waste on the
+    # small-rep all-pairs path that never executes them).
+    def banded_candidates() -> DataFrame:
+        rep_docs = reps.select(
+            F.col("rep").alias(id_col), F.array_join("toks", " ").alias(text_col)
+        )
+        sig = minhash_signatures(rep_docs, id_col, text_col, num_hashes, seed)
+        return lsh_candidate_pairs(sig, bands)
 
     # Exact verification. Vocab-adaptive: with a small corpus
     # vocabulary (dictionary-encodable), token sets become long-array
@@ -229,14 +239,15 @@ def minhash_rep_graph(
     )
     n_reps = reps.count()
     if len(vocab_rows) <= VOCAB_CAP:
-        from itertools import chain
-
         tokens = sorted(r["t"] for r in vocab_rows)
         n_vocab = len(tokens)
         n_words = (n_vocab + 63) // 64
-        bit_map = F.create_map(
-            *chain.from_iterable((F.lit(t), F.lit(i)) for i, t in enumerate(tokens))
-        )
+        # literal token->bit map as ONE parsed expression (two py4j
+        # calls per token otherwise; at the 4096-token cap that is
+        # ~8k round-trips of construction for the same literal map)
+        esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")
+        map_sql = ", ".join(f"'{esc(t)}', {i}" for i, t in enumerate(tokens))
+        bit_map = F.expr(f"map({map_sql})")
         enc = reps.select(
             "rep", F.transform("toks", lambda t: F.element_at(bit_map, t)).alias("bits")
         ).select(
@@ -284,7 +295,7 @@ def minhash_rep_graph(
                 F.col("id_a") < F.col("id_b"),
             )
         else:
-            paired = cand.join(
+            paired = banded_candidates().join(
                 rt.withColumnRenamed("rep", "id_a").withColumnRenamed("bs", "bs_a"),
                 "id_a",
             ).join(
@@ -297,7 +308,8 @@ def minhash_rep_graph(
     else:
         rt = F.broadcast(reps.select("rep", "toks"))
         rep_pairs = (
-            cand.join(rt.withColumnRenamed("rep", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+            banded_candidates()
+            .join(rt.withColumnRenamed("rep", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
             .join(rt.withColumnRenamed("rep", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
             .select(
                 "id_a",
@@ -339,20 +351,22 @@ def minhash_near_duplicates(
     rep_pairs, membership = minhash_rep_graph(
         df, id_col, text_col, threshold, num_hashes, bands, seed
     )
-    # Materialize both rep-graph frames BEFORE the expansion: the
-    # expansion consumes membership four times (two inter joins + the
-    # intra self-join) and rep_pairs once inside a union whose
-    # branches each re-plan their inputs — unpersisted, the verify
-    # subtree and the membership join re-evaluate per consumer.
-    # Measured at sf1 (50k docs, 19.3M output pairs): 10.5–12 s
-    # unpersisted vs 2.8–3.4 s with these two persists (round-11 A/B,
-    # BASELINE.md). Both frames are collapsed-graph-sized (reps²-
-    # filtered pairs + one row per doc), not output-sized; Spark's
-    # ContextCleaner reclaims them when the result's refs drop.
+    # Persist both rep-graph frames: the expansion consumes membership
+    # four times (two inter joins + the intra self-join) and rep_pairs
+    # once inside a union whose branches each re-plan their inputs —
+    # unpersisted, the verify subtree and the membership join
+    # re-evaluate per consumer (A/B at sf1, 50k docs / 19.3M output
+    # pairs: 16.8 s unpersisted vs 5.3 s persisted; round-11 measured
+    # the same shape). The persists are LAZY (round-14 change): the
+    # first consumer's action fills the cache in the same job, so the
+    # two eager count() jobs the old code paid purely to materialize
+    # them (~0.3 s of scheduler floor at sf0.1; sf1 A/B: eager 5.24 s
+    # vs lazy 5.35 s — noise) are gone. Both frames are collapsed-
+    # graph-sized (reps²-filtered pairs + one row per doc), not
+    # output-sized; Spark's ContextCleaner reclaims them when the
+    # result's refs drop.
     rep_pairs = rep_pairs.persist()
-    rep_pairs.count()
     membership = membership.persist()
-    membership.count()
     # expand representative pairs to member pairs
     mem = F.broadcast(membership)
     inter = (

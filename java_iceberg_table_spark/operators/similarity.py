@@ -21,7 +21,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot_expr(a: str | Column, b: str | Column) -> Column:
+def dot_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    """<a, b>. With ``dim`` given (and plain column names), the dot is
+    UNROLLED into one parsed sum of products: higher-order-function
+    lambdas (zip_with/aggregate) are CodegenFallback — interpreted per
+    element — while the unrolled form whole-stage-codegens (A/B at
+    sf0.1, 2.5k pairs x 64 dims: 0.75 s HOF vs 0.45 s unrolled, and
+    the parsed string costs ~0 construction vs ~1.2 s of py4j for the
+    equivalent Column tree). Bit-identical result: the left-fold
+    (((0+x0)+x1)+…) and the left-associated sum add in the same
+    order."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -31,19 +42,58 @@ def dot_expr(a: str | Column, b: str | Column) -> Column:
     )
 
 
-def norm_expr(a: str | Column) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return "+".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim))
+
+
+def _dlit(x: float) -> str:
+    """An exact SQL double literal: repr round-trips the IEEE value;
+    scientific notation already lexes as DOUBLE, anything else takes
+    the D suffix so it is not parsed as DECIMAL."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
+def _dot_lit_sql(a: str, plane: list[float]) -> str:
+    """<a, literal vector> unrolled — same left-to-right order as the
+    zip_with/aggregate fold."""
+    return "+".join(f"{a}[{i}]*{_dlit(x)}" for i, x in enumerate(plane))
+
+
+def norm_expr(a: str | Column, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
 
 
-def cosine_expr(a: str | Column, b: str | Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def cosine_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # one Cast over the whole array (codegen) instead of an
+    # interpreted per-element transform lambda — identical widening
     return df.select(
         F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+
+def _normalize(df: DataFrame, dim: int | None = None) -> DataFrame:
+    """L2-normalize (id, vec). The old inline form embedded the norm
+    aggregate INSIDE the transform lambda, so interpreted evaluation
+    recomputed the full 64-term norm per element (64x64 ops/row);
+    hoisting it to a column evaluates it once per row, and with
+    ``dim`` the whole row normalizes in one codegen'd projection.
+    Same operation order -> bit-identical doubles."""
+    if dim is None:
+        return df.withColumn("__n", norm_expr("vec")).select(
+            "id", F.transform("vec", lambda x: x / F.col("__n")).alias("vec")
+        )
+    arr = ", ".join(f"vec[{i}]/__n" for i in range(dim))
+    return df.withColumn("__n", norm_expr("vec", dim)).selectExpr(
+        "id", f"array({arr}) AS vec"
     )
 
 
@@ -54,20 +104,23 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int | None = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim), self excluded.
 
     The query set is broadcast — the corpus is read once, no shuffle of
-    the corpus side; ranking is a per-query-partition window."""
+    the corpus side; ranking is a per-query-partition window. Pass
+    ``dim`` (known fixed width) to unroll the per-pair dot into
+    whole-stage codegen (see dot_expr) — same values either way."""
     c = _as_double(corpus, id_col, vec_col)
     q = _as_double(queries, id_col, vec_col)
     # Pre-normalize once per row: cosine becomes a plain dot product.
-    c = c.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
-    q = q.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    c = _normalize(c, dim)
+    q = _normalize(q, dim)
     joined = F.broadcast(
         q.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
     ).crossJoin(c.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")))
-    sim = dot_expr("qvec", "cvec")
+    sim = dot_expr("qvec", "cvec", dim)
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
@@ -152,13 +205,15 @@ def hyperplane_buckets(
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_planes, dim)
     v = _as_double(df, id_col, vec_col)
-    bucket = None
-    for i in range(num_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (dot_expr("vec", plane) > 0).cast("long")
-        term = F.shiftleft(bit, i)
-        bucket = term if bucket is None else bucket + term
-    return v.select("id", "vec", bucket.alias("bucket"))
+    # whole bucket as ONE parsed expression: the old per-literal
+    # Column tree cost num_planes x dim py4j round-trips (~0.3 s for
+    # 4x64) per call; the unrolled literal dots also codegen instead
+    # of interpreting a zip_with lambda. Same doubles, same bits.
+    terms = " + ".join(
+        f"shiftleft(cast(({_dot_lit_sql('vec', list(planes[i]))}) > 0D as long), {i})"
+        for i in range(num_planes)
+    )
+    return v.select("id", "vec", F.expr(terms).alias("bucket"))
 
 
 def lsh_build(
@@ -212,12 +267,11 @@ def lsh_topk(
         for h in range(probe_hamming + 1)
         for bits in combinations(range(num_planes), h)
     ]
+    probe_arr = ", ".join(f"bucket ^ {m}L" for m in masks)
     probes = qb.select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("bucket"),
+        F.explode(F.expr(f"array({probe_arr})")).alias("bucket"),
     )
     # broadcast the probe side: a query batch is tiny by construction
     # (ANN serving shape), so the bucketed corpus never shuffles — the
@@ -228,10 +282,16 @@ def lsh_topk(
         cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket"),
         "bucket",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = cosine_expr("qvec", "cvec")
+    sim = cosine_expr("qvec", "cvec", dim)
     if round_to is not None:
         sim = F.round(sim, round_to)
-    scored = cand.select("query_id", "neighbor_id", sim.alias("sim")).distinct()
+    # No distinct: each corpus row carries exactly ONE bucket and the
+    # probe masks are distinct, so (query_id, bucket) and
+    # (neighbor_id, bucket) are both unique and the equi-join cannot
+    # emit a (query, neighbor) pair twice — the old distinct was a
+    # full extra Exchange for a provable no-op
+    # (tests/test_operators.py::test_lsh_topk_pairs_unique).
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -271,12 +331,27 @@ def _assign_literal(v: DataFrame, cents: list[list[float]], top: int) -> DataFra
     broadcast row is shuffle-free, and the argmax is a nested
     higher-order-function projection over that array — no groupBy, no
     window, no per-row shuffle, plan size independent of n_centroids.
-    The same shape works unchanged on a 10^9-row corpus."""
+    The same shape works unchanged on a 10^9-row corpus.
+
+    Keeping the model in DATA (not inlined literals) is deliberate and
+    was re-validated this round: an unrolled literal form (dim x
+    n_centroids constant terms in the projection) codegens the dot
+    products but makes every plan that embeds this operator carry a
+    1000+-node expression tree — self-joins over the assignment
+    (semantic dedup) then pay Catalyst re-analysis of the duplicated
+    tree per action, measured 13x SLOWER end-to-end (h39 at sf0.01:
+    13.3 s data-carried vs 169 s inlined). The one-row DataFrame is
+    cached per (session, model) so repeated probe batches don't re-pay
+    createDataFrame."""
     spark = v.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
-    carr_df = spark.createDataFrame(
-        [(cent_rows,)], "carr array<struct<cluster:int,cvec:array<double>>>"
-    )
+    cache_key = (spark.sparkContext.applicationId, repr(cent_rows))
+    carr_df = _CARR_CACHE.get(cache_key)
+    if carr_df is None:
+        carr_df = spark.createDataFrame(
+            [(cent_rows,)], "carr array<struct<cluster:int,cvec:array<double>>>"
+        )
+        _CARR_CACHE[cache_key] = carr_df
     scores = F.transform(
         F.col("carr"),
         lambda c: F.struct(
@@ -300,6 +375,9 @@ def _assign_literal(v: DataFrame, cents: list[list[float]], top: int) -> DataFra
     return joined.select("id", "vec", F.explode(probes).alias("cluster"))
 
 
+_CARR_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _ivf_fit(
     corpus: DataFrame,
     id_col: str,
@@ -319,8 +397,7 @@ def _ivf_fit(
       per-iteration collect is n_centroids x dim doubles (the model,
       not the data); empty cells keep their previous centroid.
     """
-    v = _as_double(corpus, id_col, vec_col)
-    v = v.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    v = _normalize(_as_double(corpus, id_col, vec_col))
     sample = (
         v.withColumn("h", F.xxhash64(F.col("id") + seed))
         .orderBy("h")
@@ -420,8 +497,8 @@ def ivf_topk(
         if index is not None
         else ivf_build(corpus, id_col, vec_col, n_centroids, iters, seed)
     )
-    qv = _as_double(queries, id_col, vec_col)
-    qv = qv.select("id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec"))
+    dim = len(cents[0]) if cents else None
+    qv = _normalize(_as_double(queries, id_col, vec_col), dim)
     probes = _assign_literal(qv, cents, top=nprobe).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cluster"
     )
@@ -431,10 +508,15 @@ def ivf_topk(
     cand = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = dot_expr("qvec", "cvec_n")
+    sim = dot_expr("qvec", "cvec_n", dim)
     if round_to is not None:
         sim = F.round(sim, round_to)
-    scored = cand.select("query_id", "neighbor_id", sim.alias("sim")).distinct()
+    # No distinct: _assign_literal's top-nprobe clusters per query are
+    # distinct by construction (slice of a sorted per-centroid array)
+    # and each corpus row sits in exactly one cell, so the equi-join
+    # cannot emit a (query, neighbor) pair twice — the old distinct
+    # was a full extra Exchange for a provable no-op.
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -472,10 +554,7 @@ def pq_build(
     Returns ``(codes_df, codebooks)``: codes_df = (id, vec, code:
     array<int> ordered by subspace) over normalized vectors, codebooks
     = [sub][code] -> centroid list."""
-    v = _as_double(corpus, id_col, vec_col)
-    v = v.select(
-        "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
-    )
+    v = _normalize(_as_double(corpus, id_col, vec_col))
     return _pq_fit(v, m, n_codes, iters, seed)
 
 
@@ -1040,9 +1119,7 @@ def ivfpq_encode(
                 f"{len(cents[0])}-dim) — wrong embedding column or "
                 "model version; retrain or fix the input"
             )
-    v = v.select(
-        "id", F.transform("vec", lambda x: x / norm_expr("vec")).alias("vec")
-    )
+    v = _normalize(v)
     assigned = _assign_literal(v, cents, top=1).select("id", "cluster")
     return (
         pq_encode(v, books)

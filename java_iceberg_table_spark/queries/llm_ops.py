@@ -272,7 +272,7 @@ def h8_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single corpus scan, per-query window top-k)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
+    return brute_force_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rn")
 
 
 # ANN index cache, keyed by (applicationId, sf_dir, kind): an inverted
@@ -374,9 +374,20 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             # them on every probe is pure fixture overhead.
             idx = emb.filter(F.col("vec_id") < 5).persist()
             idx.count()
+        elif kind == "exact_kth":
+            # the exact side collapsed to per-query (kth sim, row
+            # count) — |queries| x 3 scalars, the grading constants
+            # _ann_selfcheck_lit folds into its one-aggregation check
+            exact = _ann_index(spark, sf_dir, "exact")
+            idx = [
+                (r["query_id"], float(r["__kth"]), int(r["__n"]))
+                for r in exact.groupBy("query_id")
+                .agg(F.min("sim").alias("__kth"), F.count(F.lit(1)).alias("__n"))
+                .collect()
+            ]
         else:  # the brute-force verification oracle (queries x k rows)
             queries = emb.filter(F.col("vec_id") < 5)
-            idx = brute_force_topk(emb, queries, k=5).persist()
+            idx = brute_force_topk(emb, queries, k=5, dim=64).persist()
             idx.count()
         _ANN_INDEX_CACHE[key] = idx
     return _ANN_INDEX_CACHE[key]
@@ -400,6 +411,116 @@ def _ann_selfcheck(annotated: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _ann_selfcheck_lit(
+    approx: DataFrame,
+    kth_rows: list,
+    k: int,
+    tol: float = 1e-4,
+    min_recall: float = 0.9,
+) -> DataFrame:
+    """The ANN self-check summary as ONE aggregation over the approx
+    result — no joins, no broadcasts, no persist. ``kth_rows`` is the
+    exact side collapsed to (query_id, kth_sim, n_exact) tuples: the
+    model/grading-scale constants (|queries| x 3 scalars) collected
+    once per session off the cached exact index (_ann_index
+    'exact_kth'), the same convention as the k-means centroid
+    collects. Value-identical to
+    _ann_selfcheck(annotate_recall(approx, exact, k)) — asserted in
+    tests/test_operators.py::test_ann_selfcheck_direct_equivalence:
+    per-query recall anchored on the exact side (an unanswered query
+    contributes 0 to the mean), n_queries = queries answered,
+    recall_ok false on empty input.
+
+    Motivation (round 14): the annotated form persisted the whole
+    candidate pipeline and re-joined it twice per run — and because
+    Spark's CacheManager matches persists by canonicalized PLAN, a
+    re-built identical query found the previous run's cached rows, so
+    repeated bench runs silently timed a result-cache hit instead of
+    a read (the d1e map-output-reuse pitfall in a different coat;
+    BENCH_r13's h8b/h8c rode it). This form recomputes honestly per
+    run and pays one job for it."""
+    spark = approx.sparkSession
+    if not kth_rows:
+        return spark.createDataFrame(
+            [(0, k, False)], "n_queries bigint, k bigint, recall_ok boolean"
+        )
+    from ..operators.similarity import _dlit
+
+    qids = [r[0] for r in kth_rows]
+    # literal maps as ONE parsed expression each (py4j-call-free)
+    kmap_sql = ", ".join(f"{int(r[0])}L, {_dlit(float(r[1]))}" for r in kth_rows)
+    # denominator = least(k, n_exact), folded python-side
+    dmap_sql = ", ".join(f"{int(r[0])}L, {int(min(k, int(r[2])))}" for r in kth_rows)
+    hit = F.expr(
+        f"cast(sim >= element_at(map({kmap_sql}), bigint(query_id)) - {_dlit(tol)} as int)"
+    )
+    per_q = (
+        approx.filter(F.col("query_id").isin(qids))
+        .groupBy("query_id")
+        .agg(F.sum(hit).alias("__hits"))
+    )
+    recall_i = F.col("__hits") / F.expr(
+        f"element_at(map({dmap_sql}), bigint(query_id))"
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.coalesce(
+            (F.sum(recall_i) / F.lit(len(qids))) >= F.lit(min_recall), F.lit(False)
+        ).alias("recall_ok"),
+    )
+
+
+def _ann_selfcheck_direct(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    tol: float = 1e-4,
+    min_recall: float = 0.9,
+) -> DataFrame:
+    """_ann_selfcheck(annotate_recall(approx, exact, k)) computed in
+    ONE plan, value-identical by construction (equality asserted in
+    tests/test_operators.py::test_ann_selfcheck_direct_equivalence):
+
+    - tie-tolerant per-query recall anchored on the EXACT side (a
+      query the approx result missed scores 0, same as annotate_recall);
+    - n_queries = queries the approx result answered (the annotated
+      form's countDistinct over an approx-side inner join);
+    - recall_ok = mean recall >= min_recall, false on an empty input.
+
+    annotate_recall exists to ship per-row recall columns in a graded
+    output; when only this 1-row summary is consumed, building the
+    annotated frame cost a persist of the whole candidate pipeline
+    plus two broadcast joins per run (~0.35 s of the h8b/h8c bench
+    rows) purely to aggregate it away again."""
+    kth = exact.groupBy("query_id").agg(
+        F.min("sim").alias("__kth"), F.count(F.lit(1)).alias("__n_exact")
+    )
+    hit = (F.col("sim") >= F.col("__kth") - tol).cast("int")
+    hits = (
+        approx.join(F.broadcast(kth), "query_id")
+        .groupBy("query_id")
+        .agg(F.sum(hit).alias("__hits"))
+    )
+    per_q = kth.join(hits, "query_id", "left").select(
+        F.col("__hits").isNotNull().alias("__answered"),
+        "query_id",
+        (
+            F.coalesce(F.col("__hits"), F.lit(0))
+            / F.least(F.lit(k), F.col("__n_exact"))
+        ).alias("__recall"),
+    )
+    return per_q.agg(
+        F.countDistinct(F.when(F.col("__answered"), F.col("query_id"))).alias(
+            "n_queries"
+        ),
+        F.lit(k).cast("long").alias("k"),
+        F.coalesce(F.avg("__recall") >= F.lit(min_recall), F.lit(False)).alias(
+            "recall_ok"
+        ),
+    )
+
+
 @register("h8b_ann_lsh_topk", oracle=_ANN_SELFCHECK_ORACLE, group="H")
 def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate 5-NN via random-hyperplane LSH with multi-probe.
@@ -408,8 +529,6 @@ def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, recall_ok) where recall_ok = mean recall@5 vs brute force
     >= 0.9 (see _ann_selfcheck). The bucketed corpus is a cached
     index (see _ann_index)."""
-    from ..operators.similarity import annotate_recall
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _ann_index(spark, sf_dir, "queries")
     # probe_hamming is the recall knob: at this test-scale corpus (500
@@ -419,8 +538,7 @@ def h8b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, dim=64, num_planes=4, probe_hamming=3,
         index=_ann_index(spark, sf_dir, "lsh"),
     )
-    exact = _ann_index(spark, sf_dir, "exact")
-    return _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5)
+    return _ann_selfcheck_lit(approx, _ann_index(spark, sf_dir, "exact_kth"), k=5)
 
 
 @register("h8c_ann_ivf_topk", oracle=_ANN_SELFCHECK_ORACLE, group="H")
@@ -432,8 +550,6 @@ def h8c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure recall tracks the probed fraction and the flag exposes
     it). The k-means fit + corpus assignment is a cached index
     (see _ann_index)."""
-    from ..operators.similarity import annotate_recall
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _ann_index(spark, sf_dir, "queries")
     # nprobe/n_centroids is the recall knob: the 500-vector fixture
@@ -445,8 +561,7 @@ def h8c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_centroids=8, nprobe=6, iters=3,
         index=_ann_index(spark, sf_dir, "ivf"),
     )
-    exact = _ann_index(spark, sf_dir, "exact")
-    return _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5)
+    return _ann_selfcheck_lit(approx, _ann_index(spark, sf_dir, "exact_kth"), k=5)
 
 
 @register(
@@ -1483,11 +1598,10 @@ def h54_ann_ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict adds ``pruned`` — files_scanned strictly below files_total
     straight from the planner's own accounting — to the family's
     recall self-check."""
-    from ..operators.similarity import annotate_recall, ivfpq_table_topk
+    from ..operators.similarity import ivfpq_table_topk
 
     tbl, cents, books = _ann_index(spark, sf_dir, "ivfpq_table")
     queries = _ann_index(spark, sf_dir, "queries")
-    exact = _ann_index(spark, sf_dir, "exact")
     prev_w = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
@@ -1497,7 +1611,9 @@ def h54_ann_ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx, _batch_info = ivfpq_table_topk(
             spark, tbl, cents, books, queries, k=5, nprobe=6, rerank=20
         )
-        rows = _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5).collect()
+        rows = _ann_selfcheck_lit(
+            approx, _ann_index(spark, sf_dir, "exact_kth"), k=5
+        ).collect()
         # the pruning property is PER QUERY (nprobe cells of
         # n_centroids); a 5-query batch at nprobe=6/8 legitimately
         # unions to all cells on this tiny fixture, so grade the
@@ -2346,7 +2462,7 @@ def h52_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force over the bar. The PQ fit + corpus encoding is a
     cached index (_ann_index 'pq'), amortized like a persisted
     codes table."""
-    from ..operators.similarity import annotate_recall, pq_topk
+    from ..operators.similarity import pq_topk
 
     codes_df, books = _ann_index(spark, sf_dir, "pq")
     queries = _ann_index(spark, sf_dir, "queries")
@@ -2358,8 +2474,7 @@ def h52_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameters: mean recall@5 = 1.0 at sf0.01/500 vecs AND at
     # sf0.1/2000 vecs — deterministic, not luck).
     approx = pq_topk(codes_df, books, queries, k=5, rerank=20)
-    exact = _ann_index(spark, sf_dir, "exact")
-    return _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5)
+    return _ann_selfcheck_lit(approx, _ann_index(spark, sf_dir, "exact_kth"), k=5)
 
 
 @register("h53_ann_ivfpq_topk", oracle=_ANN_SELFCHECK_ORACLE, group="H")
@@ -2376,11 +2491,10 @@ def h53_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as h8c; the candidate-fraction property (the point of the
     composition) is asserted in tests/test_operators.py and
     plan-gated no-cartesian in tests/test_plans.py."""
-    from ..operators.similarity import annotate_recall, ivfpq_topk
+    from ..operators.similarity import ivfpq_topk
 
     index_df, cents, books = _ann_index(spark, sf_dir, "ivfpq")
     queries = _ann_index(spark, sf_dir, "queries")
-    exact = _ann_index(spark, sf_dir, "exact")
     # materialize the 1-row verdict inside a width clamp (the probe's
     # shuffles carry candidate rows, model-scale here; a plain
     # 200-partition driver session would pay ~6 x 200 near-empty tasks)
@@ -2393,7 +2507,9 @@ def h53_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = ivfpq_topk(
             index_df, cents, books, queries, k=5, nprobe=6, rerank=20
         )
-        rows = _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5).collect()
+        rows = _ann_selfcheck_lit(
+            approx, _ann_index(spark, sf_dir, "exact_kth"), k=5
+        ).collect()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     return spark.createDataFrame(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..streaming.jobs import (
     file_stream,
     run_to_memory,
+    scratch_ckpt,
     shared_events_src,
     shared_staged,
     stream_append_to_table,
@@ -451,7 +452,7 @@ def i10_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not newer.isEmpty():
                 tbl.upsert(spark, newer, ["user_id"])
 
-        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        ckpt = scratch_ckpt()
         try:
             q = (
                 file_stream(spark, src, max_files_per_trigger=2)
@@ -687,7 +688,7 @@ def i14_streaming_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFram
         merged.sort(key=lambda t: (-t[1], t[0]))
         running[:] = merged[:K]
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_i14_")
+    ckpt = scratch_ckpt("ckpt_i14_")
     try:
         q = (
             spark.readStream.schema(schema)
@@ -788,7 +789,7 @@ def i15_streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             if not fresh.isEmpty():
                 tbl.append(fresh)
 
-        ckpt = tempfile.mkdtemp(prefix="ckpt_i15_")
+        ckpt = scratch_ckpt("ckpt_i15_")
         try:
             q = (
                 spark.readStream.schema(schema)

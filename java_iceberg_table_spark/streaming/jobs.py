@@ -27,6 +27,31 @@ from ..fixtures import load_table
 from ..table.table import Table
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_ckpt(prefix: str = "ckpt_") -> str:
+    """A SCRATCH checkpoint dir, preferring tmpfs. Every availableNow
+    run in this module recovers via commit watermarks stamped in the
+    sink table (or not at all — the memory sink), never via these
+    checkpoints, so they are pure per-run scratch. On disk the
+    checkpoint's offset/commit/state files cost ~0.5-0.65 s of
+    rename+fsync chatter per short run (A/B at sf0.1, i3: 1.93 s
+    /tmp vs 1.28 s tmpfs — OPTIMIZATION_r14.md §i3); on tmpfs they
+    cost memory the size of the state, which for these bounded runs
+    is kilobytes. SPARK_GRAFT_SCRATCH overrides (e.g. for a cluster
+    where the local scratch volume is the right place)."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        cand = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
+        _SCRATCH_ROOT = (
+            cand
+            if os.path.isdir(cand) and os.access(cand, os.W_OK)
+            else tempfile.gettempdir()
+        )
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def stage_events_files(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> tuple[str, DataFrame]:
@@ -132,7 +157,7 @@ def run_to_memory(
     spark = stream_df.sparkSession
     # The memory sink can't recover from a checkpoint anyway, so the
     # checkpoint is pure scratch — always reclaimed, even on failure.
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = scratch_ckpt()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         if state_partitions is not None:
@@ -212,7 +237,7 @@ def stream_append_to_table(
     reclaimed afterwards — restart exactly-once doesn't depend on it:
     the batch-id high watermark stamped into each snapshot's summary
     (foreach_batch_append) is what makes replays idempotent."""
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = scratch_ckpt()
     try:
         q = (
             file_stream(spark, src_dir, max_files_per_trigger)
@@ -518,7 +543,7 @@ def late_data_dead_letter(
     run."""
     out_ok = tempfile.mkdtemp(prefix="wm_ok_")
     out_late = tempfile.mkdtemp(prefix="wm_late_")
-    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    ckpt = scratch_ckpt("wm_ckpt_")
     delay_us = delay_minutes * 60 * 1_000_000
     wm_us = [None]  # event-time watermark in µs, None until first batch
 

@@ -80,6 +80,61 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert approx_set == approx2
 
 
+def test_lsh_topk_pairs_unique(spark, sf_dir):
+    """The round-14 distinct() removal in lsh_topk/ivf_topk rests on
+    (query, neighbor) pairs being unique BEFORE ranking: one bucket
+    per corpus row x distinct probe masks per query. Assert it on the
+    widest probe the registered rows use."""
+    from java_iceberg_table_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    for approx in (
+        lsh_topk(emb, queries, k=10**9, dim=64, probe_hamming=3),
+        ivf_topk(emb, queries, k=10**9, n_centroids=8, nprobe=6),
+    ):
+        total = approx.count()
+        distinct = approx.select("query_id", "neighbor_id").distinct().count()
+        assert total == distinct, f"{total} scored rows, {distinct} unique pairs"
+
+
+def test_ann_selfcheck_direct_equivalence(spark, sf_dir):
+    """_ann_selfcheck_direct == _ann_selfcheck(annotate_recall(...))
+    on real, empty-approx, and partial-approx inputs (the shapes the
+    ANN rows grade through)."""
+    from java_iceberg_table_spark.operators.similarity import annotate_recall
+    from java_iceberg_table_spark.queries.llm_ops import (
+        _ann_selfcheck,
+        _ann_selfcheck_direct,
+        _ann_selfcheck_lit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    kth_rows = [
+        (r["query_id"], float(r["kth"]), int(r["n"]))
+        for r in exact.groupBy("query_id")
+        .agg(F.min("sim").alias("kth"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    full = lsh_topk(emb, queries, k=5, dim=64, probe_hamming=3)
+    empty = full.filter(F.lit(False))
+    partial = full.filter(F.col("query_id") < 5)
+    for approx in (full, empty, partial):
+        want = _ann_selfcheck(annotate_recall(approx, exact, k=5), k=5).collect()
+        got = _ann_selfcheck_direct(approx, exact, k=5).collect()
+        lit = _ann_selfcheck_lit(approx, kth_rows, k=5).collect()
+        assert [tuple(r) for r in want] == [tuple(r) for r in got]
+        assert [tuple(r) for r in want] == [tuple(r) for r in lit]
+    # empty exact side: all three report (0, k, false)
+    want = _ann_selfcheck(
+        annotate_recall(full, exact.filter(F.lit(False)), k=5), k=5
+    ).collect()
+    lit = _ann_selfcheck_lit(full, [], k=5).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in lit]
+
+
 def test_label_centroids_matches_sql(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb, "label", "embedding", dim=64).collect()
