@@ -218,26 +218,35 @@ def minhash_rep_graph(
     # vocabulary count is one cheap distinct aggregate up front.
     VOCAB_CAP = 4096
     ALLPAIRS_REP_CAP = 8192
-    # Two synchronizing actions total before the main computation, and
-    # neither does throwaway work:
+    # ONE synchronizing action before the main computation (round 14:
+    # was two jobs; each job on a small input is mostly scheduler
+    # floor), and none of it is throwaway work:
     # - the capped distinct-token collect IS the vocabulary decision
     #   (<= 4097 short strings to the driver, metadata-scale; a huge
     #   shingle space short-circuits at the limit after one partial-
     #   aggregate pass) and doubles as the exact dictionary for the
     #   bitset encoder — inlined as a literal map, the encode becomes
     #   a pure projection: no explode, no join, no shuffle;
-    # - reps.count() decides all-pairs vs banded AND materializes the
-    #   persisted reps subtree the verify step reads anyway.
-    # Read the vocabulary off the PERSISTED groups subtree (not toks_all)
-    # so this first action populates the cache the later passes reuse —
-    # otherwise the full corpus is tokenized twice.
-    vocab_rows = (
+    # - the unioned 1-row count decides all-pairs vs banded AND
+    #   materializes the persisted reps subtree the verify step reads
+    #   anyway (the count rides the union; reps ROWS never collect).
+    # Both branches read the PERSISTED groups subtree, so this first
+    # action populates the cache the later passes reuse — otherwise
+    # the full corpus is tokenized twice.
+    stats_rows = (
         groups.select(F.explode("toks").alias("t"))
         .distinct()
         .limit(VOCAB_CAP + 1)
+        .select(F.lit(0).alias("__k"), F.col("t"))
+        .unionAll(
+            reps.agg(F.count(F.lit(1)).cast("string").alias("t")).select(
+                F.lit(1).alias("__k"), F.col("t")
+            )
+        )
         .collect()
     )
-    n_reps = reps.count()
+    vocab_rows = [r for r in stats_rows if r["__k"] == 0]
+    n_reps = int(next(r["t"] for r in stats_rows if r["__k"] == 1))
     if len(vocab_rows) <= VOCAB_CAP:
         tokens = sorted(r["t"] for r in vocab_rows)
         n_vocab = len(tokens)
