@@ -410,24 +410,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document from xxhash64 token hashes.
 
     bit_i(sig) = sign of sum over tokens of (+1 if bit_i(hash(tok)) else -1).
-    Pure expression pipeline: explode -> 64 conditional sums -> pack."""
+    Pure expression pipeline: explode -> 64 conditional sums -> pack.
+    Both stages build as parsed SQL (round 14): the per-bit Column
+    trees cost ~400 py4j round-trips of pure construction per call
+    (the minhash_signatures story). Same integer arithmetic, same
+    bits."""
     tok = token_set(df, id_col, text_col)
-    h = F.xxhash64("token")
-    sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+    sums = ", ".join(
+        f"sum(case when (shiftright(xxhash64(token), {i}) & 1) = 1 "
+        f"then 1 else -1 end)"
         for i in range(64)
-    ]
-    agg = tok.groupBy("id").agg(*sums)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select("id", sig.alias("simhash"))
+    )
+    agg = tok.groupBy("id").agg(F.expr(f"array({sums})").alias("s"))
+    packed = " ^ ".join(
+        f"shiftleft(cast(s[{i}] > 0 as long), {i})" for i in range(64)
+    )
+    return agg.select("id", F.expr(packed).alias("simhash"))
 
 
 def simhash_near_duplicates(
