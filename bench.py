@@ -36,6 +36,8 @@ HEADLINE = [
     "h8_ann_bruteforce_topk",
     "h8b_ann_lsh_topk",
     "h8c_ann_ivf_topk",
+    "h8bp_prepared_ann_lsh_topk",  # h8b serving sibling: prebuilt index + prepared probe plan
+    "h8cp_prepared_ann_ivf_topk",  # h8c serving sibling (same d1-vs-d1p convention)
     "i3_tumbling_window_stream",
 ]
 
@@ -58,7 +60,16 @@ GATED = {"d1_tpch_q1", "c3_multiway_join", "e1_row_number_topk"}
 # their reads are plan-gated Exchange-free (tests/test_plans.py), so
 # there is no map stage to reuse and plain repeated collect honestly
 # re-reads the view.
-PREPARED_POOLED = {"d1p_prepared_tpch_q1", "d1e_engine_q1_cents"}
+PREPARED_POOLED = {
+    "d1p_prepared_tpch_q1",
+    "d1e_engine_q1_cents",
+    # round-15 ANN serving rows: prepared probe plan over the cached
+    # index; their single Exchange (the 1-row summary agg) makes plain
+    # repeated collect() reuse the completed map stage, so they time
+    # under the same pooled fresh-Dataset protocol as d1p/d1e.
+    "h8bp_prepared_ann_lsh_topk",
+    "h8cp_prepared_ann_ivf_topk",
+}
 
 
 def _prepared_builder(name: str, spark, sf_dir: str):
@@ -352,6 +363,15 @@ def bench_sf1(spark, sf01_dir: str) -> dict | None:
     # SAME policy on both engines at this SF
     try:
         for name in sweep:
+            # Prepared rows carry an Exchange whose completed map stage
+            # a repeated collect() of the SAME cached Dataset silently
+            # reuses (the round-10 d1e pitfall) — time them under the
+            # pooled fresh-Dataset protocol here too. Measurement-bug
+            # fix (round 15): the sf1 sweep previously timed d1p/d1e's
+            # map-output reuse; old numbers kept in OPTIMIZATION_r15.md.
+            if name in PREPARED_POOLED:
+                spark_times[name] = time_prepared_pool(name, spark, sf1_dir)
+                continue
             gated1 = name in GATED
             _materialize(registry[name].fn(spark, sf1_dir), gated1)  # warmup
             runs = []
@@ -618,12 +638,24 @@ def main() -> None:
     # The driver records only the LAST ~2000 chars of stdout and parses
     # the final line as the round's bench JSON. Round 7's single full
     # line outgrew that window (BENCH_r07.parsed == null), so: the FULL
-    # result goes to BENCH_LOCAL.json (committed in-repo, auditable),
-    # and stdout ends with ONE compact line — gate trio + ratios +
-    # ingest KPIs — guaranteed to fit the tail capture.
+    # result goes to a JSON artifact and stdout ends with ONE compact
+    # line guaranteed to fit the tail capture. Round-15 revisions (both
+    # from VERDICT r14 "What's wrong" #2/#5): (a) the compact line now
+    # carries EVERY headline per-query time — the round-14 gate-trio
+    # line left the driver blind to the very rows that round optimized;
+    # (b) the full artifact is written per core count
+    # (BENCH_LOCAL_c{cpus}.json) so the driver's low-core scaling rerun
+    # no longer clobbers the committed canonical run; BENCH_LOCAL.json
+    # (the canonical name every prior round's notes reference) is still
+    # written, but only for the canonical 32-core protocol.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_LOCAL.json"), "w") as f:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    full_name = f"BENCH_LOCAL_c{cpus}.json"
+    with open(os.path.join(repo_root, full_name), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    if cpus == "32":
+        with open(os.path.join(repo_root, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     gate = (
         "d1_tpch_q1",
         "c3_multiway_join",
@@ -643,16 +675,24 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
-        "queries": {q: queries[q] for q in gate if q in queries},
+        "queries": queries,
         "duckdb_reference": duck,
         "ratio_vs_duckdb": ratios,
         "ingest": ingest,
         "n_queries": len(queries),
-        "full": "BENCH_LOCAL.json",
+        "full": full_name,
     }
+    # belt-and-braces: never outgrow the capture. Drop in order of
+    # information loss: raw duck times (ratios keep the comparison),
+    # then ingest KPIs, then fall back to gate-row queries only.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:  # belt-and-braces: never outgrow the capture
-        compact.pop("ingest", None)
+    for trim in ("duckdb_reference", "ingest", "queries"):
+        if len(line) <= 1500:
+            break
+        if trim == "queries":
+            compact["queries"] = {q: queries[q] for q in gate if q in queries}
+        else:
+            compact.pop(trim, None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

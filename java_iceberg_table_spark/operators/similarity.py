@@ -231,12 +231,11 @@ def lsh_build(
     return hyperplane_buckets(corpus, id_col, vec_col, dim, num_planes, seed)
 
 
-def lsh_topk(
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     dim: int = 64,
     num_planes: int = 4,
     probe_hamming: int = 2,
@@ -244,15 +243,13 @@ def lsh_topk(
     round_to: int | None = 4,
     index: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucketed candidates, exact cosine
-    re-rank. Multi-probe: a query probes every bucket within Hamming
-    distance probe_hamming of its own, trading compute for recall.
-
-    ``index`` is a prebuilt lsh_build(...) result (same num_planes /
-    seed); without it the bucketed corpus is derived inline.
-
-    Returns (query_id, neighbor_id, sim, rn). Recall vs brute force is
-    property-tested in tests/test_operators.py."""
+    """The SCORED candidate frame of lsh_topk — (query_id, neighbor_id,
+    sim) for every bucket-colliding pair, before the per-query ranking
+    window. Extracted (round 15) so rank-free consumers (the prepared
+    self-check rows) can aggregate the candidates directly without
+    paying the window Exchange; lsh_topk is exactly this + the window.
+    Candidate uniqueness precondition: corpus ids must be unique (one
+    bucket per corpus row — see the no-distinct note below)."""
     cb = (
         index
         if index is not None
@@ -290,8 +287,39 @@ def lsh_topk(
     # (neighbor_id, bucket) are both unique and the equi-join cannot
     # emit a (query, neighbor) pair twice — the old distinct was a
     # full extra Exchange for a provable no-op
-    # (tests/test_operators.py::test_lsh_topk_pairs_unique).
-    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    # (tests/test_operators.py::test_lsh_topk_pairs_unique). This
+    # presumes UNIQUE corpus ids; an index built over duplicate id
+    # rows would emit a pair once per duplicate.
+    return cand.select("query_id", "neighbor_id", sim.alias("sim"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 4,
+    probe_hamming: int = 2,
+    seed: int = 42,
+    round_to: int | None = 4,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates, exact cosine
+    re-rank. Multi-probe: a query probes every bucket within Hamming
+    distance probe_hamming of its own, trading compute for recall.
+
+    ``index`` is a prebuilt lsh_build(...) result (same num_planes /
+    seed); without it the bucketed corpus is derived inline. Corpus
+    ids must be UNIQUE (see lsh_candidates).
+
+    Returns (query_id, neighbor_id, sim, rn). Recall vs brute force is
+    property-tested in tests/test_operators.py."""
+    scored = lsh_candidates(
+        corpus, queries, id_col, vec_col, dim, num_planes,
+        probe_hamming, seed, round_to, index,
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -468,12 +496,11 @@ def ivf_build(
     return assigned, cents
 
 
-def ivf_topk(
+def ivf_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
@@ -481,17 +508,12 @@ def ivf_topk(
     round_to: int | None = 4,
     index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k via IVF: queries probe their nprobe
-    nearest centroid cells; candidates = corpus rows in those cells;
-    exact dot re-rank inside. Returns (query_id, neighbor_id, sim, rn).
-    ``index`` is a prebuilt ivf_build(...) result.
-
-    The scale path vs LSH buckets: cells track the data distribution
-    (k-means) instead of being data-oblivious hyperplanes, so cell
-    sizes stay balanced under clustered embeddings; candidate join is
-    an equi join on cluster — shuffle keyed by cell, never a cross
-    join. Recall vs brute force is asserted in tests/test_operators.py.
-    """
+    """The SCORED candidate frame of ivf_topk — (query_id, neighbor_id,
+    sim) for every probed-cell pair, before the per-query ranking
+    window. Extracted (round 15) for rank-free consumers (the prepared
+    self-check rows); ivf_topk is exactly this + the window. Corpus
+    ids must be unique (one cell per corpus row — see the no-distinct
+    note below)."""
     assigned, cents = (
         index
         if index is not None
@@ -515,8 +537,41 @@ def ivf_topk(
     # distinct by construction (slice of a sorted per-centroid array)
     # and each corpus row sits in exactly one cell, so the equi-join
     # cannot emit a (query, neighbor) pair twice — the old distinct
-    # was a full extra Exchange for a provable no-op.
-    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    # was a full extra Exchange for a provable no-op. This presumes
+    # UNIQUE corpus ids; an index built over duplicate id rows would
+    # emit a pair once per duplicate.
+    return cand.select("query_id", "neighbor_id", sim.alias("sim"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    round_to: int | None = 4,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: queries probe their nprobe
+    nearest centroid cells; candidates = corpus rows in those cells;
+    exact dot re-rank inside. Returns (query_id, neighbor_id, sim, rn).
+    ``index`` is a prebuilt ivf_build(...) result. Corpus ids must be
+    unique (see ivf_candidates).
+
+    The scale path vs LSH buckets: cells track the data distribution
+    (k-means) instead of being data-oblivious hyperplanes, so cell
+    sizes stay balanced under clustered embeddings; candidate join is
+    an equi join on cluster — shuffle keyed by cell, never a cross
+    join. Recall vs brute force is asserted in tests/test_operators.py.
+    """
+    scored = ivf_candidates(
+        corpus, queries, id_col, vec_col, n_centroids, nprobe,
+        iters, seed, round_to, index,
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -135,6 +135,57 @@ def test_ann_selfcheck_direct_equivalence(spark, sf_dir):
     assert [tuple(r) for r in want] == [tuple(r) for r in lit]
 
 
+def test_ann_selfcheck_onejob_equivalence(spark, sf_dir):
+    """_ann_selfcheck_onejob(candidates) == _ann_selfcheck_lit(topk)
+    — the round-15 prepared rows (h8bp/h8cp) grade the self-check
+    summary straight off the UNRANKED candidate frame, skipping the
+    per-query ranking window; this pins the value identity on full,
+    empty, and partial candidate inputs for BOTH index families at
+    the registered rows' exact knobs."""
+    from java_iceberg_table_spark.operators.similarity import (
+        ivf_candidates,
+        lsh_candidates,
+    )
+    from java_iceberg_table_spark.queries.llm_ops import (
+        _ann_selfcheck_lit,
+        _ann_selfcheck_onejob,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    kth_rows = [
+        (r["query_id"], float(r["kth"]), int(r["n"]))
+        for r in exact.groupBy("query_id")
+        .agg(F.min("sim").alias("kth"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    for cands in (
+        lsh_candidates(emb, queries, dim=64, num_planes=4, probe_hamming=3),
+        ivf_candidates(emb, queries, n_centroids=8, nprobe=6, iters=3),
+    ):
+        for cc in (
+            cands,
+            cands.filter(F.lit(False)),
+            cands.filter(F.col("query_id") < 3),
+        ):
+            topk = cc.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+                F.col("rn") <= 5
+            )
+            want = _ann_selfcheck_lit(topk, kth_rows, k=5).collect()
+            got = _ann_selfcheck_onejob(cc, kth_rows, k=5).collect()
+            assert [tuple(r) for r in want] == [tuple(r) for r in got]
+    # empty grading constants: both report (0, k, false)
+    cands = lsh_candidates(emb, queries, dim=64)
+    want = _ann_selfcheck_lit(cands, [], k=5).collect()
+    got = _ann_selfcheck_onejob(cands, [], k=5).collect()
+    assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+
 def test_label_centroids_matches_sql(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb, "label", "embedding", dim=64).collect()
