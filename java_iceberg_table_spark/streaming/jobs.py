@@ -27,29 +27,70 @@ from ..fixtures import load_table
 from ..table.table import Table
 
 
-_SCRATCH_ROOT: str | None = None
+def _usable_dir(path: str | None) -> bool:
+    return bool(path) and os.path.isdir(path) and os.access(path, os.W_OK)
 
 
 def scratch_ckpt(prefix: str = "ckpt_") -> str:
-    """A SCRATCH checkpoint dir, preferring tmpfs. Every availableNow
-    run in this module recovers via commit watermarks stamped in the
-    sink table (or not at all — the memory sink), never via these
-    checkpoints, so they are pure per-run scratch. On disk the
-    checkpoint's offset/commit/state files cost ~0.5-0.65 s of
-    rename+fsync chatter per short run (A/B at sf0.1, i3: 1.93 s
-    /tmp vs 1.28 s tmpfs — OPTIMIZATION_r14.md §i3); on tmpfs they
-    cost memory the size of the state, which for these bounded runs
-    is kilobytes. SPARK_GRAFT_SCRATCH overrides (e.g. for a cluster
-    where the local scratch volume is the right place)."""
-    global _SCRATCH_ROOT
-    if _SCRATCH_ROOT is None:
-        cand = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
-        _SCRATCH_ROOT = (
-            cand
-            if os.path.isdir(cand) and os.access(cand, os.W_OK)
-            else tempfile.gettempdir()
-        )
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    """A SCRATCH checkpoint dir, preferring tmpfs when that is SAFE.
+    Every availableNow run in this module recovers via commit
+    watermarks stamped in the sink table (or not at all — the memory
+    sink), never via these checkpoints, so they are pure per-run
+    scratch. On disk the checkpoint's offset/commit/state files cost
+    ~0.5-0.65 s of rename+fsync chatter per short run (A/B at sf0.1,
+    i3: 1.93 s /tmp vs 1.28 s tmpfs — OPTIMIZATION_r14.md §i3); on
+    tmpfs they cost memory the size of the state, which for these
+    bounded runs is kilobytes.
+
+    Cluster gate (round 15, VERDICT r14 #1): the HDFS-backed state
+    store reads and writes per-partition state through this path ON
+    THE EXECUTORS, so a node-local tmpfs path only resolves to the
+    same files because local[k] colocates driver and executors. The
+    tmpfs default therefore applies ONLY under a local master; on any
+    other master the scratch checkpoint falls through to the session's
+    configured checkpoint root (spark.sql.streaming.checkpointLocation
+    — a shared filesystem on a real cluster), else the conventional
+    tempdir. SPARK_GRAFT_SCRATCH overrides both branches explicitly —
+    the operator setting it asserts the path is visible wherever state
+    is read."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    master = spark.sparkContext.master if spark is not None else ""
+    conf_root = (
+        spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+        if spark is not None
+        else None
+    )
+    root, mkdir_local = _scratch_root(
+        master, os.environ.get("SPARK_GRAFT_SCRATCH"), conf_root
+    )
+    if not mkdir_local:
+        # shared-FS URI: hand Spark a unique child path, no local mkdir
+        return root.rstrip("/") + "/" + prefix + uuid.uuid4().hex
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+def _scratch_root(
+    master: str, override: str | None, conf_root: str | None
+) -> tuple[str, bool]:
+    """Resolve the scratch-checkpoint root for ``scratch_ckpt``.
+
+    Returns ``(root, mkdir_local)``: when ``mkdir_local`` is False the
+    root is a shared-FS URI to take a unique child of, not a local
+    directory to mkdtemp under. Pure so the cluster branches are
+    testable without a cluster."""
+    if override is not None:
+        return (
+            override if _usable_dir(override) else tempfile.gettempdir()
+        ), True
+    if master.startswith("local"):
+        return (
+            "/dev/shm" if _usable_dir("/dev/shm") else tempfile.gettempdir()
+        ), True
+    if conf_root:
+        return conf_root, False
+    return tempfile.gettempdir(), True
 
 
 def stage_events_files(

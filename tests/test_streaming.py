@@ -329,3 +329,33 @@ def test_agg_view_sink_multi_measure(spark, tmp_path):
         for r in _open(view_root).scan(spark).collect()
     }
     assert got == {1: (1, 20.0, 2.0), 2: (2, 12.0, 7.0)}
+
+
+def test_scratch_root_cluster_gate(tmp_path, monkeypatch):
+    """scratch_ckpt's tmpfs default is local-master-only (VERDICT r14 #1):
+    under any other master the scratch checkpoint must land on the
+    session's shared checkpoint root (as a child URI, no local mkdir),
+    and SPARK_GRAFT_SCRATCH overrides every branch."""
+    from java_iceberg_table_spark.streaming.jobs import _scratch_root, scratch_ckpt
+
+    # local master, no override -> tmpfs when usable
+    root, mkdir_local = _scratch_root("local[8]", None, None)
+    assert mkdir_local and root in ("/dev/shm", tempfile.gettempdir())
+    # non-local master with a configured shared checkpoint root -> child
+    # of that URI, NOT a local dir (the state store reads it on executors)
+    root, mkdir_local = _scratch_root(
+        "spark://host:7077", None, "hdfs://nn/ckpt/"
+    )
+    assert (root, mkdir_local) == ("hdfs://nn/ckpt/", False)
+    # non-local master, nothing configured -> conventional tempdir
+    root, mkdir_local = _scratch_root("yarn", None, None)
+    assert (root, mkdir_local) == (tempfile.gettempdir(), True)
+    # explicit override wins on any master
+    override = str(tmp_path)
+    for master in ("local[8]", "spark://host:7077"):
+        root, mkdir_local = _scratch_root(master, override, "hdfs://nn/ckpt")
+        assert (root, mkdir_local) == (override, True)
+    # end-to-end under the active (local) test session: a usable dir
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", override)
+    d = scratch_ckpt("gate_")
+    assert os.path.isdir(d) and d.startswith(override)
