@@ -15,10 +15,49 @@ aggregate) on double-cast arrays — JVM-side, no Python in the loop.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+class _LRUCache(OrderedDict):
+    """Small bounded cache for session-scoped plan/model artifacts
+    (VERDICT r14 #6: the unbounded module dicts leak in a long-lived
+    serving session that cycles models). Evicted values that are — or
+    contain — persisted DataFrames are unpersisted so the executor
+    memory goes with them."""
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            self.move_to_end(key)
+            return self[key]
+        return default
+
+    def put(self, key, value) -> None:
+        self[key] = value
+        self.move_to_end(key)
+        while len(self) > self.maxsize:
+            _, evicted = self.popitem(last=False)
+            _unpersist_quietly(evicted)
+
+
+def _unpersist_quietly(obj) -> None:
+    if isinstance(obj, (tuple, list)):
+        for item in obj:
+            _unpersist_quietly(item)
+        return
+    if isinstance(obj, DataFrame):
+        try:
+            obj.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def dot_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
@@ -42,22 +81,41 @@ def dot_expr(a: str | Column, b: str | Column, dim: int | None = None) -> Column
     )
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name for interpolation into parsed SQL,
+    so names needing quoting (spaces, hyphens, dots) resolve exactly
+    like the F.col path instead of mis-parsing (ADVICE r14)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot_sql(a: str, b: str, dim: int) -> str:
-    return "+".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim))
+    qa, qb = _q(a), _q(b)
+    return "+".join(f"{qa}[{i}]*{qb}[{i}]" for i in range(dim))
 
 
 def _dlit(x: float) -> str:
     """An exact SQL double literal: repr round-trips the IEEE value;
     scientific notation already lexes as DOUBLE, anything else takes
-    the D suffix so it is not parsed as DECIMAL."""
-    r = repr(float(x))
+    the D suffix so it is not parsed as DECIMAL. Non-finite doubles
+    have no bare-literal SQL form (repr gives 'inf'/'nan', a parse
+    error); cast the string form so corrupt embeddings propagate
+    NaN/Infinity exactly like the old F.lit path (ADVICE r14)."""
+    v = float(x)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    r = repr(v)
     return r if ("e" in r or "E" in r) else r + "D"
 
 
 def _dot_lit_sql(a: str, plane: list[float]) -> str:
     """<a, literal vector> unrolled — same left-to-right order as the
     zip_with/aggregate fold."""
-    return "+".join(f"{a}[{i}]*{_dlit(x)}" for i, x in enumerate(plane))
+    qa = _q(a)
+    return "+".join(f"{qa}[{i}]*{_dlit(x)}" for i, x in enumerate(plane))
 
 
 def norm_expr(a: str | Column, dim: int | None = None) -> Column:
@@ -379,7 +437,7 @@ def _assign_literal(v: DataFrame, cents: list[list[float]], top: int) -> DataFra
         carr_df = spark.createDataFrame(
             [(cent_rows,)], "carr array<struct<cluster:int,cvec:array<double>>>"
         )
-        _CARR_CACHE[cache_key] = carr_df
+        _CARR_CACHE.put(cache_key, carr_df)
     scores = F.transform(
         F.col("carr"),
         lambda c: F.struct(
@@ -403,7 +461,10 @@ def _assign_literal(v: DataFrame, cents: list[list[float]], top: int) -> DataFra
     return joined.select("id", "vec", F.explode(probes).alias("cluster"))
 
 
-_CARR_CACHE: dict[tuple, DataFrame] = {}
+# Bounded: _ivf_fit inserts one entry per Lloyd iteration (interim
+# centroids are never looked up again), so 16 covers several live
+# models while retiring iteration garbage.
+_CARR_CACHE = _LRUCache(maxsize=16)
 
 
 def _ivf_fit(

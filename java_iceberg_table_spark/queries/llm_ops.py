@@ -26,6 +26,7 @@ from ..operators.dedup import (
     simhash_near_duplicates,
 )
 from ..operators.similarity import (
+    _LRUCache,
     brute_force_topk,
     cosine_expr,
     ivf_candidates,
@@ -287,8 +288,11 @@ def h8_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # times, so the registered queries carry index-build cost on first use
 # only — the same amortization a real deployment gets by persisting the
 # index partitioned by cell/bucket. Persisted DataFrames are reclaimed
-# with the session.
-_ANN_INDEX_CACHE: dict[tuple, object] = {}
+# with the session. Bounded LRU (VERDICT r14 #6): a bench/driver session
+# holds at most ~8 kinds x 3 sf_dirs; 32 never evicts there, while a
+# long-lived serving session cycling corpora retires (and unpersists)
+# the oldest indexes instead of leaking them.
+_ANN_INDEX_CACHE = _LRUCache(maxsize=32)
 
 
 def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
@@ -396,7 +400,7 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
             queries = emb.filter(F.col("vec_id") < 5)
             idx = brute_force_topk(emb, queries, k=5, dim=64).persist()
             idx.count()
-        _ANN_INDEX_CACHE[key] = idx
+        _ANN_INDEX_CACHE.put(key, idx)
     return _ANN_INDEX_CACHE[key]
 
 

@@ -1432,3 +1432,35 @@ def test_ivfpq_encode_refuses_dimension_mismatch(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         ivfpq_encode(wrong, cents, books)
+
+
+def test_lru_cache_bounds_and_recency():
+    from java_iceberg_table_spark.operators.similarity import _LRUCache
+
+    c = _LRUCache(maxsize=3)
+    for i in range(3):
+        c.put(i, f"v{i}")
+    assert c.get(0) == "v0"  # refresh 0's recency
+    c.put(3, "v3")  # evicts 1 (least recent), not 0
+    assert set(c) == {0, 2, 3} and len(c) == 3
+    assert c.get(1) is None
+
+
+def test_dlit_nonfinite_and_quoted_names(spark):
+    """ADVICE r14: _dlit must propagate NaN/Inf instead of mis-parsing,
+    and the dim fast path must handle column names needing quoting."""
+    from java_iceberg_table_spark.operators.similarity import _dlit, dot_expr
+
+    vals = spark.range(1).select(
+        F.expr(_dlit(float("nan"))).alias("n"),
+        F.expr(_dlit(float("inf"))).alias("p"),
+        F.expr(_dlit(float("-inf"))).alias("m"),
+        F.expr(_dlit(1.5)).alias("f"),
+    ).first()
+    assert vals["n"] != vals["n"] and vals["p"] == float("inf")
+    assert vals["m"] == float("-inf") and vals["f"] == 1.5
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], ["my vec", "other-vec"]
+    )
+    got = df.select(dot_expr("my vec", "other-vec", dim=2).alias("d")).first()["d"]
+    assert got == 11.0
