@@ -408,3 +408,27 @@ def test_d1e_engine_q1_vectorized_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     rs = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "price_c" in rs and "qty_c" in rs
+
+
+def test_e1_prefilter_equivalence(spark, sf_dir, monkeypatch):
+    """e1's scale-gated threshold pre-filter (round 15): forcing the
+    gate on at a small SF must leave values AND row order identical,
+    and (when the sample holds 500 distinct custkeys) the custkey
+    bound must reach the parquet scan as a pushed filter."""
+    import java_iceberg_table_spark.queries.windows as W
+
+    fn = REGISTRY["e1_row_number_topk"].fn
+    base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    monkeypatch.setattr(W, "_TOPK_PREFILTER_BYTES", 0)
+    df = fn(spark, sf_dir)
+    assert [tuple(r) for r in df.collect()] == base
+    from java_iceberg_table_spark.fixtures import load_table
+
+    n_distinct = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    if n_distinct >= 500:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "LessThanOrEqual(o_custkey" in plan
