@@ -83,11 +83,18 @@ def d1_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(avg(l_discount), {R}) AS avg_disc",
         "count(1) AS count_order",
     ]
+    # coalesce(1) + in-partition sort, NOT orderBy (the c3e view-read
+    # convention, round 15): the group count is structurally <= 6
+    # (returnflag x linestatus are one-char flags), so a global sort's
+    # range exchange — a sampling job plus a shuffle job per call — buys
+    # nothing. One task merges and sorts the <= 6 final rows; identical
+    # total order, 4 jobs -> 2 (sf0.1 med 0.302 -> 0.224 s).
     return (
         li.filter("l_shipdate <= DATE'1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(*[F.expr(m) for m in measures])
-        .orderBy("l_returnflag", "l_linestatus")
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 

@@ -2537,7 +2537,12 @@ def d1e_engine_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("disc_c") / 100.0 / n, 4).alias("avg_disc"),
                 n.alias("count_order"),
             )
-            .orderBy("l_returnflag", "l_linestatus")
+            # coalesce(1) + in-partition sort, NOT orderBy (c3e
+            # convention, round 15): <= 6 groups structurally, so the
+            # range exchange's sampling + shuffle jobs per execution
+            # buy nothing. Identical total order.
+            .coalesce(1)
+            .sortWithinPartitions("l_returnflag", "l_linestatus")
         )
 
     return prepared_plan(spark, sf_dir, "d1e_engine_q1_cents", build)

@@ -77,12 +77,18 @@ def c3_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
+    # coalesce(1) + in-partition sort, NOT orderBy (the c3e view-read
+    # convention, round 15): groups are bounded by |nation| = 25 at any
+    # scale factor, so the global sort's range exchange (a sampling job
+    # + a shuffle job per call) buys nothing. Identical total order;
+    # 6 jobs -> 4 (sf0.1 med 0.325 -> 0.209 s).
     return (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("r_name", "n_name")
+        .coalesce(1)
+        .sortWithinPartitions("r_name", "n_name")
     )
 
 
