@@ -23,6 +23,7 @@ from ..streaming.jobs import (
     scratch_ckpt,
     shared_events_src,
     shared_staged,
+    sorted_result,
     stream_append_to_table,
     tumbling_counts,
 )
@@ -85,7 +86,7 @@ def i3_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, _ = shared_events_src(spark, sf_dir, n_files=4)
     agg = tumbling_counts(file_stream(spark, src, 2), "ts", "5 minutes")
     result = run_to_memory(agg, output_mode="complete")
-    return result.orderBy("window_start_us")
+    return sorted_result(result, "window_start_us")
 
 
 @register(
@@ -109,7 +110,7 @@ def i4_sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, _ = shared_events_src(spark, sf_dir, n_files=4)
     agg = sliding_counts(file_stream(spark, src, 2), "ts", "10 minutes", "5 minutes")
-    return run_to_memory(agg, output_mode="complete").orderBy("window_start_us")
+    return sorted_result(run_to_memory(agg, output_mode="complete"), "window_start_us")
 
 
 @register(
@@ -144,8 +145,8 @@ def i5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, _ = shared_events_src(spark, sf_dir, n_files=4)
     agg = session_counts(file_stream(spark, src, 2), "user_id", "ts", "30 minutes")
-    return run_to_memory(agg, output_mode="complete").orderBy(
-        "user_id", "session_start_us"
+    return sorted_result(
+        run_to_memory(agg, output_mode="complete"), "user_id", "session_start_us"
     )
 
 
@@ -268,10 +269,8 @@ def i7_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    return (
-        run_to_memory(stream, output_mode="append")
-        .select("event_id")
-        .orderBy("event_id")
+    return sorted_result(
+        run_to_memory(stream, output_mode="append").select("event_id"), "event_id"
     )
 
 
@@ -370,7 +369,7 @@ def i9_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, _ = shared_events_src(spark, sf_dir, n_files=4, variant="flush")
     stream = file_stream(spark, src, max_files_per_trigger=2)
     sess = stateful_sessions(stream, gap_minutes=30)
-    return run_to_memory(sess, output_mode="append").orderBy("user_id", "start_us")
+    return sorted_result(run_to_memory(sess, output_mode="append"), "user_id", "start_us")
 
 
 @register(
@@ -651,7 +650,7 @@ def i13_chained_stateful_dedup_window(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "cnt")
     )
-    return run_to_memory(stream, output_mode="append").orderBy("window_start_us")
+    return sorted_result(run_to_memory(stream, output_mode="append"), "window_start_us")
 
 
 @register(

@@ -223,6 +223,16 @@ def run_to_memory(
     return spark.table(name)
 
 
+def sorted_result(df: DataFrame, *cols: str) -> DataFrame:
+    """Total-order a MEMORY-SINK result without a range exchange
+    (round 15; the c3e/d1 tiny-group convention). The memory sink has
+    already materialized every row on the driver, so a global sort's
+    sample job + range shuffle buy nothing — coalesce(1) sorts the
+    (driver-sized) result in one task with the identical total order.
+    Only for memory-sink outputs; table-scan results keep orderBy."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def _live_lineage(md) -> set:
     """Snapshot ids reachable from the current head — watermark /
     crash-marker detection must count ONLY these: a commit rolled past
