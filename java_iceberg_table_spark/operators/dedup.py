@@ -47,6 +47,63 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
+# Spread gate for CPU-heavy text pipelines (round 15): a corpus that
+# arrives in fewer files than cores serializes tokenize/hash behind
+# single tasks (a 50k-doc single-row-group parquet file is ONE scan
+# task no matter the core count), while the rows themselves are ~100 B
+# — the fix-up shuffle moves kilobytes per core. Only worth it when
+# there is real work to spread: the A/B break-even sits near ~30k docs
+# (sf0.1's 5k-doc/580 KB corpus LOSES ~70 ms to the exchange, sf1's
+# 50k-doc/856 KB corpus gains ~1.2 s), so the floor lands between.
+_SPREAD_MIN_BYTES = 640 * 1024
+
+
+def _corpus_stats(df: DataFrame) -> tuple[int, int] | None:
+    """(n_files, total_bytes) of a file-backed frame's input, or None
+    when that is unknowable (non-file source, non-local paths)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+    except OSError:
+        return None  # non-local paths: splits follow the FS block size
+    return len(files), total
+
+
+def _corpus_is_large(df: DataFrame) -> bool:
+    """True when the corpus is big enough that skew/parallelism fixes
+    pay for their exchange; unknown sources count as large (the safe
+    direction at scale)."""
+    stats = _corpus_stats(df)
+    return stats is None or stats[1] >= _SPREAD_MIN_BYTES
+
+
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin a few-file, big-enough text source across the
+    default parallelism before a CPU-bound (ms/doc) pipeline. At real
+    scale inputs arrive in >= cores splits and this is a no-op; it
+    exists for the single-row-group-file shape where Spark's byte-range
+    splits cannot parallelize the scan."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    stats = _corpus_stats(df)
+    if stats is None:
+        return df
+    n_files, total = stats
+    if n_files >= width or total < _SPREAD_MIN_BYTES:
+        return df
+    return df.repartition(width)
+
+
 def token_set(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) pairs, one row per DISTINCT token per document."""
     return df.select(
@@ -181,7 +238,7 @@ def minhash_rep_graph(
     # joins. On duplicate-heavy corpora (the whole point of dedup) this
     # shrinks the quadratic candidate/verify core by the dup factor —
     # this is what keeps the operator viable at 100 TB.
-    toks_all = df.select(
+    toks_all = _spread_small_input(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("toks"),
     )
@@ -233,18 +290,35 @@ def minhash_rep_graph(
     # Both branches read the PERSISTED groups subtree, so this first
     # action populates the cache the later passes reuse — otherwise
     # the full corpus is tokenized twice.
-    stats_rows = (
-        groups.select(F.explode("toks").alias("t"))
-        .distinct()
-        .limit(VOCAB_CAP + 1)
-        .select(F.lit(0).alias("__k"), F.col("t"))
-        .unionAll(
-            reps.agg(F.count(F.lit(1)).cast("string").alias("t")).select(
-                F.lit(1).alias("__k"), F.col("t")
+    # The vocab limit is collected in ONE parallel wave (round 15):
+    # a small token universe never satisfies LIMIT 4097, so the
+    # default CollectLimit escalation (1 partition, then 4, 20, ...)
+    # serializes scheduler rounds — and on a spread corpus that is 4
+    # sequential waves of tiny tasks per call. initialNumPartitions
+    # covers every partition in the first wave; clamp-and-restore, the
+    # repo's standing pattern for action-scoped conf.
+    spark = df.sparkSession
+    _limit_key = "spark.sql.limit.initialNumPartitions"
+    _prev_init = spark.conf.get(_limit_key, None)
+    spark.conf.set(_limit_key, "100000")
+    try:
+        stats_rows = (
+            groups.select(F.explode("toks").alias("t"))
+            .distinct()
+            .limit(VOCAB_CAP + 1)
+            .select(F.lit(0).alias("__k"), F.col("t"))
+            .unionAll(
+                reps.agg(F.count(F.lit(1)).cast("string").alias("t")).select(
+                    F.lit(1).alias("__k"), F.col("t")
+                )
             )
+            .collect()
         )
-        .collect()
-    )
+    finally:
+        if _prev_init is None:
+            spark.conf.unset(_limit_key)
+        else:
+            spark.conf.set(_limit_key, _prev_init)
     vocab_rows = [r for r in stats_rows if r["__k"] == 0]
     n_reps = int(next(r["t"] for r in stats_rows if r["__k"] == 1))
     if len(vocab_rows) <= VOCAB_CAP:
@@ -376,10 +450,26 @@ def minhash_near_duplicates(
     # result's refs drop.
     rep_pairs = rep_pairs.persist()
     membership = membership.persist()
-    # expand representative pairs to member pairs
+    # expand representative pairs to member pairs. On a large corpus
+    # the edge list is round-robined first (guide §2.4 skew): every
+    # edge with the same id_a sits in ONE partition (the all-pairs
+    # join streams by the left rep), so a hot rep's whole expansion —
+    # members(a) x members(b) PER EDGE — lands on one task. Measured
+    # at sf1: one rep with 2,480 members put 11.9M of the 15.5M
+    # expanded rows in a single 5.8 s straggler (median task 54 ms);
+    # spreading the kilobyte-sized edge list costs one tiny exchange
+    # and bounds the worst task by the single largest edge instead.
+    # Gated on corpus size: below the floor the expansion is tiny and
+    # the extra exchange is pure job-floor cost (sf0.1 A/B +0.25 s).
+    expand_src = rep_pairs
+    if _corpus_is_large(df):
+        expand_src = rep_pairs.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     mem = F.broadcast(membership)
     inter = (
-        rep_pairs.join(mem.withColumnRenamed("rep", "id_a").withColumnRenamed("id", "ma"), "id_a")
+        expand_src
+        .join(mem.withColumnRenamed("rep", "id_a").withColumnRenamed("id", "ma"), "id_a")
         .join(mem.withColumnRenamed("rep", "id_b").withColumnRenamed("id", "mb"), "id_b")
         .select(
             F.least("ma", "mb").alias("id_a"),

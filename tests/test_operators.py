@@ -1464,3 +1464,28 @@ def test_dlit_nonfinite_and_quoted_names(spark):
     )
     got = df.select(dot_expr("my vec", "other-vec", dim=2).alias("d")).first()["d"]
     assert got == 11.0
+
+
+def test_minhash_spread_and_skew_gates_value_identical(spark, sf_dir, monkeypatch):
+    """Round 15: forcing the corpus-size gate ON (spread + edge-list
+    round-robin) must leave the expanded near-dup pairs identical; the
+    default gate must leave a small corpus's frame un-repartitioned."""
+    import java_iceberg_table_spark.operators.dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        minhash_near_duplicates(docs, "doc_id", "text", threshold=0.95,
+                                num_hashes=64, bands=16)
+        .orderBy("id_a", "id_b").collect()
+    )
+    monkeypatch.setattr(D, "_SPREAD_MIN_BYTES", 0)
+    forced = (
+        minhash_near_duplicates(docs, "doc_id", "text", threshold=0.95,
+                                num_hashes=64, bands=16)
+        .orderBy("id_a", "id_b").collect()
+    )
+    assert forced == base
+    # gate semantics on the helper itself
+    monkeypatch.setattr(D, "_SPREAD_MIN_BYTES", 1 << 60)
+    assert D._spread_small_input(docs) is docs
+    assert not D._corpus_is_large(docs)
