@@ -238,7 +238,12 @@ def d6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        # rollup of 5 regions x 25 nations: <= 31 rows — one-task
+        # in-partition sort, no range exchange (c3 convention, round 15)
+        .coalesce(1)
+        .sortWithinPartitions(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
     )
 
 
@@ -259,7 +264,10 @@ def d7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .cube("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        .coalesce(1)  # cube <= 36 rows (c3 convention)
+        .sortWithinPartitions(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
     )
 
 

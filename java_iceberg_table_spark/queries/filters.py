@@ -143,6 +143,11 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
 )
 def b7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
-        "l_returnflag", "l_linestatus"
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        # <= 6 flag x status combinations: one-task in-partition sort,
+        # no range exchange (c3 convention, round 15)
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )

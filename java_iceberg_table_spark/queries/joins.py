@@ -36,7 +36,10 @@ def c1_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(nation, cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("n_name")
+        # <= |nation| = 25 groups: one-task in-partition sort, no range
+        # exchange (the c3/c3e convention, round 15)
+        .coalesce(1)
+        .sortWithinPartitions("n_name")
     )
 
 
@@ -58,7 +61,8 @@ def c2_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("n_name")
+        .coalesce(1)  # <= 25 groups (c3 convention)
+        .sortWithinPartitions("n_name")
     )
 
 
