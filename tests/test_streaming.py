@@ -359,3 +359,17 @@ def test_scratch_root_cluster_gate(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", override)
     d = scratch_ckpt("gate_")
     assert os.path.isdir(d) and d.startswith(override)
+
+
+def test_sorted_result_total_order_matches_orderby(spark):
+    """Round 15: sorted_result (one-task in-partition sort for memory-
+    sink results) must yield exactly orderBy's total order."""
+    from java_iceberg_table_spark.streaming.jobs import sorted_result
+
+    df = spark.range(0, 1000).selectExpr(
+        "id % 7 AS a", "CAST(id AS STRING) AS b"
+    ).repartition(8)
+    got = sorted_result(df, "a", "b").collect()
+    want = df.orderBy("a", "b").collect()
+    assert got == want
+    assert sorted_result(df, "a", "b").rdd.getNumPartitions() == 1
