@@ -28,3 +28,24 @@ def duck(sf_dir):
     con = duck_connect(sf_dir)
     yield con
     con.close()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from tests/slow_tests.txt (see
+    pytest.ini): a data-driven list generated from a full
+    --durations=0 run, so the default profile stays inside the
+    external driver's verify budget."""
+    listing = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(listing) as f:
+            slow_ids = {
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
